@@ -1,0 +1,115 @@
+"""Stable hashing primitives: shingles, MinHash, LSH bands, SimHash.
+
+Used by entity linking (SURVEY.md J4 — "MinHash-blocked candidate
+generation") and by the document near-dedup suite. No external sketch
+library exists in this environment; MinHash is the standard permutation
+construction with universal hashing (a*h+b mod p) vectorized in numpy over
+one stable 64-bit base hash per shingle (blake2b — process-independent,
+unlike Python's ``hash``).
+
+All sketches are mergeable / order-independent, so per-batch computation in
+``map_batches`` composes with groupby reduction (ray_guide: "Aggregation at
+scale").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAXH = np.uint64((1 << 61) - 1)
+
+
+def stable_hash64(s: str) -> int:
+    """Deterministic 61-bit hash of a string (blake2b, cross-process stable)."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    ) & ((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def char_shingles(text: str, k: int = 3) -> set[str]:
+    """Character k-grams (the J4 blocking unit for surface forms)."""
+    if len(text) < k:
+        return {text} if text else set()
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
+def word_shingles(tokens: list[str], k: int = 3) -> set[str]:
+    """Word k-grams (the document near-dedup unit)."""
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+def minhash_signature(
+    shingles: set[str], num_perm: int = 32, seed: int = 42
+) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]); empty set → all-max sentinel."""
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    a, b = _PERM_CACHE[key]
+    if not shingles:
+        return np.full(num_perm, _MAXH, dtype=np.uint64)
+    base = np.fromiter(
+        (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+    # (num_perm, n_shingles) universal hashes, min over shingles
+    hashed = (a[:, None] * base[None, :] + b[:, None]) % _MAXH
+    return hashed.min(axis=1)
+
+
+def band_keys(
+    sig: np.ndarray, bands: int, prefix: str = ""
+) -> list[str]:
+    """LSH banding: signature → ``bands`` bucket keys (rows = len(sig)//bands)."""
+    rows = len(sig) // bands
+    keys = []
+    for bi in range(bands):
+        chunk = sig[bi * rows : (bi + 1) * rows]
+        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        keys.append(f"{prefix}b{bi}:{digest}")
+    return keys
+
+
+def jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def simhash64(features: set[str]) -> int:
+    """64-bit SimHash over feature strings (near-dup by Hamming distance)."""
+    if not features:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for f in features:
+        h = int.from_bytes(
+            hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

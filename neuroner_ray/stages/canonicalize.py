@@ -1,0 +1,109 @@
+"""A6 — surface-form canonicalization: distributed union-find + node build.
+
+Target-only operator (BASELINE.json:north_rule: "canonicalization through
+groupby-aggregate union-find clustering on surface forms"). Connected
+components over the same-entity pair graph from J4, computed as iterated
+min-label propagation expressed purely in Ray Data (two groupby shuffles per
+iteration, no driver-side graph):
+
+    labels(node→label) ∪ edges(k=a,v=b both directions)
+      → groupby(k).map_groups   # each node forwards its label to neighbors
+      → groupby(node).map_groups(min)  # adopt the smallest label seen
+    repeat until no label changes (components have small diameter — variant
+    groups of one entity — so this converges in a few rounds).
+
+The label table is materialized between iterations: it is vocabulary-sized
+(distinct surfaces), orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _propagate(group: pd.DataFrame) -> pd.DataFrame:
+    """One node's group: its L row (current label) + E rows (neighbors)."""
+    lrows = group[group["kind"] == "L"]
+    if lrows.empty:  # node absent from label table (shouldn't happen)
+        return pd.DataFrame({"k": [], "v": [], "kind": []})
+    label = lrows["v"].min()
+    neighbors = group.loc[group["kind"] == "E", "v"]
+    ks = list(neighbors) + [group["k"].iloc[0]]
+    kinds = ["M"] * len(neighbors) + ["S"]
+    return pd.DataFrame({"k": ks, "v": [label] * len(ks), "kind": kinds})
+
+
+def _adopt_min(group: pd.DataFrame) -> pd.DataFrame:
+    new_label = group["v"].min()
+    self_rows = group.loc[group["kind"] == "S", "v"]
+    old = self_rows.min() if not self_rows.empty else None
+    return pd.DataFrame(
+        {
+            "k": [group["k"].iloc[0]],
+            "v": [new_label],
+            "changed": [0 if old == new_label else 1],
+        }
+    )
+
+
+def connected_components(
+    pairs: Dataset, nodes: Dataset, max_iters: int = 10
+) -> Dataset:
+    """(a,b) pair Dataset + node Dataset (column ``node``) → (node, label).
+
+    ``label`` is the lexicographically smallest node key in the component.
+    """
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+                "kind": pa.array(["E"] * (2 * t.num_rows), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["node"].combine_chunks(),
+                "v": t["node"].combine_chunks(),
+                "kind": pa.array(["L"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    empty = pa.table(
+        {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+    )
+    if labels.count() == 0:  # no surfaces at all → empty typed result
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    for _ in range(max_iters):
+        msgs = labels.union(edges).groupby("k").map_groups(
+            _propagate, batch_format="pandas"
+        )
+        new_labels = msgs.groupby("k").map_groups(
+            _adopt_min, batch_format="pandas"
+        ).materialize()
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).map_batches(
+            lambda t: t.append_column(
+                "kind", pa.array(["L"] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if not changed:
+            break
+    return labels.drop_columns(["kind"]).rename_columns(["node", "label"])

@@ -1,0 +1,154 @@
+"""J4 — entity linking: MinHash-blocked candidate generation + match scoring.
+
+Target-only operator (BASELINE.json:north_rule: "entity linking via
+MinHash-blocked candidate generation and embedding-similarity scoring").
+Semantics (frozen here, exercised by the synthetic gazetteer's variant
+groups):
+
+1. **Census** (pre-aggregation): linking runs over *distinct* ``(ent_type,
+   surface)`` pairs, not raw mentions — a ``groupby().count()`` first, so the
+   expensive pairwise work scales with vocabulary, not corpus (ray_guide:
+   pre-aggregate before wide ops).
+2. **Blocking**: each distinct surface emits MinHash-LSH band keys over its
+   normalized char-3-gram set, plus one first-character-per-word key (recall
+   channel for abbreviation pairs whose char-Jaccard is low). Keys are
+   prefixed with ``ent_type`` so blocks never mix types.
+3. **Candidate pairs**: ``groupby(block).map_groups`` emits verified pairs.
+   Hot blocks are capped at ``cap`` members deterministically (sorted, then
+   truncated) — the cap is recorded in the group output, never silent
+   (SURVEY.md §4.2 skew handling).
+4. **Match rule** (exact, cheap — verification, not scoring): same type AND
+   (equal normalized forms OR word-prefix containment OR char-3-gram
+   Jaccard >= 0.5).
+
+The downstream union-find (A6, ``canonicalize.py``) turns pairs into
+clusters.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from ..functions.minhash import band_keys, char_shingles, jaccard, minhash_signature
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+
+NUM_PERM = 32
+BANDS = 8
+JACCARD_THRESHOLD = 0.5
+
+
+def normalize_surface(surface: str) -> str:
+    """Lowercased word tokens joined by single spaces (punctuation dropped)."""
+    return " ".join(_WORD_RE.findall(surface.lower()))
+
+
+def _word_prefix_subset(short_words: list[str], long_words: list[str]) -> bool:
+    """Every short word is a prefix of a *distinct* long word (order-free)."""
+    used = [False] * len(long_words)
+    for w in short_words:
+        ok = False
+        for i, lw in enumerate(long_words):
+            if not used[i] and lw.startswith(w):
+                used[i] = True
+                ok = True
+                break
+        if not ok:
+            return False
+    return True
+
+
+def link_match(norm_a: str, norm_b: str) -> bool:
+    """The frozen surface-match rule (same ent_type assumed by the caller)."""
+    if not norm_a or not norm_b:
+        return False
+    if norm_a == norm_b:
+        return True
+    wa, wb = norm_a.split(" "), norm_b.split(" ")
+    short, long_ = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
+    if _word_prefix_subset(short, long_):
+        return True
+    return jaccard(char_shingles(norm_a), char_shingles(norm_b)) >= JACCARD_THRESHOLD
+
+
+def node_key(ent_type: str, surface: str) -> str:
+    return f"{ent_type}|{surface}"
+
+
+def surface_census(mentions: Dataset) -> Dataset:
+    """Distinct ``(ent_type, surface)`` with mention counts (A1-style census).
+
+    Shuffle #1 of the linking path; output is vocabulary-sized.
+    """
+    return (
+        mentions.select_columns(["ent_type", "surface"])
+        .groupby(["ent_type", "surface"])
+        .aggregate(Count(alias_name="mention_count"))
+    )
+
+
+def _block_keys_batch(batch: pa.Table) -> pa.Table:
+    """Explode each distinct surface into its blocking keys."""
+    out_block: list[str] = []
+    out_node: list[str] = []
+    out_norm: list[str] = []
+    for ent_type, surface in zip(
+        batch["ent_type"].to_pylist(), batch["surface"].to_pylist()
+    ):
+        norm = normalize_surface(surface)
+        if not norm:
+            continue
+        nk = node_key(ent_type, surface)
+        sig = minhash_signature(char_shingles(norm), num_perm=NUM_PERM)
+        keys = band_keys(sig, BANDS, prefix=f"{ent_type}:")
+        keys += [f"{ent_type}:w:{w[0]}" for w in set(norm.split(" "))]
+        for k in set(keys):
+            out_block.append(k)
+            out_node.append(nk)
+            out_norm.append(norm)
+    return pa.table(
+        {
+            "block": pa.array(out_block, pa.string()),
+            "node": pa.array(out_node, pa.string()),
+            "norm": pa.array(out_norm, pa.string()),
+        }
+    )
+
+
+def _pairs_in_block(group: pd.DataFrame, cap: int) -> pd.DataFrame:
+    g = group.drop_duplicates("node").sort_values("node")
+    capped = len(g) > cap
+    if capped:
+        g = g.head(cap)
+    nodes = g["node"].to_numpy()
+    norms = g["norm"].to_numpy()
+    a_out: list[str] = []
+    b_out: list[str] = []
+    for i in range(len(nodes)):
+        for j in range(i + 1, len(nodes)):
+            if link_match(norms[i], norms[j]):
+                a_out.append(nodes[i])
+                b_out.append(nodes[j])
+    return pd.DataFrame(
+        {"a": a_out, "b": b_out, "block_capped": [capped] * len(a_out)}
+    )
+
+
+def candidate_pairs(surfaces: Dataset, cap: int = 200) -> Dataset:
+    """Blocked + verified same-entity pairs ``(a, b)`` over node keys.
+
+    Shuffle #2 (groupby block key). Pairs may repeat across blocks; the
+    downstream min-label propagation is idempotent so duplicates only cost
+    bytes — they are bounded by BANDS+words per surface.
+    """
+    blocked = surfaces.map_batches(_block_keys_batch, batch_format="pyarrow")
+    return blocked.groupby("block").map_groups(
+        lambda g: _pairs_in_block(g, cap), batch_format="pandas"
+    )
