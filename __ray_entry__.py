@@ -4,41 +4,154 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
+CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
 ``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from neuroner_ray.functions.tokenize import TOKEN_PATTERN
+from neuroner_ray.pipelines import queries as q
+from neuroner_ray.pipelines import kg
+from neuroner_ray.sources.synth_transcripts import transcripts_dir_for
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on the sf0.001-scale transcripts corpus."""
+    tdir = transcripts_dir_for("/root/testdata/sf0.001")
+    tables = kg.run_pipeline(tdir)
+    return tables["edges"]
+
+
+# ---------------------------------------------------------------- KG queries
+def _kg_tables(sf_dir: str) -> dict:
+    return kg.run_pipeline(transcripts_dir_for(sf_dir))
+
+
+def kg_mentions(sf_dir: str) -> Any:
+    tr = kg.read_transcripts(transcripts_dir_for(sf_dir))
+    return kg.mentions_of(kg.tag_turns(tr))
+
+
+def kg_triples(sf_dir: str) -> Any:
+    tr = kg.read_transcripts(transcripts_dir_for(sf_dir))
+    return kg.triples_of(kg.tag_turns(tr))
+
+
+def kg_nodes(sf_dir: str) -> Any:
+    tr = kg.read_transcripts(transcripts_dir_for(sf_dir))
+    nodes, _ = kg.link_and_canonicalize(kg.mentions_of(kg.tag_turns(tr)))
+    return nodes.drop_columns(["surfaces"])  # list col: keep compare simple
+
+
+def kg_edges(sf_dir: str) -> Any:
+    return _kg_tables(sf_dir)["edges"].drop_columns(["provenance"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    return {
+        # relational / aggregate / sort / join coverage (DuckDB-oracled)
+        "token_freq_top100": q.token_freq_top100,
+        "doc_token_counts": q.doc_token_counts,
+        "doc_fingerprints": q.doc_fingerprints,
+        "doc_quality": q.doc_quality,
+        "dedup_exact": q.dedup_exact,
+        "events_hourly": q.events_hourly,
+        "events_top_types": q.events_top_types,
+        "events_recent100": q.events_recent100,
+        "events_user_count": q.events_user_count,
+        "lineitem_pricing": q.lineitem_pricing,
+        "orders_by_nation": q.orders_by_nation,
+        "similarity_topk": q.similarity_topk,
+        # KG pipeline over synthetic transcripts (rows-only checks)
+        "kg_mentions": kg_mentions,
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = TOKEN_PATTERN.replace("\\", "\\")  # literal RE2 pattern, same as Python
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents (same column names, same rounding)."""
+    stop_list = ", ".join(f"'{w}'" for w in q.STOPWORDS)
+    return {
+        "token_freq_top100": f"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_TOK}'))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0 THEN 0.0
+                        ELSE round(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))
+                             / len(regexp_extract_all(text, '{_TOK}'))::DOUBLE, 4)
+                   END AS punct_ratio,
+                   CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9_]+')) = 0 THEN 0.0
+                        ELSE round(len(list_filter(
+                                 regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                 w -> w IN ({stop_list})))
+                             / len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::DOUBLE, 4)
+                   END AS stop_ratio
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_top_types": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10
+        """,
+        "events_recent100": """
+            SELECT event_id, ts FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 100
+        """,
+        "events_user_count": "SELECT count(DISTINCT user_id) AS n_users FROM events",
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name AS nation, count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "similarity_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+                   ), 4) AS cos
+            FROM embeddings e WHERE e.vec_id <> 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+    }

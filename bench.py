@@ -1,0 +1,131 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: full KG-construction pipeline (transcripts → nodes/edges) at the
+scale matching ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), plus the
+representative operator queries. ``--scaling`` runs the headline pipeline in
+two fresh processes at num_cpus=8 and num_cpus=32 on the same input and
+reports throughput at both plus the scaling efficiency (the sandbox stand-in
+for the north_rule's N vs 4N cluster criterion; note host nproc=1 → both
+levels are oversubscribed logical CPUs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from neuroner_ray.pipelines import kg
+    from neuroner_ray.pipelines import queries as q
+    from neuroner_ray.sources.synth_transcripts import (
+        sf_of_dir,
+        transcripts_dir_for,
+    )
+
+    sf = sf_of_dir(sf_dir)
+    tdir = transcripts_dir_for(sf_dir)  # generates+caches if missing (untimed)
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    n_turns = kg.read_transcripts(tdir).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    out_dir = f"/tmp/bench_graph_sf{sf:g}_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    kg.run_pipeline(tdir, out_dir=out_dir, concurrency=(1, max(2, num_cpus // 2)))
+    headline = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(headline, 3)
+
+    for name, fn in [
+        ("token_freq_top100", q.token_freq_top100),
+        ("dedup_exact", q.dedup_exact),
+        ("events_hourly", q.events_hourly),
+        ("similarity_topk", q.similarity_topk),
+        ("lineitem_pricing", q.lineitem_pricing),
+    ]:
+        t0 = time.perf_counter()
+        ds = fn(sf_dir)
+        # consume without driver materialization of big data
+        for _ in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            pass
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "kg_pipeline_wall_sec",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
+    }
+
+
+def run_subprocess(ncpu: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo, sf_dir)
+        r_hi = run_subprocess(hi, sf_dir)
+        speedup = r_lo["value"] / r_hi["value"]
+        eff = speedup / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "fraction",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "turns_per_sec_8": r_lo["turns_per_sec"],
+                    "turns_per_sec_32": r_hi["turns_per_sec"],
+                    "speedup": round(speedup, 3),
+                    "sf": r_lo["sf"],
+                    "note": "host nproc=1; 8 vs 32 oversubscribed logical CPUs",
+                }
+            )
+        )
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, num_cpus)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,357 @@
+"""Driver-contract query implementations (``__ray_entry__.queries()``).
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+``ray.data.Dataset`` whose row-set matches the paired DuckDB oracle SQL in
+``__ray_entry__.oracle_sql()`` — same column NAMES, same values (floats
+rounded identically on both sides). SURVEY.md §2 operator coverage is noted
+per function.
+
+Scale discipline (the point of the exercise):
+- reads prune columns (``read_parquet(columns=[...])``)
+- frequency counts pre-aggregate inside ``map_batches`` before the groupby
+  (partial/combiner pattern), so the shuffle moves vocabulary-sized data
+- small sides (nation) broadcast; large-large joins use the native hash join
+- top-k does per-batch local top-k before the global sort
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.tokenize import TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9_\s]")
+_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# -------------------------------------------------------------------- A1/O1
+def token_freq_top100(sf_dir: str) -> Dataset:
+    """Token frequency census, top 100 (SURVEY.md A1 vocab-fit + O6 top-k).
+
+    Partial counts per batch (combiner) → vocabulary-sized shuffle → total
+    order (count desc, token asc) → limit.
+    """
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            if text:
+                c.update(_TOKEN_RE.findall(text))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(100)
+
+
+# ----------------------------------------------------------------- text ops
+def doc_token_counts(sf_dir: str) -> Dataset:
+    """Per-document token count (training-data token counting)."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = [len(_TOKEN_RE.findall(t)) if t else 0 for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(counts, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str) -> Dataset:
+    """Per-document content fingerprint (md5 — matches DuckDB md5())."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str) -> Dataset:
+    """Quality-scoring signals: length, punctuation ratio, stopword ratio."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_chars, punct_ratio, stop_ratio = [], [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            n_chars.append(len(t))
+            toks = _TOKEN_RE.findall(t)
+            puncts = _PUNCT_RE.findall(t)
+            words = _WORD_RE.findall(t.lower())
+            punct_ratio.append(round(len(puncts) / len(toks), 4) if toks else 0.0)
+            stop_ratio.append(
+                round(sum(w in STOPWORDS for w in words) / len(words), 4)
+                if words
+                else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "punct_ratio": pa.array(punct_ratio, pa.float64()),
+                "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- dedup (O5)
+def dedup_exact(sf_dir: str) -> Dataset:
+    """Exact dedup: one survivor (min doc_id) per distinct text + dup count.
+
+    Content-hash column computed map-side; the groupby key is the hash so
+    the shuffle never moves full documents (SURVEY.md O5 at document scale).
+    """
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, pa.string())})
+
+    return (
+        docs.map_batches(hashed, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+        .select_columns(["doc_id", "n_dups"])
+    )
+
+
+# ----------------------------------------------------------- events (A1/O4)
+def events_hourly(sf_dir: str) -> Dataset:
+    """Tumbling 1-hour window per user: count + sum(value) (windowed agg)."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        ev.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(t["sum_value"], 4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_top_types(sf_dir: str) -> Dataset:
+    """Heavy-hitter census (O6): top event types by count."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["event_type"].to_pylist())
+        return pa.table(
+            {
+                "event_type": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "event_type"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def events_recent100(sf_dir: str) -> Dataset:
+    """Sort + limit (O4-style ordering guarantee): 100 most recent events."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts"])
+    return ev.sort(["ts", "event_id"], descending=[True, True]).limit(100)
+
+
+def events_user_count(sf_dir: str) -> Dataset:
+    """Distinct count (O3 dedup semantics)."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    n = len(ev.unique("user_id"))
+    return rd.from_arrow(pa.table({"n_users": pa.array([n], pa.int64())}))
+
+
+# ----------------------------------------------------- relational coverage
+def lineitem_pricing(sf_dir: str) -> Dataset:
+    """TPC-H Q1-shaped groupby-aggregate (engine aggregation coverage)."""
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("revenue", rev)
+
+    out = (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        for col in ("sum_qty", "sum_revenue", "avg_disc"):
+            t = t.set_column(
+                t.schema.get_field_index(col), col, pc.round(t[col], 4)
+            )
+        return t
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def orders_by_nation(sf_dir: str) -> Dataset:
+    """Join coverage: orders ⋈ customer (native hash join, both sides large)
+    then nation broadcast-joined map-side (small side never shuffled)."""
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    nation = {
+        int(k): v
+        for k, v in zip(
+            *[
+                c.to_pylist()
+                for c in pq.read_table(
+                    _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+                ).columns
+            ]
+        )
+    }
+    nation_ref = ray.put(nation)
+
+    class AddNation:
+        def __init__(self, ref):
+            self.nation = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self.nation[int(k)] for k in batch["c_nationkey"].to_pylist()]
+            return pa.table({"nation": pa.array(names, pa.string())})
+
+    return (
+        joined.map_batches(
+            AddNation,
+            fn_constructor_args=(nation_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("nation")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+# ------------------------------------------------- similarity search (ANN)
+def similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
+    """Brute-force cosine top-k vs a broadcast query vector.
+
+    Baseline ANN path: numpy matmul per batch against the broadcast query,
+    per-batch local top-k, then a tiny global sort+limit — the full score
+    set never shuffles.
+    """
+    qtab = pq.read_table(_p(sf_dir, "embeddings")).filter(
+        pc.equal(pc.field("vec_id"), query_vec_id)
+    )
+    q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class Score:
+        def __init__(self, ref):
+            self.q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ self.q) / norms
+            keep = ids != query_vec_id
+            ids, cos = ids[keep], cos[keep]
+            if len(ids) > k:  # local top-k before the global sort
+                part = np.argpartition(-cos, k)[:k]
+                ids, cos = ids[part], cos[part]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                }
+            )
+
+    scored = emb.map_batches(
+        Score, fn_constructor_args=(q_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
