@@ -1,0 +1,96 @@
+"""T2/T3 as a Ray actor-pool stage: the NumPy BiLSTM-CRF tagger.
+
+Reference inference path: src/train.py::prediction_step (≈L60–L160) — one
+sentence at a time through EntityLSTM + viterbi_decode. Here it is a
+callable class for ``map_batches``: weights + vocab load once per actor
+(``__init__``), each Arrow batch of turns is tagged with bucketed padded
+batching (sequences sorted by length, lockstep LSTM over [B,T,·] arrays)
+and vectorized Viterbi — no per-sentence Python loop over timesteps×rows.
+
+A per-actor char-feature cache memoizes the char-BiLSTM output per unique
+token (the reference recomputes it per occurrence; token surface forms
+repeat heavily, so this is a large win with identical semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.labels import bioes_to_bio
+from ..state.checkpoint import load_checkpoint
+from ..state.model import (
+    char_features_unique,
+    forward_scores_batch,
+    viterbi_decode_batch,
+)
+from .tagger import _append_labels_mentions
+
+DEFAULT_CHECKPOINT = "tests/fixtures/checkpoint"
+_CACHE_MAX = 200_000  # unique tokens cached per actor
+
+
+class NeuralTagger:
+    """``ds.map_batches(NeuralTagger, fn_constructor_args=(ckpt_dir,),
+    batch_format="pyarrow", concurrency=N)``."""
+
+    def __init__(
+        self,
+        checkpoint_dir: str = DEFAULT_CHECKPOINT,
+        emit_bio: bool = True,
+        bucket_size: int = 128,
+    ):
+        self.params, self.vocab = load_checkpoint(checkpoint_dir)
+        self.emit_bio = emit_bio
+        self.bucket_size = bucket_size
+        self.char_dim2 = 2 * self.params["char_Wh_f"].shape[0]
+        self._char_cache: dict[str, np.ndarray] = {}
+
+    # -- char features with per-unique-token memoization -------------------
+    def _char_feats(self, tokens: list[str]) -> np.ndarray:
+        missing = [t for t in set(tokens) if t not in self._char_cache]
+        if missing:
+            ids = [self.vocab.char_indices(t) for t in missing]
+            feats = char_features_unique(self.params, ids)
+            for t, f in zip(missing, feats):
+                self._char_cache[t] = f
+            if len(self._char_cache) > _CACHE_MAX:
+                self._char_cache.clear()
+        if not tokens:
+            return np.zeros((0, self.char_dim2))
+        return np.stack([self._char_cache[t] for t in tokens])
+
+    def _tag_sequences(self, seqs: list[list[str]]) -> list[list[str]]:
+        """Tag many token sequences with length-bucketed padded batches."""
+        out: list[list[str]] = [[] for _ in seqs]
+        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+        i2l = self.vocab.index_to_label
+        for bstart in range(0, len(order), self.bucket_size):
+            bidx = [
+                i for i in order[bstart : bstart + self.bucket_size] if seqs[i]
+            ]
+            if not bidx:
+                continue
+            lengths = np.array([len(seqs[i]) for i in bidx], dtype=np.int64)
+            Tmax = int(lengths.max())
+            B = len(bidx)
+            tok_pad = np.zeros((B, Tmax), dtype=np.int64)
+            chf_pad = np.zeros((B, Tmax, self.char_dim2))
+            for row, i in enumerate(bidx):
+                toks = seqs[i]
+                tok_pad[row, : len(toks)] = [
+                    self.vocab.token_index(t) for t in toks
+                ]
+                chf_pad[row, : len(toks)] = self._char_feats(toks)
+            U = forward_scores_batch(self.params, tok_pad, chf_pad, lengths)
+            paths = viterbi_decode_batch(U, self.params["crf_A"], lengths)
+            for row, i in enumerate(bidx):
+                labs = [i2l[j] for j in paths[row, : lengths[row]]]
+                out[i] = bioes_to_bio(labs) if self.emit_bio else labs
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens_col = batch["tokens"].to_pylist()
+        seqs = [[t["text"] for t in toks] for toks in tokens_col]
+        labels_per_row = self._tag_sequences(seqs)
+        return _append_labels_mentions(batch, labels_per_row)
