@@ -71,6 +71,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q.lineitem_pricing,
         "orders_by_nation": q.orders_by_nation,
         "similarity_topk": q.similarity_topk,
+        "events_first_per_user_type": q.events_first_per_user_type,
+        # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
+        "doc_langid": q.doc_langid,
+        "doc_simhash": q.doc_simhash,
+        "doc_minhash_dedup": q.doc_minhash_dedup,
+        "embedding_near_dup": q.embedding_near_dup,
+        "similarity_topk_lsh": q.similarity_topk_lsh,
         # KG pipeline over synthetic transcripts (rows-only checks)
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -130,6 +137,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ts DESC, event_id DESC LIMIT 100
         """,
         "events_user_count": "SELECT count(DISTINCT user_id) AS n_users FROM events",
+        "events_first_per_user_type": """
+            SELECT user_id, event_type, min(ts) AS first_ts
+            FROM events GROUP BY user_id, event_type
+        """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

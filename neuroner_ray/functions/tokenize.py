@@ -62,6 +62,24 @@ def tokenize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("tokens", _tokens_list_array(texts))
 
 
+_SENT_RE = re.compile(r"[^.!?]*[.!?]+(?:\s+|$)|[^.!?]+$")
+
+
+def split_sentences(text: str) -> list[tuple[int, int]]:
+    """Deterministic sentencizer (the reference uses spaCy's; same contract:
+    non-destructive char spans covering the text, split after .!? runs)."""
+    spans = []
+    for m in _SENT_RE.finditer(text):
+        s, e = m.start(), m.end()
+        while s < e and text[s].isspace():
+            s += 1
+        while e > s and text[e - 1].isspace():
+            e -= 1
+        if s < e:
+            spans.append((s, e))
+    return spans
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Cheap variant: only ``n_tokens: int64`` (for text-analysis queries)."""
     counts = [

@@ -355,3 +355,63 @@ def similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
         concurrency=(1, 4),
     )
     return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------ text analysis / dedup suite
+def doc_langid(sf_dir: str) -> Dataset:
+    """Language-ID (n-gram heuristic) per document — rows-only check (not
+    SQL-expressible)."""
+    from ..functions.langid import langid_batch
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return docs.map_batches(langid_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def doc_simhash(sf_dir: str) -> Dataset:
+    """64-bit SimHash fingerprints — deterministic, rows-only."""
+    from ..stages.dedup import simhash_fingerprints
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_fingerprints(docs)
+
+
+def doc_minhash_dedup(sf_dir: str) -> Dataset:
+    """MinHash-LSH near-dup clusters — rows-only."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs)
+
+
+def embedding_near_dup(sf_dir: str) -> Dataset:
+    """Embedding-cosine near-dup clusters — rows-only."""
+    from ..stages.dedup import embedding_cosine_dedup
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_cosine_dedup(emb, threshold=0.98)
+
+
+def similarity_topk_lsh(sf_dir: str, k: int = 10) -> Dataset:
+    """LSH-bucketed ANN variant of similarity_topk — rows-only (approximate)."""
+    from ..stages.similarity import ann_search_lsh, build_lsh_index
+
+    qtab = pq.read_table(_p(sf_dir, "embeddings")).filter(
+        pc.equal(pc.field("vec_id"), 0)
+    )
+    qvec = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    indexed = build_lsh_index(emb)
+    out = ann_search_lsh(indexed, qvec, k=k + 1)
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).limit(k)
+
+
+def events_first_per_user_type(sf_dir: str) -> Dataset:
+    """First event timestamp per (user, type) — dedup-keep-first semantics."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    return ev.groupby(["user_id", "event_type"]).aggregate(
+        Min("ts", alias_name="first_ts")
+    )

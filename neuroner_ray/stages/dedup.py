@@ -1,0 +1,314 @@
+"""Document deduplication suite (target-only; first-class per the brief).
+
+Five near/exact-dup strategies over a (id, text) / (id, embedding) corpus,
+each expressed Ray-Data-first:
+
+- exact: content-hash groupby (see ``pipelines.queries.dedup_exact``)
+- MinHash-LSH: shingle → minhash → band → bucket groupby → candidate pairs
+  → signature-estimate verify → connected components
+- SimHash: 64-bit simhash, 4×16-bit band blocking, Hamming-distance verify
+- n-gram Jaccard: MinHash blocking + EXACT word-shingle Jaccard verify
+  (text carried into blocks — fixture-accurate; at corpus scale swap the
+  verify to the signature estimate or a second pass joining text by id)
+- embedding-cosine: random-hyperplane LSH buckets → exact cosine verify
+
+All pair generators cap bucket size deterministically (sorted, truncated,
+``block_capped`` flag emitted — never silent). Clustering reuses the
+distributed union-find (``canonicalize.connected_components``); cluster id
+is the minimum member id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions.minhash import (
+    band_keys,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash64,
+    stable_hash64,
+    word_shingles,
+)
+from ..functions.tokenize import tokenize_text
+from .canonicalize import connected_components
+
+
+def _ids_as_nodes(ds: Dataset, id_col: str) -> Dataset:
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"node": pa.array([str(v) for v in t[id_col].to_pylist()], pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _cluster(pairs: Dataset, ids: Dataset, id_col: str) -> Dataset:
+    """pairs(a,b as strings) + id universe → (id_col, cluster_id)."""
+    labels = connected_components(pairs, _ids_as_nodes(ids, id_col))
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: pa.array(
+                    [int(v) for v in t["node"].to_pylist()], pa.int64()
+                ),
+                "cluster_id": pa.array(
+                    [int(v) for v in t["label"].to_pylist()], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- MinHash-LSH
+def minhash_lsh_dedup(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    cap: int = 500,
+) -> Dataset:
+    """Near-dup clusters: (id_col, cluster_id); cluster_id = min member id.
+
+    Verify = signature-estimate Jaccard (fraction of equal minhash slots),
+    the standard LSH design: candidates from band collisions, estimate from
+    the full signature — no second pass over text.
+    """
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_block, out_sig = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = [t for t, _, _ in tokenize_text((text or "").lower())]
+            sig = minhash_signature(word_shingles(toks, shingle_k), num_perm)
+            for bk in band_keys(sig, bands):
+                out_id.append(str(did))
+                out_block.append(bk)
+                out_sig.append(sig.astype(np.int64))
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "block": pa.array(out_block, pa.string()),
+                "sig": pa.array([s.tolist() for s in out_sig], pa.list_(pa.int64())),
+            }
+        )
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        capped = len(g) > cap
+        if capped:
+            g = g.head(cap)
+        ids = g["id"].tolist()
+        sigs = [np.asarray(s) for s in g["sig"]]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float(np.mean(sigs[i] == sigs[j]))
+                if est >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b, "block_capped": [capped] * len(a)})
+
+    blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
+    pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
+    return _cluster(pairs, docs, id_col)
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash_fingerprints(
+    docs: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """(id, simhash) — 64-bit fingerprint over lowercased word features."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = {t for t, _, _ in tokenize_text((text or "").lower())}
+            h = simhash64(toks)
+            ids.append(did)
+            hashes.append(h - (1 << 64) if h >= (1 << 63) else h)  # two's-complement int64
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "simhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def simhash_dedup(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    cap: int = 500,
+) -> Dataset:
+    """Near-dup clusters by SimHash: block on each of the 8 8-bit bands —
+    by pigeonhole a pair with Hamming distance <= 7 over 64 bits always
+    collides on at least one band — then verify exact Hamming distance."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+
+    def blocks(batch: pa.Table) -> pa.Table:
+        ids, blk, sh = [], [], []
+        for did, h in zip(batch[id_col].to_pylist(), batch["simhash"].to_pylist()):
+            u = h & 0xFFFFFFFFFFFFFFFF
+            for bi in range(8):
+                chunk = (u >> (8 * bi)) & 0xFF
+                ids.append(str(did))
+                blk.append(f"b{bi}:{chunk:02x}")
+                sh.append(h)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.string()),
+                "block": pa.array(blk, pa.string()),
+                "simhash": pa.array(sh, pa.int64()),
+            }
+        )
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        capped = len(g) > cap
+        if capped:
+            g = g.head(cap)
+        ids = g["id"].tolist()
+        hs = [h & 0xFFFFFFFFFFFFFFFF for h in g["simhash"]]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if hamming64(hs[i], hs[j]) <= max_hamming:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b, "block_capped": [capped] * len(a)})
+
+    blocked = fps.map_batches(blocks, batch_format="pyarrow")
+    pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
+    return _cluster(pairs, docs, id_col)
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    cap: int = 500,
+) -> Dataset:
+    """Exact-verified near-dup pairs: (a, b, jac) with word-k-gram Jaccard
+    >= threshold; candidate generation via MinHash bands."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        out = {"id": [], "block": [], "text": []}
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = [t for t, _, _ in tokenize_text((text or "").lower())]
+            sig = minhash_signature(word_shingles(toks, shingle_k), num_perm)
+            for bk in band_keys(sig, bands):
+                out["id"].append(str(did))
+                out["block"].append(bk)
+                out["text"].append(text or "")
+        return pa.table(
+            {
+                "id": pa.array(out["id"], pa.string()),
+                "block": pa.array(out["block"], pa.string()),
+                "text": pa.array(out["text"], pa.string()),
+            }
+        )
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        capped = len(g) > cap
+        if capped:
+            g = g.head(cap)
+        ids = g["id"].tolist()
+        shingle_sets = [
+            word_shingles(
+                [t for t, _, _ in tokenize_text(x.lower())], shingle_k
+            )
+            for x in g["text"]
+        ]
+        a, b, jac = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jv = jaccard(shingle_sets[i], shingle_sets[j])
+                if jv >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    jac.append(round(jv, 4))
+        return pd.DataFrame({"a": a, "b": b, "jac": jac})
+
+    blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
+    pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
+    # same pair may surface from several bands → dedupe
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+def embedding_cosine_dedup(
+    embeddings: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    cap: int = 2000,
+) -> Dataset:
+    """Near-dup clusters by embedding cosine: random-hyperplane LSH buckets
+    (vectors with cosine >= threshold almost always share a bucket for small
+    n_planes), exact cosine verify inside each bucket."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        dim = mat.shape[1] if mat.ndim == 2 else 0
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(dim, n_planes)
+        signs = (mat @ planes) >= 0
+        keys = [
+            "".join("1" if s else "0" for s in row) for row in signs
+        ]
+        return pa.table(
+            {
+                "id": pa.array(
+                    [str(v) for v in batch[id_col].to_pylist()], pa.string()
+                ),
+                "block": pa.array(keys, pa.string()),
+                "vec": batch[vec_col],
+            }
+        )
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        capped = len(g) > cap
+        if capped:
+            g = g.head(cap)
+        ids = g["id"].tolist()
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "block_capped": []})
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        cos = mat @ mat.T
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos[i, j] >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b, "block_capped": [capped] * len(a)})
+
+    blocked = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
+    return _cluster(pairs, embeddings, id_col)

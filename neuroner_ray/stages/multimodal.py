@@ -1,0 +1,149 @@
+"""Multimodal column stages — real Ray plumbing, stubbed codecs.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+(the brief's multimodal requirement). The decode/resize/frame-sample
+kernels need codec libraries absent from this container, so the codec step
+is stubbed: ``DeterministicFakeCodec`` (default; a seeded, content-hashed
+fake that makes the full pipeline testable end-to-end) or
+``strict=True`` → ``NotImplementedError`` marking exactly where a real
+libjpeg/ffmpeg call goes. Everything Ray-side is real and tested: schemas,
+actor-pool signature, per-batch memory sizing (small batches for large
+payloads), and output layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown / n.a.
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+class DeterministicFakeCodec:
+    """Stands in for PIL/ffmpeg: output depends only on payload bytes."""
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+        w = width if width > 0 else 16
+        ht = height if height > 0 else 16
+        return rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+
+    def sample_frames(self, payload: bytes, duration_ms: int, fps: float) -> list[bytes]:
+        n = max(1, int(max(duration_ms, 1000) / 1000 * fps))
+        return [
+            hashlib.blake2b(payload + bytes([i % 256]), digest_size=16).digest()
+            for i in range(min(n, 32))
+        ]
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode + mean-pool features per image.
+
+    ``map_batches(ImageFeatureExtractor, batch_size=64, concurrency=N)`` —
+    batch_size deliberately small: payload bytes dominate block memory
+    (ray_guide: size batches so batch × concurrency fits worker heaps).
+    """
+
+    def __init__(self, strict: bool = False, resize_to: int = 8):
+        if strict:
+            raise NotImplementedError(
+                "real image decode requires PIL/libjpeg — not in this container; "
+                "swap DeterministicFakeCodec for a real codec here"
+            )
+        self.codec = DeterministicFakeCodec()
+        self.resize_to = resize_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload, w, h in zip(
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            img = self.codec.decode_image(payload or b"", w, h)
+            # "resize": block-mean downsample to resize_to x resize_to
+            ys = np.array_split(img, self.resize_to, axis=0)
+            pooled = np.stack(
+                [
+                    np.concatenate(
+                        [b.mean(axis=(0, 1)) for b in np.array_split(row, self.resize_to, axis=1)]
+                    )
+                    for row in ys
+                ]
+            ).ravel()
+            feats.append(np.round(pooled / 255.0, 6).astype(np.float32))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample frames at ``fps`` → exploded frame rows."""
+
+    def __init__(self, fps: float = 1.0, strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg — not in this container"
+            )
+        self.codec = DeterministicFakeCodec()
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, frames = [], [], []
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            for i, fb in enumerate(
+                self.codec.sample_frames(payload or b"", dur, self.fps)
+            ):
+                mids.append(mid)
+                fidx.append(i)
+                frames.append(fb)
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def extract_image_features(media: Dataset, concurrency=(1, 4)) -> Dataset:
+    return media.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(media: Dataset, fps: float = 1.0, concurrency=(1, 4)) -> Dataset:
+    return media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(fps,),
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,189 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths (the brief's similarity-search requirement):
+- brute-force cosine top-k: broadcast query matrix, numpy matmul per batch,
+  per-batch local top-k, tiny global sort (``pipelines.queries.similarity_topk``
+  is the single-query specialization)
+- multi-table random-hyperplane LSH as the scale path: T independent
+  tables of m planes each; a vector is indexed under one signature per
+  table, and a query probes each table's buckets within Hamming radius r of
+  its own signature. Multiple tables are the standard fix for
+  sign-random-projection LSH's low single-table recall when true neighbors
+  are weak (near-orthogonal) — recall is measured against brute force in
+  tests/test_dedup_similarity.py and in the similarity_topk_lsh probe.
+
+Candidate filtering happens inside the scan (vectorized ``isin`` per
+batch): only candidate vectors are cosine-scored, and per-batch local
+top-k keeps the shuffle tiny.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+N_TABLES = 8
+N_PLANES = 8
+
+
+def _planes(dim: int, n_tables: int, n_planes: int, seed: int) -> np.ndarray:
+    """[n_tables, dim, n_planes] — one independent plane set per table."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, dim, n_planes)
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """[N, D] × [T, D, m] → int signatures [N, T]."""
+    n_tables, _, n_planes = planes.shape
+    out = np.zeros((len(mat), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (mat @ planes[t]) >= 0
+        sig = np.zeros(len(mat), dtype=np.int64)
+        for i in range(n_planes):
+            sig |= bits[:, i].astype(np.int64) << i
+        out[:, t] = sig
+    return out
+
+
+def build_lsh_index(
+    embeddings: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    seed: int = 42,
+) -> Dataset:
+    """Add a ``buckets: list<int64>`` column (one signature per table)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        planes = _planes(mat.shape[1], n_tables, n_planes, seed)
+        sigs = _signatures(mat, planes)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "buckets": pa.array(sigs.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    return embeddings.map_batches(tag, batch_format="pyarrow")
+
+
+def _probe_set(sig: int, n_planes: int, radius: int) -> list[int]:
+    out = {sig}
+    for r in range(1, radius + 1):
+        for flip in combinations(range(n_planes), r):
+            s = sig
+            for f in flip:
+                s ^= 1 << f
+            out.add(s)
+    return sorted(out)
+
+
+def ann_search_lsh(
+    indexed: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    seed: int = 42,
+    radius: int = 2,
+) -> Dataset:
+    """Top-k by cosine among the union of per-table probe candidates."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    planes = _planes(len(q), n_tables, n_planes, seed)
+    qsigs = _signatures(qn[None, :], planes)[0]  # [T]
+    probes = [
+        np.array(_probe_set(int(qsigs[t]), n_planes, radius), dtype=np.int64)
+        for t in range(n_tables)
+    ]
+    q_ref = ray.put(qn)
+    probes_ref = ray.put(probes)
+
+    class Score:
+        def __init__(self, q_ref, probes_ref):
+            self.q = ray.get(q_ref)
+            self.probes = ray.get(probes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sigs = np.asarray(batch["buckets"].to_pylist(), dtype=np.int64)  # [N, T]
+            keep = np.zeros(len(sigs), dtype=bool)
+            for t, probe in enumerate(self.probes):
+                keep |= np.isin(sigs[:, t], probe)
+            if not keep.any():
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[keep]
+            mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)[keep]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ self.q) / norms
+            if len(ids) > k:
+                part = np.argpartition(-cos, k)[:k]
+                ids, cos = ids[part], cos[part]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                }
+            )
+
+    scored = indexed.map_batches(
+        Score,
+        fn_constructor_args=(q_ref, probes_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
+
+
+def brute_force_topk(
+    embeddings: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Exact cosine top-k (baseline; the recall oracle for the LSH path)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    class Score:
+        def __init__(self, q_ref):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ self.q) / norms
+            if len(ids) > k:
+                part = np.argpartition(-cos, k)[:k]
+                ids, cos = ids[part], cos[part]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                }
+            )
+
+    scored = embeddings.map_batches(
+        Score, fn_constructor_args=(q_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["cos", id_col], descending=[True, False]).limit(k)

@@ -1,0 +1,148 @@
+"""Dedup suite + ANN similarity + langid + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from neuroner_ray.functions.langid import detect_language
+from neuroner_ray.functions.minhash import jaccard, minhash_signature, word_shingles
+from neuroner_ray.stages.dedup import (
+    embedding_cosine_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from neuroner_ray.stages.multimodal import (
+    ImageFeatureExtractor,
+    extract_image_features,
+    sample_video_frames,
+)
+from neuroner_ray.stages.similarity import (
+    ann_search_lsh,
+    brute_force_topk,
+    build_lsh_index,
+)
+
+
+def _docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the late afternoon sun"
+    )
+    near = base.replace("lazy", "sleepy")  # near-dup of base
+    far = "completely different content about spark query engines and arrow"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},          # exact dup
+        {"doc_id": 2, "text": near},          # near dup
+        {"doc_id": 3, "text": far},
+        {"doc_id": 4, "text": "short one"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_minhash_estimates_jaccard():
+    a = word_shingles("the quick brown fox jumps over the lazy dog".split(), 3)
+    b = word_shingles("the quick brown fox leaps over the lazy dog".split(), 3)
+    true_j = jaccard(a, b)
+    sa = minhash_signature(a, 256)
+    sb = minhash_signature(b, 256)
+    est = float(np.mean(sa == sb))
+    assert abs(est - true_j) < 0.12
+
+
+def test_minhash_lsh_dedup_clusters():
+    out = minhash_lsh_dedup(_docs(), threshold=0.6).to_pandas()
+    c = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert c[0] == c[1] == c[2]  # base, exact dup, near dup together
+    assert c[3] not in (c[0],)
+    assert c[4] not in (c[0],)
+
+
+def test_simhash_dedup_clusters():
+    out = simhash_dedup(_docs(), max_hamming=7).to_pandas()
+    c = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert c[0] == c[1] == c[2]
+    assert c[3] != c[0]
+
+
+def test_ngram_jaccard_pairs_exact_verify():
+    out = ngram_jaccard_pairs(_docs(), threshold=0.5).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["a"], out["b"])}
+    assert ("0", "1") in pairs
+    assert ("0", "2") in pairs
+    got = out[(out["a"] == "0") & (out["b"] == "1")]["jac"].iloc[0]
+    assert got == 1.0  # exact dup → jaccard exactly 1
+
+
+def test_embedding_cosine_dedup():
+    rng = np.random.RandomState(0)
+    v = rng.randn(8)
+    rows = [
+        {"vec_id": 0, "embedding": v.tolist()},
+        {"vec_id": 1, "embedding": (v * 2.0).tolist()},          # same direction
+        {"vec_id": 2, "embedding": (v + rng.randn(8) * 0.01).tolist()},  # near
+        {"vec_id": 3, "embedding": rng.randn(8).tolist()},       # unrelated
+    ]
+    out = embedding_cosine_dedup(
+        rd.from_items(rows), threshold=0.99, n_planes=6
+    ).to_pandas()
+    c = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert c[0] == c[1] == c[2]
+    assert c[3] != c[0]
+
+
+def test_ann_lsh_recall_vs_brute_force():
+    rng = np.random.RandomState(1)
+    mat = rng.randn(400, 16)
+    rows = [
+        {"vec_id": i, "embedding": mat[i].tolist()} for i in range(len(mat))
+    ]
+    emb = rd.from_items(rows)
+    q = rng.randn(16)
+    exact = brute_force_topk(emb, q, k=10).to_pandas()
+    indexed = build_lsh_index(emb).materialize()
+    approx = ann_search_lsh(indexed, q, k=10).to_pandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.7, recall  # 8 tables x 8 bits, radius-2 probes
+
+
+def test_langid_heuristic():
+    assert detect_language("the cat and the dog are in the house") == "en"
+    assert detect_language("der Hund und die Katze sind nicht da") == "de"
+    assert detect_language("le chat est dans la maison avec les enfants") == "fr"
+    assert detect_language("el perro y la casa son una maravilla") == "es"
+    assert detect_language("今天天气很好我们去公园散步") == "zh"
+    assert detect_language("") == "und"
+
+
+def test_multimodal_plumbing():
+    rows = [
+        {
+            "media_id": f"m{i}",
+            "kind": "image",
+            "payload": bytes([i]) * 100,
+            "mime": "image/fake",
+            "width": 16,
+            "height": 16,
+            "duration_ms": 3000,
+        }
+        for i in range(5)
+    ]
+    media = rd.from_items(rows)
+    feats = extract_image_features(media).to_pandas()
+    assert len(feats) == 5
+    assert len(feats.iloc[0]["features"]) == 8 * 8 * 3
+    # determinism: same payload → same features
+    f2 = extract_image_features(media).to_pandas()
+    assert np.allclose(
+        np.stack(feats.sort_values("media_id")["features"].to_numpy()),
+        np.stack(f2.sort_values("media_id")["features"].to_numpy()),
+    )
+    frames = sample_video_frames(media, fps=1.0).to_pandas()
+    assert (frames.groupby("media_id").size() == 3).all()  # 3s @ 1fps
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(strict=True)
