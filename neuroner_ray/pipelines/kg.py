@@ -4,9 +4,13 @@ transcripts → M1 tokenize → tagger actor pool (T2/T3 or RuleTagger) →
 M3 mentions → M11 triples → J4 linking (band shuffle) → A6 union-find →
 J5 resolve → O5/A7 edges → S9 partitioned Parquet.
 
-Every step is a lazy Dataset transform; the only materializations are the
-vocabulary-sized label/census tables (linking) — the corpus-sized paths
-(turns → mentions/triples) stream with backpressure end to end.
+Every step is a lazy Dataset transform. Materializations: the
+vocabulary-sized label/census tables (linking), plus ONE corpus-sized
+checkpoint of the tagged turns so mentions and triples share a single
+tagging pass (tagging is the expensive stage; the object store spills as
+needed). At full 100 TB scale the same pipeline runs through
+``manifests.run_bucketed``, which streams bucket-by-bucket and checkpoints
+to Parquet instead.
 """
 
 from __future__ import annotations
@@ -18,7 +22,6 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
-from ..functions.tokenize import tokenize_batch
 from ..stages.canonicalize import connected_components
 from ..stages.graph import (
     aggregate_edges,
@@ -43,9 +46,12 @@ def tag_turns(
     concurrency: Any = (1, 8),
     batch_size: int = 1024,
 ) -> Dataset:
-    """tokenize + tag: the map-only hot path (no shuffle by construction)."""
-    tokenized = transcripts.map_batches(tokenize_batch, batch_format="pyarrow")
-    return tokenized.map_batches(
+    """Fused tokenize+tag: the map-only hot path (no shuffle by construction).
+
+    Taggers tokenize inline (see ``_tokens_of_batch``) — one actor-pool
+    stage, no intermediate Arrow tokens column.
+    """
+    return transcripts.map_batches(
         tagger,
         fn_constructor_args=tagger_args,
         batch_format="pyarrow",
@@ -106,9 +112,12 @@ def run_pipeline(
 ) -> dict[str, Dataset]:
     """Full pipeline; returns the logical tables (lazy where possible)."""
     transcripts = read_transcripts(transcripts_path)
+    # One tagging pass: materialize the tagged turns (tokens dropped — only
+    # labels+mentions flow downstream) so mentions AND triples derive from a
+    # single execution instead of re-running tokenize+tag per consumer.
     tagged = tag_turns(
         transcripts, tagger=tagger, tagger_args=tagger_args, concurrency=concurrency
-    )
+    ).materialize()
     mentions = mentions_of(tagged)
     triples = triples_of(tagged).materialize()  # consumed twice (resolve + P/R)
     nodes = link_and_canonicalize(mentions)[0].materialize()

@@ -1,0 +1,143 @@
+"""Per-partition lineage manifests + resumable bucket runs (SURVEY.md §4.4).
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". The resume unit is a conversation bucket (``hash(conv_id) % B``):
+each completed bucket writes ``_manifest/bucket=<i>.json`` recording input,
+config hash, row counts per stage, output files and wall time. A rerun
+reads the manifests, skips finished buckets, and processes only the rest —
+a killed run loses at most the in-flight buckets.
+
+Output writes are atomic: a bucket is written to ``<out>/.tmp-bucket=<i>``
+and renamed into place before its manifest appears, so a manifest always
+points at complete data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import zlib
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+
+
+def config_hash(config: dict) -> str:
+    return hashlib.blake2b(
+        json.dumps(config, sort_keys=True).encode(), digest_size=8
+    ).hexdigest()
+
+
+def bucket_of(conv_id: str, num_buckets: int) -> int:
+    return zlib.crc32(conv_id.encode("utf-8")) % num_buckets
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_buckets(out_dir: str, cfg_hash: str) -> set[int]:
+    """Buckets whose manifest exists AND matches the current config hash."""
+    mdir = manifest_dir(out_dir)
+    done = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not name.startswith("bucket=") or not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if m.get("config_hash") == cfg_hash:
+            done.add(int(m["bucket"]))
+    return done
+
+
+def write_manifest(out_dir: str, bucket: int, payload: dict) -> None:
+    mdir = manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-bucket={bucket}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, os.path.join(mdir, f"bucket={bucket}.json"))
+
+
+def run_bucketed(
+    transcripts_path: str,
+    out_dir: str,
+    table_fn: Callable[[Dataset], dict[str, Dataset]],
+    config: dict,
+    num_buckets: int = 8,
+) -> dict:
+    """Resumable run: partition input conversations into ``num_buckets`` by
+    ``crc32(conv_id)``, process each missing bucket through ``table_fn``
+    (input Dataset → {table_name: Dataset}), write each table under
+    ``<out>/<table>/bucket=<i>/`` atomically, manifest last.
+
+    Returns {"processed": [...], "skipped": [...]}.
+
+    Buckets are deliberately processed as separate filtered pipelines: the
+    bucket is the checkpoint granularity, and each bucket's pipeline is
+    itself a streaming Ray Data job. (Within one cluster run you would use
+    larger buckets — the granularity trades resume cost against scheduling
+    overhead.)
+    """
+    cfg_hash = config_hash(config)
+    done = completed_buckets(out_dir, cfg_hash)
+    todo = [b for b in range(num_buckets) if b not in done]
+    src = rd.read_parquet(transcripts_path)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        vals = [
+            bucket_of(c, num_buckets) for c in t["conv_id"].to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(vals, pa.int32()))
+
+    bucketed = src.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    processed = []
+    for b in todo:
+        t0 = time.time()
+        part = bucketed.filter(expr=f"bucket == {b}").drop_columns(["bucket"])
+        n_in = part.count()
+        tables = table_fn(part)
+        counts: dict[str, int] = {"input_turns": n_in}
+        files: dict[str, list[str]] = {}
+        for name, ds in tables.items():
+            tmp = os.path.join(out_dir, name, f".tmp-bucket={b}")
+            final = os.path.join(out_dir, name, f"bucket={b}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            ds.write_parquet(tmp)
+            counts[name] = pq.ParquetDataset(tmp).read().num_rows
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(tmp, final)
+            files[name] = sorted(os.listdir(final))
+        write_manifest(
+            out_dir,
+            b,
+            {
+                "bucket": b,
+                "config_hash": cfg_hash,
+                "config": config,
+                "input": transcripts_path,
+                "row_counts": counts,
+                "output_files": files,
+                "wall_sec": round(time.time() - t0, 3),
+            },
+        )
+        processed.append(b)
+    return {"processed": processed, "skipped": sorted(done)}
+
+
+def read_output(out_dir: str, table: str) -> Dataset:
+    """Read all completed buckets of one output table."""
+    return rd.read_parquet(os.path.join(out_dir, table))

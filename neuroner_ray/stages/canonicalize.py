@@ -49,13 +49,65 @@ def _adopt_min(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+DRIVER_CC_MAX_NODES = 1_000_000
+
+
+def _driver_union_find(pairs: Dataset, nodes: Dataset) -> Dataset:
+    """Small-graph fast path: classic union-find on the driver.
+
+    The distributed fixpoint costs ~2 shuffles per iteration; below
+    ``DRIVER_CC_MAX_NODES`` distinct surfaces the whole graph fits trivially
+    in driver memory, and collecting it is cheaper than one shuffle."""
+    import ray.data as rd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for b in nodes.iter_batches(batch_format="pyarrow"):
+        for n in b["node"].to_pylist():
+            parent.setdefault(n, n)
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        for a, c in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(c, c)
+            ra, rc = find(a), find(c)
+            if ra != rc:  # min label becomes the root (deterministic rep)
+                if rc < ra:
+                    ra, rc = rc, ra
+                parent[rc] = ra
+    ks = sorted(parent)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(ks, pa.string()),
+                "label": pa.array([find(k) for k in ks], pa.string()),
+            }
+        )
+    )
+
+
 def connected_components(
-    pairs: Dataset, nodes: Dataset, max_iters: int = 10
+    pairs: Dataset, nodes: Dataset, max_iters: int = 10,
+    driver_max_nodes: int = DRIVER_CC_MAX_NODES,
 ) -> Dataset:
     """(a,b) pair Dataset + node Dataset (column ``node``) → (node, label).
 
     ``label`` is the lexicographically smallest node key in the component.
+    Size-adaptive: graphs under ``driver_max_nodes`` use driver-side
+    union-find (one collect beats per-iteration shuffles); larger graphs run
+    the distributed min-label-propagation fixpoint below. Both paths are
+    tested for equivalence (tests/test_canonicalize_paths.py).
     """
+    nodes = nodes.materialize()
+    if driver_max_nodes and nodes.count() <= driver_max_nodes:
+        return _driver_union_find(pairs, nodes)
     edges = pairs.map_batches(
         lambda t: pa.table(
             {

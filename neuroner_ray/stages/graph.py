@@ -48,14 +48,25 @@ def _node_rows(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_nodes(labels: Dataset, surfaces: Dataset) -> Dataset:
+BROADCAST_JOIN_MAX_ROWS = 2_000_000
+
+
+def build_nodes(
+    labels: Dataset,
+    surfaces: Dataset,
+    broadcast_max_rows: int = BROADCAST_JOIN_MAX_ROWS,
+) -> Dataset:
     """(node,label) × (ent_type,surface,mention_count) → canonical NODES.
 
-    Both inputs are vocabulary-sized; joined with the native hash join, then
-    one groupby(label) builds each cluster's node row.
+    Both inputs are vocabulary-sized. Size-adaptive join: below
+    ``broadcast_max_rows`` the label map is broadcast (``ray.put`` once,
+    dict lookup per batch — no shuffle); above it, the native hash join.
+    Then one groupby(label) builds each cluster's node row.
     """
-    keyed = surfaces.map_batches(
-        lambda t: t.append_column(
+    labels = labels.materialize()
+
+    def _with_node(t: pa.Table) -> pa.Table:
+        return t.append_column(
             "node",
             pa.array(
                 [
@@ -66,10 +77,25 @@ def build_nodes(labels: Dataset, surfaces: Dataset) -> Dataset:
                 ],
                 pa.string(),
             ),
-        ),
-        batch_format="pyarrow",
-    )
-    joined = keyed.join(labels, join_type="inner", num_partitions=16, on=("node",))
+        )
+
+    keyed = surfaces.map_batches(_with_node, batch_format="pyarrow")
+    if labels.count() <= broadcast_max_rows:
+        label_map: dict[str, str] = {}
+        for b in labels.iter_batches(batch_format="pyarrow"):
+            label_map.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
+        ref = ray.put(label_map)
+
+        def _attach(t: pa.Table) -> pa.Table:
+            lm = ray.get(ref)
+            labs = [lm.get(n, n) for n in t["node"].to_pylist()]
+            return t.append_column("label", pa.array(labs, pa.string()))
+
+        joined = keyed.map_batches(_attach, batch_format="pyarrow")
+    else:
+        joined = keyed.join(
+            labels, join_type="inner", num_partitions=64, on=("node",)
+        )
     return joined.groupby("label").map_groups(_node_rows, batch_format="pandas")
 
 

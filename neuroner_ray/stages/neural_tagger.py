@@ -90,7 +90,9 @@ class NeuralTagger:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tokens_col = batch["tokens"].to_pylist()
-        seqs = [[t["text"] for t in toks] for toks in tokens_col]
+        from .tagger import _tokens_of_batch
+
+        toks_per_row = _tokens_of_batch(batch)
+        seqs = [[t for t, _, _ in toks] for toks in toks_per_row]
         labels_per_row = self._tag_sequences(seqs)
-        return _append_labels_mentions(batch, labels_per_row)
+        return _append_labels_mentions(batch, labels_per_row, toks_per_row)

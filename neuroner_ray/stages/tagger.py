@@ -82,20 +82,36 @@ def mentions_from_labels(
     return out
 
 
+def _tokens_of_batch(batch: pa.Table) -> list[list[tuple[str, int, int]]]:
+    """Per-row (text, start, end) tuples: reuse the ``tokens`` column when the
+    batch was pre-tokenized, else tokenize inline (fused fast path — avoids
+    materializing an Arrow list<struct> column that is immediately unpacked
+    again)."""
+    if "tokens" in batch.column_names:
+        return [
+            [(t["text"], t["start"], t["end"]) for t in toks]
+            for toks in batch["tokens"].to_pylist()
+        ]
+    return [
+        tokenize_text(t) if t else [] for t in batch["text"].to_pylist()
+    ]
+
+
 def _append_labels_mentions(
-    batch: pa.Table, labels_per_row: list[list[str]]
+    batch: pa.Table,
+    labels_per_row: list[list[str]],
+    toks_per_row: list[list[tuple[str, int, int]]],
 ) -> pa.Table:
-    """Append ``labels`` and assembled ``mentions`` columns to a tokenized batch."""
+    """Append ``labels`` and assembled ``mentions`` columns."""
     texts = batch["text"].to_pylist()
-    tokens = batch["tokens"].to_pylist()
     men_offsets = [0]
     m_type: list[str] = []
     m_start: list[int] = []
     m_end: list[int] = []
     m_surf: list[str] = []
-    for text, toks, labs in zip(texts, tokens, labels_per_row):
-        starts = [t["start"] for t in toks]
-        ends = [t["end"] for t in toks]
+    for text, toks, labs in zip(texts, toks_per_row, labels_per_row):
+        starts = [s for _, s, _ in toks]
+        ends = [e for _, _, e in toks]
         for m in mentions_from_labels(text, labs, starts, ends):
             m_type.append(m["ent_type"])
             m_start.append(m["start"])
@@ -121,21 +137,23 @@ def _append_labels_mentions(
 
 
 class RuleTagger:
-    """Actor-pool stage: tokenized turns → +labels +mentions (gazetteer).
+    """Actor-pool stage: turns → +labels +mentions (gazetteer longest-match).
 
     Use as ``ds.map_batches(RuleTagger, batch_format="pyarrow",
-    concurrency=N)``; the match trie is built once per actor.
+    concurrency=N)``; the match trie is built once per actor. Accepts raw
+    turns (tokenizes inline — the fused fast path) or pre-tokenized batches
+    with a ``tokens`` column.
     """
 
     def __init__(self, gazetteer: dict[str, list[str]] | None = None):
         self.trie = build_trie(gazetteer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tokens = batch["tokens"].to_pylist()
+        toks_per_row = _tokens_of_batch(batch)
         labels_per_row = [
-            tag_tokens([t["text"] for t in toks], self.trie) for toks in tokens
+            tag_tokens([t for t, _, _ in toks], self.trie) for toks in toks_per_row
         ]
-        return _append_labels_mentions(batch, labels_per_row)
+        return _append_labels_mentions(batch, labels_per_row, toks_per_row)
 
 
 def explode_mentions(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,93 @@
+"""Resume-from-manifest equivalence (SURVEY.md §5 invariant tests)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from neuroner_ray.pipelines import kg, manifests
+from neuroner_ray.sources import synth_transcripts as synth
+
+
+def _table_fn(transcripts):
+    tagged = kg.tag_turns(transcripts)
+    return {
+        "mentions": kg.mentions_of(tagged),
+        "triples": kg.triples_of(tagged),
+    }
+
+
+CONFIG = {"tagger": "rule", "version": 1}
+
+
+@pytest.fixture(scope="module")
+def tpath():
+    d = synth.ensure_transcripts(0.0002)
+    return os.path.join(d, "transcripts")
+
+
+def test_resume_skips_completed_and_matches_full_run(tpath, tmp_path):
+    out_a = str(tmp_path / "full")
+    r1 = manifests.run_bucketed(tpath, out_a, _table_fn, CONFIG, num_buckets=4)
+    assert sorted(r1["processed"]) == [0, 1, 2, 3]
+    # simulate a killed run: copy only 2 completed buckets' outputs+manifests
+    out_b = str(tmp_path / "partial")
+    for table in ("mentions", "triples"):
+        for b in (0, 2):
+            src = os.path.join(out_a, table, f"bucket={b}")
+            dst = os.path.join(out_b, table, f"bucket={b}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            import shutil
+
+            shutil.copytree(src, dst)
+    os.makedirs(manifests.manifest_dir(out_b), exist_ok=True)
+    for b in (0, 2):
+        import shutil
+
+        shutil.copy(
+            os.path.join(manifests.manifest_dir(out_a), f"bucket={b}.json"),
+            os.path.join(manifests.manifest_dir(out_b), f"bucket={b}.json"),
+        )
+    r2 = manifests.run_bucketed(tpath, out_b, _table_fn, CONFIG, num_buckets=4)
+    assert sorted(r2["skipped"]) == [0, 2]
+    assert sorted(r2["processed"]) == [1, 3]
+    # resumed output identical to the full run
+    for table in ("mentions", "triples"):
+        a = (
+            manifests.read_output(out_a, table)
+            .to_pandas()
+            .sort_values(list(manifests.read_output(out_a, table).schema().names))
+            .reset_index(drop=True)
+        )
+        b = (
+            manifests.read_output(out_b, table)
+            .to_pandas()
+            .sort_values(list(a.columns))
+            .reset_index(drop=True)
+        )
+        assert a.equals(b), table
+
+
+def test_config_change_invalidates_manifests(tpath, tmp_path):
+    out = str(tmp_path / "cfg")
+    manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=2)
+    r = manifests.run_bucketed(
+        tpath, out, _table_fn, {**CONFIG, "version": 2}, num_buckets=2
+    )
+    assert r["skipped"] == []  # old manifests don't match the new config hash
+    assert sorted(r["processed"]) == [0, 1]
+
+
+def test_manifest_contents(tpath, tmp_path):
+    out = str(tmp_path / "m")
+    manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=2)
+    with open(os.path.join(manifests.manifest_dir(out), "bucket=0.json")) as f:
+        m = json.load(f)
+    assert m["row_counts"]["input_turns"] > 0
+    assert m["row_counts"]["mentions"] > 0
+    assert m["output_files"]["triples"]
+    assert m["wall_sec"] > 0
