@@ -48,9 +48,17 @@ def tag_turns(
 ) -> Dataset:
     """Fused tokenize+tag: the map-only hot path (no shuffle by construction).
 
-    Taggers tokenize inline (see ``_tokens_of_batch``) — one actor-pool
-    stage, no intermediate Arrow tokens column.
+    Taggers tokenize inline (see ``_tokens_of_batch``) — one stage, no
+    intermediate Arrow tokens column. The default gazetteer tagger runs as
+    stateless tasks (elastic, no pool ramp-up); stateful taggers (weights)
+    run as an actor pool.
     """
+    if tagger is RuleTagger and not tagger_args:
+        from ..stages.tagger import rule_tag_batch
+
+        return transcripts.map_batches(
+            rule_tag_batch, batch_format="pyarrow", batch_size=batch_size
+        )
     return transcripts.map_batches(
         tagger,
         fn_constructor_args=tagger_args,
@@ -68,10 +76,63 @@ def triples_of(tagged: Dataset) -> Dataset:
     return tagged.map_batches(extract_triples_batch, batch_format="pyarrow")
 
 
+def link_and_canonicalize_tagged(tagged: Dataset) -> tuple[Dataset, Dataset]:
+    """J4 + A6 off tagged turns directly (fused census — one corpus pass)."""
+    from ..stages.linker import census_from_tagged
+
+    return _link_from_census(census_from_tagged(tagged).materialize())
+
+
 def link_and_canonicalize(mentions: Dataset) -> tuple[Dataset, Dataset]:
     """J4 + A6: mentions → (nodes Dataset, labels Dataset)."""
-    census = surface_census(mentions).materialize()  # vocabulary-sized
-    if census.count() == 0:  # entity-free corpus → empty typed graph
+    return _link_from_census(surface_census(mentions).materialize())
+
+
+SMALL_VOCAB_MAX = 100_000  # distinct surfaces under which linking runs driver-side
+
+
+def _link_small_census(census: Dataset) -> tuple[Dataset, Dataset]:
+    """Driver-local linking for small vocabularies: the SAME blocking,
+    match-rule, union-find and node-build functions as the distributed
+    path, executed in-process — the census is already collected, so four
+    vocabulary-sized Ray executions collapse into driver compute."""
+    import pandas as pd
+
+    from ..stages.canonicalize import union_find
+    from ..stages.graph import _node_rows
+    from ..stages.linker import _block_keys_batch, _pairs_in_block, node_key
+
+    ctab = pa.concat_tables(list(census.iter_batches(batch_format="pyarrow")))
+    blocked = _block_keys_batch(ctab).to_pandas()
+    pair_frames = [
+        _pairs_in_block(g, cap=200) for _, g in blocked.groupby("block")
+    ]
+    pair_list: list[tuple[str, str]] = []
+    for f in pair_frames:
+        pair_list.extend(zip(f["a"], f["b"]))
+    nodes_list = [
+        node_key(e, s)
+        for e, s in zip(ctab["ent_type"].to_pylist(), ctab["surface"].to_pylist())
+    ]
+    labels = union_find(nodes_list, pair_list)
+    cdf = ctab.to_pandas()
+    cdf["node"] = nodes_list
+    cdf["label"] = [labels[n] for n in nodes_list]
+    nodes_df = pd.concat(
+        [_node_rows(g) for _, g in cdf.groupby("label")], ignore_index=True
+    )
+    labels_tab = pa.table(
+        {
+            "node": pa.array(sorted(labels), pa.string()),
+            "label": pa.array([labels[k] for k in sorted(labels)], pa.string()),
+        }
+    )
+    return rd.from_pandas(nodes_df), rd.from_arrow(labels_tab)
+
+
+def _link_from_census(census: Dataset) -> tuple[Dataset, Dataset]:
+    n = census.count()
+    if n == 0:  # entity-free corpus → empty typed graph
         from ..schemas import NODES
 
         empty_nodes = rd.from_arrow(NODES.empty_table())
@@ -81,6 +142,8 @@ def link_and_canonicalize(mentions: Dataset) -> tuple[Dataset, Dataset]:
             )
         )
         return empty_nodes, empty_labels
+    if n <= SMALL_VOCAB_MAX:
+        return _link_small_census(census)
     pairs = candidate_pairs(census)
     node_ids = census.map_batches(
         lambda t: pa.table(
@@ -118,15 +181,16 @@ def run_pipeline(
     tagged = tag_turns(
         transcripts, tagger=tagger, tagger_args=tagger_args, concurrency=concurrency
     ).materialize()
-    mentions = mentions_of(tagged)
-    triples = triples_of(tagged).materialize()  # consumed twice (resolve + P/R)
-    nodes = link_and_canonicalize(mentions)[0].materialize()
+    nodes = link_and_canonicalize_tagged(tagged)[0].materialize()
     mapping = canonical_map(nodes)
-    resolved = resolve_triples(triples, mapping)
-    edges = aggregate_edges(resolved)
+    from ..stages.graph import tagged_to_edges
+
+    edges = tagged_to_edges(tagged, mapping)
     out = {
-        "mentions": mentions,
-        "triples": triples,
+        # mentions/triples stay lazy derivations of the materialized tagged
+        # checkpoint — cheap map passes for any consumer that wants them
+        "mentions": mentions_of(tagged),
+        "triples": triples_of(tagged),
         "nodes": nodes,
         "edges": edges,
     }

@@ -52,14 +52,14 @@ def _adopt_min(group: pd.DataFrame) -> pd.DataFrame:
 DRIVER_CC_MAX_NODES = 1_000_000
 
 
-def _driver_union_find(pairs: Dataset, nodes: Dataset) -> Dataset:
-    """Small-graph fast path: classic union-find on the driver.
+def union_find(
+    nodes: list[str], pairs: list[tuple[str, str]]
+) -> dict[str, str]:
+    """In-process union-find: node → component label (min member).
 
-    The distributed fixpoint costs ~2 shuffles per iteration; below
-    ``DRIVER_CC_MAX_NODES`` distinct surfaces the whole graph fits trivially
-    in driver memory, and collecting it is cheaper than one shuffle."""
-    import ray.data as rd
-
+    The single source of truth for clustering semantics — both the driver
+    fast path and tests use it; the distributed fixpoint below is proven
+    equivalent to it."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -70,24 +70,40 @@ def _driver_union_find(pairs: Dataset, nodes: Dataset) -> Dataset:
             parent[x], x = root, parent[x]
         return root
 
+    for n in nodes:
+        parent.setdefault(n, n)
+    for a, c in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(c, c)
+        ra, rc = find(a), find(c)
+        if ra != rc:  # min label becomes the root (deterministic rep)
+            if rc < ra:
+                ra, rc = rc, ra
+            parent[rc] = ra
+    return {k: find(k) for k in parent}
+
+
+def _driver_union_find(pairs: Dataset, nodes: Dataset) -> Dataset:
+    """Small-graph fast path: classic union-find on the driver.
+
+    The distributed fixpoint costs ~2 shuffles per iteration; below
+    ``DRIVER_CC_MAX_NODES`` distinct surfaces the whole graph fits trivially
+    in driver memory, and collecting it is cheaper than one shuffle."""
+    import ray.data as rd
+
+    node_list: list[str] = []
     for b in nodes.iter_batches(batch_format="pyarrow"):
-        for n in b["node"].to_pylist():
-            parent.setdefault(n, n)
+        node_list.extend(b["node"].to_pylist())
+    pair_list: list[tuple[str, str]] = []
     for b in pairs.iter_batches(batch_format="pyarrow"):
-        for a, c in zip(b["a"].to_pylist(), b["b"].to_pylist()):
-            parent.setdefault(a, a)
-            parent.setdefault(c, c)
-            ra, rc = find(a), find(c)
-            if ra != rc:  # min label becomes the root (deterministic rep)
-                if rc < ra:
-                    ra, rc = rc, ra
-                parent[rc] = ra
-    ks = sorted(parent)
+        pair_list.extend(zip(b["a"].to_pylist(), b["b"].to_pylist()))
+    labels = union_find(node_list, pair_list)
+    ks = sorted(labels)
     return rd.from_arrow(
         pa.table(
             {
                 "node": pa.array(ks, pa.string()),
-                "label": pa.array([find(k) for k in ks], pa.string()),
+                "label": pa.array([labels[k] for k in ks], pa.string()),
             }
         )
     )

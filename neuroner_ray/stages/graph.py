@@ -115,67 +115,166 @@ def canonical_map(nodes: Dataset) -> dict[str, tuple[str, str]]:
     return mapping
 
 
-class TripleResolver:
-    """J5 as an actor-pool stage: broadcast canonical map, map-side lookup.
+def resolve_triples(triples: Dataset, mapping: dict[str, tuple[str, str]]) -> Dataset:
+    """J5: broadcast canonical map, map-side lookup (stateless tasks).
 
-    ``map_ref`` is a ``ray.ObjectRef`` to the dict — fetched once per actor
-    in ``__init__`` (zero-copy from the local object store), NOT per batch.
-    Unresolvable surfaces keep their surface form with a synthetic id
-    (``ent_type:surface``), so no triple is dropped silently.
+    The map lives in the object store once (``ray.put``); each task fetches
+    it zero-copy from the local store — never reshipped per batch.
+    Unresolvable surfaces keep a synthetic ``ent_type:surface`` id, so no
+    triple is dropped silently.
     """
+    map_ref = ray.put(mapping)
 
-    def __init__(self, map_ref):
-        self.mapping: dict[str, tuple[str, str]] = ray.get(map_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        src_ids, dst_ids = [], []
-        for s, st in zip(batch["subj"].to_pylist(), batch["subj_type"].to_pylist()):
-            src_ids.append(self.mapping.get(node_key(st, s), (f"{st}:{s}", s))[0])
-        for o, ot in zip(batch["obj"].to_pylist(), batch["obj_type"].to_pylist()):
-            dst_ids.append(self.mapping.get(node_key(ot, o), (f"{ot}:{o}", o))[0])
+    def resolve(batch: pa.Table) -> pa.Table:
+        m: dict[str, tuple[str, str]] = ray.get(map_ref)
+        src_ids = [
+            m.get(node_key(st, s), (f"{st}:{s}", s))[0]
+            for s, st in zip(
+                batch["subj"].to_pylist(), batch["subj_type"].to_pylist()
+            )
+        ]
+        dst_ids = [
+            m.get(node_key(ot, o), (f"{ot}:{o}", o))[0]
+            for o, ot in zip(
+                batch["obj"].to_pylist(), batch["obj_type"].to_pylist()
+            )
+        ]
         batch = batch.append_column("src_id", pa.array(src_ids, pa.string()))
         return batch.append_column("dst_id", pa.array(dst_ids, pa.string()))
 
-
-def resolve_triples(triples: Dataset, mapping: dict[str, tuple[str, str]]) -> Dataset:
-    map_ref = ray.put(mapping)
-    return triples.map_batches(
-        TripleResolver,
-        fn_constructor_args=(map_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    return triples.map_batches(resolve, batch_format="pyarrow")
 
 
-def _edge_rows(group: pd.DataFrame) -> pd.DataFrame:
-    """One (src,dst,pred) group → O5 dedup + A7 weight/provenance."""
-    dedup = group.drop_duplicates(["conv_id", "turn_idx"]).sort_values(
-        ["conv_id", "turn_idx"]
-    )
-    prov = [
-        {"conv_id": c, "turn_idx": int(t)}
-        for c, t in zip(
-            dedup["conv_id"].head(PROVENANCE_CAP), dedup["turn_idx"].head(PROVENANCE_CAP)
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """Map-side combiner: per-batch (src,dst,pred) partial weight+provenance.
+
+    O5's (conv_id, turn_idx) dedup is EXACT here: a duplicate triple from
+    the same turn lives in the same row/batch by construction, so
+    within-batch dedup removes it and cross-batch merging just sums.
+    """
+    agg: dict[tuple[str, str, str], dict] = {}
+    for s, d, p, c, t in zip(
+        batch["src_id"].to_pylist(),
+        batch["dst_id"].to_pylist(),
+        batch["pred"].to_pylist(),
+        batch["conv_id"].to_pylist(),
+        batch["turn_idx"].to_pylist(),
+    ):
+        key = (s, d, p)
+        e = agg.setdefault(key, {"seen": set()})
+        e["seen"].add((c, t))
+    srcs, dsts, preds, ws, provs = [], [], [], [], []
+    for (s, d, p), e in agg.items():
+        srcs.append(s)
+        dsts.append(d)
+        preds.append(p)
+        ws.append(len(e["seen"]))
+        # smallest-(conv,turn) sample → batching-invariant deterministic cap
+        provs.append(
+            [
+                {"conv_id": c, "turn_idx": int(t)}
+                for c, t in sorted(e["seen"])[:PROVENANCE_CAP]
+            ]
         )
-    ]
+    from ..schemas import PROVENANCE_STRUCT
+
+    return pa.table(
+        {
+            "src_id": pa.array(srcs, pa.string()),
+            "dst_id": pa.array(dsts, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "weight": pa.array(ws, pa.int64()),
+            "provenance": pa.array(provs, pa.list_(PROVENANCE_STRUCT)),
+        }
+    )
+
+
+def _merge_edge_partials(group: pd.DataFrame) -> pd.DataFrame:
+    prov: list[dict] = []
+    for p in group["provenance"]:
+        prov.extend(p)
+    prov = sorted(
+        ({"conv_id": x["conv_id"], "turn_idx": int(x["turn_idx"])} for x in prov),
+        key=lambda x: (x["conv_id"], x["turn_idx"]),
+    )[:PROVENANCE_CAP]
     return pd.DataFrame(
         {
             "src_id": [group["src_id"].iloc[0]],
             "dst_id": [group["dst_id"].iloc[0]],
             "pred": [group["pred"].iloc[0]],
-            "weight": [len(dedup)],
+            "weight": [int(group["weight"].sum())],
             "provenance": [prov],
         }
     )
 
 
+def tagged_to_edges(tagged: Dataset, mapping: dict[str, tuple[str, str]]) -> Dataset:
+    """Fused M11+J5+O5/A7 map side: tagged turns → edge partials in ONE pass
+    (extract triples, resolve against the broadcast canonical map, and
+    partial-aggregate per batch), then the single (src,dst,pred) merge
+    shuffle. Equivalent to triples_of → resolve_triples → aggregate_edges
+    with two fewer corpus passes."""
+    from .triples import extract_triples_row
+
+    map_ref = ray.put(mapping)
+
+    def fused(batch: pa.Table) -> pa.Table:
+        m: dict[str, tuple[str, str]] = ray.get(map_ref)
+        agg: dict[tuple[str, str, str], set] = {}
+        for cid, ti, text, ms in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["mentions"].to_pylist(),
+        ):
+            for s, p, o, st, ot in extract_triples_row(text, ms):
+                src = m.get(node_key(st, s), (f"{st}:{s}", s))[0]
+                dst = m.get(node_key(ot, o), (f"{ot}:{o}", o))[0]
+                agg.setdefault((src, dst, p), set()).add((cid, ti))
+        srcs, dsts, preds, ws, provs = [], [], [], [], []
+        for (s, d, p), seen in agg.items():
+            srcs.append(s)
+            dsts.append(d)
+            preds.append(p)
+            ws.append(len(seen))
+            provs.append(
+                [
+                    {"conv_id": c, "turn_idx": int(t)}
+                    for c, t in sorted(seen)[:PROVENANCE_CAP]
+                ]
+            )
+        from ..schemas import PROVENANCE_STRUCT
+
+        return pa.table(
+            {
+                "src_id": pa.array(srcs, pa.string()),
+                "dst_id": pa.array(dsts, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "weight": pa.array(ws, pa.int64()),
+                "provenance": pa.array(provs, pa.list_(PROVENANCE_STRUCT)),
+            }
+        )
+
+    partials = tagged.select_columns(
+        ["conv_id", "turn_idx", "text", "mentions"]
+    ).map_batches(fused, batch_format="pyarrow")
+    return partials.groupby(["src_id", "dst_id", "pred"]).map_groups(
+        _merge_edge_partials, batch_format="pandas"
+    )
+
+
 def aggregate_edges(resolved: Dataset) -> Dataset:
-    """Resolved triples → EDGES. Single shuffle on (src_id, dst_id, pred)."""
+    """Resolved triples → EDGES (O5 + A7).
+
+    Map-side partial aggregation first (one row per (src,dst,pred) per
+    batch), so the single shuffle on (src_id, dst_id, pred) moves
+    edge-count-sized partials, not raw triples."""
     slim = resolved.select_columns(
         ["src_id", "dst_id", "pred", "conv_id", "turn_idx"]
     )
-    return slim.groupby(["src_id", "dst_id", "pred"]).map_groups(
-        _edge_rows, batch_format="pandas"
+    partials = slim.map_batches(_edge_partials, batch_format="pyarrow")
+    return partials.groupby(["src_id", "dst_id", "pred"]).map_groups(
+        _merge_edge_partials, batch_format="pandas"
     )
 
 

@@ -85,12 +85,69 @@ def node_key(ent_type: str, surface: str) -> str:
 def surface_census(mentions: Dataset) -> Dataset:
     """Distinct ``(ent_type, surface)`` with mention counts (A1-style census).
 
-    Shuffle #1 of the linking path; output is vocabulary-sized.
+    Shuffle #1 of the linking path — but pre-aggregated: partial counts per
+    batch (Counter) so the shuffle moves vocabulary-sized partials, never
+    raw mention rows (ray_guide "Aggregation at scale").
     """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter(
+            zip(batch["ent_type"].to_pylist(), batch["surface"].to_pylist())
+        )
+        ets, surfs, ns = [], [], []
+        for (et, s), n in c.items():
+            ets.append(et)
+            surfs.append(s)
+            ns.append(n)
+        return pa.table(
+            {
+                "ent_type": pa.array(ets, pa.string()),
+                "surface": pa.array(surfs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
     return (
         mentions.select_columns(["ent_type", "surface"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["ent_type", "surface"])
-        .aggregate(Count(alias_name="mention_count"))
+        .aggregate(Sum("n", alias_name="mention_count"))
+    )
+
+
+def census_from_tagged(tagged: Dataset) -> Dataset:
+    """Census computed straight off tagged turns' ``mentions`` list column —
+    fused explode+count (the exploded per-mention table never materializes;
+    one pass instead of two over the corpus)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for ms in batch["mentions"].to_pylist():
+            c.update((m["ent_type"], m["surface"]) for m in ms)
+        ets, surfs, ns = [], [], []
+        for (et, s), n in c.items():
+            ets.append(et)
+            surfs.append(s)
+            ns.append(n)
+        return pa.table(
+            {
+                "ent_type": pa.array(ets, pa.string()),
+                "surface": pa.array(surfs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return (
+        tagged.select_columns(["mentions"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["ent_type", "surface"])
+        .aggregate(Sum("n", alias_name="mention_count"))
     )
 
 

@@ -38,9 +38,15 @@ class NeuralTagger:
         self,
         checkpoint_dir: str = DEFAULT_CHECKPOINT,
         emit_bio: bool = True,
-        bucket_size: int = 128,
+        bucket_size: int = 256,
     ):
         self.params, self.vocab = load_checkpoint(checkpoint_dir)
+        # inference in float32: identical decisions at these score margins,
+        # half the memory bandwidth (the multi-core numpy bottleneck)
+        self.params = {
+            k: v.astype(np.float32) if v.dtype == np.float64 else v
+            for k, v in self.params.items()
+        }
         self.emit_bio = emit_bio
         self.bucket_size = bucket_size
         self.char_dim2 = 2 * self.params["char_Wh_f"].shape[0]

@@ -156,6 +156,27 @@ class RuleTagger:
         return _append_labels_mentions(batch, labels_per_row, toks_per_row)
 
 
+_DEFAULT_TRIE: dict | None = None
+
+
+def rule_tag_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of RuleTagger with the default gazetteer.
+
+    A plain function schedules as elastic tasks (no actor-pool ramp-up);
+    the trie is built once per worker process and cached in the module
+    global — same semantics as the actor, better scaling for the cheap
+    gazetteer tagger. Use the class form for taggers with real state
+    (NeuralTagger's weights)."""
+    global _DEFAULT_TRIE
+    if _DEFAULT_TRIE is None:
+        _DEFAULT_TRIE = build_trie(None)
+    toks_per_row = _tokens_of_batch(batch)
+    labels_per_row = [
+        tag_tokens([t for t, _, _ in toks], _DEFAULT_TRIE) for toks in toks_per_row
+    ]
+    return _append_labels_mentions(batch, labels_per_row, toks_per_row)
+
+
 def explode_mentions(batch: pa.Table) -> pa.Table:
     """Tagged turns → one row per mention (MENTIONS schema).
 

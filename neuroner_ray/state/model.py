@@ -349,12 +349,15 @@ def sequence_loss_and_grads(
 
 
 def _lstm_forward_batch(X: np.ndarray, mask: np.ndarray, Wx, Wh, b) -> np.ndarray:
-    """X:[B,T,D], mask:[B,T] → hs:[B,T,H]; finished rows keep state frozen."""
+    """X:[B,T,D], mask:[B,T] → hs:[B,T,H]; finished rows keep state frozen.
+    Computes in the weights' dtype (float32 at inference — half the memory
+    bandwidth, which is what caps multi-core numpy throughput)."""
     B, T, D = X.shape
     H = Wh.shape[0]
-    h = np.zeros((B, H))
-    c = np.zeros((B, H))
-    hs = np.zeros((B, T, H))
+    dt = Wx.dtype
+    h = np.zeros((B, H), dtype=dt)
+    c = np.zeros((B, H), dtype=dt)
+    hs = np.zeros((B, T, H), dtype=dt)
     for t in range(T):
         z = X[:, t, :] @ Wx + h @ Wh + b
         i = _sigmoid(z[:, :H])
@@ -375,14 +378,15 @@ def char_features_unique(
 ) -> np.ndarray:
     """Char BiLSTM over a batch of (unique) tokens, padded to max length."""
     H = p["char_Wh_f"].shape[0]
+    dt = p["char_emb"].dtype
     n = len(unique_char_ids)
     if n == 0:
-        return np.zeros((0, 2 * H))
+        return np.zeros((0, 2 * H), dtype=dt)
     lens = np.array([len(c) for c in unique_char_ids], dtype=np.int64)
     Tmax = max(1, int(lens.max()))
     D = p["char_emb"].shape[1]
-    Xf = np.zeros((n, Tmax, D))
-    Xb = np.zeros((n, Tmax, D))
+    Xf = np.zeros((n, Tmax, D), dtype=dt)
+    Xb = np.zeros((n, Tmax, D), dtype=dt)
     mask = np.arange(Tmax)[None, :] < lens[:, None]
     for i, ids in enumerate(unique_char_ids):
         if len(ids) == 0:
@@ -406,9 +410,10 @@ def forward_scores_batch(
 ) -> np.ndarray:
     """Padded batch → unary scores [B, Tmax, C] (no dropout at inference)."""
     B, Tmax = token_ids_padded.shape
+    dt = p["tok_emb"].dtype
     mask = np.arange(Tmax)[None, :] < lengths[:, None]
     TE = p["tok_emb"][token_ids_padded]
-    X = np.concatenate([char_feat_padded, TE], axis=2)
+    X = np.concatenate([char_feat_padded.astype(dt, copy=False), TE], axis=2)
     hf = _lstm_forward_batch(X, mask, p["tok_Wx_f"], p["tok_Wh_f"], p["tok_b_f"])
     # backward direction: reverse each row within its length
     Xb = np.zeros_like(X)
