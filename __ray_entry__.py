@@ -72,6 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q.orders_by_nation,
         "similarity_topk": q.similarity_topk,
         "events_first_per_user_type": q.events_first_per_user_type,
+        "events_sessions": q.events_sessions,
+        "customers_with_orders_by_nation": q.customers_with_orders_by_nation,
+        "customers_without_orders": q.customers_without_orders,
+        "customer_segments": q.customer_segments,
+        "docs_by_lang_source": q.docs_by_lang_source,
+        "orders_monthly": q.orders_monthly,
         # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
         "doc_langid": q.doc_langid,
         "doc_simhash": q.doc_simhash,
@@ -140,6 +146,49 @@ def oracle_sql() -> dict[str, str]:
         "events_first_per_user_type": """
             SELECT user_id, event_type, min(ts) AS first_ts
             FROM events GROUP BY user_id, event_type
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER
+                         (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM gaps
+            )
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM numbered GROUP BY user_id, session_idx
+        """,
+        "customers_with_orders_by_nation": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_nationkey
+        """,
+        "customers_without_orders": """
+            SELECT count(*) AS n_without_orders FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "customer_segments": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), 4) AS sum_balance
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "docs_by_lang_source": """
+            SELECT lang, source, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "orders_monthly": """
+            SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

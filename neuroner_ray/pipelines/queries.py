@@ -415,3 +415,122 @@ def events_first_per_user_type(sf_dir: str) -> Dataset:
     return ev.groupby(["user_id", "event_type"]).aggregate(
         Min("ts", alias_name="first_ts")
     )
+
+
+# --------------------------------------------------- relational coverage II
+def events_sessions(sf_dir: str) -> Dataset:
+    """Sessionization (30-min gap) — stateful windowed op per user."""
+    from ..stages.sessions import sessionize
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    return sessionize(ev, gap_minutes=30.0)
+
+
+def customers_with_orders_by_nation(sf_dir: str) -> Dataset:
+    """Semi-join: customers having >=1 order, counted per nation key.
+
+    The order-customer key set is broadcast as a frozenset (ray_guide:
+    semi/anti join = broadcast the key set, filter inside map_batches)."""
+    custkeys = frozenset(
+        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
+        .column("o_custkey")
+        .to_pylist()
+    )
+    keys_ref = ray.put(custkeys)
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        keep = [k in ks for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return (
+        cust.map_batches(semi, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def customers_without_orders(sf_dir: str) -> Dataset:
+    """Anti-join: count of customers with no orders (broadcast key-set
+    filter + partial counts; a count result stays schema-stable even when
+    the anti-join is empty)."""
+    custkeys = frozenset(
+        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
+        .column("o_custkey")
+        .to_pylist()
+    )
+    keys_ref = ray.put(custkeys)
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+
+    def anti_count(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        n = sum(k not in ks for k in batch["c_custkey"].to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = 0
+    for b in cust.map_batches(anti_count, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += sum(b["n"].to_pylist())
+    return rd.from_arrow(
+        pa.table({"n_without_orders": pa.array([total], pa.int64())})
+    )
+
+
+def customer_segments(sf_dir: str) -> Dataset:
+    """Groupby over customer: count + rounded balance sum per segment."""
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"]
+    )
+    out = cust.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="sum_balance"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_balance"),
+            "sum_balance",
+            pc.round(t["sum_balance"], 4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def docs_by_lang_source(sf_dir: str) -> Dataset:
+    """Two-key groupby over documents with a rounded mean."""
+    docs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["lang", "source", "n_chars"]
+    )
+    out = docs.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("avg_chars"),
+            "avg_chars",
+            pc.round(t["avg_chars"], 4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def orders_monthly(sf_dir: str) -> Dataset:
+    """Orders per priority per month (temporal truncation + groupby)."""
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate"]
+    )
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "month": pc.floor_temporal(batch["o_orderdate"], unit="month"),
+            }
+        )
+
+    return (
+        orders.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "month"])
+        .aggregate(Count(alias_name="n_orders"))
+    )
