@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang_source": q.docs_by_lang_source,
         "orders_monthly": q.orders_monthly,
         # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
+        "doc_subword_counts": q.doc_subword_counts,
+        "doc_rolling_fp": q.doc_rolling_fp,
         "doc_langid": q.doc_langid,
         "doc_simhash": q.doc_simhash,
         "doc_minhash_dedup": q.doc_minhash_dedup,
@@ -123,6 +125,13 @@ def oracle_sql() -> dict[str, str]:
                                  w -> w IN ({stop_list})))
                              / len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::DOUBLE, 4)
                    END AS stop_ratio
+            FROM documents
+        """,
+        "doc_subword_counts": """
+            SELECT doc_id,
+                   coalesce(list_sum(list_transform(
+                       regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                       w -> (length(w) + 3) // 4)), 0)::BIGINT AS n_subwords
             FROM documents
         """,
         "dedup_exact": """

@@ -534,3 +534,43 @@ def orders_monthly(sf_dir: str) -> Dataset:
         .groupby(["o_orderpriority", "month"])
         .aggregate(Count(alias_name="n_orders"))
     )
+
+
+# ------------------------------------------------------ text analysis II
+def doc_subword_counts(sf_dir: str) -> Dataset:
+    """BPE-ish token counting: words are split into <=4-char subword chunks
+    (a deterministic stand-in for a learned-merge tokenizer; the count is
+    sum(ceil(len(word)/4)) over word tokens)."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    word_re = re.compile(r"[A-Za-z0-9_]+")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ns = []
+        for t in batch["text"].to_pylist():
+            words = word_re.findall(t or "")
+            ns.append(sum((len(w) + 3) // 4 for w in words))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_subwords": pa.array(ns, pa.int64())}
+        )
+
+    return docs.map_batches(counts, batch_format="pyarrow")
+
+
+def doc_rolling_fp(sf_dir: str) -> Dataset:
+    """Document fingerprint via polynomial rolling hash (Rabin-Karp style,
+    base 257 mod 2^61-1) — deterministic, rows-only (not SQL-expressible)."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    MOD = (1 << 61) - 1
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            h = 0
+            for ch in t or "":
+                h = (h * 257 + ord(ch)) % MOD
+            out.append(h)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "rolling_fp": pa.array(out, pa.int64())}
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
