@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": q.doc_minhash_dedup,
         "embedding_near_dup": q.embedding_near_dup,
         "similarity_topk_lsh": q.similarity_topk_lsh,
+        "similarity_topk_ivf": q.similarity_topk_ivf,
+        "mention_heavy_hitters": q.mention_heavy_hitters,
         # KG pipeline over synthetic transcripts (rows-only checks)
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,

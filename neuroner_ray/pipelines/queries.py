@@ -574,3 +574,42 @@ def doc_rolling_fp(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def similarity_topk_ivf(sf_dir: str, k: int = 10) -> Dataset:
+    """IVF-flat ANN variant: k-means coarse quantizer (trained on a sample),
+    nearest-list probing — rows-only (approximate)."""
+    from ..stages.similarity import ann_search_ivf, build_ivf_index, kmeans_centroids
+
+    tab = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mat = np.asarray(tab["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.RandomState(42)
+    sample = mat[rng.choice(len(mat), size=min(2000, len(mat)), replace=False)]
+    cent = kmeans_centroids(sample, k=16)
+    qvec = mat[tab["vec_id"].to_pylist().index(0)]
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    indexed = build_ivf_index(emb, cent)
+    out = ann_search_ivf(indexed, cent, qvec, k=k + 1, n_probe=6)
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).limit(k)
+
+
+def mention_heavy_hitters(sf_dir: str) -> Dataset:
+    """O6 census over pipeline mentions: top-10 hottest surfaces (drives
+    salting decisions; the synthetic corpus plants one hot entity)."""
+    from ..pipelines import kg
+    from ..runtime.skew import heavy_hitters
+    from ..sources.synth_transcripts import transcripts_dir_for
+
+    tr = kg.read_transcripts(transcripts_dir_for(sf_dir))
+    mentions = kg.mentions_of(kg.tag_turns(tr))
+    top = heavy_hitters(mentions, "surface", top_k=10)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "surface": pa.array([k for k, _ in top], pa.string()),
+                "n": pa.array([n for _, n in top], pa.int64()),
+            }
+        )
+    )

@@ -65,8 +65,38 @@ def _word_prefix_subset(short_words: list[str], long_words: list[str]) -> bool:
     return True
 
 
+EMBED_DIM = 64
+EMBED_COSINE_THRESHOLD = 0.80
+
+
+def surface_embedding(norm: str) -> "np.ndarray":
+    """Deterministic surface embedding: char-3-gram feature hashing into
+    EMBED_DIM (the north_star's "embedding-similarity scoring" for linking —
+    no trained model exists in this environment, so the embedding is the
+    standard hashed-n-gram vector; cosine over it is a smooth relaxation of
+    shingle Jaccard)."""
+    import numpy as np
+
+    from ..functions.minhash import stable_hash64
+
+    v = np.zeros(EMBED_DIM)
+    for sh in char_shingles(norm):
+        h = stable_hash64(sh)
+        v[h % EMBED_DIM] += 1.0 if (h >> 32) & 1 else -1.0
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+def embedding_cosine(norm_a: str, norm_b: str) -> float:
+    a = surface_embedding(norm_a)
+    b = surface_embedding(norm_b)
+    return float(a @ b)
+
+
 def link_match(norm_a: str, norm_b: str) -> bool:
-    """The frozen surface-match rule (same ent_type assumed by the caller)."""
+    """The frozen surface-match rule (same ent_type assumed by the caller):
+    normalized equality, OR word-prefix containment, OR char-3-gram Jaccard
+    >= 0.5, OR hashed-n-gram embedding cosine >= 0.8."""
     if not norm_a or not norm_b:
         return False
     if norm_a == norm_b:
@@ -75,7 +105,9 @@ def link_match(norm_a: str, norm_b: str) -> bool:
     short, long_ = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
     if _word_prefix_subset(short, long_):
         return True
-    return jaccard(char_shingles(norm_a), char_shingles(norm_b)) >= JACCARD_THRESHOLD
+    if jaccard(char_shingles(norm_a), char_shingles(norm_b)) >= JACCARD_THRESHOLD:
+        return True
+    return embedding_cosine(norm_a, norm_b) >= EMBED_COSINE_THRESHOLD
 
 
 def node_key(ent_type: str, surface: str) -> str:

@@ -187,3 +187,111 @@ def brute_force_topk(
         concurrency=(1, 4),
     )
     return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------- IVF variant
+def kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain numpy k-means (deterministic seed) for the IVF coarse quantizer.
+    Runs on a driver-side SAMPLE of the corpus (standard IVF training)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def build_ivf_index(
+    embeddings: Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Assign each vector to its nearest centroid (``list`` partition id).
+
+    The centroid matrix is tiny → broadcast; assignment is one vectorized
+    map pass. At scale the ``list_id`` column doubles as the partition key
+    for clustered storage (read only the probed partitions).
+    """
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "list_id": pa.array(d.argmin(axis=1), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def ann_search_ivf(
+    indexed: Dataset,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Score only vectors in the ``n_probe`` centroid lists nearest the
+    query (classic IVF-flat): candidate fraction ≈ n_probe / n_lists."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cent = np.asarray(centroids, dtype=np.float64)
+    # probe by distance in the RAW data space (the space centroids were fit
+    # in); normalizing here would put the query in a different geometry
+    d = ((q[None, :] - cent) ** 2).sum(axis=1)
+    probe = np.argsort(d)[:n_probe].astype(np.int64)
+    q_ref = ray.put(qn)
+    probe_ref = ray.put(probe)
+
+    class Score:
+        def __init__(self, q_ref, probe_ref):
+            self.q = ray.get(q_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lists = np.asarray(batch["list_id"].to_pylist(), dtype=np.int64)
+            keep = np.isin(lists, self.probe)
+            if not keep.any():
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[keep]
+            mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)[keep]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ self.q) / norms
+            if len(ids) > k:
+                part = np.argpartition(-cos, k)[:k]
+                ids, cos = ids[part], cos[part]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                }
+            )
+
+    scored = indexed.map_batches(
+        Score,
+        fn_constructor_args=(q_ref, probe_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
