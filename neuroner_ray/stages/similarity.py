@@ -295,3 +295,59 @@ def ann_search_ivf(
         concurrency=(1, 4),
     )
     return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
+
+
+def brute_force_topk_many(
+    embeddings: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Multi-query exact top-k: ONE broadcast query matrix [Q, D], one
+    matmul per batch, per-batch local top-k per query, tiny global
+    sort-within-query. Returns (query_idx, vec_id, cos)."""
+    Q = np.asarray(queries, dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(Qn)
+
+    class Score:
+        def __init__(self, q_ref):
+            self.Q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat / norms[:, None]) @ self.Q.T  # [N, Qn]
+            qi_out, id_out, cos_out = [], [], []
+            for qi in range(cos.shape[1]):
+                col = cos[:, qi]
+                take = (
+                    np.argpartition(-col, k)[:k] if len(col) > k else np.arange(len(col))
+                )
+                qi_out.extend([qi] * len(take))
+                id_out.extend(ids[take])
+                cos_out.extend(np.round(col[take], 4))
+            return pa.table(
+                {
+                    "query_idx": pa.array(qi_out, pa.int64()),
+                    id_col: pa.array(id_out, pa.int64()),
+                    "cos": pa.array(cos_out, pa.float64()),
+                }
+            )
+
+    scored = embeddings.map_batches(
+        Score, fn_constructor_args=(q_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    import pandas as pd
+
+    def topk_per_query(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+
+    return scored.groupby("query_idx").map_groups(
+        topk_per_query, batch_format="pandas"
+    )

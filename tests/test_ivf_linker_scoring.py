@@ -59,3 +59,21 @@ def test_surface_embedding_scoring():
     b = normalize_surface("Massive Dynamic Group")
     assert link_match(a, b)
     assert not link_match("globex", "initech")
+
+
+def test_brute_force_topk_many_matches_single():
+    from neuroner_ray.stages.similarity import brute_force_topk_many
+
+    rng = np.random.RandomState(9)
+    mat = rng.randn(300, 12)
+    emb = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    )
+    queries = rng.randn(3, 12)
+    many = brute_force_topk_many(emb, queries, k=5).to_pandas()
+    for qi in range(3):
+        single = brute_force_topk(emb, queries[qi], k=5).to_pandas()
+        got = many[many["query_idx"] == qi].sort_values(
+            ["cos", "vec_id"], ascending=[False, True]
+        )
+        assert list(got["vec_id"]) == list(single["vec_id"])
