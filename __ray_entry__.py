@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segments": q.customer_segments,
         "docs_by_lang_source": q.docs_by_lang_source,
         "orders_monthly": q.orders_monthly,
+        "user_top_event_type": q.user_top_event_type,
+        "account_balance_union": q.account_balance_union,
         # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
         "doc_subword_counts": q.doc_subword_counts,
         "doc_rolling_fp": q.doc_rolling_fp,
@@ -185,6 +187,22 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT count(*) AS n_without_orders FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "user_top_event_type": """
+            SELECT user_id, event_type AS top_type, n FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type ASC) AS rk
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rk = 1
+        """,
+        "account_balance_union": """
+            SELECT role, count(*) AS n_accounts, round(sum(balance), 4) AS sum_balance
+            FROM (
+                SELECT 'customer' AS role, c_acctbal AS balance FROM customer
+                UNION ALL
+                SELECT 'supplier' AS role, s_acctbal AS balance FROM supplier
+            ) GROUP BY role
         """,
         "customer_segments": """
             SELECT c_mktsegment, count(*) AS n_customers,

@@ -613,3 +613,77 @@ def mention_heavy_hitters(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+def user_top_event_type(sf_dir: str) -> Dataset:
+    """Rank-per-group: each user's most frequent event type (ties → the
+    alphabetically first type). Partial (user,type) counts map-side, then
+    one groupby(user) picks the argmax."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(zip(batch["user_id"].to_pylist(), batch["event_type"].to_pylist()))
+        us, ts, ns = [], [], []
+        for (u, et), n in c.items():
+            us.append(u)
+            ts.append(et)
+            ns.append(n)
+        return pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "event_type": pa.array(ts, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "top_type": [g["event_type"].iloc[0]],
+                "n": [int(g["n"].iloc[0])],
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(argmax, batch_format="pandas")
+
+
+def account_balance_union(sf_dir: str) -> Dataset:
+    """Union coverage: customers and suppliers stacked into one account
+    table, aggregated per role (Dataset.union of two reads)."""
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "role": pa.array(["customer"] * t.num_rows, pa.string()),
+                "balance": t["c_acctbal"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "role": pa.array(["supplier"] * t.num_rows, pa.string()),
+                "balance": t["s_acctbal"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = cust.union(supp).groupby("role").aggregate(
+        Count(alias_name="n_accounts"), Sum("balance", alias_name="sum_balance")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_balance"),
+            "sum_balance",
+            pc.round(t["sum_balance"], 4),
+        ),
+        batch_format="pyarrow",
+    )

@@ -66,17 +66,35 @@ class NeuralTagger:
             return np.zeros((0, self.char_dim2))
         return np.stack([self._char_cache[t] for t in tokens])
 
+    _MAX_BUCKET_AREA = 400_000  # rows × padded length cap (bounds [B,T,C] RAM)
+
+    def _buckets(self, order: list[int], seqs: list[list[str]]):
+        """Length-sorted buckets capped by row count AND padded area, so one
+        pathological 10k-token turn can't force a huge padded batch."""
+        bucket: list[int] = []
+        max_len = 0
+        for i in order:
+            if not seqs[i]:
+                continue
+            cand_len = max(max_len, len(seqs[i]))
+            if bucket and (
+                len(bucket) >= self.bucket_size
+                or (len(bucket) + 1) * cand_len > self._MAX_BUCKET_AREA
+            ):
+                yield bucket
+                bucket, max_len = [], 0
+                cand_len = len(seqs[i])
+            bucket.append(i)
+            max_len = cand_len
+        if bucket:
+            yield bucket
+
     def _tag_sequences(self, seqs: list[list[str]]) -> list[list[str]]:
         """Tag many token sequences with length-bucketed padded batches."""
         out: list[list[str]] = [[] for _ in seqs]
         order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
         i2l = self.vocab.index_to_label
-        for bstart in range(0, len(order), self.bucket_size):
-            bidx = [
-                i for i in order[bstart : bstart + self.bucket_size] if seqs[i]
-            ]
-            if not bidx:
-                continue
+        for bidx in self._buckets(order, seqs):
             lengths = np.array([len(seqs[i]) for i in bidx], dtype=np.int64)
             Tmax = int(lengths.max())
             B = len(bidx)
