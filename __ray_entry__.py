@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_recent100": q.events_recent100,
         "events_user_count": q.events_user_count,
         "lineitem_pricing": q.lineitem_pricing,
+        "lineitem_qty_stats": q.lineitem_qty_stats,
         "orders_by_nation": q.orders_by_nation,
         "similarity_topk": q.similarity_topk,
         "events_first_per_user_type": q.events_first_per_user_type,
@@ -226,6 +227,11 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 4) AS avg_disc,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "lineitem_qty_stats": """
+            SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS std_qty,
+                   max(l_quantity) AS max_qty, min(l_quantity) AS min_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "orders_by_nation": """
             SELECT n.n_name AS nation, count(*) AS n_orders

@@ -687,3 +687,23 @@ def account_balance_union(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def lineitem_qty_stats(sf_dir: str) -> Dataset:
+    """Std/Max/Min aggregate coverage (sample stddev matches stddev_samp)."""
+    from ray.data.aggregate import Std
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+    out = li.groupby("l_returnflag").aggregate(
+        Std("l_quantity", alias_name="std_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Min("l_quantity", alias_name="min_qty"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("std_qty"), "std_qty", pc.round(t["std_qty"], 4)
+        ),
+        batch_format="pyarrow",
+    )

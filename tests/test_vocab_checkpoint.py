@@ -83,3 +83,40 @@ def test_restore_with_remap_joins_embeddings():
     )
     # LSTM weights copied
     assert np.allclose(merged["tok_Wx_f"], old_p["tok_Wx_f"])
+
+
+def test_build_vocab_distributed_matches_counter():
+    import ray.data as rd
+    from collections import Counter
+
+    from neuroner_ray.functions.tokenize import tokenize_batch
+    from neuroner_ray.state.vocab import build_vocab_distributed
+
+    texts = ["a b b c", "b c d", "", "a a"]
+    ds = rd.from_items([{"text": t} for t in texts]).map_batches(
+        tokenize_batch, batch_format="pyarrow"
+    )
+    got = build_vocab_distributed(ds)
+    want = Counter()
+    for t in texts:
+        want.update(t.split())
+    assert got == want
+
+
+def test_glove_fixture_cascade_integration(tmp_path):
+    """FIXTURES.md F4: fixture embeddings cover part of the checkpoint vocab;
+    the cascade resolves case/digit variants and misses fall to random."""
+    from neuroner_ray.sources.glove import load_embeddings, write_fixture_embeddings
+    from neuroner_ray.state.checkpoint import load_checkpoint
+    from neuroner_ray.state.vocab import build_embedding_matrix
+
+    _, vocab = load_checkpoint("tests/fixtures/checkpoint")
+    toks = sorted(vocab.token_to_index)
+    covered = [t.lower() for t in toks[: int(len(toks) * 0.7)]]
+    p = str(tmp_path / "glove.mini.txt")
+    write_fixture_embeddings(p, sorted(set(covered)), dim=10)
+    emb = load_embeddings(p)
+    M, stats = build_embedding_matrix(vocab, emb, dim=10)
+    assert M.shape == (vocab.n_tokens, 10)
+    assert stats["exact"] + stats["lower"] + stats["digits"] + stats["lower+digits"] > 0
+    assert stats["miss"] > 0  # 30% uncovered exercises the UNK/random path
