@@ -415,20 +415,18 @@ def forward_scores_batch(
     TE = p["tok_emb"][token_ids_padded]
     X = np.concatenate([char_feat_padded.astype(dt, copy=False), TE], axis=2)
     hf = _lstm_forward_batch(X, mask, p["tok_Wx_f"], p["tok_Wh_f"], p["tok_b_f"])
-    # backward direction: reverse each row within its length
-    Xb = np.zeros_like(X)
-    for bi in range(B):
-        L = int(lengths[bi])
-        if L:
-            Xb[bi, :L] = X[bi, :L][::-1]
+    # backward direction: per-row reversal within each length, vectorized —
+    # the index map t → L-1-t (t < L) is an involution, so it both builds
+    # the reversed input and un-reverses the output
+    ar = np.arange(Tmax)
+    rev = np.where(
+        ar[None, :] < lengths[:, None], lengths[:, None] - 1 - ar[None, :], ar[None, :]
+    )
+    Xb = np.take_along_axis(X, rev[:, :, None], axis=1)
     hb_rev = _lstm_forward_batch(
         Xb, mask, p["tok_Wx_b"], p["tok_Wh_b"], p["tok_b_b"]
     )
-    hb = np.zeros_like(hb_rev)
-    for bi in range(B):
-        L = int(lengths[bi])
-        if L:
-            hb[bi, :L] = hb_rev[bi, :L][::-1]
+    hb = np.take_along_axis(hb_rev, rev[:, :, None], axis=1)
     Hcat = np.concatenate([hf, hb], axis=2)
     Z = np.tanh(Hcat @ p["ff_W"] + p["ff_b"])
     return Z @ p["out_W"] + p["out_b"]
