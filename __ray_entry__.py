@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-_TOK = TOKEN_PATTERN.replace("\\", "\\")  # literal RE2 pattern, same as Python
+_TOK = TOKEN_PATTERN  # the pattern is RE2-compatible as-is (SQL single-quoted)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -27,7 +27,12 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from ..schemas import PROVENANCE_STRUCT
-from ..stages.graph import PROVENANCE_CAP, _merge_edge_partials, materialize_graph, node_key
+from ..stages.graph import (
+    PROVENANCE_CAP,
+    _merge_edge_partials_exact,
+    materialize_graph,
+    node_key,
+)
 from ..stages.tagger import RuleTagger, _tokens_of_batch, tag_tokens, build_trie
 from ..stages.triples import extract_triples_row
 from .kg import _link_from_census, read_transcripts
@@ -71,6 +76,9 @@ def _partials_from_annotations(
     for (et, surf), n in census.items():
         emit("c", ent_type=et, surface=surf, n=n)
     for (s, st, p, o, ot), seen in eagg.items():
+        # FULL distinct (conv, turn) set — the post-resolution merge must
+        # dedup turns shared by surface variants of one canonical triple
+        # (O5); weight is recomputed there, so no cap here
         emit(
             "e",
             s_surf=s,
@@ -80,8 +88,7 @@ def _partials_from_annotations(
             o_type=ot,
             weight=len(seen),
             provenance=[
-                {"conv_id": c, "turn_idx": int(t)}
-                for c, t in sorted(seen)[:PROVENANCE_CAP]
+                {"conv_id": c, "turn_idx": int(t)} for c, t in sorted(seen)
             ],
         )
     return pa.Table.from_pydict(cols, schema=_PARTIAL_SCHEMA)
@@ -143,7 +150,7 @@ def _finalize_small(partials: Dataset, out_dir: str | None) -> dict[str, Dataset
     ]
     merged = pd.concat(
         [
-            _merge_edge_partials(g)
+            _merge_edge_partials_exact(g)
             for _, g in edf.groupby(["src_id", "dst_id", "pred"])
         ],
         ignore_index=True,
@@ -247,7 +254,7 @@ def run_pipeline_streamed(
         partials.filter(expr="kind == 'e'")
         .map_batches(finalize, batch_format="pyarrow")
         .groupby(["src_id", "dst_id", "pred"])
-        .map_groups(_merge_edge_partials, batch_format="pandas")
+        .map_groups(_merge_edge_partials_exact, batch_format="pandas")
     )
     out = {"nodes": nodes, "edges": edges}
     if out_dir is not None:

@@ -393,7 +393,7 @@ def embedding_near_dup(sf_dir: str) -> Dataset:
     return embedding_cosine_dedup(emb, threshold=0.98)
 
 
-def similarity_topk_lsh(sf_dir: str, k: int = 10) -> Dataset:
+def similarity_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
     """LSH-bucketed ANN variant of similarity_topk — rows-only (approximate)."""
     from ..stages.similarity import ann_search_lsh, build_lsh_index
 
@@ -401,12 +401,17 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10) -> Dataset:
         pc.equal(pc.field("vec_id"), 0)
     )
     qvec = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = rd.read_parquet(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        # exclude the query vector BEFORE the search: sort().limit() inside
+        # the search stay adjacent in one plan, so top-k order is exact
+        # (a map between sort and limit is not order-preserving by default)
+        lambda t: t.filter(pc.not_equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow",
+    )
     indexed = build_lsh_index(emb)
-    out = ann_search_lsh(indexed, qvec, k=k + 1)
-    return out.map_batches(
-        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
-    ).limit(k)
+    return ann_search_lsh(indexed, qvec, k=k)
 
 
 def events_first_per_user_type(sf_dir: str) -> Dataset:
@@ -587,12 +592,13 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10) -> Dataset:
     sample = mat[rng.choice(len(mat), size=min(2000, len(mat)), replace=False)]
     cent = kmeans_centroids(sample, k=16)
     qvec = mat[tab["vec_id"].to_pylist().index(0)]
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    indexed = build_ivf_index(emb, cent)
-    out = ann_search_ivf(indexed, cent, qvec, k=k + 1, n_probe=6)
-    return out.map_batches(
+    emb = rd.read_parquet(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(
         lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
-    ).limit(k)
+    )
+    indexed = build_ivf_index(emb, cent)
+    return ann_search_ivf(indexed, cent, qvec, k=k, n_probe=6)
 
 
 def mention_heavy_hitters(sf_dir: str) -> Dataset:

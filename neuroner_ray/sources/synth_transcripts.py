@@ -308,7 +308,8 @@ def ensure_transcripts(sf: float, shard_convs: int = 2000) -> str:
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
-    tmp = out + ".tmp"
+    # per-process tmp dir: concurrent writers never share a staging area
+    tmp = f"{out}.tmp-{os.getpid()}"
     os.makedirs(os.path.join(tmp, "transcripts"), exist_ok=True)
     n = n_convs_for_sf(sf)
     gm, gt = [], []
@@ -328,12 +329,15 @@ def ensure_transcripts(sf: float, shard_convs: int = 2000) -> str:
     pq.write_table(pa.concat_tables(gt), os.path.join(tmp, "gold_triples.parquet"))
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(f"n_convs={n}\n")
-    if os.path.exists(done):  # concurrent writer won
-        import shutil
+    import shutil
 
+    if os.path.exists(done):  # concurrent writer won
         shutil.rmtree(tmp, ignore_errors=True)
     else:
-        os.replace(tmp, out)
+        try:
+            os.replace(tmp, out)
+        except OSError:  # lost the publish race to another writer
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -39,10 +39,16 @@ from ..functions.tokenize import tokenize_text
 from .canonicalize import connected_components
 
 
+def _id_key(v) -> str:
+    """Zero-padded id string: lexicographic order == numeric order, so the
+    union-find's lexicographic-min representative IS the numeric-min id."""
+    return f"{int(v):020d}"
+
+
 def _ids_as_nodes(ds: Dataset, id_col: str) -> Dataset:
     return ds.map_batches(
         lambda t: pa.table(
-            {"node": pa.array([str(v) for v in t[id_col].to_pylist()], pa.string())}
+            {"node": pa.array([_id_key(v) for v in t[id_col].to_pylist()], pa.string())}
         ),
         batch_format="pyarrow",
     )
@@ -90,7 +96,7 @@ def minhash_lsh_dedup(
             toks = [t for t, _, _ in tokenize_text((text or "").lower())]
             sig = minhash_signature(word_shingles(toks, shingle_k), num_perm)
             for bk in band_keys(sig, bands):
-                out_id.append(str(did))
+                out_id.append(_id_key(did))
                 out_block.append(bk)
                 out_sig.append(sig.astype(np.int64))
         return pa.table(
@@ -163,7 +169,7 @@ def simhash_dedup(
             u = h & 0xFFFFFFFFFFFFFFFF
             for bi in range(8):
                 chunk = (u >> (8 * bi)) & 0xFF
-                ids.append(str(did))
+                ids.append(_id_key(did))
                 blk.append(f"b{bi}:{chunk:02x}")
                 sh.append(h)
         return pa.table(
@@ -249,9 +255,19 @@ def ngram_jaccard_pairs(
 
     blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
     pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
-    # same pair may surface from several bands → dedupe
-    return pairs.groupby(["a", "b"]).map_groups(
+    # same pair may surface from several bands → dedupe; emit numeric ids
+    deduped = pairs.groupby(["a", "b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
+    )
+    return deduped.map_batches(
+        lambda t: pa.table(
+            {
+                "a": pa.array([int(v) for v in t["a"].to_pylist()], pa.int64()),
+                "b": pa.array([int(v) for v in t["b"].to_pylist()], pa.int64()),
+                "jac": t["jac"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -281,7 +297,7 @@ def embedding_cosine_dedup(
         return pa.table(
             {
                 "id": pa.array(
-                    [str(v) for v in batch[id_col].to_pylist()], pa.string()
+                    [_id_key(v) for v in batch[id_col].to_pylist()], pa.string()
                 ),
                 "block": pa.array(keys, pa.string()),
                 "vec": batch[vec_col],

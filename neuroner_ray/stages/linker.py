@@ -93,21 +93,32 @@ def embedding_cosine(norm_a: str, norm_b: str) -> float:
     return float(a @ b)
 
 
-def link_match(norm_a: str, norm_b: str) -> bool:
-    """The frozen surface-match rule (same ent_type assumed by the caller):
-    normalized equality, OR word-prefix containment, OR char-3-gram Jaccard
-    >= 0.5, OR hashed-n-gram embedding cosine >= 0.8."""
+def precompute_surface(norm: str) -> tuple:
+    """Per-surface features computed ONCE per block member (words, shingles,
+    embedding) — the O(n²) pair loop then only compares."""
+    return (norm, norm.split(" "), char_shingles(norm), surface_embedding(norm))
+
+
+def link_match_pre(a: tuple, b: tuple) -> bool:
+    norm_a, wa, sha, ea = a
+    norm_b, wb, shb, eb = b
     if not norm_a or not norm_b:
         return False
     if norm_a == norm_b:
         return True
-    wa, wb = norm_a.split(" "), norm_b.split(" ")
     short, long_ = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
     if _word_prefix_subset(short, long_):
         return True
-    if jaccard(char_shingles(norm_a), char_shingles(norm_b)) >= JACCARD_THRESHOLD:
+    if jaccard(sha, shb) >= JACCARD_THRESHOLD:
         return True
-    return embedding_cosine(norm_a, norm_b) >= EMBED_COSINE_THRESHOLD
+    return float(ea @ eb) >= EMBED_COSINE_THRESHOLD
+
+
+def link_match(norm_a: str, norm_b: str) -> bool:
+    """The frozen surface-match rule (same ent_type assumed by the caller):
+    normalized equality, OR word-prefix containment, OR char-3-gram Jaccard
+    >= 0.5, OR hashed-n-gram embedding cosine >= 0.8."""
+    return link_match_pre(precompute_surface(norm_a), precompute_surface(norm_b))
 
 
 def node_key(ent_type: str, surface: str) -> str:
@@ -217,12 +228,12 @@ def _pairs_in_block(group: pd.DataFrame, cap: int) -> pd.DataFrame:
     if capped:
         g = g.head(cap)
     nodes = g["node"].to_numpy()
-    norms = g["norm"].to_numpy()
+    pre = [precompute_surface(n) for n in g["norm"]]  # once per member
     a_out: list[str] = []
     b_out: list[str] = []
     for i in range(len(nodes)):
         for j in range(i + 1, len(nodes)):
-            if link_match(norms[i], norms[j]):
+            if link_match_pre(pre[i], pre[j]):
                 a_out.append(nodes[i])
                 b_out.append(nodes[j])
     return pd.DataFrame(

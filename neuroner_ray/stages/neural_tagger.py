@@ -54,14 +54,16 @@ class NeuralTagger:
 
     # -- char features with per-unique-token memoization -------------------
     def _char_feats(self, tokens: list[str]) -> np.ndarray:
+        # evict BEFORE inserting this batch's tokens, so the entries the
+        # stack below depends on are never cleared out from under it
+        if len(self._char_cache) > _CACHE_MAX:
+            self._char_cache.clear()
         missing = [t for t in set(tokens) if t not in self._char_cache]
         if missing:
             ids = [self.vocab.char_indices(t) for t in missing]
             feats = char_features_unique(self.params, ids)
             for t, f in zip(missing, feats):
                 self._char_cache[t] = f
-            if len(self._char_cache) > _CACHE_MAX:
-                self._char_cache.clear()
         if not tokens:
             return np.zeros((0, self.char_dim2))
         return np.stack([self._char_cache[t] for t in tokens])

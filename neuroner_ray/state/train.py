@@ -83,9 +83,9 @@ def train(
 ) -> tuple[dict, Vocab, dict]:
     """Returns (best params, vocab, history). Parameter names mirror the
     reference's parameters.ini [training]/[advanced] sections."""
+    valid_eval_labels = valid_labels  # always scored in BIO (M6 remap)
     if tagging_format == "bioes":
         train_labels = [bio_to_bioes(l) for l in train_labels]
-        valid_eval_labels = valid_labels  # evaluate in BIO after remap
     vocab = build_vocab(train_sents, train_labels)
     data = encode(vocab, train_sents, train_labels)
     params = init_params(

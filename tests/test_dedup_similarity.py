@@ -72,9 +72,9 @@ def test_simhash_dedup_clusters():
 def test_ngram_jaccard_pairs_exact_verify():
     out = ngram_jaccard_pairs(_docs(), threshold=0.5).to_pandas()
     pairs = {(a, b) for a, b in zip(out["a"], out["b"])}
-    assert ("0", "1") in pairs
-    assert ("0", "2") in pairs
-    got = out[(out["a"] == "0") & (out["b"] == "1")]["jac"].iloc[0]
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    got = out[(out["a"] == 0) & (out["b"] == 1)]["jac"].iloc[0]
     assert got == 1.0  # exact dup → jaccard exactly 1
 
 
@@ -146,3 +146,17 @@ def test_multimodal_plumbing():
     assert (frames.groupby("media_id").size() == 3).all()  # 3s @ 1fps
     with pytest.raises(NotImplementedError):
         ImageFeatureExtractor(strict=True)
+
+
+def test_cluster_id_is_numeric_min_for_two_digit_ids():
+    """Regression: lexicographic min('11','9') is '11'; cluster ids must be
+    the NUMERIC minimum member id."""
+    rows = [
+        {"doc_id": 9, "text": "identical duplicate content here okay"},
+        {"doc_id": 11, "text": "identical duplicate content here okay"},
+        {"doc_id": 3, "text": "something entirely different entirely"},
+    ]
+    out = minhash_lsh_dedup(rd.from_items(rows), threshold=0.9).to_pandas()
+    c = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert c[9] == c[11] == 9
+    assert c[3] == 3

@@ -49,3 +49,33 @@ def test_streamed_distributed_finalize_equals_driver(tpath, monkeypatch):
     dist = run_pipeline_streamed(tpath)
     assert _nodes_norm(driver["nodes"]).equals(_nodes_norm(dist["nodes"]))
     assert _edges_norm(driver["edges"]).equals(_edges_norm(dist["edges"]))
+
+
+def test_same_turn_alias_variants_dedup_to_one_edge(tmp_path):
+    """O5 regression: two surface variants of the same canonical triple in
+    ONE turn must produce edge weight 1, identically in both pipelines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = "Alice Johnson works at Acme Corp . alice johnson works at ACME ."
+    t = pa.table(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": [text],
+            "tool": [""],
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    src = tmp_path / "tr"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    classic = kg.run_pipeline(str(src))
+    streamed = run_pipeline_streamed(str(src))
+    a = _edges_norm(classic["edges"])
+    b = _edges_norm(streamed["edges"])
+    assert a.equals(b), (a, b)
+    row = b[b["pred"] == "works_at"].iloc[0]
+    assert row["weight"] == 1  # same (conv, turn) counted once
+    assert len(row["provenance"]) == 1
