@@ -3,10 +3,11 @@
 Headline: full KG-construction pipeline (transcripts → nodes/edges) at the
 scale matching ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), plus the
 representative operator queries. ``--scaling`` runs the headline pipeline in
-two fresh processes at num_cpus=8 and num_cpus=32 on the same input and
-reports throughput at both plus the scaling efficiency (the sandbox stand-in
-for the north_rule's N vs 4N cluster criterion; note host nproc=1 → both
-levels are oversubscribed logical CPUs).
+fresh processes at num_cpus=4 and num_cpus=16 (N and 4N) on the same input
+(at 3x the transcripts scale so fixed per-execution costs amortize; see
+BENCH/BASELINE.md) and reports throughput at both plus the scaling
+efficiency — the sandbox stand-in for the north_rule's N vs 4N cluster
+criterion (32 real cores on this host; levels never overlap).
 """
 
 from __future__ import annotations
@@ -39,8 +40,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         transcripts_dir_for,
     )
 
-    sf = sf_of_dir(sf_dir)
-    tdir = transcripts_dir_for(sf_dir)  # generates+caches if missing (untimed)
+    sf = sf_of_dir(sf_dir) * float(os.environ.get("GRAFT_SF_MULT", "1"))
+    from neuroner_ray.sources.synth_transcripts import ensure_transcripts
+
+    tdir = os.path.join(ensure_transcripts(sf), "transcripts")  # cached, untimed
 
     # warm the OS page cache so we measure compute+shuffle, not first disk read
     n_turns = kg.read_transcripts(tdir).count()
@@ -86,6 +89,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     headline = time.perf_counter() - t0
     timings["kg_pipeline"] = round(headline, 3)
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        return {
+            "metric": "kg_pipeline_wall_sec",
+            "value": timings["kg_pipeline"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
+        }
+
     # secondary: classic (materializing) pipeline with the gazetteer tagger
     t0 = time.perf_counter()
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -118,8 +133,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_subprocess(ncpu: int, sf_dir: str) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+def run_subprocess(ncpu: int, sf_dir: str, extra_env: dict | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -134,10 +149,14 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         lo, hi = 4, 16
-        # two fresh-process runs per level, min taken: the host is shared,
-        # so min is the least-contended (hardware-honest) measurement
-        runs_lo = [run_subprocess(lo, sf_dir) for _ in range(2)]
-        runs_hi = [run_subprocess(hi, sf_dir) for _ in range(2)]
+        # scaling protocol: headline pipeline only, on 3x the transcripts
+        # scale — fixed per-execution costs (~2-3 s) amortize with input
+        # size, so the measurement reflects the pipeline rather than Ray
+        # session setup. Two fresh-process runs per level, min taken (the
+        # host is shared; min = least-contended measurement).
+        env = {"GRAFT_HEADLINE_ONLY": "1", "GRAFT_SF_MULT": "3"}
+        runs_lo = [run_subprocess(lo, sf_dir, env) for _ in range(2)]
+        runs_hi = [run_subprocess(hi, sf_dir, env) for _ in range(2)]
         r_lo = min(runs_lo, key=lambda r: r["value"])
         r_hi = min(runs_hi, key=lambda r: r["value"])
         speedup = r_lo["value"] / r_hi["value"]
@@ -156,7 +175,8 @@ def main() -> None:
                     "turns_per_sec_hi": r_hi["turns_per_sec"],
                     "speedup": round(speedup, 3),
                     "sf": r_lo["sf"],
-                    "note": "single host, 32 cores; N vs 4N evidenced as num_cpus=4 vs 16 in fresh processes, identical 3/4 actor-pool fraction at both levels",
+                    "n_turns": r_lo["n_turns"],
+                    "note": "single host, 32 cores; N vs 4N evidenced as num_cpus=4 vs 16 in fresh processes, identical 3/4 actor-pool fraction, headline pipeline on 3x-scale transcripts",
                 }
             )
         )
