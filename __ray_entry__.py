@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.doc_langid,
         "doc_simhash": q.doc_simhash,
         "doc_minhash_dedup": q.doc_minhash_dedup,
+        "doc_ngram_jaccard_pairs": q.doc_ngram_jaccard_pairs,
         "embedding_near_dup": q.embedding_near_dup,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,

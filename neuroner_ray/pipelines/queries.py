@@ -713,3 +713,11 @@ def lineitem_qty_stats(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
+    """Exact-verified word-3-gram Jaccard near-dup pairs (rows-only)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.8)
