@@ -358,8 +358,11 @@ def _lstm_forward_batch(X: np.ndarray, mask: np.ndarray, Wx, Wh, b) -> np.ndarra
     h = np.zeros((B, H), dtype=dt)
     c = np.zeros((B, H), dtype=dt)
     hs = np.zeros((B, T, H), dtype=dt)
+    # input projection hoisted out of the time loop: one [B*T, D] matmul
+    # instead of T small ones (the X@Wx term is the majority of the flops)
+    Zx = (X.reshape(B * T, D) @ Wx).reshape(B, T, 4 * H) + b
     for t in range(T):
-        z = X[:, t, :] @ Wx + h @ Wh + b
+        z = Zx[:, t, :] + h @ Wh
         i = _sigmoid(z[:, :H])
         f = _sigmoid(z[:, H : 2 * H])
         o = _sigmoid(z[:, 2 * H : 3 * H])
