@@ -45,7 +45,6 @@ def main() -> int:
 
     from .config import PipelineConfig
     from .pipelines import kg, manifests
-    from .stages.graph import canonical_map, tagged_to_edges
     from .stages.neural_tagger import NeuralTagger
     from .stages.tagger import RuleTagger
 
@@ -56,6 +55,9 @@ def main() -> int:
     tagger_args = (args.checkpoint,) if args.tagger == "neural" else ()
 
     def table_fn(transcripts):
+        # per-bucket outputs are PER-TURN tables only — canonicalization is
+        # global and happens once in finalize_graph (per-bucket node/edge
+        # tables would elect bucket-dependent canonical representatives)
         tagged = kg.tag_turns(
             transcripts,
             tagger=tagger,
@@ -63,13 +65,9 @@ def main() -> int:
             concurrency=(cfg.tagger_concurrency_min, cfg.tagger_concurrency_max),
             batch_size=cfg.tagger_batch_size,
         ).materialize()
-        nodes = kg.link_and_canonicalize_tagged(tagged)[0].materialize()
-        mapping = canonical_map(nodes)
         return {
             "mentions": kg.mentions_of(tagged),
             "triples": kg.triples_of(tagged),
-            "nodes": nodes,
-            "edges": tagged_to_edges(tagged, mapping),
         }
 
     t0 = time.time()
@@ -77,6 +75,7 @@ def main() -> int:
     result = manifests.run_bucketed(
         args.input, args.output, table_fn, config_payload, num_buckets=args.buckets
     )
+    finalize = manifests.finalize_graph(args.output, config_payload)
     wall = time.time() - t0
     results = {  # S7 results sink (reference: evaluate.py::save_results)
         "input": args.input,
@@ -84,6 +83,7 @@ def main() -> int:
         "tagger": args.tagger,
         "buckets_processed": result["processed"],
         "buckets_skipped": result["skipped"],
+        "finalize": finalize,
         "wall_sec": round(wall, 3),
     }
     with open(os.path.join(args.output, "results.json"), "w") as f:

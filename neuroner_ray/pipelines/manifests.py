@@ -141,3 +141,54 @@ def run_bucketed(
 def read_output(out_dir: str, table: str) -> Dataset:
     """Read all completed buckets of one output table."""
     return rd.read_parquet(os.path.join(out_dir, table))
+
+
+def finalize_graph(out_dir: str, config: dict) -> dict:
+    """Phase 2 of the bucketed run: GLOBAL linking + graph materialize.
+
+    Canonicalization is a global aggregate — computing nodes/edges per
+    bucket yields duplicate entity ids and bucket-dependent canonical
+    representatives (different buckets can elect different reps for one
+    cluster). So buckets persist only per-turn tables (mentions, triples);
+    this step reads them all, links globally, resolves and aggregates
+    edges, and writes ``<out>/nodes`` + ``<out>/edges``. It records its own
+    manifest (config hash + completed-bucket set) and is skipped when
+    nothing changed.
+    """
+    from ..pipelines import kg
+    from ..stages.graph import (
+        aggregate_edges,
+        canonical_map,
+        materialize_graph,
+        resolve_triples,
+    )
+
+    cfg_hash = config_hash(config)
+    done = sorted(completed_buckets(out_dir, cfg_hash))
+    fpath = os.path.join(manifest_dir(out_dir), "finalize.json")
+    if os.path.exists(fpath):
+        try:
+            with open(fpath) as f:
+                prev = json.load(f)
+            if prev.get("config_hash") == cfg_hash and prev.get("buckets") == done:
+                return {"skipped": True, "buckets": done}
+        except (OSError, json.JSONDecodeError):
+            pass
+    t0 = time.time()
+    mentions = read_output(out_dir, "mentions")
+    nodes = kg.link_and_canonicalize(mentions)[0].materialize()
+    mapping = canonical_map(nodes)
+    triples = read_output(out_dir, "triples")
+    edges = aggregate_edges(resolve_triples(triples, mapping))
+    materialize_graph(nodes, edges, out_dir)
+    payload = {
+        "config_hash": cfg_hash,
+        "buckets": done,
+        "wall_sec": round(time.time() - t0, 3),
+        "n_nodes": nodes.count(),
+    }
+    tmp = fpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, fpath)
+    return {"skipped": False, **payload}

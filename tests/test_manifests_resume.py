@@ -91,3 +91,36 @@ def test_manifest_contents(tpath, tmp_path):
     assert m["row_counts"]["mentions"] > 0
     assert m["output_files"]["triples"]
     assert m["wall_sec"] > 0
+
+
+def test_finalize_graph_is_global_and_consistent(tpath, tmp_path):
+    """Nodes/edges from the bucketed flow must equal the single-run pipeline:
+    unique entity ids, summed edge weights, one canonical rep per cluster."""
+    out = str(tmp_path / "two_phase")
+    manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=4)
+    r = manifests.finalize_graph(out, CONFIG)
+    assert not r["skipped"]
+    import ray.data as rd
+
+    nodes = rd.read_parquet(f"{out}/nodes").to_pandas()
+    edges = rd.read_parquet(f"{out}/edges").to_pandas()
+    assert nodes["entity_id"].is_unique
+    assert not edges.duplicated(["src_id", "dst_id", "pred"]).any()
+    # equals the non-bucketed pipeline
+    single = kg.run_pipeline(tpath)
+    sn = single["nodes"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    se = (
+        single["edges"].to_pandas()
+        .sort_values(["src_id", "dst_id", "pred"]).reset_index(drop=True)
+    )
+    nodes = nodes.drop(columns=["bucket"], errors="ignore").sort_values(
+        "entity_id"
+    ).reset_index(drop=True)
+    edges = edges.drop(columns=["bucket"], errors="ignore").sort_values(
+        ["src_id", "dst_id", "pred"]
+    ).reset_index(drop=True)
+    assert list(nodes["entity_id"]) == list(sn["entity_id"])
+    assert list(nodes["mention_count"]) == list(sn["mention_count"])
+    assert list(edges["weight"]) == list(se["weight"])
+    # idempotent: second finalize with same buckets+config skips
+    assert manifests.finalize_graph(out, CONFIG)["skipped"]
