@@ -79,3 +79,12 @@ def test_same_turn_alias_variants_dedup_to_one_edge(tmp_path):
     row = b[b["pred"] == "works_at"].iloc[0]
     assert row["weight"] == 1  # same (conv, turn) counted once
     assert len(row["provenance"]) == 1
+
+
+def test_streamed_output_invariant_to_batch_size(tpath):
+    """Partial aggregation must be batching-invariant: tiny batches and big
+    batches produce byte-identical graphs."""
+    small = run_pipeline_streamed(tpath, batch_size=64)
+    big = run_pipeline_streamed(tpath, batch_size=4096)
+    assert _nodes_norm(small["nodes"]).equals(_nodes_norm(big["nodes"]))
+    assert _edges_norm(small["edges"]).equals(_edges_norm(big["edges"]))
