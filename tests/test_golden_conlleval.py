@@ -24,3 +24,18 @@ def test_golden_conlleval_report():
     with open(os.path.join(HERE, "golden", "conlleval_f1.txt")) as f:
         golden_f1 = float(f.read().strip())
     assert f"{m['fb1']:.4f}" == f"{golden_f1:.4f}"
+
+
+def test_generator_matches_committed_goldens():
+    """FIXTURES.md F6: the deterministic generator must keep producing the
+    committed golden mention/triple tables (guards silent generator drift,
+    which would invalidate every parity threshold)."""
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.sources.synth_transcripts import ensure_transcripts
+
+    d = ensure_transcripts(0.0002)
+    for name in ("gold_mentions", "gold_triples"):
+        got = pq.read_table(f"{d}/{name}.parquet")
+        want = pq.read_table(os.path.join(HERE, "golden", f"{name}_sf0.0002.parquet"))
+        assert got.equals(want), name
