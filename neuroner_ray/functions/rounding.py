@@ -1,0 +1,20 @@
+"""Oracle-compatible float rounding.
+
+Python ``round()`` / ``np.round`` / ``pc.round`` default to banker's
+rounding (half-to-even); DuckDB ``round()`` rounds ties AWAY from zero.
+Ratio-valued columns can land exactly on a tie (any dyadic rational, e.g.
+1/32 = 0.03125 → 0.0312 vs 0.0313), so every float the driver hash-compares
+against a DuckDB oracle must round with this helper on the Python side
+(root cause of the round-1 ``doc_quality`` hash mismatch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def round_half_away(values, digits: int = 4) -> np.ndarray:
+    """Round half-away-from-zero, matching DuckDB's ``round(x, digits)``."""
+    a = np.asarray(values, dtype=np.float64)
+    scale = 10.0**digits
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale

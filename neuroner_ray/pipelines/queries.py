@@ -32,6 +32,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.rounding import round_half_away
 from ..functions.tokenize import TOKEN_PATTERN
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
@@ -39,6 +40,18 @@ _PUNCT_RE = re.compile(r"[^A-Za-z0-9_\s]")
 _WORD_RE = re.compile(r"[a-z0-9_]+")
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+
+def _round_cols(t: pa.Table, cols: tuple[str, ...], digits: int = 4) -> pa.Table:
+    """Replace float columns with their half-away-rounded values."""
+    for col in cols:
+        idx = t.schema.get_field_index(col)
+        t = t.set_column(
+            idx,
+            col,
+            pa.array(round_half_away(t[col].to_numpy(zero_copy_only=False), digits)),
+        )
+    return t
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -117,9 +130,11 @@ def doc_quality(sf_dir: str) -> Dataset:
             toks = _TOKEN_RE.findall(t)
             puncts = _PUNCT_RE.findall(t)
             words = _WORD_RE.findall(t.lower())
-            punct_ratio.append(round(len(puncts) / len(toks), 4) if toks else 0.0)
+            punct_ratio.append(
+                float(round_half_away(len(puncts) / len(toks))) if toks else 0.0
+            )
             stop_ratio.append(
-                round(sum(w in STOPWORDS for w in words) / len(words), 4)
+                float(round_half_away(sum(w in STOPWORDS for w in words) / len(words)))
                 if words
                 else 0.0
             )
@@ -179,12 +194,7 @@ def events_hourly(sf_dir: str) -> Dataset:
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("sum_value"),
-            "sum_value",
-            pc.round(t["sum_value"], 4),
-        ),
-        batch_format="pyarrow",
+        lambda t: _round_cols(t, ("sum_value",)), batch_format="pyarrow"
     )
 
 
@@ -254,14 +264,10 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
         )
     )
 
-    def rounded(t: pa.Table) -> pa.Table:
-        for col in ("sum_qty", "sum_revenue", "avg_disc"):
-            t = t.set_column(
-                t.schema.get_field_index(col), col, pc.round(t[col], 4)
-            )
-        return t
-
-    return out.map_batches(rounded, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: _round_cols(t, ("sum_qty", "sum_revenue", "avg_disc")),
+        batch_format="pyarrow",
+    )
 
 
 def orders_by_nation(sf_dir: str) -> Dataset:
@@ -337,16 +343,21 @@ def similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
             mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            cos = (mat @ self.q) / norms
+            # round half-away BEFORE the local top-k so ties at the k
+            # boundary resolve exactly as the oracle's rounded ordering;
+            # keep a 2k margin so a rounded tie spanning the cut survives
+            # to the (exact) global sort
+            cos = round_half_away((mat @ self.q) / norms)
             keep = ids != query_vec_id
             ids, cos = ids[keep], cos[keep]
-            if len(ids) > k:  # local top-k before the global sort
-                part = np.argpartition(-cos, k)[:k]
+            keep_n = 2 * k
+            if len(ids) > keep_n:  # local top-k before the global sort
+                part = np.argpartition(-cos, keep_n)[:keep_n]
                 ids, cos = ids[part], cos[part]
             return pa.table(
                 {
                     "vec_id": pa.array(ids, pa.int64()),
-                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                    "cos": pa.array(cos, pa.float64()),
                 }
             )
 
@@ -493,12 +504,7 @@ def customer_segments(sf_dir: str) -> Dataset:
         Sum("c_acctbal", alias_name="sum_balance"),
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("sum_balance"),
-            "sum_balance",
-            pc.round(t["sum_balance"], 4),
-        ),
-        batch_format="pyarrow",
+        lambda t: _round_cols(t, ("sum_balance",)), batch_format="pyarrow"
     )
 
 
@@ -511,12 +517,7 @@ def docs_by_lang_source(sf_dir: str) -> Dataset:
         Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("avg_chars"),
-            "avg_chars",
-            pc.round(t["avg_chars"], 4),
-        ),
-        batch_format="pyarrow",
+        lambda t: _round_cols(t, ("avg_chars",)), batch_format="pyarrow"
     )
 
 
@@ -686,12 +687,7 @@ def account_balance_union(sf_dir: str) -> Dataset:
         Count(alias_name="n_accounts"), Sum("balance", alias_name="sum_balance")
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("sum_balance"),
-            "sum_balance",
-            pc.round(t["sum_balance"], 4),
-        ),
-        batch_format="pyarrow",
+        lambda t: _round_cols(t, ("sum_balance",)), batch_format="pyarrow"
     )
 
 
@@ -708,10 +704,7 @@ def lineitem_qty_stats(sf_dir: str) -> Dataset:
         Min("l_quantity", alias_name="min_qty"),
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("std_qty"), "std_qty", pc.round(t["std_qty"], 4)
-        ),
-        batch_format="pyarrow",
+        lambda t: _round_cols(t, ("std_qty",)), batch_format="pyarrow"
     )
 
 

@@ -35,6 +35,7 @@ from ..functions.minhash import (
     stable_hash64,
     word_shingles,
 )
+from ..functions.rounding import round_half_away
 from ..functions.tokenize import tokenize_text
 from .canonicalize import connected_components
 
@@ -250,7 +251,7 @@ def ngram_jaccard_pairs(
                 if jv >= threshold:
                     a.append(ids[i])
                     b.append(ids[j])
-                    jac.append(round(jv, 4))
+                    jac.append(float(round_half_away(jv)))
         return pd.DataFrame({"a": a, "b": b, "jac": jac})
 
     blocked = docs.map_batches(sig_rows, batch_format="pyarrow")

@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..functions.rounding import round_half_away
+
 N_TABLES = 8
 N_PLANES = 8
 
@@ -137,7 +139,7 @@ def ann_search_lsh(
             return pa.table(
                 {
                     id_col: pa.array(ids, pa.int64()),
-                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                    "cos": pa.array(round_half_away(cos), pa.float64()),
                 }
             )
 
@@ -178,7 +180,7 @@ def brute_force_topk(
             return pa.table(
                 {
                     id_col: pa.array(ids, pa.int64()),
-                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                    "cos": pa.array(round_half_away(cos), pa.float64()),
                 }
             )
 
@@ -284,7 +286,7 @@ def ann_search_ivf(
             return pa.table(
                 {
                     id_col: pa.array(ids, pa.int64()),
-                    "cos": pa.array(np.round(cos, 4), pa.float64()),
+                    "cos": pa.array(round_half_away(cos), pa.float64()),
                 }
             )
 
@@ -329,7 +331,7 @@ def brute_force_topk_many(
                 )
                 qi_out.extend([qi] * len(take))
                 id_out.extend(ids[take])
-                cos_out.extend(np.round(col[take], 4))
+                cos_out.extend(round_half_away(col[take]))
             return pa.table(
                 {
                     "query_idx": pa.array(qi_out, pa.int64()),

@@ -38,12 +38,14 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # NO float rounding here: the driver's gate hashes raw values, so the
+    # replica must too — queries/oracles are responsible for rounding their
+    # own float columns identically (half-away-from-zero, 4 decimals).
+    # Rounding here masked the round-1 doc_quality banker's-rounding bug.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(4)
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
@@ -92,7 +94,7 @@ def main(sf_dir: str) -> int:
             continue
         try:
             pd.testing.assert_frame_equal(
-                got, want, check_dtype=False, check_exact=False, atol=1e-3
+                got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
             )
             print(f"ok   {name}: {len(got)} rows match oracle")
         except AssertionError as ex:
