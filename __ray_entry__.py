@@ -161,9 +161,26 @@ _TOK = TOKEN_PATTERN  # the pattern is RE2-compatible as-is (SQL single-quoted)
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents (same column names, same rounding)."""
+    """DuckDB equivalents (same column names, same rounding).
+
+    The kg_* oracles run over the synthetic transcripts Parquet (the same
+    input the kg_* queries read); the driver checks at sf0.01, so the SQL
+    embeds that scale's cache path (override with GRAFT_ORACLE_SF_DIR for
+    local checks at other scales). ``transcripts_dir_for`` materializes the
+    cache if missing, so the oracle is runnable before any query.
+    """
+    from neuroner_ray.pipelines import kg_oracle as ko
+
+    oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tglob = transcripts_dir_for(oracle_sf) + "/*.parquet"
     stop_list = ", ".join(f"'{w}'" for w in q.STOPWORDS)
     return {
+        "kg_mentions": ko.kg_mentions_sql(tglob),
+        "kg_triples": ko.kg_triples_sql(tglob),
+        "kg_nodes": ko.kg_nodes_sql(tglob),
+        "kg_edges": ko.kg_edges_sql(tglob),
+        "kg_top_entities": ko.kg_top_entities_sql(tglob),
+        "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
         "token_freq_top100": f"""
             SELECT token, count(*) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token

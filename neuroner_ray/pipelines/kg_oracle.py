@@ -1,0 +1,302 @@
+"""DuckDB oracle SQL for the kg_* query family.
+
+The flagship KG pipeline (gazetteer tagging → triple extraction → linking →
+canonicalization → edge aggregation; SURVEY.md M11/J4/A6/J5/A7) is
+deterministic and — over the synthetic transcript corpus — fully
+SQL-expressible, so the driver's DuckDB gate can check it end-to-end
+instead of rows-only. Each ``kg_*_sql`` function returns a standalone
+DuckDB statement over the cached transcripts Parquet.
+
+Semantics mirrored here (and the Python anchors they must match):
+
+- **Mentions** (`stages/tagger.py::tag_tokens`): greedy longest-match of
+  gazetteer token sequences over the turn's token stream. In SQL this is
+  literal-substring matching at token boundaries (equivalent on any corpus
+  where surfaces appear with their canonical spacing — the generator places
+  them verbatim) + greedy resolution: longest match per start position,
+  then drop matches overlapped by an earlier-starting kept match.
+- **Triples** (`stages/triples.py::extract_triples_row`): adjacent mention
+  pairs, gap ≤ 40 chars, normalized gap looked up in the predicate lexicon.
+- **Nodes** (`stages/linker.py::link_match` + `canonicalize.py::union_find`
+  + `graph.py::_node_rows`): the linking match rule evaluated over ALL
+  same-type census pairs (at oracle scale the census is tiny, so all-pairs
+  equals the MinHash-blocked candidate set — asserted by
+  tests/test_kg_oracle.py), connected components via a recursive
+  transitive-closure CTE, canonical = max mention_count (tie: lexicographic
+  min surface). The embedding-cosine disjunct of the match rule is not
+  SQL-expressible (blake2b feature hashing); the same test asserts it adds
+  no pairs beyond the SQL-expressible disjuncts on this corpus.
+- **Edges** (`graph.py::tagged_to_edges`): triples resolved through the
+  canonical map, weight = distinct (conv_id, turn_idx) per (src, dst, pred).
+"""
+
+from __future__ import annotations
+
+from ..sources.synth_transcripts import GAZETTEER
+from ..stages.triples import MAX_GAP_CHARS, PREDICATE_LEXICON
+
+_WORDCHAR = "[A-Za-z0-9_]"
+
+
+def _gaz_values() -> str:
+    rows = []
+    for ent_type, surfaces in GAZETTEER.items():
+        for s in surfaces:
+            rows.append(f"('{s}', '{ent_type}')")
+    return ", ".join(rows)
+
+
+def _lex_values() -> str:
+    return ", ".join(f"('{k}', '{v}')" for k, v in PREDICATE_LEXICON.items())
+
+
+def _mentions_cte(transcripts_glob: str) -> str:
+    """Shared CTE chain ending in ``kept`` (the resolved mention set).
+
+    Candidate generation joins token-boundary start positions against the
+    gazetteer on a 4-char prefix key (every surface is ≥4 chars), so the
+    expensive full-surface comparison runs only on prefix hits.
+    """
+    return f"""
+        tr AS (
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{transcripts_glob}') WHERE text <> ''
+        ),
+        gaz(surface, ent_type) AS (VALUES {_gaz_values()}),
+        starts AS (
+            SELECT conv_id, turn_idx, text,
+                   unnest(range(1, length(text) + 1)) AS s
+            FROM tr
+        ),
+        bstarts AS (
+            SELECT * FROM starts
+            WHERE s = 1
+               OR NOT regexp_matches(substr(text, (s - 1)::INT, 1), '{_WORDCHAR}')
+        ),
+        cand AS (
+            SELECT b.conv_id, b.turn_idx, b.text, b.s::INT AS s,
+                   g.surface, g.ent_type, length(g.surface)::INT AS slen
+            FROM bstarts b
+            JOIN gaz g ON substr(b.text, b.s::INT, 4) = substr(g.surface, 1, 4)
+            WHERE substr(b.text, b.s::INT, length(g.surface)::INT) = g.surface
+              AND (b.s + length(g.surface) > length(b.text)
+                   OR NOT regexp_matches(
+                          substr(b.text, (b.s + length(g.surface))::INT, 1),
+                          '{_WORDCHAR}'))
+        ),
+        best AS (
+            SELECT conv_id, turn_idx, text, s, surface, ent_type, slen
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY conv_id, turn_idx, s
+                      ORDER BY slen DESC) AS rk
+                  FROM cand)
+            WHERE rk = 1
+        ),
+        kept AS (
+            SELECT b.* FROM best b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM best p
+                WHERE p.conv_id = b.conv_id AND p.turn_idx = b.turn_idx
+                  AND p.s < b.s AND p.s + p.slen > b.s)
+        )"""
+
+
+def _triples_cte(transcripts_glob: str) -> str:
+    return f"""{_mentions_cte(transcripts_glob)},
+        lex(gap_norm, pred) AS (VALUES {_lex_values()}),
+        mseq AS (
+            SELECT k.*,
+                   lead(s) OVER w AS nxt_s,
+                   lead(surface) OVER w AS nxt_surface,
+                   lead(ent_type) OVER w AS nxt_type
+            FROM kept k
+            WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY s)
+        ),
+        triples AS (
+            SELECT m.conv_id, m.turn_idx,
+                   m.surface AS subj, l.pred, m.nxt_surface AS obj,
+                   m.ent_type AS subj_type, m.nxt_type AS obj_type
+            FROM mseq m
+            JOIN lex l ON l.gap_norm = lower(array_to_string(
+                regexp_extract_all(
+                    substr(m.text, m.s + m.slen, m.nxt_s - m.s - m.slen),
+                    '{_WORDCHAR}+'),
+                ' '))
+            WHERE m.nxt_s IS NOT NULL
+              AND m.nxt_s - m.s - m.slen <= {MAX_GAP_CHARS}
+        )"""
+
+
+def _nodes_cte(transcripts_glob: str) -> str:
+    """Census → all-pairs link-match → transitive closure → clusters."""
+    return f"""{_mentions_cte(transcripts_glob)},
+        census AS (
+            SELECT ent_type, surface, count(*)::BIGINT AS mention_count
+            FROM kept GROUP BY ent_type, surface
+        ),
+        surf AS (
+            SELECT ent_type, surface, mention_count,
+                   array_to_string(
+                       regexp_extract_all(lower(surface), '[a-z0-9_]+'), ' ')
+                       AS norm
+            FROM census
+        ),
+        feat AS (
+            SELECT *, string_split(norm, ' ') AS words,
+                   CASE WHEN length(norm) < 3 THEN [norm]
+                        ELSE list_distinct([substr(norm, i::INT, 3)
+                                            for i in range(1, length(norm)::INT - 1)])
+                   END AS sh
+            FROM surf
+        ),
+        pairs AS (
+            SELECT a.ent_type || '|' || a.surface AS pa,
+                   b.ent_type || '|' || b.surface AS pb
+            FROM feat a JOIN feat b
+              ON a.ent_type = b.ent_type AND a.surface < b.surface
+            WHERE a.norm <> '' AND b.norm <> '' AND (
+                a.norm = b.norm
+                OR (CASE WHEN len(a.words) <= len(b.words)
+                         THEN len(list_filter(a.words, w ->
+                                  len(list_filter(b.words,
+                                      lw -> starts_with(lw, w))) > 0))
+                              = len(a.words)
+                         ELSE len(list_filter(b.words, w ->
+                                  len(list_filter(a.words,
+                                      lw -> starts_with(lw, w))) > 0))
+                              = len(b.words)
+                    END)
+                OR len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   >= 0.5
+            )
+        ),
+        sym_edges AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        reach AS (
+            SELECT node AS src, node AS dst
+            FROM (SELECT ent_type || '|' || surface AS node FROM surf)
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sym_edges e ON r.dst = e.a
+        ),
+        labels AS (
+            SELECT src AS node, min(dst) AS label FROM reach GROUP BY src
+        ),
+        clus AS (
+            SELECT l.label, s.ent_type, s.surface, s.mention_count
+            FROM labels l
+            JOIN surf s ON l.node = s.ent_type || '|' || s.surface
+        ),
+        canon AS (
+            SELECT label, ent_type, surface AS canonical
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY label
+                      ORDER BY mention_count DESC, surface ASC) AS rk
+                  FROM clus)
+            WHERE rk = 1
+        )"""
+
+
+def kg_mentions_sql(transcripts_glob: str) -> str:
+    return f"""
+        WITH {_mentions_cte(transcripts_glob)}
+        SELECT conv_id, turn_idx, ent_type,
+               (s - 1)::INT AS "start", (s - 1 + slen)::INT AS "end", surface
+        FROM kept
+    """
+
+
+def kg_triples_sql(transcripts_glob: str) -> str:
+    return f"""
+        WITH RECURSIVE {_triples_cte(transcripts_glob)}
+        SELECT conv_id, turn_idx, subj, pred, obj, subj_type, obj_type,
+               CAST(1.0 AS REAL) AS confidence
+        FROM triples
+    """
+
+
+def kg_nodes_sql(transcripts_glob: str) -> str:
+    return f"""
+        WITH RECURSIVE {_nodes_cte(transcripts_glob)}
+        SELECT c.ent_type || ':' || c.canonical AS entity_id,
+               c.canonical, c.ent_type,
+               sum(cl.mention_count)::BIGINT AS mention_count
+        FROM canon c JOIN clus cl ON cl.label = c.label
+        GROUP BY 1, 2, 3
+    """
+
+
+def _edges_cte(transcripts_glob: str) -> str:
+    return f"""{_nodes_cte(transcripts_glob)},
+        lex(gap_norm, pred) AS (VALUES {_lex_values()}),
+        mseq AS (
+            SELECT k.*,
+                   lead(s) OVER w AS nxt_s,
+                   lead(surface) OVER w AS nxt_surface,
+                   lead(ent_type) OVER w AS nxt_type
+            FROM kept k
+            WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY s)
+        ),
+        triples AS (
+            SELECT m.conv_id, m.turn_idx,
+                   m.surface AS subj, l.pred, m.nxt_surface AS obj,
+                   m.ent_type AS subj_type, m.nxt_type AS obj_type
+            FROM mseq m
+            JOIN lex l ON l.gap_norm = lower(array_to_string(
+                regexp_extract_all(
+                    substr(m.text, m.s + m.slen, m.nxt_s - m.s - m.slen),
+                    '{_WORDCHAR}+'),
+                ' '))
+            WHERE m.nxt_s IS NOT NULL
+              AND m.nxt_s - m.s - m.slen <= {MAX_GAP_CHARS}
+        ),
+        smap AS (
+            SELECT cl.ent_type, cl.surface,
+                   c.ent_type || ':' || c.canonical AS entity_id
+            FROM clus cl JOIN canon c ON cl.label = c.label
+        ),
+        edges AS (
+            SELECT coalesce(ms.entity_id, t.subj_type || ':' || t.subj) AS src_id,
+                   coalesce(mo.entity_id, t.obj_type || ':' || t.obj) AS dst_id,
+                   t.pred,
+                   count(DISTINCT (t.conv_id, t.turn_idx))::BIGINT AS weight
+            FROM triples t
+            LEFT JOIN smap ms
+              ON ms.ent_type = t.subj_type AND ms.surface = t.subj
+            LEFT JOIN smap mo
+              ON mo.ent_type = t.obj_type AND mo.surface = t.obj
+            GROUP BY 1, 2, 3
+        )"""
+
+
+def kg_edges_sql(transcripts_glob: str) -> str:
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)}
+        SELECT src_id, dst_id, pred, weight FROM edges
+    """
+
+
+def kg_top_entities_sql(transcripts_glob: str) -> str:
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)}
+        SELECT entity_id, sum(weight)::BIGINT AS degree
+        FROM (
+            SELECT src_id AS entity_id, weight FROM edges
+            UNION ALL SELECT dst_id, weight FROM edges
+        )
+        GROUP BY entity_id
+        ORDER BY degree DESC, entity_id ASC
+        LIMIT 20
+    """
+
+
+def mention_heavy_hitters_sql(transcripts_glob: str) -> str:
+    return f"""
+        WITH {_mentions_cte(transcripts_glob)}
+        SELECT surface, count(*)::BIGINT AS n
+        FROM kept GROUP BY surface
+        ORDER BY n DESC, surface ASC
+        LIMIT 10
+    """

@@ -63,6 +63,10 @@ def main(sf_dir: str) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    # kg_* oracles embed the driver's sf0.01 transcript path by default;
+    # point them at the sf under test instead
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __ray_entry__ as e
 
     con = duckdb.connect()
