@@ -169,12 +169,20 @@ def oracle_sql() -> dict[str, str]:
     local checks at other scales). ``transcripts_dir_for`` materializes the
     cache if missing, so the oracle is runnable before any query.
     """
+    from neuroner_ray.pipelines import doc_oracle as do
     from neuroner_ray.pipelines import kg_oracle as ko
 
     oracle_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     tglob = transcripts_dir_for(oracle_sf) + "/*.parquet"
     stop_list = ", ".join(f"'{w}'" for w in q.STOPWORDS)
     return {
+        "doc_rolling_fp": do.doc_rolling_fp_sql(),
+        "doc_langid": do.doc_langid_sql(),
+        "doc_simhash": do.doc_simhash_sql(),
+        "doc_minhash_dedup": do.doc_minhash_dedup_sql(),
+        "doc_ngram_jaccard_pairs": do.doc_ngram_jaccard_pairs_sql(),
+        "embedding_near_dup": do.embedding_near_dup_sql(),
+        "similarity_topk_lsh": do.similarity_topk_sql(),
         "kg_mentions": ko.kg_mentions_sql(tglob),
         "kg_triples": ko.kg_triples_sql(tglob),
         "kg_nodes": ko.kg_nodes_sql(tglob),

@@ -94,15 +94,18 @@ def jaccard(a: set[str], b: set[str]) -> float:
 
 
 def simhash64(features: set[str]) -> int:
-    """64-bit SimHash over feature strings (near-dup by Hamming distance)."""
+    """64-bit SimHash over feature strings (near-dup by Hamming distance).
+
+    Feature hash = first 8 bytes of md5, little-endian — the one 64-bit
+    hash DuckDB can reproduce (``md5_number_upper``), so the fingerprint is
+    SQL-oracle-checkable end to end.
+    """
     if not features:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for f in features:
-        h = int.from_bytes(
-            hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        h = int.from_bytes(hashlib.md5(f.encode("utf-8")).digest()[:8], "little")
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0
     for i in range(64):

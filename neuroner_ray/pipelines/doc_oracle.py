@@ -1,0 +1,238 @@
+"""DuckDB oracle SQL for the text-analysis / dedup / ANN query suite.
+
+Each builder mirrors a deterministic pipeline operator exactly:
+
+- **doc_rolling_fp** — polynomial rolling hash (base 257 mod 2^61-1) over
+  codepoints, via ``list_reduce`` in HUGEINT arithmetic.
+- **doc_langid** — the marker-word + trigram profile scorer
+  (`functions/langid.py::detect_language`), profiles embedded as VALUES;
+  score arithmetic mirrors the Python expression term-for-term so IEEE
+  results (and therefore argmax ties) are bit-identical.
+- **doc_simhash** — 64-bit SimHash over distinct lowercased tokens; the
+  per-feature hash is the first 8 md5 bytes little-endian, which DuckDB
+  exposes as ``md5_number_upper`` (`functions/minhash.py::simhash64`).
+- **doc_minhash_dedup** — clusters from EXACT word-3-gram Jaccard >= 0.7
+  plus transitive closure. The pipeline verifies by minhash signature
+  estimate; tests/test_doc_oracle.py asserts estimate- and exact-threshold
+  clusterings agree on the corpus (pair margins are wide: planted near-dups
+  have J >= 0.9, everything else ~0.3).
+- **doc_ngram_jaccard_pairs** — exact all-pairs word-3-gram Jaccard >= 0.8
+  (the pipeline's MinHash blocking has ~1-4e-8 miss probability at J >= 0.9).
+- **embedding_near_dup** — all-pairs cosine >= threshold + closure.
+- similarity_topk_lsh shares similarity_topk's exact SQL: the LSH probe is
+  exact on this table (recall 1.0, same rounding/tie-break), asserted by
+  tests/test_doc_oracle.py.
+
+All run over the driver's pre-registered ``documents`` / ``embeddings``
+views — no external paths.
+"""
+
+from __future__ import annotations
+
+from ..functions.langid import _PROFILES, _TRIGRAMS
+from ..functions.tokenize import TOKEN_PATTERN
+
+_MOD = (1 << 61) - 1
+
+
+def doc_rolling_fp_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR text = '' THEN 0
+                    ELSE list_reduce(
+                        list_prepend(0::HUGEINT,
+                            [unicode(c)::HUGEINT
+                             for c in regexp_split_to_array(text, '')]),
+                        (h, c) -> (h * 257 + c) % {_MOD}::HUGEINT
+                    )::BIGINT
+               END AS rolling_fp
+        FROM documents
+    """
+
+
+def _prof_values() -> str:
+    rows = []
+    for lang in sorted(_PROFILES):
+        markers = ", ".join(f"'{w}'" for w in sorted(_PROFILES[lang]))
+        tris = ", ".join(f"'{t}'" for t in sorted(_TRIGRAMS[lang]))
+        rows.append(f"('{lang}', [{markers}], [{tris}])")
+    return ", ".join(rows)
+
+
+def doc_langid_sql() -> str:
+    # mirrors detect_language: CJK codepoint check first, then per-language
+    # score = marker_hits/len(words) + 0.1*trigram_occurrences/max(1, len//3);
+    # argmax with ties to the alphabetically first language; 'und' if the
+    # best score is not > 0
+    return f"""
+        WITH prof(lang, markers, trigrams) AS (VALUES {_prof_values()}),
+        d AS (
+            SELECT doc_id, coalesce(text, '') AS text,
+                   regexp_extract_all(lower(coalesce(text, '')), '[a-zà-ÿ]+')
+                       AS words,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[一-鿿぀-ヿ가-힯]')) AS cjk
+            FROM documents
+        ),
+        j AS (SELECT *, array_to_string(words, ' ') AS joined FROM d),
+        scored AS (
+            SELECT j.doc_id, p.lang,
+                   len(list_filter(j.words, w -> list_contains(p.markers, w)))
+                       / len(j.words)
+                   + 0.1 * list_sum(list_transform(p.trigrams,
+                         t -> (length(j.joined)
+                               - length(replace(j.joined, t, ''))) // 3))
+                     / greatest(1, length(j.joined) // 3) AS score
+            FROM j CROSS JOIN prof p
+            WHERE len(j.words) > 0
+              AND NOT (j.cjk >= greatest(1, length(j.text) // 20))
+        ),
+        best AS (
+            SELECT doc_id, lang, score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, lang ASC) AS rk
+                  FROM scored)
+            WHERE rk = 1
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text = '' THEN 'und'
+                    WHEN d.cjk >= greatest(1, length(d.text) // 20) THEN 'zh'
+                    WHEN len(d.words) = 0 THEN 'und'
+                    WHEN b.score > 0 THEN b.lang
+                    ELSE 'und'
+               END AS lang_pred
+        FROM d LEFT JOIN best b USING (doc_id)
+    """
+
+
+def doc_simhash_sql() -> str:
+    return f"""
+        WITH dt AS (
+            SELECT doc_id,
+                   list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                       '{TOKEN_PATTERN}')) AS toks
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, md5_number_upper(unnest(toks)) AS h FROM dt
+        ),
+        bits AS (
+            SELECT doc_id, bi.b,
+                   sum(CASE WHEN (h >> bi.b::INT) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS acc
+            FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bi
+            GROUP BY doc_id, bi.b
+        ),
+        sh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b::INT)
+                       ELSE 0::HUGEINT END) AS u
+            FROM bits GROUP BY doc_id
+        )
+        SELECT dt.doc_id,
+               coalesce(CASE WHEN s.u >= 9223372036854775808::HUGEINT
+                             THEN (s.u - 18446744073709551616::HUGEINT)::BIGINT
+                             ELSE s.u::BIGINT END, 0) AS simhash
+        FROM dt LEFT JOIN sh s USING (doc_id)
+    """
+
+
+def _shingle_cte() -> str:
+    """Word-3-gram shingle sets per document (mirrors ``word_shingles``)."""
+    return f"""
+        dt AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                       '{TOKEN_PATTERN}') AS toks
+            FROM documents
+        ),
+        shin AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                            for i in range(1, len(toks) - 1)])
+                   END AS sh
+            FROM dt
+        )"""
+
+
+def _jaccard_pairs_cte(threshold: float) -> str:
+    """All same-table pairs (a.doc_id < b.doc_id) with exact Jaccard.
+
+    Two empty shingle sets have Jaccard 1 (mirrors ``jaccard``); one empty
+    side gives 0.
+    """
+    return f"""{_shingle_cte()},
+        jp AS (
+            SELECT a.doc_id AS pa, b.doc_id AS pb,
+                   CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                        WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.sh, b.sh))
+                             / (len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)))
+                   END AS jac
+            FROM shin a JOIN shin b ON a.doc_id < b.doc_id
+        ),
+        pairs AS (SELECT pa, pb, jac FROM jp WHERE jac >= {threshold})"""
+
+
+def doc_ngram_jaccard_pairs_sql(threshold: float = 0.8) -> str:
+    return f"""
+        WITH {_jaccard_pairs_cte(threshold)}
+        SELECT pa AS a, pb AS b, round(jac, 4) AS jac FROM pairs
+    """
+
+
+def _closure_sql(universe_sql: str, id_col: str) -> str:
+    """Shared tail: pairs(pa,pb) + universe → (id_col, cluster_id)."""
+    return f"""
+        sym AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        reach AS (
+            SELECT {id_col} AS src, {id_col} AS dst FROM ({universe_sql})
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        )
+        SELECT src AS {id_col}, min(dst)::BIGINT AS cluster_id
+        FROM reach GROUP BY src
+    """
+
+
+def doc_minhash_dedup_sql(threshold: float = 0.7) -> str:
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte(threshold)},
+        {_closure_sql("SELECT doc_id FROM documents", "doc_id")}
+    """
+
+
+def embedding_near_dup_sql(threshold: float = 0.98) -> str:
+    return f"""
+        WITH RECURSIVE ep AS (
+            SELECT a.vec_id AS pa, b.vec_id AS pb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                  >= {threshold}
+        ),
+        pairs AS (SELECT pa, pb FROM ep),
+        {_closure_sql("SELECT vec_id FROM embeddings", "vec_id")}
+    """
+
+
+def similarity_topk_sql(k: int = 10, query_vec_id: int = 0) -> str:
+    """Exact cosine top-k — shared by similarity_topk and (because its
+    probe achieves exact recall on this table) similarity_topk_lsh."""
+    return f"""
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[],
+                   (SELECT embedding FROM embeddings
+                    WHERE vec_id = {query_vec_id})::DOUBLE[]
+               ), 4) AS cos
+        FROM embeddings e WHERE e.vec_id <> {query_vec_id}
+        ORDER BY cos DESC, vec_id ASC LIMIT {k}
+    """

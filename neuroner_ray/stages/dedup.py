@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 from ..functions.minhash import (
@@ -213,22 +214,35 @@ def ngram_jaccard_pairs(
     cap: int = 500,
 ) -> Dataset:
     """Exact-verified near-dup pairs: (a, b, jac) with word-k-gram Jaccard
-    >= threshold; candidate generation via MinHash bands."""
+    >= threshold; candidate generation via MinHash bands.
+
+    Scale shape (two passes, neither ships text through a shuffle):
+    1. band rows carry ONLY (id, block) → per-block candidate id pairs,
+       deduped across bands. Band rows are a few bytes each; the old design
+       carried the full text in every band row (16 copies/doc).
+    2. exact verify joins the candidate ids back to their shingle sets:
+       one map-only corpus pass computes shingles for candidate ids only
+       (semi-join via broadcast id set), then the candidate shingle table —
+       bounded by the candidate set, NOT the corpus — is broadcast via
+       ``ray.put`` and each pair verified map-side. (A two-sided hash join
+       would also work; Ray 2.49's join operator rejects empty partitions
+       on small inputs, so the broadcast path is used for both scales.)
+    Ids are zero-padded strings inside the blocking so lexicographic order
+    == numeric order → emitted pairs always have a < b numerically.
+    """
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        out = {"id": [], "block": [], "text": []}
+        out_id, out_block = [], []
         for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             toks = [t for t, _, _ in tokenize_text((text or "").lower())]
             sig = minhash_signature(word_shingles(toks, shingle_k), num_perm)
             for bk in band_keys(sig, bands):
-                out["id"].append(str(did))
-                out["block"].append(bk)
-                out["text"].append(text or "")
+                out_id.append(_id_key(did))
+                out_block.append(bk)
         return pa.table(
             {
-                "id": pa.array(out["id"], pa.string()),
-                "block": pa.array(out["block"], pa.string()),
-                "text": pa.array(out["text"], pa.string()),
+                "id": pa.array(out_id, pa.string()),
+                "block": pa.array(out_block, pa.string()),
             }
         )
 
@@ -238,38 +252,86 @@ def ngram_jaccard_pairs(
         if capped:
             g = g.head(cap)
         ids = g["id"].tolist()
-        shingle_sets = [
-            word_shingles(
-                [t for t, _, _ in tokenize_text(x.lower())], shingle_k
-            )
-            for x in g["text"]
-        ]
-        a, b, jac = [], [], []
+        a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                jv = jaccard(shingle_sets[i], shingle_sets[j])
-                if jv >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    jac.append(float(round_half_away(jv)))
-        return pd.DataFrame({"a": a, "b": b, "jac": jac})
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b, "block_capped": [capped] * len(a)})
+
+    def _norm_pairs(df: pd.DataFrame) -> pa.Table:
+        # empty map_groups partitions emit schema-less pandas blocks, which
+        # the hash-join operator rejects — pin the Arrow schema explicitly
+        return pa.table(
+            {
+                "a": pa.array(df["a"] if "a" in df else [], pa.string()),
+                "b": pa.array(df["b"] if "b" in df else [], pa.string()),
+            }
+        )
 
     blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
-    pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
-    # same pair may surface from several bands → dedupe; emit numeric ids
-    deduped = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    cand = (
+        blocked.groupby("block")
+        .map_groups(pairs_in_block, batch_format="pandas")
+        .groupby(["a", "b"])  # same pair surfaces from several bands
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(_norm_pairs, batch_format="pandas")
+        .materialize()  # candidate-pair-sized (output-bounded), not corpus
     )
-    return deduped.map_batches(
-        lambda t: pa.table(
+    cand_ids: set[str] = set()
+    for t in cand.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(t["a"].to_pylist())
+        cand_ids.update(t["b"].to_pylist())
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    SEP = "\x1f"  # cannot occur in tokens; Arrow joins reject list payloads
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        members = ray.get(ids_ref)
+        out_id, out_sh = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            key = _id_key(did)
+            if key not in members:
+                continue
+            toks = [t for t, _, _ in tokenize_text((text or "").lower())]
+            out_id.append(key)
+            out_sh.append(SEP.join(sorted(word_shingles(toks, shingle_k))))
+        return pa.table(
             {
-                "a": pa.array([int(v) for v in t["a"].to_pylist()], pa.int64()),
-                "b": pa.array([int(v) for v in t["b"].to_pylist()], pa.int64()),
-                "jac": t["jac"],
+                "id": pa.array(out_id, pa.string()),
+                "sh": pa.array(out_sh, pa.string()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    shingle_map: dict[str, str] = {}
+    for t in docs.map_batches(cand_shingles, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        shingle_map.update(zip(t["id"].to_pylist(), t["sh"].to_pylist()))
+    sh_ref = ray.put(shingle_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sm: dict[str, str] = ray.get(sh_ref)
+        a_out, b_out, jac_out = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            sa, sb = sm.get(a, ""), sm.get(b, "")
+            jv = jaccard(
+                set(sa.split(SEP)) if sa else set(),
+                set(sb.split(SEP)) if sb else set(),
+            )
+            if jv >= threshold:
+                a_out.append(int(a))
+                b_out.append(int(b))
+                jac_out.append(float(round_half_away(jv)))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jac": pa.array(jac_out, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- embedding cosine

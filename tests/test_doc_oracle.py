@@ -1,0 +1,63 @@
+"""Doc-suite DuckDB oracles must reproduce the pipeline (fixture scale).
+
+Backs the corpus-level assumptions in ``pipelines/doc_oracle.py``: the
+minhash signature-estimate clustering equals exact-Jaccard clustering, the
+LSH top-k probe is exact, and the hash/score arithmetic is bit-identical
+between Python and DuckDB.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from neuroner_ray.pipelines import doc_oracle
+from neuroner_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "query_fn, sql",
+    [
+        (q.doc_rolling_fp, doc_oracle.doc_rolling_fp_sql()),
+        (q.doc_langid, doc_oracle.doc_langid_sql()),
+        (q.doc_simhash, doc_oracle.doc_simhash_sql()),
+        (q.doc_minhash_dedup, doc_oracle.doc_minhash_dedup_sql()),
+        (q.doc_ngram_jaccard_pairs, doc_oracle.doc_ngram_jaccard_pairs_sql()),
+        (q.embedding_near_dup, doc_oracle.embedding_near_dup_sql()),
+        (q.similarity_topk_lsh, doc_oracle.similarity_topk_sql()),
+    ],
+    ids=[
+        "rolling_fp",
+        "langid",
+        "simhash",
+        "minhash_dedup",
+        "ngram_jaccard",
+        "embedding_near_dup",
+        "topk_lsh",
+    ],
+)
+def test_doc_oracle_matches_pipeline(con, query_fn, sql):
+    got = _norm(query_fn(SF).to_pandas())
+    want = _norm(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
