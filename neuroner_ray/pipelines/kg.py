@@ -96,14 +96,25 @@ def _link_small_census(census: Dataset) -> tuple[Dataset, Dataset]:
     match-rule, union-find and node-build functions as the distributed
     path, executed in-process — the census is already collected, so four
     vocabulary-sized Ray executions collapse into driver compute."""
+    from collections import Counter
+
     import pandas as pd
 
     from ..stages.canonicalize import union_find
     from ..stages.graph import _node_rows
-    from ..stages.linker import _block_keys_batch, _pairs_in_block, node_key
+    from ..stages.linker import (
+        _block_keys_batch,
+        _pairs_in_block,
+        node_key,
+        salt_hot_blocks,
+    )
 
     ctab = pa.concat_tables(list(census.iter_batches(batch_format="pyarrow")))
-    blocked = _block_keys_batch(ctab).to_pandas()
+    blocked_tab = _block_keys_batch(ctab)
+    # same hot-block salting as the distributed path (paths must stay
+    # equivalent — tests/test_link_paths.py)
+    sizes = Counter(blocked_tab["block"].to_pylist())
+    blocked = salt_hot_blocks(blocked_tab, dict(sizes), max(2, 200 // 4)).to_pandas()
     pair_frames = [
         _pairs_in_block(g, cap=200) for _, g in blocked.groupby("block")
     ]

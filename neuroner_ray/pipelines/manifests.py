@@ -71,6 +71,48 @@ def write_manifest(out_dir: str, bucket: int, payload: dict) -> None:
     os.replace(tmp, os.path.join(mdir, f"bucket={bucket}.json"))
 
 
+def _ensure_bucketed_input(
+    transcripts_path: str, out_dir: str, num_buckets: int
+) -> str:
+    """One-time bucket-partitioned rewrite of the input (resume-safe).
+
+    The old design materialized the whole bucketized corpus in the object
+    store and filtered it per bucket — pinning 100 TB before any bucket
+    runs. Instead: ONE streaming pass writes ``<out>/_bucketed/bucket=<i>/``
+    hive partitions; each bucket's pipeline then reads only its own
+    directory (pruned at the read). Costs one extra write+read of the
+    corpus; avoids B full input scans AND any corpus-sized materialization.
+    Idempotent across resumes via a ``_DONE`` marker keyed on (input path,
+    num_buckets); written to tmp + atomic rename so a killed run restages.
+    """
+    staged = os.path.join(out_dir, "_bucketed")
+    marker = os.path.join(staged, "_DONE")
+    key = {"input": transcripts_path, "num_buckets": num_buckets}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == key:
+                    return staged
+        except (OSError, json.JSONDecodeError):
+            pass
+        shutil.rmtree(staged, ignore_errors=True)  # stale staging
+    tmp = f"{staged}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        vals = [bucket_of(c, num_buckets) for c in t["conv_id"].to_pylist()]
+        return t.append_column("bucket", pa.array(vals, pa.int32()))
+
+    rd.read_parquet(transcripts_path).map_batches(
+        add_bucket, batch_format="pyarrow"
+    ).write_parquet(tmp, partition_cols=["bucket"])
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump(key, f)
+    shutil.rmtree(staged, ignore_errors=True)
+    os.replace(tmp, staged)
+    return staged
+
+
 def run_bucketed(
     transcripts_path: str,
     out_dir: str,
@@ -94,19 +136,16 @@ def run_bucketed(
     cfg_hash = config_hash(config)
     done = completed_buckets(out_dir, cfg_hash)
     todo = [b for b in range(num_buckets) if b not in done]
-    src = rd.read_parquet(transcripts_path)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        vals = [
-            bucket_of(c, num_buckets) for c in t["conv_id"].to_pylist()
-        ]
-        return t.append_column("bucket", pa.array(vals, pa.int32()))
-
-    bucketed = src.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    staged = _ensure_bucketed_input(transcripts_path, out_dir, num_buckets)
     processed = []
     for b in todo:
         t0 = time.time()
-        part = bucketed.filter(expr=f"bucket == {b}").drop_columns(["bucket"])
+        # pruned read: only this bucket's partition directory leaves storage
+        bdir = os.path.join(staged, f"bucket={b}")
+        if os.path.isdir(bdir):
+            part = rd.read_parquet(bdir).drop_columns(["bucket"])
+        else:  # no conversation hashed into this bucket
+            part = rd.read_parquet(transcripts_path).limit(0)
         n_in = part.count()
         tables = table_fn(part)
         counts: dict[str, int] = {"input_turns": n_in}
@@ -180,7 +219,18 @@ def finalize_graph(out_dir: str, config: dict) -> dict:
     mapping = canonical_map(nodes)
     triples = read_output(out_dir, "triples")
     edges = aggregate_edges(resolve_triples(triples, mapping))
-    materialize_graph(nodes, edges, out_dir)
+    # finalize outputs get the same tmp+rename atomicity as bucket outputs:
+    # materialize_graph APPENDS uniquely-named files, so writing straight
+    # into <out>/nodes|edges would mix files from multiple executions
+    # (re-finalize after more buckets, or a crash mid-finalize)
+    tmp_root = os.path.join(out_dir, f".tmp-finalize-{os.getpid()}")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    materialize_graph(nodes, edges, tmp_root)
+    for table in ("nodes", "edges"):
+        final = os.path.join(out_dir, table)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(os.path.join(tmp_root, table), final)
+    shutil.rmtree(tmp_root, ignore_errors=True)
     payload = {
         "config_hash": cfg_hash,
         "buckets": done,

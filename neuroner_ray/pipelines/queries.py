@@ -325,8 +325,12 @@ def similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
     per-batch local top-k, then a tiny global sort+limit — the full score
     set never shuffles.
     """
-    qtab = pq.read_table(_p(sf_dir, "embeddings")).filter(
-        pc.equal(pc.field("vec_id"), query_vec_id)
+    # pushed-filter point lookup: only row groups containing the query id
+    # are read — never the whole table on the driver
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
     )
     q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
     qn = q / np.linalg.norm(q)
@@ -408,8 +412,10 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
     """LSH-bucketed ANN variant of similarity_topk — rows-only (approximate)."""
     from ..stages.similarity import ann_search_lsh, build_lsh_index
 
-    qtab = pq.read_table(_p(sf_dir, "embeddings")).filter(
-        pc.equal(pc.field("vec_id"), 0)
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
     )
     qvec = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
     emb = rd.read_parquet(
@@ -582,44 +588,35 @@ def doc_rolling_fp(sf_dir: str) -> Dataset:
     return docs.map_batches(fp, batch_format="pyarrow")
 
 
-def similarity_topk_ivf(sf_dir: str, k: int = 10) -> Dataset:
+def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
     """IVF-flat ANN variant: k-means coarse quantizer (trained on a sample),
-    nearest-list probing — rows-only (approximate)."""
+    nearest-list probing — rows-only (approximate).
+
+    Scale shape: centroids train on a STREAMED prefix sample
+    (``ds.limit(2000)`` reads only the blocks it needs) and the query vector
+    is a pushed-filter point lookup — the driver never reads the corpus
+    (round-1 advice: the old version ``pq.read_table``-ed the whole table).
+    """
     from ..stages.similarity import ann_search_ivf, build_ivf_index, kmeans_centroids
 
-    tab = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    mat = np.asarray(tab["embedding"].to_pylist(), dtype=np.float64)
-    rng = np.random.RandomState(42)
-    sample = mat[rng.choice(len(mat), size=min(2000, len(mat)), replace=False)]
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample_tab = pa.concat_tables(
+        list(emb.limit(2000).iter_batches(batch_format="pyarrow"))
+    )
+    sample = np.asarray(sample_tab["embedding"].to_pylist(), dtype=np.float64)
     cent = kmeans_centroids(sample, k=16)
-    qvec = mat[tab["vec_id"].to_pylist().index(0)]
-    emb = rd.read_parquet(
-        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-    ).map_batches(
-        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
     )
-    indexed = build_ivf_index(emb, cent)
+    qvec = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
+    filtered = emb.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], query_vec_id)),
+        batch_format="pyarrow",
+    )
+    indexed = build_ivf_index(filtered, cent)
     return ann_search_ivf(indexed, cent, qvec, k=k, n_probe=6)
-
-
-def mention_heavy_hitters(sf_dir: str) -> Dataset:
-    """O6 census over pipeline mentions: top-10 hottest surfaces (drives
-    salting decisions; the synthetic corpus plants one hot entity)."""
-    from ..pipelines import kg
-    from ..runtime.skew import heavy_hitters
-    from ..sources.synth_transcripts import transcripts_dir_for
-
-    tr = kg.read_transcripts(transcripts_dir_for(sf_dir))
-    mentions = kg.mentions_of(kg.tag_turns(tr))
-    top = heavy_hitters(mentions, "surface", top_k=10)
-    return rd.from_arrow(
-        pa.table(
-            {
-                "surface": pa.array([k for k, _ in top], pa.string()),
-                "n": pa.array([n for _, n in top], pa.int64()),
-            }
-        )
-    )
 
 
 def user_top_event_type(sf_dir: str) -> Dataset:

@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
@@ -222,6 +223,59 @@ def _block_keys_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+SALT_GROUPS_MAX = 64  # bound on triangle-partition fan-out per hot block
+
+
+def salt_hot_blocks(
+    blocked: pa.Table, sizes: dict[str, int], threshold: int
+) -> pa.Table:
+    """Triangle-partition hot blocks so no reduce task sees a giant block.
+
+    SURVEY.md §4.2 / north_star "salting of skewed hot entities before
+    shuffle": a block with n > threshold members is split into
+    g = ceil(n / threshold) hash groups; every unordered group pair
+    (gi <= gj) becomes a sub-block key, and a member of group gx is emitted
+    under exactly the g keys involving gx. Every original member pair lands
+    in exactly one sub-block → ZERO recall loss, while per-task work drops
+    from O(n²) to O(threshold²) per sub-block. ``g`` is bounded by
+    SALT_GROUPS_MAX (fan-out is g rows/member); beyond that the per-block
+    cap in ``_pairs_in_block`` remains the recorded safety valve.
+
+    Pure function over the blocked (block, node, norm) table — shared by
+    the driver-local and distributed linking paths so they stay equivalent.
+    """
+    import zlib
+
+    out_block: list[str] = []
+    out_node: list[str] = []
+    out_norm: list[str] = []
+    for blk, node, norm in zip(
+        blocked["block"].to_pylist(),
+        blocked["node"].to_pylist(),
+        blocked["norm"].to_pylist(),
+    ):
+        n = sizes.get(blk, 0)
+        if n <= threshold:
+            out_block.append(blk)
+            out_node.append(node)
+            out_norm.append(norm)
+            continue
+        g = min(-(-n // threshold), SALT_GROUPS_MAX)
+        gx = zlib.crc32(node.encode("utf-8")) % g
+        for other in range(g):
+            gi, gj = (gx, other) if gx <= other else (other, gx)
+            out_block.append(f"{blk}#s{gi}.{gj}")
+            out_node.append(node)
+            out_norm.append(norm)
+    return pa.table(
+        {
+            "block": pa.array(out_block, pa.string()),
+            "node": pa.array(out_node, pa.string()),
+            "norm": pa.array(out_norm, pa.string()),
+        }
+    )
+
+
 def _pairs_in_block(group: pd.DataFrame, cap: int) -> pd.DataFrame:
     g = group.drop_duplicates("node").sort_values("node")
     capped = len(g) > cap
@@ -241,14 +295,44 @@ def _pairs_in_block(group: pd.DataFrame, cap: int) -> pd.DataFrame:
     )
 
 
-def candidate_pairs(surfaces: Dataset, cap: int = 200) -> Dataset:
+def candidate_pairs(
+    surfaces: Dataset, cap: int = 200, salt_threshold: int | None = None
+) -> Dataset:
     """Blocked + verified same-entity pairs ``(a, b)`` over node keys.
 
-    Shuffle #2 (groupby block key). Pairs may repeat across blocks; the
+    Shuffle #2 (groupby block key). Hot blocks are triangle-partition
+    salted first (``salt_hot_blocks``): a block-size census over the
+    vocabulary-sized blocked table finds blocks above ``salt_threshold``
+    (default cap/4, so sub-blocks stay under the cap), and their members
+    are re-keyed into group-pair sub-blocks — all pairs still meet, no
+    single reduce task explodes. Pairs may repeat across bands and (for
+    same-group members of salted blocks, ≤2× work) across sub-blocks; the
     downstream min-label propagation is idempotent so duplicates only cost
-    bytes — they are bounded by BANDS+words per surface.
+    bytes. The per-block cap stays as the recorded safety valve for blocks
+    beyond SALT_GROUPS_MAX × threshold.
     """
-    blocked = surfaces.map_batches(_block_keys_batch, batch_format="pyarrow")
+    if salt_threshold is None:
+        salt_threshold = max(2, cap // 4)
+    blocked = surfaces.map_batches(
+        _block_keys_batch, batch_format="pyarrow"
+    ).materialize()  # vocabulary-sized (distinct surfaces × ~bands+words)
+    hot: dict[str, int] = {}
+    for t in (
+        blocked.groupby("block").aggregate(Count(alias_name="n")).iter_batches(
+            batch_format="pyarrow"
+        )
+    ):
+        for blk, n in zip(t["block"].to_pylist(), t["n"].to_pylist()):
+            if n > salt_threshold:
+                hot[blk] = int(n)
+    if hot:
+        hot_ref = ray.put(hot)
+        thr = salt_threshold
+
+        def _salt(t: pa.Table) -> pa.Table:
+            return salt_hot_blocks(t, ray.get(hot_ref), thr)
+
+        blocked = blocked.map_batches(_salt, batch_format="pyarrow")
     return blocked.groupby("block").map_groups(
         lambda g: _pairs_in_block(g, cap), batch_format="pandas"
     )

@@ -14,6 +14,8 @@ repeat heavily, so this is a large win with identical semantics).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -26,8 +28,17 @@ from ..state.model import (
 )
 from .tagger import _append_labels_mentions
 
-DEFAULT_CHECKPOINT = "tests/fixtures/checkpoint"
+# resolved against the repo root (package parent), not the cwd: Ray workers
+# and processes launched elsewhere must find the same fixture checkpoint
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DEFAULT_CHECKPOINT = os.path.join(_REPO_ROOT, "tests", "fixtures", "checkpoint")
 _CACHE_MAX = 200_000  # unique tokens cached per actor
+
+
+def resolve_checkpoint(path: str) -> str:
+    """cwd-independent checkpoint resolution: absolute paths pass through,
+    relative ones resolve against the repo root."""
+    return path if os.path.isabs(path) else os.path.join(_REPO_ROOT, path)
 
 
 class NeuralTagger:
@@ -40,7 +51,7 @@ class NeuralTagger:
         emit_bio: bool = True,
         bucket_size: int = 256,
     ):
-        self.params, self.vocab = load_checkpoint(checkpoint_dir)
+        self.params, self.vocab = load_checkpoint(resolve_checkpoint(checkpoint_dir))
         # inference in float32: identical decisions at these score margins,
         # half the memory bandwidth (the multi-core numpy bottleneck)
         self.params = {

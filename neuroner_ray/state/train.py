@@ -80,9 +80,17 @@ def train(
     maximum_number_of_epochs: int = 30,
     seed: int = 42,
     verbose: bool = False,
+    pretrained_embeddings: dict[str, np.ndarray] | None = None,
 ) -> tuple[dict, Vocab, dict]:
     """Returns (best params, vocab, history). Parameter names mirror the
-    reference's parameters.ini [training]/[advanced] sections."""
+    reference's parameters.ini [training]/[advanced] sections.
+
+    ``pretrained_embeddings`` is the reference's default path
+    (src/entity_lstm.py::load_pretrained_token_embeddings ≈L200–L250): the
+    token embedding matrix initializes from the GloVe dict through the M7
+    lookup cascade (J1 broadcast join), misses keep their random init; the
+    A5 match-category stats land in the returned history dict.
+    """
     valid_eval_labels = valid_labels  # always scored in BIO (M6 remap)
     if tagging_format == "bioes":
         train_labels = [bio_to_bioes(l) for l in train_labels]
@@ -92,6 +100,14 @@ def train(
         n_chars=vocab.n_chars, n_tokens=vocab.n_tokens, n_labels=vocab.n_labels,
         seed=seed,
     )
+    embedding_stats: dict[str, int] | None = None
+    if pretrained_embeddings is not None:
+        from .vocab import build_embedding_matrix
+
+        M, embedding_stats = build_embedding_matrix(
+            vocab, pretrained_embeddings, dim=params["tok_emb"].shape[1], seed=seed
+        )
+        params["tok_emb"] = M
     rng = np.random.RandomState(seed)
     best_f1 = -1.0
     best_params = None
@@ -130,4 +146,8 @@ def train(
             break
         if best_f1 >= 100.0:
             break
-    return best_params, vocab, {"history": history, "best_f1": best_f1}
+    return best_params, vocab, {
+        "history": history,
+        "best_f1": best_f1,
+        "embedding_stats": embedding_stats,
+    }

@@ -47,3 +47,61 @@ def test_small_and_distributed_linking_agree(monkeypatch):
     # semantic spot-check: all Acme variants share one canonical
     acme = a[a["canonical"] == "Acme Corp"]
     assert len(acme) == 1 and len(acme.iloc[0]["surfaces"]) == 3
+
+
+def _hot_census():
+    """300 same-first-letter single-type surfaces sharing ONE word block
+    (> cap), with 4 genuine variant pairs placed at the END of the node
+    sort order — exactly the rows a cap-only head(200) would drop."""
+    rows = []
+    for i in range(295):
+        rows.append(("PER", f"xa{i:04d} w{i}", 1))
+    for j in range(4):
+        rows.append(("PER", f"xu90{j} j", 2))
+        rows.append(("PER", f"xu90{j} johnson", 3))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ent_type": pa.array([r[0] for r in rows], pa.string()),
+                "surface": pa.array([r[1] for r in rows], pa.string()),
+                "mention_count": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def test_salting_preserves_recall_on_hot_blocks():
+    from neuroner_ray.stages.linker import (
+        candidate_pairs,
+        link_match,
+        node_key,
+        normalize_surface,
+    )
+
+    census = _hot_census().materialize()
+    cdf = census.to_pandas()
+    truth = set()
+    rows = list(cdf.itertuples())
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a.ent_type == b.ent_type and link_match(
+                normalize_surface(a.surface), normalize_surface(b.surface)
+            ):
+                ka = node_key(a.ent_type, a.surface)
+                kb = node_key(b.ent_type, b.surface)
+                truth.add((min(ka, kb), max(ka, kb)))
+    assert len(truth) >= 4  # the planted variant pairs are real matches
+
+    got = set()
+    for t in candidate_pairs(census).to_pandas().itertuples():
+        got.add((min(t.a, t.b), max(t.a, t.b)))
+    assert truth <= got, truth - got  # salting: zero recall loss
+
+    # the test bites: with salting disabled the capped hot block LOSES pairs
+    unsalted = set()
+    for t in (
+        candidate_pairs(census, salt_threshold=10**9).to_pandas().itertuples()
+    ):
+        unsalted.add((min(t.a, t.b), max(t.a, t.b)))
+    assert not (truth <= unsalted)

@@ -124,3 +124,40 @@ def test_finalize_graph_is_global_and_consistent(tpath, tmp_path):
     assert list(edges["weight"]) == list(se["weight"])
     # idempotent: second finalize with same buckets+config skips
     assert manifests.finalize_graph(out, CONFIG)["skipped"]
+
+
+def test_refinalize_replaces_rather_than_appends(tpath, tmp_path):
+    """A re-finalize (e.g. after a config change) must REPLACE nodes/edges,
+    not mix files from two executions (round-1 advice: materialize_graph
+    appends uniquely-named files)."""
+    out = str(tmp_path / "refin")
+    manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=2)
+    manifests.finalize_graph(out, CONFIG)
+    import ray.data as rd
+
+    n1 = rd.read_parquet(f"{out}/nodes").count()
+    e1 = rd.read_parquet(f"{out}/edges").count()
+    # force a re-finalize by deleting the finalize manifest
+    os.remove(os.path.join(manifests.manifest_dir(out), "finalize.json"))
+    r = manifests.finalize_graph(out, CONFIG)
+    assert not r["skipped"]
+    assert rd.read_parquet(f"{out}/nodes").count() == n1
+    assert rd.read_parquet(f"{out}/edges").count() == e1
+
+
+def test_bucketed_input_staged_once_and_reused(tpath, tmp_path):
+    """The input is bucket-partitioned to disk ONCE (no corpus-sized
+    object-store materialization) and the staging is reused on resume."""
+    out = str(tmp_path / "staged")
+    manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=2)
+    staged = os.path.join(out, "_bucketed")
+    assert os.path.isdir(os.path.join(staged, "bucket=0"))
+    marker = os.path.join(staged, "_DONE")
+    mtime = os.path.getmtime(marker)
+    # resume (all buckets done): staging must not be rebuilt
+    r = manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=2)
+    assert r["processed"] == []
+    assert os.path.getmtime(marker) == mtime
+    # changing num_buckets invalidates the staging key
+    manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=4)
+    assert os.path.isdir(os.path.join(staged, "bucket=3"))

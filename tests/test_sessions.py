@@ -35,3 +35,47 @@ def test_exact_30min_gap_is_same_session():
     ]
     out = sessionize(rd.from_items(rows), gap_minutes=30).to_pandas()
     assert sorted(out["n_events"]) == [1, 2]
+
+
+def test_two_level_sessionize_equals_single_pass():
+    """The time-bucketed scale path (bounded per-task groups) must produce
+    exactly the single-shuffle result, including runs spanning bucket
+    boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neuroner_ray.stages.sessions import sessionize
+
+    rng = np.random.RandomState(7)
+    base = 1_700_000_000_000_000  # us
+    rows_u, rows_t = [], []
+    for uid in range(5):
+        t = base + uid * 1_000_000
+        for _ in range(200):
+            # mixed gaps: some < 30 min (same session), some > (new session),
+            # many crossing 6h bucket boundaries
+            t += int(rng.choice([60, 600, 1800, 2400, 7200, 90000]) * 1e6)
+            rows_u.append(uid)
+            rows_t.append(t)
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(rows_u, pa.int64()),
+                "ts": pa.array(rows_t, pa.timestamp("us")),
+            }
+        )
+    )
+    a = (
+        sessionize(ev, gap_minutes=30.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sessionize(ev, gap_minutes=30.0, time_bucket_hours=6.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b), (a.head(), b.head())

@@ -120,3 +120,38 @@ def test_glove_fixture_cascade_integration(tmp_path):
     assert M.shape == (vocab.n_tokens, 10)
     assert stats["exact"] + stats["lower"] + stats["digits"] + stats["lower+digits"] > 0
     assert stats["miss"] > 0  # 30% uncovered exercises the UNK/random path
+
+
+def test_glove_initialized_fixture_checkpoint():
+    """M7/J1 exercised END-TO-END (round-1 NOTES gap): the committed
+    checkpoint_glove fixture was trained FROM pretrained embeddings through
+    the lookup cascade (the reference's default EP1 path). Asserts the A5
+    match-category stats recorded at training time, that they reproduce
+    from the committed GloVe file + vocab (drift guard), and that the
+    checkpoint tags held-out text at reference-level F1."""
+    import json
+    import os
+
+    from neuroner_ray.functions.conlleval import evaluate
+    from neuroner_ray.functions.labels import bioes_to_bio
+    from neuroner_ray.sources.glove import load_embeddings
+    from neuroner_ray.state.checkpoint import load_checkpoint
+    from neuroner_ray.state.train import make_corpus, predict
+    from neuroner_ray.state.vocab import build_embedding_matrix
+
+    ckpt = os.path.join(os.path.dirname(__file__), "fixtures", "checkpoint_glove")
+    with open(os.path.join(ckpt, "embedding_stats.json")) as f:
+        stats = json.load(f)
+    assert stats["exact"] > 0
+    assert stats["lower"] > 0
+    assert stats["digits"] > 0
+    assert stats["miss"] > 0
+
+    params, vocab = load_checkpoint(ckpt)
+    emb = load_embeddings(os.path.join(ckpt, "glove.16d.txt"), dim=16)
+    _, recomputed = build_embedding_matrix(vocab, emb, dim=16)
+    assert recomputed == stats  # cascade behavior drifted if this fails
+
+    sents, gold = make_corpus(20, first_conv=30000)  # held-out conversations
+    preds = [bioes_to_bio(predict(params, vocab, s)) for s in sents]
+    assert evaluate(gold, preds)["fb1"] >= 99.0
