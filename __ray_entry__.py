@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.embedding_near_dup,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
+        "similarity_topk_multi": q.similarity_topk_multi,
+        # multimodal binary-column stages (deterministic fake codec)
+        "media_image_features": q.media_image_features,
+        "media_video_frames": q.media_video_frames,
         "mention_heavy_hitters": _mention_heavy_hitters_cached,
         # KG pipeline over synthetic transcripts (rows-only checks)
         "kg_mentions": kg_mentions,
@@ -331,5 +335,29 @@ def oracle_sql() -> dict[str, str]:
                    ), 4) AS cos
             FROM embeddings e WHERE e.vec_id <> 0
             ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "similarity_topk_multi": """
+            WITH qs AS (
+                SELECT vec_id AS query_idx, embedding AS qv
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            scored AS (
+                SELECT q.query_idx::BIGINT AS query_idx, e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos
+                FROM embeddings e CROSS JOIN qs q
+            )
+            SELECT query_idx, vec_id, cos FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_idx
+                    ORDER BY cos DESC, vec_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 10
+        """,
+        "media_video_frames": """
+            SELECT 'm' || lpad(doc_id::VARCHAR, 6, '0') AS media_id,
+                   least(greatest((1000 + (strlen(text) % 5) * 1000), 1000)
+                         // 1000 * 2, 32)::BIGINT AS n_frames
+            FROM documents
         """,
     }

@@ -619,6 +619,88 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
     return ann_search_ivf(indexed, cent, qvec, k=k, n_probe=6)
 
 
+def _media_table(sf_dir: str) -> Dataset:
+    """Deterministic media table derived from documents: payload = utf-8
+    text bytes, duration keyed on length (MEDIA_SCHEMA; the multimodal
+    brief's opaque-binary-column shape)."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads, durs = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            data = (text or "").encode("utf-8")
+            ids.append(f"m{did:06d}")
+            payloads.append(data)
+            durs.append(1000 + (len(data) % 5) * 1000)
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["image"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["image/fake"] * n, pa.string()),
+                "width": pa.array([16] * n, pa.int32()),
+                "height": pa.array([16] * n, pa.int32()),
+                "duration_ms": pa.array(durs, pa.int32()),
+            }
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def media_image_features(sf_dir: str) -> Dataset:
+    """Multimodal decode→pool actor stage over binary payloads (fake codec;
+    deterministic). Rows-only: the codec hash is not SQL-expressible, so the
+    driver checks row count/schema stability; determinism is pytest-covered."""
+    from ..stages.multimodal import extract_image_features
+
+    feats = extract_image_features(_media_table(sf_dir))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        means = [
+            float(round_half_away(float(np.mean(f)), 6))
+            for f in batch["features"].to_pylist()
+        ]
+        dims = [len(f) for f in batch["features"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_dim": pa.array(dims, pa.int64()),
+                "feat_mean": pa.array(means, pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def media_video_frames(sf_dir: str) -> Dataset:
+    """Frame-sampling actor stage → frames per media (the COUNT logic is
+    SQL-expressible, so the oracle checks it even though frame bytes come
+    from the stubbed codec)."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..stages.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_media_table(sf_dir), fps=2.0)
+    return frames.groupby("media_id").aggregate(_Count(alias_name="n_frames"))
+
+
+def similarity_topk_multi(sf_dir: str, k: int = 10) -> Dataset:
+    """Multi-query exact ANN: one broadcast [Q, D] matrix, one matmul per
+    batch (brute_force_topk_many); queries = embedding rows 0..2."""
+    from ..stages.similarity import brute_force_topk_many
+
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [0, 1, 2])],
+    )
+    order = np.argsort(np.asarray(qtab["vec_id"].to_pylist()))
+    Q = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)[order]
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return brute_force_topk_many(emb, Q, k=k)
+
+
 def user_top_event_type(sf_dir: str) -> Dataset:
     """Rank-per-group: each user's most frequent event type (ties → the
     alphabetically first type). Partial (user,type) counts map-side, then

@@ -7,9 +7,9 @@ each expressed Ray-Data-first:
 - MinHash-LSH: shingle → minhash → band → bucket groupby → candidate pairs
   → signature-estimate verify → connected components
 - SimHash: 64-bit simhash, 4×16-bit band blocking, Hamming-distance verify
-- n-gram Jaccard: MinHash blocking + EXACT word-shingle Jaccard verify
-  (text carried into blocks — fixture-accurate; at corpus scale swap the
-  verify to the signature estimate or a second pass joining text by id)
+- n-gram Jaccard: MinHash blocking (id-only band rows) + EXACT word-shingle
+  Jaccard verify in a second candidate-bounded pass — no text ever enters
+  the band shuffle
 - embedding-cosine: random-hyperplane LSH buckets → exact cosine verify
 
 All pair generators cap bucket size deterministically (sorted, truncated,

@@ -322,16 +322,22 @@ def brute_force_topk_many(
             mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            cos = (mat / norms[:, None]) @ self.Q.T  # [N, Qn]
+            # round before the local top-k (oracle tie-break safety) and
+            # keep a 2k margin so rounded ties at the cut survive to the
+            # exact per-query global sort
+            cos = round_half_away((mat / norms[:, None]) @ self.Q.T)  # [N, Qn]
+            keep_n = 2 * k
             qi_out, id_out, cos_out = [], [], []
             for qi in range(cos.shape[1]):
                 col = cos[:, qi]
                 take = (
-                    np.argpartition(-col, k)[:k] if len(col) > k else np.arange(len(col))
+                    np.argpartition(-col, keep_n)[:keep_n]
+                    if len(col) > keep_n
+                    else np.arange(len(col))
                 )
                 qi_out.extend([qi] * len(take))
                 id_out.extend(ids[take])
-                cos_out.extend(round_half_away(col[take]))
+                cos_out.extend(col[take])
             return pa.table(
                 {
                     "query_idx": pa.array(qi_out, pa.int64()),
