@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q.similarity_topk,
         "events_first_per_user_type": q.events_first_per_user_type,
         "events_sessions": q.events_sessions,
+        "events_purchase_last_click": q.events_purchase_last_click,
+        "lineitem_qty_quantiles": q.lineitem_qty_quantiles,
         "customers_with_orders_by_nation": q.customers_with_orders_by_nation,
         "customers_without_orders": q.customers_without_orders,
         "customer_segments": q.customer_segments,
@@ -265,6 +267,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM numbered GROUP BY user_id, session_idx
+        """,
+        "events_purchase_last_click": """
+            SELECT * FROM (
+                SELECT p.event_id, p.user_id, p.ts,
+                       (SELECT max(c.ts) FROM events c
+                        WHERE c.user_id = p.user_id
+                          AND c.event_type = 'click' AND c.ts < p.ts)
+                           AS last_click_ts
+                FROM events p WHERE p.event_type = 'purchase'
+            ) WHERE last_click_ts IS NOT NULL
+        """,
+        "lineitem_qty_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.25) AS p25,
+                   quantile_disc(l_quantity, 0.5) AS p50,
+                   quantile_disc(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag
         """,
         "customers_with_orders_by_nation": """
             SELECT c_nationkey, count(*) AS n_customers

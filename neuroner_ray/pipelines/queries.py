@@ -619,6 +619,96 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
     return ann_search_ivf(indexed, cent, qvec, k=k, n_probe=6)
 
 
+def events_purchase_last_click(sf_dir: str) -> Dataset:
+    """AS-OF join (custom operator class the Dataset API lacks): each
+    purchase event matched to the user's most recent STRICTLY-earlier click.
+
+    Scale shape: both sides filter to their event types map-side at the
+    read (nothing else enters the shuffle), ONE groupby on the reused
+    partitioning key (user_id), and the within-group match is a vectorized
+    ``np.searchsorted`` merge over the ts-sorted arrays — no per-row loop,
+    no driver work. Partitioning assumption: one user's two-type event
+    history fits a task (salt/two-level like sessionize if a user is
+    pathological)."""
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], pa.array(["purchase", "click"]))),
+        batch_format="pyarrow",
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        buys = g[g["event_type"] == "purchase"].sort_values("ts")
+        if clicks.empty or buys.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "ts": [], "last_click_ts": []}
+            )
+        cts = clicks["ts"].to_numpy()
+        idx = np.searchsorted(cts, buys["ts"].to_numpy(), side="left") - 1
+        keep = idx >= 0
+        buys = buys[keep]
+        return pd.DataFrame(
+            {
+                "event_id": buys["event_id"].to_numpy(),
+                "user_id": buys["user_id"].to_numpy(),
+                "ts": buys["ts"].to_numpy(),
+                "last_click_ts": cts[idx[keep]],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+QUANTILES = (0.25, 0.5, 0.75)
+
+
+def lineitem_qty_quantiles(sf_dir: str) -> Dataset:
+    """EXACT distributed quantiles over a low-cardinality value domain:
+    per-batch (flag, quantity) histograms (map-side combiner) → a
+    vocabulary-sized groupby-sum → per-flag order statistics from the
+    cumulative histogram. The shuffle moves #flags × #distinct-values rows
+    regardless of corpus size — the scale path for exact percentiles when
+    the domain is enumerable (DuckDB quantile_disc: sorted[ceil(n*q)-1])."""
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        c = Counter(
+            zip(batch["l_returnflag"].to_pylist(), batch["l_quantity"].to_pylist())
+        )
+        fs, qs, ns = [], [], []
+        for (f, qty), n in c.items():
+            fs.append(f)
+            qs.append(qty)
+            ns.append(n)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(fs, pa.string()),
+                "qty": pa.array(qs, pa.float64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = (
+        li.map_batches(hist, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("qty")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        out = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
+        for q in QUANTILES:
+            rank = int(np.ceil(total * q))  # 1-based order statistic
+            pos = int(np.searchsorted(cum, rank, side="left"))
+            out[f"p{int(q * 100)}"] = [float(g["qty"].iloc[pos])]
+        return pd.DataFrame(out)
+
+    return counts.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
+
+
 def _media_table(sf_dir: str) -> Dataset:
     """Deterministic media table derived from documents: payload = utf-8
     text bytes, duration keyed on length (MEDIA_SCHEMA; the multimodal
