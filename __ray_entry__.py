@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "events_purchase_last_click": q.events_purchase_last_click,
         "lineitem_qty_quantiles": q.lineitem_qty_quantiles,
+        "events_sliding_hourly": q.events_sliding_hourly,
+        "lineitem_price_bands": q.lineitem_price_bands,
         "customers_with_orders_by_nation": q.customers_with_orders_by_nation,
         "customers_without_orders": q.customers_without_orders,
         "customer_segments": q.customer_segments,
@@ -267,6 +269,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM numbered GROUP BY user_id, session_idx
+        """,
+        "events_sliding_hourly": """
+            SELECT w AS window_start, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events,
+                 unnest([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS t(w)
+            GROUP BY w
+        """,
+        "lineitem_price_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('b0', 0.0, 20000.0),
+                ('b1', 10000.0, 40000.0),
+                ('b2', 30000.0, 100000.0))
+            SELECT b.band, count(*) AS n_rows,
+                   round(sum(l.l_extendedprice), 4) AS sum_price
+            FROM lineitem l JOIN bands b
+              ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+            GROUP BY b.band
         """,
         "events_purchase_last_click": """
             SELECT * FROM (

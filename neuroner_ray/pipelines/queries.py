@@ -619,6 +619,85 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
     return ann_search_ivf(indexed, cent, qvec, k=k, n_probe=6)
 
 
+def events_sliding_hourly(sf_dir: str) -> Dataset:
+    """SLIDING-window aggregate (1 h windows advancing 30 min): each event
+    lands in exactly two windows. Window assignment is a vectorized
+    map-side expansion with per-batch partial aggregation — the shuffle
+    moves window-count-sized partials, the 2× row expansion never leaves
+    the map task."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+    HALF = 30 * 60 * 1_000_000  # 30 min in µs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        micros = ts.astype("int64")
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        slot = micros // HALF * HALF
+        agg: dict[int, list] = {}
+        for starts in (slot, slot - HALF):
+            for w, v in zip(starts, vals):
+                e = agg.setdefault(int(w), [0, 0.0])
+                e[0] += 1
+                e[1] += float(v)
+        ws = sorted(agg)
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    np.array(ws, dtype="int64").view("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "n": pa.array([agg[w][0] for w in ws], pa.int64()),
+                "s": pa.array([agg[w][1] for w in ws], pa.float64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, ("sum_value",)), batch_format="pyarrow"
+    )
+
+
+PRICE_BANDS = (("b0", 0.0, 20000.0), ("b1", 10000.0, 40000.0), ("b2", 30000.0, 100000.0))
+
+
+def lineitem_price_bands(sf_dir: str) -> Dataset:
+    """RANGE (interval) join against a broadcast interval table: bands
+    OVERLAP, so a row can match several — a true range join, executed as a
+    vectorized per-band mask inside map_batches with per-batch partial
+    aggregation (the small side never shuffles; ray_guide broadcast-join
+    pattern applied to interval predicates)."""
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        bands, ns, sums = [], [], []
+        for name, lo, hi in PRICE_BANDS:
+            mask = (price >= lo) & (price < hi)
+            bands.append(name)
+            ns.append(int(mask.sum()))
+            sums.append(float(price[mask].sum()))
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(sums, pa.float64()),
+            }
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n_rows"), Sum("s", alias_name="sum_price"))
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, ("sum_price",)), batch_format="pyarrow"
+    )
+
+
 def events_purchase_last_click(sf_dir: str) -> Dataset:
     """AS-OF join (custom operator class the Dataset API lacks): each
     purchase event matched to the user's most recent STRICTLY-earlier click.
