@@ -61,3 +61,41 @@ def test_doc_oracle_matches_pipeline(con, query_fn, sql):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
     )
+
+
+@pytest.fixture(scope="module")
+def con_rel():
+    c = duckdb.connect()
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def test_round2_operator_queries_match_oracles(con_rel):
+    """The round-2 operator additions (as-of join, exact quantiles, sliding
+    windows, range join, multi-query ANN, media frame counts) against their
+    registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_purchase_last_click",
+        "lineitem_qty_quantiles",
+        "events_sliding_hourly",
+        "lineitem_price_bands",
+        "similarity_topk_multi",
+        "media_video_frames",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(con_rel.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
