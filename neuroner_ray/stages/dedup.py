@@ -278,10 +278,17 @@ def ngram_jaccard_pairs(
         .map_batches(_norm_pairs, batch_format="pandas")
         .materialize()  # candidate-pair-sized (output-bounded), not corpus
     )
+    PAIRS_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jac", pa.float64())]
+    )
     cand_ids: set[str] = set()
     for t in cand.iter_batches(batch_format="pyarrow"):
         cand_ids.update(t["a"].to_pylist())
         cand_ids.update(t["b"].to_pylist())
+    if not cand_ids:  # no near-dup candidates → typed empty (stable schema)
+        import ray.data as rd
+
+        return rd.from_arrow(PAIRS_SCHEMA.empty_table())
     ids_ref = ray.put(frozenset(cand_ids))
 
     SEP = "\x1f"  # cannot occur in tokens; Arrow joins reject list payloads

@@ -160,3 +160,17 @@ def test_cluster_id_is_numeric_min_for_two_digit_ids():
     c = dict(zip(out["doc_id"], out["cluster_id"]))
     assert c[9] == c[11] == 9
     assert c[3] == 3
+
+
+def test_ngram_jaccard_pairs_empty_result_keeps_schema():
+    """A corpus with no near-dups must yield a TYPED empty pair table (the
+    driver's schema check breaks on schema-less empties)."""
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 1, "text": "one two three four five six seven"},
+    ]
+    out = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.8)
+    # NB: Dataset.to_pandas() drops columns for zero-row datasets (Ray
+    # quirk), so assert on the Dataset schema
+    assert out.schema().names == ["a", "b", "jac"]
+    assert out.count() == 0
