@@ -396,7 +396,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 10
         """,
         "media_video_frames": """
-            SELECT 'm' || lpad(doc_id::VARCHAR, 6, '0') AS media_id,
+            -- printf('%06d') pads but never truncates (lpad would truncate
+            -- ids beyond 6 digits, diverging from Python's f"m{id:06d}")
+            SELECT 'm' || printf('%06d', doc_id) AS media_id,
                    least(greatest((1000 + (strlen(text) % 5) * 1000), 1000)
                          // 1000 * 2, 32)::BIGINT AS n_frames
             FROM documents

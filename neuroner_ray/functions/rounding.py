@@ -18,3 +18,16 @@ def round_half_away(values, digits: int = 4) -> np.ndarray:
     a = np.asarray(values, dtype=np.float64)
     scale = 10.0**digits
     return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
+def top_by_score_then_id(
+    scores: np.ndarray, ids: np.ndarray, n: int
+) -> np.ndarray:
+    """Indices of the top ``n`` rows by (score DESC, id ASC) — the oracle
+    tie-break. ``np.argpartition`` picks arbitrarily among tied scores, so a
+    rounded-score tie group spanning the cut would drop rows the oracle
+    keeps; a full lexsort is exact (and cheap at per-batch sizes)."""
+    if len(scores) <= n:
+        return np.arange(len(scores))
+    order = np.lexsort((ids, -scores))
+    return order[:n]

@@ -103,20 +103,24 @@ def _link_small_census(census: Dataset) -> tuple[Dataset, Dataset]:
     from ..stages.canonicalize import union_find
     from ..stages.graph import _node_rows
     from ..stages.linker import (
+        LINK_CAP,
         _block_keys_batch,
         _pairs_in_block,
         node_key,
         salt_hot_blocks,
+        salt_threshold_for,
     )
 
     ctab = pa.concat_tables(list(census.iter_batches(batch_format="pyarrow")))
     blocked_tab = _block_keys_batch(ctab)
-    # same hot-block salting as the distributed path (paths must stay
-    # equivalent — tests/test_link_paths.py)
+    # same hot-block salting + cap CONSTANTS as the distributed path (paths
+    # must stay equivalent — tests/test_link_paths.py)
     sizes = Counter(blocked_tab["block"].to_pylist())
-    blocked = salt_hot_blocks(blocked_tab, dict(sizes), max(2, 200 // 4)).to_pandas()
+    blocked = salt_hot_blocks(
+        blocked_tab, dict(sizes), salt_threshold_for(LINK_CAP)
+    ).to_pandas()
     pair_frames = [
-        _pairs_in_block(g, cap=200) for _, g in blocked.groupby("block")
+        _pairs_in_block(g, cap=LINK_CAP) for _, g in blocked.groupby("block")
     ]
     pair_list: list[tuple[str, str]] = []
     for f in pair_frames:

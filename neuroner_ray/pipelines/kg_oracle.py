@@ -13,8 +13,10 @@ Semantics mirrored here (and the Python anchors they must match):
   gazetteer token sequences over the turn's token stream. In SQL this is
   literal-substring matching at token boundaries (equivalent on any corpus
   where surfaces appear with their canonical spacing — the generator places
-  them verbatim) + greedy resolution: longest match per start position,
-  then drop matches overlapped by an earlier-starting kept match.
+  them verbatim) + EXACT greedy resolution: longest match per start
+  position, then a per-turn recursive linear scan that keeps a match iff it
+  starts at/after the end of the last kept one (dropped matches never
+  shadow later ones — the tagger's consume-and-jump semantics).
 - **Triples** (`stages/triples.py::extract_triples_row`): adjacent mention
   pairs, gap ≤ 40 chars, normalized gap looked up in the predicate lexicon.
 - **Nodes** (`stages/linker.py::link_match` + `canonicalize.py::union_find`
@@ -92,17 +94,42 @@ def _mentions_cte(transcripts_glob: str) -> str:
                   FROM cand)
             WHERE rk = 1
         ),
+        seq AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY s) AS rn
+            FROM best
+        ),
+        greedy AS (
+            -- EXACT greedy scan (mirrors tag_tokens' consume-and-jump): a
+            -- linear recursion per turn carrying the end of the last kept
+            -- match; a candidate is kept iff it starts at/after that end.
+            -- (A one-step "overlapped by an earlier match" filter is NOT
+            -- equivalent when overlaps chain: dropped matches must not
+            -- shadow later ones.)
+            SELECT conv_id, turn_idx, text, s, surface, ent_type, slen, rn,
+                   s + slen AS cur_end, TRUE AS is_kept
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT n.conv_id, n.turn_idx, n.text, n.s, n.surface, n.ent_type,
+                   n.slen, n.rn,
+                   CASE WHEN n.s >= g.cur_end THEN n.s + n.slen
+                        ELSE g.cur_end END,
+                   n.s >= g.cur_end
+            FROM greedy g JOIN seq n
+              ON n.conv_id = g.conv_id AND n.turn_idx = g.turn_idx
+             AND n.rn = g.rn + 1
+        ),
         kept AS (
-            SELECT b.* FROM best b
-            WHERE NOT EXISTS (
-                SELECT 1 FROM best p
-                WHERE p.conv_id = b.conv_id AND p.turn_idx = b.turn_idx
-                  AND p.s < b.s AND p.s + p.slen > b.s)
+            SELECT conv_id, turn_idx, text, s, surface, ent_type, slen
+            FROM greedy WHERE is_kept
         )"""
 
 
-def _triples_cte(transcripts_glob: str) -> str:
-    return f"""{_mentions_cte(transcripts_glob)},
+def _triples_tail() -> str:
+    """lex/mseq/triples CTEs appended after a chain ending in ``kept`` —
+    shared by the triples and edges oracles so triple semantics live in ONE
+    place."""
+    return f"""
         lex(gap_norm, pred) AS (VALUES {_lex_values()}),
         mseq AS (
             SELECT k.*,
@@ -125,6 +152,10 @@ def _triples_cte(transcripts_glob: str) -> str:
             WHERE m.nxt_s IS NOT NULL
               AND m.nxt_s - m.s - m.slen <= {MAX_GAP_CHARS}
         )"""
+
+
+def _triples_cte(transcripts_glob: str) -> str:
+    return f"""{_mentions_cte(transcripts_glob)},{_triples_tail()}"""
 
 
 def _nodes_cte(transcripts_glob: str) -> str:
@@ -201,7 +232,7 @@ def _nodes_cte(transcripts_glob: str) -> str:
 
 def kg_mentions_sql(transcripts_glob: str) -> str:
     return f"""
-        WITH {_mentions_cte(transcripts_glob)}
+        WITH RECURSIVE {_mentions_cte(transcripts_glob)}
         SELECT conv_id, turn_idx, ent_type,
                (s - 1)::INT AS "start", (s - 1 + slen)::INT AS "end", surface
         FROM kept
@@ -229,29 +260,7 @@ def kg_nodes_sql(transcripts_glob: str) -> str:
 
 
 def _edges_cte(transcripts_glob: str) -> str:
-    return f"""{_nodes_cte(transcripts_glob)},
-        lex(gap_norm, pred) AS (VALUES {_lex_values()}),
-        mseq AS (
-            SELECT k.*,
-                   lead(s) OVER w AS nxt_s,
-                   lead(surface) OVER w AS nxt_surface,
-                   lead(ent_type) OVER w AS nxt_type
-            FROM kept k
-            WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY s)
-        ),
-        triples AS (
-            SELECT m.conv_id, m.turn_idx,
-                   m.surface AS subj, l.pred, m.nxt_surface AS obj,
-                   m.ent_type AS subj_type, m.nxt_type AS obj_type
-            FROM mseq m
-            JOIN lex l ON l.gap_norm = lower(array_to_string(
-                regexp_extract_all(
-                    substr(m.text, m.s + m.slen, m.nxt_s - m.s - m.slen),
-                    '{_WORDCHAR}+'),
-                ' '))
-            WHERE m.nxt_s IS NOT NULL
-              AND m.nxt_s - m.s - m.slen <= {MAX_GAP_CHARS}
-        ),
+    return f"""{_nodes_cte(transcripts_glob)},{_triples_tail()},
         smap AS (
             SELECT cl.ent_type, cl.surface,
                    c.ent_type || ':' || c.canonical AS entity_id
@@ -294,7 +303,7 @@ def kg_top_entities_sql(transcripts_glob: str) -> str:
 
 def mention_heavy_hitters_sql(transcripts_glob: str) -> str:
     return f"""
-        WITH {_mentions_cte(transcripts_glob)}
+        WITH RECURSIVE {_mentions_cte(transcripts_glob)}
         SELECT surface, count(*)::BIGINT AS n
         FROM kept GROUP BY surface
         ORDER BY n DESC, surface ASC

@@ -222,7 +222,13 @@ def finalize_graph(out_dir: str, config: dict) -> dict:
     # finalize outputs get the same tmp+rename atomicity as bucket outputs:
     # materialize_graph APPENDS uniquely-named files, so writing straight
     # into <out>/nodes|edges would mix files from multiple executions
-    # (re-finalize after more buckets, or a crash mid-finalize)
+    # (re-finalize after more buckets, or a crash mid-finalize).
+    # COMMIT POINT: the finalize manifest, written after BOTH table swaps.
+    # A crash between the two os.replace calls can leave new nodes with old
+    # edges on disk, but the manifest is then missing/stale, so the next
+    # finalize_graph rerun rewrites both; consumers must treat the manifest
+    # as the validity marker (two directories cannot be swapped in one
+    # rename without changing the <out>/nodes|edges layout readers rely on)
     tmp_root = os.path.join(out_dir, f".tmp-finalize-{os.getpid()}")
     shutil.rmtree(tmp_root, ignore_errors=True)
     materialize_graph(nodes, edges, tmp_root)

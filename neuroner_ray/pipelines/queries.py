@@ -32,7 +32,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..functions.rounding import round_half_away
+from ..functions.rounding import round_half_away, top_by_score_then_id
 from ..functions.tokenize import TOKEN_PATTERN
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
@@ -347,17 +347,14 @@ def similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
             mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            # round half-away BEFORE the local top-k so ties at the k
-            # boundary resolve exactly as the oracle's rounded ordering;
-            # keep a 2k margin so a rounded tie spanning the cut survives
-            # to the (exact) global sort
+            # round half-away BEFORE the local top-k, and cut by the exact
+            # oracle ordering (cos DESC, vec_id ASC) so rounded-score tie
+            # groups at the boundary keep the rows the oracle keeps
             cos = round_half_away((mat @ self.q) / norms)
             keep = ids != query_vec_id
             ids, cos = ids[keep], cos[keep]
-            keep_n = 2 * k
-            if len(ids) > keep_n:  # local top-k before the global sort
-                part = np.argpartition(-cos, keep_n)[:keep_n]
-                ids, cos = ids[part], cos[part]
+            part = top_by_score_then_id(cos, ids, k)
+            ids, cos = ids[part], cos[part]
             return pa.table(
                 {
                     "vec_id": pa.array(ids, pa.int64()),
@@ -633,21 +630,18 @@ def events_sliding_hourly(sf_dir: str) -> Dataset:
         micros = ts.astype("int64")
         vals = batch["value"].to_numpy(zero_copy_only=False)
         slot = micros // HALF * HALF
-        agg: dict[int, list] = {}
-        for starts in (slot, slot - HALF):
-            for w, v in zip(starts, vals):
-                e = agg.setdefault(int(w), [0, 0.0])
-                e[0] += 1
-                e[1] += float(v)
-        ws = sorted(agg)
+        # fully vectorized partial: expand to both windows, then
+        # unique+bincount for counts and value sums — no per-row loop
+        windows = np.concatenate([slot, slot - HALF])
+        v2 = np.concatenate([vals, vals])
+        uniq, inv = np.unique(windows, return_inverse=True)
         return pa.table(
             {
                 "window_start": pa.array(
-                    np.array(ws, dtype="int64").view("datetime64[us]"),
-                    pa.timestamp("us"),
+                    uniq.view("datetime64[us]"), pa.timestamp("us")
                 ),
-                "n": pa.array([agg[w][0] for w in ws], pa.int64()),
-                "s": pa.array([agg[w][1] for w in ws], pa.float64()),
+                "n": pa.array(np.bincount(inv), pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=v2), pa.float64()),
             }
         )
 
@@ -694,7 +688,12 @@ def lineitem_price_bands(sf_dir: str) -> Dataset:
         .aggregate(Sum("n", alias_name="n_rows"), Sum("s", alias_name="sum_price"))
     )
     return out.map_batches(
-        lambda t: _round_cols(t, ("sum_price",)), batch_format="pyarrow"
+        # drop empty bands: the oracle's inner join emits no row for a band
+        # no lineitem falls into
+        lambda t: _round_cols(
+            t.filter(pc.greater(t["n_rows"], 0)), ("sum_price",)
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -720,8 +719,15 @@ def events_purchase_last_click(sf_dir: str) -> Dataset:
         clicks = g[g["event_type"] == "click"].sort_values("ts")
         buys = g[g["event_type"] == "purchase"].sort_values("ts")
         if clicks.empty or buys.empty:
+            # typed empty: untyped {} would emit float64 blocks that clash
+            # with the int64/datetime64 schema of non-empty groups
             return pd.DataFrame(
-                {"event_id": [], "user_id": [], "ts": [], "last_click_ts": []}
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "last_click_ts": pd.Series([], dtype="datetime64[us]"),
+                }
             )
         cts = clicks["ts"].to_numpy()
         idx = np.searchsorted(cts, buys["ts"].to_numpy(), side="left") - 1

@@ -291,7 +291,11 @@ def ngram_jaccard_pairs(
         return rd.from_arrow(PAIRS_SCHEMA.empty_table())
     ids_ref = ray.put(frozenset(cand_ids))
 
-    SEP = "\x1f"  # cannot occur in tokens; Arrow joins reject list payloads
+    # '\n' is whitespace, which the token pattern excludes from BOTH of its
+    # alternatives — so it can never appear inside a shingle (unlike \x1f,
+    # which the punctuation alternative WOULD emit as a token). Shingles are
+    # serialized to one string because the broadcast dict stores them flat.
+    SEP = "\n"
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
         members = ray.get(ids_ref)

@@ -224,6 +224,13 @@ def _block_keys_batch(batch: pa.Table) -> pa.Table:
 
 
 SALT_GROUPS_MAX = 64  # bound on triangle-partition fan-out per hot block
+LINK_CAP = 200  # per-(sub-)block member cap — shared by BOTH linking paths
+
+
+def salt_threshold_for(cap: int) -> int:
+    """Block size above which triangle-partition salting kicks in: cap/4 so
+    two hash groups (~2x threshold members) stay under the cap."""
+    return max(2, cap // 4)
 
 
 def salt_hot_blocks(
@@ -296,7 +303,7 @@ def _pairs_in_block(group: pd.DataFrame, cap: int) -> pd.DataFrame:
 
 
 def candidate_pairs(
-    surfaces: Dataset, cap: int = 200, salt_threshold: int | None = None
+    surfaces: Dataset, cap: int = LINK_CAP, salt_threshold: int | None = None
 ) -> Dataset:
     """Blocked + verified same-entity pairs ``(a, b)`` over node keys.
 
@@ -312,7 +319,7 @@ def candidate_pairs(
     beyond SALT_GROUPS_MAX × threshold.
     """
     if salt_threshold is None:
-        salt_threshold = max(2, cap // 4)
+        salt_threshold = salt_threshold_for(cap)
     blocked = surfaces.map_batches(
         _block_keys_batch, batch_format="pyarrow"
     ).materialize()  # vocabulary-sized (distinct surfaces × ~bands+words)

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..functions.rounding import round_half_away
+from ..functions.rounding import round_half_away, top_by_score_then_id
 
 N_TABLES = 8
 N_PLANES = 8
@@ -132,14 +132,15 @@ def ann_search_lsh(
             mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)[keep]
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            cos = (mat @ self.q) / norms
-            if len(ids) > k:
-                part = np.argpartition(-cos, k)[:k]
-                ids, cos = ids[part], cos[part]
+            # round first, cut by the oracle's (cos DESC, id ASC) order so
+            # rounded ties at the k boundary survive exactly
+            cos = round_half_away((mat @ self.q) / norms)
+            part = top_by_score_then_id(cos, ids, k)
+            ids, cos = ids[part], cos[part]
             return pa.table(
                 {
                     id_col: pa.array(ids, pa.int64()),
-                    "cos": pa.array(round_half_away(cos), pa.float64()),
+                    "cos": pa.array(cos, pa.float64()),
                 }
             )
 
@@ -173,14 +174,15 @@ def brute_force_topk(
             mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            cos = (mat @ self.q) / norms
-            if len(ids) > k:
-                part = np.argpartition(-cos, k)[:k]
-                ids, cos = ids[part], cos[part]
+            # round first, cut by the oracle's (cos DESC, id ASC) order so
+            # rounded ties at the k boundary survive exactly
+            cos = round_half_away((mat @ self.q) / norms)
+            part = top_by_score_then_id(cos, ids, k)
+            ids, cos = ids[part], cos[part]
             return pa.table(
                 {
                     id_col: pa.array(ids, pa.int64()),
-                    "cos": pa.array(round_half_away(cos), pa.float64()),
+                    "cos": pa.array(cos, pa.float64()),
                 }
             )
 
@@ -279,14 +281,15 @@ def ann_search_ivf(
             mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)[keep]
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            cos = (mat @ self.q) / norms
-            if len(ids) > k:
-                part = np.argpartition(-cos, k)[:k]
-                ids, cos = ids[part], cos[part]
+            # round first, cut by the oracle's (cos DESC, id ASC) order so
+            # rounded ties at the k boundary survive exactly
+            cos = round_half_away((mat @ self.q) / norms)
+            part = top_by_score_then_id(cos, ids, k)
+            ids, cos = ids[part], cos[part]
             return pa.table(
                 {
                     id_col: pa.array(ids, pa.int64()),
-                    "cos": pa.array(round_half_away(cos), pa.float64()),
+                    "cos": pa.array(cos, pa.float64()),
                 }
             )
 
@@ -326,15 +329,10 @@ def brute_force_topk_many(
             # keep a 2k margin so rounded ties at the cut survive to the
             # exact per-query global sort
             cos = round_half_away((mat / norms[:, None]) @ self.Q.T)  # [N, Qn]
-            keep_n = 2 * k
             qi_out, id_out, cos_out = [], [], []
             for qi in range(cos.shape[1]):
                 col = cos[:, qi]
-                take = (
-                    np.argpartition(-col, keep_n)[:keep_n]
-                    if len(col) > keep_n
-                    else np.arange(len(col))
-                )
+                take = top_by_score_then_id(col, ids, k)
                 qi_out.extend([qi] * len(take))
                 id_out.extend(ids[take])
                 cos_out.extend(col[take])
