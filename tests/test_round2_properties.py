@@ -1,0 +1,81 @@
+"""Property tests for round-2 primitives (hypothesis).
+
+- ``round_half_away`` must match DuckDB's ``round()`` bit-for-bit — the
+  invariant every oracle float comparison rests on.
+- ``top_by_score_then_id`` must equal the full (score DESC, id ASC) sort
+  prefix — the oracle tie-break invariant for every ANN local cut.
+- ``salt_hot_blocks`` must place every member pair of a salted block in at
+  least one common sub-block (zero recall loss) with bounded fan-out.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neuroner_ray.functions.rounding import round_half_away, top_by_score_then_id
+from neuroner_ray.stages.linker import SALT_GROUPS_MAX, salt_hot_blocks
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+)
+def test_round_half_away_matches_duckdb(x):
+    want = duckdb.execute("SELECT round(?::DOUBLE, 4)", [x]).fetchone()[0]
+    got = float(round_half_away(x))
+    assert got == want, (x, got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_top_by_score_then_id_equals_sorted_prefix(data):
+    n = data.draw(st.integers(min_value=1, max_value=60))
+    k = data.draw(st.integers(min_value=1, max_value=60))
+    # few distinct scores → many ties (the hard case argpartition gets wrong)
+    scores = np.array(
+        data.draw(
+            st.lists(
+                st.sampled_from([0.1, 0.2, 0.3]), min_size=n, max_size=n
+            )
+        )
+    )
+    ids = np.random.RandomState(data.draw(st.integers(0, 999))).permutation(n)
+    take = top_by_score_then_id(scores, ids, k)
+    got = sorted(zip(-scores[take], ids[take]))
+    want = sorted(zip(-scores, ids))[: min(k, n)]
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=120),
+    st.integers(min_value=2, max_value=20),
+)
+def test_salt_hot_blocks_covers_every_pair(n_members, threshold):
+    nodes = [f"n{i:03d}" for i in range(n_members)]
+    blocked = pa.table(
+        {
+            "block": pa.array(["B"] * n_members, pa.string()),
+            "node": pa.array(nodes, pa.string()),
+            "norm": pa.array(nodes, pa.string()),
+        }
+    )
+    out = salt_hot_blocks(blocked, {"B": n_members}, threshold)
+    membership: dict[str, set[str]] = {}
+    for blk, node in zip(out["block"].to_pylist(), out["node"].to_pylist()):
+        membership.setdefault(node, set()).add(blk)
+    if n_members <= threshold:
+        assert all(m == {"B"} for m in membership.values())
+        return
+    g = min(-(-n_members // threshold), SALT_GROUPS_MAX)
+    for node, blocks in membership.items():
+        assert len(blocks) == g  # bounded fan-out: g rows per member
+    for i in range(n_members):
+        for j in range(i + 1, n_members):
+            assert membership[nodes[i]] & membership[nodes[j]], (i, j)
