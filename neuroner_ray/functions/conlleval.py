@@ -42,7 +42,11 @@ class EvalCounts:
 
 def count_sequence(gold: list[str], pred: list[str]) -> EvalCounts:
     """Counts for one sentence (gold and pred label sequences, BIO/BIOES)."""
-    assert len(gold) == len(pred), "gold/pred length mismatch"
+    if len(gold) != len(pred):  # not assert: survives python -O; a scorer
+        # silently truncating mismatched inputs corrupts the A2 gate
+        raise ValueError(
+            f"gold/pred length mismatch: {len(gold)} vs {len(pred)}"
+        )
     c = EvalCounts()
     c.total_tokens = len(gold)
     c.correct_tokens = sum(g == p for g, p in zip(gold, pred))
@@ -95,6 +99,10 @@ def metrics(counts: EvalCounts) -> dict:
 
 
 def evaluate(gold_seqs: list[list[str]], pred_seqs: list[list[str]]) -> dict:
+    if len(gold_seqs) != len(pred_seqs):  # zip would silently truncate
+        raise ValueError(
+            f"sequence-count mismatch: {len(gold_seqs)} vs {len(pred_seqs)}"
+        )
     total = EvalCounts()
     for g, p in zip(gold_seqs, pred_seqs):
         total.merge(count_sequence(g, p))

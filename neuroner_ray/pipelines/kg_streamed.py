@@ -28,12 +28,12 @@ from ray.data.aggregate import Sum
 
 from ..schemas import PROVENANCE_STRUCT
 from ..stages.graph import (
-    PROVENANCE_CAP,
+    NUM_BUCKETS_DEFAULT,
     _merge_edge_partials_exact,
     materialize_graph,
-    node_key,
+    resolve_entity_id,
 )
-from ..stages.tagger import RuleTagger, _tokens_of_batch, tag_tokens, build_trie
+from ..stages.tagger import RuleTagger
 from ..stages.triples import extract_triples_row
 from .kg import _link_from_census, read_transcripts
 
@@ -124,9 +124,10 @@ def _finalize_small(partials: Dataset, out_dir: str | None) -> dict[str, Dataset
     from ..stages.canonicalize import union_find  # noqa: F401 (via _link_from_census)
     from ..stages.graph import canonical_map
 
-    tab = pa.concat_tables(
-        list(partials.iter_batches(batch_format="pyarrow"))
-    ).combine_chunks()
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    if not batches:  # mention-free corpus (pa.concat_tables([]) raises)
+        batches = [_PARTIAL_SCHEMA.empty_table()]
+    tab = pa.concat_tables(batches).combine_chunks()
     df = tab.to_pandas()
     cdf = df[df["kind"] == "c"]
     census_df = (
@@ -141,20 +142,29 @@ def _finalize_small(partials: Dataset, out_dir: str | None) -> dict[str, Dataset
 
     edf = df[df["kind"] == "e"].copy()
     edf["src_id"] = [
-        mapping.get(node_key(st, s), (f"{st}:{s}", s))[0]
+        resolve_entity_id(mapping, st, s)
         for s, st in zip(edf["s_surf"], edf["s_type"])
     ]
     edf["dst_id"] = [
-        mapping.get(node_key(ot, o), (f"{ot}:{o}", o))[0]
+        resolve_entity_id(mapping, ot, o)
         for o, ot in zip(edf["o_surf"], edf["o_type"])
     ]
-    merged = pd.concat(
-        [
-            _merge_edge_partials_exact(g)
-            for _, g in edf.groupby(["src_id", "dst_id", "pred"])
-        ],
-        ignore_index=True,
-    )
+    groups = [
+        _merge_edge_partials_exact(g)
+        for _, g in edf.groupby(["src_id", "dst_id", "pred"])
+    ]
+    if groups:
+        merged = pd.concat(groups, ignore_index=True)
+    else:  # edge-free corpus (pd.concat([]) raises); typed empty
+        merged = pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype=object),
+                "dst_id": pd.Series([], dtype=object),
+                "pred": pd.Series([], dtype=object),
+                "weight": pd.Series([], dtype="int64"),
+                "provenance": pd.Series([], dtype=object),
+            }
+        )
     edges = rd.from_arrow(
         pa.table(
             {
@@ -174,9 +184,15 @@ def _finalize_small(partials: Dataset, out_dir: str | None) -> dict[str, Dataset
     return out
 
 
-def _write_graph_small(nodes: Dataset, edges: Dataset, out_dir: str) -> None:
+def _write_graph_small(
+    nodes: Dataset,
+    edges: Dataset,
+    out_dir: str,
+    num_buckets: int = NUM_BUCKETS_DEFAULT,
+) -> None:
     """Driver-side bucket-partitioned writes for collected-scale tables —
-    same on-disk layout as ``materialize_graph`` without two Ray executions."""
+    same on-disk layout as ``materialize_graph`` (same shared bucket count)
+    without two Ray executions."""
     import os
     import zlib
 
@@ -185,7 +201,8 @@ def _write_graph_small(nodes: Dataset, edges: Dataset, out_dir: str) -> None:
     for name, ds, key in (("nodes", nodes, "entity_id"), ("edges", edges, "src_id")):
         tab = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
         buckets = pa.array(
-            [zlib.crc32(v.encode()) % 16 for v in tab[key].to_pylist()], pa.int32()
+            [zlib.crc32(v.encode()) % num_buckets for v in tab[key].to_pylist()],
+            pa.int32(),
         )
         tab = tab.append_column("bucket", buckets)
         for b in sorted(set(buckets.to_pylist())):
@@ -233,11 +250,11 @@ def run_pipeline_streamed(
     def finalize(batch: pa.Table) -> pa.Table:
         m = ray.get(map_ref)
         src = [
-            m.get(node_key(st, s), (f"{st}:{s}", s))[0]
+            resolve_entity_id(m, st, s)
             for s, st in zip(batch["s_surf"].to_pylist(), batch["s_type"].to_pylist())
         ]
         dst = [
-            m.get(node_key(ot, o), (f"{ot}:{o}", o))[0]
+            resolve_entity_id(m, ot, o)
             for o, ot in zip(batch["o_surf"].to_pylist(), batch["o_type"].to_pylist())
         ]
         return pa.table(

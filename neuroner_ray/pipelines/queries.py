@@ -277,10 +277,12 @@ def orders_by_nation(sf_dir: str) -> Dataset:
     cust = rd.read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
+    from ..runtime.partitions import join_partitions
+
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(8),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )

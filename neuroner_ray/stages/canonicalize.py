@@ -158,8 +158,27 @@ def connected_components(
 
         return rd.from_arrow(empty)
 
+    changed = 0
     for _ in range(max_iters):
-        msgs = labels.union(edges).groupby("k").map_groups(
+        # label-shortcut edges (pointer jumping): each node is also linked
+        # to its CURRENT label, so label information hops through
+        # representatives and convergence is O(log diameter) rather than
+        # O(diameter) — a 14-node chain converges in 4 rounds, not 13
+        shortcut = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pa.concat_arrays(
+                        [t["k"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                    "v": pa.concat_arrays(
+                        [t["v"].combine_chunks(), t["k"].combine_chunks()]
+                    ),
+                    "kind": pa.array(["E"] * (2 * t.num_rows), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = labels.union(edges).union(shortcut).groupby("k").map_groups(
             _propagate, batch_format="pandas"
         )
         new_labels = msgs.groupby("k").map_groups(
@@ -174,4 +193,11 @@ def connected_components(
         ).materialize()
         if not changed:
             break
+    if changed:
+        # a silently split clustering is worse than a failure: the caller
+        # can retry with a higher budget (components this deep mean the
+        # match rule is over-merging anyway)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
     return labels.drop_columns(["kind"]).rename_columns(["node", "label"])

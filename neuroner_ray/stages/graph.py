@@ -29,6 +29,18 @@ from ray.data import Dataset
 from .linker import node_key
 
 PROVENANCE_CAP = 5
+NUM_BUCKETS_DEFAULT = 16  # output partition count (shared by all writers)
+
+
+def resolve_entity_id(
+    mapping: dict[str, tuple[str, str]], ent_type: str, surface: str
+) -> str:
+    """Canonical-map lookup with the unresolved-surface policy in ONE place:
+    surfaces missing from the map keep a synthetic ``ent_type:surface`` id
+    (format must match ``_node_rows``' entity_id) so nothing drops silently.
+    Used by every resolution site (J5, streamed finalize, driver finalize).
+    """
+    return mapping.get(node_key(ent_type, surface), (f"{ent_type}:{surface}", surface))[0]
 
 
 def _node_rows(group: pd.DataFrame) -> pd.DataFrame:
@@ -93,8 +105,24 @@ def build_nodes(
 
         joined = keyed.map_batches(_attach, batch_format="pyarrow")
     else:
+        # LEFT outer + coalesce(label, node): the broadcast path keeps
+        # label-table misses as self-labeled singletons (lm.get(n, n)); an
+        # inner join would silently DROP those census rows, making the two
+        # size-adaptive paths disagree on incomplete label tables
+        from ..runtime.partitions import join_partitions
+
         joined = keyed.join(
-            labels, join_type="inner", num_partitions=64, on=("node",)
+            labels,
+            join_type="left_outer",
+            num_partitions=join_partitions(64),
+            on=("node",),
+        ).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("label"),
+                "label",
+                pa.compute.coalesce(t["label"], t["node"]),
+            ),
+            batch_format="pyarrow",
         )
     return joined.groupby("label").map_groups(_node_rows, batch_format="pandas")
 
@@ -128,13 +156,13 @@ def resolve_triples(triples: Dataset, mapping: dict[str, tuple[str, str]]) -> Da
     def resolve(batch: pa.Table) -> pa.Table:
         m: dict[str, tuple[str, str]] = ray.get(map_ref)
         src_ids = [
-            m.get(node_key(st, s), (f"{st}:{s}", s))[0]
+            resolve_entity_id(m, st, s)
             for s, st in zip(
                 batch["subj"].to_pylist(), batch["subj_type"].to_pylist()
             )
         ]
         dst_ids = [
-            m.get(node_key(ot, o), (f"{ot}:{o}", o))[0]
+            resolve_entity_id(m, ot, o)
             for o, ot in zip(
                 batch["obj"].to_pylist(), batch["obj_type"].to_pylist()
             )
@@ -250,8 +278,8 @@ def tagged_to_edges(tagged: Dataset, mapping: dict[str, tuple[str, str]]) -> Dat
             batch["mentions"].to_pylist(),
         ):
             for s, p, o, st, ot in extract_triples_row(text, ms):
-                src = m.get(node_key(st, s), (f"{st}:{s}", s))[0]
-                dst = m.get(node_key(ot, o), (f"{ot}:{o}", o))[0]
+                src = resolve_entity_id(m, st, s)
+                dst = resolve_entity_id(m, ot, o)
                 agg.setdefault((src, dst, p), set()).add((cid, ti))
         srcs, dsts, preds, ws, provs = [], [], [], [], []
         for (s, d, p), seen in agg.items():
@@ -317,7 +345,7 @@ def materialize_graph(
     nodes: Dataset,
     edges: Dataset,
     out_dir: str,
-    num_buckets: int = 16,
+    num_buckets: int = NUM_BUCKETS_DEFAULT,
 ) -> dict[str, str]:
     """S9: write node/edge tables as bucket-partitioned Parquet."""
     paths = {"nodes": f"{out_dir}/nodes", "edges": f"{out_dir}/edges"}

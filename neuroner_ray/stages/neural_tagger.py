@@ -76,7 +76,7 @@ class NeuralTagger:
             for t, f in zip(missing, feats):
                 self._char_cache[t] = f
         if not tokens:
-            return np.zeros((0, self.char_dim2))
+            return np.zeros((0, self.char_dim2), dtype=self.params["char_emb"].dtype)
         return np.stack([self._char_cache[t] for t in tokens])
 
     _MAX_BUCKET_AREA = 400_000  # rows × padded length cap (bounds [B,T,C] RAM)
@@ -112,7 +112,12 @@ class NeuralTagger:
             Tmax = int(lengths.max())
             B = len(bidx)
             tok_pad = np.zeros((B, Tmax), dtype=np.int64)
-            chf_pad = np.zeros((B, Tmax, self.char_dim2))
+            # match the float32 inference dtype: a default-float64 pad
+            # would upcast the cached features and force forward_scores to
+            # copy the whole [B,T,2H] array back down
+            chf_pad = np.zeros(
+                (B, Tmax, self.char_dim2), dtype=self.params["char_emb"].dtype
+            )
             for row, i in enumerate(bidx):
                 toks = seqs[i]
                 tok_pad[row, : len(toks)] = [

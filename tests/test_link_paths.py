@@ -105,3 +105,37 @@ def test_salting_preserves_recall_on_hot_blocks():
     ):
         unsalted.add((min(t.a, t.b), max(t.a, t.b)))
     assert not (truth <= unsalted)
+
+
+def test_build_nodes_join_path_keeps_unlabeled_surfaces():
+    """Review finding: the hash-join path dropped census rows missing from
+    the label table while the broadcast path kept them as singletons."""
+    from neuroner_ray.stages.graph import build_nodes
+
+    census = rd.from_arrow(
+        pa.table(
+            {
+                "ent_type": pa.array(["ORG", "ORG"], pa.string()),
+                "surface": pa.array(["Acme Corp", "Orphan Inc"], pa.string()),
+                "mention_count": pa.array([5, 2], pa.int64()),
+            }
+        )
+    )
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(["ORG|Acme Corp"], pa.string()),
+                "label": pa.array(["ORG|Acme Corp"], pa.string()),
+            }
+        )
+    )
+    broadcast = (
+        build_nodes(labels, census).to_pandas().sort_values("entity_id")
+    )
+    joined = (
+        build_nodes(labels, census, broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("entity_id")
+    )
+    assert list(broadcast["entity_id"]) == list(joined["entity_id"])
+    assert "ORG:Orphan Inc" in set(joined["entity_id"])

@@ -88,3 +88,38 @@ def test_streamed_output_invariant_to_batch_size(tpath):
     big = run_pipeline_streamed(tpath, batch_size=4096)
     assert _nodes_norm(small["nodes"]).equals(_nodes_norm(big["nodes"]))
     assert _edges_norm(small["edges"]).equals(_edges_norm(big["edges"]))
+
+
+def test_streamed_handles_edge_free_and_mention_free_corpora(tmp_path):
+    """Classic and streamed pipelines must agree on degenerate corpora
+    (review finding: pd.concat/pa.concat_tables over empty lists raised)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines import kg
+    from neuroner_ray.pipelines.kg_streamed import run_pipeline_streamed
+
+    cases = {
+        # mentions but no lexicon-matching gaps → nodes, zero edges
+        "edge_free": ["Alice Johnson said hello .", "Paris is lovely ."],
+        # no gazetteer hits at all → zero nodes, zero edges
+        "mention_free": ["nothing to see here .", "entirely plain text ."],
+    }
+    for name, texts in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        tab = pa.table(
+            {
+                "conv_id": pa.array(["c0"] * len(texts), pa.string()),
+                "turn_idx": pa.array(range(len(texts)), pa.int32()),
+                "role": pa.array(["user"] * len(texts), pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "tool": pa.array([""] * len(texts), pa.string()),
+                "ts": pa.array([0] * len(texts), pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tab, str(d / "part-0.parquet"))
+        classic = kg.run_pipeline(str(d))
+        streamed = run_pipeline_streamed(str(d))
+        assert streamed["nodes"].count() == classic["nodes"].count(), name
+        assert streamed["edges"].count() == classic["edges"].count(), name
