@@ -30,14 +30,22 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        # respect an existing cluster (`ray job submit` sets RAY_ADDRESS);
+        # a hardcoded address="local" would spin up a nested single-node
+        # Ray inside the job container and silently ignore the cluster.
+        # num_cpus is only meaningful when WE start the local instance.
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"num_cpus": args.num_cpus} if address == "local" else {}
         ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
+            address=address,
             include_dashboard=False,
             logging_level="ERROR",
+            **kwargs,
         )
     from ray.data import DataContext
 

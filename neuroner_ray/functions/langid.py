@@ -2,9 +2,12 @@
 
 No external langid model exists in this environment; this is the classic
 lightweight approach: score text against per-language marker-word and
-character-n-gram profiles, pick the argmax (ties → 'und'). Deterministic,
-vocabulary-free, vectorizable per batch. CJK is detected by codepoint range
-before profile scoring.
+character-n-gram profiles, pick the argmax (score ties → the alphabetically
+first language; 'und' only when no profile scores above zero).
+Deterministic, vocabulary-free, vectorizable per batch. CJK scripts are
+detected by codepoint range before profile scoring: Hangul → 'ko', kana →
+'ja', remaining Han → 'zh' (Japanese mixes kanji with kana, so any kana
+presence wins over Han).
 """
 
 from __future__ import annotations
@@ -30,14 +33,22 @@ _TRIGRAMS: dict[str, set[str]] = {
     "it": {"che", "zio", "ent", "con", "gli"},
 }
 _WORD_RE = re.compile(r"[a-zà-ÿ]+")
-_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_HAN_RE = re.compile(r"[一-鿿]")
+_KANA_RE = re.compile(r"[぀-ヿ]")
+_HANGUL_RE = re.compile(r"[가-힯]")
 
 
 def detect_language(text: str) -> str:
     if not text:
         return "und"
-    cjk = len(_CJK_RE.findall(text))
-    if cjk >= max(1, len(text) // 20):
+    han = len(_HAN_RE.findall(text))
+    kana = len(_KANA_RE.findall(text))
+    hangul = len(_HANGUL_RE.findall(text))
+    if han + kana + hangul >= max(1, len(text) // 20):
+        if hangul >= max(1, kana):
+            return "ko"
+        if kana > 0:
+            return "ja"
         return "zh"
     words = _WORD_RE.findall(text.lower())
     if not words:

@@ -62,21 +62,34 @@ def tokenize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("tokens", _tokens_list_array(texts))
 
 
-_SENT_RE = re.compile(r"[^.!?]*[.!?]+(?:\s+|$)|[^.!?]+$")
+# a sentence boundary is a .!? run followed by whitespace or end-of-text —
+# '.' inside "2.0"/"U.S.A."/URLs is NOT a boundary. Scanning for boundaries
+# and slicing between them PARTITIONS the text; the old alternation regex
+# silently skipped any prefix containing a non-boundary '.', losing tokens.
+_SENT_BOUNDARY_RE = re.compile(r"[.!?]+(?=\s|$)")
 
 
 def split_sentences(text: str) -> list[tuple[int, int]]:
     """Deterministic sentencizer (the reference uses spaCy's; same contract:
     non-destructive char spans covering the text, split after .!? runs)."""
-    spans = []
-    for m in _SENT_RE.finditer(text):
-        s, e = m.start(), m.end()
+
+    def _trimmed(s: int, e: int) -> tuple[int, int]:
         while s < e and text[s].isspace():
             s += 1
         while e > s and text[e - 1].isspace():
             e -= 1
+        return s, e
+
+    spans = []
+    start = 0
+    for m in _SENT_BOUNDARY_RE.finditer(text):
+        s, e = _trimmed(start, m.end())
         if s < e:
             spans.append((s, e))
+        start = m.end()
+    s, e = _trimmed(start, len(text))
+    if s < e:
+        spans.append((s, e))
     return spans
 
 

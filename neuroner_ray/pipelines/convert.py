@@ -113,20 +113,12 @@ def fill_surfaces(entities: Dataset, texts: dict[str, str]) -> Dataset:
                 text = self.texts.get(d, "")
                 for e in es:
                     e["surface"] = text[e["start"] : e["end"]]
-            typ = pa.list_(
-                pa.struct(
-                    [
-                        ("ent_type", pa.string()),
-                        ("start", pa.int32()),
-                        ("end", pa.int32()),
-                        ("surface", pa.string()),
-                    ]
-                )
-            )
+            from ..sources.brat import ENTITY_LIST
+
             return pa.table(
                 {
                     "doc_id": batch["doc_id"],
-                    "entities": pa.array(ents, typ),
+                    "entities": pa.array(ents, ENTITY_LIST),
                 }
             )
 

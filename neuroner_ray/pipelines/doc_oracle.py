@@ -70,8 +70,12 @@ def doc_langid_sql() -> str:
             SELECT doc_id, coalesce(text, '') AS text,
                    regexp_extract_all(lower(coalesce(text, '')), '[a-zà-ÿ]+')
                        AS words,
-                   len(regexp_extract_all(coalesce(text, ''),
-                       '[一-鿿぀-ヿ가-힯]')) AS cjk
+                   len(regexp_extract_all(coalesce(text, ''), '[一-鿿]'))
+                       AS han,
+                   len(regexp_extract_all(coalesce(text, ''), '[぀-ヿ]'))
+                       AS kana,
+                   len(regexp_extract_all(coalesce(text, ''), '[가-힯]'))
+                       AS hangul
             FROM documents
         ),
         j AS (SELECT *, array_to_string(words, ' ') AS joined FROM d),
@@ -85,7 +89,8 @@ def doc_langid_sql() -> str:
                      / greatest(1, length(j.joined) // 3) AS score
             FROM j CROSS JOIN prof p
             WHERE len(j.words) > 0
-              AND NOT (j.cjk >= greatest(1, length(j.text) // 20))
+              AND NOT (j.han + j.kana + j.hangul
+                       >= greatest(1, length(j.text) // 20))
         ),
         best AS (
             SELECT doc_id, lang, score
@@ -97,7 +102,11 @@ def doc_langid_sql() -> str:
         )
         SELECT d.doc_id,
                CASE WHEN d.text = '' THEN 'und'
-                    WHEN d.cjk >= greatest(1, length(d.text) // 20) THEN 'zh'
+                    WHEN d.han + d.kana + d.hangul
+                         >= greatest(1, length(d.text) // 20) THEN
+                         CASE WHEN d.hangul >= greatest(1, d.kana) THEN 'ko'
+                              WHEN d.kana > 0 THEN 'ja'
+                              ELSE 'zh' END
                     WHEN len(d.words) = 0 THEN 'und'
                     WHEN b.score > 0 THEN b.lang
                     ELSE 'und'

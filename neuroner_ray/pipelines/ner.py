@@ -77,10 +77,15 @@ def predict_conll(
     )
 
 
-def score_predictions(tagged: Dataset, mode: str = "conll") -> dict:
-    """A2 + A3: conlleval metrics plus the token-level report."""
+def score_predictions(tagged: Dataset, mode: str = "token") -> dict:
+    """A2 + A3: conlleval metrics plus the token-level report.
+
+    ``mode`` is the M9 projection applied to the report counts
+    (token/binary/bio — see functions/report.py); conlleval is always
+    span-level and unaffected.
+    """
     conll = evaluate_dataset(tagged, gold_col="gold_labels", pred_col="labels")
     token_report = classification_report(
-        pair_counts(tagged, gold_col="gold_labels", pred_col="labels", mode="token")
+        pair_counts(tagged, gold_col="gold_labels", pred_col="labels", mode=mode)
     )
     return {"conlleval": conll, "token_report": token_report}

@@ -66,7 +66,11 @@ def _file_rows(batch: pa.Table) -> pa.Table:
     stems, exts, bodies = [], [], []
     for path, body in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
         stem, ext = os.path.splitext(path)
-        stems.append(os.path.basename(stem))
+        # group by the FULL path stem: read_binary_files walks recursively,
+        # and basename-only grouping would collide same-named documents in
+        # different subdirectories (one dropped, annotations paired with
+        # the wrong text)
+        stems.append(stem)
         exts.append(ext)
         bodies.append(body.decode("utf-8"))
     return pa.table(
@@ -92,7 +96,10 @@ def _pair_docs(group: pd.DataFrame) -> pd.DataFrame:
     good = [e for e in entities if (e["start"], e["end"]) not in bad_keys]
     return pd.DataFrame(
         {
-            "doc_id": [group["stem"].iloc[0]],
+            # doc_id keeps the basename (reference convention: X.ann ↔ X);
+            # nested same-named docs pair correctly (full-stem grouping) but
+            # share a doc_id — callers needing uniqueness use the path
+            "doc_id": [os.path.basename(group["stem"].iloc[0])],
             "text": [text],
             "entities": [good],
             "quarantined": [bad],

@@ -60,7 +60,10 @@ def parse_conll_text(text: str) -> list[dict]:
             continue
         cur_tokens.append(fields[0])
         cur_labels.append(fields[-1])
-        if len(fields) >= 5:  # brat-derived: token doc start end label
+        # brat-derived shape is `token doc start end label`; any other 5+
+        # column CoNLL (lemma/POS/chunk variants) keeps the reference's
+        # token=first/label=last semantics instead of crashing on int()
+        if len(fields) >= 5 and fields[2].isdigit() and fields[3].isdigit():
             cur_docs.append(fields[1])
             cur_starts.append(int(fields[2]))
             cur_ends.append(int(fields[3]))

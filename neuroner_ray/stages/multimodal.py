@@ -76,6 +76,13 @@ class ImageFeatureExtractor:
             batch["height"].to_pylist(),
         ):
             img = self.codec.decode_image(payload or b"", w, h)
+            # images smaller than the pooling grid would make array_split
+            # emit empty chunks → NaN features; nearest-neighbor upsample
+            # to at least resize_to per axis first (deterministic)
+            for axis in (0, 1):
+                if img.shape[axis] < self.resize_to:
+                    reps = -(-self.resize_to // img.shape[axis])
+                    img = np.repeat(img, reps, axis=axis)
             # "resize": block-mean downsample to resize_to x resize_to
             ys = np.array_split(img, self.resize_to, axis=0)
             pooled = np.stack(

@@ -179,6 +179,11 @@ def build_embedding_matrix(
     }
     for tok, idx in vocab.token_to_index.items():
         vec, cat = embedding_cascade(tok, emb)
+        # short vectors (e.g. a word2vec header line "400000 300" parsed as
+        # token '400000' with a 1-dim vector) would silently BROADCAST a
+        # constant into the row; count them as misses instead
+        if vec is not None and len(vec) < dim:
+            vec, cat = None, "miss"
         stats[cat] += 1
         if vec is not None:
             M[idx] = vec[:dim]

@@ -116,6 +116,10 @@ def test_langid_heuristic():
     assert detect_language("le chat est dans la maison avec les enfants") == "fr"
     assert detect_language("el perro y la casa son una maravilla") == "es"
     assert detect_language("今天天气很好我们去公园散步") == "zh"
+    # Hangul and kana are NOT Chinese (review finding: all CJK → 'zh')
+    assert detect_language("안녕하세요 오늘 날씨가 좋네요") == "ko"
+    assert detect_language("こんにちは きょうは いい てんきですね") == "ja"
+    assert detect_language("東京タワーへようこそ皆さん") == "ja"  # kanji+kana mix
     assert detect_language("") == "und"
 
 

@@ -111,3 +111,28 @@ def test_brat_quarantine_routing(tmp_path):
     assert len(ddf.iloc[0]["entities"]) == 1  # good span kept
     q = quarantine.to_pandas()
     assert len(q) == 1 and q.iloc[0]["surface"] == "WRONG"
+
+
+def test_split_sentences_partitions_text_with_internal_dots():
+    """Review finding: the old sentencizer dropped any prefix containing a
+    '.' not followed by whitespace (decimals, versions, abbreviations)."""
+    from neuroner_ray.functions.tokenize import split_sentences
+
+    text = "Version 2.0 shipped today. U.S.A. won. See https://x.y/z now"
+    spans = split_sentences(text)
+    covered = "".join(text[s:e] for s, e in spans)
+    # every non-space char is inside some span
+    assert covered.replace(" ", "") == text.replace(" ", "")
+    assert text[spans[0][0] : spans[0][1]] == "Version 2.0 shipped today."
+
+
+def test_parse_conll_tolerates_multicolumn_files():
+    """Review finding: int(fields[2]) crashed on standard 5+ column CoNLL
+    (lemma/POS/chunk variants)."""
+    from neuroner_ray.sources.conll import parse_conll_text
+
+    text = "word LEMMA POS CHUNK B-PER\nother L P C O\n"
+    sents = parse_conll_text(text)
+    assert sents[0]["tokens"] == ["word", "other"]
+    assert sents[0]["labels"] == ["B-PER", "O"]
+    assert sents[0]["starts"] == [-1, -1]
