@@ -24,11 +24,9 @@ from ray.data import Dataset
 
 from ..stages.canonicalize import connected_components
 from ..stages.graph import (
-    aggregate_edges,
     build_nodes,
     canonical_map,
     materialize_graph,
-    resolve_triples,
 )
 from ..stages.linker import candidate_pairs, surface_census
 from ..stages.tagger import RuleTagger, explode_mentions

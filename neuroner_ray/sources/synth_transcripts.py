@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 import zlib
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 

@@ -6,7 +6,7 @@ each expressed Ray-Data-first:
 - exact: content-hash groupby (see ``pipelines.queries.dedup_exact``)
 - MinHash-LSH: shingle → minhash → band → bucket groupby → candidate pairs
   → signature-estimate verify → connected components
-- SimHash: 64-bit simhash, 4×16-bit band blocking, Hamming-distance verify
+- SimHash: 64-bit simhash, 8×8-bit band blocking, Hamming-distance verify
 - n-gram Jaccard: MinHash blocking (id-only band rows) + EXACT word-shingle
   Jaccard verify in a second candidate-bounded pass — no text ever enters
   the band shuffle
@@ -33,7 +33,6 @@ from ..functions.minhash import (
     jaccard,
     minhash_signature,
     simhash64,
-    stable_hash64,
     word_shingles,
 )
 from ..functions.rounding import round_half_away
