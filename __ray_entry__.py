@@ -69,18 +69,17 @@ def kg_top_entities(sf_dir: str) -> Any:
     weighted degree (out + in)."""
     import pyarrow as pa
 
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     edges = _kg_tables(sf_dir)["edges"]
 
     def degree_rows(t: pa.Table) -> pa.Table:
+        # each endpoint of an edge receives the edge weight
         ids = t["src_id"].to_pylist() + t["dst_id"].to_pylist()
-        w = t["weight"].to_pylist() * 2
         return pa.table(
             {
                 "entity_id": pa.array(ids, pa.string()),
-                "degree": pa.array(w[: len(ids)], pa.int64()),
+                "degree": pa.array(t["weight"].to_pylist() * 2, pa.int64()),
             }
         )
 

@@ -45,8 +45,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     tdir = os.path.join(ensure_transcripts(sf), "transcripts")  # cached, untimed
 
-    # warm the OS page cache so we measure compute+shuffle, not first disk read
-    n_turns = kg.read_transcripts(tdir).count()
+    # warm the OS page cache so we measure compute+shuffle, not first disk
+    # read. NB: a bare read_parquet().count() answers from parquet METADATA
+    # without touching data pages (verified on Ray 2.49), so force a real
+    # scan of every column through a row-counting map.
+    import pyarrow as _pa
+
+    n_turns = int(
+        kg.read_transcripts(tdir)
+        .map_batches(
+            lambda t: _pa.table({"n": _pa.array([t.num_rows])}),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+    )
 
     # warm the worker pool: a real cluster's raylets have their worker
     # processes alive before the job; spawning num_cpus python workers is a
@@ -73,11 +85,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # actor pool sizing: 3/4 of the CPUs tag, the rest feed reads/reduces —
     # the same fraction at every parallelism level (fair scaling comparison)
     pool = max(2, (3 * num_cpus) // 4)
-    t0 = time.perf_counter()
     out_dir = f"/tmp/bench_graph_sf{sf:g}_{num_cpus}"
     import shutil
 
+    # cleanup OUTSIDE the timed region: deleting a previous run's bucketed
+    # output tree is I/O the pipeline didn't cause
     shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
     run_pipeline_streamed(
         tdir,
         out_dir=out_dir,
@@ -102,8 +116,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         }
 
     # secondary: classic (materializing) pipeline with the gazetteer tagger
-    t0 = time.perf_counter()
     shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
     kg.run_pipeline(tdir, out_dir=out_dir, concurrency=(1, num_cpus))
     timings["kg_pipeline_rule"] = round(time.perf_counter() - t0, 3)
 
@@ -134,7 +148,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_subprocess(ncpu: int, sf_dir: str, extra_env: dict | None = None) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_SF_DIR=sf_dir,  # forward explicitly — the child reads env only
+        **(extra_env or {}),
+    )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,

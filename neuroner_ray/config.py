@@ -64,7 +64,10 @@ class PipelineConfig:
         """INI (any sections; keys matched by name, like the reference's
         flat parameter namespace) + explicit overrides, with coercion."""
         parser = configparser.ConfigParser()
-        parser.read(path)
+        parsed = parser.read(path)
+        if not parsed:  # configparser silently skips unreadable files — a
+            # typo'd path would yield an all-default config with no error
+            raise FileNotFoundError(f"config file not found/readable: {path}")
         flat: dict[str, str] = {}
         for section in parser.sections():
             flat.update(parser.items(section))

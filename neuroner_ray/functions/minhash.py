@@ -2,10 +2,14 @@
 
 Used by entity linking (SURVEY.md J4 — "MinHash-blocked candidate
 generation") and by the document near-dedup suite. No external sketch
-library exists in this environment; MinHash is the standard permutation
-construction with universal hashing (a*h+b mod p) vectorized in numpy over
-one stable 64-bit base hash per shingle (blake2b — process-independent,
-unlike Python's ``hash``).
+library exists in this environment; MinHash is the permutation construction
+with an (a*h + b) mixing family vectorized in numpy over one stable 61-bit
+base hash per shingle (blake2b — process-independent, unlike Python's
+``hash``). NB: the uint64 product wraps mod 2^64 BEFORE the mod-p, so this
+is a deterministic mixing family, not the strict universal family mod the
+Mersenne prime — adequate for near-dup estimation (estimate-vs-exact
+agreement is pinned by tests and by the exact-Jaccard cluster oracles),
+chosen over object-int arithmetic for vectorization.
 
 All sketches are mergeable / order-independent, so per-batch computation in
 ``map_batches`` composes with groupby reduction (ray_guide: "Aggregation at

@@ -89,19 +89,14 @@ def token_freq_top100(sf_dir: str) -> Dataset:
 
 # ----------------------------------------------------------------- text ops
 def doc_token_counts(sf_dir: str) -> Dataset:
-    """Per-document token count (training-data token counting)."""
+    """Per-document token count (training-data token counting; reuses the
+    shared counting kernel so the tokenization rule lives in one place)."""
+    from ..functions.tokenize import token_count_batch
+
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def counts(batch: pa.Table) -> pa.Table:
-        n = [len(_TOKEN_RE.findall(t)) if t else 0 for t in batch["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n, pa.int64()),
-            }
-        )
-
-    return docs.map_batches(counts, batch_format="pyarrow")
+    return docs.map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
 
 
 def doc_fingerprints(sf_dir: str) -> Dataset:
@@ -460,13 +455,21 @@ def customers_with_orders_by_nation(sf_dir: str) -> Dataset:
     keys_ref = ray.put(custkeys)
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
 
-    def semi(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        keep = [k in ks for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(keep, pa.bool_()))
+    class Semi:
+        def __init__(self, ref):
+            self.ks = ray.get(ref)  # deserialize ONCE per actor, not per batch
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = [k in self.ks for k in batch["c_custkey"].to_pylist()]
+            return batch.filter(pa.array(keep, pa.bool_()))
 
     return (
-        cust.map_batches(semi, batch_format="pyarrow")
+        cust.map_batches(
+            Semi,
+            fn_constructor_args=(keys_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
         .groupby("c_nationkey")
         .aggregate(Count(alias_name="n_customers"))
     )
@@ -484,15 +487,21 @@ def customers_without_orders(sf_dir: str) -> Dataset:
     keys_ref = ray.put(custkeys)
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
 
-    def anti_count(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        n = sum(k not in ks for k in batch["c_custkey"].to_pylist())
-        return pa.table({"n": pa.array([n], pa.int64())})
+    class AntiCount:
+        def __init__(self, ref):
+            self.ks = ray.get(ref)  # deserialize ONCE per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = sum(k not in self.ks for k in batch["c_custkey"].to_pylist())
+            return pa.table({"n": pa.array([n], pa.int64())})
 
     total = 0
-    for b in cust.map_batches(anti_count, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in cust.map_batches(
+        AntiCount,
+        fn_constructor_args=(keys_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).iter_batches(batch_format="pyarrow"):
         total += sum(b["n"].to_pylist())
     return rd.from_arrow(
         pa.table({"n_without_orders": pa.array([total], pa.int64())})

@@ -148,6 +148,11 @@ def gen_turn(conv_id: str, turn_idx: int) -> tuple[str, list[dict], list[dict]]:
             if st == "ORG" and _h(*key, s, j, "hot") % 20 == 0:
                 surf = HOT_SURFACE
             if len(fills) and surf == fills[-1]:  # avoid X met X
+                # Known quirk (kept frozen — goldens pin generator output):
+                # when the hot override forced this slot to HOT_SURFACE and
+                # the +1 replacement wraps to pool[0] == HOT_SURFACE, a rare
+                # self-pair survives (~1/9000 ORG-ORG sentences). Gold and
+                # pipeline agree on those rows, so P/R is unaffected.
                 surf = pool[(_h(*key, s, j, "g") + 1) % len(pool)]
             fills.append(surf)
         # substitute while tracking character offsets
