@@ -3,19 +3,31 @@
 ``kg.run_pipeline`` materializes the tagged corpus once so several
 consumers can share it; at full scale even one corpus-sized materialization
 is a cost. This variant streams the corpus through ONE fused stage that
-emits only *partials* (census counts + surface-keyed edge partials — both
-vocabulary/edge-count sized), so the corpus itself is never stored:
+emits only fixed-width *partials* — census counts plus one slim row per
+distinct (surface-triple, conv_id, turn_idx) instance (within-batch
+dedup; globally distinct because each turn lives in exactly one batch).
+No unbounded list payloads, and the corpus is never pinned in the object
+store:
 
-    read → [tag → census-partials + triple-extract + edge-partials]  (1 pass)
-         → tiny groupbys → linking (driver/distributed) → canonical remap
-         → final edge merge → partitioned write
+    read → [tag → census partials + triple instances]        (1 pass)
+         → small input: stream partials to the driver, finalize in-process
+         → large input: stream partials to a disk stage (write_parquet),
+           then census groupby → linking → canonical remap (broadcast)
+           → exact (src,dst,pred,conv,turn) dedup groupby
+           → edge merge groupby → partitioned write
 
-Equivalence with the classic pipeline is pinned by
-tests/test_streamed_pipeline.py (identical nodes and edges).
+The two finalize shuffles move fixed-width rows only; O5's distinct-turn
+weights stay exact because surface variants of one canonical triple in the
+same turn collapse to identical instance rows, removed by the dedup
+groupby before counting. Equivalence with the classic pipeline is pinned
+by tests/test_streamed_pipeline.py (identical nodes and edges).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from typing import Any
 
 import pandas as pd
@@ -24,12 +36,13 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from ..schemas import PROVENANCE_STRUCT
 from ..stages.graph import (
     NUM_BUCKETS_DEFAULT,
-    _merge_edge_partials_exact,
+    PROVENANCE_CAP,
+    aggregate_edges,
     materialize_graph,
     resolve_entity_id,
 )
@@ -37,9 +50,12 @@ from ..stages.tagger import RuleTagger
 from ..stages.triples import extract_triples_row
 from .kg import _link_from_census, read_transcripts
 
+# Fixed-width union schema: census rows ("c") use (ent_type, surface, n);
+# instance rows ("e") use (s_surf..o_type, conv_id, turn_idx). No nested
+# columns — partial width is bounded by construction (test_streamed asserts).
 _PARTIAL_SCHEMA = pa.schema(
     [
-        ("kind", pa.string()),  # "c" census | "e" edge partial
+        ("kind", pa.string()),  # "c" census | "e" triple instance
         ("ent_type", pa.string()),
         ("surface", pa.string()),
         ("n", pa.int64()),
@@ -48,10 +64,12 @@ _PARTIAL_SCHEMA = pa.schema(
         ("pred", pa.string()),
         ("o_surf", pa.string()),
         ("o_type", pa.string()),
-        ("weight", pa.int64()),
-        ("provenance", pa.list_(PROVENANCE_STRUCT)),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
     ]
 )
+
+_INSTANCE_COLS = ["s_surf", "s_type", "pred", "o_surf", "o_type", "conv_id", "turn_idx"]
 
 
 def _partials_from_annotations(
@@ -61,11 +79,14 @@ def _partials_from_annotations(
     from collections import Counter
 
     census: Counter = Counter()
-    eagg: dict[tuple, set] = {}
+    instances: set[tuple] = set()
     for cid, ti, text, mentions in rows:
         census.update((m["ent_type"], m["surface"]) for m in mentions)
         for s, p, o, st, ot in extract_triples_row(text, mentions):
-            eagg.setdefault((s, st, p, o, ot), set()).add((cid, ti))
+            # within-batch dedup; a (conv, turn) appears in exactly one
+            # batch, so the staged instance rows are globally distinct
+            # 7-tuples — cross-batch dedup is unnecessary at surface level
+            instances.add((s, st, p, o, ot, cid, int(ti)))
     cols: dict[str, list] = {name: [] for name in _PARTIAL_SCHEMA.names}
 
     def emit(kind, **kw):
@@ -75,10 +96,7 @@ def _partials_from_annotations(
 
     for (et, surf), n in census.items():
         emit("c", ent_type=et, surface=surf, n=n)
-    for (s, st, p, o, ot), seen in eagg.items():
-        # FULL distinct (conv, turn) set — the post-resolution merge must
-        # dedup turns shared by surface variants of one canonical triple
-        # (O5); weight is recomputed there, so no cap here
+    for s, st, p, o, ot, cid, ti in sorted(instances):
         emit(
             "e",
             s_surf=s,
@@ -86,10 +104,8 @@ def _partials_from_annotations(
             pred=p,
             o_surf=o,
             o_type=ot,
-            weight=len(seen),
-            provenance=[
-                {"conv_id": c, "turn_idx": int(t)} for c, t in sorted(seen)
-            ],
+            conv_id=cid,
+            turn_idx=ti,
         )
     return pa.Table.from_pydict(cols, schema=_PARTIAL_SCHEMA)
 
@@ -113,15 +129,48 @@ class FusedAnnotator:
         return _partials_from_annotations(rows)
 
 
-SMALL_PARTIALS_MAX = 5_000_000  # partial rows under which finalize runs driver-side
+# Input turns under which finalize runs driver-side (known up-front from
+# parquet metadata — no partials materialization needed to decide). Partial
+# rows ≈ a few slim tuples per turn, so 2M turns is comfortably pandas-scale.
+SMALL_INPUT_TURNS_MAX = 2_000_000
+
+
+def _edges_from_instances_df(inst: pd.DataFrame) -> pa.Table:
+    """Distinct (src,dst,pred,conv,turn) rows → EDGES Arrow table (driver).
+
+    Same O5/A7 semantics as ``aggregate_edges``: weight = distinct
+    (conv, turn) count, provenance = smallest-``PROVENANCE_CAP`` sample.
+    """
+    srcs, dsts, preds, ws, provs = [], [], [], [], []
+    for (s, d, p), g in inst.groupby(["src_id", "dst_id", "pred"], sort=True):
+        seen = sorted(zip(g["conv_id"], g["turn_idx"]))
+        srcs.append(s)
+        dsts.append(d)
+        preds.append(p)
+        ws.append(len(seen))
+        provs.append(
+            [
+                {"conv_id": c, "turn_idx": int(t)}
+                for c, t in seen[:PROVENANCE_CAP]
+            ]
+        )
+    return pa.table(
+        {
+            "src_id": pa.array(srcs, pa.string()),
+            "dst_id": pa.array(dsts, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "weight": pa.array(ws, pa.int64()),
+            "provenance": pa.array(provs, pa.list_(PROVENANCE_STRUCT)),
+        }
+    )
 
 
 def _finalize_small(partials: Dataset, out_dir: str | None) -> dict[str, Dataset]:
-    """Driver finalize: census groupby, linking, canonical remap and edge
-    merge in pandas — the partials are already collected-scale, and each
-    avoided Ray execution saves more setup time than the compute costs.
-    Uses the SAME merge/link/node functions as the distributed path."""
-    from ..stages.canonicalize import union_find  # noqa: F401 (via _link_from_census)
+    """Driver finalize: stream the partials to the driver (no object-store
+    pinning), then census groupby, linking, canonical remap and edge merge
+    in pandas — each avoided Ray execution saves more setup time than the
+    compute costs. Uses the SAME link/node/edge semantics as the
+    distributed path."""
     from ..stages.graph import canonical_map
 
     batches = list(partials.iter_batches(batch_format="pyarrow"))
@@ -149,35 +198,10 @@ def _finalize_small(partials: Dataset, out_dir: str | None) -> dict[str, Dataset
         resolve_entity_id(mapping, ot, o)
         for o, ot in zip(edf["o_surf"], edf["o_type"])
     ]
-    groups = [
-        _merge_edge_partials_exact(g)
-        for _, g in edf.groupby(["src_id", "dst_id", "pred"])
-    ]
-    if groups:
-        merged = pd.concat(groups, ignore_index=True)
-    else:  # edge-free corpus (pd.concat([]) raises); typed empty
-        merged = pd.DataFrame(
-            {
-                "src_id": pd.Series([], dtype=object),
-                "dst_id": pd.Series([], dtype=object),
-                "pred": pd.Series([], dtype=object),
-                "weight": pd.Series([], dtype="int64"),
-                "provenance": pd.Series([], dtype=object),
-            }
-        )
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "src_id": pa.array(merged["src_id"], pa.string()),
-                "dst_id": pa.array(merged["dst_id"], pa.string()),
-                "pred": pa.array(merged["pred"], pa.string()),
-                "weight": pa.array(merged["weight"], pa.int64()),
-                "provenance": pa.array(
-                    merged["provenance"].map(list), pa.list_(PROVENANCE_STRUCT)
-                ),
-            }
-        )
-    )
+    # surface variants of one canonical triple in the same turn collapse to
+    # identical rows here — drop_duplicates is the O5 turn dedup
+    inst = edf[["src_id", "dst_id", "pred", "conv_id", "turn_idx"]].drop_duplicates()
+    edges = rd.from_arrow(_edges_from_instances_df(inst))
     out = {"nodes": nodes, "edges": edges}
     if out_dir is not None:
         _write_graph_small(nodes, edges, out_dir)
@@ -193,7 +217,6 @@ def _write_graph_small(
     """Driver-side bucket-partitioned writes for collected-scale tables —
     same on-disk layout as ``materialize_graph`` (same shared bucket count)
     without two Ray executions."""
-    import os
     import zlib
 
     import pyarrow.parquet as pq
@@ -219,8 +242,16 @@ def run_pipeline_streamed(
     tagger_args: tuple = (),
     concurrency: Any = (1, 8),
     batch_size: int = 2048,
+    stage_dir: str | None = None,
 ) -> dict[str, Dataset]:
-    """One corpus pass; returns {"nodes", "edges"} Datasets."""
+    """One corpus pass; returns {"nodes", "edges"} Datasets.
+
+    Large inputs stage the fixed-width partials to ``stage_dir`` (default:
+    ``<out_dir>/_stage/partials``, else a fresh /tmp dir) via a streaming
+    ``write_parquet`` — the one-pass checkpoint between census and edge
+    finalize. The stage is left on disk (the returned edges Dataset reads
+    from it lazily); callers may delete it after consuming the graph.
+    """
     transcripts = read_transcripts(transcripts_path)
     partials = transcripts.map_batches(
         FusedAnnotator,
@@ -228,13 +259,31 @@ def run_pipeline_streamed(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-    ).materialize()  # vocabulary+edge-count sized, NOT corpus sized
+    )
 
-    if partials.count() <= SMALL_PARTIALS_MAX:
+    if transcripts.count() <= SMALL_INPUT_TURNS_MAX:  # metadata-only count
         return _finalize_small(partials, out_dir)
 
+    if stage_dir is None:
+        if out_dir is not None:
+            stage_dir = os.path.join(out_dir, "_stage", "partials")
+        else:
+            stage_dir = tempfile.mkdtemp(prefix="neuroner_streamed_stage_")
+    shutil.rmtree(stage_dir, ignore_errors=True)  # stale stage files pollute reads
+    os.makedirs(stage_dir, exist_ok=True)
+    partials.write_parquet(stage_dir)  # streaming consumption of the one pass
+    if not any(f.endswith(".parquet") for f in os.listdir(stage_dir)):
+        # mention-free corpus: Ray skips empty blocks, leaving a schema-less
+        # stage — pin the typed empty so the re-reads keep their schema
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            _PARTIAL_SCHEMA.empty_table(), os.path.join(stage_dir, "empty.parquet")
+        )
+
     census = (
-        partials.filter(expr="kind == 'c'")
+        rd.read_parquet(stage_dir, columns=["kind", "ent_type", "surface", "n"])
+        .filter(expr="kind == 'c'")
         .select_columns(["ent_type", "surface", "n"])
         .groupby(["ent_type", "surface"])
         .aggregate(Sum("n", alias_name="mention_count"))
@@ -247,32 +296,48 @@ def run_pipeline_streamed(
     mapping = canonical_map(nodes)
     map_ref = ray.put(mapping)
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def resolve_instances(batch: pa.Table) -> pa.Table:
         m = ray.get(map_ref)
-        src = [
-            resolve_entity_id(m, st, s)
-            for s, st in zip(batch["s_surf"].to_pylist(), batch["s_type"].to_pylist())
-        ]
-        dst = [
-            resolve_entity_id(m, ot, o)
-            for o, ot in zip(batch["o_surf"].to_pylist(), batch["o_type"].to_pylist())
-        ]
+        # within-batch dedup after resolution; exact cross-batch dedup is
+        # the groupby below (read batches need not respect turn boundaries)
+        out = set()
+        for s, st, p, o, ot, c, t in zip(
+            batch["s_surf"].to_pylist(),
+            batch["s_type"].to_pylist(),
+            batch["pred"].to_pylist(),
+            batch["o_surf"].to_pylist(),
+            batch["o_type"].to_pylist(),
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+        ):
+            out.add(
+                (resolve_entity_id(m, st, s), resolve_entity_id(m, ot, o), p, c, int(t))
+            )
+        rows = sorted(out)
         return pa.table(
             {
-                "src_id": pa.array(src, pa.string()),
-                "dst_id": pa.array(dst, pa.string()),
-                "pred": batch["pred"],
-                "weight": batch["weight"],
-                "provenance": batch["provenance"],
+                "src_id": pa.array([r[0] for r in rows], pa.string()),
+                "dst_id": pa.array([r[1] for r in rows], pa.string()),
+                "pred": pa.array([r[2] for r in rows], pa.string()),
+                "conv_id": pa.array([r[3] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[4] for r in rows], pa.int64()),
             }
         )
 
-    edges = (
-        partials.filter(expr="kind == 'e'")
-        .map_batches(finalize, batch_format="pyarrow")
-        .groupby(["src_id", "dst_id", "pred"])
-        .map_groups(_merge_edge_partials_exact, batch_format="pandas")
+    resolved = (
+        rd.read_parquet(stage_dir, columns=["kind"] + _INSTANCE_COLS)
+        .filter(expr="kind == 'e'")
+        .select_columns(_INSTANCE_COLS)
+        .map_batches(resolve_instances, batch_format="pyarrow")
     )
+    # exact O5 turn dedup: surface variants of one canonical triple in the
+    # same turn are identical 5-tuples — one count-distinct shuffle of
+    # fixed-width rows removes them; aggregate_edges then map-combines and
+    # merges edge-count-sized partials (second, small shuffle)
+    distinct = resolved.groupby(
+        ["src_id", "dst_id", "pred", "conv_id", "turn_idx"]
+    ).aggregate(Count())
+    edges = aggregate_edges(distinct)
     out = {"nodes": nodes, "edges": edges}
     if out_dir is not None:
         materialize_graph(nodes, edges, out_dir)

@@ -217,28 +217,6 @@ def _edge_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_edge_partials_exact(group: pd.DataFrame) -> pd.DataFrame:
-    """Merge partials whose ``provenance`` is the FULL distinct (conv, turn)
-    set (streamed pipeline): dedup across partials — two surface variants of
-    one canonical triple in the SAME turn must count once (O5) — then cap
-    the output sample."""
-    seen: set[tuple[str, int]] = set()
-    for p in group["provenance"]:
-        seen.update((x["conv_id"], int(x["turn_idx"])) for x in p)
-    prov = [
-        {"conv_id": c, "turn_idx": t} for c, t in sorted(seen)[:PROVENANCE_CAP]
-    ]
-    return pd.DataFrame(
-        {
-            "src_id": [group["src_id"].iloc[0]],
-            "dst_id": [group["dst_id"].iloc[0]],
-            "pred": [group["pred"].iloc[0]],
-            "weight": [len(seen)],
-            "provenance": [prov],
-        }
-    )
-
-
 def _merge_edge_partials(group: pd.DataFrame) -> pd.DataFrame:
     prov: list[dict] = []
     for p in group["provenance"]:

@@ -45,10 +45,34 @@ def test_streamed_distributed_finalize_equals_driver(tpath, monkeypatch):
     import neuroner_ray.pipelines.kg_streamed as ks
 
     driver = run_pipeline_streamed(tpath)
-    monkeypatch.setattr(ks, "SMALL_PARTIALS_MAX", 0)
+    monkeypatch.setattr(ks, "SMALL_INPUT_TURNS_MAX", 0)
     dist = run_pipeline_streamed(tpath)
     assert _nodes_norm(driver["nodes"]).equals(_nodes_norm(dist["nodes"]))
     assert _edges_norm(driver["edges"]).equals(_edges_norm(dist["edges"]))
+
+
+def test_partial_schema_is_fixed_width():
+    """The 100-TB guarantee: partials are slim fixed-width rows — no nested
+    / list payloads that could grow with corpus size (VERDICT r2 #1)."""
+    import pyarrow.types as pt
+
+    from neuroner_ray.pipelines.kg_streamed import _PARTIAL_SCHEMA
+
+    for field in _PARTIAL_SCHEMA:
+        assert not pt.is_nested(field.type), field
+
+
+def test_streamed_source_never_materializes_partials():
+    """The corpus-pass output must stream (to the driver or to the disk
+    stage), never pin in the object store: no `.materialize()` call may
+    touch the partials dataset in run_pipeline_streamed."""
+    import inspect
+
+    import neuroner_ray.pipelines.kg_streamed as ks
+
+    src = inspect.getsource(ks.run_pipeline_streamed)
+    assert "partials.materialize" not in src
+    assert "resolved.materialize" not in src
 
 
 def test_same_turn_alias_variants_dedup_to_one_edge(tmp_path):
@@ -123,3 +147,36 @@ def test_streamed_handles_edge_free_and_mention_free_corpora(tmp_path):
         streamed = run_pipeline_streamed(str(d))
         assert streamed["nodes"].count() == classic["nodes"].count(), name
         assert streamed["edges"].count() == classic["edges"].count(), name
+
+
+def test_streamed_distributed_handles_degenerate_corpora(tmp_path, monkeypatch):
+    """The staged (large-input) path must survive edge-free and mention-free
+    corpora too — empty filtered reads flow into groupbys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import neuroner_ray.pipelines.kg_streamed as ks
+
+    monkeypatch.setattr(ks, "SMALL_INPUT_TURNS_MAX", 0)
+    cases = {
+        "edge_free": ["Alice Johnson said hello .", "Paris is lovely ."],
+        "mention_free": ["nothing to see here .", "entirely plain text ."],
+    }
+    expected_nodes = {"edge_free": 2, "mention_free": 0}
+    for name, texts in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        tab = pa.table(
+            {
+                "conv_id": pa.array(["c0"] * len(texts), pa.string()),
+                "turn_idx": pa.array(range(len(texts)), pa.int32()),
+                "role": pa.array(["user"] * len(texts), pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "tool": pa.array([""] * len(texts), pa.string()),
+                "ts": pa.array([0] * len(texts), pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tab, str(d / "part-0.parquet"))
+        streamed = run_pipeline_streamed(str(d))
+        assert streamed["nodes"].count() == expected_nodes[name], name
+        assert streamed["edges"].count() == 0, name
