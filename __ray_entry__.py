@@ -398,7 +398,8 @@ def oracle_sql() -> dict[str, str]:
             -- printf('%06d') pads but never truncates (lpad would truncate
             -- ids beyond 6 digits, diverging from Python's f"m{id:06d}")
             SELECT 'm' || printf('%06d', doc_id) AS media_id,
-                   least(greatest((1000 + (strlen(text) % 5) * 1000), 1000)
+                   least(greatest((1000 + (strlen(coalesce(text, '')) % 5) * 1000),
+                                  1000)
                          // 1000 * 2, 32)::BIGINT AS n_frames
             FROM documents
         """,

@@ -708,7 +708,17 @@ def lineitem_price_bands(sf_dir: str) -> Dataset:
     )
 
 
-def events_purchase_last_click(sf_dir: str) -> Dataset:
+_ASOF_EMPTY = {
+    "event_id": pd.Series([], dtype="int64"),
+    "user_id": pd.Series([], dtype="int64"),
+    "ts": pd.Series([], dtype="datetime64[us]"),
+    "last_click_ts": pd.Series([], dtype="datetime64[us]"),
+}
+
+
+def events_purchase_last_click(
+    sf_dir: str, time_bucket_hours: float | None = None
+) -> Dataset:
     """AS-OF join (custom operator class the Dataset API lacks): each
     purchase event matched to the user's most recent STRICTLY-earlier click.
 
@@ -716,9 +726,13 @@ def events_purchase_last_click(sf_dir: str) -> Dataset:
     read (nothing else enters the shuffle), ONE groupby on the reused
     partitioning key (user_id), and the within-group match is a vectorized
     ``np.searchsorted`` merge over the ts-sorted arrays — no per-row loop,
-    no driver work. Partitioning assumption: one user's two-type event
-    history fits a task (salt/two-level like sessionize if a user is
-    pathological)."""
+    no driver work. Partitioning assumption (default path): one user's
+    two-type event history fits a task. Pass ``time_bucket_hours`` for the
+    sessionize-style two-level variant: matching runs within
+    (user, time-bucket) groups — bounding any reduce task by one bucket —
+    and the per-user merge sees only per-bucket last-click SUMMARIES plus
+    the purchases that precede their bucket's first click (resolved against
+    earlier buckets' summaries; identical output, equivalence-tested)."""
     ev = rd.read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     ).map_batches(
@@ -726,34 +740,156 @@ def events_purchase_last_click(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"].sort_values("ts")
-        buys = g[g["event_type"] == "purchase"].sort_values("ts")
-        if clicks.empty or buys.empty:
-            # typed empty: untyped {} would emit float64 blocks that clash
-            # with the int64/datetime64 schema of non-empty groups
+    if time_bucket_hours is None:
+
+        def asof(g: pd.DataFrame) -> pd.DataFrame:
+            clicks = g[g["event_type"] == "click"].sort_values("ts")
+            buys = g[g["event_type"] == "purchase"].sort_values("ts")
+            if clicks.empty or buys.empty:
+                # typed empty: untyped {} would emit float64 blocks that
+                # clash with the int64/datetime64 schema of non-empty groups
+                return pd.DataFrame(_ASOF_EMPTY)
+            cts = clicks["ts"].to_numpy()
+            idx = np.searchsorted(cts, buys["ts"].to_numpy(), side="left") - 1
+            keep = idx >= 0
+            buys = buys[keep]
             return pd.DataFrame(
                 {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "last_click_ts": pd.Series([], dtype="datetime64[us]"),
+                    "event_id": buys["event_id"].to_numpy(),
+                    "user_id": buys["user_id"].to_numpy(),
+                    "ts": buys["ts"].to_numpy(),
+                    "last_click_ts": cts[idx[keep]],
                 }
             )
-        cts = clicks["ts"].to_numpy()
-        idx = np.searchsorted(cts, buys["ts"].to_numpy(), side="left") - 1
-        keep = idx >= 0
-        buys = buys[keep]
-        return pd.DataFrame(
-            {
-                "event_id": buys["event_id"].to_numpy(),
-                "user_id": buys["user_id"].to_numpy(),
-                "ts": buys["ts"].to_numpy(),
-                "last_click_ts": cts[idx[keep]],
-            }
+
+        return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+    # ---- two-level skew path (mirrors sessions.sessionize) -----------------
+    bucket_us = int(time_bucket_hours * 3_600_000_000)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        return t.append_column(
+            "tbucket", pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64())
         )
 
-    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+    _PARTIAL_EMPTY = {
+        "user_id": pd.Series([], dtype="int64"),
+        "kind": pd.Series([], dtype=object),
+        "event_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "last_click_ts": pd.Series([], dtype="datetime64[us]"),
+    }
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        """One (user, bucket): in-bucket matches ("m"), purchases preceding
+        the bucket's first click ("u", resolved at merge), and the bucket's
+        last-click summary ("c"). A purchase after any in-bucket click always
+        matches in-bucket — earlier buckets' clicks are strictly older — so
+        "u" rows are exactly the pre-first-click purchases of the bucket."""
+        uid = g["user_id"].iloc[0]
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        buys = g[g["event_type"] == "purchase"].sort_values("ts")
+        frames = []
+        if not clicks.empty:
+            last = clicks["ts"].iloc[-1]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pd.Series([uid], dtype="int64"),
+                        "kind": ["c"],
+                        "event_id": pd.Series([-1], dtype="int64"),
+                        "ts": pd.Series([last], dtype="datetime64[us]"),
+                        "last_click_ts": pd.Series([last], dtype="datetime64[us]"),
+                    }
+                )
+            )
+        if not buys.empty:
+            bts = buys["ts"].to_numpy()
+            if clicks.empty:
+                idx = np.full(len(buys), -1)
+                cts = np.array([], dtype=bts.dtype)
+            else:
+                cts = clicks["ts"].to_numpy()
+                idx = np.searchsorted(cts, bts, side="left") - 1
+            m = idx >= 0
+            if m.any():
+                mb = buys[m]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": mb["user_id"].to_numpy(),
+                            "kind": "m",
+                            "event_id": mb["event_id"].to_numpy(),
+                            "ts": mb["ts"].to_numpy(),
+                            "last_click_ts": cts[idx[m]],
+                        }
+                    )
+                )
+            if (~m).any():
+                ub = buys[~m]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": ub["user_id"].to_numpy(),
+                            "kind": "u",
+                            "event_id": ub["event_id"].to_numpy(),
+                            "ts": ub["ts"].to_numpy(),
+                            "last_click_ts": pd.Series(
+                                [pd.NaT] * len(ub), dtype="datetime64[us]"
+                            ).to_numpy(),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(_PARTIAL_EMPTY)
+        return pd.concat(frames, ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-user merge over partials: matched rows pass through; each
+        unresolved purchase takes the newest bucket-summary click strictly
+        before it (all clicks of earlier buckets ARE strictly before it, and
+        its own/later buckets' summaries are >= it, so the summary array
+        alone is sufficient)."""
+        matched = g[g["kind"] == "m"]
+        frames = [
+            pd.DataFrame(
+                {
+                    "event_id": matched["event_id"].to_numpy(),
+                    "user_id": matched["user_id"].to_numpy(),
+                    "ts": matched["ts"].to_numpy(),
+                    "last_click_ts": matched["last_click_ts"].to_numpy(),
+                }
+            )
+        ]
+        un = g[g["kind"] == "u"]
+        if not un.empty:
+            summ = np.sort(g[g["kind"] == "c"]["ts"].to_numpy())
+            idx = np.searchsorted(summ, un["ts"].to_numpy(), side="left") - 1
+            keep = idx >= 0
+            uu = un[keep]
+            if len(uu):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": uu["event_id"].to_numpy(),
+                            "user_id": uu["user_id"].to_numpy(),
+                            "ts": uu["ts"].to_numpy(),
+                            "last_click_ts": summ[idx[keep]],
+                        }
+                    )
+                )
+        out = pd.concat(frames, ignore_index=True)
+        if out.empty:
+            return pd.DataFrame(_ASOF_EMPTY)
+        return out
+
+    partials = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "tbucket"])
+        .map_groups(partial, batch_format="pandas")
+    )
+    return partials.groupby("user_id").map_groups(merge, batch_format="pandas")
 
 
 QUANTILES = (0.25, 0.5, 0.75)

@@ -26,6 +26,7 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
+from ray.data.aggregate import Count as AggCount
 
 from ..functions.minhash import (
     band_keys,
@@ -219,13 +220,12 @@ def ngram_jaccard_pairs(
     1. band rows carry ONLY (id, block) → per-block candidate id pairs,
        deduped across bands. Band rows are a few bytes each; the old design
        carried the full text in every band row (16 copies/doc).
-    2. exact verify joins the candidate ids back to their shingle sets:
-       one map-only corpus pass computes shingles for candidate ids only
-       (semi-join via broadcast id set), then the candidate shingle table —
-       bounded by the candidate set, NOT the corpus — is broadcast via
-       ``ray.put`` and each pair verified map-side. (A two-sided hash join
-       would also work; Ray 2.49's join operator rejects empty partitions
-       on small inputs, so the broadcast path is used for both scales.)
+    2. exact verify joins the candidate ids back to their shingle sets,
+       size-adaptively: under ``NGRAM_BROADCAST_MAX_PAIRS`` candidates the
+       shingle table (candidate-bounded, NOT corpus-bounded) is broadcast
+       via ``ray.put`` and each pair verified map-side; above it, a fully
+       distributed hash-join path (``_verify_pairs_join``) keeps every
+       candidate-scale structure off the driver.
     Ids are zero-padded strings inside the blocking so lexicographic order
     == numeric order → emitted pairs always have a < b numerically.
     """
@@ -277,24 +277,57 @@ def ngram_jaccard_pairs(
         .map_batches(_norm_pairs, batch_format="pandas")
         .materialize()  # candidate-pair-sized (output-bounded), not corpus
     )
-    PAIRS_SCHEMA = pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("jac", pa.float64())]
-    )
+    n_pairs = cand.count()
+    if n_pairs == 0:  # no near-dup candidates → typed empty (stable schema)
+        import ray.data as rd
+
+        return rd.from_arrow(_PAIRS_SCHEMA.empty_table())
+    if n_pairs <= NGRAM_BROADCAST_MAX_PAIRS:
+        return _verify_pairs_broadcast(cand, docs, id_col, text_col, shingle_k, threshold)
+    return _verify_pairs_join(cand, docs, id_col, text_col, shingle_k, threshold)
+
+
+_PAIRS_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jac", pa.float64())]
+)
+
+# Candidate pairs under which the verify broadcasts a driver-built shingle
+# dict (each avoided shuffle ≈ seconds of setup); above it, the fully
+# distributed join path — nothing candidate-scale touches the driver.
+NGRAM_BROADCAST_MAX_PAIRS = 1_000_000
+
+# '\n' is whitespace, which the token pattern excludes from BOTH of its
+# alternatives — so it can never appear inside a shingle (unlike \x1f,
+# which the punctuation alternative WOULD emit as a token). Shingles are
+# serialized to one string so they stay a flat string column / dict value.
+_SHINGLE_SEP = "\n"
+
+
+def _shingle_str(text: str | None, shingle_k: int) -> str:
+    toks = [t for t, _, _ in tokenize_text((text or "").lower())]
+    return _SHINGLE_SEP.join(sorted(word_shingles(toks, shingle_k)))
+
+
+def _split_shingles(s) -> set:
+    return set(s.split(_SHINGLE_SEP)) if isinstance(s, str) and s else set()
+
+
+def _verify_pairs_broadcast(
+    cand: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+) -> Dataset:
+    """Small-candidate-set verify: broadcast the candidate id set, compute
+    shingles for candidate docs in one map-only corpus pass, broadcast the
+    (candidate-bounded) shingle dict, verify each pair map-side."""
     cand_ids: set[str] = set()
     for t in cand.iter_batches(batch_format="pyarrow"):
         cand_ids.update(t["a"].to_pylist())
         cand_ids.update(t["b"].to_pylist())
-    if not cand_ids:  # no near-dup candidates → typed empty (stable schema)
-        import ray.data as rd
-
-        return rd.from_arrow(PAIRS_SCHEMA.empty_table())
     ids_ref = ray.put(frozenset(cand_ids))
-
-    # '\n' is whitespace, which the token pattern excludes from BOTH of its
-    # alternatives — so it can never appear inside a shingle (unlike \x1f,
-    # which the punctuation alternative WOULD emit as a token). Shingles are
-    # serialized to one string because the broadcast dict stores them flat.
-    SEP = "\n"
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
         members = ray.get(ids_ref)
@@ -303,9 +336,8 @@ def ngram_jaccard_pairs(
             key = _id_key(did)
             if key not in members:
                 continue
-            toks = [t for t, _, _ in tokenize_text((text or "").lower())]
             out_id.append(key)
-            out_sh.append(SEP.join(sorted(word_shingles(toks, shingle_k))))
+            out_sh.append(_shingle_str(text, shingle_k))
         return pa.table(
             {
                 "id": pa.array(out_id, pa.string()),
@@ -324,11 +356,7 @@ def ngram_jaccard_pairs(
         sm: dict[str, str] = ray.get(sh_ref)
         a_out, b_out, jac_out = [], [], []
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            sa, sb = sm.get(a, ""), sm.get(b, "")
-            jv = jaccard(
-                set(sa.split(SEP)) if sa else set(),
-                set(sb.split(SEP)) if sb else set(),
-            )
+            jv = jaccard(_split_shingles(sm.get(a)), _split_shingles(sm.get(b)))
             if jv >= threshold:
                 a_out.append(int(a))
                 b_out.append(int(b))
@@ -342,6 +370,110 @@ def ngram_jaccard_pairs(
         )
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_pairs_join(
+    cand: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+) -> Dataset:
+    """Large-candidate-set verify, fully distributed — no driver-side
+    collection of ids or shingles (VERDICT r2 #2):
+
+    1. distinct candidate ids as a Dataset (pair explode + groupby dedup)
+    2. hash-join the (id, text) corpus against the id set — the inner join
+       IS the semi-join; corpus text moves through one shuffle, which is
+       the price of exact verify without driver state
+    3. explode pairs to (pair, id) sides, join to candidate shingles,
+       groupby(pair) computes exact Jaccard with both sides in hand
+    """
+    from ..runtime.partitions import join_partitions
+
+    def explode_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": pa.array(t["a"].to_pylist() + t["b"].to_pylist(), pa.string())}
+        )
+
+    ids_ds = (
+        cand.map_batches(explode_ids, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(AggCount())
+        .select_columns(["id"])
+    )
+
+    def keyed_shingles(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array(
+                    [_id_key(v) for v in batch[id_col].to_pylist()], pa.string()
+                ),
+                "sh": pa.array(
+                    [
+                        _shingle_str(text, shingle_k)
+                        for text in batch[text_col].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    sh_cand = docs.map_batches(keyed_shingles, batch_format="pyarrow").join(
+        ids_ds, join_type="inner", num_partitions=join_partitions(64), on=("id",)
+    )
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        pair = [f"{x}|{y}" for x, y in zip(a, b)]
+        return pa.table(
+            {
+                "pair": pa.array(pair + pair, pa.string()),
+                "id": pa.array(a + b, pa.string()),
+            }
+        )
+
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    # left_outer: a candidate id missing from the corpus keeps its pair row
+    # (empty shingle set) instead of silently dropping the pair
+    joined = sides.join(
+        sh_cand, join_type="left_outer", num_partitions=join_partitions(64), on=("id",)
+    )
+
+    def pair_jac(g: pd.DataFrame) -> pd.DataFrame:
+        shs = [_split_shingles(v) for v in g["sh"]]
+        jv = jaccard(shs[0], shs[1]) if len(shs) == 2 else 0.0
+        if jv >= threshold:
+            a_s, b_s = g["pair"].iloc[0].split("|")
+            return pd.DataFrame(
+                {
+                    "a": [int(a_s)],
+                    "b": [int(b_s)],
+                    "jac": [float(round_half_away(jv))],
+                }
+            )
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "jac": pd.Series([], dtype="float64"),
+            }
+        )
+
+    out = joined.groupby("pair").map_groups(pair_jac, batch_format="pandas")
+
+    def _pin(df: pd.DataFrame) -> pa.Table:  # schema-stable over empty frames
+        return pa.table(
+            {
+                "a": pa.array(df["a"] if "a" in df else [], pa.int64()),
+                "b": pa.array(df["b"] if "b" in df else [], pa.int64()),
+                "jac": pa.array(df["jac"] if "jac" in df else [], pa.float64()),
+            }
+        )
+
+    return out.map_batches(_pin, batch_format="pandas")
 
 
 # ------------------------------------------------------- embedding cosine

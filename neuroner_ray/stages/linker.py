@@ -242,11 +242,15 @@ def salt_hot_blocks(
     shuffle": a block with n > threshold members is split into
     g = ceil(n / threshold) hash groups; every unordered group pair
     (gi <= gj) becomes a sub-block key, and a member of group gx is emitted
-    under exactly the g keys involving gx. Every original member pair lands
-    in exactly one sub-block → ZERO recall loss, while per-task work drops
-    from O(n²) to O(threshold²) per sub-block. ``g`` is bounded by
-    SALT_GROUPS_MAX (fan-out is g rows/member); beyond that the per-block
-    cap in ``_pairs_in_block`` remains the recorded safety valve.
+    under exactly the g keys involving gx. A cross-group pair co-occurs in
+    exactly sub-block (gi, gj); a same-group pair co-occurs in every
+    sub-block involving gx, so ``_pairs_in_block`` processes same-group
+    pairs ONLY in the diagonal (gx, gx) sub-block (via the ``grp`` column)
+    — each pair is therefore checked exactly once → ZERO recall loss and no
+    duplicated match work, while per-task cost drops from O(n²) to
+    O(threshold²) per sub-block. ``g`` is bounded by SALT_GROUPS_MAX
+    (fan-out is g rows/member); beyond that the per-block cap in
+    ``_pairs_in_block`` remains the recorded safety valve.
 
     Pure function over the blocked (block, node, norm) table — shared by
     the driver-local and distributed linking paths so they stay equivalent.
@@ -256,6 +260,7 @@ def salt_hot_blocks(
     out_block: list[str] = []
     out_node: list[str] = []
     out_norm: list[str] = []
+    out_grp: list[int] = []
     for blk, node, norm in zip(
         blocked["block"].to_pylist(),
         blocked["node"].to_pylist(),
@@ -266,6 +271,7 @@ def salt_hot_blocks(
             out_block.append(blk)
             out_node.append(node)
             out_norm.append(norm)
+            out_grp.append(-1)
             continue
         g = min(-(-n // threshold), SALT_GROUPS_MAX)
         gx = zlib.crc32(node.encode("utf-8")) % g
@@ -274,11 +280,13 @@ def salt_hot_blocks(
             out_block.append(f"{blk}#s{gi}.{gj}")
             out_node.append(node)
             out_norm.append(norm)
+            out_grp.append(gx)
     return pa.table(
         {
             "block": pa.array(out_block, pa.string()),
             "node": pa.array(out_node, pa.string()),
             "norm": pa.array(out_norm, pa.string()),
+            "grp": pa.array(out_grp, pa.int32()),
         }
     )
 
@@ -290,10 +298,26 @@ def _pairs_in_block(group: pd.DataFrame, cap: int) -> pd.DataFrame:
         g = g.head(cap)
     nodes = g["node"].to_numpy()
     pre = [precompute_surface(n) for n in g["norm"]]  # once per member
+    # in a MIXED salted sub-block (gi != gj), same-group pairs are handled
+    # by their diagonal (gx, gx) sub-block — skip them here so each pair is
+    # checked exactly once (grp is -1 for unsalted rows → never skipped)
+    blk = str(group["block"].iloc[0]) if len(group) else ""
+    mixed = False
+    if "#s" in blk:
+        gi, gj = blk.rsplit("#s", 1)[1].split(".")
+        mixed = gi != gj
+    grps = g["grp"].to_numpy() if "grp" in g.columns else None
     a_out: list[str] = []
     b_out: list[str] = []
     for i in range(len(nodes)):
         for j in range(i + 1, len(nodes)):
+            if (
+                mixed
+                and grps is not None
+                and grps[i] >= 0
+                and grps[i] == grps[j]
+            ):
+                continue
             if link_match_pre(pre[i], pre[j]):
                 a_out.append(nodes[i])
                 b_out.append(nodes[j])
@@ -312,8 +336,9 @@ def candidate_pairs(
     vocabulary-sized blocked table finds blocks above ``salt_threshold``
     (default cap/4, so sub-blocks stay under the cap), and their members
     are re-keyed into group-pair sub-blocks — all pairs still meet, no
-    single reduce task explodes. Pairs may repeat across bands and (for
-    same-group members of salted blocks, ≤2× work) across sub-blocks; the
+    single reduce task explodes, and each pair is checked in exactly one
+    sub-block (same-group pairs only on the diagonal — see
+    ``salt_hot_blocks``). Pairs may still repeat across bands; the
     downstream min-label propagation is idempotent so duplicates only cost
     bytes. The per-block cap stays as the recorded safety valve for blocks
     beyond SALT_GROUPS_MAX × threshold.

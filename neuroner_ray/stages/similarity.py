@@ -325,9 +325,9 @@ def brute_force_topk_many(
             mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            # round before the local top-k (oracle tie-break safety) and
-            # keep a 2k margin so rounded ties at the cut survive to the
-            # exact per-query global sort
+            # round before the local top-k (oracle tie-break safety); the
+            # local cut is exact because it uses the same (cos DESC, id ASC)
+            # total order as the global per-query sort — no margin needed
             cos = round_half_away((mat / norms[:, None]) @ self.Q.T)  # [N, Qn]
             qi_out, id_out, cos_out = [], [], []
             for qi in range(cos.shape[1]):

@@ -78,6 +78,41 @@ def test_ngram_jaccard_pairs_exact_verify():
     assert got == 1.0  # exact dup → jaccard exactly 1
 
 
+def test_ngram_jaccard_join_path_equals_broadcast(monkeypatch):
+    """The distributed verify (no driver-side id/shingle collection) must
+    produce exactly the broadcast path's pairs.
+
+    Needs a corpus with enough candidate ids to populate every hash-join
+    partition — Ray 2.49's join operator rejects empty partitions (NOTES),
+    which cannot occur at the >1M-pair scale where this path engages.
+    """
+    import neuroner_ray.stages.dedup as dd
+
+    words = [f"w{i}" for i in range(12)]
+    rows = []
+    for g in range(30):  # 30 near-dup pairs → 60 candidate ids
+        base = " ".join(words[(g + k) % 12] for k in range(12)) + f" grp{g}"
+        rows.append({"doc_id": 2 * g, "text": base})
+        rows.append({"doc_id": 2 * g + 1, "text": base + " tail"})
+    docs = rd.from_items(rows)
+
+    broadcast = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(broadcast) >= 30
+    monkeypatch.setattr(dd, "NGRAM_BROADCAST_MAX_PAIRS", 0)
+    joined = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert broadcast.equals(joined), (broadcast, joined)
+
+
 def test_embedding_cosine_dedup():
     rng = np.random.RandomState(0)
     v = rng.randn(8)

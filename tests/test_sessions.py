@@ -79,3 +79,69 @@ def test_two_level_sessionize_equals_single_pass():
         .reset_index(drop=True)
     )
     assert a.equals(b), (a.head(), b.head())
+
+
+def test_two_level_asof_join_equals_single_pass(tmp_path):
+    """events_purchase_last_click(time_bucket_hours=...) — the skew-bounded
+    two-level as-of join — must equal the single-shuffle path, including a
+    planted hot user and purchase-only / click-only users."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_purchase_last_click
+
+    rng = np.random.RandomState(11)
+    base = 1_700_000_000_000_000  # us
+    eid = 0
+    uids, etypes, tss, eids = [], [], [], []
+
+    def add(uid, etype, t):
+        nonlocal eid
+        uids.append(uid)
+        etypes.append(etype)
+        tss.append(t)
+        eids.append(eid)
+        eid += 1
+
+    # hot user 1: 2000 events over many 6h buckets; long purchase-only runs
+    # (pre-first-click purchases in their buckets) interleaved with clicks
+    t = base
+    for i in range(2000):
+        t += int(rng.choice([300, 3600, 25000]) * 1e6)
+        add(1, "click" if rng.rand() < 0.2 else "purchase", t)
+    # user 2: purchases before any click ever (dropped), then one click+buy
+    add(2, "purchase", base + 10**6)
+    add(2, "click", base + 3 * 10**6)
+    add(2, "purchase", base + 4 * 10**6)
+    # user 3: clicks only; user 4: purchases only (all dropped)
+    add(3, "click", base + 10**6)
+    add(4, "purchase", base + 10**6)
+    # user 5: purchase exactly at click ts (strictly-earlier ⇒ no match)
+    add(5, "click", base + 10**6)
+    add(5, "purchase", base + 10**6)
+
+    tab = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(etypes, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+
+    single = (
+        events_purchase_last_click(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    two_level = (
+        events_purchase_last_click(str(tmp_path), time_bucket_hours=6.0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(single) > 100
+    assert single.equals(two_level), (single.head(), two_level.head())
