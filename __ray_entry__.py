@@ -190,6 +190,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard_pairs": do.doc_ngram_jaccard_pairs_sql(),
         "embedding_near_dup": do.embedding_near_dup_sql(),
         "similarity_topk_lsh": do.similarity_topk_sql(),
+        "similarity_topk_ivf": do.similarity_topk_ivf_sql(oracle_sf),
+        "media_image_features": do.media_image_features_sql(),
         "kg_mentions": ko.kg_mentions_sql(tglob),
         "kg_triples": ko.kg_triples_sql(tglob),
         "kg_nodes": ko.kg_nodes_sql(tglob),

@@ -245,3 +245,83 @@ def similarity_topk_sql(k: int = 10, query_vec_id: int = 0) -> str:
         FROM embeddings e WHERE e.vec_id <> {query_vec_id}
         ORDER BY cos DESC, vec_id ASC LIMIT {k}
     """
+
+
+def media_image_features_sql() -> str:
+    """Mirrors the fake image codec + pixel-sum summary term-for-term:
+    ``DeterministicFakeCodec.decode_image`` pixels are
+    (u % 2^32 + j·((u >> 32) | 1)) % 256 for j in 0..767 (16×16×3 C order),
+    u = first 8 md5 bytes little-endian (DuckDB ``md5_number_upper``);
+    feat_dim = 192 (the 8×8×3 pooled grid), feat_mean =
+    round(px_sum / (768·255), 6) — equal to the mean of the equal-sized
+    2×2-block pooled features, computed from the exact integer pixel sum."""
+    return """
+        WITH p AS (
+            SELECT doc_id, md5_number_upper(coalesce(text, '')) AS u
+            FROM documents
+        ),
+        pr AS (
+            SELECT doc_id,
+                   (u % 4294967296)::BIGINT AS strt,
+                   ((u >> 32) | 1)::BIGINT AS step
+            FROM p
+        ),
+        px AS (
+            SELECT doc_id, sum((strt + g.j * step) % 256) AS s
+            FROM pr CROSS JOIN (SELECT unnest(range(0, 768)) AS j) g
+            GROUP BY doc_id
+        )
+        SELECT 'm' || printf('%06d', doc_id) AS media_id,
+               192::BIGINT AS feat_dim,
+               round(s / 195840.0, 6) AS feat_mean
+        FROM px
+    """
+
+
+def similarity_topk_ivf_sql(
+    sf_dir: str = "/root/testdata/sf0.01", k: int = 10, query_vec_id: int = 0
+) -> str:
+    """IVF-flat ANN oracle. The index is deterministic (fixed k-means seed,
+    prefix sample, argmin assignment), so this builder recomputes the probed
+    candidate-id set locally with pure numpy — no Ray, no shared search code
+    — and DuckDB then independently computes the exact cosine top-k over
+    those candidates from the real table. The id list is bound to ``sf_dir``
+    (the driver compares at sf0.01; pass GRAFT_ORACLE_SF_DIR elsewhere)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import kmeans_centroids
+    from .queries import IVF_LISTS, IVF_NPROBE, IVF_SAMPLE
+
+    tab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(tab["embedding"].to_pylist(), dtype=np.float64)
+    cent = kmeans_centroids(mat[:IVF_SAMPLE], k=IVF_LISTS)
+    assign = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    q = mat[ids == query_vec_id][0]
+    probe = set(
+        np.argsort(((q[None, :] - cent) ** 2).sum(axis=1))[:IVF_NPROBE].tolist()
+    )
+    cand = sorted(
+        int(i)
+        for i, a in zip(ids, assign)
+        if int(a) in probe and int(i) != query_vec_id
+    )
+    if not cand:
+        raise ValueError(f"IVF oracle: empty candidate set for {sf_dir}")
+    id_list = ", ".join(str(i) for i in cand)
+    return f"""
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[],
+                   (SELECT embedding FROM embeddings
+                    WHERE vec_id = {query_vec_id})::DOUBLE[]
+               ), 4) AS cos
+        FROM embeddings e
+        WHERE e.vec_id IN ({id_list})
+        ORDER BY cos DESC, vec_id ASC LIMIT {k}
+    """

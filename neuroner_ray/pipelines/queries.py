@@ -596,9 +596,19 @@ def doc_rolling_fp(sf_dir: str) -> Dataset:
     return docs.map_batches(fp, batch_format="pyarrow")
 
 
+# IVF index configuration — shared with the oracle builder
+# (doc_oracle.similarity_topk_ivf_sql recomputes the same deterministic
+# index locally, so the two must agree on these)
+IVF_LISTS = 16
+IVF_NPROBE = 6
+IVF_SAMPLE = 2000
+
+
 def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
     """IVF-flat ANN variant: k-means coarse quantizer (trained on a sample),
-    nearest-list probing — rows-only (approximate).
+    nearest-list probing. Deterministic (fixed seed + prefix sample), so the
+    oracle recomputes the probed candidate set locally and DuckDB verifies
+    the exact cosine top-k over it (``doc_oracle.similarity_topk_ivf_sql``).
 
     Scale shape: centroids train on a STREAMED prefix sample
     (``ds.limit(2000)`` reads only the blocks it needs) and the query vector
@@ -609,10 +619,10 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
 
     emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     sample_tab = pa.concat_tables(
-        list(emb.limit(2000).iter_batches(batch_format="pyarrow"))
+        list(emb.limit(IVF_SAMPLE).iter_batches(batch_format="pyarrow"))
     )
     sample = np.asarray(sample_tab["embedding"].to_pylist(), dtype=np.float64)
-    cent = kmeans_centroids(sample, k=16)
+    cent = kmeans_centroids(sample, k=IVF_LISTS)
     qtab = pq.read_table(
         _p(sf_dir, "embeddings"),
         columns=["embedding"],
@@ -624,7 +634,7 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
         batch_format="pyarrow",
     )
     indexed = build_ivf_index(filtered, cent)
-    return ann_search_ivf(indexed, cent, qvec, k=k, n_probe=6)
+    return ann_search_ivf(indexed, cent, qvec, k=k, n_probe=IVF_NPROBE)
 
 
 def events_sliding_hourly(sf_dir: str) -> Dataset:
@@ -972,18 +982,21 @@ def _media_table(sf_dir: str) -> Dataset:
 
 def media_image_features(sf_dir: str) -> Dataset:
     """Multimodal decode→pool actor stage over binary payloads (fake codec;
-    deterministic). Rows-only: the codec hash is not SQL-expressible, so the
-    driver checks row count/schema stability; determinism is pytest-covered."""
+    deterministic md5-arithmetic decode). Oracle-checked end-to-end:
+    ``feat_mean`` = round(px_sum / (n_px·255), 6) over the decoded image's
+    exact integer pixel sum — equal to the mean of the (equal-sized-block)
+    pooled features, but free of float32 quantization, so DuckDB can mirror
+    it term-for-term (``doc_oracle.media_image_features_sql``)."""
     from ..stages.multimodal import extract_image_features
 
     feats = extract_image_features(_media_table(sf_dir))
 
     def summarize(batch: pa.Table) -> pa.Table:
-        means = [
-            float(round_half_away(float(np.mean(f)), 6))
-            for f in batch["features"].to_pylist()
-        ]
         dims = [len(f) for f in batch["features"].to_pylist()]
+        means = [
+            float(round_half_away(s / (n * 255.0), 6))
+            for s, n in zip(batch["px_sum"].to_pylist(), batch["n_px"].to_pylist())
+        ]
         return pa.table(
             {
                 "media_id": batch["media_id"],

@@ -34,14 +34,22 @@ MEDIA_SCHEMA = pa.schema(
 
 
 class DeterministicFakeCodec:
-    """Stands in for PIL/ffmpeg: output depends only on payload bytes."""
+    """Stands in for PIL/ffmpeg: output depends only on payload bytes.
+
+    ``decode_image`` pixels are an md5-seeded arithmetic ramp: with
+    u = first 8 md5 bytes little-endian (DuckDB ``md5_number_upper``),
+    pixel j = (u % 2^32 + j * ((u >> 32) | 1)) % 256 in C order — chosen so
+    the whole decode is SQL-mirrorable and the features oracle can check
+    the pipeline end-to-end (``doc_oracle.media_image_features_sql``)."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        h = hashlib.blake2b(payload, digest_size=8).digest()
-        rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+        u = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+        start = u & 0xFFFFFFFF
+        step = (u >> 32) | 1
         w = width if width > 0 else 16
         ht = height if height > 0 else 16
-        return rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+        j = np.arange(w * ht * 3, dtype=np.int64)
+        return ((start + j * step) % 256).astype(np.uint8).reshape(ht, w, 3)
 
     def sample_frames(self, payload: bytes, duration_ms: int, fps: float) -> list[bytes]:
         n = max(1, int(max(duration_ms, 1000) / 1000 * fps))
@@ -69,7 +77,7 @@ class ImageFeatureExtractor:
         self.resize_to = resize_to
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, px_sums, n_pxs = [], [], []
         for payload, w, h in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
@@ -83,6 +91,11 @@ class ImageFeatureExtractor:
                 if img.shape[axis] < self.resize_to:
                     reps = -(-self.resize_to // img.shape[axis])
                     img = np.repeat(img, reps, axis=axis)
+            # exact integer pixel sum/count alongside the float features —
+            # downstream summaries derived from these stay oracle-exact
+            # (integer SQL sum, no float32 quantization in the way)
+            px_sums.append(int(img.sum()))
+            n_pxs.append(int(img.size))
             # "resize": block-mean downsample to resize_to x resize_to
             ys = np.array_split(img, self.resize_to, axis=0)
             pooled = np.stack(
@@ -100,6 +113,8 @@ class ImageFeatureExtractor:
                 "features": pa.array(
                     [f.tolist() for f in feats], pa.list_(pa.float32())
                 ),
+                "px_sum": pa.array(px_sums, pa.int64()),
+                "n_px": pa.array(n_pxs, pa.int64()),
             }
         )
 

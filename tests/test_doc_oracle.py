@@ -91,6 +91,8 @@ def test_round2_operator_queries_match_oracles(con_rel):
         "lineitem_price_bands",
         "similarity_topk_multi",
         "media_video_frames",
+        "media_image_features",
+        "similarity_topk_ivf",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(con_rel.execute(sqls[name]).fetchdf())
