@@ -69,26 +69,37 @@ def kg_top_entities(sf_dir: str) -> Any:
     weighted degree (out + in)."""
     import pyarrow as pa
 
-    from ray.data.aggregate import Sum
+    from neuroner_ray.runtime.combine import (
+        group_sum_merge,
+        topk_merge,
+        tree_combine,
+    )
 
     edges = _kg_tables(sf_dir)["edges"]
+    merge = group_sum_merge(("entity_id",), ("degree",))
 
     def degree_rows(t: pa.Table) -> pa.Table:
-        # each endpoint of an edge receives the edge weight
+        # each endpoint of an edge receives the edge weight; partial
+        # group-sum in place so the combine moves entity-vocab-sized rows
         ids = t["src_id"].to_pylist() + t["dst_id"].to_pylist()
-        return pa.table(
-            {
-                "entity_id": pa.array(ids, pa.string()),
-                "degree": pa.array(t["weight"].to_pylist() * 2, pa.int64()),
-            }
+        return merge(
+            pa.table(
+                {
+                    "entity_id": pa.array(ids, pa.string()),
+                    "degree": pa.array(t["weight"].to_pylist() * 2, pa.int64()),
+                }
+            )
         )
 
-    return (
-        edges.map_batches(degree_rows, batch_format="pyarrow")
-        .groupby("entity_id")
-        .aggregate(Sum("degree", alias_name="degree"))
-        .sort(["degree", "entity_id"], descending=[True, False])
-        .limit(20)
+    # degree census is entity-vocabulary-sized (canonical ids, gazetteer-
+    # bounded) — tree_combine + in-place top-20, no sort shuffle
+    counts = tree_combine(
+        edges.map_batches(degree_rows, batch_format="pyarrow"), merge
+    )
+    return counts.map_batches(
+        topk_merge(20, "degree", ["entity_id"]),
+        batch_size=None,
+        batch_format="pyarrow",
     )
 
 

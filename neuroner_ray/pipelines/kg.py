@@ -31,10 +31,11 @@ from ..stages.graph import (
 from ..stages.linker import candidate_pairs, surface_census
 from ..stages.tagger import RuleTagger, explode_mentions
 from ..stages.triples import extract_triples_batch
+from ..sources.parquet import read_parquet_clean
 
 
 def read_transcripts(path: str) -> Dataset:
-    return rd.read_parquet(path)
+    return read_parquet_clean(path)
 
 
 def tag_turns(

@@ -48,6 +48,7 @@ from ..stages.graph import (
 )
 from ..stages.tagger import RuleTagger
 from ..stages.triples import extract_triples_row
+from ..sources.parquet import read_parquet_clean
 from .kg import _link_from_census, read_transcripts
 
 # Fixed-width union schema: census rows ("c") use (ent_type, surface, n);
@@ -282,7 +283,7 @@ def run_pipeline_streamed(
         )
 
     census = (
-        rd.read_parquet(stage_dir, columns=["kind", "ent_type", "surface", "n"])
+        read_parquet_clean(stage_dir, columns=["kind", "ent_type", "surface", "n"])
         .filter(expr="kind == 'c'")
         .select_columns(["ent_type", "surface", "n"])
         .groupby(["ent_type", "surface"])
@@ -325,7 +326,7 @@ def run_pipeline_streamed(
         )
 
     resolved = (
-        rd.read_parquet(stage_dir, columns=["kind"] + _INSTANCE_COLS)
+        read_parquet_clean(stage_dir, columns=["kind"] + _INSTANCE_COLS)
         .filter(expr="kind == 'e'")
         .select_columns(_INSTANCE_COLS)
         .map_batches(resolve_instances, batch_format="pyarrow")

@@ -28,6 +28,8 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data import Dataset
 
+from ..sources.parquet import read_parquet_clean
+
 
 def config_hash(config: dict) -> str:
     return hashlib.blake2b(
@@ -103,7 +105,7 @@ def _ensure_bucketed_input(
         vals = [bucket_of(c, num_buckets) for c in t["conv_id"].to_pylist()]
         return t.append_column("bucket", pa.array(vals, pa.int32()))
 
-    rd.read_parquet(transcripts_path).map_batches(
+    read_parquet_clean(transcripts_path).map_batches(
         add_bucket, batch_format="pyarrow"
     ).write_parquet(tmp, partition_cols=["bucket"])
     with open(os.path.join(tmp, "_DONE"), "w") as f:
@@ -143,9 +145,9 @@ def run_bucketed(
         # pruned read: only this bucket's partition directory leaves storage
         bdir = os.path.join(staged, f"bucket={b}")
         if os.path.isdir(bdir):
-            part = rd.read_parquet(bdir).drop_columns(["bucket"])
+            part = read_parquet_clean(bdir).drop_columns(["bucket"])
         else:  # no conversation hashed into this bucket
-            part = rd.read_parquet(transcripts_path).limit(0)
+            part = read_parquet_clean(transcripts_path).limit(0)
         n_in = part.count()
         tables = table_fn(part)
         counts: dict[str, int] = {"input_turns": n_in}
@@ -179,7 +181,7 @@ def run_bucketed(
 
 def read_output(out_dir: str, table: str) -> Dataset:
     """Read all completed buckets of one output table."""
-    return rd.read_parquet(os.path.join(out_dir, table))
+    return read_parquet_clean(os.path.join(out_dir, table))
 
 
 def finalize_graph(out_dir: str, config: dict) -> dict:

@@ -34,6 +34,8 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.rounding import round_half_away, top_by_score_then_id
 from ..functions.tokenize import TOKEN_PATTERN
+from ..runtime.combine import group_sum_merge, tree_combine
+from ..sources.parquet import read_parquet_clean
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 _PUNCT_RE = re.compile(r"[^A-Za-z0-9_\s]")
@@ -65,7 +67,7 @@ def token_freq_top100(sf_dir: str) -> Dataset:
     Partial counts per batch (combiner) → vocabulary-sized shuffle → total
     order (count desc, token asc) → limit.
     """
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -93,7 +95,7 @@ def doc_token_counts(sf_dir: str) -> Dataset:
     shared counting kernel so the tokenization rule lives in one place)."""
     from ..functions.tokenize import token_count_batch
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return docs.map_batches(
         token_count_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "n_tokens"])
@@ -101,7 +103,7 @@ def doc_token_counts(sf_dir: str) -> Dataset:
 
 def doc_fingerprints(sf_dir: str) -> Dataset:
     """Per-document content fingerprint (md5 — matches DuckDB md5())."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         fps = [
@@ -115,7 +117,7 @@ def doc_fingerprints(sf_dir: str) -> Dataset:
 
 def doc_quality(sf_dir: str) -> Dataset:
     """Quality-scoring signals: length, punctuation ratio, stopword ratio."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
         n_chars, punct_ratio, stop_ratio = [], [], []
@@ -152,7 +154,7 @@ def dedup_exact(sf_dir: str) -> Dataset:
     Content-hash column computed map-side; the groupby key is the hash so
     the shuffle never moves full documents (SURVEY.md O5 at document scale).
     """
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def hashed(batch: pa.Table) -> pa.Table:
         h = [
@@ -172,7 +174,7 @@ def dedup_exact(sf_dir: str) -> Dataset:
 # ----------------------------------------------------------- events (A1/O4)
 def events_hourly(sf_dir: str) -> Dataset:
     """Tumbling 1-hour window per user: count + sum(value) (windowed agg)."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     def trunc(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -195,7 +197,7 @@ def events_hourly(sf_dir: str) -> Dataset:
 
 def events_top_types(sf_dir: str) -> Dataset:
     """Heavy-hitter census (O6): top event types by count."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         c = Counter(batch["event_type"].to_pylist())
@@ -206,32 +208,40 @@ def events_top_types(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "event_type"], descending=[True, False])
-        .limit(10)
+    from ..runtime.combine import topk_merge
+
+    counts = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("event_type",), ("n",)),
+    )
+    # the combined census is one #event-types block; cut top-10 in place
+    return counts.map_batches(
+        topk_merge(10, "n", ["event_type"]), batch_size=None, batch_format="pyarrow"
     )
 
 
 def events_recent100(sf_dir: str) -> Dataset:
     """Sort + limit (O4-style ordering guarantee): 100 most recent events."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_id", "ts"])
     return ev.sort(["ts", "event_id"], descending=[True, True]).limit(100)
 
 
 def events_user_count(sf_dir: str) -> Dataset:
     """Distinct count (O3 dedup semantics)."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
     n = len(ev.unique("user_id"))
     return rd.from_arrow(pa.table({"n_users": pa.array([n], pa.int64())}))
 
 
 # ----------------------------------------------------- relational coverage
 def lineitem_pricing(sf_dir: str) -> Dataset:
-    """TPC-H Q1-shaped groupby-aggregate (engine aggregation coverage)."""
-    li = rd.read_parquet(
+    """TPC-H Q1-shaped aggregate (engine aggregation coverage). The key
+    domain is enumerable (flag × status ≤ 6 groups), so the map-side
+    partial group-sums each batch and a ``tree_combine`` merges the typed
+    partials — the shuffle Ray's sort-aggregate would run moves nothing
+    but #groups × #blocks fixed-width rows here, and no schema-less empty
+    sort partitions are emitted (runtime.combine)."""
+    li = read_parquet_clean(
         _p(sf_dir, "lineitem"),
         columns=[
             "l_returnflag",
@@ -241,35 +251,45 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
             "l_discount",
         ],
     )
+    merge = group_sum_merge(
+        ("l_returnflag", "l_linestatus"),
+        ("sum_qty", "sum_revenue", "sum_disc", "n_rows"),
+    )
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return batch.append_column("revenue", rev)
-
-    out = (
-        li.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n_rows"),
+        return merge(
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "l_linestatus": batch["l_linestatus"],
+                    "sum_qty": batch["l_quantity"],
+                    "sum_revenue": rev,
+                    "sum_disc": batch["l_discount"],
+                    "n_rows": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
         )
-    )
 
-    return out.map_batches(
-        lambda t: _round_cols(t, ("sum_qty", "sum_revenue", "avg_disc")),
-        batch_format="pyarrow",
-    )
+    out = tree_combine(li.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_disc"], pc.cast(t["n_rows"], pa.float64()))
+        t = t.drop_columns(["sum_disc"]).append_column("avg_disc", avg)
+        return _round_cols(t, ("sum_qty", "sum_revenue", "avg_disc"))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def orders_by_nation(sf_dir: str) -> Dataset:
     """Join coverage: orders ⋈ customer (native hash join, both sides large)
     then nation broadcast-joined map-side (small side never shuffled)."""
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
-    cust = rd.read_parquet(
+    orders = read_parquet_clean(_p(sf_dir, "orders"), columns=["o_custkey"])
+    cust = read_parquet_clean(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
     from ..runtime.partitions import join_partitions
@@ -333,7 +353,7 @@ def similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     class Score:
         def __init__(self, ref):
@@ -372,7 +392,7 @@ def doc_langid(sf_dir: str) -> Dataset:
     SQL-expressible)."""
     from ..functions.langid import langid_batch
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return docs.map_batches(langid_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "lang_pred"]
     )
@@ -382,7 +402,7 @@ def doc_simhash(sf_dir: str) -> Dataset:
     """64-bit SimHash fingerprints — deterministic, rows-only."""
     from ..stages.dedup import simhash_fingerprints
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_fingerprints(docs)
 
 
@@ -390,7 +410,7 @@ def doc_minhash_dedup(sf_dir: str) -> Dataset:
     """MinHash-LSH near-dup clusters — rows-only."""
     from ..stages.dedup import minhash_lsh_dedup
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_lsh_dedup(docs)
 
 
@@ -398,7 +418,7 @@ def embedding_near_dup(sf_dir: str) -> Dataset:
     """Embedding-cosine near-dup clusters — rows-only."""
     from ..stages.dedup import embedding_cosine_dedup
 
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return embedding_cosine_dedup(emb, threshold=0.98)
 
 
@@ -412,7 +432,7 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
         filters=[("vec_id", "==", query_vec_id)],
     )
     qvec = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
-    emb = rd.read_parquet(
+    emb = read_parquet_clean(
         _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     ).map_batches(
         # exclude the query vector BEFORE the search: sort().limit() inside
@@ -427,7 +447,7 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
 
 def events_first_per_user_type(sf_dir: str) -> Dataset:
     """First event timestamp per (user, type) — dedup-keep-first semantics."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
     return ev.groupby(["user_id", "event_type"]).aggregate(
         Min("ts", alias_name="first_ts")
     )
@@ -438,7 +458,7 @@ def events_sessions(sf_dir: str) -> Dataset:
     """Sessionization (30-min gap) — stateful windowed op per user."""
     from ..stages.sessions import sessionize
 
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
     return sessionize(ev, gap_minutes=30.0)
 
 
@@ -453,7 +473,9 @@ def customers_with_orders_by_nation(sf_dir: str) -> Dataset:
         .to_pylist()
     )
     keys_ref = ray.put(custkeys)
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cust = read_parquet_clean(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+
+    merge = group_sum_merge(("c_nationkey",), ("n_customers",))
 
     class Semi:
         def __init__(self, ref):
@@ -461,17 +483,28 @@ def customers_with_orders_by_nation(sf_dir: str) -> Dataset:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keep = [k in self.ks for k in batch["c_custkey"].to_pylist()]
-            return batch.filter(pa.array(keep, pa.bool_()))
+            kept = batch.filter(pa.array(keep, pa.bool_()))
+            # partial per-nation count in place: the combine moves
+            # #nations × #blocks rows (enumerable key, runtime.combine)
+            return merge(
+                pa.table(
+                    {
+                        "c_nationkey": kept["c_nationkey"],
+                        "n_customers": pa.array(
+                            np.ones(kept.num_rows, dtype=np.int64), pa.int64()
+                        ),
+                    }
+                )
+            )
 
-    return (
+    return tree_combine(
         cust.map_batches(
             Semi,
             fn_constructor_args=(keys_ref,),
             batch_format="pyarrow",
             concurrency=(1, 4),
-        )
-        .groupby("c_nationkey")
-        .aggregate(Count(alias_name="n_customers"))
+        ),
+        merge,
     )
 
 
@@ -485,7 +518,7 @@ def customers_without_orders(sf_dir: str) -> Dataset:
         .to_pylist()
     )
     keys_ref = ray.put(custkeys)
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    cust = read_parquet_clean(_p(sf_dir, "customer"), columns=["c_custkey"])
 
     class AntiCount:
         def __init__(self, ref):
@@ -509,14 +542,28 @@ def customers_without_orders(sf_dir: str) -> Dataset:
 
 
 def customer_segments(sf_dir: str) -> Dataset:
-    """Groupby over customer: count + rounded balance sum per segment."""
-    cust = rd.read_parquet(
+    """Count + rounded balance sum per market segment — enumerable key
+    (≤5 segments), so map-side partial group-sums + tree_combine instead
+    of a sort-aggregate shuffle (runtime.combine)."""
+    cust = read_parquet_clean(
         _p(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"]
     )
-    out = cust.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_customers"),
-        Sum("c_acctbal", alias_name="sum_balance"),
-    )
+    merge = group_sum_merge(("c_mktsegment",), ("n_customers", "sum_balance"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return merge(
+            pa.table(
+                {
+                    "c_mktsegment": batch["c_mktsegment"],
+                    "n_customers": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                    "sum_balance": batch["c_acctbal"],
+                }
+            )
+        )
+
+    out = tree_combine(cust.map_batches(partial, batch_format="pyarrow"), merge)
     return out.map_batches(
         lambda t: _round_cols(t, ("sum_balance",)), batch_format="pyarrow"
     )
@@ -524,7 +571,7 @@ def customer_segments(sf_dir: str) -> Dataset:
 
 def docs_by_lang_source(sf_dir: str) -> Dataset:
     """Two-key groupby over documents with a rounded mean."""
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         _p(sf_dir, "documents"), columns=["lang", "source", "n_chars"]
     )
     out = docs.groupby(["lang", "source"]).aggregate(
@@ -537,7 +584,7 @@ def docs_by_lang_source(sf_dir: str) -> Dataset:
 
 def orders_monthly(sf_dir: str) -> Dataset:
     """Orders per priority per month (temporal truncation + groupby)."""
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         _p(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate"]
     )
 
@@ -561,7 +608,7 @@ def doc_subword_counts(sf_dir: str) -> Dataset:
     """BPE-ish token counting: words are split into <=4-char subword chunks
     (a deterministic stand-in for a learned-merge tokenizer; the count is
     sum(ceil(len(word)/4)) over word tokens)."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     word_re = re.compile(r"[A-Za-z0-9_]+")
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -579,7 +626,7 @@ def doc_subword_counts(sf_dir: str) -> Dataset:
 def doc_rolling_fp(sf_dir: str) -> Dataset:
     """Document fingerprint via polynomial rolling hash (Rabin-Karp style,
     base 257 mod 2^61-1) — deterministic, rows-only (not SQL-expressible)."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     MOD = (1 << 61) - 1
 
     def fp(batch: pa.Table) -> pa.Table:
@@ -617,7 +664,7 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
     """
     from ..stages.similarity import ann_search_ivf, build_ivf_index, kmeans_centroids
 
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     sample_tab = pa.concat_tables(
         list(emb.limit(IVF_SAMPLE).iter_batches(batch_format="pyarrow"))
     )
@@ -643,7 +690,7 @@ def events_sliding_hourly(sf_dir: str) -> Dataset:
     map-side expansion with per-batch partial aggregation — the shuffle
     moves window-count-sized partials, the 2× row expansion never leaves
     the map task."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts", "value"])
     HALF = 30 * 60 * 1_000_000  # 30 min in µs
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -661,15 +708,14 @@ def events_sliding_hourly(sf_dir: str) -> Dataset:
                 "window_start": pa.array(
                     uniq.view("datetime64[us]"), pa.timestamp("us")
                 ),
-                "n": pa.array(np.bincount(inv), pa.int64()),
-                "s": pa.array(np.bincount(inv, weights=v2), pa.float64()),
+                "n_events": pa.array(np.bincount(inv), pa.int64()),
+                "sum_value": pa.array(np.bincount(inv, weights=v2), pa.float64()),
             }
         )
 
-    out = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("window_start")
-        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    out = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("window_start",), ("n_events", "sum_value")),
     )
     return out.map_batches(
         lambda t: _round_cols(t, ("sum_value",)), batch_format="pyarrow"
@@ -685,7 +731,7 @@ def lineitem_price_bands(sf_dir: str) -> Dataset:
     vectorized per-band mask inside map_batches with per-batch partial
     aggregation (the small side never shuffles; ray_guide broadcast-join
     pattern applied to interval predicates)."""
-    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    li = read_parquet_clean(_p(sf_dir, "lineitem"), columns=["l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -698,15 +744,14 @@ def lineitem_price_bands(sf_dir: str) -> Dataset:
         return pa.table(
             {
                 "band": pa.array(bands, pa.string()),
-                "n": pa.array(ns, pa.int64()),
-                "s": pa.array(sums, pa.float64()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "sum_price": pa.array(sums, pa.float64()),
             }
         )
 
-    out = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("band")
-        .aggregate(Sum("n", alias_name="n_rows"), Sum("s", alias_name="sum_price"))
+    out = tree_combine(
+        li.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("band",), ("n_rows", "sum_price")),
     )
     return out.map_batches(
         # drop empty bands: the oracle's inner join emits no row for a band
@@ -743,7 +788,7 @@ def events_purchase_last_click(
     and the per-user merge sees only per-bucket last-click SUMMARIES plus
     the purchases that precede their bucket's first click (resolved against
     earlier buckets' summaries; identical output, equivalence-tested)."""
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     ).map_batches(
         lambda t: t.filter(pc.is_in(t["event_type"], pa.array(["purchase", "click"]))),
@@ -908,11 +953,12 @@ QUANTILES = (0.25, 0.5, 0.75)
 def lineitem_qty_quantiles(sf_dir: str) -> Dataset:
     """EXACT distributed quantiles over a low-cardinality value domain:
     per-batch (flag, quantity) histograms (map-side combiner) → a
-    vocabulary-sized groupby-sum → per-flag order statistics from the
-    cumulative histogram. The shuffle moves #flags × #distinct-values rows
-    regardless of corpus size — the scale path for exact percentiles when
-    the domain is enumerable (DuckDB quantile_disc: sorted[ceil(n*q)-1])."""
-    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"])
+    tree_combine of the typed partials → per-flag order statistics from
+    the cumulative histogram. Only #flags × #distinct-values fixed-width
+    rows ever move, regardless of corpus size — the scale path for exact
+    percentiles when the domain is enumerable (DuckDB quantile_disc:
+    sorted[ceil(n*q)-1])."""
+    li = read_parquet_clean(_p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"])
 
     def hist(batch: pa.Table) -> pa.Table:
         c = Counter(
@@ -931,31 +977,40 @@ def lineitem_qty_quantiles(sf_dir: str) -> Dataset:
             }
         )
 
-    counts = (
-        li.map_batches(hist, batch_format="pyarrow")
-        .groupby(["l_returnflag", "qty"])
-        .aggregate(Sum("n", alias_name="n"))
+    counts = tree_combine(
+        li.map_batches(hist, batch_format="pyarrow"),
+        group_sum_merge(("l_returnflag", "qty"), ("n",)),
     )
 
-    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("qty")
-        cum = g["n"].cumsum().to_numpy()
-        total = int(cum[-1])
-        out = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
-        for q in QUANTILES:
-            rank = int(np.ceil(total * q))  # 1-based order statistic
-            pos = int(np.searchsorted(cum, rank, side="left"))
-            out[f"p{int(q * 100)}"] = [float(g["qty"].iloc[pos])]
-        return pd.DataFrame(out)
+    _QSCHEMA = pa.schema(
+        [("l_returnflag", pa.string())]
+        + [(f"p{int(q * 100)}", pa.float64()) for q in QUANTILES]
+    )
 
-    return counts.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
+    def quantiles(t: pa.Table) -> pa.Table:
+        # the combined histogram is one tiny block (#flags × #distinct qty)
+        if t.num_rows == 0:
+            return _QSCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["l_returnflag", "qty"])
+        out: dict[str, list] = {name: [] for name in _QSCHEMA.names}
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            cum = g["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            out["l_returnflag"].append(flag)
+            for q in QUANTILES:
+                rank = int(np.ceil(total * q))  # 1-based order statistic
+                pos = int(np.searchsorted(cum, rank, side="left"))
+                out[f"p{int(q * 100)}"].append(float(g["qty"].iloc[pos]))
+        return pa.table(out, schema=_QSCHEMA)
+
+    return counts.map_batches(quantiles, batch_size=None, batch_format="pyarrow")
 
 
 def _media_table(sf_dir: str) -> Dataset:
     """Deterministic media table derived from documents: payload = utf-8
     text bytes, duration keyed on length (MEDIA_SCHEMA; the multimodal
     brief's opaque-binary-column shape)."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
         ids, payloads, durs = [], [], []
@@ -1032,7 +1087,7 @@ def similarity_topk_multi(sf_dir: str, k: int = 10) -> Dataset:
     )
     order = np.argsort(np.asarray(qtab["vec_id"].to_pylist()))
     Q = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)[order]
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return brute_force_topk_many(emb, Q, k=k)
 
 
@@ -1040,7 +1095,7 @@ def user_top_event_type(sf_dir: str) -> Dataset:
     """Rank-per-group: each user's most frequent event type (ties → the
     alphabetically first type). Partial (user,type) counts map-side, then
     one groupby(user) picks the argmax."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         c = Counter(zip(batch["user_id"].to_pylist(), batch["event_type"].to_pylist()))
@@ -1079,7 +1134,7 @@ def user_top_event_type(sf_dir: str) -> Dataset:
 def account_balance_union(sf_dir: str) -> Dataset:
     """Union coverage: customers and suppliers stacked into one account
     table, aggregated per role (Dataset.union of two reads)."""
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_acctbal"]).map_batches(
+    cust = read_parquet_clean(_p(sf_dir, "customer"), columns=["c_acctbal"]).map_batches(
         lambda t: pa.table(
             {
                 "role": pa.array(["customer"] * t.num_rows, pa.string()),
@@ -1088,7 +1143,7 @@ def account_balance_union(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    supp = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_acctbal"]).map_batches(
+    supp = read_parquet_clean(_p(sf_dir, "supplier"), columns=["s_acctbal"]).map_batches(
         lambda t: pa.table(
             {
                 "role": pa.array(["supplier"] * t.num_rows, pa.string()),
@@ -1097,8 +1152,23 @@ def account_balance_union(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    out = cust.union(supp).groupby("role").aggregate(
-        Count(alias_name="n_accounts"), Sum("balance", alias_name="sum_balance")
+    merge = group_sum_merge(("role",), ("n_accounts", "sum_balance"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return merge(
+            pa.table(
+                {
+                    "role": batch["role"],
+                    "n_accounts": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                    "sum_balance": batch["balance"],
+                }
+            )
+        )
+
+    out = tree_combine(
+        cust.union(supp).map_batches(partial, batch_format="pyarrow"), merge
     )
     return out.map_batches(
         lambda t: _round_cols(t, ("sum_balance",)), batch_format="pyarrow"
@@ -1106,25 +1176,59 @@ def account_balance_union(sf_dir: str) -> Dataset:
 
 
 def lineitem_qty_stats(sf_dir: str) -> Dataset:
-    """Std/Max/Min aggregate coverage (sample stddev matches stddev_samp)."""
-    from ray.data.aggregate import Std
+    """Std/Max/Min aggregate coverage (sample stddev matches stddev_samp).
+    Enumerable key (3 return flags): map-side (n, Σq, Σq², min, max)
+    partials + tree_combine; std from the exact moment sums in the final
+    map (quantities are small integers, so the double sums are exact and
+    the formula reproduces stddev_samp bit-for-bit at 4 decimals)."""
+    from ..runtime.combine import group_agg_merge
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
     )
-    out = li.groupby("l_returnflag").aggregate(
-        Std("l_quantity", alias_name="std_qty"),
-        Max("l_quantity", alias_name="max_qty"),
-        Min("l_quantity", alias_name="min_qty"),
+    merge = group_agg_merge(
+        ("l_returnflag",), sums=("n", "s", "ss"), mins=("min_qty",), maxs=("max_qty",)
     )
-    return out.map_batches(
-        lambda t: _round_cols(t, ("std_qty",)), batch_format="pyarrow"
-    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"]
+        return merge(
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "n": pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64()),
+                    "s": q,
+                    "ss": pc.multiply(q, q),
+                    "min_qty": q,
+                    "max_qty": q,
+                }
+            )
+        )
+
+    out = tree_combine(li.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        ss = t["ss"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ss - s * s / n) / (n - 1.0)
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "std_qty": pa.array(round_half_away(std), pa.float64()),
+                "max_qty": t["max_qty"],
+                "min_qty": t["min_qty"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     """Exact-verified word-3-gram Jaccard near-dup pairs (rows-only)."""
     from ..stages.dedup import ngram_jaccard_pairs
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ngram_jaccard_pairs(docs, threshold=0.8)

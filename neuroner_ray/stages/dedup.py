@@ -275,6 +275,10 @@ def ngram_jaccard_pairs(
         .groupby(["a", "b"])  # same pair surfaces from several bands
         .map_groups(lambda g: g.head(1), batch_format="pandas")
         .map_batches(_norm_pairs, batch_format="pandas")
+        # map_groups' empty sort partitions emit schema-less pandas blocks
+        # that BYPASS map fns (Ray skips zero-row blocks) — coalescing by
+        # row count drops them so every downstream block is typed
+        .repartition(target_num_rows_per_block=65536)
         .materialize()  # candidate-pair-sized (output-bounded), not corpus
     )
     n_pairs = cand.count()

@@ -28,9 +28,17 @@ import ray
 from ray.data import Dataset
 
 from ..functions.rounding import round_half_away, top_by_score_then_id
+from ..runtime.combine import topk_merge, tree_combine
 
 N_TABLES = 8
 N_PLANES = 8
+
+
+def _topk_cut(scored: Dataset, k: int, id_col: str) -> Dataset:
+    """Global (cos DESC, id ASC) top-k over per-batch local top-k rows:
+    associative tree merge instead of ``sort().limit()`` — no sort shuffle
+    and no schema-less empty sort partitions (see runtime.combine)."""
+    return tree_combine(scored, topk_merge(k, "cos", [id_col]))
 
 
 def _planes(dim: int, n_tables: int, n_planes: int, seed: int) -> np.ndarray:
@@ -150,7 +158,7 @@ def ann_search_lsh(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
+    return _topk_cut(scored, k, id_col)
 
 
 def brute_force_topk(
@@ -190,7 +198,7 @@ def brute_force_topk(
         Score, fn_constructor_args=(q_ref,), batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
+    return _topk_cut(scored, k, id_col)
 
 
 # ---------------------------------------------------------------- IVF variant
@@ -299,7 +307,7 @@ def ann_search_ivf(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return scored.sort(["cos", id_col], descending=[True, False]).limit(k)
+    return _topk_cut(scored, k, id_col)
 
 
 def brute_force_topk_many(
@@ -349,11 +357,6 @@ def brute_force_topk_many(
         concurrency=(1, 4),
     )
 
-    import pandas as pd
-
-    def topk_per_query(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
-
-    return scored.groupby("query_idx").map_groups(
-        topk_per_query, batch_format="pandas"
+    return tree_combine(
+        scored, topk_merge(k, "cos", [id_col], group_cols=["query_idx"])
     )
