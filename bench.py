@@ -127,6 +127,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("events_hourly", q.events_hourly),
         ("similarity_topk", q.similarity_topk),
         ("lineitem_pricing", q.lineitem_pricing),
+        ("doc_minhash_dedup", q.doc_minhash_dedup),
+        ("doc_ngram_jaccard_pairs", q.doc_ngram_jaccard_pairs),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)

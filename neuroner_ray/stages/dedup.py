@@ -32,7 +32,7 @@ from ..functions.minhash import (
     band_keys,
     hamming64,
     jaccard,
-    minhash_signature,
+    minhash_signatures_batch,
     simhash64,
     word_shingles,
 )
@@ -93,14 +93,21 @@ def minhash_lsh_dedup(
     """
 
     def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = [_id_key(d) for d in batch[id_col].to_pylist()]
+        shingle_sets = [
+            word_shingles(
+                [t for t, _, _ in tokenize_text((text or "").lower())], shingle_k
+            )
+            for text in batch[text_col].to_pylist()
+        ]
+        sigs = minhash_signatures_batch(shingle_sets, num_perm)
         out_id, out_block, out_sig = [], [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = [t for t, _, _ in tokenize_text((text or "").lower())]
-            sig = minhash_signature(word_shingles(toks, shingle_k), num_perm)
+        for key, sig in zip(ids, sigs):
+            s64 = sig.astype(np.int64)
             for bk in band_keys(sig, bands):
-                out_id.append(_id_key(did))
+                out_id.append(key)
                 out_block.append(bk)
-                out_sig.append(sig.astype(np.int64))
+                out_sig.append(s64)
         return pa.table(
             {
                 "id": pa.array(out_id, pa.string()),
@@ -231,12 +238,18 @@ def ngram_jaccard_pairs(
     """
 
     def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = [_id_key(d) for d in batch[id_col].to_pylist()]
+        shingle_sets = [
+            word_shingles(
+                [t for t, _, _ in tokenize_text((text or "").lower())], shingle_k
+            )
+            for text in batch[text_col].to_pylist()
+        ]
+        sigs = minhash_signatures_batch(shingle_sets, num_perm)
         out_id, out_block = [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = [t for t, _, _ in tokenize_text((text or "").lower())]
-            sig = minhash_signature(word_shingles(toks, shingle_k), num_perm)
+        for key, sig in zip(ids, sigs):
             for bk in band_keys(sig, bands):
-                out_id.append(_id_key(did))
+                out_id.append(key)
                 out_block.append(bk)
         return pa.table(
             {

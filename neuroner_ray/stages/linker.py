@@ -37,7 +37,12 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
-from ..functions.minhash import band_keys, char_shingles, jaccard, minhash_signature
+from ..functions.minhash import (
+    band_keys,
+    char_shingles,
+    jaccard,
+    minhash_signatures_batch,
+)
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 
@@ -197,17 +202,21 @@ def census_from_tagged(tagged: Dataset) -> Dataset:
 
 def _block_keys_batch(batch: pa.Table) -> pa.Table:
     """Explode each distinct surface into its blocking keys."""
-    out_block: list[str] = []
-    out_node: list[str] = []
-    out_norm: list[str] = []
+    rows = []
     for ent_type, surface in zip(
         batch["ent_type"].to_pylist(), batch["surface"].to_pylist()
     ):
         norm = normalize_surface(surface)
-        if not norm:
-            continue
+        if norm:
+            rows.append((ent_type, surface, norm))
+    sigs = minhash_signatures_batch(
+        [char_shingles(norm) for _, _, norm in rows], num_perm=NUM_PERM
+    )
+    out_block: list[str] = []
+    out_node: list[str] = []
+    out_norm: list[str] = []
+    for (ent_type, surface, norm), sig in zip(rows, sigs):
         nk = node_key(ent_type, surface)
-        sig = minhash_signature(char_shingles(norm), num_perm=NUM_PERM)
         keys = band_keys(sig, BANDS, prefix=f"{ent_type}:")
         keys += [f"{ent_type}:w:{w[0]}" for w in set(norm.split(" "))]
         for k in set(keys):

@@ -54,6 +54,26 @@ def test_minhash_estimates_jaccard():
     assert abs(est - true_j) < 0.12
 
 
+def test_minhash_batch_matches_per_doc():
+    """Golden identity: the vectorized batch path must reproduce the
+    committed per-doc signatures bit for bit (same base hash, same mixing),
+    including empty-set sentinel rows and repeated shingles across docs."""
+    from neuroner_ray.functions.minhash import minhash_signatures_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox leaps over the lazy dog",  # shares shingles
+        "",  # empty → all-max sentinel
+        "one two",  # < k tokens → single joined shingle
+        "completely different words here in this document body",
+    ]
+    sets = [word_shingles(t.split(), 3) for t in texts]
+    batch = minhash_signatures_batch(sets, 64)
+    for ss, row in zip(sets, batch):
+        assert np.array_equal(row, minhash_signature(ss, 64))
+    assert minhash_signatures_batch([], 64).shape == (0, 64)
+
+
 def test_minhash_lsh_dedup_clusters():
     out = minhash_lsh_dedup(_docs(), threshold=0.6).to_pandas()
     c = dict(zip(out["doc_id"], out["cluster_id"]))
