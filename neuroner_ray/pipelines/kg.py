@@ -110,7 +110,7 @@ def _link_small_census(census: Dataset) -> tuple[Dataset, Dataset]:
         salt_threshold_for,
     )
 
-    ctab = pa.concat_tables(list(census.iter_batches(batch_format="pyarrow")))
+    ctab = pa.concat_tables(list(census.iter_batches(batch_size=None, batch_format="pyarrow")))
     blocked_tab = _block_keys_batch(ctab)
     # same hot-block salting + cap CONSTANTS as the distributed path (paths
     # must stay equivalent — tests/test_link_paths.py)

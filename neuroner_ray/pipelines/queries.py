@@ -666,7 +666,7 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
 
     emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     sample_tab = pa.concat_tables(
-        list(emb.limit(IVF_SAMPLE).iter_batches(batch_format="pyarrow"))
+        list(emb.limit(IVF_SAMPLE).iter_batches(batch_size=None, batch_format="pyarrow"))
     )
     sample = np.asarray(sample_tab["embedding"].to_pylist(), dtype=np.float64)
     cent = kmeans_centroids(sample, k=IVF_LISTS)

@@ -341,7 +341,7 @@ def _verify_pairs_broadcast(
     shingles for candidate docs in one map-only corpus pass, broadcast the
     (candidate-bounded) shingle dict, verify each pair map-side."""
     cand_ids: set[str] = set()
-    for t in cand.iter_batches(batch_format="pyarrow"):
+    for t in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
         cand_ids.update(t["a"].to_pylist())
         cand_ids.update(t["b"].to_pylist())
     ids_ref = ray.put(frozenset(cand_ids))
