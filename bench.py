@@ -169,13 +169,18 @@ def run_subprocess(ncpu: int, sf_dir: str, extra_env: dict | None = None) -> dic
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        lo, hi = 4, 16
-        # scaling protocol: headline pipeline only, on 3x the transcripts
-        # scale — fixed per-execution costs (~2-3 s) amortize with input
-        # size, so the measurement reflects the pipeline rather than Ray
-        # session setup. Two fresh-process runs per level, min taken (the
-        # host is shared; min = least-contended measurement).
-        env = {"GRAFT_HEADLINE_ONLY": "1", "GRAFT_SF_MULT": "3"}
+        # levels and input multiple are overridable so the N-vs-4N pair can
+        # be placed where the host distorts least (4v16 leaves headroom for
+        # co-tenants; 8v32 uses the full box) — both satisfy the 4x ratio
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+        mult = os.environ.get("GRAFT_SF_MULT", "3")
+        # scaling protocol: headline pipeline only, on a multiple of the
+        # transcripts scale — fixed per-execution costs (~2-3 s) amortize
+        # with input size, so the measurement reflects the pipeline rather
+        # than Ray session setup. Two fresh-process runs per level, min
+        # taken (the host is shared; min = least-contended measurement).
+        env = {"GRAFT_HEADLINE_ONLY": "1", "GRAFT_SF_MULT": mult}
         runs_lo = [run_subprocess(lo, sf_dir, env) for _ in range(2)]
         runs_hi = [run_subprocess(hi, sf_dir, env) for _ in range(2)]
         r_lo = min(runs_lo, key=lambda r: r["value"])
@@ -197,7 +202,7 @@ def main() -> None:
                     "speedup": round(speedup, 3),
                     "sf": r_lo["sf"],
                     "n_turns": r_lo["n_turns"],
-                    "note": "single host, 32 cores; N vs 4N evidenced as num_cpus=4 vs 16 in fresh processes, identical 3/4 actor-pool fraction, headline pipeline on 3x-scale transcripts",
+                    "note": f"single host, 32 cores; N vs 4N evidenced as num_cpus={lo} vs {hi} in fresh processes, identical 3/4 actor-pool fraction, headline pipeline on {mult}x-scale transcripts",
                 }
             )
         )
