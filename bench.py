@@ -32,6 +32,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # optional block-size override for the width sweep (BENCH/BASELINE.md
+    # round-3 width table: a wash on an uncontended host; finer 32MB blocks
+    # measured ~26% better only under co-tenant degradation, where finer
+    # actor-feed granularity masks stolen cores). Unset = Ray default.
+    block_mb = os.environ.get("GRAFT_BLOCK_MB")
+    if block_mb:
+        DataContext.get_current().target_max_block_size = (
+            int(block_mb) * 1024 * 1024
+        )
 
     from neuroner_ray.pipelines import kg
     from neuroner_ray.pipelines import queries as q
