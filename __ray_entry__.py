@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q.doc_simhash,
         "doc_minhash_dedup": q.doc_minhash_dedup,
         "doc_ngram_jaccard_pairs": q.doc_ngram_jaccard_pairs,
+        "doc_repetition": q.doc_repetition,
+        "doc_split_assign": q.doc_split_assign,
+        "doc_sample_per_source": q.doc_sample_per_source,
+        "doc_contamination": q.doc_contamination,
+        "corpus_bigram_top50": q.corpus_bigram_top50,
         "embedding_near_dup": q.embedding_near_dup,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
@@ -241,6 +246,73 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(text, '[A-Za-z0-9_]+'),
                        w -> (length(w) + 3) // 4)), 0)::BIGINT AS n_subwords
             FROM documents
+        """,
+        "doc_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN len(ws) = 0 THEN 0.0
+                   ELSE round(1 - len(list_distinct(ws)) / len(ws)::DOUBLE, 4)
+              END AS dup_word_frac,
+              CASE WHEN len(ws) <= 1 THEN 0.0
+                   ELSE round(1 - len(list_distinct(list_transform(
+                            range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+                        / (len(ws) - 1)::DOUBLE, 4)
+              END AS dup_bigram_frac,
+              CASE WHEN len(ws) = 0 THEN 0.0
+                   ELSE round(list_max(map_values(list_aggregate(ws, 'histogram')))
+                        / len(ws)::DOUBLE, 4)
+              END AS top_word_frac
+            FROM w
+        """,
+        "doc_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_upper(doc_id::VARCHAR) % 10 < 8 THEN 'train'
+                        WHEN md5_number_upper(doc_id::VARCHAR) % 10 = 8 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "doc_sample_per_source": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(coalesce(text, '')) ASC, doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 3
+        """,
+        "doc_contamination": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            ), j AS (
+              SELECT doc_id, ' ' || array_to_string(ws, ' ') || ' ' AS jt FROM w
+            ), bench AS (
+              SELECT DISTINCT ' ' || array_to_string(
+                         list_slice(ws, {q.CONTAM_NGRAM_SLICE[0] + 1},
+                                    {q.CONTAM_NGRAM_SLICE[1]}), ' ') || ' ' AS ng
+              FROM w
+              WHERE doc_id % {q.CONTAM_STRIDE} = {q.CONTAM_RESIDUE}
+                AND len(ws) >= {q.CONTAM_NGRAM_SLICE[1]}
+            )
+            SELECT j.doc_id, count(b.ng)::BIGINT AS n_hits
+            FROM j LEFT JOIN bench b ON contains(j.jt, b.ng)
+            GROUP BY j.doc_id
+        """,
+        "corpus_bigram_top50": """
+            WITH w AS (
+              SELECT regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            )
+            SELECT bg, count(*)::BIGINT AS n FROM (
+                SELECT unnest(list_transform(
+                           range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM w WHERE len(ws) > 1
+            ) GROUP BY bg ORDER BY n DESC, bg ASC LIMIT 50
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -1232,3 +1232,198 @@ def doc_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
 
     docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+# ------------------------------------------- training-data curation ops
+# (LLM-pipeline operators beyond the reference: repetition filtering,
+# deterministic splits, stratified sampling, benchmark contamination,
+# corpus n-gram counts — each paired with a DuckDB oracle in
+# __ray_entry__.oracle_sql())
+
+def doc_repetition(sf_dir: str) -> Dataset:
+    """Gopher-style intra-document repetition signals: fraction of word
+    occurrences that repeat an already-seen word, same for bigrams, and the
+    most-frequent-word mass. Pure map — no shuffle, scale-safe."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        dup_w, dup_b, top_w = [], [], []
+        for t in batch["text"].to_pylist():
+            ws = _WORD_RE.findall((t or "").lower())
+            n = len(ws)
+            if n == 0:
+                dup_w.append(0.0)
+                top_w.append(0.0)
+            else:
+                dup_w.append(float(round_half_away(1.0 - len(set(ws)) / n)))
+                top_w.append(
+                    float(round_half_away(max(Counter(ws).values()) / n))
+                )
+            if n <= 1:
+                dup_b.append(0.0)
+            else:
+                bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+                dup_b.append(
+                    float(round_half_away(1.0 - len(set(bgs)) / len(bgs)))
+                )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dup_word_frac": pa.array(dup_w, pa.float64()),
+                "dup_bigram_frac": pa.array(dup_b, pa.float64()),
+                "top_word_frac": pa.array(top_w, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(signals, batch_format="pyarrow")
+
+
+def doc_split_assign(sf_dir: str) -> Dataset:
+    """Deterministic train/valid/test split by content-free id hash
+    (8/1/1): bucket = first 8 md5 bytes of str(doc_id), little-endian
+    (DuckDB ``md5_number_upper`` parity), mod 10. Stable across runs and
+    cluster sizes — the property a training-data split needs."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for d in batch["doc_id"].to_pylist():
+            b = (
+                int.from_bytes(
+                    hashlib.md5(str(d).encode("utf-8")).digest()[:8], "little"
+                )
+                % 10
+            )
+            splits.append("train" if b < 8 else ("valid" if b == 8 else "test"))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "split": pa.array(splits, pa.string())}
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def doc_sample_per_source(sf_dir: str, k: int = 3) -> Dataset:
+    """Deterministic stratified sample: k docs per source, ordered by
+    (md5(text) ASC, doc_id ASC). Map-side per-batch keep-k per source →
+    associative tree merge; the combine moves ≤ k × #sources × #blocks slim
+    rows, never the corpus."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    )
+
+    def keep_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["source", "sk", "doc_id"], ascending=True, kind="mergesort"
+        )
+        df = df.groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(
+            df, schema=t.schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        slim = pa.table(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"],
+                "sk": pa.array(sk, pa.string()),
+            }
+        )
+        return keep_k(slim)
+
+    sampled = tree_combine(
+        docs.map_batches(partial, batch_format="pyarrow"), keep_k
+    )
+    return sampled.select_columns(["source", "doc_id"])
+
+
+# contamination benchmark-set derivation rule (shared with the oracle):
+# the 5-gram at words[3:8] of every doc with doc_id % 100 == 7 that has
+# >= 8 words. Stands in for a fixed benchmark suite; real reference sets
+# are small, so broadcasting via ray.put is the scale shape.
+CONTAM_STRIDE = 100
+CONTAM_RESIDUE = 7
+CONTAM_NGRAM_SLICE = (3, 8)
+
+
+def doc_contamination(sf_dir: str) -> Dataset:
+    """Benchmark-contamination check: count, per document, how many
+    benchmark 5-grams appear in its word sequence (word-boundary-safe
+    substring over the space-joined words). The benchmark set is broadcast
+    once (``ray.put``) and each batch is scanned with a vectorized
+    ``pyarrow.compute.match_substring`` per benchmark n-gram."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    lo, hi = CONTAM_NGRAM_SLICE
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        out = []
+        ids = batch["doc_id"].to_pylist()
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            if d % CONTAM_STRIDE != CONTAM_RESIDUE:
+                continue
+            ws = _WORD_RE.findall((t or "").lower())
+            if len(ws) >= hi:
+                out.append(" " + " ".join(ws[lo:hi]) + " ")
+        return pa.table({"ng": pa.array(sorted(set(out)), pa.string())})
+
+    # benchmark sets are reference-suite-sized (small by construction);
+    # the unique() result is the only driver-side collect on this path
+    ngrams = sorted(
+        docs.map_batches(bench_partial, batch_format="pyarrow").unique("ng")
+    )
+    ng_ref = ray.put(ngrams)
+
+    class Scan:
+        def __init__(self, ng_ref):
+            self.ngrams = ray.get(ng_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            joined = pa.array(
+                [
+                    " " + " ".join(_WORD_RE.findall((t or "").lower())) + " "
+                    for t in batch["text"].to_pylist()
+                ],
+                pa.string(),
+            )
+            hits = np.zeros(batch.num_rows, dtype=np.int64)
+            for ng in self.ngrams:
+                hits += pc.match_substring(joined, ng).to_numpy(
+                    zero_copy_only=False
+                )
+            return pa.table(
+                {"doc_id": batch["doc_id"], "n_hits": pa.array(hits, pa.int64())}
+            )
+
+    return docs.map_batches(Scan(ng_ref), batch_format="pyarrow")
+
+
+def corpus_bigram_top50(sf_dir: str) -> Dataset:
+    """Corpus-level word-bigram census, top 50 (n-gram LM counts at corpus
+    scale): partial Counter per batch → bigram-vocabulary-sized shuffle →
+    total order (n DESC, bg ASC) → limit."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = _WORD_RE.findall((t or "").lower())
+            c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        return pa.table(
+            {
+                "bg": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "bg"], descending=[True, False]).limit(50)

@@ -101,3 +101,60 @@ def test_round2_operator_queries_match_oracles(con_rel):
             got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
             obj=name,
         )
+
+
+def test_round3_curation_queries_match_oracles(con_rel):
+    """The round-3 training-data curation additions (repetition signals,
+    deterministic split, stratified sample, contamination check, corpus
+    bigram census) against their registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "doc_repetition",
+        "doc_split_assign",
+        "doc_sample_per_source",
+        "doc_contamination",
+        "corpus_bigram_top50",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(con_rel.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_split_assign_fractions_and_determinism():
+    """The 8/1/1 split is deterministic and roughly proportioned (id-hash
+    based, so exact counts are fixture-stable)."""
+    df1 = q.doc_split_assign(SF).to_pandas()
+    df2 = q.doc_split_assign(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        df1.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )
+    counts = df1["split"].value_counts()
+    n = len(df1)
+    assert set(counts.index) <= {"train", "valid", "test"}
+    assert counts.get("train", 0) > 0.6 * n
+
+
+def test_sample_per_source_is_k_per_group():
+    df = q.doc_sample_per_source(SF).to_pandas()
+    sizes = df.groupby("source").size()
+    assert (sizes <= 3).all()
+    # every source with >=3 docs contributes exactly 3
+    import duckdb
+
+    full = duckdb.connect().execute(
+        f"SELECT source, count(*) n FROM read_parquet('{SF}/documents.parquet') GROUP BY source"
+    ).fetchdf()
+    for _, row in full.iterrows():
+        assert sizes.get(row["source"], 0) == min(3, row["n"])
