@@ -19,6 +19,7 @@ from typing import Any
 
 from neuroner_ray.functions.tokenize import TOKEN_PATTERN
 from neuroner_ray.pipelines import queries as q
+from neuroner_ray.pipelines import curate
 from neuroner_ray.pipelines import kg
 from neuroner_ray.sources.synth_transcripts import transcripts_dir_for
 
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_per_source": q.doc_sample_per_source,
         "doc_contamination": q.doc_contamination,
         "corpus_bigram_top50": q.corpus_bigram_top50,
+        "curated_shard_counts": curate.curated_shard_counts,
         "embedding_near_dup": q.embedding_near_dup,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
@@ -302,6 +304,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.doc_id, count(b.ng)::BIGINT AS n_hits
             FROM j LEFT JOIN bench b ON contains(j.jt, b.ng)
             GROUP BY j.doc_id
+        """,
+        "curated_shard_counts": f"""
+            WITH sig AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            ), qual AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN len(ws) = 0 THEN 0.0
+                     ELSE round(1 - len(list_distinct(ws)) / len(ws)::DOUBLE, 4)
+                END AS dup_word_frac,
+                CASE WHEN len(ws) = 0 THEN 0.0
+                     ELSE round(list_max(map_values(list_aggregate(ws, 'histogram')))
+                          / len(ws)::DOUBLE, 4)
+                END AS top_word_frac
+              FROM sig
+            )
+            SELECT split, shard, count(*)::BIGINT AS n_docs FROM (
+              SELECT CASE WHEN md5_number_upper(doc_id::VARCHAR) % 10 < 8 THEN 'train'
+                          WHEN md5_number_upper(doc_id::VARCHAR) % 10 = 8 THEN 'valid'
+                          ELSE 'test' END AS split,
+                     (md5_number_upper('s' || doc_id::VARCHAR)
+                      % {curate.N_SHARDS})::BIGINT AS shard
+              FROM qual
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+                AND n_chars >= {curate.MIN_CHARS}
+                AND dup_word_frac <= {curate.MAX_DUP_WORD_FRAC}
+                AND top_word_frac <= {curate.MAX_TOP_WORD_FRAC}
+            ) GROUP BY split, shard
         """,
         "corpus_bigram_top50": """
             WITH w AS (

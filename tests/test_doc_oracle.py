@@ -158,3 +158,34 @@ def test_sample_per_source_is_k_per_group():
     ).fetchdf()
     for _, row in full.iterrows():
         assert sizes.get(row["source"], 0) == min(3, row["n"])
+
+
+def test_curated_shard_counts_matches_oracle(con_rel):
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    got = _norm(e.queries()["curated_shard_counts"](SF).to_pandas())
+    want = _norm(con_rel.execute(e.oracle_sql()["curated_shard_counts"]).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_curate_and_write_partitions(tmp_path):
+    """The hive-partitioned write round-trips: per-split counts read back
+    from disk equal the counts query, and the directory layout is
+    split=*/shard=* (resumable-output contract)."""
+    from neuroner_ray.pipelines.curate import curate_and_write, curated_shard_counts
+
+    out = str(tmp_path / "curated")
+    written = curate_and_write(SF, out)
+    counts = curated_shard_counts(SF).to_pandas()
+    per_split = counts.groupby("split")["n_docs"].sum().to_dict()
+    assert written == per_split
+    import os
+
+    splits = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert splits and all("=" in d for d in splits)
+    shard_dirs = os.listdir(os.path.join(out, splits[0]))
+    assert all(d.startswith("shard=") for d in shard_dirs)
