@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": q.doc_contamination,
         "corpus_bigram_top50": q.corpus_bigram_top50,
         "curated_shard_counts": curate.curated_shard_counts,
+        "corpus_dup_shingles": q.corpus_dup_shingles,
+        "lang_fertility": q.lang_fertility,
         "embedding_near_dup": q.embedding_near_dup,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
@@ -304,6 +306,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.doc_id, count(b.ng)::BIGINT AS n_hits
             FROM j LEFT JOIN bench b ON contains(j.jt, b.ng)
             GROUP BY j.doc_id
+        """,
+        "corpus_dup_shingles": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 6),
+                            i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+              FROM w WHERE len(ws) >= 8
+            )
+            SELECT shingle, count(*)::BIGINT AS n_docs FROM sh
+            GROUP BY shingle HAVING count(*) >= 2
+            ORDER BY n_docs DESC, shingle ASC LIMIT 50
+        """,
+        "lang_fertility": """
+            WITH w AS (
+              SELECT lang, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ws
+              FROM documents
+            )
+            SELECT lang,
+                   sum(coalesce(list_sum(list_transform(
+                       ws, x -> (length(x) + 3) // 4)), 0))::BIGINT AS n_subwords,
+                   sum(len(ws))::BIGINT AS n_words,
+                   CASE WHEN sum(len(ws)) = 0 THEN 0.0
+                        ELSE round(sum(coalesce(list_sum(list_transform(
+                                 ws, x -> (length(x) + 3) // 4)), 0))
+                             / sum(len(ws))::DOUBLE, 4)
+                   END AS fertility
+            FROM w GROUP BY lang
         """,
         "curated_shard_counts": f"""
             WITH sig AS (

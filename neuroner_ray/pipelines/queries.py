@@ -1427,3 +1427,91 @@ def corpus_bigram_top50(sf_dir: str) -> Dataset:
         .aggregate(Sum("n", alias_name="n"))
     )
     return counts.sort(["n", "bg"], descending=[True, False]).limit(50)
+
+
+def corpus_dup_shingles(sf_dir: str) -> Dataset:
+    """Cross-document duplicate-passage census: word-8-gram shingles that
+    appear in >= 2 distinct documents, top 50 by document count (the
+    detection signal behind substring-level train-set dedup).
+
+    Distinct-doc counting stays map-side: a document lives in exactly one
+    batch, and its shingles are set-deduped per doc, so per-batch counts
+    sum to exact distinct-document counts — the shuffle moves
+    (shingle, partial_count) rows only, never per-occurrence rows.
+    """
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    W = 8
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = _WORD_RE.findall((t or "").lower())
+            c.update(
+                {
+                    " ".join(ws[i : i + W])
+                    for i in range(len(ws) - W + 1)
+                }
+            )
+        return pa.table(
+            {
+                "shingle": pa.array(list(c.keys()), pa.string()),
+                "n_docs": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_docs"], 2))
+
+    return (
+        counts.map_batches(dup_only, batch_format="pyarrow")
+        .sort(["n_docs", "shingle"], descending=[True, False])
+        .limit(50)
+    )
+
+
+def lang_fertility(sf_dir: str) -> Dataset:
+    """Tokenizer-fertility stats per language: total subwords, total words
+    and subwords-per-word (the BPE-ish rule shared with
+    ``doc_subword_counts``). Map-side partial sums per lang → fan-in tree
+    merge over the (tiny) language key domain — no sort shuffle."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["lang", "text"])
+    word_re = re.compile(r"[A-Za-z0-9_]+")
+    merge = group_sum_merge(("lang",), ("n_subwords", "n_words"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs, subs, words = [], [], []
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = word_re.findall(t or "")
+            langs.append(lang)
+            subs.append(sum((len(w) + 3) // 4 for w in ws))
+            words.append(len(ws))
+        return merge(
+            pa.table(
+                {
+                    "lang": pa.array(langs, pa.string()),
+                    "n_subwords": pa.array(subs, pa.int64()),
+                    "n_words": pa.array(words, pa.int64()),
+                }
+            )
+        )
+
+    sums = tree_combine(docs.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_sub = t["n_subwords"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_w = t["n_words"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f = np.where(n_w > 0, n_sub / np.maximum(n_w, 1.0), 0.0)
+        return t.append_column(
+            "fertility", pa.array(round_half_away(f), pa.float64())
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -120,6 +120,8 @@ def test_round3_curation_queries_match_oracles(con_rel):
         "doc_sample_per_source",
         "doc_contamination",
         "corpus_bigram_top50",
+        "corpus_dup_shingles",
+        "lang_fertility",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(con_rel.execute(sqls[name]).fetchdf())
