@@ -42,7 +42,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             int(block_mb) * 1024 * 1024
         )
 
-    from neuroner_ray.pipelines import kg
+    from neuroner_ray.pipelines import curate, kg
     from neuroner_ray.pipelines import queries as q
     from neuroner_ray.sources.synth_transcripts import (
         sf_of_dir,
@@ -138,6 +138,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("lineitem_pricing", q.lineitem_pricing),
         ("doc_minhash_dedup", q.doc_minhash_dedup),
         ("doc_ngram_jaccard_pairs", q.doc_ngram_jaccard_pairs),
+        ("curated_shard_counts", curate.curated_shard_counts),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)

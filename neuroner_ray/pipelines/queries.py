@@ -1465,13 +1465,18 @@ def corpus_dup_shingles(sf_dir: str) -> Dataset:
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
 
-    def dup_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n_docs"], 2))
+    from ..runtime.combine import topk_merge
 
-    return (
-        counts.map_batches(dup_only, batch_format="pyarrow")
-        .sort(["n_docs", "shingle"], descending=[True, False])
-        .limit(50)
+    # top-50 cut via the associative top-k keep (same (n DESC, shingle ASC)
+    # total order as a global sort) — the duplicate-shingle set can still
+    # be huge at corpus scale, so no second sort shuffle
+    cut = topk_merge(50, "n_docs", ["shingle"])
+
+    def dup_topk(t: pa.Table) -> pa.Table:
+        return cut(t.filter(pc.greater_equal(t["n_docs"], 2)))
+
+    return tree_combine(
+        counts.map_batches(dup_topk, batch_format="pyarrow"), cut
     )
 
 
