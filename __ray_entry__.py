@@ -104,6 +104,15 @@ def kg_top_entities(sf_dir: str) -> Any:
     )
 
 
+def kg_pagerank(sf_dir: str) -> Any:
+    """Graph analytics: weighted PageRank over the produced edge table
+    (power method, 10 iterations, damping 0.85 — deterministic, so the
+    DuckDB oracle unrolls the same iterations)."""
+    from neuroner_ray.stages.graph import pagerank
+
+    return pagerank(_kg_tables(sf_dir)["edges"])
+
+
 def _mention_heavy_hitters_cached(sf_dir: str) -> Any:
     """O6 census over the (cached) pipeline mentions: top-10 surfaces."""
     import pyarrow as pa
@@ -181,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_top_entities": kg_top_entities,
+        "kg_pagerank": kg_pagerank,
     }
 
 
@@ -217,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": ko.kg_nodes_sql(tglob),
         "kg_edges": ko.kg_edges_sql(tglob),
         "kg_top_entities": ko.kg_top_entities_sql(tglob),
+        "kg_pagerank": ko.kg_pagerank_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
         "token_freq_top100": f"""
             SELECT token, count(*) AS n

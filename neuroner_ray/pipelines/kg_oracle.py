@@ -309,3 +309,47 @@ def mention_heavy_hitters_sql(transcripts_glob: str) -> str:
         ORDER BY n DESC, surface ASC
         LIMIT 10
     """
+
+
+def kg_pagerank_sql(
+    transcripts_glob: str, damping: float = 0.85, iters: int = 10
+) -> str:
+    """Weighted PageRank over the oracle edge table: the fixed-iteration
+    power method unrolled as generated CTEs (standard SQL forbids
+    aggregation inside a recursive CTE, so each iteration is its own CTE).
+    Mirrors ``stages.graph.pagerank`` exactly: raw (non-collapsed) edges,
+    uniform dangling-mass redistribution, round-to-4 at the end only."""
+    d = damping
+    # MATERIALIZED is load-bearing: without it DuckDB may inline the edge
+    # closure (a recursive CTE) into EVERY iteration CTE that references
+    # g/nodes/outw, re-evaluating the whole KG pipeline dozens of times
+    parts = [
+        """
+        g AS MATERIALIZED (SELECT src_id, dst_id, weight::DOUBLE AS w FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+                  (SELECT src_id AS id FROM g UNION ALL SELECT dst_id FROM g)),
+        nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+        outw AS MATERIALIZED (SELECT src_id AS id, sum(w) AS ow
+                              FROM g GROUP BY src_id),
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass
+                 FROM r{k - 1} r LEFT JOIN outw o ON r.id = o.id
+                 WHERE o.id IS NULL),
+        c{k} AS (SELECT g.dst_id AS id, sum(r.rank * g.w / o.ow) AS contrib
+                 FROM g JOIN r{k - 1} r ON g.src_id = r.id
+                        JOIN outw o ON o.id = g.src_id
+                 GROUP BY g.dst_id),
+        r{k} AS MATERIALIZED (SELECT n.id,
+                        (1 - {d}) / (SELECT n FROM nn)
+                        + {d} * ((SELECT mass FROM d{k}) / (SELECT n FROM nn)
+                                 + coalesce(c.contrib, 0.0)) AS rank
+                 FROM nodes n LEFT JOIN c{k} c ON c.id = n.id)"""
+        )
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},{"".join(parts)}
+        SELECT id AS entity_id, round(rank, 4) AS rank FROM r{iters}
+    """

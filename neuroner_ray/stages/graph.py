@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -334,3 +335,119 @@ def materialize_graph(
         paths["edges"], partition_cols=["bucket"]
     )
     return paths
+
+
+# ------------------------------------------------------------- analytics
+# Driver-side rank vectors are entity-vocabulary-sized (same bound as the
+# canonical-map broadcasts above); the cap makes the assumption loud
+# instead of an OOM.
+PAGERANK_MAX_NODES = 2_000_000
+
+
+def pagerank(
+    edges: Dataset, damping: float = 0.85, iters: int = 10
+) -> pa.Table:
+    """Weighted PageRank over the canonical edge table (power method,
+    fixed iteration count, deterministic).
+
+    Distributed shape: the edge table is STREAMED once per iteration
+    (``map_batches`` partials + fan-in tree combine — no sort shuffle);
+    only the rank vector (entity-vocabulary-sized, ≤ PAGERANK_MAX_NODES)
+    lives on the driver and is re-broadcast via ``ray.put`` each
+    iteration. Parallel (src, dst, pred) edges need no pre-collapse:
+    contributions are linear in edge weight, so their weights sum
+    naturally. Dangling mass (nodes with no out-edges) redistributes
+    uniformly, per the standard formulation.
+    """
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import group_sum_merge, tree_combine
+
+    g = edges.select_columns(["src_id", "dst_id", "weight"]).materialize()
+
+    # out-weight per src + node census (both vocabulary-sized)
+    owm = group_sum_merge(("id",), ("ow", "is_src"))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        w = t["weight"].cast(pa.float64()).to_pylist()
+        return owm(
+            pa.table(
+                {
+                    "id": pa.concat_arrays(
+                        [
+                            t["src_id"].combine_chunks(),
+                            t["dst_id"].combine_chunks(),
+                        ]
+                    ),
+                    "ow": pa.array(w + [0.0] * n, pa.float64()),
+                    "is_src": pa.array([1] * n + [0] * n, pa.int64()),
+                }
+            )
+        )
+
+    census = pa.concat_tables(
+        tree_combine(
+            g.map_batches(endpoints, batch_format="pyarrow"), owm
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if census.num_rows > PAGERANK_MAX_NODES:
+        raise ValueError(
+            f"pagerank rank vector {census.num_rows} nodes exceeds "
+            f"PAGERANK_MAX_NODES={PAGERANK_MAX_NODES}; shard the rank "
+            "vector (e.g. bucket by id hash) before raising the cap"
+        )
+    node_ids = census["id"].to_pylist()
+    ow = dict(zip(node_ids, census["ow"].to_numpy(zero_copy_only=False)))
+    n_nodes = len(node_ids)
+    rank = {v: 1.0 / n_nodes for v in node_ids}
+
+    cmerge = group_sum_merge(("id",), ("contrib",))
+    for _ in range(iters):
+        # broadcast ONE per-node factor rank/out_weight (dangling nodes
+        # never appear as src, so only ow>0 entries are needed)
+        factor_ref = ray.put(
+            pd.Series(
+                {v: rank[v] / ow[v] for v in node_ids if ow[v] > 0.0}
+            )
+        )
+
+        def contribs(t: pa.Table, factor_ref=factor_ref) -> pa.Table:
+            f = ray.get(factor_ref)
+            w = t["weight"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            src = pd.Series(t["src_id"].to_pylist())
+            return cmerge(
+                pa.table(
+                    {
+                        "id": t["dst_id"],
+                        "contrib": pa.array(
+                            src.map(f).to_numpy(dtype=np.float64) * w,
+                            pa.float64(),
+                        ),
+                    }
+                )
+            )
+
+        ctab = pa.concat_tables(
+            tree_combine(
+                g.map_batches(contribs, batch_format="pyarrow"), cmerge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        c = dict(
+            zip(
+                ctab["id"].to_pylist(),
+                ctab["contrib"].to_numpy(zero_copy_only=False),
+            )
+        )
+        dangling = sum(rank[v] for v in node_ids if ow[v] == 0.0)
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        rank = {v: base + damping * c.get(v, 0.0) for v in node_ids}
+
+    order = sorted(node_ids)
+    return pa.table(
+        {
+            "entity_id": pa.array(order, pa.string()),
+            "rank": pa.array(
+                [float(round_half_away(rank[v])) for v in order], pa.float64()
+            ),
+        }
+    )
