@@ -113,6 +113,31 @@ def kg_pagerank(sf_dir: str) -> Any:
     return pagerank(_kg_tables(sf_dir)["edges"])
 
 
+def kg_degree(sf_dir: str) -> Any:
+    """Graph analytics: per-entity out/in/weighted degree census
+    (map-side partials + tree combine, no sort shuffle)."""
+    from neuroner_ray.stages.graph import degree_table
+
+    return degree_table(_kg_tables(sf_dir)["edges"])
+
+
+def kg_components(sf_dir: str) -> Any:
+    """Graph analytics: connected components of the undirected entity
+    graph (size-adaptive union-find / distributed min-label propagation);
+    component label = lexicographic min member."""
+    from neuroner_ray.stages.graph import components
+
+    return components(_kg_tables(sf_dir)["edges"])
+
+
+def kg_triangles(sf_dir: str) -> Any:
+    """Graph analytics: global triangle count of the undirected simple
+    entity graph (ordered node-iterator over a broadcast adjacency)."""
+    from neuroner_ray.stages.graph import triangle_count
+
+    return triangle_count(_kg_tables(sf_dir)["edges"])
+
+
 def _mention_heavy_hitters_cached(sf_dir: str) -> Any:
     """O6 census over the (cached) pipeline mentions: top-10 surfaces."""
     import pyarrow as pa
@@ -191,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_top_entities": kg_top_entities,
         "kg_pagerank": kg_pagerank,
+        "kg_degree": kg_degree,
+        "kg_components": kg_components,
+        "kg_triangles": kg_triangles,
     }
 
 
@@ -228,6 +256,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": ko.kg_edges_sql(tglob),
         "kg_top_entities": ko.kg_top_entities_sql(tglob),
         "kg_pagerank": ko.kg_pagerank_sql(tglob),
+        "kg_degree": ko.kg_degree_sql(tglob),
+        "kg_components": ko.kg_components_sql(tglob),
+        "kg_triangles": ko.kg_triangles_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
         "token_freq_top100": f"""
             SELECT token, count(*) AS n

@@ -124,6 +124,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "turns_per_sec": round(n_turns / timings["kg_pipeline"], 1),
         }
 
+    # graph analytics over the edges the headline run just wrote (10
+    # power-method iterations streaming the edge table; vocabulary-sized
+    # rank vector)
+    from neuroner_ray.sources.parquet import read_parquet_clean
+    from neuroner_ray.stages.graph import pagerank
+
+    t0 = time.perf_counter()
+    pagerank(
+        read_parquet_clean(
+            os.path.join(out_dir, "edges"),
+            columns=["src_id", "dst_id", "weight"],
+        )
+    )
+    timings["kg_pagerank"] = round(time.perf_counter() - t0, 3)
+
     # secondary: classic (materializing) pipeline with the gazetteer tagger
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()

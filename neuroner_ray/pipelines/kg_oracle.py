@@ -353,3 +353,64 @@ def kg_pagerank_sql(
         WITH RECURSIVE {_edges_cte(transcripts_glob)},{"".join(parts)}
         SELECT id AS entity_id, round(rank, 4) AS rank FROM r{iters}
     """
+
+
+def kg_degree_sql(transcripts_glob: str) -> str:
+    """Per-entity degree census — mirrors ``stages.graph.degree_table``."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT * FROM edges)
+        SELECT entity_id,
+               sum(is_out)::BIGINT AS out_degree,
+               sum(1 - is_out)::BIGINT AS in_degree,
+               sum(weight)::BIGINT AS w_degree
+        FROM (
+            SELECT src_id AS entity_id, 1 AS is_out, weight FROM e
+            UNION ALL SELECT dst_id, 0, weight FROM e
+        )
+        GROUP BY entity_id
+    """
+
+
+def kg_components_sql(transcripts_glob: str) -> str:
+    """Undirected connected components, label = lexicographic min member —
+    mirrors ``stages.graph.components`` (transitive closure + min over the
+    reachable set ∪ self)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT src_id AS a, dst_id AS b FROM e
+            UNION SELECT dst_id, src_id FROM e
+        ),
+        ereach AS (
+            SELECT a, b FROM und
+            UNION SELECT r.a, u.b FROM ereach r JOIN und u ON r.b = u.a
+        ),
+        allnodes AS (
+            SELECT DISTINCT src_id AS id FROM e
+            UNION SELECT dst_id FROM e
+        )
+        SELECT n.id AS entity_id,
+               least(n.id, coalesce(min(r.b), n.id)) AS component
+        FROM allnodes n LEFT JOIN ereach r ON r.a = n.id
+        GROUP BY n.id
+    """
+
+
+def kg_triangles_sql(transcripts_glob: str) -> str:
+    """Global triangle count of the undirected simple entity graph —
+    mirrors ``stages.graph.triangle_count`` (each triangle a<b<c counted
+    once via its three ordered edges)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        simple AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS a,
+                            greatest(src_id, dst_id) AS b
+            FROM edges WHERE src_id <> dst_id
+        )
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM simple e1
+        JOIN simple e2 ON e2.a = e1.b
+        JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b
+    """

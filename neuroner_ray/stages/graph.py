@@ -451,3 +451,141 @@ def pagerank(
             ),
         }
     )
+
+
+def degree_table(edges: Dataset) -> Dataset:
+    """Per-entity degree census over the canonical edge table:
+    ``out_degree`` / ``in_degree`` = number of distinct out/in edge-table
+    rows (i.e. (neighbor, pred) pairs), ``w_degree`` = total incident
+    weight (out + in).
+
+    Map-side partials (each edge row contributes one src and one dst row)
+    + associative tree combine — entity-vocabulary-sized output, no sort
+    shuffle.
+    """
+    from ..runtime.combine import group_sum_merge, tree_combine
+
+    merge = group_sum_merge(
+        ("entity_id",), ("out_degree", "in_degree", "w_degree")
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        w = t["weight"].cast(pa.int64()).to_pylist()
+        one0 = [1] * n + [0] * n
+        return merge(
+            pa.table(
+                {
+                    "entity_id": pa.concat_arrays(
+                        [
+                            t["src_id"].combine_chunks(),
+                            t["dst_id"].combine_chunks(),
+                        ]
+                    ),
+                    "out_degree": pa.array(one0, pa.int64()),
+                    "in_degree": pa.array(one0[n:] + one0[:n], pa.int64()),
+                    "w_degree": pa.array(w + w, pa.int64()),
+                }
+            )
+        )
+
+    return tree_combine(
+        edges.select_columns(["src_id", "dst_id", "weight"]).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        merge,
+    )
+
+
+def components(edges: Dataset) -> Dataset:
+    """Connected components of the (undirected) canonical entity graph:
+    (entity_id, component) where ``component`` is the lexicographically
+    smallest entity_id in the component.
+
+    Reuses the size-adaptive union-find / distributed min-label-propagation
+    machinery from canonicalization (``canonicalize.connected_components``)
+    — the edge pairs stream straight in; the node set is the
+    entity-vocabulary-sized degree census.
+    """
+    from .canonicalize import connected_components
+
+    edges = edges.select_columns(["src_id", "dst_id", "weight"]).materialize()
+    pairs = edges.map_batches(
+        lambda t: pa.table(
+            {"a": t["src_id"], "b": t["dst_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = degree_table(edges).select_columns(["entity_id"]).rename_columns(
+        {"entity_id": "node"}
+    )
+    return connected_components(pairs, nodes).rename_columns(
+        {"node": "entity_id", "label": "component"}
+    )
+
+
+# Adjacency broadcast bound for triangle counting: the SIMPLE undirected
+# edge set (distinct endpoint pairs), not the corpus — entity-vocabulary²
+# bounded in this KG and far smaller in practice. The cap makes the
+# assumption loud; past it, switch to the 2-round shuffle formulation
+# (edge ⋈ wedge) instead of raising it.
+TRIANGLE_MAX_EDGES = 5_000_000
+
+
+def triangle_count(edges: Dataset) -> pa.Table:
+    """Global triangle count of the undirected simple entity graph
+    (self-loops dropped, parallel edges/predicates collapsed).
+
+    Node-iterator formulation with a total order: for each simple edge
+    (u, v), u < v, count common neighbors w > v — every triangle
+    a < b < c is counted exactly once, at its (a, b) edge. The adjacency
+    map is broadcast once (``ray.put``); per-batch counting is
+    ``np.intersect1d`` over sorted neighbor arrays.
+    """
+    simple = pa.concat_tables(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).group_by(["a", "b"]).aggregate([])
+    if simple.num_rows > TRIANGLE_MAX_EDGES:
+        raise ValueError(
+            f"triangle_count simple edge set {simple.num_rows} exceeds "
+            f"TRIANGLE_MAX_EDGES={TRIANGLE_MAX_EDGES}; use a shuffle-based "
+            "wedge join instead of the broadcast adjacency"
+        )
+    adj: dict[str, list[str]] = {}
+    for a, b in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    adj_np = {k: np.sort(np.asarray(v, dtype=object)) for k, v in adj.items()}
+    adj_ref = ray.put(adj_np)
+
+    import ray.data as rd
+
+    def count_batch(t: pa.Table, adj_ref=adj_ref) -> pa.Table:
+        A = ray.get(adj_ref)
+        total = 0
+        for u, v in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            common = np.intersect1d(A[u], A[v], assume_unique=True)
+            total += int((common > v).sum())
+        return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+    parts = rd.from_arrow(simple).map_batches(
+        count_batch, batch_format="pyarrow"
+    )
+    total = sum(
+        b["n_triangles"].to_pylist()[0]
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})

@@ -70,3 +70,57 @@ def test_pagerank_sums_to_one_and_is_deterministic():
     assert a == b
     # mass conservation (up to the 4-decimal output rounding)
     assert sum(a["rank"]) == pytest.approx(1.0, abs=5e-4 * len(a["rank"]))
+
+
+def _edges_ds():
+    return rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "pred": p, "weight": w}
+            for s, d, p, w in [
+                ("a", "b", "knows", 2),
+                ("a", "b", "likes", 1),   # parallel edge, second pred
+                ("b", "c", "knows", 3),
+                ("a", "c", "knows", 1),   # closes triangle a-b-c
+                ("c", "c", "self", 4),    # self-loop: no triangle, degree both ways
+                ("x", "y", "knows", 1),   # separate component
+            ]
+        ]
+    )
+
+
+def test_degree_table():
+    from neuroner_ray.stages.graph import degree_table
+
+    df = degree_table(_edges_ds()).to_pandas().set_index("entity_id")
+    # out_degree / in_degree count edge-table rows; w_degree sums weights
+    assert df.loc["a"].tolist() == [3, 0, 4]   # out: b,b,c ; in: none
+    assert df.loc["b"].tolist() == [1, 2, 6]   # out: c ; in: a,a
+    assert df.loc["c"].tolist() == [1, 3, 12]  # self-loop counts both ways
+    assert df.loc["x"].tolist() == [1, 0, 1]
+    assert df.loc["y"].tolist() == [0, 1, 1]
+
+
+def test_components_both_paths_agree():
+    from neuroner_ray.stages.graph import components
+
+    fast = components(_edges_ds()).to_pandas()
+    got = dict(zip(fast["entity_id"], fast["component"]))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_triangle_count():
+    from neuroner_ray.stages.graph import triangle_count
+
+    assert triangle_count(_edges_ds()).to_pydict() == {"n_triangles": [1]}
+    # a second triangle sharing edge b-c, plus a non-closing wedge
+    extra = rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "pred": "p", "weight": 1}
+            for s, d in [
+                ("a", "b"), ("b", "c"), ("a", "c"),
+                ("d", "b"), ("c", "d"),        # triangle b-c-d
+                ("d", "e"),                    # wedge, no closure
+            ]
+        ]
+    )
+    assert triangle_count(extra).to_pydict() == {"n_triangles": [2]}
