@@ -138,6 +138,23 @@ def kg_triangles(sf_dir: str) -> Any:
     return triangle_count(_kg_tables(sf_dir)["edges"])
 
 
+def kg_incremental_edges(sf_dir: str) -> Any:
+    """Incremental-ingest proof: build the KG as two conversation-disjoint
+    arrival batches through the resumable bucket machinery (per-increment
+    manifest namespaces + a global re-finalize after each arrival). The
+    result is guaranteed equal to the from-scratch build, so its oracle is
+    the SAME SQL as kg_edges — incremental == full rebuild == DuckDB."""
+    import hashlib
+
+    tdir = transcripts_dir_for(sf_dir)
+    work = os.path.join(
+        "/tmp/neuroner_ray_data",
+        "incr-" + hashlib.blake2b(tdir.encode(), digest_size=6).hexdigest(),
+    )
+    tables = kg.run_incremental(tdir, work, num_increments=2, num_buckets=2)
+    return tables["edges"].drop_columns(["provenance"])
+
+
 def _mention_heavy_hitters_cached(sf_dir: str) -> Any:
     """O6 census over the (cached) pipeline mentions: top-10 surfaces."""
     import pyarrow as pa
@@ -219,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": kg_degree,
         "kg_components": kg_components,
         "kg_triangles": kg_triangles,
+        "kg_incremental_edges": kg_incremental_edges,
     }
 
 
@@ -254,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": ko.kg_triples_sql(tglob),
         "kg_nodes": ko.kg_nodes_sql(tglob),
         "kg_edges": ko.kg_edges_sql(tglob),
+        # incremental build must equal the from-scratch build exactly
+        "kg_incremental_edges": ko.kg_edges_sql(tglob),
         "kg_top_entities": ko.kg_top_entities_sql(tglob),
         "kg_pagerank": ko.kg_pagerank_sql(tglob),
         "kg_degree": ko.kg_degree_sql(tglob),

@@ -45,8 +45,12 @@ def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
-def completed_buckets(out_dir: str, cfg_hash: str) -> set[int]:
-    """Buckets whose manifest exists AND matches the current config hash."""
+def completed_buckets(out_dir: str, cfg_hash: str) -> set:
+    """Bucket tags whose manifest exists AND matches the current config hash.
+
+    A tag is an ``int`` for the single-batch layout (``bucket=3``) or the
+    string ``"<increment>.<i>"`` for incremental ingests (``bucket=day2.3``).
+    """
     mdir = manifest_dir(out_dir)
     done = set()
     if not os.path.isdir(mdir):
@@ -60,7 +64,8 @@ def completed_buckets(out_dir: str, cfg_hash: str) -> set[int]:
         except (OSError, json.JSONDecodeError):
             continue
         if m.get("config_hash") == cfg_hash:
-            done.add(int(m["bucket"]))
+            tag = m["bucket"]
+            done.add(int(tag) if isinstance(tag, int) or str(tag).isdigit() else tag)
     return done
 
 
@@ -74,7 +79,7 @@ def write_manifest(out_dir: str, bucket: int, payload: dict) -> None:
 
 
 def _ensure_bucketed_input(
-    transcripts_path: str, out_dir: str, num_buckets: int
+    transcripts_path: str, out_dir: str, num_buckets: int, increment: str | None = None
 ) -> str:
     """One-time bucket-partitioned rewrite of the input (resume-safe).
 
@@ -87,7 +92,8 @@ def _ensure_bucketed_input(
     Idempotent across resumes via a ``_DONE`` marker keyed on (input path,
     num_buckets); written to tmp + atomic rename so a killed run restages.
     """
-    staged = os.path.join(out_dir, "_bucketed")
+    suffix = f"-inc-{increment}" if increment else ""
+    staged = os.path.join(out_dir, f"_bucketed{suffix}")
     marker = os.path.join(staged, "_DONE")
     key = {"input": transcripts_path, "num_buckets": num_buckets}
     if os.path.exists(marker):
@@ -121,27 +127,46 @@ def run_bucketed(
     table_fn: Callable[[Dataset], dict[str, Dataset]],
     config: dict,
     num_buckets: int = 8,
+    increment: str | None = None,
 ) -> dict:
     """Resumable run: partition input conversations into ``num_buckets`` by
     ``crc32(conv_id)``, process each missing bucket through ``table_fn``
     (input Dataset → {table_name: Dataset}), write each table under
-    ``<out>/<table>/bucket=<i>/`` atomically, manifest last.
+    ``<out>/<table>/bucket=<tag>/`` atomically, manifest last.
 
-    Returns {"processed": [...], "skipped": [...]}.
+    Returns {"processed": [...], "skipped": [...]} (this namespace only).
 
     Buckets are deliberately processed as separate filtered pipelines: the
     bucket is the checkpoint granularity, and each bucket's pipeline is
     itself a streaming Ray Data job. (Within one cluster run you would use
     larger buckets — the granularity trades resume cost against scheduling
     overhead.)
+
+    ``increment`` names a later arrival of NEW conversations (e.g. "day2")
+    to ingest into an existing ``out_dir``: its buckets live under the tag
+    ``"<increment>.<i>"`` so they never collide with earlier batches, and a
+    subsequent :func:`finalize_graph` recomputes the (cheap, global)
+    linking/canonicalization/edge stages over ALL completed buckets while
+    the expensive per-turn tagging of earlier increments is reused from its
+    manifests. Contract: increments must be conversation-disjoint — a
+    (conv_id, turn_idx) that appears in two increments is counted twice.
     """
+    if increment is not None and not all(
+        c.isalnum() or c in "-_" for c in increment
+    ):
+        raise ValueError(f"increment name must be [-_ alnum]: {increment!r}")
     cfg_hash = config_hash(config)
     done = completed_buckets(out_dir, cfg_hash)
-    todo = [b for b in range(num_buckets) if b not in done]
-    staged = _ensure_bucketed_input(transcripts_path, out_dir, num_buckets)
+
+    def tag_of(b: int):
+        return f"{increment}.{b}" if increment else b
+
+    todo = [b for b in range(num_buckets) if tag_of(b) not in done]
+    staged = _ensure_bucketed_input(transcripts_path, out_dir, num_buckets, increment)
     processed = []
     for b in todo:
         t0 = time.time()
+        tag = tag_of(b)
         # pruned read: only this bucket's partition directory leaves storage
         bdir = os.path.join(staged, f"bucket={b}")
         if os.path.isdir(bdir):
@@ -153,8 +178,8 @@ def run_bucketed(
         counts: dict[str, int] = {"input_turns": n_in}
         files: dict[str, list[str]] = {}
         for name, ds in tables.items():
-            tmp = os.path.join(out_dir, name, f".tmp-bucket={b}")
-            final = os.path.join(out_dir, name, f"bucket={b}")
+            tmp = os.path.join(out_dir, name, f".tmp-bucket={tag}")
+            final = os.path.join(out_dir, name, f"bucket={tag}")
             shutil.rmtree(tmp, ignore_errors=True)
             os.makedirs(tmp, exist_ok=True)
             ds.write_parquet(tmp)
@@ -164,9 +189,9 @@ def run_bucketed(
             files[name] = sorted(os.listdir(final))
         write_manifest(
             out_dir,
-            b,
+            tag,
             {
-                "bucket": b,
+                "bucket": tag,
                 "config_hash": cfg_hash,
                 "config": config,
                 "input": transcripts_path,
@@ -175,8 +200,11 @@ def run_bucketed(
                 "wall_sec": round(time.time() - t0, 3),
             },
         )
-        processed.append(b)
-    return {"processed": processed, "skipped": sorted(done)}
+        processed.append(tag)
+    skipped = sorted(
+        (t for t in (tag_of(b) for b in range(num_buckets)) if t in done), key=str
+    )
+    return {"processed": processed, "skipped": skipped}
 
 
 def read_output(out_dir: str, table: str) -> Dataset:
@@ -205,7 +233,7 @@ def finalize_graph(out_dir: str, config: dict) -> dict:
     )
 
     cfg_hash = config_hash(config)
-    done = sorted(completed_buckets(out_dir, cfg_hash))
+    done = sorted(completed_buckets(out_dir, cfg_hash), key=str)
     fpath = os.path.join(manifest_dir(out_dir), "finalize.json")
     if os.path.exists(fpath):
         try:

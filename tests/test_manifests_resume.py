@@ -161,3 +161,54 @@ def test_bucketed_input_staged_once_and_reused(tpath, tmp_path):
     # changing num_buckets invalidates the staging key
     manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=4)
     assert os.path.isdir(os.path.join(staged, "bucket=3"))
+
+
+def test_incremental_ingest_equals_full_build(tpath, tmp_path):
+    """run_incremental (two conversation-disjoint arrivals through the
+    bucket machinery, global re-finalize after each) must produce the same
+    nodes/edges as the from-scratch single-run pipeline, and a re-run must
+    skip every bucket and the finalize."""
+    out = str(tmp_path / "incr")
+    res = kg.run_incremental(tpath, out, num_increments=2, num_buckets=2)
+    tags = [t for inc in res["increments"] for t in inc["processed"]]
+    assert sorted(tags) == ["inc0.0", "inc0.1", "inc1.0", "inc1.1"]
+    assert not any(inc["finalize_skipped"] for inc in res["increments"])
+
+    single = kg.run_pipeline(tpath)
+    ekey = ["src_id", "dst_id", "pred"]
+    e = (
+        res["edges"].to_pandas()
+        .drop(columns=["provenance"], errors="ignore")
+        .sort_values(ekey).reset_index(drop=True)
+    )
+    se = (
+        single["edges"].to_pandas()
+        .drop(columns=["provenance"], errors="ignore")
+        .sort_values(ekey).reset_index(drop=True)
+    )
+    assert e[ekey + ["weight"]].equals(se[ekey + ["weight"]])
+    n = res["nodes"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    sn = single["nodes"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    assert list(n["entity_id"]) == list(sn["entity_id"])
+    assert list(n["mention_count"]) == list(sn["mention_count"])
+
+    # resume: nothing re-processed, finalize skipped for both arrivals
+    res2 = kg.run_incremental(tpath, out, num_increments=2, num_buckets=2)
+    assert all(inc["processed"] == [] for inc in res2["increments"])
+    assert all(inc["finalize_skipped"] for inc in res2["increments"])
+
+
+def test_increment_namespaces_do_not_collide(tpath, tmp_path):
+    """An increment ingest into an out_dir with legacy (un-namespaced)
+    buckets must neither skip because of them nor disturb them."""
+    out = str(tmp_path / "ns")
+    r1 = manifests.run_bucketed(tpath, out, _table_fn, CONFIG, num_buckets=2)
+    assert sorted(r1["processed"]) == [0, 1]
+    r2 = manifests.run_bucketed(
+        tpath, out, _table_fn, CONFIG, num_buckets=2, increment="day2"
+    )
+    assert r2["processed"] == ["day2.0", "day2.1"]
+    assert r2["skipped"] == []
+    # legacy manifests still intact and counted separately
+    done = manifests.completed_buckets(out, manifests.config_hash(CONFIG))
+    assert done == {0, 1, "day2.0", "day2.1"}

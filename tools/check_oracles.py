@@ -51,7 +51,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -78,6 +78,8 @@ def main(sf_dir: str) -> int:
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
         try:
             got = normalize(to_pandas(fn(sf_dir)))
         except Exception as ex:  # noqa: BLE001
@@ -110,6 +112,7 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    code = main(sf)
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    code = main(sf, only)
     ray.shutdown()
     sys.exit(code)
