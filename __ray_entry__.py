@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dup_shingles": q.corpus_dup_shingles,
         "lang_fertility": q.lang_fertility,
         "embedding_near_dup": q.embedding_near_dup,
+        "embedding_kmeans": q.embedding_kmeans,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
         "similarity_topk_multi": q.similarity_topk_multi,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": do.doc_minhash_dedup_sql(),
         "doc_ngram_jaccard_pairs": do.doc_ngram_jaccard_pairs_sql(),
         "embedding_near_dup": do.embedding_near_dup_sql(),
+        "embedding_kmeans": do.embedding_kmeans_sql(),
         "similarity_topk_lsh": do.similarity_topk_sql(),
         "similarity_topk_ivf": do.similarity_topk_ivf_sql(oracle_sf),
         "media_image_features": do.media_image_features_sql(),

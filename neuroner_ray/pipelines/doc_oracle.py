@@ -325,3 +325,49 @@ def similarity_topk_ivf_sql(
         WHERE e.vec_id IN ({id_list})
         ORDER BY cos DESC, vec_id ASC LIMIT {k}
     """
+
+
+def embedding_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations mirroring ``queries.embedding_kmeans`` /
+    ``similarity.kmeans_assign``: init = embeddings of the k smallest
+    vec_ids; per iteration assign by round(list_distance, 6) with
+    smallest-cluster tie-break, then component-wise round(avg, 6) means
+    (an empty cluster keeps its previous centroid via the LEFT JOIN
+    coalesce); final SELECT is one more assignment pass."""
+    r = 6
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (SELECT unnest(range(1, {dim + 1})) AS p),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, cluster, v FROM (
+    SELECT e.vec_id, c.cluster, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_distance(e.v, c.v), {r}), c.cluster) AS rn
+    FROM e, {prev} c) WHERE rn = 1),
+m{i} AS (
+  SELECT cluster, list(m ORDER BY p) AS v FROM (
+    SELECT a.cluster, pos.p, round(avg(a.v[pos.p]), {r}) AS m
+    FROM a{i} a, pos GROUP BY a.cluster, pos.p) GROUP BY cluster),
+c{i} AS (
+  SELECT pc.cluster, coalesce(nm.v, pc.v) AS v
+  FROM {prev} pc LEFT JOIN m{i} nm USING (cluster))"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.v, c.v), {r}), c.cluster) AS rn
+  FROM e, {prev} c) WHERE rn = 1"""
+    )
+    return "".join(parts)

@@ -1520,3 +1520,17 @@ def lang_fertility(sf_dir: str) -> Dataset:
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_kmeans(sf_dir: str) -> Dataset:
+    """Deterministic Lloyd k-means (k=8, 3 iterations) over the embeddings
+    table; output = the final (vec_id, cluster) assignment. Centroid
+    updates round to 6 decimals and assignment uses rounded-distance
+    argmin with smallest-cluster tie-break, so the DuckDB oracle replays
+    the identical iterations (see doc_oracle.embedding_kmeans_sql)."""
+    from ..stages.similarity import kmeans_assign
+
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(emb, k=8, iters=3)

@@ -360,3 +360,133 @@ def brute_force_topk_many(
     return tree_combine(
         scored, topk_merge(k, "cos", [id_col], group_cols=["query_idx"])
     )
+
+
+# ------------------------------------------------------------------ k-means
+# Deterministic Lloyd k-means over an embedding column, shaped so a DuckDB
+# oracle can replay it exactly: centroids are initialized from the k
+# smallest ids (no RNG), every updated centroid component is rounded
+# half-away to KMEANS_ROUND decimals, and assignment uses distances rounded
+# to the same precision with ties broken by smallest cluster index. All
+# corpus-sized work streams (one map pass per iteration producing K-row
+# partial sums); only K×D centroid state ever reaches the driver.
+KMEANS_ROUND = 6
+
+
+def _vectors_of(batch: pa.Table, vec_col: str) -> np.ndarray:
+    arr = batch[vec_col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(len(arr), -1)
+
+
+def _kmeans_assign_ids(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Rounded-distance argmin; ties → smallest cluster index (mirrors the
+    oracle's ORDER BY round(dist, 6), cluster / row_number() = 1)."""
+    # (N,K) Euclidean distances via the subtraction form — numerically the
+    # same shape as DuckDB's list_distance (sum of squared diffs, sqrt)
+    d = np.sqrt(((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2))
+    return round_half_away(d, KMEANS_ROUND).argmin(axis=1)
+
+
+def kmeans_assign(
+    embeddings: Dataset,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Distributed Lloyd k-means; returns the final (id, cluster) table.
+
+    Per iteration: ONE streaming pass emits K-row partial sums per batch
+    (cluster, count, component sums); an associative tree merge reduces
+    them to K rows; the driver recomputes the K×D centroid matrix (rounded)
+    and re-broadcasts it via ray.put. A final pass emits assignments. No
+    corpus-sized collect anywhere; per-batch work is one vectorized (N,K,D)
+    distance kernel."""
+
+    # init: embeddings of the k smallest ids — associative keep-k merge,
+    # no sort shuffle (same pattern as doc_sample_per_source)
+    def keep_k_smallest(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        if t.num_rows <= k:
+            return t
+        order = pa.compute.sort_indices(t[id_col])
+        return t.take(order[:k])
+
+    seed = tree_combine(
+        embeddings.map_batches(keep_k_smallest, batch_format="pyarrow"),
+        keep_k_smallest,
+    ).take_all()
+    seed.sort(key=lambda r: r[id_col])
+    centroids = np.asarray([r[vec_col] for r in seed], dtype=np.float64)
+    kk, dim = centroids.shape
+
+    def partial_sums(t: pa.Table, cref) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        X = _vectors_of(t, vec_col)
+        a = _kmeans_assign_ids(X, c)
+        counts = np.bincount(a, minlength=kk)
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        np.add.at(sums, a, X)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(kk), pa.int32()),
+                "count": pa.array(counts, pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    def merge_sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        cl = t["cluster"].to_numpy()
+        cnt = t["count"].to_numpy()
+        S = _vectors_of(t, "sums")
+        counts = np.zeros(kk, dtype=np.int64)
+        np.add.at(counts, cl, cnt)
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        np.add.at(sums, cl, S)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(kk), pa.int32()),
+                "count": pa.array(counts, pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        merged = tree_combine(
+            embeddings.map_batches(
+                lambda t, cref=cref: partial_sums(t, cref),
+                batch_format="pyarrow",
+            ),
+            merge_sums,
+        ).take_all()
+        counts = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        for r in merged:
+            counts[r["cluster"]] += r["count"]
+            sums[r["cluster"]] += np.asarray(r["sums"])
+        nonempty = counts > 0
+        new = centroids.copy()  # empty cluster keeps its previous centroid
+        new[nonempty] = round_half_away(
+            sums[nonempty] / counts[nonempty, None], KMEANS_ROUND
+        )
+        centroids = new
+
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table, cref=cref) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        a = _kmeans_assign_ids(_vectors_of(t, vec_col), c)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")

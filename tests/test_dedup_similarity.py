@@ -233,3 +233,43 @@ def test_ngram_jaccard_pairs_empty_result_keeps_schema():
     # quirk), so assert on the Dataset schema
     assert out.schema().names == ["a", "b", "jac"]
     assert out.count() == 0
+
+
+def test_kmeans_assign_separates_blobs():
+    """Three well-separated blobs → three pure clusters; every point is
+    assigned to its nearest final centroid (rounded-distance argmin)."""
+    from neuroner_ray.stages.similarity import kmeans_assign, _kmeans_assign_ids
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 8.0]])
+    pts = np.concatenate(
+        [c + 0.5 * rng.randn(20, 2) for c in centers]
+    ).astype(np.float32)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(len(pts)), pa.int64()),
+            "embedding": pa.array([list(map(float, p)) for p in pts],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        kmeans_assign(rd.from_arrow(tab), k=3, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    labels = np.repeat([0, 1, 2], 20)
+    # each true blob maps to exactly one k-means cluster
+    for b in range(3):
+        got = set(out["cluster"][labels == b])
+        assert len(got) == 1, (b, got)
+    assert len(set(out["cluster"])) == 3
+    # assignment equals nearest-final-centroid (recompute centroids from
+    # the produced clusters; 5 iterations converge on this toy input)
+    X = pts.astype(np.float64)
+    cl = out["cluster"].to_numpy()
+    cents = np.stack([X[cl == c].mean(axis=0) for c in range(3)])
+    from neuroner_ray.functions.rounding import round_half_away
+
+    cents = round_half_away(cents, 6)
+    assert (_kmeans_assign_ids(X, cents) == cl).all()

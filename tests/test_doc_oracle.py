@@ -43,6 +43,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         (q.doc_ngram_jaccard_pairs, doc_oracle.doc_ngram_jaccard_pairs_sql()),
         (q.embedding_near_dup, doc_oracle.embedding_near_dup_sql()),
         (q.similarity_topk_lsh, doc_oracle.similarity_topk_sql()),
+        (q.embedding_kmeans, doc_oracle.embedding_kmeans_sql()),
     ],
     ids=[
         "rolling_fp",
@@ -52,6 +53,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         "ngram_jaccard",
         "embedding_near_dup",
         "topk_lsh",
+        "embedding_kmeans",
     ],
 )
 def test_doc_oracle_matches_pipeline(con, query_fn, sql):
