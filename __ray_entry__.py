@@ -138,6 +138,31 @@ def kg_triangles(sf_dir: str) -> Any:
     return triangle_count(_kg_tables(sf_dir)["edges"])
 
 
+def kg_bfs_levels(sf_dir: str) -> Any:
+    """Graph analytics: undirected BFS hop levels from the
+    lexicographically smallest entity (level cap 10; frontier broadcast
+    per level, one streaming edge pass per level)."""
+    from neuroner_ray.stages.graph import bfs_levels
+
+    return bfs_levels(_kg_tables(sf_dir)["edges"])
+
+
+def kg_kcore(sf_dir: str) -> Any:
+    """Graph analytics: fixed-round 2-core peel of the undirected simple
+    entity graph (surviving nodes + surviving-neighbor degree)."""
+    from neuroner_ray.stages.graph import kcore
+
+    return kcore(_kg_tables(sf_dir)["edges"])
+
+
+def kg_neighbor_jaccard(sf_dir: str) -> Any:
+    """Graph analytics: top-20 node pairs by neighborhood Jaccard
+    similarity (broadcast adjacency + per-batch local top-k, tie-exact)."""
+    from neuroner_ray.stages.graph import neighbor_jaccard_topk
+
+    return neighbor_jaccard_topk(_kg_tables(sf_dir)["edges"])
+
+
 def kg_incremental_edges(sf_dir: str) -> Any:
     """Incremental-ingest proof: build the KG as two conversation-disjoint
     arrival batches through the resumable bucket machinery (per-increment
@@ -238,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": kg_components,
         "kg_triangles": kg_triangles,
         "kg_incremental_edges": kg_incremental_edges,
+        "kg_bfs_levels": kg_bfs_levels,
+        "kg_kcore": kg_kcore,
+        "kg_neighbor_jaccard": kg_neighbor_jaccard,
     }
 
 
@@ -281,6 +309,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree": ko.kg_degree_sql(tglob),
         "kg_components": ko.kg_components_sql(tglob),
         "kg_triangles": ko.kg_triangles_sql(tglob),
+        "kg_bfs_levels": ko.kg_bfs_levels_sql(tglob),
+        "kg_kcore": ko.kg_kcore_sql(tglob),
+        "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
         "token_freq_top100": f"""
             SELECT token, count(*) AS n

@@ -414,3 +414,102 @@ def kg_triangles_sql(transcripts_glob: str) -> str:
         JOIN simple e2 ON e2.a = e1.b
         JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b
     """
+
+
+def kg_bfs_levels_sql(transcripts_glob: str, max_levels: int = 10) -> str:
+    """Undirected BFS hop levels from the lexicographically smallest
+    entity — mirrors ``stages.graph.bfs_levels`` (level cap, min level per
+    node). The recursive walk carries (node, level) pairs; UNION dedup
+    bounds it to nodes × levels rows."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT src_id AS a, dst_id AS b FROM e
+            UNION SELECT dst_id, src_id FROM e
+        ),
+        seed AS (
+            SELECT least(min(src_id), min(dst_id)) AS id FROM e
+        ),
+        walk AS (
+            SELECT id AS node, 0 AS level FROM seed WHERE id IS NOT NULL
+            UNION
+            SELECT u.b, w.level + 1
+            FROM walk w JOIN und u ON u.a = w.node
+            WHERE w.level < {max_levels}
+        )
+        SELECT node AS entity_id, min(level)::BIGINT AS level
+        FROM walk GROUP BY node
+    """
+
+
+def kg_kcore_sql(
+    transcripts_glob: str, k: int = 2, rounds: int = 12
+) -> str:
+    """Fixed-round k-core peel — mirrors ``stages.graph.kcore`` (same k,
+    same round count; the peel is monotone, so early convergence on either
+    side equals running all rounds). ``ud`` holds each distinct undirected
+    pair in both directions, so count(*) per node = distinct neighbors."""
+    parts = [
+        f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS x,
+                            greatest(src_id, dst_id) AS y
+            FROM e WHERE src_id <> dst_id
+        ),
+        ud AS MATERIALIZED (
+            SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und
+        ),
+        s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM ud)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        s{i} AS MATERIALIZED (
+            SELECT a AS node FROM ud
+            WHERE a IN (SELECT node FROM s{i - 1})
+              AND b IN (SELECT node FROM s{i - 1})
+            GROUP BY a HAVING count(*) >= {k})"""
+        )
+    parts.append(
+        f"""
+        SELECT a AS entity_id, count(*)::BIGINT AS deg
+        FROM ud
+        WHERE a IN (SELECT node FROM s{rounds})
+          AND b IN (SELECT node FROM s{rounds})
+        GROUP BY a"""
+    )
+    return "".join(parts)
+
+
+def kg_neighbor_jaccard_sql(transcripts_glob: str, k: int = 20) -> str:
+    """Top-k neighborhood-Jaccard pairs — mirrors
+    ``stages.graph.neighbor_jaccard_topk`` (pairs u < v with a common
+    neighbor, J = |∩| / |∪| rounded to 4 decimals, cut by
+    (jac DESC, u, v))."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS x,
+                            greatest(src_id, dst_id) AS y
+            FROM e WHERE src_id <> dst_id
+        ),
+        ud AS MATERIALIZED (
+            SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und
+        ),
+        deg AS MATERIALIZED (SELECT a, count(*) AS d FROM ud GROUP BY a),
+        common AS MATERIALIZED (
+            SELECT n1.a AS u, n2.a AS v, count(*) AS c
+            FROM ud n1 JOIN ud n2 ON n1.b = n2.b AND n1.a < n2.a
+            GROUP BY n1.a, n2.a
+        )
+        SELECT c.u, c.v,
+               round(c.c / (du.d + dv.d - c.c)::DOUBLE, 4) AS jac
+        FROM common c
+        JOIN deg du ON du.a = c.u
+        JOIN deg dv ON dv.a = c.v
+        ORDER BY jac DESC, c.u, c.v LIMIT {k}
+    """

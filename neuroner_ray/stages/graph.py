@@ -532,16 +532,13 @@ def components(edges: Dataset) -> Dataset:
 TRIANGLE_MAX_EDGES = 5_000_000
 
 
-def triangle_count(edges: Dataset) -> pa.Table:
-    """Global triangle count of the undirected simple entity graph
-    (self-loops dropped, parallel edges/predicates collapsed).
-
-    Node-iterator formulation with a total order: for each simple edge
-    (u, v), u < v, count common neighbors w > v — every triangle
-    a < b < c is counted exactly once, at its (a, b) edge. The adjacency
-    map is broadcast once (``ray.put``); per-batch counting is
-    ``np.intersect1d`` over sorted neighbor arrays.
-    """
+def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
+    """Distinct undirected (a < b) pair set of the canonical entity graph
+    (self-loops dropped, parallel edges/predicates collapsed) — the shared
+    input of the broadcast-adjacency analytics (triangles, k-core,
+    neighbor Jaccard). Entity-vocabulary²-bounded; the loud cap makes the
+    assumption explicit — past it, switch to the 2-round shuffle
+    formulation (edge ⋈ wedge) instead of raising it."""
     simple = pa.concat_tables(
         edges.select_columns(["src_id", "dst_id"])
         .map_batches(
@@ -560,10 +557,24 @@ def triangle_count(edges: Dataset) -> pa.Table:
     ).group_by(["a", "b"]).aggregate([])
     if simple.num_rows > TRIANGLE_MAX_EDGES:
         raise ValueError(
-            f"triangle_count simple edge set {simple.num_rows} exceeds "
+            f"{caller} simple edge set {simple.num_rows} exceeds "
             f"TRIANGLE_MAX_EDGES={TRIANGLE_MAX_EDGES}; use a shuffle-based "
             "wedge join instead of the broadcast adjacency"
         )
+    return simple
+
+
+def triangle_count(edges: Dataset) -> pa.Table:
+    """Global triangle count of the undirected simple entity graph
+    (self-loops dropped, parallel edges/predicates collapsed).
+
+    Node-iterator formulation with a total order: for each simple edge
+    (u, v), u < v, count common neighbors w > v — every triangle
+    a < b < c is counted exactly once, at its (a, b) edge. The adjacency
+    map is broadcast once (``ray.put``); per-batch counting is
+    ``np.intersect1d`` over sorted neighbor arrays.
+    """
+    simple = _simple_edges(edges, "triangle_count")
     adj: dict[str, list[str]] = {}
     for a, b in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
         adj.setdefault(a, []).append(b)
@@ -589,3 +600,200 @@ def triangle_count(edges: Dataset) -> pa.Table:
         for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
     )
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def bfs_levels(edges: Dataset, max_levels: int = 10) -> Dataset:
+    """Undirected BFS hop levels from the lexicographically smallest
+    entity: (entity_id, level) for every node reachable within
+    ``max_levels`` hops (the seed at level 0).
+
+    Per level: the frontier (entity-vocabulary bounded — the same
+    driver-state class as pagerank's rank vector, ≤ PAGERANK_MAX_NODES) is
+    broadcast via ray.put; ONE streaming pass over the edge table filters
+    frontier-incident edges with vectorized ``is_in`` kernels and emits
+    their opposite endpoints; an associative distinct merge reduces them to
+    a vocabulary-sized candidate set. At most ``max_levels`` passes — the
+    loop exits early when the frontier empties. Oracle:
+    ``kg_oracle.kg_bfs_levels_sql`` (recursive CTE, same level cap).
+    """
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..runtime.combine import tree_combine
+
+    edges = edges.select_columns(["src_id", "dst_id"]).materialize()
+
+    def min_node(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string())})
+        vals = [
+            v
+            for v in (
+                pc.min(t.column(c)).as_py() if c in t.schema.names else None
+                for c in ("src_id", "dst_id", "node")
+            )
+            if v is not None
+        ]
+        return pa.table({"node": pa.array([min(vals)], pa.string())})
+
+    seed_rows = tree_combine(
+        edges.map_batches(min_node, batch_format="pyarrow"), min_node
+    ).take_all()
+    empty = pa.table(
+        {"entity_id": pa.array([], pa.string()), "level": pa.array([], pa.int64())}
+    )
+    if not seed_rows:
+        return rd.from_arrow(empty)
+    seed = seed_rows[0]["node"]
+    levels: dict[str, int] = {seed: 0}
+    frontier = [seed]
+
+    def distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table({"node": pc.unique(t["node"])})
+
+    for lvl in range(1, max_levels + 1):
+        if len(levels) > PAGERANK_MAX_NODES:
+            raise ValueError(
+                f"bfs_levels driver state exceeds {PAGERANK_MAX_NODES} nodes; "
+                "switch to the shuffle (join-per-level) formulation"
+            )
+        fref = ray.put(pa.array(sorted(frontier), pa.string()))
+
+        def neighbors(t: pa.Table, fref=fref) -> pa.Table:
+            f = ray.get(fref) if isinstance(fref, ray.ObjectRef) else fref
+            src, dst = t["src_id"], t["dst_id"]
+            out = pa.concat_arrays(
+                [
+                    dst.filter(pc.is_in(src, value_set=f)).combine_chunks(),
+                    src.filter(pc.is_in(dst, value_set=f)).combine_chunks(),
+                ]
+            )
+            return pa.table({"node": pc.unique(out)})
+
+        reached = tree_combine(
+            edges.map_batches(neighbors, batch_format="pyarrow"), distinct
+        ).take_all()
+        frontier = [r["node"] for r in reached if r["node"] not in levels]
+        if not frontier:
+            break
+        for n in frontier:
+            levels[n] = lvl
+
+    ids = sorted(levels)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "level": pa.array([levels[i] for i in ids], pa.int64()),
+            }
+        )
+    )
+
+
+KCORE_ROUNDS = 12
+
+
+def kcore(edges: Dataset, k: int = 2, rounds: int = KCORE_ROUNDS) -> Dataset:
+    """Fixed-round k-core peel of the undirected simple entity graph:
+    repeatedly drop nodes with fewer than ``k`` distinct surviving
+    neighbors, ``rounds`` times (exact k-core once converged; the oracle
+    unrolls the SAME round count, so the two sides agree even on a graph
+    that has not converged yet). Output: surviving (entity_id, deg) where
+    ``deg`` counts distinct surviving neighbors — nodes whose last
+    neighbor was peeled drop out with them.
+
+    The simple pair set is entity-vocabulary²-bounded and collected under
+    the same loud cap as triangle_count; the peel itself is integer set
+    arithmetic on that bounded state (early exit when a round is stable —
+    peeling is monotone, so stopping early equals running all rounds).
+    """
+    import ray.data as rd
+
+    simple = _simple_edges(edges, "kcore")
+    a = simple["a"].to_pylist()
+    b = simple["b"].to_pylist()
+    alive = set(a) | set(b)
+    for _ in range(rounds):
+        deg: dict[str, int] = {}
+        for u, v in zip(a, b):
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        nxt = {n for n, d in deg.items() if d >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    deg = {}
+    for u, v in zip(a, b):
+        if u in alive and v in alive:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+    ids = sorted(deg)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "deg": pa.array([deg[i] for i in ids], pa.int64()),
+            }
+        )
+    )
+
+
+def neighbor_jaccard_topk(edges: Dataset, k: int = 20) -> Dataset:
+    """Top-k node pairs by neighborhood Jaccard similarity over the
+    undirected simple entity graph: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| for
+    pairs u < v sharing at least one common neighbor, rounded to 4
+    decimals, cut by (jac DESC, u ASC, v ASC).
+
+    Same distribution shape as triangle_count: adjacency broadcast once
+    (vocabulary-bounded, loud cap), candidate pairs generated per node
+    batch (two-hop closure), LOCAL top-k per batch with the oracle's total
+    order, associative top-k merge — no all-pairs, no sort shuffle.
+    """
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import topk_merge, tree_combine
+
+    import ray.data as rd
+
+    simple = _simple_edges(edges, "neighbor_jaccard_topk")
+    adj: dict[str, set[str]] = {}
+    for u, v in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    adj_ref = ray.put(adj)
+    nodes = rd.from_arrow(
+        pa.table({"u": pa.array(sorted(adj), pa.string())})
+    )
+    cut = topk_merge(k, "jac", ["u", "v"])
+
+    def pairs_batch(t: pa.Table, adj_ref=adj_ref) -> pa.Table:
+        A = ray.get(adj_ref) if isinstance(adj_ref, ray.ObjectRef) else adj_ref
+        us, vs, js = [], [], []
+        for u in t["u"].to_pylist():
+            nu = A[u]
+            cands = set()
+            for w in nu:
+                cands.update(x for x in A[w] if x > u)
+            for v in sorted(cands):
+                nv = A[v]
+                inter = len(nu & nv)
+                if inter:
+                    us.append(u)
+                    vs.append(v)
+                    js.append(inter / (len(nu) + len(nv) - inter))
+        return cut(
+            pa.table(
+                {
+                    "u": pa.array(us, pa.string()),
+                    "v": pa.array(vs, pa.string()),
+                    "jac": pa.array(round_half_away(js, 4), pa.float64()),
+                }
+            )
+        )
+
+    return tree_combine(
+        nodes.map_batches(pairs_batch, batch_format="pyarrow"), cut
+    )

@@ -124,3 +124,73 @@ def test_triangle_count():
         ]
     )
     assert triangle_count(extra).to_pydict() == {"n_triangles": [2]}
+
+
+def test_bfs_levels():
+    from neuroner_ray.stages.graph import bfs_levels
+
+    # seed = "a" (lexicographic min); x/y unreachable from it
+    df = bfs_levels(_edges_ds()).to_pandas()
+    got = dict(zip(df["entity_id"], df["level"]))
+    assert got == {"a": 0, "b": 1, "c": 1}
+    # chain seed..n4 with a back-edge shortcut and a level cap
+    chain = rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "pred": "p", "weight": 1}
+            for s, d in [
+                ("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+                ("n4", "n0"),   # cycle: n4 is 1 hop via the back-edge
+            ]
+        ]
+    )
+    df = bfs_levels(chain).to_pandas()
+    got = dict(zip(df["entity_id"], df["level"]))
+    assert got == {"n0": 0, "n1": 1, "n4": 1, "n2": 2, "n3": 2}
+    # cap: only levels <= max_levels appear
+    df = bfs_levels(chain, max_levels=1).to_pandas()
+    got = dict(zip(df["entity_id"], df["level"]))
+    assert got == {"n0": 0, "n1": 1, "n4": 1}
+
+
+def test_kcore():
+    from neuroner_ray.stages.graph import kcore
+
+    # triangle a-b-c is the 2-core; x-y and the self-loop peel away
+    df = kcore(_edges_ds(), k=2).to_pandas()
+    got = dict(zip(df["entity_id"], df["deg"]))
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=1: everything with an edge survives (self-loops still dropped)
+    df = kcore(_edges_ds(), k=1).to_pandas()
+    assert set(df["entity_id"]) == {"a", "b", "c", "x", "y"}
+    # k=3: nothing survives -> typed empty (NB: zero-row to_pandas drops
+    # columns, a Ray quirk — assert on the Dataset schema instead)
+    out = kcore(_edges_ds(), k=3)
+    assert out.schema().names == ["entity_id", "deg"]
+    assert out.count() == 0
+
+
+def test_neighbor_jaccard_topk():
+    from neuroner_ray.stages.graph import neighbor_jaccard_topk
+
+    # N(a)={b,c}, N(b)={a,c}, N(c)={a,b}: each pair shares exactly one
+    # common neighbor out of a union of 3 -> jac 1/3; x-y share none
+    df = neighbor_jaccard_topk(_edges_ds()).to_pandas()
+    got = {(u, v): j for u, v, j in zip(df["u"], df["v"], df["jac"])}
+    assert got == {
+        ("a", "b"): 0.3333,
+        ("a", "c"): 0.3333,
+        ("b", "c"): 0.3333,
+    }
+    # star: each leaf's neighborhood is exactly {hub} -> leaf pairs have
+    # identical neighborhoods, jac 1.0; the top-2 cut keeps (jac DESC, u, v)
+    star = rd.from_items(
+        [
+            {"src_id": "hub", "dst_id": d, "pred": "p", "weight": 1}
+            for d in ["l1", "l2", "l3"]
+        ]
+    )
+    df = neighbor_jaccard_topk(star, k=2).to_pandas()
+    assert list(zip(df["u"], df["v"], df["jac"])) == [
+        ("l1", "l2", 1.0),
+        ("l1", "l3", 1.0),
+    ]
