@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": q.orders_monthly,
         "user_top_event_type": q.user_top_event_type,
         "account_balance_union": q.account_balance_union,
+        "events_daily_retention": q.events_daily_retention,
+        "orders_top3_customers_by_nation": q.orders_top3_customers_by_nation,
         # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
         "doc_subword_counts": q.doc_subword_counts,
         "doc_rolling_fp": q.doc_rolling_fp,
@@ -313,6 +315,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": ko.kg_kcore_sql(tglob),
         "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
+        "events_daily_retention": """
+            WITH r AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events)
+            SELECT r.day AS day,
+                   count(*)::BIGINT AS n_active,
+                   count(p.user_id)::BIGINT AS n_retained
+            FROM r LEFT JOIN r p
+              ON p.user_id = r.user_id AND p.day + INTERVAL 1 DAY = r.day
+            GROUP BY r.day
+        """,
+        "orders_top3_customers_by_nation": """
+            SELECT c_nationkey, o_custkey, total_price FROM (
+                SELECT c.c_nationkey, o.o_custkey,
+                       round(sum(o.o_totalprice), 4) AS total_price,
+                       row_number() OVER (
+                           PARTITION BY c.c_nationkey
+                           ORDER BY round(sum(o.o_totalprice), 4) DESC,
+                                    o.o_custkey) AS rn
+                FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_nationkey, o.o_custkey)
+            WHERE rn <= 3
+        """,
         "token_freq_top100": f"""
             SELECT token, count(*) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token

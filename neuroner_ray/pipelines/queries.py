@@ -1534,3 +1534,138 @@ def embedding_kmeans(sf_dir: str) -> Dataset:
         _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     return kmeans_assign(emb, k=8, iters=3)
+
+
+def events_daily_retention(sf_dir: str) -> Dataset:
+    """Daily active users + next-day retention: per day, ``n_active`` =
+    distinct active users, ``n_retained`` = users also active the previous
+    day. ONE (user_id, day) groupby shuffle builds the distinct activity
+    set (map-side per-batch dedup first); each activity row then re-emits
+    itself plus a (user, day+1) "was active yesterday" marker, a second
+    groupby on the same key pairs them, and the day-level census is
+    tree-combined (days are enumerable). Per-user state never concentrates
+    anywhere — both shuffles move fixed-width rows."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+            }
+        )
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    act = (
+        ev.map_batches(to_days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    one_day = pa.scalar(86_400_000_000, pa.duration("us"))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [batch["user_id"].combine_chunks()] * 2
+                ),
+                "day": pa.concat_arrays(
+                    [
+                        batch["day"].cast(pa.timestamp("us")).combine_chunks(),
+                        pc.add(batch["day"].cast(pa.timestamp("us")), one_day)
+                        .combine_chunks(),
+                    ]
+                ),
+                "present": pa.array([1] * n + [0] * n, pa.int64()),
+                "prev": pa.array([0] * n + [1] * n, pa.int64()),
+            }
+        )
+
+    paired = (
+        act.map_batches(emit, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(
+            Sum("present", alias_name="present"), Sum("prev", alias_name="prev")
+        )
+    )
+    merge = group_sum_merge(("day",), ("n_active", "n_retained"))
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        present = batch["present"].to_numpy(zero_copy_only=False)
+        prev = batch["prev"].to_numpy(zero_copy_only=False)
+        active = present >= 1
+        t = pa.table(
+            {
+                "day": batch["day"],
+                "n_active": pa.array(active.astype(np.int64), pa.int64()),
+                "n_retained": pa.array(
+                    (active & (prev >= 1)).astype(np.int64), pa.int64()
+                ),
+            }
+        ).filter(pa.array(active))
+        return merge(t)
+
+    return tree_combine(
+        paired.map_batches(day_partials, batch_format="pyarrow"), merge
+    )
+
+
+def orders_top3_customers_by_nation(sf_dir: str) -> Dataset:
+    """Per-nation top-3 customers by total order value (windowed top-k
+    without a global sort): map-side per-batch partial sums per custkey →
+    ONE int-key groupby shuffle → nation attached from the broadcast
+    customer dimension (dimension-table-sized, same class as the nation
+    broadcasts elsewhere) → associative per-nation top-3 merge, tie-exact
+    on (rounded total DESC, custkey ASC)."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("o_totalprice", "sum")])
+        return g.rename_columns(["o_custkey", "total_price"])
+
+    totals = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_price", alias_name="total_price"))
+    )
+    nat = dict(
+        zip(
+            *[
+                pq.read_table(
+                    _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+                )
+                .column(c)
+                .to_pylist()
+                for c in ("c_custkey", "c_nationkey")
+            ]
+        )
+    )
+    from ..runtime.combine import topk_merge
+
+    nat_ref = ray.put(nat)
+    cut = topk_merge(3, "total_price", ["o_custkey"], group_cols=["c_nationkey"])
+
+    def attach(batch: pa.Table, nat_ref=nat_ref) -> pa.Table:
+        m = ray.get(nat_ref) if isinstance(nat_ref, ray.ObjectRef) else nat_ref
+        keys = batch["o_custkey"].to_pylist()
+        t = pa.table(
+            {
+                "c_nationkey": pa.array([m[k] for k in keys], pa.int64()),
+                "o_custkey": batch["o_custkey"],
+                "total_price": pa.array(
+                    round_half_away(
+                        batch["total_price"].to_numpy(zero_copy_only=False), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+        return cut(t)
+
+    return tree_combine(
+        totals.map_batches(attach, batch_format="pyarrow"), cut
+    )

@@ -68,7 +68,7 @@ def test_doc_oracle_matches_pipeline(con, query_fn, sql):
 @pytest.fixture(scope="module")
 def con_rel():
     c = duckdb.connect()
-    for t in ("events", "lineitem", "documents", "embeddings"):
+    for t in ("events", "lineitem", "documents", "embeddings", "orders", "customer"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -193,3 +193,27 @@ def test_curate_and_write_partitions(tmp_path):
     assert splits and all("=" in d for d in splits)
     shard_dirs = os.listdir(os.path.join(out, splits[0]))
     assert all(d.startswith("shard=") for d in shard_dirs)
+
+
+def test_round3_windowed_relational_queries_match_oracles(con_rel):
+    """The round-3 windowed relational additions (daily retention,
+    per-nation top-k customers) against their registered oracles at
+    fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_daily_retention",
+        "orders_top3_customers_by_nation",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(con_rel.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
