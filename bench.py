@@ -154,6 +154,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("doc_minhash_dedup", q.doc_minhash_dedup),
         ("doc_ngram_jaccard_pairs", q.doc_ngram_jaccard_pairs),
         ("curated_shard_counts", curate.curated_shard_counts),
+        ("embedding_kmeans", q.embedding_kmeans),
+        ("events_daily_retention", q.events_daily_retention),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
