@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event_type": q.user_top_event_type,
         "account_balance_union": q.account_balance_union,
         "events_daily_retention": q.events_daily_retention,
+        "events_cum_value": q.events_cum_value,
         "orders_top3_customers_by_nation": q.orders_top3_customers_by_nation,
         # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
         "doc_subword_counts": q.doc_subword_counts,
@@ -247,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_fertility": q.lang_fertility,
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_kmeans": q.embedding_kmeans,
+        "embedding_label_centroids": q.embedding_label_centroids,
+        "doc_tfidf_top50": q.doc_tfidf_top50,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
         "similarity_topk_multi": q.similarity_topk_multi,
@@ -315,6 +318,40 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": ko.kg_kcore_sql(tglob),
         "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
+        "events_cum_value": """
+            SELECT event_id, user_id, ts,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       4) AS cum_value
+            FROM events
+        """,
+        "doc_tfidf_top50": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '{_TOK}')) AS token
+                FROM documents),
+            stats AS (
+                SELECT token, count(*)::BIGINT AS tf,
+                       count(DISTINCT doc_id)::BIGINT AS df
+                FROM tok GROUP BY token),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT token, tf, df, round(tf * ln(nd.n / df), 4) AS tfidf
+            FROM stats, nd
+            ORDER BY tfidf DESC, token LIMIT 50
+        """,
+        "embedding_label_centroids": """
+            WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+            pos AS (SELECT unnest(range(1, 65)) AS p),
+            comp AS (
+                SELECT label, pos.p, avg(v[pos.p]) AS m
+                FROM e, pos GROUP BY label, pos.p),
+            cnt AS (SELECT label, count(*)::BIGINT AS n FROM e GROUP BY label)
+            SELECT c.label::BIGINT AS label, cnt.n,
+                   round(sqrt(sum(c.m * c.m)), 4) AS centroid_norm
+            FROM comp c JOIN cnt USING (label)
+            GROUP BY c.label, cnt.n
+        """,
         "events_daily_retention": """
             WITH r AS (
                 SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -1669,3 +1669,264 @@ def orders_top3_customers_by_nation(sf_dir: str) -> Dataset:
     return tree_combine(
         totals.map_batches(attach, batch_format="pyarrow"), cut
     )
+
+
+def doc_tfidf_top50(sf_dir: str) -> Dataset:
+    """Corpus TF-IDF census, top 50 terms by tf·ln(N/df): ONE pass emits
+    per-batch (token, tf, df) partials — df is exact map-side because a
+    document is one row, so "distinct docs containing t" = "rows containing
+    t" — then a token-key shuffle sums them and the driver-side constant N
+    (one count) closes the score. Cut by (tfidf DESC, token ASC) with
+    4-decimal rounding on both sides (ln parity: IEEE double log of the
+    same quotient)."""
+    import math
+
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    n_docs = docs.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = _TOKEN_RE.findall(t or "")
+            tf.update(toks)
+            df.update(set(toks))
+        keys = list(tf.keys())
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "tf": pa.array([tf[k] for k in keys], pa.int64()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+            }
+        )
+
+    stats = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = round_half_away(tf * np.log(n_docs / df), 4)
+        return pa.table(
+            {
+                "token": batch["token"],
+                "tf": batch["tf"],
+                "df": batch["df"],
+                "tfidf": pa.array(s, pa.float64()),
+            }
+        )
+
+    from ..runtime.combine import topk_merge
+
+    cut = topk_merge(50, "tfidf", ["token"])
+    return tree_combine(
+        stats.map_batches(score, batch_format="pyarrow").map_batches(
+            cut, batch_format="pyarrow"
+        ),
+        cut,
+    )
+
+
+def embedding_label_centroids(sf_dir: str) -> Dataset:
+    """Per-label embedding centroid stats: member count and the L2 norm of
+    the mean vector (rounded to 4 decimals). Map-side per-label partial
+    sums (label-domain-sized rows) + associative tree merge; only the
+    label × dim sum matrix ever concentrates."""
+    from ..stages.similarity import _vectors_of
+
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["label", "embedding"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = _vectors_of(batch, "embedding")
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        counts = np.bincount(inv)
+        sums = np.zeros((len(uniq), X.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, X)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        S = _vectors_of(t, "sums")
+        uniq, inv = np.unique(labels, return_inverse=True)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, n)
+        sums = np.zeros((len(uniq), S.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, S)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "centroid_norm": pa.array([], pa.float64()),
+                }
+            )
+        S = _vectors_of(t, "sums")
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        norms = np.sqrt(((S / n[:, None]) ** 2).sum(axis=1))
+        return pa.table(
+            {
+                "label": t["label"],
+                "n": t["n"],
+                "centroid_norm": pa.array(
+                    round_half_away(norms, 4), pa.float64()
+                ),
+            }
+        )
+
+    return tree_combine(
+        emb.map_batches(partials, batch_format="pyarrow"), merge
+    ).map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_cum_value(
+    sf_dir: str, time_bucket_hours: float = 24.0 * 30
+) -> Dataset:
+    """Per-user running total (window function over a corpus-sized output):
+    for every event, cum_value = sum of ``value`` over the user's events up
+    to and including it in (ts, event_id) order, rounded to 4 decimals.
+
+    Skew-safe two-level shape (same scheme as sessionize/as-of): events
+    bucket by (user, time-bucket) so no task ever holds one user's full
+    history — local cumulative sums per bucket, then per-user prefix
+    offsets over the BUCKET TOTALS (per-user state = #buckets, bounded by
+    the time range), re-attached size-adaptively (broadcast below
+    BROADCAST_JOIN_MAX_ROWS, hash join above)."""
+    from ..stages.graph import BROADCAST_JOIN_MAX_ROWS
+
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    bucket_us = int(time_bucket_hours * 3_600_000_000)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        return t.append_column(
+            "tbucket",
+            pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64()),
+        )
+
+    def local_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["local_cum"] = g["value"].astype(np.float64).cumsum()
+        return g[["event_id", "user_id", "ts", "tbucket", "local_cum"]]
+
+    local = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "tbucket"])
+        .map_groups(local_cumsum, batch_format="pandas")
+        .materialize()
+    )
+
+    # bucket totals → per-user prefix offsets (per-user rows = #buckets)
+    def bucket_totals(t: pa.Table) -> pa.Table:
+        # the max local_cum within a (user, bucket) group IS its total;
+        # groups can split across downstream batches, so partial maxes are
+        # merged with Max (not Sum) in the aggregate below
+        g = (
+            t.select(["user_id", "tbucket", "local_cum"])
+            .group_by(["user_id", "tbucket"])
+            .aggregate([("local_cum", "max")])
+        )
+        return g.rename_columns(["user_id", "tbucket", "total"])
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tbucket").reset_index(drop=True)
+        g["offset"] = g["total"].astype(np.float64).cumsum().shift(1, fill_value=0.0)
+        return g[["user_id", "tbucket", "offset"]]
+
+    offsets = (
+        local.map_batches(bucket_totals, batch_format="pyarrow")
+        .groupby(["user_id", "tbucket"])
+        .aggregate(Max("total", alias_name="total"))
+        .groupby("user_id")
+        .map_groups(prefix, batch_format="pandas")
+        .materialize()
+    )
+
+    n_off = offsets.count()
+    if n_off <= BROADCAST_JOIN_MAX_ROWS:
+        omap: dict[tuple, float] = {}
+        for b in offsets.iter_batches(batch_format="pyarrow", batch_size=None):
+            omap.update(
+                zip(
+                    zip(b["user_id"].to_pylist(), b["tbucket"].to_pylist()),
+                    b["offset"].to_pylist(),
+                )
+            )
+        oref = ray.put(omap)
+
+        def attach(t: pa.Table, oref=oref) -> pa.Table:
+            m = ray.get(oref) if isinstance(oref, ray.ObjectRef) else oref
+            off = np.fromiter(
+                (
+                    m[(u, tb)]
+                    for u, tb in zip(
+                        t["user_id"].to_pylist(), t["tbucket"].to_pylist()
+                    )
+                ),
+                dtype=np.float64,
+                count=t.num_rows,
+            )
+            cum = t["local_cum"].to_numpy(zero_copy_only=False) + off
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "ts": t["ts"],
+                    "cum_value": pa.array(
+                        round_half_away(cum, 4), pa.float64()
+                    ),
+                }
+            )
+
+        return local.map_batches(attach, batch_format="pyarrow")
+
+    # wide path: hash join on the composite key
+    from ..runtime.partitions import join_partitions
+
+    joined = local.join(
+        offsets,
+        join_type="inner",
+        num_partitions=join_partitions(64),
+        on=("user_id", "tbucket"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cum = (
+            t["local_cum"].to_numpy(zero_copy_only=False)
+            + t["offset"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cum_value": pa.array(round_half_away(cum, 4), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

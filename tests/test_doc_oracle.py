@@ -209,6 +209,9 @@ def test_round3_windowed_relational_queries_match_oracles(con_rel):
     for name in (
         "events_daily_retention",
         "orders_top3_customers_by_nation",
+        "events_cum_value",
+        "doc_tfidf_top50",
+        "embedding_label_centroids",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(con_rel.execute(sqls[name]).fetchdf())

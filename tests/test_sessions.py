@@ -145,3 +145,57 @@ def test_two_level_asof_join_equals_single_pass(tmp_path):
     )
     assert len(single) > 100
     assert single.equals(two_level), (single.head(), two_level.head())
+
+
+def test_cum_value_two_level_matches_pandas_and_join_path(tmp_path, monkeypatch):
+    """events_cum_value: the bucketed running total equals a pandas window
+    reference (hot user spanning many buckets included), and the wide-path
+    hash join produces the same rows as the broadcast attach."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_cum_value
+
+    rng = np.random.RandomState(3)
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    eid = 0
+    # hot user 1: 200 events over 90 days (crosses monthly buckets)
+    for h in range(200):
+        rows.append((eid, 1, base + pd.Timedelta(hours=h * 11), float(rng.randn())))
+        eid += 1
+    # user 2: few events, one bucket
+    for h in (0, 1, 2):
+        rows.append((eid, 2, base + pd.Timedelta(hours=h), float(rng.randn())))
+        eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    pq.write_table(
+        pa.Table.from_pandas(df).replace_schema_metadata(None),
+        str(tmp_path / "events.parquet"),
+    )
+
+    expect = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    expect["cum_value"] = expect.groupby("user_id")["value"].cumsum().round(4)
+    expect = expect[["event_id", "cum_value"]].sort_values("event_id")
+
+    got = (
+        events_cum_value(str(tmp_path), time_bucket_hours=24.0 * 30)
+        .to_pandas()[["event_id", "cum_value"]]
+        .sort_values("event_id")
+    )
+    assert np.allclose(got["cum_value"].to_numpy(), expect["cum_value"].to_numpy(),
+                       atol=1e-9)
+    assert list(got["event_id"]) == list(expect["event_id"])
+
+    # wide path: force the hash join
+    from neuroner_ray.stages import graph as g
+
+    monkeypatch.setattr(g, "BROADCAST_JOIN_MAX_ROWS", 0)
+    got2 = (
+        events_cum_value(str(tmp_path), time_bucket_hours=24.0 * 30)
+        .to_pandas()[["event_id", "cum_value"]]
+        .sort_values("event_id")
+    )
+    assert np.allclose(got2["cum_value"].to_numpy(), expect["cum_value"].to_numpy(),
+                       atol=1e-9)
