@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "account_balance_union": q.account_balance_union,
         "events_daily_retention": q.events_daily_retention,
         "events_cum_value": q.events_cum_value,
+        "events_user_count_hll": q.events_user_count_hll,
         "orders_top3_customers_by_nation": q.orders_top3_customers_by_nation,
         # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
         "doc_subword_counts": q.doc_subword_counts,
@@ -318,6 +319,33 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": ko.kg_kcore_sql(tglob),
         "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
+        "events_user_count_hll": """
+            WITH h AS (
+                SELECT DISTINCT md5_number_upper(user_id::VARCHAR) AS hv
+                FROM events),
+            r AS (SELECT hv % 256 AS j, hv // 256 AS w FROM h),
+            rr AS (
+                SELECT j, max(CASE WHEN w = 0 THEN 57
+                              ELSE 56 - length(ltrim(bin(w), '0')) + 1 END
+                          ) AS rho
+                FROM r GROUP BY j),
+            agg AS (SELECT sum(pow(2.0, -rho)) AS s, count(*) AS nz FROM rr),
+            ne AS (SELECT count(DISTINCT user_id)::BIGINT AS n_exact
+                   FROM events),
+            est AS (
+                SELECT CASE
+                    WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                         / (s + (256 - nz)) <= 640
+                         AND nz < 256
+                    THEN 256 * ln(256.0 / (256 - nz))
+                    ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                         / (s + (256 - nz))
+                END AS e FROM agg)
+            SELECT round(est.e, 4) AS hll_estimate,
+                   ne.n_exact,
+                   round(abs(est.e - ne.n_exact) / ne.n_exact, 4) AS rel_err
+            FROM est, ne
+        """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,
                    round(sum(value) OVER (

@@ -1930,3 +1930,69 @@ def events_cum_value(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+HLL_M = 256  # registers (p=8); std error ~ 1.04/sqrt(m) ~ 6.5%
+
+
+def events_user_count_hll(sf_dir: str) -> Dataset:
+    """Approximate distinct-user count via a deterministic HyperLogLog
+    sketch (m=256 registers, md5-based — no RNG, so the DuckDB oracle
+    replays the registers exactly), reported next to the exact count and
+    the relative error. Map-side per-batch registers (unique users hashed
+    once per batch) merge through an associative per-register MAX — the
+    shuffle moves at most m rows per block regardless of corpus size; this
+    is the sketch-shaped alternative to the exact distinct
+    (events_user_count) whose state is user-vocabulary-sized."""
+    from ..runtime.combine import group_agg_merge
+
+    m, p = HLL_M, 8
+    wbits = 64 - p
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+    merge = group_agg_merge(("j",), maxs=("rho",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for u in set(batch["user_id"].to_pylist()):
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode("utf-8")).digest()[:8], "little"
+            )
+            j, w = h % m, h >> p
+            rho = (wbits + 1) if w == 0 else (wbits - w.bit_length() + 1)
+            if rho > regs.get(j, 0):
+                regs[j] = rho
+        ks = sorted(regs)
+        return pa.table(
+            {
+                "j": pa.array(ks, pa.int64()),
+                "rho": pa.array([regs[k] for k in ks], pa.int64()),
+            }
+        )
+
+    regs = tree_combine(
+        ev.map_batches(partials, batch_format="pyarrow"), merge
+    ).take_all()
+    s = sum(2.0 ** -r["rho"] for r in regs)
+    nz = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / (s + (m - nz))
+    v = m - nz
+    if est <= 2.5 * m and v > 0:  # small-range correction (linear counting)
+        est = m * np.log(m / v)
+    n_exact = int(
+        events_user_count(sf_dir).to_pandas()["n_users"].iloc[0]
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hll_estimate": pa.array(
+                    round_half_away([est], 4), pa.float64()
+                ),
+                "n_exact": pa.array([n_exact], pa.int64()),
+                "rel_err": pa.array(
+                    round_half_away([abs(est - n_exact) / n_exact], 4),
+                    pa.float64(),
+                ),
+            }
+        )
+    )

@@ -199,3 +199,21 @@ def test_cum_value_two_level_matches_pandas_and_join_path(tmp_path, monkeypatch)
     )
     assert np.allclose(got2["cum_value"].to_numpy(), expect["cum_value"].to_numpy(),
                        atol=1e-9)
+
+
+def test_hll_estimate_within_error_bound(tmp_path):
+    """HyperLogLog (m=256) on 5000 distinct users: estimate within 4x the
+    sketch's standard error (1.04/sqrt(256) ~ 6.5%) of the exact count,
+    deterministic across runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_user_count_hll
+
+    users = pa.array([i * 7919 + 13 for i in range(5000)], pa.int64())
+    pq.write_table(pa.table({"user_id": users}), str(tmp_path / "events.parquet"))
+    df1 = events_user_count_hll(str(tmp_path)).to_pandas()
+    assert df1["n_exact"].iloc[0] == 5000
+    assert df1["rel_err"].iloc[0] < 4 * 1.04 / 16
+    df2 = events_user_count_hll(str(tmp_path)).to_pandas()
+    assert df1.equals(df2)
