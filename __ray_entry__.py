@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_bands": q.lineitem_price_bands,
         "customers_with_orders_by_nation": q.customers_with_orders_by_nation,
         "customers_without_orders": q.customers_without_orders,
+        "customers_without_orders_bloom": q.customers_without_orders_bloom,
         "customer_segments": q.customer_segments,
         "docs_by_lang_source": q.docs_by_lang_source,
         "orders_monthly": q.orders_monthly,
@@ -647,6 +648,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         "customers_without_orders": """
+            SELECT count(*) AS n_without_orders FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        # the Bloom-prefiltered variant is exact by construction (misses
+        # are definite, hits are join-verified) — same oracle
+        "customers_without_orders_bloom": """
             SELECT count(*) AS n_without_orders FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,

@@ -1996,3 +1996,128 @@ def events_user_count_hll(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+BLOOM_BITS = 1 << 20  # 128 KiB bitmap — fixed broadcast footprint
+BLOOM_K = 4
+
+
+def _bloom_positions(key, bloom_bits: int = BLOOM_BITS) -> list[int]:
+    """K positions via double hashing over the two md5 64-bit halves
+    (deterministic, no RNG)."""
+    d = hashlib.md5(str(key).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % bloom_bits for i in range(BLOOM_K)]
+
+
+def customers_without_orders_bloom(
+    sf_dir: str, bloom_bits: int = BLOOM_BITS
+) -> Dataset:
+    """Bloom-prefiltered anti-join (sketch-assisted join pattern): result
+    identical to ``customers_without_orders`` — the oracle is the same SQL.
+
+    1. ONE orders pass builds a 2^20-bit Bloom bitmap of order custkeys as
+       per-batch bitmaps OR-merged associatively — the merge moves 128 KiB
+       rows, never the key set, and the final bitmap broadcast is
+       fixed-size no matter how many orders exist (the exact variant
+       broadcasts the full key set).
+    2. Customers with a Bloom MISS are definitively order-less (no false
+       negatives) and are counted map-side without any join.
+    3. Only Bloom-HIT candidates take the exact path: a distributed hash
+       join against the deduplicated order-key table; unmatched candidates
+       are the false positives, added to the miss count.
+    """
+    orders = read_parquet_clean(_p(sf_dir, "orders"), columns=["o_custkey"])
+    nbytes = bloom_bits // 8
+
+    def batch_bloom(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for k in set(batch["o_custkey"].to_pylist()):
+            for p in _bloom_positions(k, bloom_bits):
+                bits[p >> 3] |= 1 << (p & 7)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in t["bits"].to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    merged = tree_combine(
+        orders.map_batches(batch_bloom, batch_format="pyarrow"), or_merge
+    ).take_all()
+    bitmap = np.frombuffer(merged[0]["bits"], dtype=np.uint8)
+    bref = ray.put(bitmap)
+
+    cust = read_parquet_clean(_p(sf_dir, "customer"), columns=["c_custkey"])
+
+    def split(batch: pa.Table, bref=bref) -> pa.Table:
+        # one row per Bloom-HIT candidate (real key, miss=0) plus one
+        # summary row (null key) carrying the batch's definite-miss count
+        bits = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        miss = 0
+        hits = []
+        for k in batch["c_custkey"].to_pylist():
+            if all(
+                bits[p >> 3] & (1 << (p & 7))
+                for p in _bloom_positions(k, bloom_bits)
+            ):
+                hits.append(k)
+            else:
+                miss += 1
+        return pa.table(
+            {
+                "c_custkey": pa.array(hits + [None], pa.int64()),
+                "miss": pa.array([0] * len(hits) + [miss], pa.int64()),
+            }
+        )
+
+    sided = cust.map_batches(split, batch_format="pyarrow").materialize()
+    n_miss = int(sided.sum("miss") or 0)
+    candidates = sided.map_batches(
+        lambda t: t.filter(pc.is_valid(t["c_custkey"])).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    keyset = (
+        orders.map_batches(
+            lambda t: t.select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    from ..runtime.partitions import join_partitions
+
+    joined = candidates.join(
+        keyset.map_batches(
+            lambda t: t.append_column("has_order", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        ),
+        join_type="left_outer",
+        num_partitions=join_partitions(16),
+        on=("c_custkey",),
+    )
+    n_fp = int(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [int(pc.sum(pc.is_null(t["has_order"])).as_py() or 0)],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        or 0
+    )
+    return rd.from_arrow(
+        pa.table({"n_without_orders": pa.array([n_miss + n_fp], pa.int64())})
+    )

@@ -217,3 +217,30 @@ def test_hll_estimate_within_error_bound(tmp_path):
     assert df1["rel_err"].iloc[0] < 4 * 1.04 / 16
     df2 = events_user_count_hll(str(tmp_path)).to_pandas()
     assert df1.equals(df2)
+
+
+def test_bloom_anti_join_exact_including_false_positives(tmp_path):
+    """The Bloom-prefiltered anti-join equals the exact anti-join even with
+    a deliberately tiny (256-bit) filter that forces false positives — the
+    join-verify pass must catch every FP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import customers_without_orders_bloom
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(range(1000), pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([k for k in range(100) for _ in (0, 1)],
+                                        pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = customers_without_orders_bloom(str(tmp_path), bloom_bits=256).to_pandas()
+    assert got["n_without_orders"].iloc[0] == 900
+    # with 100 keys x 4 probes in 256 bits the filter is ~80% saturated, so
+    # hits vastly exceed true members — FPs are certain to occur and the
+    # count above is only right if verification removed all of them
+    got2 = customers_without_orders_bloom(str(tmp_path)).to_pandas()
+    assert got2["n_without_orders"].iloc[0] == 900
