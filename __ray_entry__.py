@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_retention": q.events_daily_retention,
         "events_cum_value": q.events_cum_value,
         "events_user_count_hll": q.events_user_count_hll,
+        "events_value_quantiles": q.events_value_quantiles,
         "orders_top3_customers_by_nation": q.orders_top3_customers_by_nation,
         # text analysis / dedup / ANN (deterministic; rows-only where no SQL)
         "doc_subword_counts": q.doc_subword_counts,
@@ -320,6 +321,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": ko.kg_kcore_sql(tglob),
         "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
+        "events_value_quantiles": """
+            SELECT quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events
+        """,
         "events_user_count_hll": """
             WITH h AS (
                 SELECT DISTINCT md5_number_upper(user_id::VARCHAR) AS hv

@@ -2121,3 +2121,114 @@ def customers_without_orders_bloom(
     return rd.from_arrow(
         pa.table({"n_without_orders": pa.array([n_miss + n_fp], pa.int64())})
     )
+
+
+QUANTILE_COLLECT_MAX = 5_000_000  # per-bin collect gate for pass 2
+
+
+def events_value_quantiles(
+    sf_dir: str, qs: tuple = (0.5, 0.9, 0.99), num_bins: int = 4096
+) -> Dataset:
+    """EXACT distributed quantiles over a CONTINUOUS value domain (the
+    complement of lineitem_qty_quantiles' enumerable-domain histogram):
+
+    pass 1 streams per-batch (min, max, count) partials; pass 2 streams a
+    fixed ``num_bins``-bin histogram over [min, max]; the cumulative
+    histogram localizes each requested quantile to one bin, and pass 3
+    collects ONLY the values in those bins (expected n/num_bins rows each,
+    gated by QUANTILE_COLLECT_MAX — past the gate, recurse by re-binning
+    inside the bin instead of raising) to take the exact order statistic
+    (DuckDB quantile_disc: sorted[ceil(n·q)-1]). Three streaming passes,
+    no sort shuffle, exact output — bin arithmetic only routes values, so
+    float edge effects cannot change the result."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+
+    def mmn(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "mn": pa.array([float(v.min())], pa.float64()),
+                "mx": pa.array([float(v.max())], pa.float64()),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    from ..runtime.combine import group_agg_merge
+
+    merge0 = group_agg_merge(("k",), sums=("n",), mins=("mn",), maxs=("mx",))
+    stats = tree_combine(ev.map_batches(mmn, batch_format="pyarrow"), merge0).take_all()
+    mn, mx, n = stats[0]["mn"], stats[0]["mx"], stats[0]["n"]
+    width = (mx - mn) or 1.0
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(
+            ((v - mn) / width * num_bins).astype(np.int64), 0, num_bins - 1
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = bin_of(batch["value"].to_numpy(zero_copy_only=False))
+        counts = np.bincount(b, minlength=num_bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    merge1 = group_sum_merge(("bin",), ("n",))
+    htab = pa.concat_tables(
+        tree_combine(ev.map_batches(hist, batch_format="pyarrow"), merge1)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    bins = htab["bin"].to_numpy(zero_copy_only=False)
+    counts = htab["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(bins)
+    bins, counts = bins[order], counts[order]
+    cum = np.cumsum(counts)
+
+    targets = {}  # bin -> [(q, rank_within_bin)]
+    for q in qs:
+        rank = int(np.ceil(n * q))
+        i = int(np.searchsorted(cum, rank, side="left"))
+        before = int(cum[i - 1]) if i > 0 else 0
+        targets.setdefault(int(bins[i]), []).append((q, rank - before))
+        if int(counts[i]) > QUANTILE_COLLECT_MAX:
+            raise ValueError(
+                f"bin {int(bins[i])} holds {int(counts[i])} values "
+                f"(> {QUANTILE_COLLECT_MAX}); recurse by re-binning within "
+                "the bin before collecting"
+            )
+    need = set(targets)
+    need_arr = np.array(sorted(need), dtype=np.int64)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = bin_of(v)
+        mask = np.isin(b, need_arr)
+        return pa.table(
+            {
+                "bin": pa.array(b[mask], pa.int64()),
+                "value": pa.array(v[mask], pa.float64()),
+            }
+        )
+
+    rows = pa.concat_tables(
+        ev.map_batches(collect, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    out = {}
+    bvals = rows["bin"].to_numpy(zero_copy_only=False)
+    vvals = rows["value"].to_numpy(zero_copy_only=False)
+    for b, wants in targets.items():
+        vals = np.sort(vvals[bvals == b])
+        for q, r in wants:
+            out[f"p{int(q * 100)}"] = float(vals[r - 1])
+    return rd.from_arrow(
+        pa.table(
+            {k: pa.array([out[k]], pa.float64()) for k in
+             (f"p{int(q * 100)}" for q in qs)}
+        )
+    )

@@ -211,6 +211,7 @@ def test_round3_windowed_relational_queries_match_oracles(con_rel):
         "orders_top3_customers_by_nation",
         "events_cum_value",
         "events_user_count_hll",
+        "events_value_quantiles",
         "doc_tfidf_top50",
         "embedding_label_centroids",
     ):

@@ -244,3 +244,28 @@ def test_bloom_anti_join_exact_including_false_positives(tmp_path):
     # count above is only right if verification removed all of them
     got2 = customers_without_orders_bloom(str(tmp_path)).to_pandas()
     assert got2["n_without_orders"].iloc[0] == 900
+
+
+def test_continuous_quantiles_exact_vs_numpy(tmp_path):
+    """events_value_quantiles (bin-localize + targeted collect) returns the
+    exact order statistic sorted[ceil(n*q)-1] — checked against a direct
+    sort, including duplicates straddling a bin edge and a tiny bin count
+    that forces several quantiles into one bin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_value_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([rng.randn(5000), np.full(500, 1.25), [42.0]])
+    pq.write_table(
+        pa.table({"value": pa.array(vals, pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    s = np.sort(vals)
+    n = len(s)
+    got = events_value_quantiles(str(tmp_path), qs=(0.5, 0.9, 0.99),
+                                 num_bins=8).to_pandas()
+    for q in (0.5, 0.9, 0.99):
+        assert got[f"p{int(q*100)}"].iloc[0] == s[int(np.ceil(n * q)) - 1]
