@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary-column stages (deterministic fake codec)
         "media_image_features": q.media_image_features,
         "media_video_frames": q.media_video_frames,
+        "media_audio_energy": q.media_audio_energy,
         "mention_heavy_hitters": _mention_heavy_hitters_cached,
         # KG pipeline over synthetic transcripts (rows-only checks)
         "kg_mentions": kg_mentions,
@@ -750,5 +751,28 @@ def oracle_sql() -> dict[str, str]:
                                   1000)
                          // 1000 * 2, 32)::BIGINT AS n_frames
             FROM documents
+        """,
+        "media_audio_energy": """
+            -- replays the fake 1 kHz decode sample-for-sample:
+            -- s_j = ((u % 2^32 + j*((u >> 32)|1)) % 65536) - 32768
+            WITH m AS (
+                SELECT 'm' || printf('%06d', doc_id) AS media_id,
+                       md5_number_upper(coalesce(text, '')) AS u,
+                       greatest((1000 + (strlen(coalesce(text, '')) % 5)
+                                 * 1000), 1) AS dur
+                FROM documents),
+            s AS (
+                SELECT media_id,
+                       unnest(range(0, dur)) AS j,
+                       u % 4294967296 AS start,
+                       (u // 4294967296) | 1 AS step
+                FROM m)
+            SELECT media_id,
+                   (j // 256)::BIGINT AS window_idx,
+                   round(avg(
+                       ((((start + j * step) % 65536)::BIGINT - 32768)
+                        * (((start + j * step) % 65536)::BIGINT - 32768)
+                       )::DOUBLE), 4) AS energy
+            FROM s GROUP BY media_id, j // 256
         """,
     }

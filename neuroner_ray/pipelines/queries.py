@@ -2232,3 +2232,13 @@ def events_value_quantiles(
              (f"p{int(q * 100)}" for q in qs)}
         )
     )
+
+
+def media_audio_energy(sf_dir: str) -> Dataset:
+    """Audio modality stage: windowed RMS energy per 256-sample window of
+    the (deterministic fake) 1 kHz decode — actor pool with payload-aware
+    small batches; the md5-arithmetic decode makes the whole path
+    SQL-mirrorable (oracle recomputes every sample)."""
+    from ..stages.multimodal import audio_window_energy
+
+    return audio_window_energy(_media_table(sf_dir))

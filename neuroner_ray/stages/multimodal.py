@@ -51,6 +51,15 @@ class DeterministicFakeCodec:
         j = np.arange(w * ht * 3, dtype=np.int64)
         return ((start + j * step) % 256).astype(np.uint8).reshape(ht, w, 3)
 
+    def decode_audio(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        """Fake 1 kHz int16 stream, length = duration_ms samples — same
+        md5-arithmetic ramp family as decode_image (SQL-mirrorable)."""
+        u = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+        start = u & 0xFFFFFFFF
+        step = (u >> 32) | 1
+        j = np.arange(max(duration_ms, 1), dtype=np.int64)
+        return (((start + j * step) % 65536) - 32768).astype(np.int32)
+
     def sample_frames(self, payload: bytes, duration_ms: int, fps: float) -> list[bytes]:
         n = max(1, int(max(duration_ms, 1000) / 1000 * fps))
         return [
@@ -167,5 +176,63 @@ def sample_video_frames(media: Dataset, fps: float = 1.0, concurrency=(1, 4)) ->
         fn_constructor_args=(fps,),
         batch_format="pyarrow",
         batch_size=16,
+        concurrency=concurrency,
+    )
+
+
+class AudioWindowEnergy:
+    """Actor-pool stage: decode audio → per-window RMS energy rows.
+
+    The fake decode is SQL-mirrorable (``doc_oracle`` convention): with
+    u = md5_number_upper(payload), sample j of the 1 kHz stream is
+    ((u % 2^32 + j·((u >> 32)|1)) % 65536) − 32768; a real implementation
+    swaps ``decode_audio`` for libsndfile/ffmpeg at the ``strict`` site.
+    Energy per ``window``-sample window = mean(sample²) rounded to 4
+    decimals (integer squares are exact in float64, so the rounding is the
+    only float op and matches DuckDB's)."""
+
+    def __init__(self, window: int = 256, strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "real audio decode requires libsndfile/ffmpeg — not in "
+                "this container"
+            )
+        self.codec = DeterministicFakeCodec()
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        mids, widx, energy = [], [], []
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            s = self.codec.decode_audio(payload or b"", dur).astype(np.float64)
+            for w in range(0, len(s), self.window):
+                seg = s[w : w + self.window]
+                mids.append(mid)
+                widx.append(w // self.window)
+                energy.append((seg * seg).mean())
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.string()),
+                "window_idx": pa.array(widx, pa.int64()),
+                "energy": pa.array(
+                    round_half_away(energy, 4), pa.float64()
+                ),
+            }
+        )
+
+
+def audio_window_energy(
+    media: Dataset, window: int = 256, concurrency=(1, 4)
+) -> Dataset:
+    return media.map_batches(
+        AudioWindowEnergy,
+        fn_constructor_args=(window,),
+        batch_format="pyarrow",
+        batch_size=64,
         concurrency=concurrency,
     )

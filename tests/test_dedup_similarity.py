@@ -273,3 +273,38 @@ def test_kmeans_assign_separates_blobs():
 
     cents = round_half_away(cents, 6)
     assert (_kmeans_assign_ids(X, cents) == cl).all()
+
+
+def test_audio_window_energy_plumbing():
+    """Audio modality: windowed energy rows are complete (ceil(n/256)
+    windows per media), deterministic, and the strict flag marks the real
+    codec swap site."""
+    from neuroner_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        AudioWindowEnergy,
+        DeterministicFakeCodec,
+        audio_window_energy,
+    )
+
+    rows = pa.table(
+        {
+            "media_id": pa.array(["a", "b"], pa.string()),
+            "kind": pa.array(["audio"] * 2, pa.string()),
+            "payload": pa.array([b"hello", b"world!"], pa.binary()),
+            "mime": pa.array(["audio/fake"] * 2, pa.string()),
+            "width": pa.array([-1, -1], pa.int32()),
+            "height": pa.array([-1, -1], pa.int32()),
+            "duration_ms": pa.array([1000, 300], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = audio_window_energy(rd.from_arrow(rows)).to_pandas()
+    assert len(out[out["media_id"] == "a"]) == 4   # ceil(1000/256)
+    assert len(out[out["media_id"] == "b"]) == 2   # ceil(300/256)
+    # deterministic and equal to a direct decode
+    s = DeterministicFakeCodec().decode_audio(b"hello", 1000).astype(float)
+    first = (s[:256] ** 2).mean()
+    got = out[(out["media_id"] == "a") & (out["window_idx"] == 0)]["energy"].iloc[0]
+    assert abs(got - round(first, 4)) < 1e-9
+    with pytest.raises(NotImplementedError):
+        AudioWindowEnergy(strict=True)

@@ -94,6 +94,7 @@ def test_round2_operator_queries_match_oracles(con_rel):
         "similarity_topk_multi",
         "media_video_frames",
         "media_image_features",
+        "media_audio_energy",
         "similarity_topk_ivf",
     ):
         got = _norm(queries[name](SF).to_pandas())
