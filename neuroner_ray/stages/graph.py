@@ -539,21 +539,30 @@ def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
     neighbor Jaccard). Entity-vocabulary²-bounded; the loud cap makes the
     assumption explicit — past it, switch to the 2-round shuffle
     formulation (edge ⋈ wedge) instead of raising it."""
+    empty = pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()
     simple = pa.concat_tables(
-        edges.select_columns(["src_id", "dst_id"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
-                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
-                }
+        [empty]  # typed empty anchor: an all-empty stream still concats
+        + list(
+            edges.select_columns(["src_id", "dst_id"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "a": pa.compute.min_element_wise(
+                            t["src_id"], t["dst_id"]
+                        ),
+                        "b": pa.compute.max_element_wise(
+                            t["src_id"], t["dst_id"]
+                        ),
+                    }
+                )
+                .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+                .group_by(["a", "b"])
+                .aggregate([]),
+                batch_format="pyarrow",
             )
-            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
-            .group_by(["a", "b"])
-            .aggregate([]),
-            batch_format="pyarrow",
-        )
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
     ).group_by(["a", "b"]).aggregate([])
     if simple.num_rows > TRIANGLE_MAX_EDGES:
         raise ValueError(

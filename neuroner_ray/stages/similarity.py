@@ -419,9 +419,18 @@ def kmeans_assign(
         embeddings.map_batches(keep_k_smallest, batch_format="pyarrow"),
         keep_k_smallest,
     ).take_all()
+    if not seed:  # empty input → typed empty assignment table
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}
+            )
+        )
     seed.sort(key=lambda r: r[id_col])
     centroids = np.asarray([r[vec_col] for r in seed], dtype=np.float64)
-    kk, dim = centroids.shape
+    kk, dim = centroids.shape  # kk may be < k when the corpus is tiny
 
     def partial_sums(t: pa.Table, cref) -> pa.Table:
         c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref

@@ -194,3 +194,46 @@ def test_neighbor_jaccard_topk():
         ("l1", "l2", 1.0),
         ("l1", "l3", 1.0),
     ]
+
+
+def test_analytics_on_empty_edges():
+    """Every broadcast-adjacency analytic (and BFS/kmeans-class driver
+    loops) must return a typed empty result on an empty edge table rather
+    than raising."""
+    import pyarrow as pa
+
+    from neuroner_ray.stages.graph import (
+        bfs_levels,
+        kcore,
+        neighbor_jaccard_topk,
+        triangle_count,
+    )
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [("src_id", pa.string()), ("dst_id", pa.string()),
+             ("pred", pa.string()), ("weight", pa.int64())]
+        ).empty_table()
+    )
+    assert triangle_count(empty).to_pydict() == {"n_triangles": [0]}
+    out = kcore(empty)
+    assert out.count() == 0 and out.schema().names == ["entity_id", "deg"]
+    out = bfs_levels(empty)
+    assert out.count() == 0 and out.schema().names == ["entity_id", "level"]
+    out = neighbor_jaccard_topk(empty)
+    assert out.count() == 0
+
+
+def test_kmeans_on_empty_embeddings():
+    import pyarrow as pa
+
+    from neuroner_ray.stages.similarity import kmeans_assign
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [("vec_id", pa.int64()),
+             ("embedding", pa.list_(pa.float32()))]
+        ).empty_table()
+    )
+    out = kmeans_assign(empty, k=4, iters=2)
+    assert out.count() == 0 and out.schema().names == ["vec_id", "cluster"]
