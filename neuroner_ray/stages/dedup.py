@@ -20,6 +20,8 @@ is the minimum member id.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -108,10 +110,16 @@ def minhash_lsh_dedup(
                 out_id.append(key)
                 out_block.append(bk)
                 out_sig.append(s64)
+        # int bucket key: a string-key sort shuffle over tens of thousands
+        # of tiny band blocks is the slow path (NOTES.md); hashing blocks
+        # into a bounded number of int buckets moves the same rows through
+        # ONE int64 sort and lets each task sweep many blocks vectorized
+        buckets = [zlib.crc32(b.encode("utf-8")) % 64 for b in out_block]
         return pa.table(
             {
                 "id": pa.array(out_id, pa.string()),
                 "block": pa.array(out_block, pa.string()),
+                "bucket": pa.array(buckets, pa.int64()),
                 "sig": pa.array([s.tolist() for s in out_sig], pa.list_(pa.int64())),
             }
         )
@@ -121,19 +129,33 @@ def minhash_lsh_dedup(
         capped = len(g) > cap
         if capped:
             g = g.head(cap)
-        ids = g["id"].tolist()
-        sigs = [np.asarray(s) for s in g["sig"]]
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float(np.mean(sigs[i] == sigs[j]))
-                if est >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b, "block_capped": [capped] * len(a)})
+        ids = g["id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": [], "block_capped": []})
+        S = np.stack([np.asarray(s) for s in g["sig"]])  # [m, num_perm]
+        est = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(m, 1)
+        keep = est[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "a": ids[iu[keep]],
+                "b": ids[ju[keep]],
+                "block_capped": [capped] * int(keep.sum()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs_in_block(gb) for _, gb in g.groupby("block", sort=False)]
+        out = pd.concat(outs, ignore_index=True) if outs else pairs_in_block(g)
+        return out.astype(
+            {"a": "object", "b": "object", "block_capped": "bool"}
+        )
 
     blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
-    pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
+    pairs = blocked.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
     return _cluster(pairs, docs, id_col)
 
 
