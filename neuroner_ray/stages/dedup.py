@@ -277,21 +277,41 @@ def ngram_jaccard_pairs(
             {
                 "id": pa.array(out_id, pa.string()),
                 "block": pa.array(out_block, pa.string()),
+                "bucket": pa.array(
+                    [zlib.crc32(b.encode("utf-8")) % 64 for b in out_block],
+                    pa.int64(),
+                ),
             }
         )
 
     def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("id").sort_values("id")
-        capped = len(g) > cap
-        if capped:
+        if len(g) > cap:
             g = g.head(cap)
-        ids = g["id"].tolist()
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b, "block_capped": [capped] * len(a)})
+        ids = g["id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        iu, ju = np.triu_indices(m, 1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one task sweeps every block hashed into this bucket (NOTES.md:
+        # int-bucket beats a string-key sort over tens of thousands of tiny
+        # blocks); within-bucket dedup shrinks the pair-dedup shuffle
+        outs = [pairs_in_block(gb) for _, gb in g.groupby("block", sort=False)]
+        out = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"a": [], "b": []})
+        )
+        out = out.drop_duplicates(["a", "b"])
+        # pair-bucket for the cross-band dedup: same pair → same bucket
+        out["pb"] = [
+            zlib.crc32(f"{a}|{b}".encode()) % 64
+            for a, b in zip(out["a"], out["b"])
+        ]
+        return out.astype({"a": "object", "b": "object", "pb": "int64"})
 
     def _norm_pairs(df: pd.DataFrame) -> pa.Table:
         # empty map_groups partitions emit schema-less pandas blocks, which
@@ -305,10 +325,12 @@ def ngram_jaccard_pairs(
 
     blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
     cand = (
-        blocked.groupby("block")
-        .map_groups(pairs_in_block, batch_format="pandas")
-        .groupby(["a", "b"])  # same pair surfaces from several bands
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        blocked.groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pb")  # same pair surfaces from several bands/buckets
+        .map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]), batch_format="pandas"
+        )
         .map_batches(_norm_pairs, batch_format="pandas")
         # map_groups' empty sort partitions emit schema-less pandas blocks
         # that BYPASS map fns (Ray skips zero-row blocks) — coalescing by
