@@ -227,7 +227,11 @@ def _stage_increments(
     import shutil
     import zlib
 
-    staged = os.path.join(out_dir, "_increments")
+    # split-count in the path: `inc=0` holds DIFFERENT conversations under
+    # a 2-way vs 3-way split, and downstream staging (run_bucketed's
+    # per-increment `_bucketed-inc-*`) is keyed on this path — reusing one
+    # dir across splits would silently feed stale conversation sets
+    staged = os.path.join(out_dir, f"_increments-n{num_increments}")
     marker = os.path.join(staged, "_DONE")
     key = {"input": transcripts_path, "n": num_increments}
     if os.path.exists(marker):
@@ -296,6 +300,11 @@ def run_incremental(
     cfg = dict(config or {})
     cfg.setdefault("pipeline", "kg-incremental-v1")
     cfg.setdefault("tagger", getattr(tagger, "__name__", str(tagger)))
+    # the split parameters MUST enter the config hash: a re-run into the
+    # same out_dir with a different split would otherwise skip manifests
+    # produced under the old split and double-count moved conversations
+    cfg["num_increments"] = num_increments
+    cfg["num_buckets"] = num_buckets
     staged = _stage_increments(transcripts_path, out_dir, num_increments)
     log = []
     for i in range(num_increments):

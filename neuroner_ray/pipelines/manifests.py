@@ -207,9 +207,30 @@ def run_bucketed(
     return {"processed": processed, "skipped": skipped}
 
 
-def read_output(out_dir: str, table: str) -> Dataset:
-    """Read all completed buckets of one output table."""
-    return read_parquet_clean(os.path.join(out_dir, table))
+def read_output(out_dir: str, table: str, tags=None) -> Dataset:
+    """Read completed buckets of one output table.
+
+    With ``tags`` (the manifest-listed bucket set), ONLY those bucket
+    directories are read — bucket dirs left behind by an earlier config or
+    arrival split (e.g. shrinking a 3-way split to 2-way leaves stale
+    ``inc2.*`` dirs) must not leak into a global finalize."""
+    root = os.path.join(out_dir, table)
+    if tags is None:
+        return read_parquet_clean(root)
+    files = []
+    for t in tags:
+        p = os.path.join(root, f"bucket={t}")
+        if os.path.isdir(p):
+            # ray.data.read_parquet expands a single directory but NOT
+            # directories inside a list — list the files explicitly
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        return read_parquet_clean(root).limit(0)
+    return read_parquet_clean(files)
 
 
 def finalize_graph(out_dir: str, config: dict) -> dict:
@@ -244,10 +265,10 @@ def finalize_graph(out_dir: str, config: dict) -> dict:
         except (OSError, json.JSONDecodeError):
             pass
     t0 = time.time()
-    mentions = read_output(out_dir, "mentions")
+    mentions = read_output(out_dir, "mentions", tags=done)
     nodes = kg.link_and_canonicalize(mentions)[0].materialize()
     mapping = canonical_map(nodes)
-    triples = read_output(out_dir, "triples")
+    triples = read_output(out_dir, "triples", tags=done)
     edges = aggregate_edges(resolve_triples(triples, mapping))
     # finalize outputs get the same tmp+rename atomicity as bucket outputs:
     # materialize_graph APPENDS uniquely-named files, so writing straight

@@ -1632,43 +1632,69 @@ def orders_top3_customers_by_nation(sf_dir: str) -> Dataset:
         .groupby("o_custkey")
         .aggregate(Sum("total_price", alias_name="total_price"))
     )
-    nat = dict(
-        zip(
-            *[
-                pq.read_table(
-                    _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
-                )
-                .column(c)
-                .to_pylist()
-                for c in ("c_custkey", "c_nationkey")
-            ]
-        )
-    )
     from ..runtime.combine import topk_merge
+    from ..stages.graph import BROADCAST_JOIN_MAX_ROWS
 
-    nat_ref = ray.put(nat)
     cut = topk_merge(3, "total_price", ["o_custkey"], group_cols=["c_nationkey"])
-
-    def attach(batch: pa.Table, nat_ref=nat_ref) -> pa.Table:
-        m = ray.get(nat_ref) if isinstance(nat_ref, ray.ObjectRef) else nat_ref
-        keys = batch["o_custkey"].to_pylist()
-        t = pa.table(
-            {
-                "c_nationkey": pa.array([m[k] for k in keys], pa.int64()),
-                "o_custkey": batch["o_custkey"],
-                "total_price": pa.array(
-                    round_half_away(
-                        batch["total_price"].to_numpy(zero_copy_only=False), 4
-                    ),
-                    pa.float64(),
-                ),
-            }
-        )
-        return cut(t)
-
-    return tree_combine(
-        totals.map_batches(attach, batch_format="pyarrow"), cut
+    cust = read_parquet_clean(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return cut(
+            pa.table(
+                {
+                    "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                    "o_custkey": t["o_custkey"],
+                    "total_price": pa.array(
+                        round_half_away(
+                            t["total_price"].to_numpy(zero_copy_only=False), 4
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            )
+        )
+
+    # size-adaptive dimension attach: broadcast dict below the gate (inner
+    # semantics — custkeys missing from customer are DROPPED, matching the
+    # SQL join), distributed hash join above it (customer is corpus-scaled
+    # at 150k rows/sf, not a 25-row dimension)
+    n_cust = cust.count()
+    if n_cust <= BROADCAST_JOIN_MAX_ROWS:
+        tab = pq.read_table(
+            _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+        )
+        nat = dict(
+            zip(tab["c_custkey"].to_pylist(), tab["c_nationkey"].to_pylist())
+        )
+        nat_ref = ray.put(nat)
+
+        def attach(batch: pa.Table, nat_ref=nat_ref) -> pa.Table:
+            m = ray.get(nat_ref) if isinstance(nat_ref, ray.ObjectRef) else nat_ref
+            keys = batch["o_custkey"].to_pylist()
+            nk = [m.get(k) for k in keys]
+            t = pa.table(
+                {
+                    "c_nationkey": pa.array(nk, pa.int64()),
+                    "o_custkey": batch["o_custkey"],
+                    "total_price": batch["total_price"],
+                }
+            ).filter(pc.is_valid(pa.array(nk, pa.int64())))
+            return finish(t)
+
+        joined = totals.map_batches(attach, batch_format="pyarrow")
+    else:
+        from ..runtime.partitions import join_partitions
+
+        joined = totals.join(
+            cust.rename_columns({"c_custkey": "o_custkey"}),
+            join_type="inner",
+            num_partitions=join_partitions(16),
+            on=("o_custkey",),
+        ).map_batches(finish, batch_format="pyarrow")
+
+    return tree_combine(joined, cut)
 
 
 def doc_tfidf_top50(sf_dir: str) -> Dataset:
@@ -1814,7 +1840,8 @@ def events_cum_value(
     history — local cumulative sums per bucket, then per-user prefix
     offsets over the BUCKET TOTALS (per-user state = #buckets, bounded by
     the time range), re-attached size-adaptively (broadcast below
-    BROADCAST_JOIN_MAX_ROWS, hash join above)."""
+    BROADCAST_JOIN_MAX_ROWS; above it, a union + composite-key cogroup —
+    see the wide-path comment for why not Dataset.join)."""
     from ..stages.graph import BROADCAST_JOIN_MAX_ROWS
 
     ev = read_parquet_clean(
@@ -1829,27 +1856,16 @@ def events_cum_value(
             pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64()),
         )
 
-    def local_cumsum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        g["local_cum"] = g["value"].astype(np.float64).cumsum()
-        return g[["event_id", "user_id", "ts", "tbucket", "local_cum"]]
-
-    local = (
-        ev.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["user_id", "tbucket"])
-        .map_groups(local_cumsum, batch_format="pandas")
-        .materialize()
-    )
-
-    # bucket totals → per-user prefix offsets (per-user rows = #buckets)
+    # bucket totals → per-user prefix offsets (per-user rows = #buckets).
+    # Totals come from the RAW values (map-side partial sums, associative)
+    # — NOT max(local_cum), which is wrong whenever a bucket holds a
+    # negative value (cumsum can peak before its end).
     def bucket_totals(t: pa.Table) -> pa.Table:
-        # the max local_cum within a (user, bucket) group IS its total;
-        # groups can split across downstream batches, so partial maxes are
-        # merged with Max (not Sum) in the aggregate below
+        bt = add_bucket(t)
         g = (
-            t.select(["user_id", "tbucket", "local_cum"])
+            bt.select(["user_id", "tbucket", "value"])
             .group_by(["user_id", "tbucket"])
-            .aggregate([("local_cum", "max")])
+            .aggregate([("value", "sum")])
         )
         return g.rename_columns(["user_id", "tbucket", "total"])
 
@@ -1859,16 +1875,26 @@ def events_cum_value(
         return g[["user_id", "tbucket", "offset"]]
 
     offsets = (
-        local.map_batches(bucket_totals, batch_format="pyarrow")
+        ev.map_batches(bucket_totals, batch_format="pyarrow")
         .groupby(["user_id", "tbucket"])
-        .aggregate(Max("total", alias_name="total"))
+        .aggregate(Sum("total", alias_name="total"))
         .groupby("user_id")
         .map_groups(prefix, batch_format="pandas")
         .materialize()
     )
 
+    def local_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["local_cum"] = g["value"].astype(np.float64).cumsum()
+        return g[["event_id", "user_id", "ts", "tbucket", "local_cum"]]
+
     n_off = offsets.count()
     if n_off <= BROADCAST_JOIN_MAX_ROWS:
+        local = (
+            ev.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby(["user_id", "tbucket"])
+            .map_groups(local_cumsum, batch_format="pandas")
+        )
         omap: dict[tuple, float] = {}
         for b in offsets.iter_batches(batch_format="pyarrow", batch_size=None):
             omap.update(
@@ -1905,31 +1931,61 @@ def events_cum_value(
 
         return local.map_batches(attach, batch_format="pyarrow")
 
-    # wide path: hash join on the composite key
-    from ..runtime.partitions import join_partitions
-
-    joined = local.join(
-        offsets,
-        join_type="inner",
-        num_partitions=join_partitions(64),
-        on=("user_id", "tbucket"),
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        cum = (
-            t["local_cum"].to_numpy(zero_copy_only=False)
-            + t["offset"].to_numpy(zero_copy_only=False)
-        )
+    # wide path: cogroup via ONE composite-key sort groupby. (Ray 2.49's
+    # hash-join operator raises "No match ... FieldRef" whenever a join
+    # partition receives zero rows — a schema-less empty table — so the
+    # offset attach is expressed as union + groupby: each (user, bucket)
+    # group carries its events plus at most one kind=1 offset sentinel.)
+    def ev_rows(t: pa.Table) -> pa.Table:
+        bt = add_bucket(t)
+        n = bt.num_rows
         return pa.table(
             {
-                "event_id": t["event_id"],
-                "user_id": t["user_id"],
-                "ts": t["ts"],
-                "cum_value": pa.array(round_half_away(cum, 4), pa.float64()),
+                "user_id": bt["user_id"],
+                "tbucket": bt["tbucket"],
+                "event_id": bt["event_id"],
+                "ts": bt["ts"],
+                "value": bt["value"].cast(pa.float64()),
+                "offset": pa.array([0.0] * n, pa.float64()),
+                "kind": pa.array([0] * n, pa.int64()),
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    def off_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "tbucket": t["tbucket"],
+                "event_id": pa.array([-1] * n, pa.int64()),
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+                "value": pa.array([0.0] * n, pa.float64()),
+                "offset": t["offset"].cast(pa.float64()),
+                "kind": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    both = ev.map_batches(ev_rows, batch_format="pyarrow").union(
+        offsets.map_batches(off_rows, batch_format="pyarrow")
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        sent = g[g["kind"] == 1]
+        off = float(sent["offset"].iloc[0]) if len(sent) else 0.0
+        e = g[g["kind"] == 0].sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cum = e["value"].astype(np.float64).cumsum().to_numpy() + off
+        return pd.DataFrame(
+            {
+                "event_id": e["event_id"],
+                "user_id": e["user_id"],
+                "ts": e["ts"],
+                "cum_value": round_half_away(cum, 4),
+            }
+        )
+
+    return both.groupby(["user_id", "tbucket"]).map_groups(
+        merge_group, batch_format="pandas"
+    )
 
 
 HLL_M = 256  # registers (p=8); std error ~ 1.04/sqrt(m) ~ 6.5%
@@ -1982,6 +2038,7 @@ def events_user_count_hll(sf_dir: str) -> Dataset:
     n_exact = int(
         events_user_count(sf_dir).to_pandas()["n_users"].iloc[0]
     )
+    rel_err = abs(est - n_exact) / n_exact if n_exact else 0.0
     return rd.from_arrow(
         pa.table(
             {
@@ -1990,8 +2047,7 @@ def events_user_count_hll(sf_dir: str) -> Dataset:
                 ),
                 "n_exact": pa.array([n_exact], pa.int64()),
                 "rel_err": pa.array(
-                    round_half_away([abs(est - n_exact) / n_exact], 4),
-                    pa.float64(),
+                    round_half_away([rel_err], 4), pa.float64()
                 ),
             }
         )
@@ -2158,6 +2214,12 @@ def events_value_quantiles(
 
     merge0 = group_agg_merge(("k",), sums=("n",), mins=("mn",), maxs=("mx",))
     stats = tree_combine(ev.map_batches(mmn, batch_format="pyarrow"), merge0).take_all()
+    if not stats:  # empty events → typed empty quantile row set
+        return rd.from_arrow(
+            pa.schema(
+                [(f"p{int(q * 100)}", pa.float64()) for q in qs]
+            ).empty_table()
+        )
     mn, mx, n = stats[0]["mn"], stats[0]["mx"], stats[0]["n"]
     width = (mx - mn) or 1.0
 

@@ -212,3 +212,37 @@ def test_increment_namespaces_do_not_collide(tpath, tmp_path):
     # legacy manifests still intact and counted separately
     done = manifests.completed_buckets(out, manifests.config_hash(CONFIG))
     assert done == {0, 1, "day2.0", "day2.1"}
+
+
+def test_incremental_split_change_invalidates_and_stays_correct(tpath, tmp_path):
+    """Re-running run_incremental into the same out_dir with a DIFFERENT
+    arrival split must not reuse buckets produced under the old split
+    (conversations that moved between increments would be double-counted);
+    the result must still equal the from-scratch build."""
+    out = str(tmp_path / "resplit")
+    kg.run_incremental(tpath, out, num_increments=2, num_buckets=2)
+    res = kg.run_incremental(tpath, out, num_increments=3, num_buckets=2)
+    # every new-split bucket was processed, none skipped via stale manifests
+    assert all(inc["skipped"] == [] for inc in res["increments"])
+    single = kg.run_pipeline(tpath)
+    ekey = ["src_id", "dst_id", "pred"]
+    e = (
+        res["edges"].to_pandas()
+        .drop(columns=["provenance"], errors="ignore")
+        .sort_values(ekey).reset_index(drop=True)
+    )
+    se = (
+        single["edges"].to_pandas()
+        .drop(columns=["provenance"], errors="ignore")
+        .sort_values(ekey).reset_index(drop=True)
+    )
+    assert e[ekey + ["weight"]].equals(se[ekey + ["weight"]])
+    # shrink back to 2-way: stale inc2.* bucket dirs linger on disk but the
+    # finalize must only read manifest-listed buckets
+    res2 = kg.run_incremental(tpath, out, num_increments=2, num_buckets=2)
+    e2 = (
+        res2["edges"].to_pandas()
+        .drop(columns=["provenance"], errors="ignore")
+        .sort_values(ekey).reset_index(drop=True)
+    )
+    assert e2[ekey + ["weight"]].equals(se[ekey + ["weight"]])

@@ -169,11 +169,23 @@ def test_cum_value_two_level_matches_pandas_and_join_path(tmp_path, monkeypatch)
     for h in (0, 1, 2):
         rows.append((eid, 2, base + pd.Timedelta(hours=h), float(rng.randn())))
         eid += 1
+    # one event straddles sign: a bucket whose cumsum PEAKS before its end
+    # (negative tail) catches the max-as-total bug
+    rows.append((eid, 2, base + pd.Timedelta(hours=3), -50.0))
+    eid += 1
+    rows.append((eid, 2, base + pd.Timedelta(days=45), 1.0))
+    eid += 1
     df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
-    pq.write_table(
-        pa.Table.from_pandas(df).replace_schema_metadata(None),
-        str(tmp_path / "events.parquet"),
+    tab = pa.Table.from_pandas(df).replace_schema_metadata(None)
+    # the real events table is timestamp[us]; pandas writes [ns], whose
+    # microsecond bucket arithmetic degenerates to singleton buckets and
+    # masks cross-bucket bugs — cast to the production unit
+    tab = tab.set_column(
+        tab.schema.get_field_index("ts"),
+        "ts",
+        tab["ts"].cast(pa.timestamp("us")),
     )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
 
     expect = df.sort_values(["user_id", "ts", "event_id"]).copy()
     expect["cum_value"] = expect.groupby("user_id")["value"].cumsum().round(4)

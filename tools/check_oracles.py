@@ -77,6 +77,11 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
 
     oracles = e.oracle_sql()
     failures = 0
+    if only:
+        unknown = only - set(e.queries())
+        if unknown:  # a typo must not read as "gate passed, nothing ran"
+            print(f"FAIL unknown query name(s): {sorted(unknown)}")
+            return 1
     for name, fn in e.queries().items():
         if only and name not in only:
             continue
