@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_kmeans": q.embedding_kmeans,
         "embedding_label_centroids": q.embedding_label_centroids,
+        "embedding_pca_top1": q.embedding_pca_top1,
         "doc_tfidf_top50": q.doc_tfidf_top50,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard_pairs": do.doc_ngram_jaccard_pairs_sql(),
         "embedding_near_dup": do.embedding_near_dup_sql(),
         "embedding_kmeans": do.embedding_kmeans_sql(),
+        "embedding_pca_top1": do.embedding_pca_top1_sql(),
         "similarity_topk_lsh": do.similarity_topk_sql(),
         "similarity_topk_ivf": do.similarity_topk_ivf_sql(oracle_sf),
         "media_image_features": do.media_image_features_sql(),

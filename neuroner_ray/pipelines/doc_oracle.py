@@ -371,3 +371,38 @@ SELECT vec_id, cluster FROM (
   FROM e, {prev} c) WHERE rn = 1"""
     )
     return "".join(parts)
+
+
+def embedding_pca_top1_sql(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled power iterations mirroring ``queries.embedding_pca_top1``:
+    v0 = 1/8 per component (exact dyadic), per iteration
+    w = Σᵢ xᵢ(xᵢ·v) over all rows, v' = round(w / ‖w‖, 6); final output
+    rounded to 4 decimals."""
+    r = 6
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+pos AS (SELECT unnest(range(1, {dim + 1})) AS p),
+v0 AS (SELECT p AS pos, 0.125 AS val FROM pos)"""
+    ]
+    prev = "v0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT e.vec_id, sum(e.x[v.pos] * v.val) AS dot
+  FROM e, {prev} v GROUP BY e.vec_id),
+w{i} AS MATERIALIZED (
+  SELECT pos.p AS pos, sum(e.x[pos.p] * d.dot) AS w
+  FROM e JOIN d{i} d USING (vec_id), pos
+  GROUP BY pos.p),
+n{i} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{i}),
+v{i} AS MATERIALIZED (
+  SELECT w.pos, round(w.w / n.nrm, {r}) AS val FROM w{i} w, n{i} n)"""
+        )
+        prev = f"v{i}"
+    parts.append(
+        f"""
+SELECT pos::BIGINT AS pos, round(val, 4) AS val FROM {prev}"""
+    )
+    return "".join(parts)

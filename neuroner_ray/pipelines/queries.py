@@ -2304,3 +2304,48 @@ def media_audio_energy(sf_dir: str) -> Dataset:
     from ..stages.multimodal import audio_window_energy
 
     return audio_window_energy(_media_table(sf_dir))
+
+
+def embedding_pca_top1(sf_dir: str, iters: int = 3) -> Dataset:
+    """Top principal direction of the (uncentered) embedding matrix via
+    power iteration — distributed matvec: each batch contributes the
+    D-vector partial Xᵀ(Xv) (two small matmuls), an associative tree merge
+    sums them, and only the D-sized iterate touches the driver. The
+    deterministic start (all 0.125 = 1/√64, exact in both engines) and the
+    6-decimal normalize after every iteration make the DuckDB oracle able
+    to replay the iterations exactly. Output: (pos, val) rounded to 4."""
+    from ..stages.similarity import _vectors_of
+
+    emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["embedding"])
+    dim = 64
+    v = np.full(dim, 0.125, dtype=np.float64)
+    merge = group_sum_merge(("pos",), ("w",))
+    for _ in range(iters):
+        vref = ray.put(v)
+
+        def partial(t: pa.Table, vref=vref) -> pa.Table:
+            vv = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+            X = _vectors_of(t, "embedding")
+            w = X.T @ (X @ vv)
+            return pa.table(
+                {
+                    "pos": pa.array(np.arange(1, dim + 1), pa.int64()),
+                    "w": pa.array(w, pa.float64()),
+                }
+            )
+
+        rows = tree_combine(
+            emb.map_batches(partial, batch_format="pyarrow"), merge
+        ).take_all()
+        w = np.zeros(dim)
+        for r in rows:
+            w[r["pos"] - 1] = r["w"]
+        v = round_half_away(w / np.sqrt((w * w).sum()), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "pos": pa.array(np.arange(1, dim + 1), pa.int64()),
+                "val": pa.array(round_half_away(v, 4), pa.float64()),
+            }
+        )
+    )

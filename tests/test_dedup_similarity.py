@@ -308,3 +308,46 @@ def test_audio_window_energy_plumbing():
     assert abs(got - round(first, 4)) < 1e-9
     with pytest.raises(NotImplementedError):
         AudioWindowEnergy(strict=True)
+
+
+def test_pca_power_top1_matches_numpy(tmp_path):
+    """embedding_pca_top1 equals a numpy replay of the same rounded power
+    iterations, and aligns with the true dominant eigenvector when the
+    spectrum is strongly dominated."""
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.functions.rounding import round_half_away
+    from neuroner_ray.pipelines.queries import embedding_pca_top1
+
+    rng = np.random.RandomState(5)
+    direction = rng.randn(64)
+    direction /= np.linalg.norm(direction)
+    X = (
+        np.outer(rng.randn(200) * 10.0, direction)  # dominant direction
+        + 0.1 * rng.randn(200, 64)
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in X],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = (
+        embedding_pca_top1(str(tmp_path))
+        .to_pandas()
+        .sort_values("pos")["val"]
+        .to_numpy()
+    )
+    # numpy replay with identical rounding discipline
+    Xd = X.astype(np.float64)
+    v = np.full(64, 0.125)
+    for _ in range(3):
+        w = Xd.T @ (Xd @ v)
+        v = round_half_away(w / np.sqrt((w * w).sum()), 6)
+    assert np.allclose(got, round_half_away(v, 4), atol=1e-9)
+    # alignment with the planted direction (sign-agnostic)
+    assert abs(float(got @ direction)) > 0.999

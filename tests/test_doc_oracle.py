@@ -215,6 +215,7 @@ def test_round3_windowed_relational_queries_match_oracles(con_rel):
         "events_value_quantiles",
         "doc_tfidf_top50",
         "embedding_label_centroids",
+        "embedding_pca_top1",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(con_rel.execute(sqls[name]).fetchdf())
