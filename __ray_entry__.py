@@ -163,6 +163,14 @@ def kg_neighbor_jaccard(sf_dir: str) -> Any:
     return neighbor_jaccard_topk(_kg_tables(sf_dir)["edges"])
 
 
+def kg_communities_lpa(sf_dir: str) -> Any:
+    """Graph analytics: synchronous label-propagation communities (fixed
+    8 rounds; labels broadcast per round, one streamed pair pass each)."""
+    from neuroner_ray.stages.graph import label_propagation
+
+    return label_propagation(_kg_tables(sf_dir)["edges"])
+
+
 def kg_incremental_edges(sf_dir: str) -> Any:
     """Incremental-ingest proof: build the KG as two conversation-disjoint
     arrival batches through the resumable bucket machinery (per-increment
@@ -276,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_levels": kg_bfs_levels,
         "kg_kcore": kg_kcore,
         "kg_neighbor_jaccard": kg_neighbor_jaccard,
+        "kg_communities_lpa": kg_communities_lpa,
     }
 
 
@@ -323,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_levels": ko.kg_bfs_levels_sql(tglob),
         "kg_kcore": ko.kg_kcore_sql(tglob),
         "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
+        "kg_communities_lpa": ko.kg_communities_lpa_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
         "events_value_quantiles": """
             SELECT quantile_disc(value, 0.5) AS p50,

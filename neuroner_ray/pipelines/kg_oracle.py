@@ -513,3 +513,47 @@ def kg_neighbor_jaccard_sql(transcripts_glob: str, k: int = 20) -> str:
         JOIN deg dv ON dv.a = c.v
         ORDER BY jac DESC, c.u, c.v LIMIT {k}
     """
+
+
+def kg_communities_lpa_sql(transcripts_glob: str, rounds: int = 8) -> str:
+    """Synchronous label propagation — mirrors
+    ``stages.graph.label_propagation`` (fixed round count, mode of
+    neighbor labels, ties → smallest label, own label kept when the argmax
+    row is missing)."""
+    parts = [
+        f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS x,
+                            greatest(src_id, dst_id) AS y
+            FROM e WHERE src_id <> dst_id
+        ),
+        ud AS MATERIALIZED (
+            SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS val FROM ud)"""
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        c{i} AS MATERIALIZED (
+            SELECT u.a AS node, pl.val AS lbl, count(*) AS c
+            FROM ud u JOIN {prev} pl ON pl.node = u.b
+            GROUP BY u.a, pl.val),
+        l{i} AS MATERIALIZED (
+            SELECT l.node, coalesce(p.lbl, l.val) AS val
+            FROM {prev} l LEFT JOIN (
+                SELECT node, lbl FROM (
+                    SELECT node, lbl,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY c DESC, lbl ASC) AS rn
+                    FROM c{i}) WHERE rn = 1) p USING (node))"""
+        )
+        prev = f"l{i}"
+    parts.append(
+        f"""
+        SELECT node AS entity_id, val AS community FROM {prev}"""
+    )
+    return "".join(parts)

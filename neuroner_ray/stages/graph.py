@@ -806,3 +806,82 @@ def neighbor_jaccard_topk(edges: Dataset, k: int = 20) -> Dataset:
     return tree_combine(
         nodes.map_batches(pairs_batch, batch_format="pyarrow"), cut
     )
+
+
+LPA_ROUNDS = 8
+
+
+def label_propagation(edges: Dataset, rounds: int = LPA_ROUNDS) -> Dataset:
+    """Synchronous label-propagation communities over the undirected
+    simple entity graph: every node starts as its own label; each round,
+    every node adopts the most frequent label among its neighbors (ties →
+    lexicographically smallest), keeping its own when it has none. Exactly
+    ``rounds`` rounds on BOTH sides (synchronous LPA can oscillate, so the
+    fixed round count — not convergence — defines the result; the oracle
+    unrolls the same rounds). Output: (entity_id, community).
+
+    Distribution shape: labels are an entity-vocabulary-sized driver map
+    broadcast per round (pagerank's state class); each round streams the
+    simple pair set once, emitting (node, neighbor_label) rows reduced by
+    an associative (node, label) count merge; the argmax runs on the
+    vocabulary-sized count table.
+    """
+    import pyarrow.compute as pc  # noqa: F401 (parity with sibling ops)
+
+    import ray.data as rd
+
+    from ..runtime.combine import group_sum_merge, tree_combine
+
+    simple = _simple_edges(edges, "label_propagation")
+    a = simple["a"].to_pylist()
+    b = simple["b"].to_pylist()
+    und = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(a + b, pa.string()),
+                "b": pa.array(b + a, pa.string()),
+            }
+        )
+    )
+    labels = {n: n for n in set(a) | set(b)}
+    if len(labels) > PAGERANK_MAX_NODES:
+        raise ValueError(
+            f"label_propagation driver state exceeds {PAGERANK_MAX_NODES} "
+            "nodes; switch to a shuffle (join-per-round) formulation"
+        )
+    merge = group_sum_merge(("node", "lbl"), ("c",))
+    for _ in range(rounds):
+        lref = ray.put(labels)
+
+        def nbr_labels(t: pa.Table, lref=lref) -> pa.Table:
+            lm = ray.get(lref) if isinstance(lref, ray.ObjectRef) else lref
+            return merge(
+                pa.table(
+                    {
+                        "node": t["a"],
+                        "lbl": pa.array(
+                            [lm[x] for x in t["b"].to_pylist()], pa.string()
+                        ),
+                        "c": pa.array([1] * t.num_rows, pa.int64()),
+                    }
+                )
+            )
+
+        counts = tree_combine(
+            und.map_batches(nbr_labels, batch_format="pyarrow"), merge
+        ).take_all()
+        best: dict[str, tuple[int, str]] = {}
+        for r in counts:
+            key = (-r["c"], r["lbl"])
+            if r["node"] not in best or key < best[r["node"]]:
+                best[r["node"]] = key
+        labels = {n: best[n][1] if n in best else l for n, l in labels.items()}
+    ids = sorted(labels)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "community": pa.array([labels[i] for i in ids], pa.string()),
+            }
+        )
+    )

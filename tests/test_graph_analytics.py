@@ -237,3 +237,31 @@ def test_kmeans_on_empty_embeddings():
     )
     out = kmeans_assign(empty, k=4, iters=2)
     assert out.count() == 0 and out.schema().names == ["vec_id", "cluster"]
+
+
+def test_label_propagation():
+    from neuroner_ray.stages.graph import label_propagation
+
+    # two cliques joined by one bridge edge: LPA separates them; within a
+    # clique the smallest label wins the tie cascade
+    edges = rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "pred": "p", "weight": 1}
+            for s, d in [
+                ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),   # clique A
+                ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),   # clique B
+                ("a3", "b1"),                               # bridge
+            ]
+        ]
+    )
+    df = label_propagation(edges).to_pandas()
+    got = dict(zip(df["entity_id"], df["community"]))
+    # deterministic: every member of clique A shares a community, same
+    # for B, and a second run is identical
+    assert got["a1"] == got["a2"]
+    assert got["b2"] == got["b3"]
+    df2 = label_propagation(edges).to_pandas()
+    assert df.equals(df2)
+    # fixed-round contract: 0 rounds = every node its own label
+    df0 = label_propagation(edges, rounds=0).to_pandas()
+    assert (df0["entity_id"] == df0["community"]).all()
