@@ -188,6 +188,22 @@ def kg_incremental_edges(sf_dir: str) -> Any:
     return tables["edges"].drop_columns(["provenance"])
 
 
+def kg_incremental_edges3(sf_dir: str) -> Any:
+    """Incremental ingest at a second increment count (VERDICT r3 item 7):
+    three arrival batches over three buckets — a different resplit shape
+    than the n=2 variant, same invariant (incremental == full rebuild), so
+    it shares the kg_edges oracle."""
+    import hashlib
+
+    tdir = transcripts_dir_for(sf_dir)
+    work = os.path.join(
+        "/tmp/neuroner_ray_data",
+        "incr3-" + hashlib.blake2b(tdir.encode(), digest_size=6).hexdigest(),
+    )
+    tables = kg.run_incremental(tdir, work, num_increments=3, num_buckets=3)
+    return tables["edges"].drop_columns(["provenance"])
+
+
 def _mention_heavy_hitters_cached(sf_dir: str) -> Any:
     """O6 census over the (cached) pipeline mentions: top-10 surfaces."""
     import pyarrow as pa
@@ -207,9 +223,42 @@ def _mention_heavy_hitters_cached(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    """One entry per implemented operator/pipeline from SURVEY.md §2.
+
+    ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
+    checks the FIRST 50 entries of this dict. Entries are therefore ordered
+    by driver-verification recency — never-driver-verified first (the r3
+    graph-analytics suite, incremental ingest, TF-IDF, audio), then the
+    r2-verified-only group, then the long-green r3 relational/text tail.
+    The entries past position 50 all have green rows in CORRECTNESS_r03.
+    """
     return {
-        # relational / aggregate / sort / join coverage (DuckDB-oracled)
+        # --- never driver-verified before r4 (lead the 50-query window)
+        "kg_pagerank": kg_pagerank,
+        "kg_degree": kg_degree,
+        "kg_components": kg_components,
+        "kg_triangles": kg_triangles,
+        "kg_bfs_levels": kg_bfs_levels,
+        "kg_kcore": kg_kcore,
+        "kg_neighbor_jaccard": kg_neighbor_jaccard,
+        "kg_communities_lpa": kg_communities_lpa,
+        "kg_incremental_edges": kg_incremental_edges,
+        "kg_incremental_edges3": kg_incremental_edges3,
+        "doc_tfidf_top50": q.doc_tfidf_top50,
+        "media_audio_energy": q.media_audio_energy,
+        # --- last driver check: round 2
+        "kg_mentions": kg_mentions,
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "kg_top_entities": kg_top_entities,
+        "media_image_features": q.media_image_features,
+        "media_video_frames": q.media_video_frames,
+        "mention_heavy_hitters": _mention_heavy_hitters_cached,
+        "similarity_topk_lsh": q.similarity_topk_lsh,
+        "similarity_topk_ivf": q.similarity_topk_ivf,
+        "similarity_topk_multi": q.similarity_topk_multi,
+        # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
         "doc_fingerprints": q.doc_fingerprints,
@@ -261,30 +310,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q.embedding_kmeans,
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_pca_top1": q.embedding_pca_top1,
-        "doc_tfidf_top50": q.doc_tfidf_top50,
-        "similarity_topk_lsh": q.similarity_topk_lsh,
-        "similarity_topk_ivf": q.similarity_topk_ivf,
-        "similarity_topk_multi": q.similarity_topk_multi,
-        # multimodal binary-column stages (deterministic fake codec)
-        "media_image_features": q.media_image_features,
-        "media_video_frames": q.media_video_frames,
-        "media_audio_energy": q.media_audio_energy,
-        "mention_heavy_hitters": _mention_heavy_hitters_cached,
-        # KG pipeline over synthetic transcripts (rows-only checks)
-        "kg_mentions": kg_mentions,
-        "kg_triples": kg_triples,
-        "kg_nodes": kg_nodes,
-        "kg_edges": kg_edges,
-        "kg_top_entities": kg_top_entities,
-        "kg_pagerank": kg_pagerank,
-        "kg_degree": kg_degree,
-        "kg_components": kg_components,
-        "kg_triangles": kg_triangles,
-        "kg_incremental_edges": kg_incremental_edges,
-        "kg_bfs_levels": kg_bfs_levels,
-        "kg_kcore": kg_kcore,
-        "kg_neighbor_jaccard": kg_neighbor_jaccard,
-        "kg_communities_lpa": kg_communities_lpa,
     }
 
 
@@ -324,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": ko.kg_edges_sql(tglob),
         # incremental build must equal the from-scratch build exactly
         "kg_incremental_edges": ko.kg_edges_sql(tglob),
+        "kg_incremental_edges3": ko.kg_edges_sql(tglob),
         "kg_top_entities": ko.kg_top_entities_sql(tglob),
         "kg_pagerank": ko.kg_pagerank_sql(tglob),
         "kg_degree": ko.kg_degree_sql(tglob),
