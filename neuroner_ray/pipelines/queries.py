@@ -588,11 +588,17 @@ def orders_monthly(sf_dir: str) -> Dataset:
         _p(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate"]
     )
 
+    # month key travels as int64 epoch-µs through the Ray aggregate (its
+    # sort shuffle rebuilds timestamp keys via numpy, where day-aligned
+    # values degrade to datetime64[D] and pyarrow logs a precision warning
+    # per map task); cast back to timestamp[us] after the shuffle
     def trunc(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "o_orderpriority": batch["o_orderpriority"],
-                "month": pc.floor_temporal(batch["o_orderdate"], unit="month"),
+                "month": pc.floor_temporal(batch["o_orderdate"], unit="month")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
             }
         )
 
@@ -600,6 +606,14 @@ def orders_monthly(sf_dir: str) -> Dataset:
         orders.map_batches(trunc, batch_format="pyarrow")
         .groupby(["o_orderpriority", "month"])
         .aggregate(Count(alias_name="n_orders"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("month"),
+                "month",
+                t["month"].cast(pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -1547,11 +1561,19 @@ def events_daily_retention(sf_dir: str) -> Dataset:
     anywhere — both shuffles move fixed-width rows."""
     ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
 
+    # the day key travels as int64 epoch-µs through the Ray aggregates:
+    # Ray's sort-aggregate rebuilds key columns through numpy, and
+    # day-aligned values come back as datetime64[D] — pyarrow then logs a
+    # precision-coercion warning per map task (BENCH_r03 tail). Int keys
+    # shuffle clean (and faster); the final partials cast back to
+    # timestamp[us] outside any Ray aggregate.
     def to_days(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
                 "user_id": batch["user_id"],
-                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "day": pc.floor_temporal(batch["ts"], unit="day")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
             }
         )
         return t.group_by(["user_id", "day"]).aggregate([])
@@ -1562,7 +1584,7 @@ def events_daily_retention(sf_dir: str) -> Dataset:
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
-    one_day = pa.scalar(86_400_000_000, pa.duration("us"))
+    one_day = pa.scalar(86_400_000_000, pa.int64())
 
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1573,9 +1595,8 @@ def events_daily_retention(sf_dir: str) -> Dataset:
                 ),
                 "day": pa.concat_arrays(
                     [
-                        batch["day"].cast(pa.timestamp("us")).combine_chunks(),
-                        pc.add(batch["day"].cast(pa.timestamp("us")), one_day)
-                        .combine_chunks(),
+                        batch["day"].combine_chunks(),
+                        pc.add(batch["day"], one_day).combine_chunks(),
                     ]
                 ),
                 "present": pa.array([1] * n + [0] * n, pa.int64()),
@@ -1598,7 +1619,7 @@ def events_daily_retention(sf_dir: str) -> Dataset:
         active = present >= 1
         t = pa.table(
             {
-                "day": batch["day"],
+                "day": batch["day"].cast(pa.timestamp("us")),
                 "n_active": pa.array(active.astype(np.int64), pa.int64()),
                 "n_retained": pa.array(
                     (active & (prev >= 1)).astype(np.int64), pa.int64()
