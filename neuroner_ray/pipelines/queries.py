@@ -2101,9 +2101,14 @@ def customers_without_orders_bloom(
        broadcasts the full key set).
     2. Customers with a Bloom MISS are definitively order-less (no false
        negatives) and are counted map-side without any join.
-    3. Only Bloom-HIT candidates take the exact path: a distributed hash
-       join against the deduplicated order-key table; unmatched candidates
-       are the false positives, added to the miss count.
+    3. Only Bloom-HIT candidates take the exact path: candidate rows and
+       order-key rows are UNIONED and cogrouped by one int-key groupby
+       (side-tagged rows, Sum per side); candidates whose key has no order
+       row are the false positives, added to the miss count. Expressed as a
+       cogroup — not ``Dataset.join`` — because Ray 2.49's hash join raises
+       on any zero-row join partition (NOTES.md: empty partitions appear
+       whenever num_partitions exceeds the effective key spread, which is
+       exactly the small-sf shape of this candidate set).
     """
     orders = read_parquet_clean(_p(sf_dir, "orders"), columns=["o_custkey"])
     nbytes = bloom_bits // 8
@@ -2154,39 +2159,57 @@ def customers_without_orders_bloom(
 
     sided = cust.map_batches(split, batch_format="pyarrow").materialize()
     n_miss = int(sided.sum("miss") or 0)
+    # cogroup candidates with the order keys: side-tagged rows through ONE
+    # int-key groupby (map-side per-batch dedup of order keys first), then
+    # count candidate keys that attracted no order row
     candidates = sided.map_batches(
-        lambda t: t.filter(pc.is_valid(t["c_custkey"])).select(["c_custkey"]),
+        lambda t: (
+            lambda k: pa.table(
+                {
+                    "c_custkey": k,
+                    "cand": pa.array([1] * len(k), pa.int64()),
+                    "has_order": pa.array([0] * len(k), pa.int64()),
+                }
+            )
+        )(t.filter(pc.is_valid(t["c_custkey"]))["c_custkey"].combine_chunks()),
         batch_format="pyarrow",
     )
-    keyset = (
-        orders.map_batches(
-            lambda t: t.select(["o_custkey"])
-            .group_by("o_custkey")
-            .aggregate([]),
-            batch_format="pyarrow",
-        )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .rename_columns({"o_custkey": "c_custkey"})
+    keyrows = orders.map_batches(
+        lambda t: (
+            lambda u: pa.table(
+                {
+                    "c_custkey": u,
+                    "cand": pa.array([0] * len(u), pa.int64()),
+                    "has_order": pa.array([1] * len(u), pa.int64()),
+                }
+            )
+        )(pc.unique(t["o_custkey"])),
+        batch_format="pyarrow",
     )
-    from ..runtime.partitions import join_partitions
-
-    joined = candidates.join(
-        keyset.map_batches(
-            lambda t: t.append_column("has_order", pa.array([1] * t.num_rows, pa.int64())),
-            batch_format="pyarrow",
-        ),
-        join_type="left_outer",
-        num_partitions=join_partitions(16),
-        on=("c_custkey",),
+    paired = (
+        candidates.union(keyrows)
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("cand", alias_name="cand"),
+            Sum("has_order", alias_name="has_order"),
+        )
     )
     n_fp = int(
-        joined.map_batches(
+        paired.map_batches(
             lambda t: pa.table(
                 {
                     "n": pa.array(
-                        [int(pc.sum(pc.is_null(t["has_order"])).as_py() or 0)],
+                        [
+                            int(
+                                pc.sum(
+                                    pc.and_(
+                                        pc.greater(t["cand"], 0),
+                                        pc.equal(t["has_order"], 0),
+                                    ).cast(pa.int64())
+                                ).as_py()
+                                or 0
+                            )
+                        ],
                         pa.int64(),
                     )
                 }
