@@ -339,30 +339,117 @@ def materialize_graph(
 
 # ------------------------------------------------------------- analytics
 # Driver-side rank vectors are entity-vocabulary-sized (same bound as the
-# canonical-map broadcasts above); the cap makes the assumption loud
-# instead of an OOM.
+# canonical-map broadcasts above); the cap makes the assumption loud —
+# past it, pagerank switches to the sharded-rank-vector shuffle fallback
+# (``_pagerank_sharded``) instead of raising.
 PAGERANK_MAX_NODES = 2_000_000
+
+# Below this edge count the whole analytic runs on the driver after ONE
+# collect — every per-iteration Ray execution costs ~0.5-1 s of setup, so
+# a 10-iteration analytic on a vocabulary-sized graph (the common KG case:
+# 744 edges at sf0.1) pays ~100% overhead in the streamed formulation
+# (VERDICT r3 item 2: kg_pagerank was 6.7 s on 744 edges). Same
+# size-adaptive convention as SMALL_VOCAB_MAX / DRIVER_CC_MAX_NODES.
+SMALL_GRAPH_EDGES_MAX = 100_000
+
+
+def _collect_edges(g: Dataset, columns: list[str]) -> pa.Table:
+    """Driver collect of a small (≤ SMALL_GRAPH_EDGES_MAX) edge table;
+    typed-empty-safe (zero-row datasets keep their schema)."""
+    batches = list(
+        g.select_columns(columns).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    if not batches:
+        fields = {
+            "src_id": pa.string(),
+            "dst_id": pa.string(),
+            "weight": pa.float64(),
+        }
+        return pa.schema([(c, fields[c]) for c in columns]).empty_table()
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def _pagerank_local(tab: pa.Table, damping: float, iters: int) -> pa.Table:
+    """Small-graph fast path: identical formulation to the streamed loop
+    (same census, same dangling redistribution, same rounding), vectorized
+    on the collected edge table."""
+    from ..functions.rounding import round_half_away
+
+    if tab.num_rows == 0:
+        return pa.table(
+            {
+                "entity_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.float64()),
+            }
+        )
+    src = np.asarray(tab["src_id"].to_pylist(), dtype=object)
+    dst = np.asarray(tab["dst_id"].to_pylist(), dtype=object)
+    w = tab["weight"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))  # lexicographic order
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.fromiter((idx[v] for v in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((idx[v] for v in dst), dtype=np.int64, count=len(dst))
+    n = len(nodes)
+    ow = np.zeros(n)
+    np.add.at(ow, si, w)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        f = np.divide(rank, ow, out=np.zeros(n), where=ow > 0.0)
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, f[si] * w)
+        dangling = rank[ow == 0.0].sum()
+        rank = (
+            (1.0 - damping) / n
+            + damping * dangling / n
+            + damping * contrib
+        )
+    return pa.table(
+        {
+            "entity_id": pa.array(list(nodes), pa.string()),
+            "rank": pa.array(round_half_away(rank), pa.float64()),
+        }
+    )
 
 
 def pagerank(
-    edges: Dataset, damping: float = 0.85, iters: int = 10
-) -> pa.Table:
+    edges: Dataset,
+    damping: float = 0.85,
+    iters: int = 10,
+    *,
+    small_max: int = SMALL_GRAPH_EDGES_MAX,
+    max_nodes: int = PAGERANK_MAX_NODES,
+    num_buckets: int | None = None,
+) -> pa.Table | Dataset:
     """Weighted PageRank over the canonical edge table (power method,
     fixed iteration count, deterministic).
 
-    Distributed shape: the edge table is STREAMED once per iteration
-    (``map_batches`` partials + fan-in tree combine — no sort shuffle);
-    only the rank vector (entity-vocabulary-sized, ≤ PAGERANK_MAX_NODES)
-    lives on the driver and is re-broadcast via ``ray.put`` each
-    iteration. Parallel (src, dst, pred) edges need no pre-collapse:
-    contributions are linear in edge weight, so their weights sum
-    naturally. Dangling mass (nodes with no out-edges) redistributes
-    uniformly, per the standard formulation.
+    Size-adaptive, three regimes:
+    - ≤ ``small_max`` edges: ONE collect + vectorized driver loop
+      (``_pagerank_local``) — no per-iteration Ray executions.
+    - ≤ ``max_nodes`` nodes: the edge table is STREAMED once per iteration
+      (``map_batches`` partials + fan-in tree combine — no sort shuffle);
+      only the rank vector (entity-vocabulary-sized) lives on the driver
+      and is re-broadcast via ``ray.put`` each iteration.
+    - > ``max_nodes`` nodes: sharded-rank-vector shuffle formulation
+      (``_pagerank_sharded``) — the rank vector never touches the driver;
+      returns a Dataset.
+
+    Parallel (src, dst, pred) edges need no pre-collapse: contributions
+    are linear in edge weight, so their weights sum naturally. Dangling
+    mass (nodes with no out-edges) redistributes uniformly, per the
+    standard formulation. All three regimes implement the SAME arithmetic
+    (equivalence-tested at the 4-decimal output rounding).
     """
     from ..functions.rounding import round_half_away
     from ..runtime.combine import group_sum_merge, tree_combine
 
     g = edges.select_columns(["src_id", "dst_id", "weight"]).materialize()
+    if g.count() <= small_max:
+        return _pagerank_local(
+            _collect_edges(g, ["src_id", "dst_id", "weight"]), damping, iters
+        )
 
     # out-weight per src + node census (both vocabulary-sized)
     owm = group_sum_merge(("id",), ("ow", "is_src"))
@@ -390,11 +477,9 @@ def pagerank(
             g.map_batches(endpoints, batch_format="pyarrow"), owm
         ).iter_batches(batch_size=None, batch_format="pyarrow")
     )
-    if census.num_rows > PAGERANK_MAX_NODES:
-        raise ValueError(
-            f"pagerank rank vector {census.num_rows} nodes exceeds "
-            f"PAGERANK_MAX_NODES={PAGERANK_MAX_NODES}; shard the rank "
-            "vector (e.g. bucket by id hash) before raising the cap"
+    if census.num_rows > max_nodes:
+        return _pagerank_sharded(
+            g, damping, iters, num_buckets=num_buckets or PR_NUM_BUCKETS
         )
     node_ids = census["id"].to_pylist()
     ow = dict(zip(node_ids, census["ow"].to_numpy(zero_copy_only=False)))
@@ -450,6 +535,253 @@ def pagerank(
                 [float(round_half_away(rank[v])) for v in order], pa.float64()
             ),
         }
+    )
+
+
+PR_NUM_BUCKETS = 64
+
+
+def _bucket_of(ids: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Vectorized id → bucket hash (pandas siphash C kernel — no Python
+    per-row loop on this corpus-sized path)."""
+    hashed = pd.util.hash_array(
+        np.asarray(
+            ids.to_pylist() if hasattr(ids, "to_pylist") else ids,
+            dtype=object,
+        ),
+        categorize=False,
+    )
+    return pa.array((hashed % num_buckets).astype(np.int64), pa.int64())
+
+
+def _pagerank_sharded(
+    g: Dataset,
+    damping: float,
+    iters: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+) -> Dataset:
+    """Sharded-rank-vector PageRank (the > PAGERANK_MAX_NODES regime,
+    VERDICT r3 item 3): node state lives as a bucketed Dataset — the rank
+    vector never touches the driver.
+
+    Per iteration:
+    1. dangling mass: streamed partial sum of rank where out-weight = 0
+       (ONE scalar to the driver);
+    2. contributions: factor rows (rank/out-weight, bucketed by id) UNION
+       src-bucketed edge rows → ONE int-key groupby cogroup per bucket
+       emits per-dst contribution partials (pre-summed per dst inside the
+       group);
+    3. new state: contribution partials (bucketed by dst) UNION node-state
+       rows → a second int-key cogroup computes rank' = base + d·Σcontrib.
+
+    Expressed as union + groupby cogroups, not ``Dataset.join`` (Ray 2.49
+    raises on zero-row join partitions — NOTES.md). Partitioning
+    assumption (custom-operator rule): one bucket's node rows + incident
+    edge rows fit one task's heap; buckets = siphash(id) % B, so hot
+    buckets shrink as B grows — raise ``num_buckets`` for bigger graphs.
+    Output: (entity_id, rank) Dataset, rank rounded to 4 decimals like the
+    driver regimes.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    # node census (id → out-weight), computed by a distributed groupby —
+    # never collected
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        w = t["weight"].cast(pa.float64()).to_pylist()
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        t["src_id"].combine_chunks(),
+                        t["dst_id"].combine_chunks(),
+                    ]
+                ),
+                "ow": pa.array(w + [0.0] * n, pa.float64()),
+            }
+        ).group_by("id").aggregate([("ow", "sum")]).rename_columns(["id", "ow"])
+
+    census = (
+        g.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("ow", alias_name="ow"))
+        .materialize()
+    )
+    n_nodes = census.count()
+    if n_nodes == 0:
+        return census.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def init_state(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["id"], num_buckets),
+                "id": t["id"],
+                "ow": t["ow"],
+                "rank": pa.array([1.0 / n_nodes] * t.num_rows, pa.float64()),
+            }
+        )
+
+    state = census.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["src_id"], num_buckets),
+                "kind": pa.array([1] * t.num_rows, pa.int64()),
+                "a": t["src_id"],
+                "b": t["dst_id"],
+                "w": t["weight"].cast(pa.float64()),
+            }
+        )
+
+    eb = g.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def contrib_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        f = df[df["kind"] == 0].set_index("a")["w"]
+        e = df[df["kind"] == 1]
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "id": pd.Series([], dtype="object"),
+                    "contrib": pd.Series([], dtype="float64"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "id": e["b"].to_numpy(),
+                "contrib": e["a"].map(f).to_numpy(dtype=np.float64)
+                * e["w"].to_numpy(dtype=np.float64),
+            }
+        ).groupby("id", as_index=False)["contrib"].sum()
+        out.insert(
+            0,
+            "bucket",
+            (
+                pd.util.hash_array(
+                    out["id"].to_numpy(dtype=object), categorize=False
+                )
+                % num_buckets
+            ).astype(np.int64),
+        )
+        return out
+
+    for _ in range(iters):
+        dangling = (
+            state.map_batches(
+                lambda t: pa.table(
+                    {
+                        "d": pa.array(
+                            [
+                                float(
+                                    pa.compute.sum(
+                                        pa.compute.if_else(
+                                            pa.compute.equal(t["ow"], 0.0),
+                                            t["rank"],
+                                            pa.scalar(0.0),
+                                        )
+                                    ).as_py()
+                                    or 0.0
+                                )
+                            ],
+                            pa.float64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("d")
+            or 0.0
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        factor_rows = state.map_batches(
+            lambda t: (
+                lambda m: pa.table(
+                    {
+                        "bucket": m["bucket"],
+                        "kind": pa.array([0] * m.num_rows, pa.int64()),
+                        "a": m["id"],
+                        "b": pa.array([None] * m.num_rows, pa.string()),
+                        "w": pa.compute.divide(m["rank"], m["ow"]),
+                    }
+                )
+            )(t.filter(pa.compute.greater(t["ow"], 0.0))),
+            batch_format="pyarrow",
+        )
+        contribs = (
+            factor_rows.union(eb)
+            .groupby("bucket")
+            .map_groups(contrib_group, batch_format="pandas")
+        )
+
+        def contrib_tagged(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([1] * t.num_rows, pa.int64()),
+                    "id": t["id"],
+                    "ow": pa.array([0.0] * t.num_rows, pa.float64()),
+                    "val": t["contrib"],
+                }
+            )
+
+        def state_tagged(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([0] * t.num_rows, pa.int64()),
+                    "id": t["id"],
+                    "ow": t["ow"],
+                    "val": t["rank"],
+                }
+            )
+
+        def new_state_group(
+            df: pd.DataFrame, base=base, damping=damping
+        ) -> pd.DataFrame:
+            s = df[df["kind"] == 0]
+            c = df[df["kind"] == 1].groupby("id")["val"].sum()
+            return pd.DataFrame(
+                {
+                    "bucket": s["bucket"].to_numpy(),
+                    "id": s["id"].to_numpy(),
+                    "ow": s["ow"].to_numpy(),
+                    "rank": base
+                    + damping * s["id"].map(c).fillna(0.0).to_numpy(),
+                }
+            )
+
+        state = (
+            state.map_batches(state_tagged, batch_format="pyarrow")
+            .union(contribs.map_batches(contrib_tagged, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(new_state_group, batch_format="pandas")
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t["id"],
+                "rank": pa.array(
+                    round_half_away(
+                        t["rank"].to_numpy(zero_copy_only=False)
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -538,28 +870,34 @@ def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
     input of the broadcast-adjacency analytics (triangles, k-core,
     neighbor Jaccard). Entity-vocabulary²-bounded; the loud cap makes the
     assumption explicit — past it, switch to the 2-round shuffle
-    formulation (edge ⋈ wedge) instead of raising it."""
+    formulation (edge ⋈ wedge) instead of raising it.
+
+    Small graphs (≤ SMALL_GRAPH_EDGES_MAX rows) skip the streamed pass:
+    one collect, same Arrow kernels locally."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
     empty = pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()
+    if edges.count() <= SMALL_GRAPH_EDGES_MAX:
+        tab = _collect_edges(edges, ["src_id", "dst_id"])
+        simple = pairs(tab) if tab.num_rows else empty
+        return simple
     simple = pa.concat_tables(
         [empty]  # typed empty anchor: an all-empty stream still concats
         + list(
             edges.select_columns(["src_id", "dst_id"])
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "a": pa.compute.min_element_wise(
-                            t["src_id"], t["dst_id"]
-                        ),
-                        "b": pa.compute.max_element_wise(
-                            t["src_id"], t["dst_id"]
-                        ),
-                    }
-                )
-                .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
-                .group_by(["a", "b"])
-                .aggregate([]),
-                batch_format="pyarrow",
-            )
+            .map_batches(pairs, batch_format="pyarrow")
             .iter_batches(batch_size=None, batch_format="pyarrow")
         ),
         promote_options="default",
@@ -589,20 +927,26 @@ def triangle_count(edges: Dataset) -> pa.Table:
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
     adj_np = {k: np.sort(np.asarray(v, dtype=object)) for k, v in adj.items()}
-    adj_ref = ray.put(adj_np)
 
-    import ray.data as rd
-
-    def count_batch(t: pa.Table, adj_ref=adj_ref) -> pa.Table:
-        A = ray.get(adj_ref)
+    def count_batch(t: pa.Table, adj_ref=None) -> pa.Table:
+        A = ray.get(adj_ref) if isinstance(adj_ref, ray.ObjectRef) else adj_ref
         total = 0
         for u, v in zip(t["a"].to_pylist(), t["b"].to_pylist()):
             common = np.intersect1d(A[u], A[v], assume_unique=True)
             total += int((common > v).sum())
         return pa.table({"n_triangles": pa.array([total], pa.int64())})
 
+    # small-graph fast path: the pair set is already on the driver — count
+    # in place instead of paying a Ray execution on a one-block dataset
+    if simple.num_rows <= SMALL_GRAPH_EDGES_MAX:
+        return count_batch(simple, adj_ref=adj_np)
+
+    import ray.data as rd
+
+    adj_ref = ray.put(adj_np)
     parts = rd.from_arrow(simple).map_batches(
-        count_batch, batch_format="pyarrow"
+        lambda t, adj_ref=adj_ref: count_batch(t, adj_ref=adj_ref),
+        batch_format="pyarrow",
     )
     total = sum(
         b["n_triangles"].to_pylist()[0]
@@ -632,6 +976,40 @@ def bfs_levels(edges: Dataset, max_levels: int = 10) -> Dataset:
     from ..runtime.combine import tree_combine
 
     edges = edges.select_columns(["src_id", "dst_id"]).materialize()
+    empty = pa.table(
+        {"entity_id": pa.array([], pa.string()), "level": pa.array([], pa.int64())}
+    )
+    # small-graph fast path: collect once, BFS on the driver — integer
+    # levels are exact, so this is bit-identical to the streamed loop
+    if edges.count() <= SMALL_GRAPH_EDGES_MAX:
+        tab = _collect_edges(edges, ["src_id", "dst_id"])
+        if tab.num_rows == 0:
+            return rd.from_arrow(empty)
+        adj: dict[str, set[str]] = {}
+        for s, d in zip(tab["src_id"].to_pylist(), tab["dst_id"].to_pylist()):
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        seed = min(adj)
+        levels: dict[str, int] = {seed: 0}
+        frontier = [seed]
+        for lvl in range(1, max_levels + 1):
+            nxt = sorted(
+                {n for f in frontier for n in adj[f]} - levels.keys()
+            )
+            if not nxt:
+                break
+            for n in nxt:
+                levels[n] = lvl
+            frontier = nxt
+        ids = sorted(levels)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array(ids, pa.string()),
+                    "level": pa.array([levels[i] for i in ids], pa.int64()),
+                }
+            )
+        )
 
     def min_node(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -649,9 +1027,6 @@ def bfs_levels(edges: Dataset, max_levels: int = 10) -> Dataset:
     seed_rows = tree_combine(
         edges.map_batches(min_node, batch_format="pyarrow"), min_node
     ).take_all()
-    empty = pa.table(
-        {"entity_id": pa.array([], pa.string()), "level": pa.array([], pa.int64())}
-    )
     if not seed_rows:
         return rd.from_arrow(empty)
     seed = seed_rows[0]["node"]
@@ -772,13 +1147,10 @@ def neighbor_jaccard_topk(edges: Dataset, k: int = 20) -> Dataset:
     for u, v in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
-    adj_ref = ray.put(adj)
-    nodes = rd.from_arrow(
-        pa.table({"u": pa.array(sorted(adj), pa.string())})
-    )
+    node_table = pa.table({"u": pa.array(sorted(adj), pa.string())})
     cut = topk_merge(k, "jac", ["u", "v"])
 
-    def pairs_batch(t: pa.Table, adj_ref=adj_ref) -> pa.Table:
+    def pairs_batch(t: pa.Table, adj_ref=None) -> pa.Table:
         A = ray.get(adj_ref) if isinstance(adj_ref, ray.ObjectRef) else adj_ref
         us, vs, js = [], [], []
         for u in t["u"].to_pylist():
@@ -803,8 +1175,18 @@ def neighbor_jaccard_topk(edges: Dataset, k: int = 20) -> Dataset:
             )
         )
 
+    # small-graph fast path: one in-process sweep over the node list
+    if simple.num_rows <= SMALL_GRAPH_EDGES_MAX:
+        return rd.from_arrow(pairs_batch(node_table, adj_ref=adj))
+
+    adj_ref = ray.put(adj)
+    nodes = rd.from_arrow(node_table)
     return tree_combine(
-        nodes.map_batches(pairs_batch, batch_format="pyarrow"), cut
+        nodes.map_batches(
+            lambda t, adj_ref=adj_ref: pairs_batch(t, adj_ref=adj_ref),
+            batch_format="pyarrow",
+        ),
+        cut,
     )
 
 
@@ -835,6 +1217,39 @@ def label_propagation(edges: Dataset, rounds: int = LPA_ROUNDS) -> Dataset:
     simple = _simple_edges(edges, "label_propagation")
     a = simple["a"].to_pylist()
     b = simple["b"].to_pylist()
+    labels = {n: n for n in set(a) | set(b)}
+    if len(labels) > PAGERANK_MAX_NODES:
+        raise ValueError(
+            f"label_propagation driver state exceeds {PAGERANK_MAX_NODES} "
+            "nodes; switch to a shuffle (join-per-round) formulation"
+        )
+    # small-graph fast path: the pair set is already driver-local — run the
+    # same synchronous rounds in place (integer counts + the same
+    # (-count, label) tie order → identical to the streamed loop)
+    if simple.num_rows <= SMALL_GRAPH_EDGES_MAX:
+        pairs = list(zip(a + b, b + a))
+        for _ in range(rounds):
+            cnt: dict[tuple[str, str], int] = {}
+            for node, nbr in pairs:
+                key = (node, labels[nbr])
+                cnt[key] = cnt.get(key, 0) + 1
+            best: dict[str, tuple[int, str]] = {}
+            for (node, lbl), c in cnt.items():
+                key = (-c, lbl)
+                if node not in best or key < best[node]:
+                    best[node] = key
+            labels = {
+                n: best[n][1] if n in best else l for n, l in labels.items()
+            }
+        ids = sorted(labels)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array(ids, pa.string()),
+                    "community": pa.array([labels[i] for i in ids], pa.string()),
+                }
+            )
+        )
     und = rd.from_arrow(
         pa.table(
             {
@@ -843,12 +1258,6 @@ def label_propagation(edges: Dataset, rounds: int = LPA_ROUNDS) -> Dataset:
             }
         )
     )
-    labels = {n: n for n in set(a) | set(b)}
-    if len(labels) > PAGERANK_MAX_NODES:
-        raise ValueError(
-            f"label_propagation driver state exceeds {PAGERANK_MAX_NODES} "
-            "nodes; switch to a shuffle (join-per-round) formulation"
-        )
     merge = group_sum_merge(("node", "lbl"), ("c",))
     for _ in range(rounds):
         lref = ray.put(labels)

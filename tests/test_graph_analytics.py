@@ -265,3 +265,63 @@ def test_label_propagation():
     # fixed-round contract: 0 rounds = every node its own label
     df0 = label_propagation(edges, rounds=0).to_pandas()
     assert (df0["entity_id"] == df0["community"]).all()
+
+
+def test_pagerank_all_regimes_agree():
+    """The three size-adaptive regimes — driver-local, broadcast-streamed,
+    and sharded-rank-vector (the > PAGERANK_MAX_NODES shuffle fallback) —
+    implement the same arithmetic: identical output at the 4-decimal
+    rounding on the dangling/parallel-edge fixture graph."""
+    import pandas as pd
+
+    def run(**kw):
+        ds = rd.from_items(
+            [{"src_id": s, "dst_id": d, "weight": w} for s, d, w in EDGES]
+        )
+        out = pagerank(ds, iters=3, **kw)
+        return (
+            out.to_pandas().sort_values("entity_id").reset_index(drop=True)
+        )
+
+    local = run()                                   # ≤ small_max edges
+    streamed = run(small_max=0)                     # broadcast rank vector
+    # sharded shuffle fallback (few buckets: the fixture is 5 nodes)
+    sharded = run(small_max=0, max_nodes=0, num_buckets=4)
+    pd.testing.assert_frame_equal(local, streamed, atol=1e-9)
+    pd.testing.assert_frame_equal(local, sharded, atol=1e-9)
+
+
+def test_analytics_small_and_streamed_paths_agree(monkeypatch):
+    """Forcing SMALL_GRAPH_EDGES_MAX=0 routes BFS / LPA / triangles /
+    k-core / neighbor-Jaccard through the streamed formulations; results
+    must equal the driver fast paths exactly (integer/exactly-rounded
+    outputs)."""
+    import neuroner_ray.stages.graph as G
+    from neuroner_ray.stages.graph import (
+        bfs_levels,
+        kcore,
+        label_propagation,
+        neighbor_jaccard_topk,
+        triangle_count,
+    )
+
+    def snapshot():
+        e = _edges_ds()
+        return {
+            "bfs": bfs_levels(e).to_pandas().sort_values("entity_id")
+            .reset_index(drop=True),
+            "lpa": label_propagation(e).to_pandas().sort_values("entity_id")
+            .reset_index(drop=True),
+            "tri": triangle_count(e).to_pydict(),
+            "jac": neighbor_jaccard_topk(e).to_pandas()
+            .sort_values(["u", "v"]).reset_index(drop=True),
+            "kcore": kcore(e).to_pandas().sort_values("entity_id")
+            .reset_index(drop=True),
+        }
+
+    fast = snapshot()
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES_MAX", 0)
+    slow = snapshot()
+    assert fast["tri"] == slow["tri"]
+    for k in ("bfs", "lpa", "jac", "kcore"):
+        assert fast[k].equals(slow[k]), k
