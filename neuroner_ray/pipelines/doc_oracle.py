@@ -333,7 +333,18 @@ def embedding_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     vec_ids; per iteration assign by round(list_distance, 6) with
     smallest-cluster tie-break, then component-wise round(avg, 6) means
     (an empty cluster keeps its previous centroid via the LEFT JOIN
-    coalesce); final SELECT is one more assignment pass."""
+    coalesce); final SELECT is one more assignment pass.
+
+    FLOAT-PARITY FRAGILITY (same class as the NOTES.md rounding entries):
+    the two sides sum doubles in different orders (numpy batch-tree partial
+    sums vs DuckDB's own aggregation order), so equality relies on no
+    partial sum landing within ~1 ulp of a round(x, 6) boundary — and the
+    iteration unrolling COMPOUNDS a single flipped assignment into a
+    whole-table mismatch. Green at sf0.001/0.01/0.1 today, but this parity
+    is scale- and partitioning-dependent, not guaranteed; if it ever flips,
+    compare assignments with a tolerance on the distance margin (or round
+    partial sums at a coarser epsilon checked against the boundary
+    distance) rather than chasing bit equality."""
     r = 6
     parts = [
         f"""
@@ -377,7 +388,11 @@ def embedding_pca_top1_sql(iters: int = 3, dim: int = 64) -> str:
     """Unrolled power iterations mirroring ``queries.embedding_pca_top1``:
     v0 = 1/8 per component (exact dyadic), per iteration
     w = Σᵢ xᵢ(xᵢ·v) over all rows, v' = round(w / ‖w‖, 6); final output
-    rounded to 4 decimals."""
+    rounded to 4 decimals.
+
+    Same float-parity fragility as ``embedding_kmeans_sql`` (see its
+    docstring): differently-ordered double summation + per-iteration
+    round(·, 6) compounding — green at three scales, not guaranteed."""
     r = 6
     parts = [
         f"""

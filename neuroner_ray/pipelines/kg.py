@@ -246,11 +246,16 @@ def _stage_increments(
     shutil.rmtree(tmp, ignore_errors=True)
 
     def add_inc(t: pa.Table) -> pa.Table:
-        vals = [
-            zlib.crc32((c + "#inc").encode("utf-8")) % num_increments
-            for c in t["conv_id"].to_pylist()
-        ]
-        return t.append_column("inc", pa.array(vals, pa.int32()))
+        # vectorized siphash with its own key domain (decorrelated from the
+        # conv resume buckets); ANY deterministic disjoint split is valid —
+        # finalize recomputes the global stages, so the invariant
+        # incremental == full rebuild holds regardless of assignment
+        from ..runtime.hashing import hash_buckets
+
+        vals = hash_buckets(t["conv_id"], num_increments, key="inc")
+        return t.append_column(
+            "inc", pa.array(vals.astype("int32"), pa.int32())
+        )
 
     read_transcripts(transcripts_path).map_batches(
         add_inc, batch_format="pyarrow"

@@ -2226,8 +2226,105 @@ def customers_without_orders_bloom(
 QUANTILE_COLLECT_MAX = 5_000_000  # per-bin collect gate for pass 2
 
 
+def _exact_quantile_in_interval(
+    ev: Dataset,
+    lo: float,
+    hi: float,
+    rank: int,
+    count: int,
+    num_bins: int,
+    collect_max: int,
+) -> float:
+    """Re-binning recursion for an over-populated quantile bin: the bin's
+    value set is exactly the closed interval [lo, hi] (binning is monotone
+    in the value, so observed per-bin min/max bound the membership), and
+    each level re-histograms ONLY that interval — one extra streamed pass
+    per level, interval population shrinks ~num_bins× per level. Exits:
+    lo == hi (every value identical → that IS the order statistic) or the
+    population fits the collect gate."""
+    from ..runtime.combine import group_agg_merge
+
+    merge = group_agg_merge(("bin",), sums=("n",), mins=("mn",), maxs=("mx",))
+    while True:
+        if lo == hi:
+            return lo
+        if count <= collect_max:
+            vals = np.sort(
+                np.concatenate(
+                    [
+                        b["value"].to_numpy(zero_copy_only=False)
+                        for b in ev.map_batches(
+                            lambda t: t.filter(
+                                pc.and_(
+                                    pc.greater_equal(t["value"], lo),
+                                    pc.less_equal(t["value"], hi),
+                                )
+                            ),
+                            batch_format="pyarrow",
+                        ).iter_batches(
+                            batch_size=None, batch_format="pyarrow"
+                        )
+                    ]
+                    + [np.array([], dtype=np.float64)]
+                )
+            )
+            return float(vals[rank - 1])
+        width = hi - lo
+
+        def hist2(batch: pa.Table, lo=lo, hi=hi, width=width) -> pa.Table:
+            v = batch["value"].to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            if len(v) == 0:
+                return pa.table(
+                    {
+                        "bin": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "mn": pa.array([], pa.float64()),
+                        "mx": pa.array([], pa.float64()),
+                    }
+                )
+            b = np.clip(
+                ((v - lo) / width * num_bins).astype(np.int64),
+                0,
+                num_bins - 1,
+            )
+            order = np.argsort(b, kind="stable")
+            b, v = b[order], v[order]
+            nz, starts = np.unique(b, return_index=True)
+            ends = np.append(starts[1:], len(b))
+            return pa.table(
+                {
+                    "bin": pa.array(nz, pa.int64()),
+                    "n": pa.array(ends - starts, pa.int64()),
+                    "mn": pa.array(
+                        np.minimum.reduceat(v, starts), pa.float64()
+                    ),
+                    "mx": pa.array(
+                        np.maximum.reduceat(v, starts), pa.float64()
+                    ),
+                }
+            )
+
+        htab = pa.concat_tables(
+            tree_combine(
+                ev.map_batches(hist2, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        ns = htab["n"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(ns)
+        i = int(np.searchsorted(cum, rank, side="left"))
+        before = int(cum[i - 1]) if i > 0 else 0
+        lo = float(htab["mn"][i].as_py())
+        hi = float(htab["mx"][i].as_py())
+        count = int(ns[i])
+        rank = rank - before
+
+
 def events_value_quantiles(
-    sf_dir: str, qs: tuple = (0.5, 0.9, 0.99), num_bins: int = 4096
+    sf_dir: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    num_bins: int = 4096,
+    collect_max: int = QUANTILE_COLLECT_MAX,
 ) -> Dataset:
     """EXACT distributed quantiles over a CONTINUOUS value domain (the
     complement of lineitem_qty_quantiles' enumerable-domain histogram):
@@ -2295,17 +2392,19 @@ def events_value_quantiles(
     cum = np.cumsum(counts)
 
     targets = {}  # bin -> [(q, rank_within_bin)]
+    out: dict[str, float] = {}
     for q in qs:
         rank = int(np.ceil(n * q))
         i = int(np.searchsorted(cum, rank, side="left"))
         before = int(cum[i - 1]) if i > 0 else 0
-        targets.setdefault(int(bins[i]), []).append((q, rank - before))
-        if int(counts[i]) > QUANTILE_COLLECT_MAX:
-            raise ValueError(
-                f"bin {int(bins[i])} holds {int(counts[i])} values "
-                f"(> {QUANTILE_COLLECT_MAX}); recurse by re-binning within "
-                "the bin before collecting"
+        if int(counts[i]) > collect_max:
+            # over-populated bin: re-binning recursion (one extra streamed
+            # pass per level) instead of a driver collect
+            out[f"p{int(q * 100)}"] = _exact_quantile_in_interval(
+                ev, mn, mx, rank, int(n), num_bins, collect_max
             )
+        else:
+            targets.setdefault(int(bins[i]), []).append((q, rank - before))
     need = set(targets)
     need_arr = np.array(sorted(need), dtype=np.int64)
 
@@ -2320,18 +2419,18 @@ def events_value_quantiles(
             }
         )
 
-    rows = pa.concat_tables(
-        ev.map_batches(collect, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
+    if targets:
+        rows = pa.concat_tables(
+            ev.map_batches(collect, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
         )
-    )
-    out = {}
-    bvals = rows["bin"].to_numpy(zero_copy_only=False)
-    vvals = rows["value"].to_numpy(zero_copy_only=False)
-    for b, wants in targets.items():
-        vals = np.sort(vvals[bvals == b])
-        for q, r in wants:
-            out[f"p{int(q * 100)}"] = float(vals[r - 1])
+        bvals = rows["bin"].to_numpy(zero_copy_only=False)
+        vvals = rows["value"].to_numpy(zero_copy_only=False)
+        for b, wants in targets.items():
+            vals = np.sort(vvals[bvals == b])
+            for q, r in wants:
+                out[f"p{int(q * 100)}"] = float(vals[r - 1])
     return rd.from_arrow(
         pa.table(
             {k: pa.array([out[k]], pa.float64()) for k in

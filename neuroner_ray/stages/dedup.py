@@ -20,8 +20,6 @@ is the minimum member id.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -41,6 +39,7 @@ from ..functions.minhash import (
 from ..functions.rounding import round_half_away
 from ..functions.tokenize import tokenize_text
 from .canonicalize import connected_components
+from ..runtime.hashing import hash_buckets
 
 
 def _id_key(v) -> str:
@@ -114,7 +113,7 @@ def minhash_lsh_dedup(
         # of tiny band blocks is the slow path (NOTES.md); hashing blocks
         # into a bounded number of int buckets moves the same rows through
         # ONE int64 sort and lets each task sweep many blocks vectorized
-        buckets = [zlib.crc32(b.encode("utf-8")) % 64 for b in out_block]
+        buckets = hash_buckets(out_block, 64)
         return pa.table(
             {
                 "id": pa.array(out_id, pa.string()),
@@ -277,10 +276,7 @@ def ngram_jaccard_pairs(
             {
                 "id": pa.array(out_id, pa.string()),
                 "block": pa.array(out_block, pa.string()),
-                "bucket": pa.array(
-                    [zlib.crc32(b.encode("utf-8")) % 64 for b in out_block],
-                    pa.int64(),
-                ),
+                "bucket": pa.array(hash_buckets(out_block, 64), pa.int64()),
             }
         )
 
@@ -307,10 +303,14 @@ def ngram_jaccard_pairs(
         )
         out = out.drop_duplicates(["a", "b"])
         # pair-bucket for the cross-band dedup: same pair → same bucket
-        out["pb"] = [
-            zlib.crc32(f"{a}|{b}".encode()) % 64
-            for a, b in zip(out["a"], out["b"])
-        ]
+        # (vectorized string concat + siphash, no per-row loop)
+        if len(out):
+            out["pb"] = hash_buckets(
+                (out["a"].astype(str) + "|" + out["b"].astype(str)).to_numpy(),
+                64,
+            )
+        else:
+            out["pb"] = np.array([], dtype=np.int64)
         return out.astype({"a": "object", "b": "object", "pb": "int64"})
 
     def _norm_pairs(df: pd.DataFrame) -> pa.Table:

@@ -308,14 +308,15 @@ def aggregate_edges(resolved: Dataset) -> Dataset:
 
 
 def add_bucket(ds: Dataset, key: str, num_buckets: int) -> Dataset:
-    """Append ``bucket = crc32(key) % B`` (the partition / resume unit)."""
+    """Append ``bucket = hash(key) % B`` (the partition / resume unit) —
+    vectorized siphash, no per-row Python loop on this corpus-sized path."""
+    from ..runtime.hashing import hash_buckets
 
     def _bucketize(t: pa.Table) -> pa.Table:
-        vals = [
-            zlib.crc32(v.encode("utf-8")) % num_buckets
-            for v in t[key].to_pylist()
-        ]
-        return t.append_column("bucket", pa.array(vals, pa.int32()))
+        vals = hash_buckets(t[key], num_buckets)
+        return t.append_column(
+            "bucket", pa.array(vals.astype(np.int32), pa.int32())
+        )
 
     return ds.map_batches(_bucketize, batch_format="pyarrow")
 
@@ -544,14 +545,9 @@ PR_NUM_BUCKETS = 64
 def _bucket_of(ids: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     """Vectorized id → bucket hash (pandas siphash C kernel — no Python
     per-row loop on this corpus-sized path)."""
-    hashed = pd.util.hash_array(
-        np.asarray(
-            ids.to_pylist() if hasattr(ids, "to_pylist") else ids,
-            dtype=object,
-        ),
-        categorize=False,
-    )
-    return pa.array((hashed % num_buckets).astype(np.int64), pa.int64())
+    from ..runtime.hashing import hash_buckets
+
+    return pa.array(hash_buckets(ids, num_buckets), pa.int64())
 
 
 def _pagerank_sharded(
@@ -664,15 +660,12 @@ def _pagerank_sharded(
                 * e["w"].to_numpy(dtype=np.float64),
             }
         ).groupby("id", as_index=False)["contrib"].sum()
+        from ..runtime.hashing import hash_buckets
+
         out.insert(
             0,
             "bucket",
-            (
-                pd.util.hash_array(
-                    out["id"].to_numpy(dtype=object), categorize=False
-                )
-                % num_buckets
-            ).astype(np.int64),
+            hash_buckets(out["id"].to_numpy(dtype=object), num_buckets),
         )
         return out
 

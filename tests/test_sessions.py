@@ -281,3 +281,11 @@ def test_continuous_quantiles_exact_vs_numpy(tmp_path):
                                  num_bins=8).to_pandas()
     for q in (0.5, 0.9, 0.99):
         assert got[f"p{int(q*100)}"].iloc[0] == s[int(np.ceil(n * q)) - 1]
+    # collect gate forced tiny -> every quantile bin is over-populated and
+    # must resolve through the re-binning recursion (including the p90 bin,
+    # where 500 identical 1.25 values exercise the lo == hi exit)
+    got = events_value_quantiles(
+        str(tmp_path), qs=(0.5, 0.9, 0.99), num_bins=8, collect_max=50
+    ).to_pandas()
+    for q in (0.5, 0.9, 0.99):
+        assert got[f"p{int(q*100)}"].iloc[0] == s[int(np.ceil(n * q)) - 1]
