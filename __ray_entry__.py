@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_edges3": kg_incremental_edges3,
         "doc_tfidf_top50": q.doc_tfidf_top50,
         "media_audio_energy": q.media_audio_energy,
+        "orders_rollup": q.orders_rollup,
+        "events_funnel": q.events_funnel,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -733,6 +735,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+        """,
+        "orders_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT v.user_id, min(e.ts) AS t2
+                FROM v JOIN events e ON e.user_id = v.user_id
+                 AND e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY v.user_id),
+            p AS (
+                SELECT c.user_id, min(e.ts) AS t3
+                FROM c JOIN events e ON e.user_id = c.user_id
+                 AND e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY c.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT stage, count(*)::BIGINT AS n_users FROM (
+                SELECT u.user_id,
+                       CASE WHEN p.user_id IS NOT NULL THEN 3
+                            WHEN c.user_id IS NOT NULL THEN 2
+                            WHEN v.user_id IS NOT NULL THEN 1
+                            ELSE 0 END AS stage
+                FROM u
+                LEFT JOIN v USING (user_id)
+                LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+            ) GROUP BY stage
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

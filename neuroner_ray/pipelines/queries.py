@@ -541,6 +541,108 @@ def customers_without_orders(sf_dir: str) -> Dataset:
     )
 
 
+def orders_rollup(sf_dir: str) -> Dataset:
+    """Multi-level ROLLUP aggregate — (priority, status), (priority), ()
+    subtotals in ONE pass: every batch emits partial group-sums for all
+    three levels (rolled-up key columns as NULL, TPC-H columns are
+    NULL-free so the sentinel is unambiguous), and a single associative
+    tree combine merges them — no per-level shuffle, no GROUPING SETS
+    re-scan. The key domain is enumerable (5 priorities × 3 statuses + 5
+    + 1 rows), exactly tree_combine's contract."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    merge = group_sum_merge(
+        ("o_orderpriority", "o_orderstatus"), ("n_orders", "sum_price")
+    )
+
+    def levels(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"]
+        st = batch["o_orderstatus"]
+        tp = batch["o_totalprice"].cast(pa.float64())
+        n = batch.num_rows
+        null_s = pa.array([None] * n, pa.string())
+        parts = []
+        for p_col, s_col in ((pr, st), (pr, null_s), (null_s, null_s)):
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderpriority": p_col,
+                        "o_orderstatus": s_col,
+                        "n_orders": pa.array([1] * n, pa.int64()),
+                        "sum_price": tp,
+                    }
+                )
+            )
+        return merge(pa.concat_tables(parts))
+
+    out = tree_combine(orders.map_batches(levels, batch_format="pyarrow"), merge)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_price"),
+            "sum_price",
+            pa.array(
+                round_half_away(
+                    t["sum_price"].to_numpy(zero_copy_only=False)
+                ),
+                pa.float64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_funnel(sf_dir: str) -> Dataset:
+    """Ordered-sequence funnel (view → click → purchase): per user, the
+    furthest stage reachable in strict timestamp order (each stage's
+    earliest qualifying event must be strictly later than the previous
+    stage's), histogrammed as (stage, n_users), stage 0 = user never
+    viewed. ONE user-key groupby shuffle (the sessionize class — per-user
+    event sets are bounded; the two-level bucket variant in
+    stages/sessions.py is the documented skew path), per-group vectorized
+    pandas reduction, then a 4-row tree combine — no joins."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+
+    def stage_of(df: pd.DataFrame) -> pd.DataFrame:
+        stage = 0
+        t = df.loc[df["event_type"] == "view", "ts"].min()
+        if pd.notna(t):
+            stage = 1
+            t = df.loc[
+                (df["event_type"] == "click") & (df["ts"] > t), "ts"
+            ].min()
+            if pd.notna(t):
+                stage = 2
+                t = df.loc[
+                    (df["event_type"] == "purchase") & (df["ts"] > t), "ts"
+                ].min()
+                if pd.notna(t):
+                    stage = 3
+        return pd.DataFrame({"stage": [stage], "n_users": [1]})
+
+    per_user = ev.groupby("user_id").map_groups(
+        stage_of, batch_format="pandas"
+    )
+    merge = group_sum_merge(("stage",), ("n_users",))
+    return tree_combine(
+        per_user.map_batches(
+            lambda t: merge(
+                pa.table(
+                    {
+                        "stage": t["stage"].cast(pa.int64()),
+                        "n_users": t["n_users"].cast(pa.int64()),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+
 def customer_segments(sf_dir: str) -> Dataset:
     """Count + rounded balance sum per market segment — enumerable key
     (≤5 segments), so map-side partial group-sums + tree_combine instead

@@ -289,3 +289,46 @@ def test_continuous_quantiles_exact_vs_numpy(tmp_path):
     ).to_pandas()
     for q in (0.5, 0.9, 0.99):
         assert got[f"p{int(q*100)}"].iloc[0] == s[int(np.ceil(n * q)) - 1]
+
+
+def test_events_funnel_strict_order(tmp_path):
+    """Funnel stages must respect strict timestamp order: a click BEFORE
+    the first view does not count, ties (same ts) do not advance, and
+    users with no view land at stage 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_funnel
+
+    T = pd.Timestamp
+    rows = [
+        # u1: full funnel in order -> stage 3
+        (1, "view", T("2024-01-01 10:00")),
+        (1, "click", T("2024-01-01 10:05")),
+        (1, "purchase", T("2024-01-01 10:10")),
+        # u2: click precedes the only view -> stuck at stage 1
+        (2, "click", T("2024-01-01 09:00")),
+        (2, "view", T("2024-01-01 10:00")),
+        # u3: click ties the view timestamp (not strictly later) -> stage 1
+        (3, "view", T("2024-01-01 10:00")),
+        (3, "click", T("2024-01-01 10:00")),
+        # u4: view+click, purchase before click -> stage 2
+        (4, "purchase", T("2024-01-01 09:00")),
+        (4, "view", T("2024-01-01 10:00")),
+        (4, "click", T("2024-01-01 11:00")),
+        # u5: no view at all -> stage 0
+        (5, "purchase", T("2024-01-01 10:00")),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = events_funnel(str(tmp_path)).to_pandas()
+    assert dict(zip(got["stage"], got["n_users"])) == {0: 1, 1: 2, 2: 1, 3: 1}
