@@ -225,7 +225,6 @@ def _stage_increments(
     import json
     import os
     import shutil
-    import zlib
 
     # split-count in the path: `inc=0` holds DIFFERENT conversations under
     # a 2-way vs 3-way split, and downstream staging (run_bucketed's

@@ -232,15 +232,16 @@ def _write_graph_small(
     """Driver-side bucket-partitioned writes for collected-scale tables —
     same on-disk layout as ``materialize_graph`` (same shared bucket count)
     without two Ray executions."""
-    import zlib
-
     import pyarrow.parquet as pq
+
+    from ..runtime.hashing import hash_buckets
 
     for name, ds, key in (("nodes", nodes, "entity_id"), ("edges", edges, "src_id")):
         tab = pa.concat_tables(list(ds.iter_batches(batch_size=None, batch_format="pyarrow")))
+        # same siphash as stages.graph.add_bucket, so the driver-side and
+        # distributed writers produce identical bucket layouts
         buckets = pa.array(
-            [zlib.crc32(v.encode()) % num_buckets for v in tab[key].to_pylist()],
-            pa.int32(),
+            hash_buckets(tab[key], num_buckets).astype("int32"), pa.int32()
         )
         tab = tab.append_column("bucket", buckets)
         for b in sorted(set(buckets.to_pylist())):
