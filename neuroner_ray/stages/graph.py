@@ -969,19 +969,191 @@ def triangle_count(edges: Dataset) -> pa.Table:
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
 
 
-def bfs_levels(edges: Dataset, max_levels: int = 10) -> Dataset:
+def _bfs_sharded(
+    edges: Dataset,
+    max_levels: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+) -> Dataset:
+    """Join-per-level BFS (the > PAGERANK_MAX_NODES regime): visited/level
+    and frontier state live as bucketed Datasets — no driver node map.
+
+    Per level, two int-key cogroups (union + groupby, never Dataset.join):
+    1. frontier rows ⋈ src-bucketed undirected pairs → candidate neighbor
+       ids (pre-deduped per group);
+    2. candidates ⋈ visited rows → the new frontier (candidates not yet
+       leveled), which is also the new level's row set.
+    Driver state per level: one row-count scalar (loop exit test). Same
+    partitioning assumption as ``_pagerank_sharded``.
+    """
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..runtime.combine import tree_combine
+
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "level": pa.array([], pa.int64()),
+        }
+    )
+    slim = edges.select_columns(["src_id", "dst_id"]).materialize()
+
+    def und_rows(t: pa.Table) -> pa.Table:
+        a = pa.concat_arrays(
+            [t["src_id"].combine_chunks(), t["dst_id"].combine_chunks()]
+        )
+        b = pa.concat_arrays(
+            [t["dst_id"].combine_chunks(), t["src_id"].combine_chunks()]
+        )
+        return pa.table(
+            {
+                "bucket": _bucket_of(a, num_buckets),
+                "kind": pa.array([1] * len(a), pa.int64()),
+                "a": a,
+                "b": b,
+            }
+        )
+
+    und = slim.map_batches(und_rows, batch_format="pyarrow").materialize()
+
+    def min_node(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string())})
+        vals = [
+            v
+            for v in (
+                pc.min(t.column(c)).as_py() if c in t.schema.names else None
+                for c in ("src_id", "dst_id", "node")
+            )
+            if v is not None
+        ]
+        return pa.table({"node": pa.array([min(vals)], pa.string())})
+
+    seed_rows = tree_combine(
+        slim.map_batches(min_node, batch_format="pyarrow"), min_node
+    ).take_all()
+    if not seed_rows:
+        return rd.from_arrow(empty)
+    seed = seed_rows[0]["node"]
+
+    def level_table(ids: list[str], lvl: int) -> pa.Table:
+        arr = pa.array(ids, pa.string())
+        return pa.table(
+            {
+                "bucket": _bucket_of(arr, num_buckets),
+                "id": arr,
+                "level": pa.array([lvl] * len(ids), pa.int64()),
+            }
+        )
+
+    levels = rd.from_arrow(level_table([seed], 0)).materialize()
+    frontier = levels
+
+    def expand_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        f = set(df.loc[df["kind"] == 0, "a"])
+        e = df[df["kind"] == 1]
+        nbrs = e.loc[e["a"].isin(f), "b"].drop_duplicates().to_numpy(dtype=object)
+        from ..runtime.hashing import hash_buckets
+
+        return pd.DataFrame(
+            {
+                "bucket": hash_buckets(nbrs, num_buckets)
+                if len(nbrs)
+                else np.array([], dtype=np.int64),
+                "id": nbrs,
+            }
+        )
+
+    for lvl in range(1, max_levels + 1):
+        frontier_tagged = frontier.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([0] * t.num_rows, pa.int64()),
+                    "a": t["id"],
+                    "b": pa.array([None] * t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        candidates = (
+            frontier_tagged.union(und)
+            .groupby("bucket")
+            .map_groups(expand_group, batch_format="pandas")
+        )
+
+        def new_level_group(df: pd.DataFrame, lvl=lvl) -> pd.DataFrame:
+            seen = set(df.loc[df["kind"] == 0, "id"])
+            fresh = df.loc[
+                (df["kind"] == 1) & ~df["id"].isin(seen), ["bucket", "id"]
+            ].drop_duplicates("id")
+            fresh["level"] = np.full(len(fresh), lvl, dtype=np.int64)
+            return fresh
+
+        cand_tagged = candidates.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([1] * t.num_rows, pa.int64()),
+                    "id": t["id"],
+                    "level": pa.array([0] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        visited_tagged = levels.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([0] * t.num_rows, pa.int64()),
+                    "id": t["id"],
+                    "level": t["level"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        new_rows = (
+            cand_tagged.union(visited_tagged)
+            .groupby("bucket")
+            .map_groups(new_level_group, batch_format="pandas")
+            .materialize()
+        )
+        if new_rows.count() == 0:
+            break
+        levels = levels.union(new_rows).materialize()
+        frontier = new_rows
+
+    return levels.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["id"], "level": t["level"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def bfs_levels(
+    edges: Dataset,
+    max_levels: int = 10,
+    *,
+    max_nodes: int = PAGERANK_MAX_NODES,
+    num_buckets: int | None = None,
+) -> Dataset:
     """Undirected BFS hop levels from the lexicographically smallest
     entity: (entity_id, level) for every node reachable within
     ``max_levels`` hops (the seed at level 0).
 
-    Per level: the frontier (entity-vocabulary bounded — the same
-    driver-state class as pagerank's rank vector, ≤ PAGERANK_MAX_NODES) is
-    broadcast via ray.put; ONE streaming pass over the edge table filters
-    frontier-incident edges with vectorized ``is_in`` kernels and emits
-    their opposite endpoints; an associative distinct merge reduces them to
-    a vocabulary-sized candidate set. At most ``max_levels`` passes — the
-    loop exits early when the frontier empties. Oracle:
-    ``kg_oracle.kg_bfs_levels_sql`` (recursive CTE, same level cap).
+    Size-adaptive, three regimes (same convention as ``pagerank``):
+    driver-local below SMALL_GRAPH_EDGES_MAX edges; frontier-broadcast
+    streaming below ``max_nodes`` driver-state nodes (per level: the
+    frontier is broadcast via ray.put, ONE streaming pass filters
+    frontier-incident edges with vectorized ``is_in`` kernels, an
+    associative distinct merge reduces the candidates); past ``max_nodes``
+    the join-per-level shuffle formulation (``_bfs_sharded``) takes over —
+    visited/frontier state never touches the driver. At most
+    ``max_levels`` passes — the loop exits early when the frontier
+    empties. Oracle: ``kg_oracle.kg_bfs_levels_sql`` (recursive CTE, same
+    level cap).
     """
     import pyarrow.compute as pc
 
@@ -1059,10 +1231,12 @@ def bfs_levels(edges: Dataset, max_levels: int = 10) -> Dataset:
         return pa.table({"node": pc.unique(t["node"])})
 
     for lvl in range(1, max_levels + 1):
-        if len(levels) > PAGERANK_MAX_NODES:
-            raise ValueError(
-                f"bfs_levels driver state exceeds {PAGERANK_MAX_NODES} nodes; "
-                "switch to the shuffle (join-per-level) formulation"
+        if len(levels) > max_nodes:
+            # driver state outgrew the broadcast regime: restart in the
+            # sharded join-per-level formulation (correct, costs the
+            # partial broadcast work done so far)
+            return _bfs_sharded(
+                edges, max_levels, num_buckets=num_buckets or PR_NUM_BUCKETS
             )
         fref = ray.put(pa.array(sorted(frontier), pa.string()))
 

@@ -325,3 +325,28 @@ def test_analytics_small_and_streamed_paths_agree(monkeypatch):
     assert fast["tri"] == slow["tri"]
     for k in ("bfs", "lpa", "jac", "kcore"):
         assert fast[k].equals(slow[k]), k
+
+
+def test_bfs_sharded_fallback_agrees(monkeypatch):
+    """Past max_nodes, BFS switches to the join-per-level shuffle
+    formulation; its levels must equal the driver fast path exactly
+    (integer levels), including the level cap and the disconnected
+    component staying unreached."""
+    import neuroner_ray.stages.graph as G
+    from neuroner_ray.stages.graph import bfs_levels
+
+    def run(**kw):
+        return (
+            bfs_levels(_edges_ds(), **kw)
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES_MAX", 0)
+    sharded = run(max_nodes=0, num_buckets=4)
+    assert fast.equals(sharded), (fast, sharded)
+    capped = run(max_nodes=0, num_buckets=4, max_levels=1)
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES_MAX", 100_000)
+    assert capped.equals(run(max_levels=1)), capped
