@@ -145,6 +145,12 @@ def minhash_lsh_dedup(
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # most band blocks are singletons on a mostly-unique corpus; the
+        # per-block pandas calls (drop_duplicates/sort/stack) were the
+        # measured hot spot (6.8 of 9.5 s at sf0.1) — one vectorized size
+        # census keeps only blocks that can emit a pair
+        sizes = g["block"].value_counts()
+        g = g[g["block"].isin(sizes.index[sizes.ge(2)])]
         outs = [pairs_in_block(gb) for _, gb in g.groupby("block", sort=False)]
         out = pd.concat(outs, ignore_index=True) if outs else pairs_in_block(g)
         return out.astype(
@@ -294,7 +300,12 @@ def ngram_jaccard_pairs(
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # one task sweeps every block hashed into this bucket (NOTES.md:
         # int-bucket beats a string-key sort over tens of thousands of tiny
-        # blocks); within-bucket dedup shrinks the pair-dedup shuffle
+        # blocks); within-bucket dedup shrinks the pair-dedup shuffle.
+        # Singleton blocks (the vast majority on a mostly-unique corpus)
+        # are dropped by one vectorized size census before the per-block
+        # pandas sweep — the measured hot spot of the minhash variant.
+        sizes = g["block"].value_counts()
+        g = g[g["block"].isin(sizes.index[sizes.ge(2)])]
         outs = [pairs_in_block(gb) for _, gb in g.groupby("block", sort=False)]
         out = (
             pd.concat(outs, ignore_index=True)
