@@ -226,11 +226,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 entries of this dict. Entries are therefore ordered
+    checks the FIRST 50 of these 75 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
-    graph-analytics suite, incremental ingest, TF-IDF, audio), then the
-    r2-verified-only group, then the long-green r3 relational/text tail.
-    The entries past position 50 all have green rows in CORRECTNESS_r03.
+    graph-analytics suite, incremental ingest, TF-IDF, audio, plus the
+    round-4 additions rollup/funnel), then the r2-verified-only group,
+    then the long-green r3 relational/text tail. Every entry past position
+    50 has a green row in CORRECTNESS_r03 AND in the committed
+    full-registry replica log (docs/CHECK_ORACLES_r4.txt, 75/75 green at
+    sf0.01).
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
