@@ -127,3 +127,17 @@ def topk_merge(
         return out.replace_schema_metadata(None)
 
     return merge
+
+
+def anchor(ds: Dataset) -> Dataset:
+    """Materialize a Dataset and re-anchor it on its block OBJECT REFS,
+    cutting the logical plan. Ray 2.49's ``Dataset.union`` keeps the
+    logical plan of a MaterializedDataset input and RE-EXECUTES it on
+    every downstream execution — an iterative algorithm that unions its
+    own state (sharded pagerank/BFS/LPA) re-runs all prior rounds and
+    goes exponential (measured ×1.7 per round before this cut). Blocks
+    stay in the object store — no driver transfer."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    return rd.from_arrow_refs(m.to_arrow_refs())

@@ -28,3 +28,4 @@ def hash_buckets(values, num_buckets: int, key: str = "") -> np.ndarray:
         kwargs["hash_key"] = (key + "0123456789abcdef")[:16]
     hashed = pd.util.hash_array(arr, categorize=False, **kwargs)
     return (hashed % np.uint64(num_buckets)).astype(np.int64)
+

@@ -570,6 +570,16 @@ def _bucket_of(ids: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     return pa.array(hash_buckets(ids, num_buckets), pa.int64())
 
 
+def _bundle(t: pa.Table) -> pa.Table:
+    """Identity map used with a large ``batch_size`` to COALESCE many tiny
+    blocks into few (map_batches row-count bundling — the tree_combine
+    level-1 mechanism). NB ``repartition(target_num_rows_per_block=...)``
+    only SPLITS oversized blocks; it never merges small ones (verified on
+    Ray 2.49: 64 one-row blocks stay 64), so it cannot bound the
+    block-count growth of iterative sort outputs."""
+    return t
+
+
 def _pagerank_sharded(
     g: Dataset,
     damping: float,
@@ -647,7 +657,9 @@ def _pagerank_sharded(
             }
         )
 
-    state = census.map_batches(init_state, batch_format="pyarrow").materialize()
+    from ..runtime.combine import anchor
+
+    state = anchor(census.map_batches(init_state, batch_format="pyarrow"))
 
     def edge_rows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -660,7 +672,7 @@ def _pagerank_sharded(
             }
         )
 
-    eb = g.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    eb = anchor(g.map_batches(edge_rows, batch_format="pyarrow"))
 
     def contrib_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
         f = df[df["kind"] == 0].set_index("a")["w"]
@@ -774,12 +786,15 @@ def _pagerank_sharded(
                 }
             )
 
-        state = (
+        # coalesce before materializing: sorts emit one block per input
+        # block, so without this the per-iteration block count (and wall
+        # time) compounds across iterations — see _lpa_sharded
+        state = anchor(
             state.map_batches(state_tagged, batch_format="pyarrow")
             .union(contribs.map_batches(contrib_tagged, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(new_state_group, batch_format="pandas")
-            .materialize()
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
         )
 
     return state.map_batches(
@@ -1015,7 +1030,9 @@ def _bfs_sharded(
             }
         )
 
-    und = slim.map_batches(und_rows, batch_format="pyarrow").materialize()
+    from ..runtime.combine import anchor
+
+    und = anchor(slim.map_batches(und_rows, batch_format="pyarrow"))
 
     def min_node(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1047,7 +1064,7 @@ def _bfs_sharded(
             }
         )
 
-    levels = rd.from_arrow(level_table([seed], 0)).materialize()
+    levels = rd.from_arrow(level_table([seed], 0))
     frontier = levels
 
     def expand_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
@@ -1113,15 +1130,18 @@ def _bfs_sharded(
             ),
             batch_format="pyarrow",
         )
-        new_rows = (
+        new_rows = anchor(
             cand_tagged.union(visited_tagged)
             .groupby("bucket")
             .map_groups(new_level_group, batch_format="pandas")
-            .materialize()
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
         )
         if new_rows.count() == 0:
             break
-        levels = levels.union(new_rows).materialize()
+        levels = anchor(
+            levels.union(new_rows)
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        )
         frontier = new_rows
 
     return levels.map_batches(
@@ -1387,7 +1407,230 @@ def neighbor_jaccard_topk(edges: Dataset, k: int = 20) -> Dataset:
 LPA_ROUNDS = 8
 
 
-def label_propagation(edges: Dataset, rounds: int = LPA_ROUNDS) -> Dataset:
+def _lpa_sharded(
+    edges: Dataset,
+    rounds: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+) -> Dataset:
+    """Join-per-round label propagation (the past-the-cap regime): the
+    simple undirected pair set is built as a DATASET (one distinct
+    groupby — never collected) and the label map lives as a bucketed
+    Dataset. Per round, two int-key cogroups (union + groupby, never
+    Dataset.join):
+    1. label rows ⋈ nbr-bucketed oriented pairs → per-(node, label)
+       neighbor-label count partials;
+    2. count partials ⋈ label state → per-node argmax with the
+       (-count, label) tie order, own label kept when no counts.
+    Same semantics as the broadcast loop (fixed synchronous rounds);
+    driver state: nothing but per-round scheduling.
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Count as _Count
+
+    from ..runtime.hashing import hash_buckets
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    pairs = (
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "community": pa.array([], pa.string()),
+        }
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def und_rows(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        nbr = pa.concat_arrays(
+            [t["b"].combine_chunks(), t["a"].combine_chunks()]
+        )
+        return pa.table(
+            {
+                "bucket": _bucket_of(nbr, num_buckets),
+                "kind": pa.array([1] * len(node), pa.int64()),
+                "node": node,
+                "nbr": nbr,
+                "lbl": pa.array([None] * len(node), pa.string()),
+            }
+        )
+
+    from ..runtime.combine import anchor
+
+    und = anchor(pairs.map_batches(und_rows, batch_format="pyarrow"))
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        ids = pa.compute.unique(
+            pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        )
+        return pa.table(
+            {
+                "bucket": _bucket_of(ids, num_buckets),
+                "id": ids,
+                "lbl": ids,
+            }
+        )
+
+    labels = anchor(
+        pairs.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("id")
+        .map_groups(
+            lambda g: g.head(1),  # distinct across batches
+            batch_format="pandas",
+        )
+    )
+
+    def count_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        m = pd.Series(
+            df.loc[df["kind"] == 0, "lbl"].to_numpy(),
+            index=df.loc[df["kind"] == 0, "nbr"].to_numpy(),
+        )
+        e = df[df["kind"] == 1]
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="object"),
+                    "lbl": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            pd.DataFrame(
+                {
+                    "node": e["node"].to_numpy(),
+                    "lbl": e["nbr"].map(m).to_numpy(),
+                }
+            )
+            .groupby(["node", "lbl"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        out.insert(
+            0,
+            "bucket",
+            hash_buckets(out["node"].to_numpy(dtype=object), num_buckets),
+        )
+        return out
+
+    def argmax_group(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["kind"] == 0]
+        cnt = df[df["kind"] == 1]
+        if cnt.empty:
+            best = pd.Series(dtype=object)
+        else:
+            # partials for the same (node, label) arrive from EVERY
+            # nbr-bucket group that saw one of its edges — sum them before
+            # the argmax or split counts lose ties they should win
+            cnt = cnt.groupby(["id", "lbl"], as_index=False)["c"].sum()
+            ordered = cnt.sort_values(
+                ["id", "c", "lbl"], ascending=[True, False, True]
+            ).drop_duplicates("id")
+            best = pd.Series(
+                ordered["lbl"].to_numpy(), index=ordered["id"].to_numpy()
+            )
+        new_lbl = s["id"].map(best)
+        return pd.DataFrame(
+            {
+                "bucket": s["bucket"].to_numpy(),
+                "id": s["id"].to_numpy(),
+                "lbl": new_lbl.fillna(s["lbl"]).to_numpy(),
+            }
+        )
+
+    # loop-invariant transforms defined ONCE: a fresh lambda per round
+    # registers a new task type per call, and the raylet's task-spec table
+    # growth degrades scheduling (observed: 8 rounds at 4 CPUs wedged)
+    def tag_label_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "node": pa.array([None] * t.num_rows, pa.string()),
+                "nbr": t["id"],
+                "lbl": t["lbl"],
+            }
+        )
+
+    def tag_count_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "kind": pa.array([1] * t.num_rows, pa.int64()),
+                "id": t["node"],
+                "lbl": t["lbl"],
+                "c": t["c"].cast(pa.int64()),
+            }
+        )
+
+    def tag_state_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "id": t["id"],
+                "lbl": t["lbl"],
+                "c": pa.array([0] * t.num_rows, pa.int64()),
+            }
+        )
+
+    def project_out(t: pa.Table) -> pa.Table:
+        return pa.table({"entity_id": t["id"], "community": t["lbl"]})
+
+    # per-round block-count discipline: a sort emits one output block per
+    # input block and the unions compound it — without coalescing, round
+    # r's input block count grows superlinearly and per-round wall time
+    # with it (measured 12.7 → 67.5 s across four rounds at 4 CPUs).
+    # repartition(target_num_rows_per_block=...) coalesces WITHOUT
+    # creating schema-less empties (NOTES.md).
+    for _ in range(rounds):
+        counts = anchor(
+            labels.map_batches(tag_label_rows, batch_format="pyarrow")
+            .union(und)
+            .groupby("bucket")
+            .map_groups(count_group, batch_format="pandas")
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        )
+        labels = anchor(
+            labels.map_batches(tag_state_rows, batch_format="pyarrow")
+            .union(counts.map_batches(tag_count_rows, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(argmax_group, batch_format="pandas")
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        )
+
+    return labels.map_batches(project_out, batch_format="pyarrow")
+
+
+def label_propagation(
+    edges: Dataset,
+    rounds: int = LPA_ROUNDS,
+    *,
+    force_sharded: bool = False,
+    num_buckets: int | None = None,
+) -> Dataset:
     """Synchronous label-propagation communities over the undirected
     simple entity graph: every node starts as its own label; each round,
     every node adopts the most frequent label among its neighbors (ties →
@@ -1396,11 +1639,13 @@ def label_propagation(edges: Dataset, rounds: int = LPA_ROUNDS) -> Dataset:
     fixed round count — not convergence — defines the result; the oracle
     unrolls the same rounds). Output: (entity_id, community).
 
-    Distribution shape: labels are an entity-vocabulary-sized driver map
-    broadcast per round (pagerank's state class); each round streams the
-    simple pair set once, emitting (node, neighbor_label) rows reduced by
-    an associative (node, label) count merge; the argmax runs on the
-    vocabulary-sized count table.
+    Distribution shape, three regimes (same convention as ``pagerank``):
+    driver-local below SMALL_GRAPH_EDGES_MAX; broadcast-labels streaming
+    while the label map fits the driver (each round streams the simple
+    pair set once, emitting (node, neighbor_label) rows reduced by an
+    associative count merge); past the simple-edge or node caps — or with
+    ``force_sharded`` — the join-per-round formulation (``_lpa_sharded``),
+    whose pair set and label map are never collected.
     """
     import pyarrow.compute as pc  # noqa: F401 (parity with sibling ops)
 
@@ -1408,14 +1653,24 @@ def label_propagation(edges: Dataset, rounds: int = LPA_ROUNDS) -> Dataset:
 
     from ..runtime.combine import group_sum_merge, tree_combine
 
-    simple = _simple_edges(edges, "label_propagation")
+    if force_sharded:
+        return _lpa_sharded(
+            edges, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+    try:
+        simple = _simple_edges(edges, "label_propagation")
+    except ValueError:
+        # simple pair set outgrew the broadcast cap: run the sharded
+        # formulation instead of raising
+        return _lpa_sharded(
+            edges, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
     a = simple["a"].to_pylist()
     b = simple["b"].to_pylist()
     labels = {n: n for n in set(a) | set(b)}
     if len(labels) > PAGERANK_MAX_NODES:
-        raise ValueError(
-            f"label_propagation driver state exceeds {PAGERANK_MAX_NODES} "
-            "nodes; switch to a shuffle (join-per-round) formulation"
+        return _lpa_sharded(
+            edges, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
         )
     # small-graph fast path: the pair set is already driver-local — run the
     # same synchronous rounds in place (integer counts + the same

@@ -350,3 +350,41 @@ def test_bfs_sharded_fallback_agrees(monkeypatch):
     capped = run(max_nodes=0, num_buckets=4, max_levels=1)
     monkeypatch.setattr(G, "SMALL_GRAPH_EDGES_MAX", 100_000)
     assert capped.equals(run(max_levels=1)), capped
+
+
+def test_lpa_sharded_fallback_agrees():
+    """force_sharded routes LPA through the join-per-round formulation
+    (dataset pair set + bucketed label map); communities must equal the
+    driver fast path exactly on both fixture graphs, including rounds=0."""
+    from neuroner_ray.stages.graph import label_propagation
+
+    two_cliques = rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "pred": "p", "weight": 1}
+            for s, d in [
+                ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+                ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+                ("a3", "b1"),
+            ]
+        ]
+    )
+    for mk in (two_cliques, _edges_ds()):
+        fast = (
+            label_propagation(mk)
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+        sharded = (
+            label_propagation(mk, force_sharded=True, num_buckets=4)
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+        assert fast.equals(sharded), (fast, sharded)
+    z = (
+        label_propagation(two_cliques, rounds=0, force_sharded=True,
+                          num_buckets=4)
+        .to_pandas()
+    )
+    assert (z["entity_id"] == z["community"]).all()
