@@ -354,14 +354,6 @@ PAGERANK_MAX_NODES = 2_000_000
 SMALL_GRAPH_EDGES_MAX = 100_000
 
 
-def _collect_edges(g: Dataset, columns: list[str]) -> pa.Table:
-    """Driver collect of a small (≤ SMALL_GRAPH_EDGES_MAX) edge table;
-    typed-empty-safe (zero-row datasets keep their schema)."""
-    tab = _try_collect_edges(g, columns, row_cap=None)
-    assert tab is not None
-    return tab
-
-
 def _try_collect_edges(
     g: Dataset, columns: list[str], row_cap: int | None
 ) -> pa.Table | None:
