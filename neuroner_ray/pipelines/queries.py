@@ -593,39 +593,135 @@ def orders_rollup(sf_dir: str) -> Dataset:
     )
 
 
-def events_funnel(sf_dir: str) -> Dataset:
+def _funnel_stage_scan(df: pd.DataFrame) -> int:
+    """Furthest strict-order view→click→purchase stage within one event
+    frame (the single-shuffle per-user reduction)."""
+    stage = 0
+    t = df.loc[df["event_type"] == "view", "ts"].min()
+    if pd.notna(t):
+        stage = 1
+        t = df.loc[(df["event_type"] == "click") & (df["ts"] > t), "ts"].min()
+        if pd.notna(t):
+            stage = 2
+            t = df.loc[
+                (df["event_type"] == "purchase") & (df["ts"] > t), "ts"
+            ].min()
+            if pd.notna(t):
+                stage = 3
+    return stage
+
+
+def events_funnel(
+    sf_dir: str, time_bucket_hours: float | None = None
+) -> Dataset:
     """Ordered-sequence funnel (view → click → purchase): per user, the
     furthest stage reachable in strict timestamp order (each stage's
     earliest qualifying event must be strictly later than the previous
     stage's), histogrammed as (stage, n_users), stage 0 = user never
-    viewed. ONE user-key groupby shuffle (the sessionize class — per-user
-    event sets are bounded; the two-level bucket variant in
-    stages/sessions.py is the documented skew path), per-group vectorized
-    pandas reduction, then a 4-row tree combine — no joins."""
+    viewed. Default: ONE user-key groupby shuffle (the sessionize class),
+    per-group vectorized pandas reduction, then a 4-row tree combine — no
+    joins.
+
+    ``time_bucket_hours`` enables the two-level skew path (same design as
+    sessionize / the as-of join): level 1 groups by (user, time bucket)
+    and reduces each bucket to SIX fixed-width summary stats — min view
+    ``v``, min click ``c_all``, min purchase ``p_all``, min click after
+    the bucket's own view ``c_after_v``, min purchase after ``c_all``
+    ``p_after_c``, and min purchase after ``c_after_v`` ``p_after_cv`` —
+    because a stage time carried from an EARLIER bucket qualifies every
+    later-bucket event, so only same-bucket transitions need
+    within-bucket ordering. Level 2 scans each user's ordered bucket
+    summaries (bounded: #buckets rows per user, not #events).
+    Equivalence-tested against the single-pass path with a planted hot
+    user."""
     ev = read_parquet_clean(
         _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
     )
 
     def stage_of(df: pd.DataFrame) -> pd.DataFrame:
-        stage = 0
-        t = df.loc[df["event_type"] == "view", "ts"].min()
-        if pd.notna(t):
-            stage = 1
-            t = df.loc[
-                (df["event_type"] == "click") & (df["ts"] > t), "ts"
-            ].min()
-            if pd.notna(t):
-                stage = 2
-                t = df.loc[
-                    (df["event_type"] == "purchase") & (df["ts"] > t), "ts"
-                ].min()
-                if pd.notna(t):
-                    stage = 3
-        return pd.DataFrame({"stage": [stage], "n_users": [1]})
+        return pd.DataFrame(
+            {"stage": [_funnel_stage_scan(df)], "n_users": [1]}
+        )
 
-    per_user = ev.groupby("user_id").map_groups(
-        stage_of, batch_format="pandas"
-    )
+    if time_bucket_hours is None:
+        per_user = ev.groupby("user_id").map_groups(
+            stage_of, batch_format="pandas"
+        )
+    else:
+        bucket_us = int(time_bucket_hours * 3_600_000_000)
+
+        def add_tbucket(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "tbucket",
+                pc.divide(
+                    t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                    pa.scalar(bucket_us, pa.int64()),
+                ),
+            )
+
+        def bucket_summary(df: pd.DataFrame) -> pd.DataFrame:
+            vv = df.loc[df["event_type"] == "view", "ts"].min()
+            cl = df.loc[df["event_type"] == "click", "ts"]
+            pu = df.loc[df["event_type"] == "purchase", "ts"]
+            c_all = cl.min()
+            p_all = pu.min()
+            c_after_v = cl[cl > vv].min() if pd.notna(vv) else pd.NaT
+            p_after_c = pu[pu > c_all].min() if pd.notna(c_all) else pd.NaT
+            p_after_cv = (
+                pu[pu > c_after_v].min() if pd.notna(c_after_v) else pd.NaT
+            )
+            # explicit [us] series: an all-NaT list would infer
+            # datetime64[ns] and clash with the [us] unit of non-empty
+            # groups at block-concat time (NOTES.md timestamp-unit trap)
+            ts_col = lambda x: pd.Series([x], dtype="datetime64[us]")  # noqa: E731
+            return pd.DataFrame(
+                {
+                    "user_id": [df["user_id"].iloc[0]],
+                    "tbucket": [df["tbucket"].iloc[0]],
+                    "v": ts_col(vv),
+                    "c_all": ts_col(c_all),
+                    "p_all": ts_col(p_all),
+                    "c_after_v": ts_col(c_after_v),
+                    "p_after_c": ts_col(p_after_c),
+                    "p_after_cv": ts_col(p_after_cv),
+                }
+            )
+
+        def user_scan(df: pd.DataFrame) -> pd.DataFrame:
+            stage, t = 0, pd.NaT
+            for r in df.sort_values("tbucket").itertuples(index=False):
+                # cascade within this bucket from the carried (stage, t);
+                # t from an earlier bucket qualifies every event here
+                if stage == 0 and pd.notna(r.v):
+                    stage, t = 1, r.v
+                    if pd.notna(r.c_after_v):
+                        stage, t = 2, r.c_after_v
+                        if pd.notna(r.p_after_cv):
+                            stage, t = 3, r.p_after_cv
+                elif stage == 1:
+                    # t (the view) is from an EARLIER bucket, so every
+                    # click here is strictly later; the same-bucket
+                    # purchase must beat the chosen click — that's exactly
+                    # p_after_c (min purchase > c_all), NOT p_all
+                    if pd.notna(r.c_all):
+                        stage, t = 2, r.c_all
+                        if pd.notna(r.p_after_c):
+                            stage, t = 3, r.p_after_c
+                elif stage == 2:
+                    p = r.p_all if pd.notna(r.p_all) and r.p_all > t else pd.NaT
+                    if pd.notna(p):
+                        stage, t = 3, p
+                if stage == 3:
+                    break
+            return pd.DataFrame({"stage": [stage], "n_users": [1]})
+
+        per_user = (
+            ev.map_batches(add_tbucket, batch_format="pyarrow")
+            .groupby(["user_id", "tbucket"])
+            .map_groups(bucket_summary, batch_format="pandas")
+            .groupby("user_id")
+            .map_groups(user_scan, batch_format="pandas")
+        )
     merge = group_sum_merge(("stage",), ("n_users",))
     return tree_combine(
         per_user.map_batches(

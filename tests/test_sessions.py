@@ -332,3 +332,65 @@ def test_events_funnel_strict_order(tmp_path):
     )
     got = events_funnel(str(tmp_path)).to_pandas()
     assert dict(zip(got["stage"], got["n_users"])) == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_funnel_two_level_equals_single_pass(tmp_path):
+    """events_funnel(time_bucket_hours=...) — the skew-bounded two-level
+    funnel — must equal the single-shuffle path, including a hot user
+    whose stage transitions span many buckets, same-bucket full cascades,
+    and a same-bucket purchase that precedes the qualifying click."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_funnel
+
+    rng = np.random.RandomState(5)
+    base = 1_700_000_000_000_000  # us
+    H = 3_600_000_000
+    uids, etypes, tss = [], [], []
+
+    def add(uid, etype, t):
+        uids.append(uid)
+        etypes.append(etype)
+        tss.append(t)
+
+    # hot user 1: 3000 random events over ~40 buckets (6h each)
+    t = base
+    for _ in range(3000):
+        t += int(rng.choice([60, 900, 7200]) * 1e6)
+        add(1, rng.choice(["view", "click", "purchase", "error"]), t)
+    # user 2: view in bucket 0, click in bucket 2, purchase in bucket 5
+    add(2, "view", base + 1 * H)
+    add(2, "click", base + 13 * H)
+    add(2, "purchase", base + 31 * H)
+    # user 3: purchase BEFORE the qualifying click in the same bucket
+    add(3, "view", base + 1 * H)
+    add(3, "purchase", base + 13 * H)       # p_all < c_all: must NOT count
+    add(3, "click", base + 14 * H)
+    # user 4: full cascade inside one bucket
+    add(4, "view", base + 1 * H)
+    add(4, "click", base + 1 * H + 10**6)
+    add(4, "purchase", base + 1 * H + 2 * 10**6)
+    # user 5: click precedes view forever -> stage 1
+    add(5, "click", base)
+    add(5, "view", base + 50 * H)
+    tab = pa.table(
+        {
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(etypes, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+
+    single = events_funnel(str(tmp_path)).to_pandas().sort_values("stage")
+    two = (
+        events_funnel(str(tmp_path), time_bucket_hours=6.0)
+        .to_pandas()
+        .sort_values("stage")
+    )
+    assert single.reset_index(drop=True).equals(two.reset_index(drop=True)), (
+        single,
+        two,
+    )
