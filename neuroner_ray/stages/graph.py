@@ -1286,7 +1286,149 @@ def bfs_levels(
 KCORE_ROUNDS = 12
 
 
-def kcore(edges: Dataset, k: int = 2, rounds: int = KCORE_ROUNDS) -> Dataset:
+def _kcore_sharded(
+    edges: Dataset,
+    k: int,
+    rounds: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+) -> Dataset:
+    """Edge-filtering k-core (the past-the-cap regime): the surviving
+    simple pair set lives as a Dataset; per round, a degree census (one
+    int-key groupby over endpoint partials) marks nodes with deg < k, and
+    two endpoint-bucketed cogroups drop their incident pairs. Early exit
+    when a round peels nothing (peeling is monotone, so stopping early
+    equals running all rounds). Output: surviving (entity_id, deg), the
+    same census the driver peel emits."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    import ray.data as rd
+
+    from ..runtime.combine import anchor
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    pairs = anchor(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "deg": pa.array([], pa.int64()),
+        }
+    )
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return (
+            pa.table(
+                {"id": ids, "deg": pa.array([1] * len(ids), pa.int64())}
+            )
+            .group_by("id")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["id", "deg"])
+        )
+
+    def degrees_of(p: Dataset) -> Dataset:
+        return p.map_batches(
+            degree_partials, batch_format="pyarrow"
+        ).groupby("id").aggregate(_Sum("deg", alias_name="deg"))
+
+    def dead_rows(t: pa.Table, side: str) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["id"], num_buckets),
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "a": t["id"],
+                "b": pa.array([None] * t.num_rows, pa.string()),
+            }
+        )
+
+    def drop_side(p: Dataset, dead: Dataset, side: str) -> Dataset:
+        key = "a" if side == "a" else "b"
+        other = "b" if side == "a" else "a"
+
+        def pair_rows(t: pa.Table, key=key, other=other) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_of(t[key], num_buckets),
+                    "kind": pa.array([1] * t.num_rows, pa.int64()),
+                    "a": t[key],
+                    "b": t[other],
+                }
+            )
+
+        def filter_group(df: pd.DataFrame, key=key, other=other) -> pd.DataFrame:
+            dead_ids = set(df.loc[df["kind"] == 0, "a"])
+            e = df[df["kind"] == 1]
+            keep = e[~e["a"].isin(dead_ids)]
+            return pd.DataFrame(
+                {key: keep["a"].to_numpy(), other: keep["b"].to_numpy()}
+            )
+
+        return (
+            p.map_batches(pair_rows, batch_format="pyarrow")
+            .union(
+                dead.map_batches(
+                    lambda t: dead_rows(t, side), batch_format="pyarrow"
+                )
+            )
+            .groupby("bucket")
+            .map_groups(filter_group, batch_format="pandas")
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        )
+
+    for _ in range(rounds):
+        if pairs.count() == 0:
+            return rd.from_arrow(empty)
+        degs = anchor(degrees_of(pairs))
+        dead = anchor(
+            degs.map_batches(
+                lambda t: pa.table(
+                    {"id": t.filter(pa.compute.less(t["deg"], k))["id"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if dead.count() == 0:
+            break
+        pairs = anchor(drop_side(drop_side(pairs, dead, "a"), dead, "b"))
+
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    return degrees_of(pairs).map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["id"], "deg": t["deg"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def kcore(
+    edges: Dataset,
+    k: int = 2,
+    rounds: int = KCORE_ROUNDS,
+    *,
+    force_sharded: bool = False,
+    num_buckets: int | None = None,
+) -> Dataset:
     """Fixed-round k-core peel of the undirected simple entity graph:
     repeatedly drop nodes with fewer than ``k`` distinct surviving
     neighbors, ``rounds`` times (exact k-core once converged; the oracle
@@ -1299,10 +1441,22 @@ def kcore(edges: Dataset, k: int = 2, rounds: int = KCORE_ROUNDS) -> Dataset:
     the same loud cap as triangle_count; the peel itself is integer set
     arithmetic on that bounded state (early exit when a round is stable —
     peeling is monotone, so stopping early equals running all rounds).
+    Past the cap — or with ``force_sharded`` — the edge-filtering shuffle
+    formulation (``_kcore_sharded``) runs instead of raising.
     """
     import ray.data as rd
 
-    simple = _simple_edges(edges, "kcore")
+    if force_sharded:
+        return _kcore_sharded(
+            edges, k, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+    try:
+        simple = _simple_edges(edges, "kcore")
+    except ValueError:
+        return _kcore_sharded(
+            edges, k, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+
     a = simple["a"].to_pylist()
     b = simple["b"].to_pylist()
     alive = set(a) | set(b)

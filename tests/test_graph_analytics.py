@@ -388,3 +388,31 @@ def test_lpa_sharded_fallback_agrees():
         .to_pandas()
     )
     assert (z["entity_id"] == z["community"]).all()
+
+
+def test_kcore_sharded_fallback_agrees():
+    """force_sharded routes k-core through the edge-filtering shuffle
+    formulation; results must equal the driver peel for k=1/2/3 on the
+    fixture (k=3 peels everything -> typed empty both sides)."""
+    from neuroner_ray.stages.graph import kcore
+
+    for k in (1, 2, 3):
+        fast = (
+            kcore(_edges_ds(), k=k)
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+            if kcore(_edges_ds(), k=k).count()
+            else None
+        )
+        sharded_ds = kcore(_edges_ds(), k=k, force_sharded=True, num_buckets=4)
+        if fast is None:
+            assert sharded_ds.count() == 0
+            assert sharded_ds.schema().names == ["entity_id", "deg"]
+        else:
+            sharded = (
+                sharded_ds.to_pandas()
+                .sort_values("entity_id")
+                .reset_index(drop=True)
+            )
+            assert fast.equals(sharded), (k, fast, sharded)
