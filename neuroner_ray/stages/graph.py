@@ -932,6 +932,251 @@ def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
     return simple
 
 
+def _triangles_sharded(
+    edges: Dataset, num_buckets: int = PR_NUM_BUCKETS
+) -> pa.Table:
+    """Degree-oriented edge⋈wedge triangle count (the past-the-cap
+    regime): no adjacency is ever broadcast or collected.
+
+    1. Distinct simple pairs as a Dataset; degree census by one int-key
+       groupby.
+    2. Orient each edge from its lower-degree endpoint to the higher
+       (ties by id) via two endpoint-bucketed cogroups that attach the
+       degrees — out-degrees are then O(√m)-bounded, so wedge generation
+       is O(m^1.5) total instead of quadratic in hot-node degree.
+    3. Wedges: group oriented edges by source, emit each out-neighbor
+       pair once (canonical a < b); cogroup wedge rows with edge rows on
+       a hash(a|b) int bucket and count matches — each triangle closes
+       exactly one wedge.
+    Driver state: the final scalar."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..runtime.combine import anchor
+    from ..runtime.hashing import hash_buckets
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    pairs = anchor(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    if pairs.count() == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return (
+            pa.table(
+                {"id": ids, "deg": pa.array([1] * len(ids), pa.int64())}
+            )
+            .group_by("id")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["id", "deg"])
+        )
+
+    degs = anchor(
+        pairs.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(_Sum("deg", alias_name="deg"))
+    )
+
+    def attach_deg(p: Dataset, side: str, out_col: str) -> Dataset:
+        def pair_rows(t: pa.Table, side=side) -> pa.Table:
+            cols = {
+                "bucket": _bucket_of(t[side], num_buckets),
+                "kind": pa.array([1] * t.num_rows, pa.int64()),
+                "key": t[side],
+            }
+            for c in t.schema.names:
+                cols[f"c_{c}"] = t[c]
+            return pa.table(cols)
+
+        def deg_rows(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_of(t["id"], num_buckets),
+                    "kind": pa.array([0] * t.num_rows, pa.int64()),
+                    "key": t["id"],
+                    "c_deg": t["deg"].cast(pa.int64()),
+                }
+            )
+
+        def join_group(df: pd.DataFrame, out_col=out_col) -> pd.DataFrame:
+            m = pd.Series(
+                df.loc[df["kind"] == 0, "c_deg"].to_numpy(),
+                index=df.loc[df["kind"] == 0, "key"].to_numpy(),
+            )
+            e = df[df["kind"] == 1]
+            carried = [
+                c[2:] for c in df.columns if c.startswith("c_") and c != "c_deg"
+            ]
+            out = pd.DataFrame(
+                {c: e[f"c_{c}"].to_numpy() for c in carried}
+            )
+            out[out_col] = e["key"].map(m).to_numpy(dtype=np.int64)
+            return out
+
+        # schemas must union: pair rows lack c_deg, deg rows lack the
+        # carried pair columns — give each side the other's columns as null
+        def pad(ds: Dataset, cols_types: dict) -> Dataset:
+            def _pad(t: pa.Table, cols_types=cols_types) -> pa.Table:
+                for c, typ in cols_types.items():
+                    if c not in t.schema.names:
+                        t = t.append_column(
+                            c, pa.array([None] * t.num_rows, typ)
+                        )
+                return t.select(sorted(t.schema.names))
+
+            return ds.map_batches(_pad, batch_format="pyarrow")
+
+        carried_types = {
+            f"c_{c}": pa.string() if c in ("a", "b") else pa.int64()
+            for c in p.schema().names
+        }
+        all_types = dict(carried_types)
+        all_types["c_deg"] = pa.int64()
+        tagged_pairs = pad(
+            p.map_batches(pair_rows, batch_format="pyarrow"), all_types
+        )
+        tagged_degs = pad(
+            degs.map_batches(deg_rows, batch_format="pyarrow"), all_types
+        )
+        return (
+            tagged_pairs.union(tagged_degs)
+            .groupby("bucket")
+            .map_groups(join_group, batch_format="pandas")
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        )
+
+    with_da = attach_deg(pairs, "a", "deg_a")
+    with_db = anchor(attach_deg(with_da, "b", "deg_b"))
+
+    def orient(t: pa.Table) -> pa.Table:
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a = np.asarray(t["a"].to_pylist(), dtype=object)
+        b = np.asarray(t["b"].to_pylist(), dtype=object)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+            }
+        )
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy(dtype=object))
+            m = len(nb)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            outs_a.append(nb[iu])
+            outs_b.append(nb[ju])
+        if not outs_a:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                    "a": pd.Series([], dtype="object"),
+                    "b": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        aa = np.concatenate(outs_a)
+        bb = np.concatenate(outs_b)
+        out = (
+            pd.DataFrame({"a": aa, "b": bb})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out.insert(
+            0,
+            "bucket",
+            hash_buckets(
+                (out["a"].astype(str) + "|" + out["b"].astype(str)).to_numpy(),
+                num_buckets,
+            ),
+        )
+        out.insert(1, "kind", np.int64(1))
+        return out
+
+    # wedges grouped by oriented source (bounded out-degree)
+    wedge_src = oriented.map_batches(
+        lambda t: t.append_column(
+            "wbucket", _bucket_of(t["src"], num_buckets)
+        ),
+        batch_format="pyarrow",
+    )
+    wedges = (
+        wedge_src.groupby("wbucket")
+        .map_groups(wedge_group, batch_format="pandas")
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+    )
+
+    def edge_key_rows(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{x}|{y}"
+            for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(hash_buckets(keys, num_buckets), pa.int64()),
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "a": t["a"],
+                "b": t["b"],
+                "n": pa.array([0] * t.num_rows, pa.int64()),
+            }
+        )
+
+    def close_group(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["kind"] == 0]
+        w = df[df["kind"] == 1]
+        if e.empty or w.empty:
+            return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+        edge_set = set(zip(e["a"], e["b"]))
+        mask = [
+            (x, y) in edge_set for x, y in zip(w["a"], w["b"])
+        ]
+        return pd.DataFrame(
+            {"n": pd.Series([int(w.loc[mask, "n"].sum())], dtype="int64")}
+        )
+
+    total = (
+        wedges.union(
+            pairs.map_batches(edge_key_rows, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(close_group, batch_format="pandas")
+        .sum("n")
+        or 0
+    )
+    return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
+
+
 def triangle_count(edges: Dataset) -> pa.Table:
     """Global triangle count of the undirected simple entity graph
     (self-loops dropped, parallel edges/predicates collapsed).
@@ -942,7 +1187,12 @@ def triangle_count(edges: Dataset) -> pa.Table:
     map is broadcast once (``ray.put``); per-batch counting is
     ``np.intersect1d`` over sorted neighbor arrays.
     """
-    simple = _simple_edges(edges, "triangle_count")
+    try:
+        simple = _simple_edges(edges, "triangle_count")
+    except ValueError:
+        # simple pair set outgrew the broadcast-adjacency cap: run the
+        # degree-oriented edge⋈wedge shuffle formulation instead
+        return _triangles_sharded(edges)
     adj: dict[str, list[str]] = {}
     for a, b in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
         adj.setdefault(a, []).append(b)

@@ -416,3 +416,35 @@ def test_kcore_sharded_fallback_agrees():
                 .reset_index(drop=True)
             )
             assert fast.equals(sharded), (k, fast, sharded)
+
+
+def test_triangles_sharded_fallback_agrees():
+    """The degree-oriented edge-wedge shuffle formulation must count the
+    same triangles as the broadcast-adjacency node iterator."""
+    from neuroner_ray.stages.graph import _triangles_sharded, triangle_count
+
+    extra = rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "pred": "p", "weight": 1}
+            for s, d in [
+                ("a", "b"), ("b", "c"), ("a", "c"),
+                ("d", "b"), ("c", "d"),
+                ("d", "e"),
+            ]
+        ]
+    )
+    for mk, want in ((_edges_ds(), 1), (extra, 2)):
+        assert triangle_count(mk).to_pydict() == {"n_triangles": [want]}
+        got = _triangles_sharded(mk, num_buckets=4).to_pydict()
+        assert got == {"n_triangles": [want]}, got
+    empty = rd.from_arrow(
+        __import__("pyarrow").schema(
+            [("src_id", __import__("pyarrow").string()),
+             ("dst_id", __import__("pyarrow").string()),
+             ("pred", __import__("pyarrow").string()),
+             ("weight", __import__("pyarrow").int64())]
+        ).empty_table()
+    )
+    assert _triangles_sharded(empty, num_buckets=4).to_pydict() == {
+        "n_triangles": [0]
+    }
