@@ -876,11 +876,16 @@ def components(edges: Dataset) -> Dataset:
     )
 
 
-# Adjacency broadcast bound for triangle counting: the SIMPLE undirected
-# edge set (distinct endpoint pairs), not the corpus — entity-vocabulary²
-# bounded in this KG and far smaller in practice. The cap makes the
-# assumption loud; past it, switch to the 2-round shuffle formulation
-# (edge ⋈ wedge) instead of raising it.
+# Adjacency broadcast bound for the broadcast-adjacency analytics: the
+# SIMPLE undirected edge set (distinct endpoint pairs), not the corpus —
+# entity-vocabulary² bounded in this KG and far smaller in practice. Past
+# the cap, triangle_count runs the degree-oriented edge⋈wedge shuffle
+# (``_triangles_sharded``), kcore the edge-filtering shuffle
+# (``_kcore_sharded``), and LPA the join-per-round shuffle
+# (``_lpa_sharded``) — the cap RAISES only for neighbor_jaccard_topk,
+# whose candidate generation needs full undirected wedges (Σdeg² — no
+# orientation trick applies to common-NEIGHBOR counting), so the loud cap
+# is the honest guard there.
 TRIANGLE_MAX_EDGES = 5_000_000
 
 
@@ -888,9 +893,9 @@ def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
     """Distinct undirected (a < b) pair set of the canonical entity graph
     (self-loops dropped, parallel edges/predicates collapsed) — the shared
     input of the broadcast-adjacency analytics (triangles, k-core,
-    neighbor Jaccard). Entity-vocabulary²-bounded; the loud cap makes the
-    assumption explicit — past it, switch to the 2-round shuffle
-    formulation (edge ⋈ wedge) instead of raising it.
+    neighbor Jaccard). Entity-vocabulary²-bounded; past the loud cap the
+    callers dispatch to their shuffle formulations (see the
+    TRIANGLE_MAX_EDGES comment) — only neighbor_jaccard_topk re-raises.
 
     Small graphs (≤ SMALL_GRAPH_EDGES_MAX rows) skip the streamed pass:
     one collect, same Arrow kernels locally."""
