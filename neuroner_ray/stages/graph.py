@@ -881,11 +881,11 @@ def components(edges: Dataset) -> Dataset:
 # entity-vocabulary² bounded in this KG and far smaller in practice. Past
 # the cap, triangle_count runs the degree-oriented edge⋈wedge shuffle
 # (``_triangles_sharded``), kcore the edge-filtering shuffle
-# (``_kcore_sharded``), and LPA the join-per-round shuffle
-# (``_lpa_sharded``) — the cap RAISES only for neighbor_jaccard_topk,
-# whose candidate generation needs full undirected wedges (Σdeg² — no
-# orientation trick applies to common-NEIGHBOR counting), so the loud cap
-# is the honest guard there.
+# (``_kcore_sharded``), LPA the join-per-round shuffle
+# (``_lpa_sharded``), and neighbor Jaccard the wedge-count shuffle
+# (``_neighbor_jaccard_sharded`` — full undirected wedges, Σdeg²: no
+# orientation trick applies to common-NEIGHBOR counting, so its group
+# tasks stay quadratic in hub degree; bound documented at the function).
 TRIANGLE_MAX_EDGES = 5_000_000
 
 
@@ -895,7 +895,7 @@ def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
     input of the broadcast-adjacency analytics (triangles, k-core,
     neighbor Jaccard). Entity-vocabulary²-bounded; past the loud cap the
     callers dispatch to their shuffle formulations (see the
-    TRIANGLE_MAX_EDGES comment) — only neighbor_jaccard_topk re-raises.
+    TRIANGLE_MAX_EDGES comment).
 
     Small graphs (≤ SMALL_GRAPH_EDGES_MAX rows) skip the streamed pass:
     one collect, same Arrow kernels locally."""
@@ -935,6 +935,95 @@ def _simple_edges(edges: Dataset, caller: str) -> pa.Table:
             "wedge join instead of the broadcast adjacency"
         )
     return simple
+
+
+def _attach_deg(
+    p: Dataset,
+    degs: Dataset,
+    side: str,
+    out_col: str,
+    num_buckets: int,
+    str_cols: frozenset = frozenset({"a", "b"}),
+) -> Dataset:
+    """Bucketed cogroup that joins the ``degs`` census (``id``, ``deg``)
+    onto every row of ``p`` by the id in column ``side`` (union + int-key
+    groupby — never ``Dataset.join``, per the NOTES.md zero-row-partition
+    rule). Carried columns named in ``str_cols`` stay strings; every
+    other carried column must be int64. Shared by ``_triangles_sharded``
+    and ``_neighbor_jaccard_sharded``."""
+
+    def pair_rows(t: pa.Table, side=side) -> pa.Table:
+        cols = {
+            "bucket": _bucket_of(t[side], num_buckets),
+            "kind": pa.array([1] * t.num_rows, pa.int64()),
+            "key": t[side],
+        }
+        for c in t.schema.names:
+            cols[f"c_{c}"] = t[c]
+        return pa.table(cols)
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["id"], num_buckets),
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "key": t["id"],
+                "c_deg": t["deg"].cast(pa.int64()),
+            }
+        )
+
+    def join_group(df: pd.DataFrame, out_col=out_col) -> pd.DataFrame:
+        m = pd.Series(
+            df.loc[df["kind"] == 0, "c_deg"].to_numpy(),
+            index=df.loc[df["kind"] == 0, "key"].to_numpy(),
+        )
+        e = df[df["kind"] == 1]
+        carried = [
+            c[2:] for c in df.columns if c.startswith("c_") and c != "c_deg"
+        ]
+        out = pd.DataFrame(
+            {c: e[f"c_{c}"].to_numpy() for c in carried}
+        )
+        # deg rows hold null in the carried columns, so the cogroup frame
+        # floats them via NaN; carried non-string columns are int64 by
+        # contract — pin them back so block schemas stay stable
+        for c in carried:
+            if out[c].dtype == np.float64:
+                out[c] = out[c].astype(np.int64)
+        out[out_col] = e["key"].map(m).to_numpy(dtype=np.int64)
+        return out
+
+    # schemas must union: pair rows lack c_deg, deg rows lack the
+    # carried pair columns — give each side the other's columns as null
+    def pad(ds: Dataset, cols_types: dict) -> Dataset:
+        def _pad(t: pa.Table, cols_types=cols_types) -> pa.Table:
+            for c, typ in cols_types.items():
+                if c not in t.schema.names:
+                    t = t.append_column(
+                        c, pa.array([None] * t.num_rows, typ)
+                    )
+            return t.select(sorted(t.schema.names))
+
+        return ds.map_batches(_pad, batch_format="pyarrow")
+
+    carried_types = {
+        f"c_{c}": pa.string() if c in str_cols else pa.int64()
+        for c in p.schema().names
+    }
+    all_types = dict(carried_types)
+    all_types["c_deg"] = pa.int64()
+    tagged_pairs = pad(
+        p.map_batches(pair_rows, batch_format="pyarrow"), all_types
+    )
+    tagged_degs = pad(
+        degs.map_batches(deg_rows, batch_format="pyarrow"), all_types
+    )
+    return (
+        tagged_pairs.union(tagged_degs)
+        .groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+    )
 
 
 def _triangles_sharded(
@@ -1002,76 +1091,8 @@ def _triangles_sharded(
         .aggregate(_Sum("deg", alias_name="deg"))
     )
 
-    def attach_deg(p: Dataset, side: str, out_col: str) -> Dataset:
-        def pair_rows(t: pa.Table, side=side) -> pa.Table:
-            cols = {
-                "bucket": _bucket_of(t[side], num_buckets),
-                "kind": pa.array([1] * t.num_rows, pa.int64()),
-                "key": t[side],
-            }
-            for c in t.schema.names:
-                cols[f"c_{c}"] = t[c]
-            return pa.table(cols)
-
-        def deg_rows(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "bucket": _bucket_of(t["id"], num_buckets),
-                    "kind": pa.array([0] * t.num_rows, pa.int64()),
-                    "key": t["id"],
-                    "c_deg": t["deg"].cast(pa.int64()),
-                }
-            )
-
-        def join_group(df: pd.DataFrame, out_col=out_col) -> pd.DataFrame:
-            m = pd.Series(
-                df.loc[df["kind"] == 0, "c_deg"].to_numpy(),
-                index=df.loc[df["kind"] == 0, "key"].to_numpy(),
-            )
-            e = df[df["kind"] == 1]
-            carried = [
-                c[2:] for c in df.columns if c.startswith("c_") and c != "c_deg"
-            ]
-            out = pd.DataFrame(
-                {c: e[f"c_{c}"].to_numpy() for c in carried}
-            )
-            out[out_col] = e["key"].map(m).to_numpy(dtype=np.int64)
-            return out
-
-        # schemas must union: pair rows lack c_deg, deg rows lack the
-        # carried pair columns — give each side the other's columns as null
-        def pad(ds: Dataset, cols_types: dict) -> Dataset:
-            def _pad(t: pa.Table, cols_types=cols_types) -> pa.Table:
-                for c, typ in cols_types.items():
-                    if c not in t.schema.names:
-                        t = t.append_column(
-                            c, pa.array([None] * t.num_rows, typ)
-                        )
-                return t.select(sorted(t.schema.names))
-
-            return ds.map_batches(_pad, batch_format="pyarrow")
-
-        carried_types = {
-            f"c_{c}": pa.string() if c in ("a", "b") else pa.int64()
-            for c in p.schema().names
-        }
-        all_types = dict(carried_types)
-        all_types["c_deg"] = pa.int64()
-        tagged_pairs = pad(
-            p.map_batches(pair_rows, batch_format="pyarrow"), all_types
-        )
-        tagged_degs = pad(
-            degs.map_batches(deg_rows, batch_format="pyarrow"), all_types
-        )
-        return (
-            tagged_pairs.union(tagged_degs)
-            .groupby("bucket")
-            .map_groups(join_group, batch_format="pandas")
-            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
-        )
-
-    with_da = attach_deg(pairs, "a", "deg_a")
-    with_db = anchor(attach_deg(with_da, "b", "deg_b"))
+    with_da = _attach_deg(pairs, degs, "a", "deg_a", num_buckets)
+    with_db = anchor(_attach_deg(with_da, degs, "b", "deg_b", num_buckets))
 
     def orient(t: pa.Table) -> pa.Table:
         da = t["deg_a"].to_numpy(zero_copy_only=False)
@@ -1741,7 +1762,182 @@ def kcore(
     )
 
 
-def neighbor_jaccard_topk(edges: Dataset, k: int = 20) -> Dataset:
+def _neighbor_jaccard_sharded(
+    edges: Dataset, k: int, num_buckets: int = PR_NUM_BUCKETS
+) -> Dataset:
+    """Shuffle-formulated neighbor Jaccard (the past-the-cap regime): no
+    adjacency broadcast, no driver state beyond the final top-k table.
+
+    1. Distinct simple pairs + degree census as Datasets (one int-key
+       groupby each, as in ``_triangles_sharded``).
+    2. Intersections: every unordered pair (u, v) with a common neighbor
+       is a wedge through some center w — group the undirected adjacency
+       rows by center bucket, emit each neighbor pair once per center
+       with a partial count, then sum the partials in one hash(u|v)
+       int-bucket cogroup (partials for one pair arrive from several
+       center buckets — the consumer MUST re-aggregate, the LPA lesson).
+       Exact but inherently quadratic in hub degree: a degree-d center
+       emits d(d-1)/2 wedge pairs inside its group task (same bound the
+       broadcast path pays per node batch). If hub degrees outgrow a
+       task, the next escape is a two-level chunked cross-pair split —
+       not needed at entity-vocabulary scale.
+    3. Degrees attach via the shared ``_attach_deg`` cogroup joins;
+       jac = n / (deg_u + deg_v − n); exact associative top-k merge
+       (no global sort shuffle).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import anchor, topk_merge, tree_combine
+    from ..runtime.hashing import hash_buckets
+
+    import ray.data as rd
+
+    empty = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("jac", pa.float64())]
+    ).empty_table()
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    pairs = anchor(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return (
+            pa.table(
+                {"id": ids, "deg": pa.array([1] * len(ids), pa.int64())}
+            )
+            .group_by("id")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["id", "deg"])
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    degs = anchor(
+        pairs.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(_Sum("deg", alias_name="deg"))
+    )
+
+    def und_rows(t: pa.Table) -> pa.Table:
+        center = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        nbr = pa.concat_arrays(
+            [t["b"].combine_chunks(), t["a"].combine_chunks()]
+        )
+        out = pa.table({"center": center, "nbr": nbr})
+        return out.append_column(
+            "wbucket", _bucket_of(out["center"], num_buckets)
+        )
+
+    def wedge_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        outs_u, outs_v = [], []
+        for _, g in df.groupby("center", sort=False):
+            nb = np.sort(g["nbr"].to_numpy(dtype=object))
+            m = len(nb)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            outs_u.append(nb[iu])
+            outs_v.append(nb[ju])
+        if not outs_u:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "u": pd.Series([], dtype=object),
+                    "v": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        uu = np.concatenate(outs_u)
+        vv = np.concatenate(outs_v)
+        out = (
+            pd.DataFrame({"u": uu, "v": vv})
+            .groupby(["u", "v"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out.insert(
+            0,
+            "bucket",
+            hash_buckets(
+                (out["u"].astype(str) + "|" + out["v"].astype(str)).to_numpy(),
+                num_buckets,
+            ),
+        )
+        return out
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["u", "v"], as_index=False)["n"].sum()
+
+    inter = (
+        pairs.map_batches(und_rows, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(wedge_group, batch_format="pandas")
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sum_group, batch_format="pandas")
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+    )
+
+    str_uv = frozenset({"u", "v"})
+    with_du = _attach_deg(inter, degs, "u", "deg_u", num_buckets, str_uv)
+    with_dv = _attach_deg(with_du, degs, "v", "deg_v", num_buckets, str_uv)
+
+    cut = topk_merge(k, "jac", ["u", "v"])
+
+    def jac_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["deg_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["deg_v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return cut(
+            pa.table(
+                {
+                    "u": t["u"].cast(pa.string()),
+                    "v": t["v"].cast(pa.string()),
+                    "jac": pa.array(
+                        round_half_away(n / (du + dv - n), 4), pa.float64()
+                    ),
+                }
+            )
+        )
+
+    return tree_combine(
+        with_dv.map_batches(jac_rows, batch_format="pyarrow"), cut
+    )
+
+
+def neighbor_jaccard_topk(
+    edges: Dataset,
+    k: int = 20,
+    force_sharded: bool = False,
+    num_buckets: int | None = None,
+) -> Dataset:
     """Top-k node pairs by neighborhood Jaccard similarity over the
     undirected simple entity graph: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| for
     pairs u < v sharing at least one common neighbor, rounded to 4
@@ -1750,14 +1946,25 @@ def neighbor_jaccard_topk(edges: Dataset, k: int = 20) -> Dataset:
     Same distribution shape as triangle_count: adjacency broadcast once
     (vocabulary-bounded, loud cap), candidate pairs generated per node
     batch (two-hop closure), LOCAL top-k per batch with the oracle's total
-    order, associative top-k merge — no all-pairs, no sort shuffle.
+    order, associative top-k merge — no all-pairs, no sort shuffle. Past
+    the TRIANGLE_MAX_EDGES cap the wedge-count shuffle formulation
+    (``_neighbor_jaccard_sharded``) runs instead of raising.
     """
     from ..functions.rounding import round_half_away
     from ..runtime.combine import topk_merge, tree_combine
 
     import ray.data as rd
 
-    simple = _simple_edges(edges, "neighbor_jaccard_topk")
+    if force_sharded:
+        return _neighbor_jaccard_sharded(
+            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+    try:
+        simple = _simple_edges(edges, "neighbor_jaccard_topk")
+    except ValueError:
+        return _neighbor_jaccard_sharded(
+            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
     adj: dict[str, set[str]] = {}
     for u, v in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
         adj.setdefault(u, set()).add(v)

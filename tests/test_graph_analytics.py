@@ -448,3 +448,42 @@ def test_triangles_sharded_fallback_agrees():
     assert _triangles_sharded(empty, num_buckets=4).to_pydict() == {
         "n_triangles": [0]
     }
+
+
+def test_neighbor_jaccard_sharded_fallback_agrees():
+    """force_sharded routes neighbor Jaccard through the wedge-count
+    shuffle formulation; results must equal the broadcast-adjacency path
+    exactly (same 4-decimal rounding, same top-k total order), including
+    the star's k-cut and the typed-empty case."""
+    import pyarrow as pa
+
+    from neuroner_ray.stages.graph import neighbor_jaccard_topk
+
+    def run(mk, **kw):
+        return (
+            neighbor_jaccard_topk(mk(), **kw)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    def star():
+        return rd.from_items(
+            [
+                {"src_id": "hub", "dst_id": d, "pred": "p", "weight": 1}
+                for d in ["l1", "l2", "l3"]
+            ]
+        )
+
+    for mk, kw in ((_edges_ds, {}), (star, {"k": 2})):
+        fast = run(mk, **kw)
+        sharded = run(mk, force_sharded=True, num_buckets=4, **kw)
+        assert fast.equals(sharded), (fast, sharded)
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [("src_id", pa.string()), ("dst_id", pa.string()),
+             ("pred", pa.string()), ("weight", pa.int64())]
+        ).empty_table()
+    )
+    out = neighbor_jaccard_topk(empty, force_sharded=True, num_buckets=4)
+    assert out.count() == 0
