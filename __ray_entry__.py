@@ -226,14 +226,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 75 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 76 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, plus the
-    round-4 additions rollup/funnel), then the r2-verified-only group,
-    then the long-green r3 relational/text tail. Every entry past position
-    50 has a green row in CORRECTNESS_r03 AND in the committed
-    full-registry replica log (docs/CHECK_ORACLES_r4.txt, 75/75 green at
-    sf0.01).
+    round-4 additions rollup/funnel/range-join), then the r2-verified-only
+    group, then the long-green r3 relational/text tail. Every entry past
+    position 50 has a green row in CORRECTNESS_r03 AND in the committed
+    full-registry replica log (docs/CHECK_ORACLES_r4.txt — 75/75 green at
+    sf0.01 before the range-join landed; its green replica row is in the
+    final round-4 sweep).
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
@@ -251,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_energy": q.media_audio_energy,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
+        "events_purchase_click_window": q.events_purchase_click_window,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -772,6 +774,14 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN c USING (user_id)
                 LEFT JOIN p USING (user_id)
             ) GROUP BY stage
+        """,
+        "events_purchase_click_window": """
+            SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                   p.ts AS purchase_ts, c.event_id AS click_id,
+                   c.ts AS click_ts
+            FROM events p JOIN events c ON c.user_id = p.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

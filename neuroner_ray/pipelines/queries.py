@@ -1159,6 +1159,95 @@ def events_purchase_last_click(
     return partials.groupby("user_id").map_groups(merge, batch_format="pandas")
 
 
+_WINJOIN_EMPTY = {
+    "purchase_id": pd.Series([], dtype="int64"),
+    "user_id": pd.Series([], dtype="int64"),
+    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+    "click_id": pd.Series([], dtype="int64"),
+    "click_ts": pd.Series([], dtype="datetime64[us]"),
+}
+
+WINDOW_JOIN_HOURS = 1
+
+
+def events_purchase_click_window(sf_dir: str, two_level: bool = False) -> Dataset:
+    """RANGE JOIN (windowed non-equi join — the second custom join class
+    the Dataset API lacks, next to the as-of above): every purchase paired
+    with EVERY click by the same user in the preceding hour
+    (click_ts ∈ [purchase_ts − 1h, purchase_ts)).
+
+    Scale shape mirrors the as-of: both sides filter to their event types
+    map-side at the read, ONE groupby on the reused user_id partitioning
+    key, and the per-group match is a fully vectorized double-searchsorted
+    range expansion (repeat + cumulative-offset arithmetic, no per-row
+    loop). Output size is the true join cardinality — inherent to
+    range-join semantics, not an implementation artifact. Partitioning
+    assumption (default path): one user's two-type history fits a task;
+    pass ``two_level=True`` for the time-bucketed variant — purchases
+    replicate to the ≤2 window-overlapped buckets of width W=1h and
+    matching runs within (user, bucket) groups (each click lives in
+    exactly ONE bucket, so the union of per-bucket matches is exact with
+    no dedup pass) — bounding every reduce task by one bucket.
+    Equivalence-tested, incl. a planted hot user."""
+    win_us = WINDOW_JOIN_HOURS * 3_600_000_000
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        buys = g[g["event_type"] == "purchase"]
+        if clicks.empty or buys.empty:
+            return pd.DataFrame(_WINJOIN_EMPTY)
+        cts = clicks["ts"].to_numpy()
+        bts = buys["ts"].to_numpy()
+        lo = np.searchsorted(cts, bts - np.timedelta64(win_us, "us"), side="left")
+        hi = np.searchsorted(cts, bts, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(_WINJOIN_EMPTY)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        idx = np.repeat(lo, counts) + np.arange(total) - np.repeat(offs, counts)
+        rep = np.repeat(np.arange(len(buys)), counts)
+        return pd.DataFrame(
+            {
+                "purchase_id": buys["event_id"].to_numpy()[rep],
+                "user_id": buys["user_id"].to_numpy()[rep],
+                "purchase_ts": bts[rep],
+                "click_id": clicks["event_id"].to_numpy()[idx],
+                "click_ts": cts[idx],
+            }
+        )
+
+    if not two_level:
+        return ev.groupby("user_id").map_groups(match, batch_format="pandas")
+
+    def replicate(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        t = t.append_column(
+            "tbucket", pc.cast(pc.floor(pc.divide(micros, win_us)), pa.int64())
+        )
+        buys = t.filter(pc.equal(t["event_type"], "purchase"))
+        i = t.schema.get_field_index("tbucket")
+        shifted = buys.set_column(
+            i, "tbucket", pc.subtract(buys["tbucket"], pa.scalar(1, pa.int64()))
+        )
+        return pa.concat_tables([t, shifted])
+
+    return (
+        ev.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["user_id", "tbucket"])
+        .map_groups(match, batch_format="pandas")  # tbucket column ignored
+    )
+
+
 QUANTILES = (0.25, 0.5, 0.75)
 
 

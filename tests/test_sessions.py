@@ -394,3 +394,76 @@ def test_funnel_two_level_equals_single_pass(tmp_path):
         single,
         two,
     )
+
+
+def test_two_level_range_join_equals_single_pass(tmp_path):
+    """events_purchase_click_window(two_level=True) — the bucket-replicated
+    range join — must equal the single-shuffle path, including a planted
+    hot user, window-boundary events (inclusive lower edge, exclusive
+    upper), and click-only / purchase-only users."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_purchase_click_window
+
+    rng = np.random.RandomState(23)
+    base = 1_700_000_000_000_000  # us
+    eid = 0
+    uids, etypes, tss, eids = [], [], [], []
+
+    def add(uid, etype, t):
+        nonlocal eid
+        uids.append(uid)
+        etypes.append(etype)
+        tss.append(t)
+        eids.append(eid)
+        eid += 1
+
+    hour = 3_600_000_000
+    # hot user 1: 1500 events spread over many 1h buckets; dense stretches
+    # so purchases match several clicks, incl. clicks in the previous bucket
+    t = base
+    for i in range(1500):
+        t += int(rng.choice([120, 600, 5400]) * 1e6)
+        add(1, "click" if rng.rand() < 0.6 else "purchase", t)
+    # user 2: click exactly at p.ts − 1h (inclusive → matches) and a click
+    # exactly at p.ts (exclusive → no match)
+    add(2, "click", base)
+    add(2, "click", base + hour)
+    add(2, "purchase", base + hour)
+    # user 3: clicks only; user 4: purchases only (both produce nothing)
+    add(3, "click", base + 10**6)
+    add(4, "purchase", base + 10**6)
+    # user 5: purchase whose window spans the bucket boundary both ways
+    add(5, "click", base + hour - 10**6)
+    add(5, "purchase", base + hour + 10**6)
+
+    tab = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(etypes, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+
+    def run(**kw):
+        return (
+            events_purchase_click_window(str(tmp_path), **kw)
+            .to_pandas()
+            .sort_values(["purchase_id", "click_id"])
+            .reset_index(drop=True)
+        )
+
+    single = run()
+    two_level = run(two_level=True)
+    assert len(single) > 200
+    # user-2 boundary semantics: the 1h-earlier click matches, the
+    # same-instant click does not
+    u2 = single[single["user_id"] == 2]
+    assert list(u2["click_ts"].astype("int64")) == [base]
+    # user-5 cross-bucket window still matches
+    assert (single["user_id"] == 5).sum() == 1
+    assert single.equals(two_level), (single.head(), two_level.head())
