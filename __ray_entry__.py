@@ -226,10 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 76 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 77 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, plus the
-    round-4 additions rollup/funnel/range-join), then the r2-verified-only
+    round-4 additions rollup/funnel/range-join/MG-sketch), then the r2-verified-only
     group, then the long-green r3 relational/text tail. Every entry past
     position 50 has a green row in CORRECTNESS_r03 AND in the committed
     full-registry replica log (docs/CHECK_ORACLES_r4.txt — 75/75 green at
@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
+        "token_freq_top100_mg": q.token_freq_top100_mg,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -458,6 +459,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
         "token_freq_top100": f"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        # sketch route must reproduce the exact census bit-for-bit (the
+        # MG completeness proof guarantees it or raises loudly)
+        "token_freq_top100_mg": f"""
             SELECT token, count(*) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token
                   FROM documents)

@@ -89,6 +89,152 @@ def token_freq_top100(sf_dir: str) -> Dataset:
     return counts.sort(["n", "token"], descending=[True, False]).limit(100)
 
 
+MG_CAPACITY = 4096
+
+
+def _mg_merge(t: pa.Table, capacity: int = MG_CAPACITY) -> pa.Table:
+    """Associative Misra-Gries summary merge (mergeable-summaries trim):
+    null-token rows carry the accumulated deficit D — the provable max
+    per-item undercount. Sum counters by token; past MG_CAPACITY distinct
+    tokens subtract the (C+1)-th largest count d from every counter and
+    drop the non-positive ones (at most C stay strictly positive), adding
+    d to D. Any token absent from the merged summary has true count ≤ D."""
+    if t.num_rows == 0:
+        return t
+    isnull = pc.is_null(t["token"])
+    D = pc.sum(pc.filter(t["n"], isnull)).as_py() or 0
+    g = (
+        t.filter(pc.invert(isnull))
+        .group_by("token")
+        .aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    if g.num_rows > capacity:
+        n = g["n"].to_numpy()
+        d = int(np.partition(n, -(capacity + 1))[-(capacity + 1)])
+        keep = n - d
+        mask = keep > 0
+        g = pa.table(
+            {
+                "token": pc.filter(g["token"], pa.array(mask)),
+                "n": pa.array(keep[mask], pa.int64()),
+            }
+        )
+        D += d
+    return pa.concat_tables(
+        [
+            g,
+            pa.table(
+                {
+                    "token": pa.array([None], pa.string()),
+                    "n": pa.array([int(D)], pa.int64()),
+                }
+            ),
+        ]
+    )
+
+
+def token_freq_top100_mg(sf_dir: str, capacity: int = MG_CAPACITY) -> Dataset:
+    """Sketch-route token top-100 (Misra-Gries + exact verify — the
+    heavy-hitter member of the sketch family next to HLL and the Bloom
+    anti-join): per-batch counts trimmed to MG summaries of capacity
+    C=4096, tree-merged associatively, then an EXACT verify census
+    restricted to the ≤C merged candidates (broadcast set, map-side
+    filtered counts, candidate-sized groupby).
+
+    Scale shape: the sketch shuffle carries ≤C+1 fixed-width rows per
+    block REGARDLESS of token-vocabulary size (the exact census's shuffle
+    is vocabulary-sized); the verify pass re-reads the corpus once (the
+    Bloom-anti-join convention). Exactness: a token absent from the
+    merged summary has true count ≤ deficit D, so when the verified
+    100th-largest count exceeds D the result provably equals the exact
+    census — checked, raising loudly (raise MG_CAPACITY) instead of
+    returning silently-approximate rows."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            if text:
+                c.update(_TOKEN_RE.findall(text))
+        return _mg_merge(
+            pa.table(
+                {
+                    "token": pa.array(list(c.keys()), pa.string()),
+                    "n": pa.array(list(c.values()), pa.int64()),
+                }
+            ),
+            capacity,
+        )
+
+    summary = pa.concat_tables(
+        tree_combine(
+            docs.map_batches(mg_partial, batch_format="pyarrow"),
+            lambda t, capacity=capacity: _mg_merge(t, capacity),
+        ).iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    empty = pa.schema([("token", pa.string()), ("n", pa.int64())]).empty_table()
+    if summary.num_rows == 0:
+        return rd.from_arrow(empty)
+    isnull = pc.is_null(summary["token"])
+    deficit = int(pc.sum(pc.filter(summary["n"], isnull)).as_py() or 0)
+    cand = frozenset(summary.filter(pc.invert(isnull))["token"].to_pylist())
+    if not cand:
+        if deficit > 0:
+            # a near-uniform stream trimmed every counter away — nothing
+            # is provable; approximate output is never returned silently
+            raise ValueError(
+                f"MG summary empty with deficit {deficit}; raise "
+                f"MG_CAPACITY={capacity}"
+            )
+        return rd.from_arrow(empty)
+    cand_ref = ray.put(cand)
+
+    def verify_counts(batch: pa.Table, cand_ref=cand_ref) -> pa.Table:
+        A = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            if text:
+                c.update(tok for tok in _TOKEN_RE.findall(text) if tok in A)
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    exact = pa.concat_tables(
+        [empty]
+        + list(
+            tree_combine(
+                docs.map_batches(verify_counts, batch_format="pyarrow"),
+                group_sum_merge(("token",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    df = exact.to_pandas().sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    )
+    top = df.head(100)
+    # completeness proof: every non-candidate's true count ≤ deficit; a
+    # 100th verified count strictly above it rules out all of them. When
+    # the corpus vocabulary never exceeded C, deficit == 0 and the
+    # candidate set IS the vocabulary (unconditionally exact).
+    if deficit > 0 and (
+        len(top) < 100 or int(top["n"].iloc[-1]) <= deficit
+    ):
+        raise ValueError(
+            f"MG top-100 not provably exact: 100th count "
+            f"{int(top['n'].iloc[-1]) if len(top) else 0} <= deficit "
+            f"{deficit}; raise MG_CAPACITY={capacity}"
+        )
+    return rd.from_arrow(
+        pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+    )
+
+
 # ----------------------------------------------------------------- text ops
 def doc_token_counts(sf_dir: str) -> Dataset:
     """Per-document token count (training-data token counting; reuses the

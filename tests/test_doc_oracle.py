@@ -224,3 +224,70 @@ def test_round3_windowed_relational_queries_match_oracles(con_rel):
             got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
             obj=name,
         )
+
+
+def test_mg_sketch_trim_path_exact_and_loud(tmp_path):
+    """Misra-Gries top-100 with a capacity small enough to force trims:
+    on a skewed corpus the verified result must equal the exact census
+    (deficit provably below the 100th count); on a uniform corpus where
+    the trim wipes every counter it must raise rather than return an
+    approximate answer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    import neuroner_ray.pipelines.queries as Q
+
+    # skewed: 120 hot tokens × 50 occurrences + 5000 distinct singletons
+    rng = np.random.RandomState(7)
+    texts = []
+    hot = [f"hot{i}" for i in range(120)]
+    for rep in range(50):
+        rng.shuffle(hot)
+        texts.append(" ".join(hot))
+    noise = [f"noise{i}" for i in range(5000)]
+    for i in range(0, 5000, 100):
+        texts.append(" ".join(noise[i : i + 100]))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        Q.token_freq_top100_mg(str(tmp_path), capacity=256)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update(Q._TOKEN_RE.findall(t))
+    want = (
+        pd.DataFrame({"token": list(c.keys()), "n": list(c.values())})
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(100)
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got.head(), want.head())
+
+    # uniform: every token is a singleton — the trim wipes the summary
+    uni = tmp_path / "uni"
+    uni.mkdir()
+    utexts = [" ".join(f"u{j}" for j in range(i, i + 100)) for i in range(0, 3000, 100)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(utexts)), pa.int64()),
+                "text": pa.array(utexts, pa.string()),
+            }
+        ),
+        str(uni / "documents.parquet"),
+    )
+    with pytest.raises(ValueError, match="MG"):
+        Q.token_freq_top100_mg(str(uni), capacity=256)
