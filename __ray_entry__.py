@@ -226,10 +226,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 77 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 78 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, plus the
-    round-4 additions rollup/funnel/range-join/MG-sketch), then the r2-verified-only
+    round-4 additions rollup/funnel/range-join/MG-sketch/bounded-window),
+    then the r2-verified-only
     group, then the long-green r3 relational/text tail. Every entry past
     position 50 has a green row in CORRECTNESS_r03 AND in the committed
     full-registry replica log (docs/CHECK_ORACLES_r4.txt — 75/75 green at
@@ -254,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
         "token_freq_top100_mg": q.token_freq_top100_mg,
+        "events_moving_avg3": q.events_moving_avg3,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -407,6 +409,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                        4) AS cum_value
+            FROM events
+        """,
+        "events_moving_avg3": """
+            SELECT event_id, user_id, ts,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                       4) AS mov_avg3
             FROM events
         """,
         "doc_tfidf_top50": f"""

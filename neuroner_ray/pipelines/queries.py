@@ -2282,6 +2282,214 @@ def embedding_label_centroids(sf_dir: str) -> Dataset:
     ).map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
+_MOVAVG_EMPTY = {
+    "event_id": pd.Series([], dtype="int64"),
+    "user_id": pd.Series([], dtype="int64"),
+    "ts": pd.Series([], dtype="datetime64[us]"),
+    "mov_avg3": pd.Series([], dtype="float64"),
+}
+
+
+def _movavg3_of(v: np.ndarray) -> np.ndarray:
+    """Trailing 3-row mean in frame order ((v[i−2]+v[i−1])+v[i], the same
+    left-to-right association DuckDB's windowed AVG walks) / min(i+1, 3)."""
+    n = len(v)
+    s1 = np.concatenate(([0.0], v[:-1]))
+    s2 = np.concatenate(([0.0, 0.0], v[:-2])) if n >= 2 else np.zeros(n)
+    idx = np.arange(n)
+    total = np.where(idx >= 2, (s2 + s1) + v, np.where(idx >= 1, s1 + v, v))
+    return total / np.minimum(idx + 1, 3)
+
+
+def events_moving_avg3(
+    sf_dir: str, time_bucket_hours: float | None = None
+) -> Dataset:
+    """BOUNDED-frame window function (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW): per-event trailing 3-row mean of ``value`` in the user's
+    (ts, event_id) order, rounded to 4 decimals. Complements
+    events_cum_value's UNBOUNDED frame — bounded frames need the previous
+    rows themselves, not a prefix offset, so the skew variant carries
+    BOUNDARY ROWS instead of bucket totals.
+
+    Default path: one groupby on the reused user_id key, vectorized
+    shift-sum per group. ``time_bucket_hours`` enables the two-level
+    frame-carry variant: per (user, time-bucket) groups compute rows with
+    ≥2 in-bucket predecessors exactly and emit the bucket's boundary set
+    (first ≤2 rows needing carry + last ≤2 rows as carry providers); the
+    per-user merge orders the boundary rows — every needed predecessor of
+    a first-row is provably inside the boundary set — and resolves the
+    remaining frames. Per-user merge state is ≤4 rows × #buckets,
+    regardless of how hot the user is. Equivalence-tested (planted hot
+    user, bucket-straddling frames, single-row buckets)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "mov_avg3": round_half_away(
+                    _movavg3_of(g["value"].to_numpy()), 4
+                ),
+            }
+        )
+
+    if time_bucket_hours is None:
+        return ev.groupby("user_id").map_groups(finish, batch_format="pandas")
+
+    bucket_us = int(time_bucket_hours * 3_600_000_000)
+
+    _BPARTIAL_EMPTY = {
+        "user_id": pd.Series([], dtype="int64"),
+        "kind": pd.Series([], dtype=object),
+        "tbucket": pd.Series([], dtype="int64"),
+        "lidx": pd.Series([], dtype="int64"),
+        "event_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "value": pd.Series([], dtype="float64"),
+        "mov_avg3": pd.Series([], dtype="float64"),
+    }
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        return t.append_column(
+            "tbucket",
+            pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64()),
+        )
+
+    def bpartial(g: pd.DataFrame) -> pd.DataFrame:
+        """One (user, bucket): rows with local idx ≥ 2 finish in-bucket
+        ("d" rows); the boundary set goes to the merge — first ≤2 rows as
+        "n" (need carry, local idx attached) and last ≤2 rows as "h"
+        (carry providers; a row can be both, emitted once per role)."""
+        g = g.sort_values(["ts", "event_id"])
+        n = len(g)
+        uid = g["user_id"].iloc[0]
+        tb = g["tbucket"].iloc[0]
+        v = g["value"].to_numpy()
+        frames = []
+        if n > 2:
+            avg = _movavg3_of(v)[2:]
+            d = g.iloc[2:]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": d["user_id"].to_numpy(),
+                        "kind": "d",
+                        "tbucket": np.int64(tb),
+                        "lidx": np.arange(2, n, dtype=np.int64),
+                        "event_id": d["event_id"].to_numpy(),
+                        "ts": d["ts"].to_numpy(),
+                        "value": d["value"].to_numpy(),
+                        "mov_avg3": round_half_away(avg, 4),
+                    }
+                )
+            )
+        k = min(2, n)
+        need = g.iloc[:k]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": need["user_id"].to_numpy(),
+                    "kind": "n",
+                    "tbucket": np.int64(tb),
+                    "lidx": np.arange(k, dtype=np.int64),
+                    "event_id": need["event_id"].to_numpy(),
+                    "ts": need["ts"].to_numpy(),
+                    "value": need["value"].to_numpy(),
+                    "mov_avg3": np.float64(0.0),
+                }
+            )
+        )
+        have = g.iloc[-k:]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": have["user_id"].to_numpy(),
+                    "kind": "h",
+                    "tbucket": np.int64(tb),
+                    "lidx": np.arange(n - k, n, dtype=np.int64),
+                    "event_id": have["event_id"].to_numpy(),
+                    "ts": have["ts"].to_numpy(),
+                    "value": have["value"].to_numpy(),
+                    "mov_avg3": np.float64(0.0),
+                }
+            )
+        )
+        out = pd.concat(frames, ignore_index=True)
+        if out.empty:
+            return pd.DataFrame(_BPARTIAL_EMPTY)
+        return out
+
+    def bmerge(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-user: pass the in-bucket-finished rows through; resolve the
+        need rows against the ordered boundary stream. A need row at local
+        idx L has its L in-bucket predecessors among the user's boundary
+        rows (idx 0 is a first-row itself) and its remaining (2−L)
+        predecessors among the last rows of earlier buckets — all present
+        by construction, and adjacent in (tbucket, ts, event_id) order."""
+        done = g[g["kind"] == "d"]
+        frames = [
+            pd.DataFrame(
+                {
+                    "event_id": done["event_id"].to_numpy(),
+                    "user_id": done["user_id"].to_numpy(),
+                    "ts": done["ts"].to_numpy(),
+                    "mov_avg3": done["mov_avg3"].to_numpy(),
+                }
+            )
+        ]
+        nd = g[g["kind"] == "n"]
+        if not nd.empty:
+            # distinct boundary ROWS in global order (a row emitted as both
+            # "n" and "h" appears once)
+            b = (
+                g[g["kind"].isin(["n", "h"])]
+                .drop_duplicates(subset=["event_id"])
+                .sort_values(["ts", "event_id"])
+            )
+            bv = b["value"].to_numpy()
+            pos = pd.Series(
+                np.arange(len(b)), index=b["event_id"].to_numpy()
+            )
+            p = pos[nd["event_id"].to_numpy()].to_numpy()
+            # a need row's boundary-stream position equals its global
+            # predecessor count while < 3 (see the docstring adjacency
+            # argument), so min(p+1, 3) is the exact frame size
+            v0 = bv[p]
+            v1 = np.where(p >= 1, bv[np.maximum(p - 1, 0)], 0.0)
+            v2 = np.where(p >= 2, bv[np.maximum(p - 2, 0)], 0.0)
+            cnt = np.minimum(p + 1, 3)
+            total = np.where(
+                cnt == 3, (v2 + v1) + v0, np.where(cnt == 2, v1 + v0, v0)
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": nd["event_id"].to_numpy(),
+                        "user_id": nd["user_id"].to_numpy(),
+                        "ts": nd["ts"].to_numpy(),
+                        "mov_avg3": round_half_away(total / cnt, 4),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        if out.empty:
+            return pd.DataFrame(_MOVAVG_EMPTY)
+        return out
+
+    partials = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "tbucket"])
+        .map_groups(bpartial, batch_format="pandas")
+    )
+    return partials.groupby("user_id").map_groups(bmerge, batch_format="pandas")
+
+
 def events_cum_value(
     sf_dir: str, time_bucket_hours: float = 24.0 * 30
 ) -> Dataset:

@@ -467,3 +467,82 @@ def test_two_level_range_join_equals_single_pass(tmp_path):
     # user-5 cross-bucket window still matches
     assert (single["user_id"] == 5).sum() == 1
     assert single.equals(two_level), (single.head(), two_level.head())
+
+
+def test_two_level_moving_avg_equals_single_pass(tmp_path):
+    """events_moving_avg3(time_bucket_hours=...) — the frame-carry
+    two-level bounded window — must equal both the single-shuffle path and
+    a pandas rolling-mean reference, incl. a planted hot user, single-row
+    buckets, exactly-2-row buckets, and frames straddling bucket edges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_moving_avg3
+
+    rng = np.random.RandomState(31)
+    base = 1_700_000_000_000_000  # us
+    hour = 3_600_000_000
+    rows = []
+    eid = 0
+
+    def add(uid, t, v):
+        nonlocal eid
+        rows.append((eid, uid, t, v))
+        eid += 1
+
+    # hot user 1: 1800 events with gaps that make 1-row, 2-row and dense
+    # buckets at 6h bucketing
+    t = base
+    for i in range(1800):
+        t += int(rng.choice([600, 7200, 22000, 90000]) * 1e6)
+        add(1, t, float(rng.randn() * 10))
+    # user 2: exactly one event (frame of one)
+    add(2, base, 5.0)
+    # user 3: two events far apart (each its own bucket, frame carries)
+    add(3, base, 1.0)
+    add(3, base + 13 * hour, 2.0)
+    # user 4: three events in three consecutive buckets (full carry chain)
+    for j in range(3):
+        add(4, base + j * 6 * hour + 10**6, float(j + 1))
+
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+
+    def run(**kw):
+        return (
+            events_moving_avg3(str(tmp_path), **kw)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    single = run()
+    two_level = run(time_bucket_hours=6.0)
+    assert len(single) == len(rows)
+    assert single.equals(two_level), (single.head(), two_level.head())
+
+    # independent reference: pandas rolling mean per user in (ts, event_id)
+    # order (same 4-decimal half-away rounding)
+    from neuroner_ray.functions.rounding import round_half_away
+
+    df = tab.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = (
+        df.groupby("user_id")["value"]
+        .rolling(3, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    got = single.set_index("event_id")["mov_avg3"]
+    ref = pd.Series(
+        round_half_away(want.to_numpy(), 4), index=df["event_id"].to_numpy()
+    )
+    assert np.allclose(got.sort_index(), ref.sort_index(), atol=1e-9)
