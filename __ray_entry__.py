@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 78 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 79 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, plus the
     round-4 additions rollup/funnel/range-join/MG-sketch/bounded-window),
@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_click_window": q.events_purchase_click_window,
         "token_freq_top100_mg": q.token_freq_top100_mg,
         "events_moving_avg3": q.events_moving_avg3,
+        "lineitem_profile": q.lineitem_profile,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -809,6 +810,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 4) AS avg_disc,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "lineitem_profile": """
+            SELECT 'l_quantity' AS col, count(l_quantity) AS n,
+                   count(*) - count(l_quantity) AS n_null,
+                   min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+                   round(sum(l_quantity) / count(l_quantity), 4) AS mean_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(l_extendedprice),
+                   count(*) - count(l_extendedprice),
+                   min(l_extendedprice), max(l_extendedprice),
+                   round(sum(l_extendedprice) / count(l_extendedprice), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(l_discount),
+                   count(*) - count(l_discount),
+                   min(l_discount), max(l_discount),
+                   round(sum(l_discount) / count(l_discount), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(l_tax), count(*) - count(l_tax),
+                   min(l_tax), max(l_tax),
+                   round(sum(l_tax) / count(l_tax), 4)
+            FROM lineitem
         """,
         "lineitem_qty_stats": """
             SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS std_qty,

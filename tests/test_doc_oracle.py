@@ -216,6 +216,10 @@ def test_round3_windowed_relational_queries_match_oracles(con_rel):
         "doc_tfidf_top50",
         "embedding_label_centroids",
         "embedding_pca_top1",
+        "events_purchase_click_window",
+        "events_moving_avg3",
+        "token_freq_top100_mg",
+        "lineitem_profile",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(con_rel.execute(sqls[name]).fetchdf())
