@@ -44,13 +44,17 @@ def tag_turns(
     tagger_args: tuple = (),
     concurrency: Any = (1, 8),
     batch_size: int = 1024,
+    num_gpus: float = 0,
 ) -> Dataset:
     """Fused tokenize+tag: the map-only hot path (no shuffle by construction).
 
     Taggers tokenize inline (see ``_tokens_of_batch``) — one stage, no
     intermediate Arrow tokens column. The default gazetteer tagger runs as
     stateless tasks (elastic, no pool ramp-up); stateful taggers (weights)
-    run as an actor pool.
+    run as an actor pool. ``num_gpus`` is the north_star GPU-actor seam:
+    pass e.g. 1 (or 0.5 for packing) on a GPU cluster and Ray schedules
+    each tagger actor on a GPU; the NumPy tagger here never asks for one
+    (this sandbox is CPU-only), so the default is 0.
     """
     if tagger is RuleTagger and not tagger_args:
         from ..stages.tagger import rule_tag_batch
@@ -58,12 +62,14 @@ def tag_turns(
         return transcripts.map_batches(
             rule_tag_batch, batch_format="pyarrow", batch_size=batch_size
         )
+    kwargs = {"num_gpus": num_gpus} if num_gpus else {}
     return transcripts.map_batches(
         tagger,
         fn_constructor_args=tagger_args,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **kwargs,
     )
 
 
@@ -186,14 +192,17 @@ def run_pipeline(
     tagger: Any = RuleTagger,
     tagger_args: tuple = (),
     concurrency: Any = (1, 8),
+    num_gpus: float = 0,
 ) -> dict[str, Dataset]:
-    """Full pipeline; returns the logical tables (lazy where possible)."""
+    """Full pipeline; returns the logical tables (lazy where possible).
+    ``num_gpus`` flows to the tagger actor pool (GPU-cluster seam)."""
     transcripts = read_transcripts(transcripts_path)
     # One tagging pass: materialize the tagged turns (tokens dropped — only
     # labels+mentions flow downstream) so mentions AND triples derive from a
     # single execution instead of re-running tokenize+tag per consumer.
     tagged = tag_turns(
-        transcripts, tagger=tagger, tagger_args=tagger_args, concurrency=concurrency
+        transcripts, tagger=tagger, tagger_args=tagger_args,
+        concurrency=concurrency, num_gpus=num_gpus,
     ).materialize()
     nodes = link_and_canonicalize_tagged(tagged)[0].materialize()
     mapping = canonical_map(nodes)

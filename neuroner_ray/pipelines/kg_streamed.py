@@ -331,6 +331,7 @@ def run_pipeline_streamed(
     concurrency: Any = (1, 8),
     batch_size: int = 2048,
     stage_dir: str | None = None,
+    num_gpus: float = 0,
 ) -> dict[str, Dataset]:
     """One corpus pass; returns {"nodes", "edges"} Datasets.
 
@@ -341,12 +342,16 @@ def run_pipeline_streamed(
     from it lazily); callers may delete it after consuming the graph.
     """
     transcripts = read_transcripts(transcripts_path)
+    # num_gpus is the GPU-actor seam (north_star): on a GPU cluster each
+    # fused-annotator actor reserves a GPU share; 0 (default) on CPU boxes
+    gpu_kwargs = {"num_gpus": num_gpus} if num_gpus else {}
     partials = transcripts.map_batches(
         FusedAnnotator,
         fn_constructor_args=(tagger, tagger_args),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **gpu_kwargs,
     )
 
     if transcripts.count() <= SMALL_INPUT_TURNS_MAX:  # metadata-only count
