@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 79 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 80 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, plus the
     round-4 additions rollup/funnel/range-join/MG-sketch/bounded-window),
@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_top100_mg": q.token_freq_top100_mg,
         "events_moving_avg3": q.events_moving_avg3,
         "lineitem_profile": q.lineitem_profile,
+        "events_props_k_by_type": q.events_props_k_by_type,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -810,6 +811,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 4) AS avg_disc,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_props_k_by_type": """
+            SELECT event_type, count(*) AS n, count(k) AS with_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   round(sum(k) / count(k), 4) AS mean_k
+            FROM (SELECT event_type,
+                         CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) = ''
+                              THEN NULL
+                              ELSE regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT
+                         END AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         "lineitem_profile": """
             SELECT 'l_quantity' AS col, count(l_quantity) AS n,

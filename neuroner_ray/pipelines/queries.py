@@ -1682,6 +1682,74 @@ def lineitem_profile(sf_dir: str) -> Dataset:
     return out.map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
+def events_props_k_by_type(sf_dir: str) -> Dataset:
+    """Semi-structured extraction over the JSON ``props`` column: the
+    integer field ``k`` comes out with ONE vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row ``json.loads``), then a
+    per-event-type profile (row count, k-bearing count, min/max and 4-dp
+    mean of k). Map-side fixed-width partials per type + tree combine —
+    the JSON text never leaves its map task. The oracle applies the
+    identical RE2 pattern via ``regexp_extract`` (RE2 on both sides, the
+    house tokenizer rule)."""
+    from ..runtime.combine import group_agg_merge
+
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "props"]
+    )
+    merge = group_agg_merge(
+        ("event_type",),
+        sums=("n", "with_k", "s"),
+        mins=("min_k",),
+        maxs=("max_k",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        # pyarrow group sums/mins skip nulls, so k flows through as-is;
+        # with_k counts the non-null matches (SQL count(k))
+        return merge(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "with_k": pc.cast(pc.is_valid(k), pa.int64()),
+                    "s": k,
+                    "min_k": k,
+                    "max_k": k,
+                }
+            )
+        )
+
+    out = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        wk = t["with_k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = round_half_away(s / wk, 4)
+        mean_k = pa.array(
+            [float(v) if np.isfinite(v) else None for v in vals],
+            pa.float64(),
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "with_k": t["with_k"],
+                "min_k": t["min_k"],
+                "max_k": t["max_k"],
+                "mean_k": mean_k,
+            }
+        )
+
+    return out.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
 def lineitem_qty_stats(sf_dir: str) -> Dataset:
     """Std/Max/Min aggregate coverage (sample stddev matches stddev_samp).
     Enumerable key (3 return flags): map-side (n, Σq, Σq², min, max)

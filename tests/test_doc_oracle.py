@@ -220,6 +220,7 @@ def test_round3_windowed_relational_queries_match_oracles(con_rel):
         "events_moving_avg3",
         "token_freq_top100_mg",
         "lineitem_profile",
+        "events_props_k_by_type",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(con_rel.execute(sqls[name]).fetchdf())
@@ -295,3 +296,47 @@ def test_mg_sketch_trim_path_exact_and_loud(tmp_path):
     )
     with pytest.raises(ValueError, match="MG"):
         Q.token_freq_top100_mg(str(uni), capacity=256)
+
+
+def test_props_extraction_null_paths(tmp_path):
+    """JSON-extraction profile on a synthetic events table covering the
+    null routes: props without k, empty JSON, null props, and one type
+    with no k at all (null min/max/mean on both the partial and merge
+    levels)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_props_k_by_type
+
+    rows = [
+        ("a", '{"k": 3}'),
+        ("a", '{"k": 5}'),
+        ("a", '{"x": 1}'),
+        ("b", "{}"),
+        ("b", None),
+        ("c", '{"k": 10, "x": 2}'),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = (
+        events_props_k_by_type(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert df.loc["a"].tolist()[:2] == [3, 2]          # n, with_k
+    assert df.loc["a", ["min_k", "max_k", "mean_k"]].tolist() == [3, 5, 4.0]
+    assert df.loc["b", "with_k"] == 0
+    assert df.loc["b", ["min_k", "max_k", "mean_k"]].isna().all()
+    assert df.loc["c", ["min_k", "max_k", "mean_k"]].tolist() == [10, 10, 10.0]
