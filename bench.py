@@ -156,6 +156,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("curated_shard_counts", curate.curated_shard_counts),
         ("embedding_kmeans", q.embedding_kmeans),
         ("events_daily_retention", q.events_daily_retention),
+        ("events_purchase_click_window", q.events_purchase_click_window),
+        ("token_freq_top100_mg", q.token_freq_top100_mg),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
