@@ -181,3 +181,25 @@ def curate_and_write(sf_dir: str, out_dir: str) -> dict[str, int]:
     for s in written["split"].to_pylist():
         counts[str(s)] = counts.get(str(s), 0) + 1
     return counts
+
+
+def export_jsonl(curated: Dataset, out_dir: str) -> int:
+    """Interchange sink: write the curated stream as JSONL (one object
+    per line, one file per block; ``split``/``shard`` stay as fields so
+    loaders filter on them) — the format downstream training loaders
+    ingest. Streaming ``write_json``: blocks flush as they arrive,
+    nothing materializes on the driver. (Ray 2.49's JSON datasink has no
+    ``partition_cols``; the resumable hive-partitioned layout remains the
+    Parquet sink's job — see ``curate_and_write``.) Returns the row count
+    read back from the written output (same integrity convention)."""
+    import ray.data as rd
+
+    curated.write_json(out_dir)
+    return rd.read_json(out_dir, file_extensions=["json", "jsonl"]).count()
+
+
+def import_jsonl(path: str) -> Dataset:
+    """Interchange source: read a JSONL export back as a Dataset."""
+    import ray.data as rd
+
+    return rd.read_json(path, file_extensions=["json", "jsonl"])

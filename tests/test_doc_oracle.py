@@ -340,3 +340,33 @@ def test_props_extraction_null_paths(tmp_path):
     assert df.loc["b", "with_k"] == 0
     assert df.loc["b", ["min_k", "max_k", "mean_k"]].isna().all()
     assert df.loc["c", ["min_k", "max_k", "mean_k"]].tolist() == [10, 10, 10.0]
+
+
+def test_jsonl_export_import_roundtrip(tmp_path):
+    """The JSONL interchange sink/source round-trips the curated stream
+    exactly (every column, every row, split/shard fields preserved)."""
+    from neuroner_ray.pipelines import curate
+    from neuroner_ray.sources.parquet import read_parquet_clean
+
+    docs = read_parquet_clean(
+        SF + "/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    curated = curate.curate(docs)
+    want = (
+        curated.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+    out = str(tmp_path / "jsonl")
+    n = curate.export_jsonl(curate.curate(docs), out)
+    got = (
+        curate.import_jsonl(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+    assert n == len(want) == len(got)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
