@@ -1625,61 +1625,14 @@ def account_balance_union(sf_dir: str) -> Dataset:
 def lineitem_profile(sf_dir: str) -> Dataset:
     """Data-profiling operator (one table pass): per-column non-null
     count, null count, min, max and 4-dp mean over the four numeric
-    lineitem measures. Partials are ONE fixed-width row per column per
-    batch (map-side combiner) through a tree combine — profiling a 100-TB
-    table moves #columns × #blocks tiny rows through the merge, never
-    data. Mean parity follows the lineitem_pricing convention (double
-    partial sums, oracle computes sum/count with the same association,
-    4-decimal round on both sides)."""
-    from ..runtime.combine import group_agg_merge
+    lineitem measures — the query form of the generic
+    ``stages.profile.profile_columns`` (see its scale notes)."""
+    from ..stages.profile import profile_columns
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = read_parquet_clean(_p(sf_dir, "lineitem"), columns=cols)
-    merge = group_agg_merge(
-        ("col",), sums=("n", "n_null", "s"), mins=("min_v",), maxs=("max_v",)
+    return profile_columns(
+        read_parquet_clean(_p(sf_dir, "lineitem"), columns=cols), cols
     )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        names, ns, nulls, sums, mins, maxs = [], [], [], [], [], []
-        for c in cols:
-            a = batch[c]
-            nn = int(pc.count(a, mode="only_null").as_py())
-            names.append(c)
-            ns.append(batch.num_rows - nn)
-            nulls.append(nn)
-            sums.append(pc.sum(a).as_py() or 0.0)
-            mins.append(pc.min(a).as_py())
-            maxs.append(pc.max(a).as_py())
-        return pa.table(
-            {
-                "col": pa.array(names, pa.string()),
-                "n": pa.array(ns, pa.int64()),
-                "n_null": pa.array(nulls, pa.int64()),
-                "s": pa.array(sums, pa.float64()),
-                "min_v": pa.array(mins, pa.float64()),
-                "max_v": pa.array(maxs, pa.float64()),
-            }
-        )
-
-    out = tree_combine(li.map_batches(partial, batch_format="pyarrow"), merge)
-
-    def finish(t: pa.Table) -> pa.Table:
-        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = t["s"].to_numpy(zero_copy_only=False)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean = np.where(n > 0, s / n, np.nan)
-        return pa.table(
-            {
-                "col": t["col"],
-                "n": t["n"],
-                "n_null": t["n_null"],
-                "min_v": t["min_v"],
-                "max_v": t["max_v"],
-                "mean_v": pa.array(round_half_away(mean, 4), pa.float64()),
-            }
-        )
-
-    return out.map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
 def events_props_k_by_type(sf_dir: str) -> Dataset:

@@ -370,3 +370,25 @@ def test_jsonl_export_import_roundtrip(tmp_path):
     )
     assert n == len(want) == len(got)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_profile_columns_null_and_empty_paths():
+    """Generic profiler: null-bearing and all-null columns produce exact
+    counts and null min/max/mean where SQL would."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neuroner_ray.stages.profile import profile_columns
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1.0, None, 3.0], pa.float64()),
+                "b": pa.array([None, None, None], pa.float64()),
+            }
+        )
+    )
+    df = profile_columns(ds, ["a", "b"]).to_pandas().set_index("col")
+    assert df.loc["a"].tolist() == [2, 1, 1.0, 3.0, 2.0]
+    assert df.loc["b", "n"] == 0 and df.loc["b", "n_null"] == 3
+    assert df.loc["b", ["min_v", "max_v", "mean_v"]].isna().all()
