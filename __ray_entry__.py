@@ -812,7 +812,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
-        "events_props_k_by_type": """
+        "events_props_k_by_type": r"""
             SELECT event_type, count(*) AS n, count(k) AS with_k,
                    min(k) AS min_k, max(k) AS max_k,
                    round(sum(k) / count(k), 4) AS mean_k

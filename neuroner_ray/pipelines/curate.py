@@ -191,9 +191,14 @@ def export_jsonl(curated: Dataset, out_dir: str) -> int:
     nothing materializes on the driver. (Ray 2.49's JSON datasink has no
     ``partition_cols``; the resumable hive-partitioned layout remains the
     Parquet sink's job — see ``curate_and_write``.) Returns the row count
-    read back from the written output (same integrity convention)."""
+    read back from the written output (same integrity convention). The
+    target directory is cleared first — ``write_json`` appends files, so
+    stale exports would silently double the read-back."""
+    import shutil
+
     import ray.data as rd
 
+    shutil.rmtree(out_dir, ignore_errors=True)
     curated.write_json(out_dir)
     return rd.read_json(out_dir, file_extensions=["json", "jsonl"]).count()
 

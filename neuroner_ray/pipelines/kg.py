@@ -57,6 +57,14 @@ def tag_turns(
     (this sandbox is CPU-only), so the default is 0.
     """
     if tagger is RuleTagger and not tagger_args:
+        if num_gpus:
+            # the gazetteer fast path schedules plain CPU tasks — silently
+            # dropping a GPU request would be a lie; the seam is for
+            # stateful (weights-bearing) taggers
+            raise ValueError(
+                "num_gpus requires a stateful tagger (actor pool); the "
+                "default gazetteer tagger runs as CPU tasks"
+            )
         from ..stages.tagger import rule_tag_batch
 
         return transcripts.map_batches(

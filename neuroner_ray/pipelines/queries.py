@@ -35,6 +35,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from ..functions.rounding import round_half_away, top_by_score_then_id
 from ..functions.tokenize import TOKEN_PATTERN
 from ..runtime.combine import group_sum_merge, tree_combine
+from ..runtime.timeutil import tbucket_of as _tbucket_of
 from ..sources.parquet import read_parquet_clean
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
@@ -1183,7 +1184,7 @@ def events_purchase_last_click(
     def add_bucket(t: pa.Table) -> pa.Table:
         micros = pc.cast(t["ts"], pa.int64())
         return t.append_column(
-            "tbucket", pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64())
+            "tbucket", _tbucket_of(micros, bucket_us)
         )
 
     _PARTIAL_EMPTY = {
@@ -1378,7 +1379,7 @@ def events_purchase_click_window(sf_dir: str, two_level: bool = False) -> Datase
     def replicate(t: pa.Table) -> pa.Table:
         micros = pc.cast(t["ts"], pa.int64())
         t = t.append_column(
-            "tbucket", pc.cast(pc.floor(pc.divide(micros, win_us)), pa.int64())
+            "tbucket", _tbucket_of(micros, win_us)
         )
         buys = t.filter(pc.equal(t["event_type"], "purchase"))
         i = t.schema.get_field_index("tbucket")
@@ -2439,7 +2440,7 @@ def events_moving_avg3(
         micros = pc.cast(t["ts"], pa.int64())
         return t.append_column(
             "tbucket",
-            pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64()),
+            _tbucket_of(micros, bucket_us),
         )
 
     def bpartial(g: pd.DataFrame) -> pd.DataFrame:
@@ -2449,7 +2450,6 @@ def events_moving_avg3(
         (carry providers; a row can be both, emitted once per role)."""
         g = g.sort_values(["ts", "event_id"])
         n = len(g)
-        uid = g["user_id"].iloc[0]
         tb = g["tbucket"].iloc[0]
         v = g["value"].to_numpy()
         frames = []
@@ -2596,7 +2596,7 @@ def events_cum_value(
         micros = pc.cast(t["ts"], pa.int64())
         return t.append_column(
             "tbucket",
-            pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64()),
+            _tbucket_of(micros, bucket_us),
         )
 
     # bucket totals → per-user prefix offsets (per-user rows = #buckets).

@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..runtime.timeutil import tbucket_of as _tbucket_of
+
 from ray.data import Dataset
 
 
@@ -71,7 +73,7 @@ def sessionize(
     def add_bucket(t: pa.Table) -> pa.Table:
         micros = pc.cast(t[ts_col], pa.int64())
         return t.append_column(
-            "tbucket", pc.cast(pc.floor(pc.divide(micros, bucket_us)), pa.int64())
+            "tbucket", _tbucket_of(micros, bucket_us)
         )
 
     def partial_runs(g: pd.DataFrame) -> pd.DataFrame:

@@ -370,6 +370,9 @@ def test_jsonl_export_import_roundtrip(tmp_path):
     )
     assert n == len(want) == len(got)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # re-export into the same dir: stale files are cleared, not appended
+    n2 = curate.export_jsonl(curate.curate(docs), out)
+    assert n2 == n
 
 
 def test_profile_columns_null_and_empty_paths():

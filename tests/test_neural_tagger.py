@@ -67,3 +67,10 @@ def test_gpu_seam_builds_lazy_plan(fixture_dir):
     )
     out = kg.tag_turns(tr, tagger=NeuralTagger, tagger_args=(CKPT,), num_gpus=1)
     assert isinstance(out, Dataset)  # plan built; never executed
+    op = out._logical_plan.dag
+    assert op._ray_remote_args.get("num_gpus") == 1, op._ray_remote_args
+    # the gazetteer fast path must refuse rather than silently drop the GPU
+    import pytest
+
+    with pytest.raises(ValueError, match="num_gpus"):
+        kg.tag_turns(tr, num_gpus=1)
