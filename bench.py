@@ -157,6 +157,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("embedding_kmeans", q.embedding_kmeans),
         ("events_daily_retention", q.events_daily_retention),
         ("events_purchase_click_window", q.events_purchase_click_window),
+        # NB: the MG sketch RAISES on corpora where exactness is unprovable
+        # (its contract) — on this synthetic Zipfian corpus it always holds
         ("token_freq_top100_mg", q.token_freq_top100_mg),
     ]:
         t0 = time.perf_counter()
