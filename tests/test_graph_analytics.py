@@ -487,3 +487,46 @@ def test_neighbor_jaccard_sharded_fallback_agrees():
     )
     out = neighbor_jaccard_topk(empty, force_sharded=True, num_buckets=4)
     assert out.count() == 0
+
+
+def test_sharded_regimes_agree_on_random_graph():
+    """Wedge-count neighbor-Jaccard vs its broadcast path on a seeded
+    random multigraph with a planted hub — catches tie-break (equal-jac
+    top-k cuts) and hub-handling divergences the tiny fixtures cannot.
+    (The other analytics have their own regime-equivalence tests above;
+    each sharded execution costs ~1 min of fixed DAG overhead, so this
+    test covers only the one operator whose sharded path is new.)"""
+    import numpy as np
+
+    from neuroner_ray.stages.graph import neighbor_jaccard_topk
+
+    rng = np.random.RandomState(17)
+    nodes = [f"n{i:03d}" for i in range(70)]
+    rows = []
+    for _ in range(160):
+        s_, d_ = rng.choice(70, 2)
+        rows.append(
+            {
+                "src_id": nodes[s_],
+                "dst_id": nodes[d_],
+                "pred": rng.choice(["p", "q"]),
+                "weight": int(rng.randint(1, 4)),
+            }
+        )
+    hub = nodes[0]  # planted hub: one high-degree center
+    for i in range(1, 25):
+        rows.append(
+            {"src_id": hub, "dst_id": nodes[i], "pred": "p", "weight": 1}
+        )
+
+    def mk():
+        return rd.from_items(rows)
+
+    fast = neighbor_jaccard_topk(mk(), k=25).to_pandas().reset_index(drop=True)
+    shard = (
+        neighbor_jaccard_topk(mk(), k=25, force_sharded=True, num_buckets=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert len(fast) == 25
+    assert fast.equals(shard), (fast.head(8), shard.head(8))
