@@ -233,9 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     then the r2-verified-only
     group, then the long-green r3 relational/text tail. Every entry past
     position 50 has a green row in CORRECTNESS_r03 AND in the committed
-    full-registry replica log (docs/CHECK_ORACLES_r4.txt — 75/75 green at
-    sf0.01 before the range-join landed; its green replica row is in the
-    final round-4 sweep).
+    full-registry replica logs (docs/CHECK_ORACLES_r4.txt, 75/75 mid-round;
+    docs/CHECK_ORACLES_r4_final.txt, 80/80 at round-4 close).
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
