@@ -33,6 +33,7 @@ from .tagger import _append_labels_mentions
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_CHECKPOINT = os.path.join(_REPO_ROOT, "tests", "fixtures", "checkpoint")
 _CACHE_MAX = 200_000  # unique tokens cached per actor
+_SEQ_CACHE_MAX = 100_000  # unique token SEQUENCES (whole turns) per actor
 
 
 def resolve_checkpoint(path: str) -> str:
@@ -62,6 +63,7 @@ class NeuralTagger:
         self.bucket_size = bucket_size
         self.char_dim2 = 2 * self.params["char_Wh_f"].shape[0]
         self._char_cache: dict[str, np.ndarray] = {}
+        self._seq_cache: dict[tuple, list[str]] = {}
 
     # -- char features with per-unique-token memoization -------------------
     def _char_feats(self, tokens: list[str]) -> np.ndarray:
@@ -131,10 +133,32 @@ class NeuralTagger:
                 out[i] = bioes_to_bio(labs) if self.emit_bio else labs
         return out
 
+    def _tag_sequences_cached(self, seqs: list[list[str]]) -> list[list[str]]:
+        """Per-actor memo over whole token sequences: transcripts repeat
+        turn text heavily (~54% duplicate turns in the synthetic corpus;
+        greetings/acks dominate real ones too), and the tagger is
+        deterministic per sequence, so identical turns need one forward
+        pass per actor, not one per occurrence. Same clear-at-cap policy
+        as the char cache (bounded actor heap)."""
+        if len(self._seq_cache) > _SEQ_CACHE_MAX:
+            self._seq_cache.clear()
+        keys = [tuple(s) for s in seqs]
+        missing: list[tuple] = []
+        seen: set[tuple] = set()
+        for k in keys:
+            if k not in self._seq_cache and k not in seen:
+                seen.add(k)
+                missing.append(k)
+        if missing:
+            tagged = self._tag_sequences([list(k) for k in missing])
+            for k, labs in zip(missing, tagged):
+                self._seq_cache[k] = labs
+        return [self._seq_cache[k] for k in keys]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .tagger import _tokens_of_batch
 
         toks_per_row = _tokens_of_batch(batch)
         seqs = [[t for t, _, _ in toks] for toks in toks_per_row]
-        labels_per_row = self._tag_sequences(seqs)
+        labels_per_row = self._tag_sequences_cached(seqs)
         return _append_labels_mentions(batch, labels_per_row, toks_per_row)
