@@ -180,3 +180,20 @@ def test_streamed_distributed_handles_degenerate_corpora(tmp_path, monkeypatch):
         streamed = run_pipeline_streamed(str(d))
         assert streamed["nodes"].count() == expected_nodes[name], name
         assert streamed["edges"].count() == 0, name
+
+
+def test_streamed_equals_classic_neural(tpath):
+    """Streamed == classic under the NEURAL tagger too — guards the
+    per-actor sequence memo (tag results must not depend on batch
+    composition or arrival order)."""
+    from neuroner_ray.stages.neural_tagger import NeuralTagger
+
+    ckpt = os.path.join(os.path.dirname(__file__), "fixtures", "checkpoint")
+    classic = kg.run_pipeline(tpath, tagger=NeuralTagger, tagger_args=(ckpt,))
+    streamed = run_pipeline_streamed(
+        tpath, tagger=NeuralTagger, tagger_args=(ckpt,), batch_size=64
+    )
+    assert _nodes_norm(classic["nodes"]).equals(_nodes_norm(streamed["nodes"]))
+    a = _edges_norm(classic["edges"])
+    b = _edges_norm(streamed["edges"])
+    assert a.equals(b), (a.head(), b.head())
