@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg3": q.events_moving_avg3,
         "lineitem_profile": q.lineitem_profile,
         "events_props_k_by_type": q.events_props_k_by_type,
+        "lineitem_corr": q.lineitem_corr,
+        "profit_by_nation_year": q.profit_by_nation_year,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -846,6 +848,36 @@ def oracle_sql() -> dict[str, str]:
                    min(l_tax), max(l_tax),
                    round(sum(l_tax) / count(l_tax), 4)
             FROM lineitem
+        """,
+        "lineitem_corr": """
+            WITH s AS (
+                SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                       sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+                       sum(l_quantity * l_quantity) AS sxx,
+                       sum(l_extendedprice * l_extendedprice) AS syy,
+                       sum(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n_rows,
+                   round((sxy - sx * sy / n_rows) / n_rows, 4)
+                       AS cov_qty_price,
+                   round((n_rows * sxy - sx * sy)
+                         / (sqrt(n_rows * sxx - sx * sx)
+                            * sqrt(n_rows * syy - sy * sy)), 4)
+                       AS corr_qty_price
+            FROM s
+        """,
+        "profit_by_nation_year": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS sum_profit
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%gear%'
+            GROUP BY 1, 2
         """,
         "lineitem_qty_stats": """
             SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS std_qty,

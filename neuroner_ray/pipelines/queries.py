@@ -3214,3 +3214,165 @@ def embedding_pca_top1(sf_dir: str, iters: int = 3) -> Dataset:
             }
         )
     )
+
+
+# ----------------------------------------------- moment-sketch correlation
+def lineitem_corr(sf_dir: str) -> Dataset:
+    """Pearson correlation + covariance of (l_quantity, l_extendedprice)
+    per return flag — bivariate-moment aggregate coverage. The map side
+    emits the six raw moments (n, Σx, Σy, Σx², Σy², Σxy) per group and
+    ``tree_combine`` merges them (enumerable key domain: 3 flags), so the
+    whole statistic is one streaming pass moving #groups × #blocks
+    fixed-width rows. The oracle computes the SAME closed form from SQL
+    ``sum()`` aggregates — identical arithmetic, only summation order
+    differs (same documented fragility class as the kmeans/PCA oracles;
+    the final statistics are O(1)-magnitude, so 4-decimal rounding has
+    ~1e-10 headroom)."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    merge = group_sum_merge(
+        ("l_returnflag",), ("n_rows", "sx", "sy", "sxx", "syy", "sxy")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        y = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return merge(
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "n_rows": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                    "sx": pa.array(x, pa.float64()),
+                    "sy": pa.array(y, pa.float64()),
+                    "sxx": pa.array(x * x, pa.float64()),
+                    "syy": pa.array(y * y, pa.float64()),
+                    "sxy": pa.array(x * y, pa.float64()),
+                }
+            )
+        )
+
+    out = tree_combine(li.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        cov = (sxy - sx * sy / n) / n
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_rows": t["n_rows"],
+                "cov_qty_price": pa.array(round_half_away(cov, 4), pa.float64()),
+                "corr_qty_price": pa.array(round_half_away(corr, 4), pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ star join (Q9 shape)
+def profit_by_nation_year(sf_dir: str, name_word: str = "gear") -> Dataset:
+    """TPC-H Q9-shaped star join: profit by supplier nation × order year
+    for parts whose name contains ``name_word`` (multi-table join-plan
+    coverage). Scale discipline: the DIMENSION sides never shuffle — the
+    part filter broadcasts a sorted partkey array (searchsorted semi-join
+    inside ``map_batches``, pruning the fact stream before any exchange)
+    and supplier⋈nation broadcasts a suppkey→nation lookup; the single
+    all-to-all is the fact⋈fact lineitem⋈orders hash join on the wide
+    l_orderkey domain (key spread ≫ partition count, so no zero-row join
+    partitions — NOTES.md Ray 2.49 caveat). Profit partials group-sum
+    map-side on the enumerable (nation, year) domain and tree-combine."""
+    part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    keep = pc.filter(
+        part["p_partkey"], pc.match_substring(part["p_name"], name_word)
+    )
+    part_keys = np.sort(keep.to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(part_keys)
+
+    supp = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = dict(
+        zip(
+            *[
+                c.to_pylist()
+                for c in pq.read_table(
+                    _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+                ).columns
+            ]
+        )
+    )
+    supp_keys = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    order_ = np.argsort(supp_keys)
+    supp_keys = supp_keys[order_]
+    supp_nations = np.array(
+        [nation[int(k)] for k in supp["s_nationkey"].to_numpy()], dtype=object
+    )[order_]
+    supp_ref = ray.put((supp_keys, supp_nations))
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def semi_filter(batch: pa.Table, ref=keys_ref) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return batch.slice(0, 0)
+        idx = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[idx] == pk)).drop_columns(
+            ["l_partkey"]
+        )
+
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+    from ..runtime.partitions import join_partitions
+
+    joined = li.map_batches(semi_filter, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(8),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    merge = group_sum_merge(("nation", "o_year"), ("sum_profit",))
+
+    def partial(batch: pa.Table, ref=supp_ref) -> pa.Table:
+        skeys, snations = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(skeys, sk), 0, len(skeys) - 1)
+        profit = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        return merge(
+            pa.table(
+                {
+                    "nation": pa.array(snations[idx], pa.string()),
+                    "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+                    "sum_profit": profit,
+                }
+            )
+        )
+
+    out = tree_combine(joined.map_batches(partial, batch_format="pyarrow"), merge)
+    return out.map_batches(
+        lambda t: _round_cols(t, ("sum_profit",)), batch_format="pyarrow"
+    )
