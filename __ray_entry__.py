@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k_by_type": q.events_props_k_by_type,
         "lineitem_corr": q.lineitem_corr,
         "profit_by_nation_year": q.profit_by_nation_year,
+        "events_pivot_type_counts": q.events_pivot_type_counts,
+        "events_type_cooccurrence": q.events_type_cooccurrence,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -883,6 +885,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS std_qty,
                    max(l_quantity) AS max_qty, min(l_quantity) AS min_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_pivot_type_counts": """
+            PIVOT (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                          event_type
+                   FROM events)
+            ON event_type USING count(*) GROUP BY day
+        """,
+        "events_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "orders_by_nation": """
             SELECT n.n_name AS nation, count(*) AS n_orders

@@ -3376,3 +3376,111 @@ def profit_by_nation_year(sf_dir: str, name_word: str = "gear") -> Dataset:
     return out.map_batches(
         lambda t: _round_cols(t, ("sum_profit",)), batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------- dynamic pivot
+def events_pivot_type_counts(sf_dir: str) -> Dataset:
+    """Dynamic PIVOT: one count column per observed event type, one row
+    per day — the long-to-wide reshape every reporting pipeline needs.
+    The column set is discovered FROM THE DATA (no hardcoded type list),
+    yet the plan stays single-pass: the map side emits long-form
+    (day, event_type, n) partials, ``tree_combine`` merges them (days ×
+    types is enumerable), and only the final vocabulary-sized table is
+    reshaped wide — a dynamic pivot at 100 TB is exactly this long-form
+    aggregate; the reshape cost is #days × #types regardless of corpus
+    size. Day keys travel as int64 epoch-µs (NOTES.md temporal-key rule).
+    Oracle: DuckDB's native dynamic ``PIVOT ... ON event_type USING
+    count(*)``, which derives the same column set."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+    merge = group_sum_merge(("day", "event_type"), ("n",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch["ts"], pa.int64())
+        return merge(
+            pa.table(
+                {
+                    "day": pc.multiply(
+                        _tbucket_of(micros, day_us), pa.scalar(day_us, pa.int64())
+                    ),
+                    "event_type": batch["event_type"],
+                    "n": pa.array(
+                        np.ones(batch.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    long = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def widen(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()  # final partials: #days × #types rows — tiny
+        wide = df.pivot_table(
+            index="day", columns="event_type", values="n",
+            fill_value=0, aggfunc="sum",
+        ).astype(np.int64)
+        wide = wide.reset_index()
+        wide.columns.name = None
+        out = pa.Table.from_pandas(wide, preserve_index=False)
+        out = out.replace_schema_metadata(None)
+        day_idx = out.schema.get_field_index("day")
+        return out.set_column(
+            day_idx, "day", out["day"].cast(pa.timestamp("us"))
+        )
+
+    return long.map_batches(widen, batch_size=None, batch_format="pyarrow")
+
+
+# ------------------------------------------- set-intersection co-occurrence
+def events_type_cooccurrence(sf_dir: str) -> Dataset:
+    """Distinct-user set intersections between event types: for every
+    unordered type pair, how many users performed BOTH (audience-overlap
+    census — a set-op the reference's batch world has no analogue for).
+    Shape: per-batch dedup of (user_id, event_type) → ONE int-key bucket
+    shuffle on user_id (each user's rows co-locate; hot users cost 
+    #types rows, so there is no skew concentration by construction) →
+    per-bucket vectorized membership matrix M (users × types) whose
+    Mᵀ·M upper triangle is the bucket's pair counts → fixed-width
+    (type_a, type_b, n) partials tree-combined. The shuffle moves at most
+    #users × #types slim rows; driver state is #type² counts."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    n_buckets = 64
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["user_id", "event_type"]).aggregate([])
+        return t.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(t["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    merge = group_sum_merge(("type_a", "type_b"), ("n_users",))
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        m = pd.crosstab(df["user_id"], df["event_type"]).clip(upper=1)
+        co = m.T.to_numpy() @ m.to_numpy()  # types × types co-occurrence
+        types = list(m.columns)
+        rows = [
+            (types[i], types[j], int(co[i, j]))
+            for i in range(len(types))
+            for j in range(i + 1, len(types))
+            if co[i, j] > 0
+        ]
+        return pa.table(  # explicit types: an empty pair set stays typed
+            {
+                "type_a": pa.array([r[0] for r in rows], pa.string()),
+                "type_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_users": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    partials = (
+        ev.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return tree_combine(partials, merge)
