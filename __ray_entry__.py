@@ -226,15 +226,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 80 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 86 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
-    graph-analytics suite, incremental ingest, TF-IDF, audio, plus the
-    round-4 additions rollup/funnel/range-join/MG-sketch/bounded-window),
-    then the r2-verified-only
+    graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
+    additions rollup/funnel/range-join/MG-sketch/bounded-window, and the
+    round-4 continuation additions corr/star-join/pivot/co-occurrence/
+    unigram-LM/fuzzy-join), then the r2-verified-only
     group, then the long-green r3 relational/text tail. Every entry past
     position 50 has a green row in CORRECTNESS_r03 AND in the committed
     full-registry replica logs (docs/CHECK_ORACLES_r4.txt, 75/75 mid-round;
-    docs/CHECK_ORACLES_r4_final.txt, 80/80 at round-4 close).
+    docs/CHECK_ORACLES_r4_final.txt, 80/80 at round-4 close; the six
+    continuation queries are gated in tests/test_doc_oracle.py and the
+    next full sweep).
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
@@ -261,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation_year": q.profit_by_nation_year,
         "events_pivot_type_counts": q.events_pivot_type_counts,
         "events_type_cooccurrence": q.events_type_cooccurrence,
+        "doc_unigram_logprob": q.doc_unigram_logprob,
+        "part_fuzzy_pairs": q.part_fuzzy_pairs,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -899,6 +904,25 @@ def oracle_sql() -> dict[str, str]:
             FROM ut a JOIN ut b
               ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY 1, 2
+        """,
+        "doc_unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '{_TOK}')) AS token
+                FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS t FROM toks)
+            SELECT toks.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(sum(ln(cnt.c) - ln(tot.t)), 4) AS logprob
+            FROM toks, cnt, tot
+            WHERE toks.token = cnt.token
+            GROUP BY toks.doc_id
+        """,
+        "part_fuzzy_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         "orders_by_nation": """
             SELECT n.n_name AS nation, count(*) AS n_orders

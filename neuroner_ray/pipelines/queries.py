@@ -3484,3 +3484,165 @@ def events_type_cooccurrence(sf_dir: str) -> Dataset:
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return tree_combine(partials, merge)
+
+
+# ------------------------------------------------- unigram-LM doc scoring
+def doc_unigram_logprob(sf_dir: str) -> Dataset:
+    """Corpus-LM document scoring (the perplexity-filter curation signal):
+    fit a unigram language model over the whole corpus, then score every
+    document by its total log-probability — the standard 'how typical is
+    this text' quality feature. Two streaming passes: (1) token census
+    (map-side partial counts, tree-combined over the vocabulary-sized key
+    domain) collected and broadcast as a token→ln p(token) dict; (2) a
+    pure map pass scoring each doc as Σ ln p(tokenᵢ). The shuffle moves
+    vocabulary-sized partials only; scoring is embarrassingly parallel.
+    Oracle mirrors Σ(ln(count) − ln(total)) term-for-term; only double
+    summation order differs (documented kmeans/PCA fragility class —
+    per-doc sums are a few hundred terms, error ~1e-12 against a 5e-5
+    rounding boundary)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    merge = group_sum_merge(("token",), ("c",))
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            if text:
+                c.update(_TOKEN_RE.findall(text))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    census = tree_combine(
+        docs.map_batches(census_partial, batch_format="pyarrow"), merge
+    ).to_pandas()  # vocabulary-sized by construction (tree_combine bound)
+    total = float(census["c"].sum())
+    logp = {
+        t: float(np.log(c) - np.log(total))
+        for t, c in zip(census["token"], census["c"])
+    }
+    logp_ref = ray.put(logp)
+
+    def score(batch: pa.Table, ref=logp_ref) -> pa.Table:
+        lp = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids, n_toks, scores = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(text) if text else []
+            if not toks:  # mirror the oracle's GROUP BY over present tokens
+                continue
+            ids.append(doc_id)
+            n_toks.append(len(toks))
+            scores.append(
+                float(np.fromiter((lp[t] for t in toks), np.float64).sum())
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "logprob": pa.array(
+                    round_half_away(np.array(scores, np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------- fuzzy string-similarity join
+FUZZY_MAX_NAMES = 10_000
+
+
+def _lev_leq(a: str, b: str, k: int = 2) -> int | None:
+    """Banded Levenshtein: the distance if ≤ k, else None. Only the
+    diagonal band |i−j| ≤ k is computed (O(k·|a|)); rows whose in-band
+    minimum exceeds k exit early."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    big = k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        if i <= k:
+            cur[0] = i
+        lo, hi = max(1, i - k), min(lb, i + k)
+        best = cur[0]  # the j=0 column is in the band while i <= k
+        ai = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ai == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > k:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= k else None
+
+
+def part_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> Dataset:
+    """Fuzzy string-similarity self-join: all pairs of DISTINCT part names
+    within edit distance ``max_dist`` (the entity-resolution primitive for
+    dirty dimension data). Shape: a distributed distinct-name census
+    (map-side dedup, tree-combined — the pair domain is DISTINCT names,
+    vocabulary-sized by definition) is collected sorted and broadcast;
+    the quadratic pair sweep is then sharded over Ray tasks by row range,
+    each pruning candidates by the |len(a)−len(b)| ≤ k band before a
+    banded-DP Levenshtein. Provably-exact-or-raise contract (like the
+    Misra-Gries sketch): past ``FUZZY_MAX_NAMES`` distinct names the
+    exact sweep would be quadratic in a non-vocabulary-sized domain, so
+    it raises loudly — the documented scale path is LSH/n-gram candidate
+    blocking (stages/dedup.py machinery), which trades the exactness the
+    oracle checks for bounded candidates."""
+    part = read_parquet_clean(_p(sf_dir, "part"), columns=["p_name"])
+    merge = group_sum_merge(("p_name",), ())
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["p_name"]).aggregate([])
+
+    census = tree_combine(
+        part.map_batches(distinct_partial, batch_format="pyarrow"), merge
+    ).to_pandas()
+    names = sorted(census["p_name"].tolist())
+    if len(names) > FUZZY_MAX_NAMES:
+        raise ValueError(
+            f"part_fuzzy_pairs: {len(names)} distinct names exceeds "
+            f"FUZZY_MAX_NAMES={FUZZY_MAX_NAMES}; the exact all-pairs sweep "
+            "is quadratic — use n-gram/LSH candidate blocking "
+            "(stages.dedup) for open-vocabulary domains"
+        )
+    names_arr = np.array(names, dtype=object)
+    lens = np.array([len(n) for n in names], dtype=np.int64)
+    names_ref = ray.put((names_arr, lens))
+
+    import ray.data as rd
+
+    idx = rd.range(len(names), override_num_blocks=max(1, len(names) // 512))
+
+    def sweep(batch: dict, ref=names_ref, k=max_dist) -> pa.Table:
+        nm, ln = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        a_out, b_out, d_out = [], [], []
+        for i in batch["id"]:
+            i = int(i)
+            cand = np.nonzero(np.abs(ln[i + 1 :] - ln[i]) <= k)[0] + i + 1
+            ai = nm[i]
+            for j in cand:
+                d = _lev_leq(ai, nm[j], k)
+                if d is not None:
+                    a_out.append(ai)
+                    b_out.append(nm[j])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "name_a": pa.array(a_out, pa.string()),
+                "name_b": pa.array(b_out, pa.string()),
+                "dist": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    return idx.map_batches(sweep, batch_size=512, batch_format="numpy")

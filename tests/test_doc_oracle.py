@@ -395,3 +395,77 @@ def test_profile_columns_null_and_empty_paths():
     assert df.loc["a"].tolist() == [2, 1, 1.0, 3.0, 2.0]
     assert df.loc["b", "n"] == 0 and df.loc["b", "n_null"] == 3
     assert df.loc["b", ["min_v", "max_v", "mean_v"]].isna().all()
+
+
+def test_round4_operator_queries_match_oracles():
+    """Round-4 continuation additions (moment correlation, star join,
+    dynamic pivot, type co-occurrence, unigram-LM scoring, fuzzy string
+    join) against their registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in (
+        "events",
+        "lineitem",
+        "documents",
+        "orders",
+        "part",
+        "supplier",
+        "nation",
+    ):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "lineitem_corr",
+        "profit_by_nation_year",
+        "events_pivot_type_counts",
+        "events_type_cooccurrence",
+        "doc_unigram_logprob",
+        "part_fuzzy_pairs",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_banded_levenshtein_matches_brute_force():
+    """_lev_leq's banded DP agrees with the unbanded reference on random
+    short strings, both on the distance value and the None (> k) cutoff."""
+    import itertools
+    import random
+
+    def full_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    alphabet = "abcd"
+    pool = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        for _ in range(60)
+    ]
+    for k in (1, 2, 3):
+        for a, b in itertools.combinations(pool, 2):
+            want = full_lev(a, b)
+            got = q._lev_leq(a, b, k)
+            if want <= k:
+                assert got == want, (a, b, k)
+            else:
+                assert got is None, (a, b, k)
