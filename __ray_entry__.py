@@ -226,12 +226,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 86 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 88 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, and the
     round-4 continuation additions corr/star-join/pivot/co-occurrence/
-    unigram-LM/fuzzy-join), then the r2-verified-only
+    unigram-LM/fuzzy-join/transitions/posting-lists), then the
+    r2-verified-only
     group, then the long-green r3 relational/text tail. Every entry past
     position 50 has a green row in CORRECTNESS_r03 AND in the committed
     full-registry replica logs (docs/CHECK_ORACLES_r4.txt, 75/75 mid-round;
@@ -266,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence": q.events_type_cooccurrence,
         "doc_unigram_logprob": q.doc_unigram_logprob,
         "part_fuzzy_pairs": q.part_fuzzy_pairs,
+        "events_type_transitions": q.events_type_transitions,
+        "corpus_posting_lists": q.corpus_posting_lists,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -923,6 +926,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
             FROM names a JOIN names b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "events_type_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events)
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "corpus_posting_lists": f"""
+            WITH td AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(text, '{_TOK}')) AS token
+                    FROM documents)),
+            agg AS (
+                SELECT token, count(*)::BIGINT AS df,
+                       array_to_string(list_sort(list(doc_id))[1:10], ',')
+                           AS postings
+                FROM td GROUP BY token)
+            SELECT token, df, postings FROM agg
+            ORDER BY df DESC, token ASC LIMIT 50
         """,
         "orders_by_nation": """
             SELECT n.n_name AS nation, count(*) AS n_orders

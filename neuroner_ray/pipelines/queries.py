@@ -3646,3 +3646,128 @@ def part_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> Dataset:
         )
 
     return idx.map_batches(sweep, batch_size=512, batch_format="numpy")
+
+
+# ---------------------------------------------- sequence transition census
+def events_type_transitions(sf_dir: str) -> Dataset:
+    """Markov transition census: counts of consecutive (prev_type →
+    next_type) pairs within each user's event stream ordered by
+    (ts, event_id) — the LAG()-window sequence-pattern class (funnels are
+    its ordered cousin; this is the unordered census). ONE int-key bucket
+    shuffle co-locates each user's fixed-width rows; the per-bucket sweep
+    is fully vectorized (sort + shift, no per-user loop) and emits
+    #type² partials that tree-combine. Hot users cost their own event
+    count in one bucket (same bound as events_funnel; its two-level
+    bucket-carry variant is the template if a >10⁶-event user became
+    real)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(batch["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    merge = group_sum_merge(("prev_type", "next_type"), ("n",))
+
+    def bucket_transitions(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        types = df["event_type"].to_numpy()
+        prev_t = types[:-1][same_user]
+        next_t = types[1:][same_user]
+        t = pa.table(
+            {
+                "prev_type": pa.array(prev_t, pa.string()),
+                "next_type": pa.array(next_t, pa.string()),
+                "n": pa.array(np.ones(len(prev_t), np.int64), pa.int64()),
+            }
+        )
+        return merge(t)
+
+    partials = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_transitions, batch_format="pandas")
+    )
+    return tree_combine(partials, merge)
+
+
+# ------------------------------------------------ inverted-index construction
+def corpus_posting_lists(sf_dir: str, top_k: int = 50, post_k: int = 10) -> Dataset:
+    """Retrieval-index construction: for the ``top_k`` tokens by document
+    frequency, the document frequency and the first ``post_k`` posting doc
+    ids (ascending). Document == row, so per-batch df partials are EXACT
+    (each doc lands in exactly one batch — the tfidf precedent) and the
+    capped posting list is an associative smallest-k merge: the whole
+    index build is map-side partials + one vocabulary-sized tree combine,
+    no token-key sort shuffle. Postings travel as a comma-joined string
+    (NOTES.md: list payloads serialize through shuffles)."""
+    from ..runtime.combine import topk_merge
+
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df_ = t.to_pandas()
+        rows = []
+        for token, g in df_.groupby("token", sort=True):
+            ids = np.unique(
+                np.concatenate(
+                    [
+                        np.fromstring(s, dtype=np.int64, sep=",")
+                        for s in g["postings"]
+                    ]
+                )
+            )[:post_k]
+            rows.append(
+                (token, int(g["df"].sum()), ",".join(str(i) for i in ids))
+            )
+        return pa.table(
+            {
+                "token": pa.array([r[0] for r in rows], pa.string()),
+                "df": pa.array([r[1] for r in rows], pa.int64()),
+                "postings": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tok_df: dict[str, int] = {}
+        tok_post: dict[str, list[int]] = {}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if not text:
+                continue
+            for tok in set(_TOKEN_RE.findall(text)):
+                tok_df[tok] = tok_df.get(tok, 0) + 1
+                post = tok_post.setdefault(tok, [])
+                if len(post) < post_k or doc_id < post[-1]:
+                    post.append(doc_id)
+                    post.sort()
+                    del post[post_k:]
+        return pa.table(
+            {
+                "token": pa.array(list(tok_df.keys()), pa.string()),
+                "df": pa.array(list(tok_df.values()), pa.int64()),
+                "postings": pa.array(
+                    [
+                        ",".join(str(i) for i in tok_post[t])
+                        for t in tok_df
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    combined = tree_combine(docs.map_batches(partial, batch_format="pyarrow"), merge)
+    cut = topk_merge(top_k, "df", ("token",))
+    return tree_combine(combined, cut)

@@ -428,6 +428,8 @@ def test_round4_operator_queries_match_oracles():
         "events_type_cooccurrence",
         "doc_unigram_logprob",
         "part_fuzzy_pairs",
+        "events_type_transitions",
+        "corpus_posting_lists",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
