@@ -160,6 +160,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # NB: the MG sketch RAISES on corpora where exactness is unprovable
         # (its contract) — on this synthetic Zipfian corpus it always holds
         ("token_freq_top100_mg", q.token_freq_top100_mg),
+        ("profit_by_nation_year", q.profit_by_nation_year),
+        ("events_type_transitions", q.events_type_transitions),
+        ("doc_unigram_logprob", q.doc_unigram_logprob),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
