@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 88 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 89 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, and the
@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_pairs": q.part_fuzzy_pairs,
         "events_type_transitions": q.events_type_transitions,
         "corpus_posting_lists": q.corpus_posting_lists,
+        "events_user_freq_cms": q.events_user_freq_cms,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -937,6 +938,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_type, event_type AS next_type, count(*) AS n
             FROM s WHERE prev_type IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_user_freq_cms": """
+            WITH rows_ AS (SELECT unnest(range(4)) AS r),
+            regs AS (
+                SELECT rows_.r,
+                       md5_number_upper(rows_.r::VARCHAR || '|'
+                                        || e.user_id::VARCHAR) % 1024 AS col,
+                       count(*)::BIGINT AS cnt
+                FROM events e CROSS JOIN rows_
+                GROUP BY 1, 2),
+            probes AS (SELECT unnest(range(10)) AS u),
+            est AS (
+                SELECT p.u AS user_id,
+                       min(coalesce(rg.cnt, 0))::BIGINT AS est_count
+                FROM probes p CROSS JOIN rows_ rr
+                LEFT JOIN regs rg
+                  ON rg.r = rr.r
+                 AND rg.col = md5_number_upper(rr.r::VARCHAR || '|'
+                                               || p.u::VARCHAR) % 1024
+                GROUP BY 1),
+            exact AS (
+                SELECT user_id, count(*)::BIGINT AS exact_count
+                FROM events GROUP BY 1)
+            SELECT e.user_id, e.est_count,
+                   coalesce(x.exact_count, 0)::BIGINT AS exact_count
+            FROM est e LEFT JOIN exact x ON e.user_id = x.user_id
         """,
         "corpus_posting_lists": f"""
             WITH td AS (

@@ -3771,3 +3771,89 @@ def corpus_posting_lists(sf_dir: str, top_k: int = 50, post_k: int = 10) -> Data
     combined = tree_combine(docs.map_batches(partial, batch_format="pyarrow"), merge)
     cut = topk_merge(top_k, "df", ("token",))
     return tree_combine(combined, cut)
+
+
+# ------------------------------------------------------- Count-Min sketch
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_col(r: int, key: str) -> int:
+    """Row-r Count-Min column for key (md5_number_upper parity: first 8
+    md5 bytes little-endian, mod width — the doc_split_assign hash)."""
+    return (
+        int.from_bytes(
+            hashlib.md5(f"{r}|{key}".encode("utf-8")).digest()[:8], "little"
+        )
+        % CMS_WIDTH
+    )
+
+
+def events_user_freq_cms(sf_dir: str, n_probes: int = 10) -> Dataset:
+    """Count-Min sketch frequency estimation (mergeable-sketch class,
+    alongside the HLL distinct-count and Misra-Gries heavy-hitter
+    sketches): per-batch (row, col) register partials — at most
+    depth × width fixed-width rows per block through the shuffle
+    regardless of corpus size — tree-combined by element-wise sum (CMS
+    merge is associative), then ``est(u) = min_r reg[r, h_r(u)]`` for the
+    probe users, reported next to the exact count (over-estimation bound
+    visible in the output). The md5-derived hashes are replayed
+    bit-for-bit by the DuckDB oracle (HLL precedent)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+    merge = group_sum_merge(("kind", "r", "col"), ("cnt",))
+    probes = list(range(n_probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users, counts = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        kinds, rs, cols, cnts = [], [], [], []
+        for u, c in zip(users, counts):
+            for r in range(CMS_DEPTH):
+                kinds.append(0)
+                rs.append(r)
+                cols.append(_cms_col(r, str(int(u))))
+                cnts.append(int(c))
+            if 0 <= u < n_probes:  # exact side for the probe users
+                kinds.append(1)
+                rs.append(0)
+                cols.append(int(u))
+                cnts.append(int(c))
+        return merge(
+            pa.table(
+                {
+                    "kind": pa.array(kinds, pa.int64()),
+                    "r": pa.array(rs, pa.int64()),
+                    "col": pa.array(cols, pa.int64()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            )
+        )
+
+    combined = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()  # ≤ depth×width + n_probes rows by construction
+        regs = {
+            (int(row.r), int(row.col)): int(row.cnt)
+            for row in df[df["kind"] == 0].itertuples()
+        }
+        exact = {
+            int(row.col): int(row.cnt)
+            for row in df[df["kind"] == 1].itertuples()
+        }
+        est = [
+            min(regs.get((r, _cms_col(r, str(u))), 0) for r in range(CMS_DEPTH))
+            for u in probes
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array(probes, pa.int64()),
+                "est_count": pa.array(est, pa.int64()),
+                "exact_count": pa.array(
+                    [exact.get(u, 0) for u in probes], pa.int64()
+                ),
+            }
+        )
+
+    return combined.map_batches(finish, batch_size=None, batch_format="pyarrow")

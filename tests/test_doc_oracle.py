@@ -430,6 +430,7 @@ def test_round4_operator_queries_match_oracles():
         "part_fuzzy_pairs",
         "events_type_transitions",
         "corpus_posting_lists",
+        "events_user_freq_cms",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -471,3 +472,11 @@ def test_banded_levenshtein_matches_brute_force():
                 assert got == want, (a, b, k)
             else:
                 assert got is None, (a, b, k)
+
+
+def test_cms_overestimates_never_under():
+    """Count-Min's defining invariant: est ≥ exact for every probe (min
+    over rows of summed registers can only over-count via collisions)."""
+    df = q.events_user_freq_cms(SF).to_pandas()
+    assert len(df) == 10
+    assert (df["est_count"] >= df["exact_count"]).all()
