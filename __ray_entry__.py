@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 89 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 92 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, and the
@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": q.events_type_transitions,
         "corpus_posting_lists": q.corpus_posting_lists,
         "events_user_freq_cms": q.events_user_freq_cms,
+        "orders_cube": q.orders_cube,
+        "doc_chunks": q.doc_chunks,
+        "doc_redact_terms": q.doc_redact_terms,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -938,6 +941,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_type, event_type AS next_type, count(*) AS n
             FROM s WHERE prev_type IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "orders_cube": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '{_TOK}') AS toks
+                FROM documents),
+            s AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, len(toks), 48)) AS start
+                FROM t),
+            c AS (
+                SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_idx,
+                       toks[start + 1 : least(start + 64, len(toks))] AS ck
+                FROM s)
+            SELECT doc_id, chunk_idx, len(ck)::BIGINT AS n_tokens,
+                   md5(array_to_string(ck, ' ')) AS chunk_fp
+            FROM c
+        """,
+        "doc_redact_terms": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\b(spark|dup)\b'))::BIGINT
+                       AS n_masked,
+                   md5(regexp_replace(text, '\b(spark|dup)\b', '[MASKED]',
+                                      'g')) AS masked_fp
+            FROM documents
         """,
         "events_user_freq_cms": """
             WITH rows_ AS (SELECT unnest(range(4)) AS r),

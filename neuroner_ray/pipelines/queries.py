@@ -3857,3 +3857,121 @@ def events_user_freq_cms(sf_dir: str, n_probes: int = 10) -> Dataset:
         )
 
     return combined.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- CUBE
+def orders_cube(sf_dir: str) -> Dataset:
+    """CUBE aggregate — all four grouping sets of (priority, status) in
+    ONE pass (completes the grouping-sets family next to orders_rollup's
+    hierarchy): every batch emits partials for (pr,st), (pr,·), (·,st),
+    (·,·) with NULL sentinels and a single associative tree combine
+    merges them. Key domain stays enumerable (5×3 + 5 + 3 + 1 rows)."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    merge = group_sum_merge(
+        ("o_orderpriority", "o_orderstatus"), ("n_orders", "sum_price")
+    )
+
+    def levels(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"]
+        st = batch["o_orderstatus"]
+        tp = batch["o_totalprice"].cast(pa.float64())
+        n = batch.num_rows
+        null_s = pa.array([None] * n, pa.string())
+        parts = []
+        for p_col, s_col in (
+            (pr, st),
+            (pr, null_s),
+            (null_s, st),
+            (null_s, null_s),
+        ):
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderpriority": p_col,
+                        "o_orderstatus": s_col,
+                        "n_orders": pa.array([1] * n, pa.int64()),
+                        "sum_price": tp,
+                    }
+                )
+            )
+        return merge(pa.concat_tables(parts))
+
+    out = tree_combine(orders.map_batches(levels, batch_format="pyarrow"), merge)
+    return out.map_batches(
+        lambda t: _round_cols(t, ("sum_price",)), batch_format="pyarrow"
+    )
+
+
+# ----------------------------------------------------------- doc chunking
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def doc_chunks(sf_dir: str) -> Dataset:
+    """Overlapping fixed-token-window chunking — the RAG / long-context
+    training-data expansion op (one doc → many chunk rows). Pure
+    ``flat_map``-class transform: embarrassingly parallel, output rows
+    carry (doc_id, chunk_idx) provenance plus the chunk token count and a
+    content fingerprint (md5 of the space-joined chunk tokens — DuckDB
+    md5() parity), so downstream dedup/contamination can run per chunk.
+    Chunk grid frozen as starts = 0, 48, 96, … < n_tokens with a 64-token
+    window (last chunk may be short)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids, idxs, ns, fps = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(text) if text else []
+            for ci, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                ck = toks[start : start + CHUNK_SIZE]
+                ids.append(doc_id)
+                idxs.append(ci)
+                ns.append(len(ck))
+                fps.append(hashlib.md5(" ".join(ck).encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "chunk_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- deny-list masking
+REDACT_TERMS = ("spark", "dup")
+_REDACT_RE = re.compile(r"\b(" + "|".join(REDACT_TERMS) + r")\b")
+
+
+def doc_redact_terms(sf_dir: str) -> Dataset:
+    """Deny-list scrubbing — blocked-term masking with telemetry (the
+    shape of PII/compliance redaction: vectorizable regex rewrite plus
+    per-doc counts; swap the term pattern for email/phone/SSN patterns on
+    a real corpus). Pure map; the RE2-compatible pattern runs identically
+    in DuckDB regexp_replace/extract_all, and the masked-content md5
+    fingerprint pins the rewrite byte-for-byte."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        n_masked, fps = [], []
+        for text in batch["text"].to_pylist():
+            t = text or ""
+            masked, n = _REDACT_RE.subn("[MASKED]", t)
+            n_masked.append(n)
+            fps.append(hashlib.md5(masked.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_masked": pa.array(n_masked, pa.int64()),
+                "masked_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return docs.map_batches(redact, batch_format="pyarrow")

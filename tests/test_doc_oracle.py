@@ -431,6 +431,9 @@ def test_round4_operator_queries_match_oracles():
         "events_type_transitions",
         "corpus_posting_lists",
         "events_user_freq_cms",
+        "orders_cube",
+        "doc_chunks",
+        "doc_redact_terms",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
