@@ -3432,7 +3432,7 @@ def events_pivot_type_counts(sf_dir: str) -> Dataset:
 
 
 # ------------------------------------------- set-intersection co-occurrence
-def events_type_cooccurrence(sf_dir: str) -> Dataset:
+def events_type_cooccurrence(sf_dir: str, n_buckets: int = 64) -> Dataset:
     """Distinct-user set intersections between event types: for every
     unordered type pair, how many users performed BOTH (audience-overlap
     census — a set-op the reference's batch world has no analogue for).
@@ -3442,11 +3442,14 @@ def events_type_cooccurrence(sf_dir: str) -> Dataset:
     per-bucket vectorized membership matrix M (users × types) whose
     Mᵀ·M upper triangle is the bucket's pair counts → fixed-width
     (type_a, type_b, n) partials tree-combined. The shuffle moves at most
-    #users × #types slim rows; driver state is #type² counts."""
+    #users × #types slim rows; driver state is #type² counts.
+    ``n_buckets`` is the task-size knob (one map_groups task sees
+    ~#distinct-pairs/n_buckets rows): size it so a bucket fits a worker
+    heap — the assignment is user_id % n_buckets, so any power of two
+    preserves correctness."""
     ev = read_parquet_clean(
         _p(sf_dir, "events"), columns=["user_id", "event_type"]
     )
-    n_buckets = 64
 
     def dedup_partial(batch: pa.Table) -> pa.Table:
         t = batch.group_by(["user_id", "event_type"]).aggregate([])
@@ -3649,7 +3652,7 @@ def part_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> Dataset:
 
 
 # ---------------------------------------------- sequence transition census
-def events_type_transitions(sf_dir: str) -> Dataset:
+def events_type_transitions(sf_dir: str, n_buckets: int = 64) -> Dataset:
     """Markov transition census: counts of consecutive (prev_type →
     next_type) pairs within each user's event stream ordered by
     (ts, event_id) — the LAG()-window sequence-pattern class (funnels are
@@ -3659,12 +3662,13 @@ def events_type_transitions(sf_dir: str) -> Dataset:
     #type² partials that tree-combine. Hot users cost their own event
     count in one bucket (same bound as events_funnel; its two-level
     bucket-carry variant is the template if a >10⁶-event user became
-    real)."""
+    real). ``n_buckets`` is the task-size knob (one map_groups task sees
+    ~#events/n_buckets rows): size it so a bucket fits a worker heap —
+    user_id % n_buckets keeps every user whole at any power of two."""
     ev = read_parquet_clean(
         _p(sf_dir, "events"),
         columns=["user_id", "ts", "event_id", "event_type"],
     )
-    n_buckets = 64
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(

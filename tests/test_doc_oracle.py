@@ -483,3 +483,12 @@ def test_cms_overestimates_never_under():
     df = q.events_user_freq_cms(SF).to_pandas()
     assert len(df) == 10
     assert (df["est_count"] >= df["exact_count"]).all()
+
+
+def test_bucket_count_invariance_for_user_bucket_census_ops():
+    """n_buckets only routes rows (task-size knob): transition and
+    co-occurrence censuses are identical at different bucket counts."""
+    for fn in (q.events_type_transitions, q.events_type_cooccurrence):
+        a = _norm(fn(SF, n_buckets=64).to_pandas())
+        b = _norm(fn(SF, n_buckets=8).to_pandas())
+        pd.testing.assert_frame_equal(a, b, obj=fn.__name__)
