@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 92 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 93 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, and the
@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": q.orders_cube,
         "doc_chunks": q.doc_chunks,
         "doc_redact_terms": q.doc_redact_terms,
+        "corpus_bpe_merges": q.corpus_bpe_merges,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -359,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
     tglob = transcripts_dir_for(oracle_sf) + "/*.parquet"
     stop_list = ", ".join(f"'{w}'" for w in q.STOPWORDS)
     return {
+        "corpus_bpe_merges": do.corpus_bpe_merges_sql(),
         "doc_rolling_fp": do.doc_rolling_fp_sql(),
         "doc_langid": do.doc_langid_sql(),
         "doc_simhash": do.doc_simhash_sql(),

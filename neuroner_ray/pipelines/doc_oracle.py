@@ -421,3 +421,52 @@ v{i} AS MATERIALIZED (
 SELECT pos::BIGINT AS pos, round(val, 4) AS val FROM {prev}"""
     )
     return "".join(parts)
+
+
+def corpus_bpe_merges_sql(n_merges: int = 6) -> str:
+    """Unrolled BPE merge rounds (kmeans/pagerank unroll precedent): each
+    round counts adjacent symbol pairs weighted by word frequency (list
+    pair expansion — overlapping pairs counted, as BPE's get_stats does),
+    picks (max count, lexicographically smallest 'l r' string), and
+    rewrites every word with a list_reduce fold — proven equivalent to
+    the standard left-to-right non-overlapping merge scan because the
+    merged token can never equal its own left symbol. Every round CTE is
+    MATERIALIZED (DuckDB re-inlines recursive-adjacent CTEs
+    exponentially — the k-core lesson)."""
+    parts = [
+        """
+WITH words AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+    FROM documents)
+  GROUP BY word),
+w0 AS MATERIALIZED (SELECT split(word, '') AS syms, n FROM words)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+  SELECT p, sum(n)::BIGINT AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                  j -> syms[j] || ' ' || syms[j + 1])) AS p, n
+    FROM {prev})
+  GROUP BY p),
+b{i} AS MATERIALIZED (
+  SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r, cnt
+  FROM p{i} ORDER BY cnt DESC, p ASC LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT list_reduce(
+           list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+                             AND x[1] = b.r
+                       THEN acc[1:len(acc) - 1] || [b.l || b.r]
+                       ELSE acc || x END) AS syms, n
+  FROM {prev} CROSS JOIN b{i} b)"""
+        )
+    selects = [
+        f"""SELECT {i} AS merge_idx, l AS left_sym, r AS right_sym,
+       l || r AS merged, cnt AS freq FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

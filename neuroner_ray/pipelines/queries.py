@@ -3979,3 +3979,85 @@ def doc_redact_terms(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(redact, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- BPE training
+BPE_MERGES = 6
+
+
+def corpus_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> Dataset:
+    """BPE tokenizer training — learn the first ``n_merges`` byte-pair
+    merges over the corpus (the subword-vocabulary op every LLM data
+    pipeline runs before tokenization). Classic two-phase design: the
+    DISTRIBUTED phase is a word-frequency census (map-side partials,
+    vocabulary-sized tree combine — BPE trains on the word-count dict,
+    not the corpus stream, exactly as reference implementations do); the
+    merge loop then runs on the collected dict (vocabulary-sized driver
+    state, integer-exact so fully deterministic). Pair choice: max
+    summed frequency, ties to the lexicographically smallest 'left
+    right' string; merge is the standard left-to-right non-overlapping
+    scan. The oracle unrolls the same rounds in SQL (kmeans/pagerank
+    precedent) with a list_reduce fold proven equivalent to the scan
+    (the merged token can never equal its own left symbol). Raises
+    loudly if the corpus runs out of pairs before ``n_merges`` (row-count
+    contract with the oracle)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    merge = group_sum_merge(("word",), ("n",))
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            if text:
+                c.update(_WORD_RE.findall(text.lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    census = tree_combine(
+        docs.map_batches(census_partial, batch_format="pyarrow"), merge
+    ).to_pandas()
+
+    vocab: dict[str, tuple[int, list[str]]] = {
+        w: (int(n), list(w)) for w, n in zip(census["word"], census["n"])
+    }
+    rows = []
+    for it in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for n, syms in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            raise ValueError(
+                f"corpus_bpe_merges: pairs exhausted after {it - 1} of "
+                f"{n_merges} merges — corpus too small for the contract"
+            )
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        rows.append((it, a, b, a + b, cnt))
+        new = a + b
+        for w, (n, syms) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (n, out)
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "merge_idx": pa.array([r[0] for r in rows], pa.int64()),
+                "left_sym": pa.array([r[1] for r in rows], pa.string()),
+                "right_sym": pa.array([r[2] for r in rows], pa.string()),
+                "merged": pa.array([r[3] for r in rows], pa.string()),
+                "freq": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )

@@ -434,6 +434,7 @@ def test_round4_operator_queries_match_oracles():
         "orders_cube",
         "doc_chunks",
         "doc_redact_terms",
+        "corpus_bpe_merges",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -492,3 +493,16 @@ def test_bucket_count_invariance_for_user_bucket_census_ops():
         a = _norm(fn(SF, n_buckets=64).to_pandas())
         b = _norm(fn(SF, n_buckets=8).to_pandas())
         pd.testing.assert_frame_equal(a, b, obj=fn.__name__)
+
+
+def test_bpe_merge_scan_properties():
+    """The merge scan is left-to-right non-overlapping ('aaaa' + (a,a) →
+    [aa, aa]) and a learned merge really appears in later rounds' pair
+    space (the fold-equals-scan precondition: merged != left symbol)."""
+    df = q.corpus_bpe_merges(SF).to_pandas()
+    assert list(df["merge_idx"]) == [1, 2, 3, 4, 5, 6]
+    assert (df["merged"] == df["left_sym"] + df["right_sym"]).all()
+    assert (df["merged"] != df["left_sym"]).all()
+    # frequencies are non-increasing is NOT guaranteed by BPE (later
+    # merges can create new frequent pairs) — but all must be positive
+    assert (df["freq"] > 0).all()
