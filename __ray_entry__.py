@@ -226,19 +226,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 93 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 98 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
-    additions rollup/funnel/range-join/MG-sketch/bounded-window, and the
-    round-4 continuation additions corr/star-join/pivot/co-occurrence/
-    unigram-LM/fuzzy-join/transitions/posting-lists), then the
-    r2-verified-only
-    group, then the long-green r3 relational/text tail. Every entry past
-    position 50 has a green row in CORRECTNESS_r03 AND in the committed
-    full-registry replica logs (docs/CHECK_ORACLES_r4.txt, 75/75 mid-round;
-    docs/CHECK_ORACLES_r4_final.txt, 80/80 at round-4 close; the six
-    continuation queries are gated in tests/test_doc_oracle.py and the
-    next full sweep).
+    additions rollup/funnel/range-join/MG-sketch/bounded-window, the
+    continuation additions corr/star-join/pivot/co-occurrence/unigram-LM/
+    fuzzy-join/transitions/posting-lists/CMS/cube/chunks/redact/BPE, and
+    the fourth-batch additions PMI/gap-fill/ntile/grouped-HLL/weighted-
+    sample), then the r2-verified-only group, then the long-green r3
+    relational/text tail. Every entry past position 50 has a green row in
+    CORRECTNESS_r03 AND in the committed full-registry replica logs
+    (docs/CHECK_ORACLES_r4.txt, docs/CHECK_ORACLES_r4_final.txt,
+    docs/CHECK_ORACLES_r4c.txt — 93/93 at the third-continuation close);
+    the fourth-batch queries are additionally gated in
+    tests/test_doc_oracle.py and the next full sweep.
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
@@ -274,6 +275,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q.doc_chunks,
         "doc_redact_terms": q.doc_redact_terms,
         "corpus_bpe_merges": q.corpus_bpe_merges,
+        "corpus_pmi_top50": q.corpus_pmi_top50,
+        "events_user_daily_gapfill": q.events_user_daily_gapfill,
+        "events_value_ntile": q.events_value_ntile,
+        "events_type_user_hll": q.events_type_user_hll,
+        "doc_sample_weighted": q.doc_sample_weighted,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -974,6 +980,101 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(text, '\b(spark|dup)\b', '[MASKED]',
                                       'g')) AS masked_fp
             FROM documents
+        """,
+        "corpus_pmi_top50": """
+            WITH w AS (
+              SELECT regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            ), uni AS (
+              SELECT u AS word, count(*)::BIGINT AS n
+              FROM (SELECT unnest(ws) AS u FROM w) GROUP BY u
+            ), tot AS (SELECT sum(n)::BIGINT AS t FROM uni),
+            bg AS (
+              SELECT bg, count(*)::BIGINT AS n_ab FROM (
+                SELECT unnest(list_transform(
+                           range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM w WHERE len(ws) > 1
+              ) GROUP BY bg HAVING count(*) >= 5
+            )
+            SELECT bg.bg, bg.n_ab,
+                   round(ln((bg.n_ab * tot.t)::DOUBLE
+                            / (ua.n * ub.n)::DOUBLE), 4) AS pmi
+            FROM bg
+            CROSS JOIN tot
+            JOIN uni ua ON ua.word = split_part(bg.bg, ' ', 1)
+            JOIN uni ub ON ub.word = split_part(bg.bg, ' ', 2)
+            ORDER BY pmi DESC, bg.bg ASC LIMIT 50
+        """,
+        "events_user_daily_gapfill": """
+            WITH d AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS n_events,
+                     round(sum(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2
+            ), b AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1
+            ), cal AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM b
+            )
+            SELECT cal.user_id, cal.day AS day,
+                   coalesce(d.n_events, 0)::BIGINT AS n_events,
+                   coalesce(d.sum_value, 0.0) AS sum_value
+            FROM cal LEFT JOIN d
+              ON d.user_id = cal.user_id AND d.day = cal.day
+        """,
+        "events_value_ntile": """
+            SELECT event_id, user_id,
+                   ntile(4) OVER (
+                       PARTITION BY user_id ORDER BY value, event_id
+                   )::BIGINT AS quartile
+            FROM events
+        """,
+        "events_type_user_hll": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_upper(user_id::VARCHAR) AS hv
+                FROM events),
+            r AS (SELECT event_type, hv % 256 AS j, hv // 256 AS w FROM h),
+            rr AS (
+                SELECT event_type, j,
+                       max(CASE WHEN w = 0 THEN 57
+                           ELSE 56 - length(ltrim(bin(w), '0')) + 1 END
+                       ) AS rho
+                FROM r GROUP BY 1, 2),
+            agg AS (SELECT event_type, sum(pow(2.0, -rho)) AS s,
+                           count(*) AS nz
+                    FROM rr GROUP BY 1),
+            ne AS (SELECT event_type,
+                          count(DISTINCT user_id)::BIGINT AS n_exact
+                   FROM events GROUP BY 1),
+            est AS (
+                SELECT event_type, CASE
+                    WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                         / (s + (256 - nz)) <= 640
+                         AND nz < 256
+                    THEN 256 * ln(256.0 / (256 - nz))
+                    ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                         / (s + (256 - nz))
+                END AS e FROM agg)
+            SELECT est.event_type, round(est.e, 4) AS hll_estimate,
+                   ne.n_exact,
+                   round(abs(est.e - ne.n_exact) / ne.n_exact, 4) AS rel_err
+            FROM est JOIN ne USING (event_type)
+        """,
+        # priority unrounded: bit-identical by construction (one IEEE
+        # division of exact <2^53 operands); round(·,4) at ~1e12 magnitude
+        # is where numpy and DuckDB diverge
+        "doc_sample_weighted": """
+            SELECT doc_id, n_chars, pr AS priority FROM (
+                SELECT doc_id, n_chars::BIGINT AS n_chars,
+                       (md5_number_upper(doc_id::VARCHAR)
+                        % 9007199254740992)::DOUBLE
+                       / (n_chars + 1)::DOUBLE AS pr
+                FROM documents
+                ORDER BY pr ASC, doc_id ASC LIMIT 20
+            )
         """,
         "events_user_freq_cms": """
             WITH rows_ AS (SELECT unnest(range(4)) AS r),

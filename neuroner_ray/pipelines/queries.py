@@ -34,7 +34,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.rounding import round_half_away, top_by_score_then_id
 from ..functions.tokenize import TOKEN_PATTERN
-from ..runtime.combine import group_sum_merge, tree_combine
+from ..runtime.combine import group_sum_merge, topk_merge, tree_combine
 from ..runtime.timeutil import tbucket_of as _tbucket_of
 from ..sources.parquet import read_parquet_clean
 
@@ -4060,4 +4060,357 @@ def corpus_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> Dataset:
                 "freq": pa.array([r[4] for r in rows], pa.int64()),
             }
         )
+    )
+
+
+# ------------------------------------------------------- PMI collocations
+PMI_MIN_COUNT = 5
+
+
+def corpus_pmi_top50(sf_dir: str, min_count: int = PMI_MIN_COUNT) -> Dataset:
+    """Pointwise-mutual-information collocations: top 50 adjacent word
+    bigrams by PMI = ln(n_ab * T / (n_a * n_b)) with a min-count floor —
+    the association score behind phrase detection (word2vec-style
+    phrase merging) and collocation curation. Two vocabulary-sized
+    censuses (unigram + bigram map-side partials, no per-occurrence
+    shuffle); the unigram census broadcasts as a dict (corpus-vocabulary
+    bound, the doc_unigram_logprob precedent) and scoring + top-k run as
+    an associative tree cut. Integer products stay exact (< 2^53) before
+    ONE double division per bigram, so the score is bit-identical to the
+    oracle's; floor ``min_count`` keeps the scored table vocabulary-ish
+    (rare-pair PMI is noise anyway, the standard practice)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(_WORD_RE.findall((t or "").lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    uni = tree_combine(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        group_sum_merge(("word",), ("n",)),
+    ).to_pandas()
+    uni_map = {w: int(n) for w, n in zip(uni["word"], uni["n"])}
+    total = int(uni["n"].sum())
+    uni_ref = ray.put(uni_map)
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = _WORD_RE.findall((t or "").lower())
+            c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        return pa.table(
+            {
+                "bg": pa.array(list(c.keys()), pa.string()),
+                "n_ab": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    bg = tree_combine(
+        docs.map_batches(bg_partial, batch_format="pyarrow"),
+        group_sum_merge(("bg",), ("n_ab",)),
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_ab"], min_count)),
+        batch_format="pyarrow",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        u = ray.get(uni_ref)
+        bgs = batch["bg"].to_pylist()
+        n_ab = batch["n_ab"].to_numpy().astype(np.int64)
+        den = np.array(
+            [u[a] * u[b] for a, b in (s.split(" ") for s in bgs)], np.int64
+        )
+        pmi = np.log((n_ab * total).astype(np.float64) / den.astype(np.float64))
+        return pa.table(
+            {
+                "bg": batch["bg"],
+                "n_ab": batch["n_ab"],
+                "pmi": pa.array(round_half_away(pmi, 4), pa.float64()),
+            }
+        )
+
+    scored = bg.map_batches(score, batch_format="pyarrow")
+    return tree_combine(scored, topk_merge(50, "pmi", ("bg",)))
+
+
+# ------------------------------------------------- per-user calendar gap-fill
+def events_user_daily_gapfill(sf_dir: str, n_buckets: int = 64) -> Dataset:
+    """Calendar gap-fill: per-user daily (count, sum) with every missing
+    day between that user's first and last active day zero-filled — the
+    dimension-generation + left-join pattern every time-series feature
+    pipeline needs (a model reading \"events per day\" must see explicit
+    zeros, not absent rows). Map-side (user, day) partials → ONE int-key
+    user-bucket shuffle → per-bucket fully vectorized fill (span
+    calendars materialize via a cumsum-offset arange, no per-user loop).
+    A user's cost is bounded by their active-day span, not their event
+    count; ``n_buckets`` is the task-size knob (transitions precedent)."""
+    day_us = 86_400_000_000
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    merge = group_sum_merge(("user_id", "day"), ("n_events", "sum_value"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch["ts"], pa.int64())
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.multiply(
+                    _tbucket_of(micros, day_us), pa.scalar(day_us, pa.int64())
+                ),
+                "n_events": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_value": pc.cast(batch["value"], pa.float64()),
+            }
+        )
+        mt = merge(t)
+        return mt.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(mt["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    def bucket_fill(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        b = g.groupby("user_id")["day"].agg(["min", "max"])
+        spans = ((b["max"] - b["min"]) // day_us + 1).to_numpy(np.int64)
+        idx = np.arange(int(spans.sum()), dtype=np.int64)
+        offs = idx - np.repeat(np.cumsum(spans) - spans, spans)
+        cal = pd.DataFrame(
+            {
+                "user_id": np.repeat(b.index.to_numpy(), spans),
+                "day": np.repeat(b["min"].to_numpy(), spans) + offs * day_us,
+            }
+        )
+        out = cal.merge(g, on=["user_id", "day"], how="left")
+        out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+        out["sum_value"] = round_half_away(
+            out["sum_value"].fillna(0.0).to_numpy(), 4
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(out["day"].to_numpy(), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+                "sum_value": pa.array(out["sum_value"], pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_fill, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------------- NTILE window
+def events_value_ntile(
+    sf_dir: str, tiles: int = 4, n_buckets: int = 64
+) -> Dataset:
+    """NTILE window: assign each event its within-user value quartile
+    (ORDER BY value, event_id — fully deterministic) — the rank-based
+    bucketing window class (row_number/lag/cumsum/moving-avg cousins all
+    exist; this adds the tile family used for per-entity feature binning).
+    ONE user-bucket shuffle, per-bucket vectorized rank (mergesort +
+    cumcount — no per-user loop), then the exact NTILE split: the first
+    n % tiles buckets take ceil(n/tiles) rows."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(batch["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    def bucket_ntile(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        n = df.groupby("user_id")["event_id"].transform("size").to_numpy(np.int64)
+        r = df.groupby("user_id").cumcount().to_numpy(np.int64)
+        small = n // tiles
+        large = n % tiles
+        big_span = large * (small + 1)
+        q = (
+            np.where(
+                r < big_span,
+                r // np.maximum(small + 1, 1),
+                large + (r - big_span) // np.maximum(small, 1),
+            )
+            + 1
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "quartile": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_ntile, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------- per-group HLL
+def events_type_user_hll(sf_dir: str) -> Dataset:
+    """Sketch-per-key: distinct users PER EVENT TYPE via one HLL (m=256,
+    md5 — deterministic, oracle replays the registers) per group, next to
+    the exact count and relative error. The register partials are keyed
+    (event_type, j) and merge through an associative per-register MAX, so
+    the sketch side of the shuffle moves ≤ #types × 256 rows per block no
+    matter the corpus — the grouped version of events_user_count_hll's
+    global sketch (the pattern that replaces count-distinct-per-key at
+    100 TB). The exact side (needed for the reported rel_err) is the
+    user-vocabulary groupby the sketch exists to avoid."""
+    from ..runtime.combine import group_agg_merge
+
+    m, p = HLL_M, 8
+    wbits = 64 - p
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+    merge = group_agg_merge(("event_type", "j"), maxs=("rho",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        regs: dict[tuple[str, int], int] = {}
+        seen = set(
+            zip(batch["event_type"].to_pylist(), batch["user_id"].to_pylist())
+        )
+        for et, u in seen:
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode("utf-8")).digest()[:8], "little"
+            )
+            j, w = h % m, h >> p
+            rho = (wbits + 1) if w == 0 else (wbits - w.bit_length() + 1)
+            if rho > regs.get((et, j), 0):
+                regs[(et, j)] = rho
+        ks = sorted(regs)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in ks], pa.string()),
+                "j": pa.array([k[1] for k in ks], pa.int64()),
+                "rho": pa.array([regs[k] for k in ks], pa.int64()),
+            }
+        )
+
+    regs = tree_combine(
+        ev.map_batches(partials, batch_format="pyarrow"), merge
+    ).to_pandas()
+
+    # exact side: ONE user-vocab groupby dedups (event_type, user) pairs;
+    # the per-type count is a map-side partial + tree combine (a second
+    # sort-aggregate here emits the empty-block schema warning)
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="c")
+    )
+    merge_exact = group_sum_merge(("event_type",), ("n_exact",))
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        return merge_exact(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n_exact": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+        )
+
+    exact = tree_combine(
+        pairs.map_batches(type_partial, batch_format="pyarrow"), merge_exact
+    ).to_pandas()
+    n_exact = {t: int(n) for t, n in zip(exact["event_type"], exact["n_exact"])}
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    types, ests, exacts, errs = [], [], [], []
+    for et, g in regs.groupby("event_type", sort=True):
+        s = sum(2.0 ** -r for r in g["rho"])
+        nz = len(g)
+        est = alpha * m * m / (s + (m - nz))
+        v = m - nz
+        if est <= 2.5 * m and v > 0:
+            est = m * np.log(m / v)
+        ne = n_exact[et]
+        types.append(et)
+        ests.append(est)
+        exacts.append(ne)
+        errs.append(abs(est - ne) / ne)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "hll_estimate": pa.array(
+                    round_half_away(np.array(ests), 4), pa.float64()
+                ),
+                "n_exact": pa.array(exacts, pa.int64()),
+                "rel_err": pa.array(
+                    round_half_away(np.array(errs), 4), pa.float64()
+                ),
+            }
+        )
+    )
+
+
+# ------------------------------------------------ weighted priority sample
+def doc_sample_weighted(sf_dir: str, k: int = 20) -> Dataset:
+    """Weighted priority sampling: k docs by smallest priority
+    u / (n_chars + 1), u = 53-bit md5 of the doc id — longer docs are
+    proportionally likelier to be drawn (the length-weighted sampling a
+    token-budgeted training mix needs), yet the draw is fully
+    deterministic and reproducible at any cluster size. u stays < 2^53 so
+    the single IEEE division is bit-identical in numpy and DuckDB — the
+    SELECTION is exact, not tolerance-based. Per-batch local bottom-k →
+    associative tree cut; the shuffle moves k × #blocks slim rows."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        u = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(i).encode("utf-8")).digest()[:8], "little"
+                )
+                % (1 << 53)
+                for i in batch["doc_id"].to_pylist()
+            ],
+            np.int64,
+        )
+        w = batch["n_chars"].to_numpy().astype(np.int64) + 1
+        pr = u.astype(np.float64) / w.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                "priority": pa.array(pr, pa.float64()),
+                "_negp": pa.array(-pr, pa.float64()),
+            }
+        )
+
+    cut = topk_merge(k, "_negp", ("doc_id",))
+    out = tree_combine(docs.map_batches(score, batch_format="pyarrow"), cut)
+    # priority stays UNROUNDED: it is bit-identical to the oracle by
+    # construction (one IEEE division of exact operands), and round(·, 4)
+    # on ~1e12-magnitude values is where numpy and DuckDB diverge (the
+    # ×10⁴ scaling multiply rounds differently) — rounding would CREATE
+    # the mismatch it usually prevents.
+    return out.map_batches(
+        lambda t: t.drop_columns(["_negp"]), batch_format="pyarrow"
     )

@@ -435,6 +435,11 @@ def test_round4_operator_queries_match_oracles():
         "doc_chunks",
         "doc_redact_terms",
         "corpus_bpe_merges",
+        "corpus_pmi_top50",
+        "events_user_daily_gapfill",
+        "events_value_ntile",
+        "events_type_user_hll",
+        "doc_sample_weighted",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -506,3 +511,20 @@ def test_bpe_merge_scan_properties():
     # frequencies are non-increasing is NOT guaranteed by BPE (later
     # merges can create new frequent pairs) — but all must be positive
     assert (df["freq"] > 0).all()
+
+
+def test_gapfill_contiguous_and_ntile_balanced():
+    """Structural invariants the oracle replay can't state directly: the
+    gap-fill emits one row per CONSECUTIVE day of each user's span, and
+    NTILE bucket sizes within a user differ by at most one."""
+    import numpy as np
+
+    got = q.events_user_daily_gapfill(SF).to_pandas()
+    for _, g in got.groupby("user_id"):
+        days = np.sort(g["day"].to_numpy())
+        if len(days) > 1:
+            assert (np.diff(days) == np.timedelta64(1, "D")).all()
+    nt = q.events_value_ntile(SF).to_pandas()
+    sizes = nt.groupby(["user_id", "quartile"]).size()
+    spread = sizes.groupby("user_id").agg(["min", "max"])
+    assert (spread["max"] - spread["min"] <= 1).all()
