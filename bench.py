@@ -163,6 +163,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("profit_by_nation_year", q.profit_by_nation_year),
         ("events_type_transitions", q.events_type_transitions),
         ("doc_unigram_logprob", q.doc_unigram_logprob),
+        ("corpus_pmi_top50", q.corpus_pmi_top50),
+        ("events_user_daily_gapfill", q.events_user_daily_gapfill),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
