@@ -494,7 +494,12 @@ def test_cms_overestimates_never_under():
 def test_bucket_count_invariance_for_user_bucket_census_ops():
     """n_buckets only routes rows (task-size knob): transition and
     co-occurrence censuses are identical at different bucket counts."""
-    for fn in (q.events_type_transitions, q.events_type_cooccurrence):
+    for fn in (
+        q.events_type_transitions,
+        q.events_type_cooccurrence,
+        q.events_value_ntile,
+        q.events_user_daily_gapfill,
+    ):
         a = _norm(fn(SF, n_buckets=64).to_pandas())
         b = _norm(fn(SF, n_buckets=8).to_pandas())
         pd.testing.assert_frame_equal(a, b, obj=fn.__name__)
