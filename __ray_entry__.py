@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 98 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 100 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ntile": q.events_value_ntile,
         "events_type_user_hll": q.events_type_user_hll,
         "doc_sample_weighted": q.doc_sample_weighted,
+        "doc_entropy": q.doc_entropy,
+        "corpus_skipgram_top50": q.corpus_skipgram_top50,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -980,6 +982,37 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(text, '\b(spark|dup)\b', '[MASKED]',
                                       'g')) AS masked_fp
             FROM documents
+        """,
+        "doc_entropy": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            )
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE round(ln(len(ws))
+                             - list_sum(list_transform(
+                                   map_values(list_aggregate(ws, 'histogram')),
+                                   c -> c * ln(c))) / len(ws), 4)
+                   END AS entropy
+            FROM w
+        """,
+        "corpus_skipgram_top50": """
+            WITH w AS (
+              SELECT regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS ws
+              FROM documents
+            ), pairs AS (
+              SELECT unnest(list_transform(
+                         range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pair
+              FROM w WHERE len(ws) > 1
+              UNION ALL
+              SELECT unnest(list_transform(
+                         range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+2])) AS pair
+              FROM w WHERE len(ws) > 2
+            )
+            SELECT pair, count(*)::BIGINT AS n FROM pairs
+            GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
         """,
         "corpus_pmi_top50": """
             WITH w AS (

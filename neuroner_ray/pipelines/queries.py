@@ -4414,3 +4414,68 @@ def doc_sample_weighted(sf_dir: str, k: int = 20) -> Dataset:
     return out.map_batches(
         lambda t: t.drop_columns(["_negp"]), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------- word entropy
+def doc_entropy(sf_dir: str) -> Dataset:
+    """Per-document word-distribution entropy (nats) — the
+    low-information-content curation filter next to repetition and
+    unigram-LM scoring (boilerplate and keyword-stuffed docs score low;
+    H = ln n − Σ c·ln c / n over the word histogram). Pure map pass.
+    Float parity note: only the Σ c·ln c summation ORDER differs from the
+    oracle (documented kmeans/PCA fragility class; ≤ a few hundred terms
+    per doc, error ~1e-13 against the 5e-5 rounding boundary)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_words, ents = [], []
+        for text in batch["text"].to_pylist():
+            ws = _WORD_RE.findall((text or "").lower())
+            n = len(ws)
+            n_words.append(n)
+            if n == 0:
+                ents.append(0.0)
+                continue
+            c = np.array(list(Counter(ws).values()), np.float64)
+            ents.append(float(np.log(n) - np.sum(c * np.log(c)) / n))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "entropy": pa.array(
+                    round_half_away(np.array(ents), 4), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------- skip-gram pair census
+def corpus_skipgram_top50(sf_dir: str, window: int = 2) -> Dataset:
+    """Skip-gram (window ±2) co-occurrence census, top 50 ordered pairs —
+    the training-pair generation step of word2vec-class embedding
+    pipelines (the PMI/bigram censuses' wider-context sibling). Counts
+    are INTEGER-exact end to end (no float parity risk); map-side partial
+    Counters per batch → pair-vocabulary-sized tree combine → associative
+    top-k cut, no per-occurrence shuffle."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    merge = group_sum_merge(("pair",), ("n",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = _WORD_RE.findall((t or "").lower())
+            for d in range(1, window + 1):
+                c.update(f"{a} {b}" for a, b in zip(ws, ws[d:]))
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        docs.map_batches(partial, batch_format="pyarrow"), merge
+    )
+    return tree_combine(counts, topk_merge(50, "n", ("pair",)))

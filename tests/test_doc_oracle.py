@@ -440,6 +440,8 @@ def test_round4_operator_queries_match_oracles():
         "events_value_ntile",
         "events_type_user_hll",
         "doc_sample_weighted",
+        "doc_entropy",
+        "corpus_skipgram_top50",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -533,3 +535,14 @@ def test_gapfill_contiguous_and_ntile_balanced():
     sizes = nt.groupby(["user_id", "quartile"]).size()
     spread = sizes.groupby("user_id").agg(["min", "max"])
     assert (spread["max"] - spread["min"] <= 1).all()
+
+
+def test_entropy_bounds():
+    """0 <= H <= ln(n_words) (tolerance 5e-5: an all-distinct doc has
+    H = ln n EXACTLY and the 4-decimal rounding can land above it)."""
+    import numpy as np
+
+    df = q.doc_entropy(SF).to_pandas()
+    assert (df["entropy"] >= 0).all()
+    nz = df[df["n_words"] > 0]
+    assert (nz["entropy"] <= np.log(nz["n_words"]) + 5.1e-5).all()
