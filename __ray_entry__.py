@@ -236,10 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sample), then the r2-verified-only group, then the long-green r3
     relational/text tail. Every entry past position 50 has a green row in
     CORRECTNESS_r03 AND in the committed full-registry replica logs
-    (docs/CHECK_ORACLES_r4.txt, docs/CHECK_ORACLES_r4_final.txt,
-    docs/CHECK_ORACLES_r4c.txt — 93/93 at the third-continuation close);
-    the fourth-batch queries are additionally gated in
-    tests/test_doc_oracle.py and the next full sweep.
+    (docs/CHECK_ORACLES_r4.txt, docs/CHECK_ORACLES_r4_final.txt, and
+    docs/CHECK_ORACLES_r4c.txt — the round-4-close sweep of this full
+    100-entry registry, 0 failures at sf0.01); the fourth-batch queries
+    are additionally gated in tests/test_doc_oracle.py.
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
