@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 100 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 103 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_weighted": q.doc_sample_weighted,
         "doc_entropy": q.doc_entropy,
         "corpus_skipgram_top50": q.corpus_skipgram_top50,
+        "dedup_normalized": q.dedup_normalized,
+        "events_time_to_next": q.events_time_to_next,
+        "lineitem_qty_mad": q.lineitem_qty_mad,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -982,6 +985,33 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(text, '\b(spark|dup)\b', '[MASKED]',
                                       'g')) AS masked_fp
             FROM documents
+        """,
+        "dedup_normalized": r"""
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
+                   md5(norm) AS norm_fp
+            FROM (SELECT doc_id,
+                         regexp_replace(lower(coalesce(text, '')),
+                                        '\s+', ' ', 'g') AS norm
+                  FROM documents)
+            GROUP BY norm
+        """,
+        "events_time_to_next": """
+            SELECT event_id, user_id, delta_us FROM (
+                SELECT event_id, user_id,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - epoch_us(ts) AS delta_us
+                FROM events
+            ) WHERE delta_us IS NOT NULL
+        """,
+        "lineitem_qty_mad": """
+            WITH m AS (
+                SELECT l_returnflag, median(l_quantity) AS med_qty
+                FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag, m.med_qty,
+                   median(abs(l.l_quantity - m.med_qty)) AS mad_qty
+            FROM lineitem l JOIN m USING (l_returnflag)
+            GROUP BY 1, 2
         """,
         "doc_entropy": """
             WITH w AS (

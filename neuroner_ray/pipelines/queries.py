@@ -4479,3 +4479,147 @@ def corpus_skipgram_top50(sf_dir: str, window: int = 2) -> Dataset:
         docs.map_batches(partial, batch_format="pyarrow"), merge
     )
     return tree_combine(counts, topk_merge(50, "n", ("pair",)))
+
+
+# ------------------------------------------------- normalized-text dedup
+_WS_RE = re.compile(r"\s+")
+
+
+def dedup_normalized(sf_dir: str) -> Dataset:
+    """Normalization-keyed exact dedup — the casefold/whitespace-collapse
+    variant every curation pipeline runs before (or instead of) byte
+    dedup: docs differing only in case or whitespace runs collapse to one
+    survivor (min doc_id) with a duplicate count. The shuffle moves
+    (md5-of-normalized, min_id, count) partials only — the normalized
+    TEXT never leaves the map side; string-exact end to end (no float
+    parity surface)."""
+    from ..runtime.combine import group_agg_merge
+
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    merge = group_agg_merge(("norm_fp",), sums=("n_dups",), mins=("doc_id",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(
+                _WS_RE.sub(" ", (t or "").lower()).encode("utf-8")
+            ).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return merge(
+            pa.table(
+                {
+                    "norm_fp": pa.array(fps, pa.string()),
+                    "n_dups": pa.array(np.ones(len(fps), np.int64)),
+                    "doc_id": batch["doc_id"],
+                }
+            )
+        )
+
+    return tree_combine(docs.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+# ------------------------------------------------- time-to-next-event
+def events_time_to_next(sf_dir: str, n_buckets: int = 64) -> Dataset:
+    """LEAD-window feature: microseconds to the user's NEXT event (the
+    inter-arrival feature behind churn/engagement models; the LAG-class
+    transition census's forward-looking sibling). One int-key user-bucket
+    shuffle, fully vectorized sort+shift per bucket, integer-exact
+    deltas — no float parity surface. Rows without a successor drop (the
+    oracle's WHERE nxt IS NOT NULL)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(batch["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    def bucket_deltas(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        tus = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    df["event_id"].to_numpy(np.int64)[:-1][same], pa.int64()
+                ),
+                "user_id": pa.array(uid[:-1][same], pa.int64()),
+                "delta_us": pa.array(
+                    (tus[1:] - tus[:-1])[same], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_deltas, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------- robust stats (MAD)
+def lineitem_qty_mad(sf_dir: str) -> Dataset:
+    """Median absolute deviation per group — the robust-dispersion
+    sibling of lineitem_qty_stats' stddev. ONE streamed pass builds the
+    per-group VALUE-DOMAIN census (group_keys × distinct values —
+    enumerable for bounded domains like quantities); both medians (the
+    value median and the deviation median) then fall out of the collected
+    census by weighted-median arithmetic on the driver, so the corpus is
+    never re-scanned for the second median. Interpolation ((lo+hi)/2 at
+    even counts) replays DuckDB's median(); all arithmetic stays on
+    exact-in-double integers and quarters — no rounding surface."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+    merge = group_sum_merge(("l_returnflag", "l_quantity"), ("n",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return merge(
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "l_quantity": pc.cast(batch["l_quantity"], pa.float64()),
+                    "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                }
+            )
+        )
+
+    census = tree_combine(
+        li.map_batches(partial, batch_format="pyarrow"), merge
+    ).to_pandas()
+
+    def wmedian(vals: np.ndarray, cnts: np.ndarray) -> float:
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        if n % 2 == 1:
+            return float(vals[np.searchsorted(cum, (n + 1) // 2)])
+        lo = float(vals[np.searchsorted(cum, n // 2)])
+        hi = float(vals[np.searchsorted(cum, n // 2 + 1)])
+        return (lo + hi) / 2
+
+    flags, meds, mads = [], [], []
+    for flag, g in census.groupby("l_returnflag", sort=True):
+        v = g["l_quantity"].to_numpy(np.float64)
+        c = g["n"].to_numpy(np.int64)
+        med = wmedian(v, c)
+        mad = wmedian(np.abs(v - med), c)
+        flags.append(flag)
+        meds.append(med)
+        mads.append(mad)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "med_qty": pa.array(meds, pa.float64()),
+                "mad_qty": pa.array(mads, pa.float64()),
+            }
+        )
+    )

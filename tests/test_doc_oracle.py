@@ -442,6 +442,9 @@ def test_round4_operator_queries_match_oracles():
         "doc_sample_weighted",
         "doc_entropy",
         "corpus_skipgram_top50",
+        "dedup_normalized",
+        "events_time_to_next",
+        "lineitem_qty_mad",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -501,6 +504,7 @@ def test_bucket_count_invariance_for_user_bucket_census_ops():
         q.events_type_cooccurrence,
         q.events_value_ntile,
         q.events_user_daily_gapfill,
+        q.events_time_to_next,
     ):
         a = _norm(fn(SF, n_buckets=64).to_pandas())
         b = _norm(fn(SF, n_buckets=8).to_pandas())
