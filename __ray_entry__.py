@@ -238,7 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     CORRECTNESS_r03 AND in the committed full-registry replica logs
     (docs/CHECK_ORACLES_r4.txt, docs/CHECK_ORACLES_r4_final.txt, and
     docs/CHECK_ORACLES_r4c.txt — the round-4-close sweep of this full
-    100-entry registry, 0 failures at sf0.01); the fourth-batch queries
+    103-entry registry, 0 failures at sf0.01); the closing-batch queries
     are additionally gated in tests/test_doc_oracle.py.
     """
     return {
