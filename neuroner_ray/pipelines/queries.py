@@ -4096,6 +4096,16 @@ def corpus_pmi_top50(sf_dir: str, min_count: int = PMI_MIN_COUNT) -> Dataset:
         docs.map_batches(uni_partial, batch_format="pyarrow"),
         group_sum_merge(("word",), ("n",)),
     ).to_pandas()
+    if uni.empty:  # empty corpus: typed empty result, no broadcast pass
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "bg": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
     uni_map = {w: int(n) for w, n in zip(uni["word"], uni["n"])}
     total = int(uni["n"].sum())
     uni_ref = ray.put(uni_map)
@@ -4314,6 +4324,17 @@ def events_type_user_hll(sf_dir: str) -> Dataset:
     regs = tree_combine(
         ev.map_batches(partials, batch_format="pyarrow"), merge
     ).to_pandas()
+    if regs.empty:  # empty table: typed empty result, skip the exact pass
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "hll_estimate": pa.array([], pa.float64()),
+                    "n_exact": pa.array([], pa.int64()),
+                    "rel_err": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     # exact side: ONE user-vocab groupby dedups (event_type, user) pairs;
     # the per-type count is a map-side partial + tree combine (a second
@@ -4593,6 +4614,16 @@ def lineitem_qty_mad(sf_dir: str) -> Dataset:
     census = tree_combine(
         li.map_batches(partial, batch_format="pyarrow"), merge
     ).to_pandas()
+    if census.empty:  # empty table: typed empty result
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "med_qty": pa.array([], pa.float64()),
+                    "mad_qty": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def wmedian(vals: np.ndarray, cnts: np.ndarray) -> float:
         order = np.argsort(vals)

@@ -550,3 +550,30 @@ def test_entropy_bounds():
     assert (df["entropy"] >= 0).all()
     nz = df[df["n_words"] > 0]
     assert (nz["entropy"] <= np.log(nz["n_words"]) + 5.1e-5).all()
+
+
+def test_closing_batch_ops_survive_empty_input(tmp_path):
+    """Empty tables are a real edge case (NOTES): every closing-batch op
+    must return an empty result, not crash, on schema-faithful empty
+    parquet."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents", "lineitem"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.corpus_pmi_top50,
+        q.events_user_daily_gapfill,
+        q.events_value_ntile,
+        q.events_type_user_hll,
+        q.doc_sample_weighted,
+        q.doc_entropy,
+        q.corpus_skipgram_top50,
+        q.dedup_normalized,
+        q.events_time_to_next,
+        q.lineitem_qty_mad,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
