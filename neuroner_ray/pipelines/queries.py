@@ -168,14 +168,17 @@ def token_freq_top100_mg(sf_dir: str, capacity: int = MG_CAPACITY) -> Dataset:
             capacity,
         )
 
+    empty = pa.schema([("token", pa.string()), ("n", pa.int64())]).empty_table()
     summary = pa.concat_tables(
-        tree_combine(
-            docs.map_batches(mg_partial, batch_format="pyarrow"),
-            lambda t, capacity=capacity: _mg_merge(t, capacity),
-        ).iter_batches(batch_size=None, batch_format="pyarrow"),
+        [empty]  # empty input yields ZERO batches; concat needs >=1 table
+        + list(
+            tree_combine(
+                docs.map_batches(mg_partial, batch_format="pyarrow"),
+                lambda t, capacity=capacity: _mg_merge(t, capacity),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
         promote_options="default",
     )
-    empty = pa.schema([("token", pa.string()), ("n", pa.int64())]).empty_table()
     if summary.num_rows == 0:
         return rd.from_arrow(empty)
     isnull = pc.is_null(summary["token"])
@@ -376,7 +379,7 @@ def events_recent100(sf_dir: str) -> Dataset:
 def events_user_count(sf_dir: str) -> Dataset:
     """Distinct count (O3 dedup semantics)."""
     ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
-    n = len(ev.unique("user_id"))
+    n = len(ev.unique("user_id") or [])  # unique() is None on empty input
     return rd.from_arrow(pa.table({"n_users": pa.array([n], pa.int64())}))
 
 
@@ -1905,6 +1908,7 @@ def doc_contamination(sf_dir: str) -> Dataset:
     # the unique() result is the only driver-side collect on this path
     ngrams = sorted(
         docs.map_batches(bench_partial, batch_format="pyarrow").unique("ng")
+        or []  # unique() is None on empty input
     )
     ng_ref = ray.put(ngrams)
 
@@ -3521,6 +3525,16 @@ def doc_unigram_logprob(sf_dir: str) -> Dataset:
     census = tree_combine(
         docs.map_batches(census_partial, batch_format="pyarrow"), merge
     ).to_pandas()  # vocabulary-sized by construction (tree_combine bound)
+    if census.empty:  # empty corpus: typed empty result (no broadcast)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
+        )
     total = float(census["c"].sum())
     logp = {
         t: float(np.log(c) - np.log(total))
@@ -3611,6 +3625,16 @@ def part_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> Dataset:
     census = tree_combine(
         part.map_batches(distinct_partial, batch_format="pyarrow"), merge
     ).to_pandas()
+    if census.empty:  # empty table: typed empty result
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "name_a": pa.array([], pa.string()),
+                    "name_b": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        )
     names = sorted(census["p_name"].tolist())
     if len(names) > FUZZY_MAX_NAMES:
         raise ValueError(
@@ -3622,8 +3646,6 @@ def part_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> Dataset:
     names_arr = np.array(names, dtype=object)
     lens = np.array([len(n) for n in names], dtype=np.int64)
     names_ref = ray.put((names_arr, lens))
-
-    import ray.data as rd
 
     idx = rd.range(len(names), override_num_blocks=max(1, len(names) // 512))
 
@@ -4019,6 +4041,11 @@ def corpus_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> Dataset:
     census = tree_combine(
         docs.map_batches(census_partial, batch_format="pyarrow"), merge
     ).to_pandas()
+    if census.empty:  # empty corpus = zero pairs: the contracted loud raise
+        raise ValueError(
+            f"corpus_bpe_merges: pairs exhausted after 0 of "
+            f"{n_merges} merges — corpus too small for the contract"
+        )
 
     vocab: dict[str, tuple[int, list[str]]] = {
         w: (int(n), list(w)) for w, n in zip(census["word"], census["n"])

@@ -561,7 +561,7 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
     import pyarrow.parquet as pq
 
     d = str(tmp_path)
-    for t in ("events", "documents", "lineitem"):
+    for t in ("events", "documents", "lineitem", "part"):
         sch = pq.read_schema(f"{SF}/{t}.parquet")
         pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
     for fn in (
@@ -575,5 +575,16 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
         q.dedup_normalized,
         q.events_time_to_next,
         q.lineitem_qty_mad,
+        q.doc_unigram_logprob,
+        q.token_freq_top100_mg,
+        q.part_fuzzy_pairs,
+        q.doc_contamination,
+        q.events_user_freq_cms,
     ):
         assert len(fn(d).to_pandas()) == 0, fn.__name__
+    # the count queries return their one summary row (count 0)
+    assert q.events_user_count(d).to_pandas()["n_users"].iloc[0] == 0
+    assert len(q.events_user_count_hll(d).to_pandas()) == 1
+    # BPE's contract is a loud raise when the corpus yields zero pairs
+    with pytest.raises(ValueError, match="pairs exhausted"):
+        q.corpus_bpe_merges(d)
