@@ -438,6 +438,18 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
 def orders_by_nation(sf_dir: str) -> Dataset:
     """Join coverage: orders ⋈ customer (native hash join, both sides large)
     then nation broadcast-joined map-side (small side never shuffled)."""
+    # metadata-only emptiness guard: Ray 2.49's hash join raises inside
+    # HashShuffleAggregator.finalize on zero-row partitions (NOTES.md)
+    if (
+        pq.read_metadata(_p(sf_dir, "orders")).num_rows == 0
+        or pq.read_metadata(_p(sf_dir, "customer")).num_rows == 0
+    ):
+        return rd.from_arrow(
+            pa.table(
+                {"nation": pa.array([], pa.string()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        )
     orders = read_parquet_clean(_p(sf_dir, "orders"), columns=["o_custkey"])
     cust = read_parquet_clean(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
@@ -499,6 +511,13 @@ def similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Dataset:
         columns=["embedding"],
         filters=[("vec_id", "==", query_vec_id)],
     )
+    if qtab.num_rows == 0:  # query vector absent (e.g. empty table)
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        )
     q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
@@ -581,6 +600,13 @@ def similarity_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
         columns=["embedding"],
         filters=[("vec_id", "==", query_vec_id)],
     )
+    if qtab.num_rows == 0:  # query vector absent (e.g. empty table)
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        )
     qvec = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
     emb = read_parquet_clean(
         _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
@@ -1026,6 +1052,13 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
     """
     from ..stages.similarity import ann_search_ivf, build_ivf_index, kmeans_centroids
 
+    if pq.read_metadata(_p(sf_dir, "embeddings")).num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        )
     emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     sample_tab = pa.concat_tables(
         list(emb.limit(IVF_SAMPLE).iter_batches(batch_size=None, batch_format="pyarrow"))
@@ -1037,6 +1070,13 @@ def similarity_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> Data
         columns=["embedding"],
         filters=[("vec_id", "==", query_vec_id)],
     )
+    if qtab.num_rows == 0:  # query vector absent (e.g. empty table)
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        )
     qvec = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
     filtered = emb.map_batches(
         lambda t: t.filter(pc.not_equal(t["vec_id"], query_vec_id)),
@@ -1536,6 +1576,14 @@ def similarity_topk_multi(sf_dir: str, k: int = 10) -> Dataset:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "in", [0, 1, 2])],
     )
+    if qtab.num_rows == 0:  # query vectors absent (e.g. empty table)
+        return rd.from_arrow(
+            pa.table(
+                {"query_idx": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        )
     order = np.argsort(np.asarray(qtab["vec_id"].to_pylist()))
     Q = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)[order]
     emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -2857,7 +2905,11 @@ def customers_without_orders_bloom(
     merged = tree_combine(
         orders.map_batches(batch_bloom, batch_format="pyarrow"), or_merge
     ).take_all()
-    bitmap = np.frombuffer(merged[0]["bits"], dtype=np.uint8)
+    bitmap = (
+        np.frombuffer(merged[0]["bits"], dtype=np.uint8)
+        if merged  # empty orders: zero bitmap = every customer misses
+        else np.zeros(bloom_bits // 8, dtype=np.uint8)
+    )
     bref = ray.put(bitmap)
 
     cust = read_parquet_clean(_p(sf_dir, "customer"), columns=["c_custkey"])
@@ -3185,6 +3237,13 @@ def embedding_pca_top1(sf_dir: str, iters: int = 3) -> Dataset:
     to replay the iterations exactly. Output: (pos, val) rounded to 4."""
     from ..stages.similarity import _vectors_of
 
+    if pq.read_metadata(_p(sf_dir, "embeddings")).num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"pos": pa.array([], pa.int64()),
+                 "val": pa.array([], pa.float64())}
+            )
+        )
     emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["embedding"])
     dim = 64
     v = np.full(dim, 0.125, dtype=np.float64)
@@ -3294,6 +3353,17 @@ def profit_by_nation_year(sf_dir: str, name_word: str = "gear") -> Dataset:
     l_orderkey domain (key spread ≫ partition count, so no zero-row join
     partitions — NOTES.md Ray 2.49 caveat). Profit partials group-sum
     map-side on the enumerable (nation, year) domain and tree-combine."""
+    if (
+        pq.read_metadata(_p(sf_dir, "lineitem")).num_rows == 0
+        or pq.read_metadata(_p(sf_dir, "orders")).num_rows == 0
+    ):  # same zero-row hash-join guard as orders_by_nation
+        return rd.from_arrow(
+            pa.table(
+                {"nation": pa.array([], pa.string()),
+                 "o_year": pa.array([], pa.int64()),
+                 "sum_profit": pa.array([], pa.float64())}
+            )
+        )
     part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_name"])
     keep = pc.filter(
         part["p_partkey"], pc.match_substring(part["p_name"], name_word)

@@ -561,7 +561,8 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
     import pyarrow.parquet as pq
 
     d = str(tmp_path)
-    for t in ("events", "documents", "lineitem", "part"):
+    for t in ("events", "documents", "lineitem", "part", "embeddings",
+              "orders", "customer", "supplier", "nation", "region"):
         sch = pq.read_schema(f"{SF}/{t}.parquet")
         pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
     for fn in (
@@ -580,8 +581,18 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
         q.part_fuzzy_pairs,
         q.doc_contamination,
         q.events_user_freq_cms,
+        q.similarity_topk,
+        q.similarity_topk_lsh,
+        q.similarity_topk_ivf,
+        q.similarity_topk_multi,
+        q.orders_by_nation,
+        q.profit_by_nation_year,
+        q.embedding_pca_top1,
     ):
         assert len(fn(d).to_pandas()) == 0, fn.__name__
+    # empty orders = every customer order-less (here: zero customers)
+    bloom = q.customers_without_orders_bloom(d).to_pandas()
+    assert bloom["n_without_orders"].iloc[0] == 0
     # the count queries return their one summary row (count 0)
     assert q.events_user_count(d).to_pandas()["n_users"].iloc[0] == 0
     assert len(q.events_user_count_hll(d).to_pandas()) == 1
