@@ -552,6 +552,9 @@ def pagerank(
 
 
 PR_NUM_BUCKETS = 64
+# neighbor-Jaccard hub chunking: past this degree, a center's wedge pairs
+# split into ⌈d/C⌉-chunk cross-pair tasks of ≤ C² work each
+NJ_HUB_CHUNK = 4096
 
 
 def _bucket_of(ids: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
@@ -1763,7 +1766,10 @@ def kcore(
 
 
 def _neighbor_jaccard_sharded(
-    edges: Dataset, k: int, num_buckets: int = PR_NUM_BUCKETS
+    edges: Dataset,
+    k: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+    hub_chunk: int = 0,
 ) -> Dataset:
     """Shuffle-formulated neighbor Jaccard (the past-the-cap regime): no
     adjacency broadcast, no driver state beyond the final top-k table.
@@ -1776,11 +1782,17 @@ def _neighbor_jaccard_sharded(
        with a partial count, then sum the partials in one hash(u|v)
        int-bucket cogroup (partials for one pair arrive from several
        center buckets — the consumer MUST re-aggregate, the LPA lesson).
-       Exact but inherently quadratic in hub degree: a degree-d center
-       emits d(d-1)/2 wedge pairs inside its group task (same bound the
-       broadcast path pays per node batch). If hub degrees outgrow a
-       task, the next escape is a two-level chunked cross-pair split —
-       not needed at entity-vocabulary scale.
+       A degree-d center emits d(d-1)/2 wedge pairs, so when the degree
+       census reports a hub past ``hub_chunk`` (``NJ_HUB_CHUNK`` by
+       default; 0 = resolve to the default) the TWO-LEVEL CHUNKED regime
+       runs instead: each center's neighbor list is hash-split into
+       ⌈d/C⌉ chunks and every chunk PAIR (i ≤ j) becomes its own group
+       task of ≤ C² cross pairs — each adjacency row is replicated
+       ⌈d/C⌉ times (side-tagged so group (i, j) crosses chunk-i members
+       with chunk-j members exactly once), bounding per-task work by C²
+       regardless of hub degree. Downstream is unchanged: partials for
+       one (u, v) pair arrive from several chunk tasks and re-aggregate
+       in the same hash(u|v) cogroup.
     3. Degrees attach via the shared ``_attach_deg`` cogroup joins;
        jac = n / (deg_u + deg_v − n); exact associative top-k merge
        (no global sort shuffle).
@@ -1841,28 +1853,9 @@ def _neighbor_jaccard_sharded(
         .aggregate(_Sum("deg", alias_name="deg"))
     )
 
-    def und_rows(t: pa.Table) -> pa.Table:
-        center = pa.concat_arrays(
-            [t["a"].combine_chunks(), t["b"].combine_chunks()]
-        )
-        nbr = pa.concat_arrays(
-            [t["b"].combine_chunks(), t["a"].combine_chunks()]
-        )
-        out = pa.table({"center": center, "nbr": nbr})
-        return out.append_column(
-            "wbucket", _bucket_of(out["center"], num_buckets)
-        )
-
-    def wedge_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
-        outs_u, outs_v = [], []
-        for _, g in df.groupby("center", sort=False):
-            nb = np.sort(g["nbr"].to_numpy(dtype=object))
-            m = len(nb)
-            if m < 2:
-                continue
-            iu, ju = np.triu_indices(m, 1)
-            outs_u.append(nb[iu])
-            outs_v.append(nb[ju])
+    def _pair_partials(outs_u: list, outs_v: list) -> pd.DataFrame:
+        # shared tail of both wedge regimes: local (u, v) partial counts
+        # plus the hash(u|v) bucket key for the re-aggregation cogroup
         if not outs_u:
             return pd.DataFrame(
                 {
@@ -1890,13 +1883,154 @@ def _neighbor_jaccard_sharded(
         )
         return out
 
+    def und_rows(t: pa.Table) -> pa.Table:
+        center = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        nbr = pa.concat_arrays(
+            [t["b"].combine_chunks(), t["a"].combine_chunks()]
+        )
+        out = pa.table({"center": center, "nbr": nbr})
+        return out.append_column(
+            "wbucket", _bucket_of(out["center"], num_buckets)
+        )
+
+    def wedge_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs_u, outs_v = [], []
+        for _, g in df.groupby("center", sort=False):
+            nb = np.sort(g["nbr"].to_numpy(dtype=object))
+            m = len(nb)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            outs_u.append(nb[iu])
+            outs_v.append(nb[ju])
+        return _pair_partials(outs_u, outs_v)
+
     def sum_group(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["u", "v"], as_index=False)["n"].sum()
 
+    C = hub_chunk or NJ_HUB_CHUNK
+    max_deg = int(degs.max("deg") or 0)
+    if max_deg <= C:
+        wedge_src = pairs.map_batches(und_rows, batch_format="pyarrow")
+        wedge_fn = wedge_group
+        wedge_key = "wbucket"
+    else:
+        # two-level chunked hub regime: replicate each adjacency row once
+        # per chunk of its center and route every chunk PAIR to its own
+        # bounded group task
+        from ..runtime.hashing import hash_raw
+
+        def und_plain(t: pa.Table) -> pa.Table:
+            center = pa.concat_arrays(
+                [t["a"].combine_chunks(), t["b"].combine_chunks()]
+            )
+            nbr = pa.concat_arrays(
+                [t["b"].combine_chunks(), t["a"].combine_chunks()]
+            )
+            return pa.table({"center": center, "nbr": nbr})
+
+        with_dc = _attach_deg(
+            pairs.map_batches(und_plain, batch_format="pyarrow"),
+            degs,
+            "center",
+            "dc",
+            num_buckets,
+            frozenset({"center", "nbr"}),
+        )
+
+        chunk_schema = pa.schema(
+            [
+                ("wbucket", pa.int64()),
+                ("center", pa.string()),
+                ("ci", pa.int64()),
+                ("cj", pa.int64()),
+                ("side", pa.int64()),
+                ("nbr", pa.string()),
+            ]
+        )
+
+        def chunk_expand(t: pa.Table, C=C) -> pa.Table:
+            if t.num_rows == 0:
+                return chunk_schema.empty_table()
+            center = np.asarray(t["center"].to_pylist(), dtype=object)
+            nbr = np.asarray(t["nbr"].to_pylist(), dtype=object)
+            dc = t["dc"].to_numpy(zero_copy_only=False)
+            nch = np.maximum(1, -(-dc // C)).astype(np.int64)
+            cn = (
+                hash_raw(nbr, key="njchunk") % nch.astype(np.uint64)
+            ).astype(np.int64)
+            reps = nch
+            idx = np.repeat(np.arange(len(dc)), reps)
+            total = int(reps.sum())
+            # o = the "other" chunk index 0..nch-1 per replica
+            o = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+            cn_r = cn[idx]
+            ci = np.minimum(cn_r, o)
+            cj = np.maximum(cn_r, o)
+            # side 2 = within-chunk member; 0 = member of chunk ci in a
+            # cross pair; 1 = member of chunk cj
+            side = np.where(
+                o == cn_r, 2, np.where(cn_r < o, 0, 1)
+            ).astype(np.int64)
+            cc = center[idx]
+            gk = (
+                pd.Series(cc).astype(str)
+                + "|"
+                + pd.Series(ci).astype(str)
+                + "|"
+                + pd.Series(cj).astype(str)
+            )
+            wb = hash_buckets(gk.to_numpy(), num_buckets, key="njwedge")
+            return pa.table(
+                {
+                    "wbucket": pa.array(wb, pa.int64()),
+                    "center": pa.array(cc, pa.string()),
+                    "ci": pa.array(ci, pa.int64()),
+                    "cj": pa.array(cj, pa.int64()),
+                    "side": pa.array(side, pa.int64()),
+                    "nbr": pa.array(nbr[idx], pa.string()),
+                }
+            )
+
+        def wedge_group_chunked(df: pd.DataFrame) -> pd.DataFrame:
+            outs_u, outs_v = [], []
+            for (_, i, j), g in df.groupby(
+                ["center", "ci", "cj"], sort=False
+            ):
+                if i == j:
+                    nb = np.sort(
+                        g.loc[g["side"] == 2, "nbr"].to_numpy(dtype=object)
+                    )
+                    m = len(nb)
+                    if m < 2:
+                        continue
+                    iu, ju = np.triu_indices(m, 1)
+                    outs_u.append(nb[iu])
+                    outs_v.append(nb[ju])
+                else:
+                    left = g.loc[g["side"] == 0, "nbr"].to_numpy(
+                        dtype=object
+                    )
+                    right = g.loc[g["side"] == 1, "nbr"].to_numpy(
+                        dtype=object
+                    )
+                    if len(left) == 0 or len(right) == 0:
+                        continue
+                    u0 = np.repeat(left, len(right))
+                    v0 = np.tile(right, len(left))
+                    outs_u.append(np.minimum(u0, v0))
+                    outs_v.append(np.maximum(u0, v0))
+            return _pair_partials(outs_u, outs_v)
+
+        wedge_src = with_dc.map_batches(chunk_expand, batch_format="pyarrow")
+        wedge_fn = wedge_group_chunked
+        wedge_key = "wbucket"
+
     inter = (
-        pairs.map_batches(und_rows, batch_format="pyarrow")
-        .groupby("wbucket")
-        .map_groups(wedge_group, batch_format="pandas")
+        wedge_src.groupby(wedge_key)
+        .map_groups(wedge_fn, batch_format="pandas")
         .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sum_group, batch_format="pandas")
@@ -1937,6 +2071,7 @@ def neighbor_jaccard_topk(
     k: int = 20,
     force_sharded: bool = False,
     num_buckets: int | None = None,
+    hub_chunk: int = 0,
 ) -> Dataset:
     """Top-k node pairs by neighborhood Jaccard similarity over the
     undirected simple entity graph: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| for
@@ -1948,7 +2083,9 @@ def neighbor_jaccard_topk(
     batch (two-hop closure), LOCAL top-k per batch with the oracle's total
     order, associative top-k merge — no all-pairs, no sort shuffle. Past
     the TRIANGLE_MAX_EDGES cap the wedge-count shuffle formulation
-    (``_neighbor_jaccard_sharded``) runs instead of raising.
+    (``_neighbor_jaccard_sharded``) runs instead of raising; past
+    ``hub_chunk`` degree (default ``NJ_HUB_CHUNK``) that path further
+    splits each hub into bounded chunk-pair tasks.
     """
     from ..functions.rounding import round_half_away
     from ..runtime.combine import topk_merge, tree_combine
@@ -1957,13 +2094,15 @@ def neighbor_jaccard_topk(
 
     if force_sharded:
         return _neighbor_jaccard_sharded(
-            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS
+            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS,
+            hub_chunk=hub_chunk,
         )
     try:
         simple = _simple_edges(edges, "neighbor_jaccard_topk")
     except ValueError:
         return _neighbor_jaccard_sharded(
-            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS
+            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS,
+            hub_chunk=hub_chunk,
         )
     adj: dict[str, set[str]] = {}
     for u, v in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):

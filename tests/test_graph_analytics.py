@@ -530,3 +530,15 @@ def test_sharded_regimes_agree_on_random_graph():
     )
     assert len(fast) == 25
     assert fast.equals(shard), (fast.head(8), shard.head(8))
+
+    # hub_chunk=4 forces the two-level chunked regime (the planted hub's
+    # degree ≈ 25+ splits into ⌈d/4⌉ chunks, so every chunk-pair task
+    # runs): exact same rounded scores and top-k total order required
+    chunked = (
+        neighbor_jaccard_topk(
+            mk(), k=25, force_sharded=True, num_buckets=4, hub_chunk=4
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert fast.equals(chunked), (fast.head(8), chunked.head(8))
