@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": q.dedup_normalized,
         "events_time_to_next": q.events_time_to_next,
         "lineitem_qty_mad": q.lineitem_qty_mad,
+        "events_type_value_quantiles": q.events_type_value_quantiles,
+        "events_click_purchase_setops": q.events_click_purchase_setops,
+        "events_user_dense_rank": q.events_user_dense_rank,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1012,6 +1015,35 @@ def oracle_sql() -> dict[str, str]:
                    median(abs(l.l_quantity - m.med_qty)) AS mad_qty
             FROM lineitem l JOIN m USING (l_returnflag)
             GROUP BY 1, 2
+        """,
+        "events_type_value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "events_click_purchase_setops": """
+            WITH c AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT user_id, 'both' AS grp
+            FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'click_only' AS grp
+            FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        """,
+        "events_user_dense_rank": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT event_type, user_id, n_events,
+                       dense_rank() OVER (
+                           PARTITION BY event_type ORDER BY n_events DESC
+                       )::BIGINT AS rnk
+                FROM c)
+            SELECT * FROM r WHERE rnk <= 3
         """,
         "doc_entropy": """
             WITH w AS (

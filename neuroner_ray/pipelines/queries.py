@@ -4751,3 +4751,343 @@ def lineitem_qty_mad(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+def events_type_value_quantiles(
+    sf_dir: str,
+    qs: tuple = (0.5, 0.9),
+    num_bins: int = 2048,
+    collect_max: int = QUANTILE_COLLECT_MAX,
+) -> Dataset:
+    """GROUPED exact continuous quantiles: per event type, the exact
+    discrete p50/p90 of ``value`` — the per-key form of
+    ``events_value_quantiles`` (the per-source/per-language distribution
+    table a 100-TB curation run keeps). Same three streamed passes,
+    keyed: (1) per-type (min, max, count) partials; (2) ONE
+    per-(type, bin) histogram over each type's own range — the group
+    domain is enumerable, so the bin table stays ≤ #types × num_bins
+    rows through the tree combine; (3) only the localized target bins
+    collect, per (type, bin) key. An over-populated bin recurses through
+    the shared interval re-binner (``_exact_quantile_in_interval``) on
+    the type-filtered stream — one extra pass per level, never a raise.
+    Oracle: GROUP BY + quantile_disc (sorted[ceil(n·q)−1], same order
+    statistic)."""
+    from ..runtime.combine import group_agg_merge
+
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    labels = tuple(f"p{int(q * 100)}" for q in qs)
+    empty = pa.schema(
+        [("event_type", pa.string())] + [(c, pa.float64()) for c in labels]
+    ).empty_table()
+
+    def mmn(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        order = np.argsort(et, kind="stable")
+        et, v = et[order], v[order]
+        types, starts = np.unique(et, return_index=True)
+        ends = np.append(starts[1:], len(et))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "mn": pa.array(np.minimum.reduceat(v, starts), pa.float64()),
+                "mx": pa.array(np.maximum.reduceat(v, starts), pa.float64()),
+                "n": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    merge0 = group_agg_merge(
+        ("event_type",), sums=("n",), mins=("mn",), maxs=("mx",)
+    )
+    stats_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("mn", pa.float64()),
+            ("mx", pa.float64()),
+            ("n", pa.int64()),
+        ]
+    )
+    stats = pa.concat_tables(
+        [
+            b.select(stats_schema.names)
+            for b in tree_combine(
+                ev.map_batches(mmn, batch_format="pyarrow"), merge0
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        + [stats_schema.empty_table()]  # empty events: zero batches
+    )
+    if stats.num_rows == 0:
+        return rd.from_arrow(empty)
+
+    tlist = sorted(stats["event_type"].to_pylist())
+    srow = {
+        t: (float(mn), float(mx), int(n))
+        for t, mn, mx, n in zip(
+            stats["event_type"].to_pylist(),
+            stats["mn"].to_pylist(),
+            stats["mx"].to_pylist(),
+            stats["n"].to_pylist(),
+        )
+    }
+    tidx = {t: i for i, t in enumerate(tlist)}
+    mns = np.array([srow[t][0] for t in tlist], np.float64)
+    widths = np.array(
+        [(srow[t][1] - srow[t][0]) or 1.0 for t in tlist], np.float64
+    )
+
+    def keys_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ti = (
+            pd.Series(batch["event_type"].to_pylist())
+            .map(tidx)
+            .to_numpy(dtype=np.int64)
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(
+            ((v - mns[ti]) / widths[ti] * num_bins).astype(np.int64),
+            0,
+            num_bins - 1,
+        )
+        return ti * num_bins + b, v
+
+    def hist(batch: pa.Table) -> pa.Table:
+        key, _ = keys_of(batch)
+        nz, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(nz, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    merge1 = group_sum_merge(("key",), ("n",))
+    htab = pa.concat_tables(
+        tree_combine(ev.map_batches(hist, batch_format="pyarrow"), merge1)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    hkeys = htab["key"].to_numpy(zero_copy_only=False)
+    hcnts = htab["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(hkeys)
+    hkeys, hcnts = hkeys[order], hcnts[order]
+
+    out: dict[str, dict[str, float]] = {t: {} for t in tlist}
+    need: dict[int, list] = {}  # key -> [(type, label, rank_within_bin)]
+    for t in tlist:
+        ti = tidx[t]
+        mask = (hkeys // num_bins) == ti
+        kb, kn = hkeys[mask], hcnts[mask]
+        cum = np.cumsum(kn)
+        n_t = srow[t][2]
+        for q, lbl in zip(qs, labels):
+            rank = int(np.ceil(n_t * q))
+            i = int(np.searchsorted(cum, rank, side="left"))
+            before = int(cum[i - 1]) if i > 0 else 0
+            if int(kn[i]) > collect_max:
+                sub = ev.map_batches(
+                    lambda tt, t=t: tt.filter(
+                        pc.equal(tt["event_type"], t)
+                    ).select(["value"]),
+                    batch_format="pyarrow",
+                )
+                out[t][lbl] = _exact_quantile_in_interval(
+                    sub, srow[t][0], srow[t][1], rank, n_t,
+                    num_bins, collect_max,
+                )
+            else:
+                need.setdefault(int(kb[i]), []).append(
+                    (t, lbl, rank - before)
+                )
+
+    if need:
+        need_arr = np.array(sorted(need), dtype=np.int64)
+
+        def collect(batch: pa.Table) -> pa.Table:
+            key, v = keys_of(batch)
+            mask = np.isin(key, need_arr)
+            return pa.table(
+                {
+                    "key": pa.array(key[mask], pa.int64()),
+                    "value": pa.array(v[mask], pa.float64()),
+                }
+            )
+
+        rows = pa.concat_tables(
+            ev.map_batches(collect, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        rkeys = rows["key"].to_numpy(zero_copy_only=False)
+        rvals = rows["value"].to_numpy(zero_copy_only=False)
+        for key, wants in need.items():
+            vals = np.sort(rvals[rkeys == key])
+            for t, lbl, r in wants:
+                out[t][lbl] = float(vals[r - 1])
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(tlist, pa.string()),
+                **{
+                    lbl: pa.array([out[t][lbl] for t in tlist], pa.float64())
+                    for lbl in labels
+                },
+            }
+        )
+    )
+
+
+def events_click_purchase_setops(sf_dir: str) -> Dataset:
+    """Set operators over distinct-key sets (INTERSECT / EXCEPT): users
+    who both clicked and purchased (grp='both') and users who clicked
+    but never purchased (grp='click_only'). Map-side per-batch DISTINCT
+    flag partials — at most one (user, clicked, purchased) row per user
+    per batch — then ONE user-key groupby with max-merge and a
+    vectorized classify; no row-level shuffle of the raw events, no
+    DISTINCT sort. The same plan computes any membership algebra over
+    the flag columns (union is a flag-OR away)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        keep = (et == "click") | (et == "purchase")
+        u, et = u[keep], et[keep]
+        df = pd.DataFrame(
+            {
+                "user_id": u.astype(np.int64),
+                "clicked": (et == "click").astype(np.int64),
+                "purchased": (et == "purchase").astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).max()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "clicked": pa.array(g["clicked"].to_numpy(), pa.int64()),
+                "purchased": pa.array(g["purchased"].to_numpy(), pa.int64()),
+            }
+        )
+
+    flagged = (
+        ev.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("clicked", alias_name="clicked"),
+            Max("purchased", alias_name="purchased"),
+        )
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        c = batch["clicked"].to_numpy(zero_copy_only=False)
+        p = batch["purchased"].to_numpy(zero_copy_only=False)
+        both = u[(c == 1) & (p == 1)]
+        only = u[(c == 1) & (p == 0)]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.concatenate([both, only]), pa.int64()
+                ),
+                "grp": pa.array(
+                    ["both"] * len(both) + ["click_only"] * len(only),
+                    pa.string(),
+                ),
+            }
+        )
+
+    return flagged.map_batches(classify, batch_format="pyarrow")
+
+
+def events_user_dense_rank(sf_dir: str, k: int = 3) -> Dataset:
+    """DENSE_RANK window without a per-group sort: per event type, users
+    dense-ranked by event count descending (ties share a rank, ranks stay
+    contiguous), keeping rank ≤ k. Scale shape: the (type, user) count
+    census shuffles map-side partials once; the rank structure then comes
+    from the (type, DISTINCT count) census — at most O(√(2·total)) 
+    distinct count values per type, vocabulary-tiny — so the top ranks
+    are a broadcast threshold filter over the census, never a sort of the
+    user table. Oracle: dense_rank() OVER (PARTITION BY type ORDER BY n
+    DESC) with QUALIFY-style rank cut."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..runtime.combine import anchor
+
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "user_id"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "user_id": pa.array(
+                    g["user_id"].to_numpy(), pa.int64()
+                ),
+                "n_events": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = anchor(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    # tiny (type, distinct-count) census drives the dense ranks
+    ncensus = (
+        counts.select_columns(["event_type", "n_events"])
+        .groupby(["event_type", "n_events"])
+        .aggregate(_Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .to_pandas()
+    )
+    if ncensus.empty:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("user_id", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("rnk", pa.int64()),
+                ]
+            ).empty_table()
+        )
+
+    rank_of: dict[tuple, int] = {}
+    thresh: dict[str, int] = {}
+    for t, g in ncensus.groupby("event_type", sort=False):
+        ns = np.sort(g["n_events"].to_numpy(np.int64))[::-1]
+        top = ns[: int(k)]
+        thresh[t] = int(top[-1])
+        for r, n in enumerate(top, start=1):
+            rank_of[(t, int(n))] = r
+
+    def fin(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_events"].to_numpy(zero_copy_only=False)
+        thr = np.array(
+            [thresh[t] for t in et], np.int64
+        ) if len(et) else np.array([], np.int64)
+        keep = n >= thr
+        et, u, n = et[keep], u[keep], n[keep]
+        rnk = np.array(
+            [rank_of[(t, int(v))] for t, v in zip(et, n)], np.int64
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "user_id": pa.array(u, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return counts.map_batches(fin, batch_format="pyarrow")

@@ -445,6 +445,9 @@ def test_round4_operator_queries_match_oracles():
         "dedup_normalized",
         "events_time_to_next",
         "lineitem_qty_mad",
+        "events_type_value_quantiles",
+        "events_click_purchase_setops",
+        "events_user_dense_rank",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -576,6 +579,9 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
         q.dedup_normalized,
         q.events_time_to_next,
         q.lineitem_qty_mad,
+        q.events_type_value_quantiles,
+        q.events_click_purchase_setops,
+        q.events_user_dense_rank,
         q.doc_unigram_logprob,
         q.token_freq_top100_mg,
         q.part_fuzzy_pairs,
