@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_quantiles": q.events_type_value_quantiles,
         "events_click_purchase_setops": q.events_click_purchase_setops,
         "events_user_dense_rank": q.events_user_dense_rank,
+        "orders_above_customer_avg": q.orders_above_customer_avg,
+        "nation_segments": q.nation_segments,
+        "lineitem_charges_unpivot": q.lineitem_charges_unpivot,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1044,6 +1047,38 @@ def oracle_sql() -> dict[str, str]:
                        )::BIGINT AS rnk
                 FROM c)
             SELECT * FROM r WHERE rnk <= 3
+        """,
+        "orders_above_customer_avg": """
+            WITH a AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc,
+                       count(*)::BIGINT AS n
+                FROM orders GROUP BY 1)
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   round(a.sc / (a.n * 100.0), 4) AS cust_avg
+            FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+            WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * a.n > a.sc
+        """,
+        "nation_segments": """
+            WITH d AS (
+                SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+            SELECT n.n_name,
+                   string_agg(d.c_mktsegment, ','
+                              ORDER BY d.c_mktsegment) AS segments,
+                   count(*)::BIGINT AS n_segments
+            FROM d JOIN nation n ON n.n_nationkey = d.c_nationkey
+            GROUP BY n.n_name
+        """,
+        "lineitem_charges_unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'discount' AS charge, l_discount AS amount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'extended', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax', l_tax
+            FROM lineitem
         """,
         "doc_entropy": """
             WITH w AS (

@@ -5091,3 +5091,181 @@ def events_user_dense_rank(sf_dir: str, k: int = 3) -> Dataset:
         )
 
     return counts.map_batches(fin, batch_format="pyarrow")
+
+
+def orders_above_customer_avg(sf_dir: str) -> Dataset:
+    """Correlated-aggregate filter (the correlated-subquery class):
+    orders whose total price exceeds their OWN customer's average order
+    price. ONE pass, ONE int-key shuffle: every batch emits its
+    per-customer (cents-sum, count) PARTIAL rows alongside its
+    side-tagged fact rows, a single groupby(custkey) cogroups them (the
+    side-tagged-union idiom — never ``Dataset.join``, the NOTES
+    zero-row-partition rule), and the filter is INTEGER-EXACT:
+    ``price_cents · n > sum_cents`` compares int64s, so no float
+    summation-order ulp can flip a boundary row (the PMI idiom). The
+    reported ``cust_avg`` is one double division of exact <2⁵³ operands,
+    rounded to 4, mirrored verbatim in the oracle SQL. Per-group frames
+    stay order-count-per-customer-sized (bounded fan-in)."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.round(price * 100.0).astype(np.int64)
+        g = (
+            pd.DataFrame({"k": ck, "sc": cents})
+            .groupby("k", as_index=False)
+            .agg(sc=("sc", "sum"), n=("sc", "size"))
+        )
+        zp = np.zeros(len(g), np.int64)
+        zf = np.zeros(len(ck), np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    np.concatenate([g["k"].to_numpy(np.int64), ck]), pa.int64()
+                ),
+                "kind": pa.array(
+                    np.concatenate([zp, np.ones(len(ck), np.int64)]),
+                    pa.int64(),
+                ),
+                "o_orderkey": pa.array(
+                    np.concatenate([zp, ok]), pa.int64()
+                ),
+                "cents": pa.array(
+                    np.concatenate([zp, cents]), pa.int64()
+                ),
+                "price": pa.array(
+                    np.concatenate([np.zeros(len(g), np.float64), price]),
+                    pa.float64(),
+                ),
+                "sc": pa.array(
+                    np.concatenate([g["sc"].to_numpy(np.int64), zf]),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.concatenate([g["n"].to_numpy(np.int64), zf]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        part = df[df["kind"] == 0]
+        sc = int(part["sc"].sum())
+        n = int(part["n"].sum())
+        e = df[df["kind"] == 1]
+        keep = e["cents"].to_numpy(np.int64) * n > sc
+        e = e[keep]
+        return pd.DataFrame(
+            {
+                "o_orderkey": e["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": e["o_custkey"].to_numpy(np.int64),
+                "o_totalprice": e["price"].to_numpy(np.float64),
+                "cust_avg": round_half_away(
+                    np.full(len(e), sc / (n * 100.0) if n else 0.0), 4
+                ),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(cogroup, batch_format="pandas")
+    )
+
+
+def nation_segments(sf_dir: str) -> Dataset:
+    """LIST / STRING aggregation per group (the ``string_agg`` class):
+    per nation NAME, the ','-joined SORTED distinct market segments of
+    its customers plus their count. Map-side DISTINCT
+    (nationkey, segment) partials shrink each batch to ≤ 25 × 5 rows,
+    one enumerable-key groupby dedups globally, the per-group sorted
+    join runs on ≤ 5 strings, and nation names attach from the
+    broadcast 25-row dimension — no shuffle join anywhere."""
+    from ray.data.aggregate import Count as _Count
+
+    cust = read_parquet_clean(
+        _p(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"]
+    )
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nmap = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": batch["c_nationkey"].to_numpy(zero_copy_only=False),
+                "s": batch["c_mktsegment"].to_pylist(),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "k": pa.array(df["k"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(df["s"].tolist(), pa.string()),
+            }
+        )
+
+    distinct = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "s"])
+        .aggregate(_Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        segs = sorted(df["s"].tolist())
+        k = int(df["k"].iloc[0])
+        return pd.DataFrame(
+            {
+                "n_name": [nmap[k]],
+                "segments": [",".join(segs)],
+                "n_segments": np.array([len(segs)], np.int64),
+            }
+        )
+
+    return distinct.groupby("k").map_groups(agg, batch_format="pandas")
+
+
+def lineitem_charges_unpivot(sf_dir: str) -> Dataset:
+    """UNPIVOT (wide → long reshaping, the inverse of the dynamic
+    pivot): each lineitem row becomes three (charge, amount) rows for
+    its discount / extendedprice / tax columns — a pure vectorized
+    flat-map-class transform (three column slices concatenated per
+    batch, no per-row loop, no shuffle, values pass through
+    bit-identically)."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_discount",
+            "l_extendedprice",
+            "l_tax",
+        ],
+    )
+    kinds = (("discount", "l_discount"), ("extended", "l_extendedprice"),
+             ("tax", "l_tax"))
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = batch["l_orderkey"].combine_chunks()
+        ln = batch["l_linenumber"].combine_chunks()
+        parts = [
+            pa.table(
+                {
+                    "l_orderkey": ok,
+                    "l_linenumber": ln,
+                    "charge": pa.array([kind] * n, pa.string()),
+                    "amount": batch[col].cast(pa.float64()),
+                }
+            )
+            for kind, col in kinds
+        ]
+        return pa.concat_tables(parts)
+
+    return li.map_batches(melt, batch_format="pyarrow")

@@ -415,6 +415,7 @@ def test_round4_operator_queries_match_oracles():
         "part",
         "supplier",
         "nation",
+        "customer",
     ):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
@@ -448,6 +449,9 @@ def test_round4_operator_queries_match_oracles():
         "events_type_value_quantiles",
         "events_click_purchase_setops",
         "events_user_dense_rank",
+        "orders_above_customer_avg",
+        "nation_segments",
+        "lineitem_charges_unpivot",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -582,6 +586,9 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
         q.events_type_value_quantiles,
         q.events_click_purchase_setops,
         q.events_user_dense_rank,
+        q.orders_above_customer_avg,
+        q.nation_segments,
+        q.lineitem_charges_unpivot,
         q.doc_unigram_logprob,
         q.token_freq_top100_mg,
         q.part_fuzzy_pairs,
