@@ -226,20 +226,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 103 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 109 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
     continuation additions corr/star-join/pivot/co-occurrence/unigram-LM/
-    fuzzy-join/transitions/posting-lists/CMS/cube/chunks/redact/BPE, and
-    the fourth-batch additions PMI/gap-fill/ntile/grouped-HLL/weighted-
-    sample), then the r2-verified-only group, then the long-green r3
-    relational/text tail. Every entry past position 50 has a green row in
-    CORRECTNESS_r03 AND in the committed full-registry replica logs
-    (docs/CHECK_ORACLES_r4.txt, docs/CHECK_ORACLES_r4_final.txt, and
-    docs/CHECK_ORACLES_r4c.txt — the round-4-close sweep of this full
-    103-entry registry, 0 failures at sf0.01); the closing-batch queries
-    are additionally gated in tests/test_doc_oracle.py.
+    fuzzy-join/transitions/posting-lists/CMS/cube/chunks/redact/BPE, the
+    fourth-batch additions PMI/gap-fill/ntile/grouped-HLL/weighted-sample,
+    and the fifth-batch additions grouped-quantiles/set-ops/dense-rank/
+    correlated-avg/string-agg/unpivot), then the r2-verified-only group,
+    then the long-green r3 relational/text tail. Every entry past position
+    50 has a green row in CORRECTNESS_r03 or CORRECTNESS_r02 AND in the
+    committed full-registry replica logs (docs/CHECK_ORACLES_r4c.txt is
+    the round-4-close full sweep, 0 failures at sf0.01;
+    docs/CHECK_ORACLES_r4d.txt covers this final 109-entry registry); the
+    closing-batch queries are additionally gated in
+    tests/test_doc_oracle.py.
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)

@@ -165,6 +165,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("doc_unigram_logprob", q.doc_unigram_logprob),
         ("corpus_pmi_top50", q.corpus_pmi_top50),
         ("events_user_daily_gapfill", q.events_user_daily_gapfill),
+        ("events_type_value_quantiles", q.events_type_value_quantiles),
+        ("orders_above_customer_avg", q.orders_above_customer_avg),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
