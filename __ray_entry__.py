@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 109 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 110 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": q.orders_above_customer_avg,
         "nation_segments": q.nation_segments,
         "lineitem_charges_unpivot": q.lineitem_charges_unpivot,
+        "events_click_no_purchase": q.events_click_no_purchase,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1081,6 +1082,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'tax', l_tax
             FROM lineitem
+        """,
+        "events_click_no_purchase": """
+            SELECT e.event_id AS click_id, e.user_id, e.ts AS click_ts
+            FROM events e
+            WHERE e.event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.user_id = e.user_id
+                  AND p.event_type = 'purchase'
+                  AND p.ts > e.ts
+                  AND p.ts <= e.ts + INTERVAL 1 HOUR)
         """,
         "doc_entropy": """
             WITH w AS (

@@ -5269,3 +5269,77 @@ def lineitem_charges_unpivot(sf_dir: str) -> Dataset:
         return pa.concat_tables(parts)
 
     return li.map_batches(melt, batch_format="pyarrow")
+
+
+def events_click_no_purchase(sf_dir: str, two_level: bool = False) -> Dataset:
+    """Windowed ANTI-join (NOT EXISTS under a time-range correlated
+    condition — the negative-attribution complement of
+    ``events_purchase_click_window``): clicks with NO purchase by the
+    same user in the FOLLOWING hour (no purchase_ts in
+    (click_ts, click_ts + 1h]). Same scale shape as the range join:
+    both event types filter map-side at the read, ONE groupby on the
+    reused user_id partitioning key, and the per-group test is a
+    vectorized double-searchsorted window count kept at zero — no
+    per-row loop, output ≤ the click count. Partitioning assumption
+    (default): one user's two-type history fits a task; ``two_level=
+    True`` buckets time at the window width and replicates each
+    purchase to its PRECEDING bucket, so a click's (user, bucket) group
+    provably contains every purchase in its forward window while each
+    click lives in exactly ONE bucket — the bucketed anti-verdicts are
+    exact with no dedup pass."""
+    win_us = WINDOW_JOIN_HOURS * 3_600_000_000
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
+    empty = {
+        "click_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "click_ts": pd.Series([], dtype="datetime64[us]"),
+    }
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"]
+        buys = g[g["event_type"] == "purchase"].sort_values("ts")
+        if clicks.empty:
+            return pd.DataFrame(empty)
+        cts = clicks["ts"].to_numpy()
+        bts = buys["ts"].to_numpy()
+        lo = np.searchsorted(bts, cts, side="right")
+        hi = np.searchsorted(
+            bts, cts + np.timedelta64(win_us, "us"), side="right"
+        )
+        keep = hi == lo
+        return pd.DataFrame(
+            {
+                "click_id": clicks["event_id"].to_numpy()[keep],
+                "user_id": clicks["user_id"].to_numpy()[keep],
+                "click_ts": cts[keep],
+            }
+        )
+
+    if not two_level:
+        return ev.groupby("user_id").map_groups(anti, batch_format="pandas")
+
+    def replicate(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        t = t.append_column("tbucket", _tbucket_of(micros, win_us))
+        buys = t.filter(pc.equal(t["event_type"], "purchase"))
+        i = t.schema.get_field_index("tbucket")
+        shifted = buys.set_column(
+            i,
+            "tbucket",
+            pc.subtract(buys["tbucket"], pa.scalar(1, pa.int64())),
+        )
+        return pa.concat_tables([t, shifted])
+
+    return (
+        ev.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["user_id", "tbucket"])
+        .map_groups(anti, batch_format="pandas")  # tbucket column ignored
+    )

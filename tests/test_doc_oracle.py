@@ -452,6 +452,7 @@ def test_round4_operator_queries_match_oracles():
         "orders_above_customer_avg",
         "nation_segments",
         "lineitem_charges_unpivot",
+        "events_click_no_purchase",
     ):
         got = _norm(queries[name](SF).to_pandas())
         want = _norm(c.execute(sqls[name]).fetchdf())
@@ -589,6 +590,7 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
         q.orders_above_customer_avg,
         q.nation_segments,
         q.lineitem_charges_unpivot,
+        q.events_click_no_purchase,
         q.doc_unigram_logprob,
         q.token_freq_top100_mg,
         q.part_fuzzy_pairs,

@@ -546,3 +546,76 @@ def test_two_level_moving_avg_equals_single_pass(tmp_path):
         round_half_away(want.to_numpy(), 4), index=df["event_id"].to_numpy()
     )
     assert np.allclose(got.sort_index(), ref.sort_index(), atol=1e-9)
+
+
+def test_two_level_windowed_anti_join_equals_single_pass(tmp_path):
+    """events_click_no_purchase(two_level=True) — purchases replicated to
+    their PRECEDING bucket — must equal the single-shuffle anti path,
+    including a planted hot user, forward-window boundary semantics
+    (purchase at click_ts excluded, at click_ts + 1h included), and
+    cross-bucket windows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import events_click_no_purchase
+
+    rng = np.random.RandomState(29)
+    base = 1_700_000_000_000_000  # us
+    eid = 0
+    uids, etypes, tss, eids = [], [], [], []
+
+    def add(uid, etype, t):
+        nonlocal eid
+        uids.append(uid)
+        etypes.append(etype)
+        tss.append(t)
+        eids.append(eid)
+        eid += 1
+
+    hour = 3_600_000_000
+    # hot user 1: 1500 events over many buckets, mixed types
+    t = base
+    for i in range(1500):
+        t += int(rng.choice([120, 600, 5400]) * 1e6)
+        add(1, "click" if rng.rand() < 0.6 else "purchase", t)
+    # user 2 boundary semantics: purchase at click_ts (excluded → click
+    # survives) and purchase at click_ts + 1h exactly (included → killed)
+    add(2, "click", base)
+    add(2, "purchase", base)  # p.ts > e.ts fails → does NOT cover
+    add(2, "click", base + 10 * hour)
+    add(2, "purchase", base + 11 * hour)  # covers the 10h click exactly
+    # user 3: clicks only (all survive); user 4: purchases only (no rows)
+    add(3, "click", base + 10**6)
+    add(4, "purchase", base + 10**6)
+    # user 5: purchase just across the bucket boundary still covers
+    add(5, "click", base + hour - 10**6)
+    add(5, "purchase", base + hour + 10**6)
+
+    tab = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(etypes, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+
+    def run(**kw):
+        return (
+            events_click_no_purchase(str(tmp_path), **kw)
+            .to_pandas()
+            .sort_values(["click_id"])
+            .reset_index(drop=True)
+        )
+
+    single = run()
+    two_level = run(two_level=True)
+    u2 = single[single["user_id"] == 2]
+    assert list(u2["click_ts"].astype("int64")) == [base]
+    assert (single["user_id"] == 3).sum() == 1
+    assert (single["user_id"] == 4).sum() == 0
+    assert (single["user_id"] == 5).sum() == 0
+    assert len(single) > 100
+    assert single.equals(two_level), (single.head(), two_level.head())
