@@ -294,6 +294,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_segments": q.nation_segments,
         "lineitem_charges_unpivot": q.lineitem_charges_unpivot,
         "events_click_no_purchase": q.events_click_no_purchase,
+        # --- round-4 sixth batch (positions 50+: first in line for the
+        # round-5 window reorder after CORRECTNESS_r04 lands; each is
+        # replica-gated at sf0.001 + sf0.01 and test-replayed)
+        "events_value_hist": q.events_value_hist,
+        "events_value_outliers": q.events_value_outliers,
+        "orders_monthly_mom": q.orders_monthly_mom,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -441,6 +447,57 @@ def oracle_sql() -> dict[str, str]:
                    ne.n_exact,
                    round(abs(est.e - ne.n_exact) / ne.n_exact, 4) AS rel_err
             FROM est, ne
+        """,
+        "events_value_hist": """
+            WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            b AS (
+                SELECT CASE WHEN mm.hi = mm.lo THEN 0.0
+                            ELSE least(floor((e.value - mm.lo) * 20.0
+                                             / (mm.hi - mm.lo)), 19.0)
+                       END AS fbin
+                FROM events e, mm)
+            SELECT fbin::BIGINT AS bin,
+                   round(mm.lo + fbin * ((mm.hi - mm.lo) / 20.0), 4) AS bin_lo,
+                   round(mm.lo + (fbin + 1) * ((mm.hi - mm.lo) / 20.0), 4)
+                       AS bin_hi,
+                   count(*)::BIGINT AS n_events
+            FROM b, mm GROUP BY fbin, mm.lo, mm.hi
+        """,
+        "events_value_outliers": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.25) AS p25,
+                       quantile_disc(value, 0.75) AS p75
+                FROM events GROUP BY event_type),
+            s AS (
+                SELECT e.event_type,
+                       sum(CASE WHEN e.value < q.p25 - 1.5 * (q.p75 - q.p25)
+                                  OR e.value > q.p75 + 1.5 * (q.p75 - q.p25)
+                                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                       count(*)::BIGINT AS n_rows
+                FROM events e JOIN q USING (event_type)
+                GROUP BY e.event_type)
+            SELECT q.event_type, q.p25, q.p75,
+                   round(q.p25 - 1.5 * (q.p75 - q.p25), 4) AS lo_fence,
+                   round(q.p75 + 1.5 * (q.p75 - q.p25), 4) AS hi_fence,
+                   s.n_outliers, s.n_rows
+            FROM q JOIN s USING (event_type)
+        """,
+        "orders_monthly_mom": """
+            WITH m AS (
+                SELECT o_orderpriority,
+                       date_trunc('month', o_orderdate) AS month,
+                       count(*)::BIGINT AS n_orders
+                FROM orders GROUP BY 1, 2),
+            w AS (
+                SELECT o_orderpriority, month, n_orders,
+                       lag(n_orders) OVER (
+                           PARTITION BY o_orderpriority ORDER BY month
+                       ) AS prev_n_orders
+                FROM m)
+            SELECT o_orderpriority, month, n_orders, prev_n_orders,
+                   n_orders - prev_n_orders AS mom_delta
+            FROM w WHERE prev_n_orders IS NOT NULL
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

@@ -5343,3 +5343,238 @@ def events_click_no_purchase(sf_dir: str, two_level: bool = False) -> Dataset:
         .groupby(["user_id", "tbucket"])
         .map_groups(anti, batch_format="pandas")  # tbucket column ignored
     )
+
+
+# ------------------------------------------------- round-4 sixth batch
+HIST_NBINS = 20
+
+
+def events_value_hist(sf_dir: str, nbins: int = HIST_NBINS) -> Dataset:
+    """Equi-width HISTOGRAM over a continuous column (the profiling /
+    distribution-sketch class next to the exact-quantile operators):
+    two streaming passes — a (min, max) domain pass (single fixed-width
+    partial row per batch, associative tree merge), then per-batch
+    ``np.bincount`` partials over the derived bin index, tree-combined
+    into ≤ nbins rows. Nothing larger than nbins rows ever moves, at any
+    corpus size. Bin index and edges use the SAME float64 expression as
+    the oracle (``(v - lo) * nbins / span``, clamp to nbins-1), so bin
+    assignment is bit-identical; only observed bins are emitted (as SQL's
+    GROUP BY does)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([float(v.min())], pa.float64()),
+                "hi": pa.array([float(v.max())], pa.float64()),
+            }
+        )
+
+    def mm_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(t["lo"]).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(t["hi"]).as_py()], pa.float64()),
+            }
+        )
+
+    mm = tree_combine(
+        ev.map_batches(mm_partial, batch_format="pyarrow"), mm_merge
+    ).take_all()
+    schema = pa.schema(
+        [
+            ("bin", pa.int64()),
+            ("bin_lo", pa.float64()),
+            ("bin_hi", pa.float64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+    if not mm:
+        return rd.from_arrow(schema.empty_table())
+    lo, hi = float(mm[0]["lo"]), float(mm[0]["hi"])
+    span = hi - lo
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if span == 0.0:
+            b = np.zeros(len(v), np.int64)
+        else:
+            b = np.minimum(
+                np.floor((v - lo) * float(nbins) / span), nbins - 1
+            ).astype(np.int64)
+        counts = np.bincount(b, minlength=nbins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_events": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        ev.map_batches(bin_partial, batch_format="pyarrow"),
+        group_sum_merge(("bin",), ("n_events",)),
+    )
+    width = span / float(nbins)
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        b = t["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(b, pa.int64()),
+                "bin_lo": pa.array(
+                    round_half_away(lo + b * width, 4), pa.float64()
+                ),
+                "bin_hi": pa.array(
+                    round_half_away(lo + (b + 1) * width, 4), pa.float64()
+                ),
+                "n_events": t["n_events"],
+            }
+        )
+
+    return counts.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+IQR_FENCE_K = 1.5
+
+
+def events_value_outliers(sf_dir: str, k: float = IQR_FENCE_K) -> Dataset:
+    """IQR OUTLIER DETECTION per group (the robust anomaly-flagging class
+    next to MAD): per event type, discrete q25/q75 and the count of rows
+    outside [q25 - k·IQR, q75 + k·IQR]. ONE (type, value)-census pass
+    feeds BOTH the quantiles and the outlier counts — the combined
+    histogram is value-domain-sized (fixed-width rows), so no second
+    corpus pass and no sort shuffle. Fences compare UNROUNDED float64
+    (the same expression the oracle evaluates), rounded only for display.
+    Partitioning assumption: the per-type distinct-value domain fits one
+    final task (6.6k values at sf0.01); an open-ended domain would take
+    the events_value_quantiles binned-localize path instead."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        c = Counter(
+            zip(batch["event_type"].to_pylist(), batch["value"].to_pylist())
+        )
+        ts, vs, ns = [], [], []
+        for (t, v), n in c.items():
+            ts.append(t)
+            vs.append(v)
+            ns.append(n)
+        return pa.table(
+            {
+                "event_type": pa.array(ts, pa.string()),
+                "value": pa.array(vs, pa.float64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "value"), ("n",)),
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("p25", pa.float64()),
+            ("p75", pa.float64()),
+            ("lo_fence", pa.float64()),
+            ("hi_fence", pa.float64()),
+            ("n_outliers", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas().sort_values(["event_type", "value"])
+        out: dict[str, list] = {name: [] for name in schema.names}
+        for et, g in df.groupby("event_type", sort=True):
+            vals = g["value"].to_numpy(np.float64)
+            cnt = g["n"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            total = int(cum[-1])
+            qs = []
+            for q in (0.25, 0.75):
+                rank = int(np.ceil(total * q))  # DuckDB quantile_disc
+                qs.append(float(vals[np.searchsorted(cum, rank, "left")]))
+            p25, p75 = qs
+            iqr = p75 - p25
+            lo_f, hi_f = p25 - k * iqr, p75 + k * iqr
+            n_out = int(cnt[(vals < lo_f) | (vals > hi_f)].sum())
+            out["event_type"].append(et)
+            out["p25"].append(p25)
+            out["p75"].append(p75)
+            out["lo_fence"].append(float(round_half_away(lo_f, 4)))
+            out["hi_fence"].append(float(round_half_away(hi_f, 4)))
+            out["n_outliers"].append(n_out)
+            out["n_rows"].append(total)
+        return pa.table(out, schema=schema)
+
+    return counts.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+def orders_monthly_mom(sf_dir: str) -> Dataset:
+    """Period-over-period LAG on an aggregated series (the MoM / growth
+    reporting class): per priority, each month's order count next to the
+    previous OBSERVED month's and the integer delta. The corpus pass is
+    the same enumerable-key (priority, month) count census as
+    orders_monthly; the lag itself runs on the combined
+    vocabulary-sized table in one final task (a few hundred rows at any
+    corpus size). First observed month per priority is dropped (no
+    predecessor) so every column stays non-null — int-exact end to end."""
+    base = orders_monthly(sf_dir)
+    schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("month", pa.timestamp("us")),
+            ("n_orders", pa.int64()),
+            ("prev_n_orders", pa.int64()),
+            ("mom_delta", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas().sort_values(["o_orderpriority", "month"])
+        prev = df.groupby("o_orderpriority", sort=False)["n_orders"].shift(1)
+        keep = prev.notna()
+        df = df[keep]
+        prev = prev[keep].astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"].tolist(), pa.string()
+                ),
+                "month": pa.array(
+                    df["month"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "n_orders": pa.array(
+                    df["n_orders"].to_numpy(np.int64), pa.int64()
+                ),
+                "prev_n_orders": pa.array(prev.to_numpy(np.int64), pa.int64()),
+                "mom_delta": pa.array(
+                    df["n_orders"].to_numpy(np.int64) - prev.to_numpy(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return base.repartition(1).map_batches(
+        fin, batch_size=None, batch_format="pyarrow"
+    )
