@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hist": q.events_value_hist,
         "events_value_outliers": q.events_value_outliers,
         "orders_monthly_mom": q.orders_monthly_mom,
+        "events_user_window_1h": q.events_user_window_1h,
+        "events_latest_per_user": q.events_latest_per_user,
+        "fk_orphan_audit": q.fk_orphan_audit,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -498,6 +501,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, month, n_orders, prev_n_orders,
                    n_orders - prev_n_orders AS mom_delta
             FROM w WHERE prev_n_orders IS NOT NULL
+        """,
+        "events_user_window_1h": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w AS n_w,
+                   round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                         / 100.0, 4) AS sum_w
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "events_latest_per_user": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT user_id, event_id, ts, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "fk_orphan_audit": """
+            SELECT 'orders->customer' AS relation,
+                   count(*)::BIGINT AS n_rows,
+                   count(DISTINCT o.o_custkey)::BIGINT AS n_keys,
+                   sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_orphan_rows,
+                   count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                  THEN o.o_custkey END)::BIGINT
+                       AS n_orphan_keys
+            FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            UNION ALL
+            SELECT 'lineitem->orders',
+                   count(*)::BIGINT,
+                   count(DISTINCT l.l_orderkey)::BIGINT,
+                   sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT,
+                   count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                  THEN l.l_orderkey END)::BIGINT
+            FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,
