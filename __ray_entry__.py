@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 110 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 117 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -241,7 +241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the round-4-close full sweep, 0 failures at sf0.01;
     docs/CHECK_ORACLES_r4d.txt covers this final 109-entry registry); the
     closing-batch queries are additionally gated in
-    tests/test_doc_oracle.py.
+    tests/test_doc_oracle.py. The sixth batch (histogram, IQR outliers,
+    MoM lag, RANGE window, latest-row compaction, FK audit, HLL overlap,
+    int8 quantization) sits at positions 51-58 — first in line for the
+    round-5 reorder once CORRECTNESS_r04 lands — and is gated at sf0.001
+    + sf0.01 via the replica plus test_round4_sixth_batch_* replays.
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
@@ -303,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window_1h": q.events_user_window_1h,
         "events_latest_per_user": q.events_latest_per_user,
         "fk_orphan_audit": q.fk_orphan_audit,
+        "events_audience_overlap_hll": q.events_audience_overlap_hll,
+        "embedding_sq8": q.embedding_sq8,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -539,6 +545,69 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT CASE WHEN o.o_orderkey IS NULL
                                   THEN l.l_orderkey END)::BIGINT
             FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        """,
+        "events_audience_overlap_hll": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_upper(user_id::VARCHAR) AS hv
+                FROM events WHERE event_type IN ('click', 'purchase')),
+            r AS (SELECT event_type, hv % 256 AS j, hv // 256 AS w FROM h),
+            rr AS (
+                SELECT event_type, j,
+                       max(CASE WHEN w = 0 THEN 57
+                           ELSE 56 - length(ltrim(bin(w), '0')) + 1 END
+                       ) AS rho
+                FROM r GROUP BY 1, 2),
+            ru AS (SELECT j, max(rho) AS rho FROM rr GROUP BY j),
+            agg AS (
+                SELECT event_type AS s, sum(pow(2.0, -rho)) AS sm,
+                       count(*) AS nz
+                FROM rr GROUP BY 1
+                UNION ALL
+                SELECT 'union', sum(pow(2.0, -rho)), count(*) FROM ru),
+            est AS (
+                SELECT s, CASE
+                    WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                         / (sm + (256 - nz)) <= 640
+                         AND nz < 256
+                    THEN 256 * ln(256.0 / (256 - nz))
+                    ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                         / (sm + (256 - nz))
+                END AS e FROM agg),
+            ex AS (
+                SELECT count(*)::BIGINT AS n_exact_intersection FROM (
+                    SELECT user_id FROM events WHERE event_type = 'click'
+                    INTERSECT
+                    SELECT user_id FROM events WHERE event_type = 'purchase'))
+            SELECT round(a.e, 4) AS est_click,
+                   round(b.e, 4) AS est_purchase,
+                   round(u.e, 4) AS est_union,
+                   round(a.e + b.e - u.e, 4) AS est_intersection,
+                   ex.n_exact_intersection
+            FROM est a, est b, est u, ex
+            WHERE a.s = 'click' AND b.s = 'purchase' AND u.s = 'union'
+        """,
+        "embedding_sq8": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                       FROM embeddings),
+            s AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) / 127.0
+                             AS scale
+                  FROM v),
+            c AS (SELECT vec_id, scale,
+                         CASE WHEN scale = 0
+                              THEN list_transform(e, x -> 0::BIGINT)
+                              ELSE list_transform(
+                                  e, x -> floor(x / scale + 0.5)::BIGINT)
+                         END AS codes
+                  FROM s)
+            SELECT vec_id, round(scale, 6) AS scale,
+                   list_min(codes)::BIGINT AS code_min,
+                   list_max(codes)::BIGINT AS code_max,
+                   list_sum(codes)::BIGINT AS code_sum,
+                   list_sum(list_transform(codes, x -> x * x))::BIGINT
+                       AS code_sumsq
+            FROM c
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

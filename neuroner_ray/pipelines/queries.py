@@ -5751,3 +5751,210 @@ def fk_orphan_audit(sf_dir: str) -> Dataset:
             else schema.empty_table()
         )
     return rd.from_arrow(pa.concat_tables(out))
+
+
+def events_audience_overlap_hll(sf_dir: str) -> Dataset:
+    """HLL SET ALGEBRA (sketch union + inclusion-exclusion intersection —
+    the audience-overlap estimate two teams compute without ever joining
+    their user sets): one streamed pass builds (type, j, rho) registers
+    for the click and purchase audiences (≤ 2 × 256 rows per block, the
+    events_type_user_hll shape); the UNION sketch is the per-register MAX
+    of the two — the defining mergeability property — and
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). Reported next to the EXACT
+    intersection (distinct-flag max-merge, the setops shape). All md5
+    hashing replays bit-for-bit in the oracle; ×m and ×m² are exact
+    power-of-two scalings so the estimator is float-identical."""
+    from ray.data.aggregate import Max as _Max
+
+    from ..runtime.combine import group_agg_merge
+
+    m, p = HLL_M, 8
+    wbits = 64 - p
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "user_id"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+    merge = group_agg_merge(("event_type", "j"), maxs=("rho",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        regs: dict[tuple[str, int], int] = {}
+        for et, u in set(
+            zip(batch["event_type"].to_pylist(), batch["user_id"].to_pylist())
+        ):
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode("utf-8")).digest()[:8], "little"
+            )
+            j, w = h % m, h >> p
+            rho = (wbits + 1) if w == 0 else (wbits - w.bit_length() + 1)
+            if rho > regs.get((et, j), 0):
+                regs[(et, j)] = rho
+        ks = sorted(regs)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in ks], pa.string()),
+                "j": pa.array([k[1] for k in ks], pa.int64()),
+                "rho": pa.array([regs[k] for k in ks], pa.int64()),
+            }
+        )
+
+    regs = tree_combine(
+        ev.map_batches(partials, batch_format="pyarrow"), merge
+    ).to_pandas()
+
+    def estimate(rho_by_j: dict[int, int]) -> float:
+        s = sum(2.0 ** -r for r in rho_by_j.values())
+        nz = len(rho_by_j)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / (s + (m - nz))
+        v = m - nz
+        if est <= 2.5 * m and v > 0:
+            est = m * np.log(m / v)
+        return float(est)
+
+    sets: dict[str, dict[int, int]] = {"click": {}, "purchase": {}}
+    if regs.empty:  # empty corpus: zero audiences, skip the exact pass
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "est_click": pa.array([0.0], pa.float64()),
+                    "est_purchase": pa.array([0.0], pa.float64()),
+                    "est_union": pa.array([0.0], pa.float64()),
+                    "est_intersection": pa.array([0.0], pa.float64()),
+                    "n_exact_intersection": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    for et, j, rho in zip(regs["event_type"], regs["j"], regs["rho"]):
+        sets[et][int(j)] = int(rho)
+    union = dict(sets["click"])
+    for j, rho in sets["purchase"].items():
+        union[j] = max(union.get(j, 0), rho)
+    est_a, est_b, est_u = (
+        estimate(sets["click"]),
+        estimate(sets["purchase"]),
+        estimate(union),
+    )
+
+    # exact side: distinct per-user flags, max-merged once
+    def flags(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "c": np.asarray(
+                    pc.equal(batch["event_type"], "click").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    np.int64,
+                ),
+                "p": np.asarray(
+                    pc.equal(batch["event_type"], "purchase").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    np.int64,
+                ),
+            }
+        ).groupby("user_id", as_index=False).max()
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "c": pa.array(df["c"].to_numpy(np.int64)),
+                "p": pa.array(df["p"].to_numpy(np.int64)),
+            }
+        )
+
+    both = (
+        ev.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Max("c", alias_name="c"), _Max("p", alias_name="p"))
+    )
+    n_both = tree_combine(
+        both.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "n": pa.array(
+                        [
+                            int(
+                                np.sum(
+                                    (
+                                        t["c"].to_numpy(zero_copy_only=False)
+                                        > 0
+                                    )
+                                    & (
+                                        t["p"].to_numpy(zero_copy_only=False)
+                                        > 0
+                                    )
+                                )
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        group_sum_merge(("k",), ("n",)),
+    ).take_all()
+    exact = int(n_both[0]["n"]) if n_both else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "est_click": pa.array(
+                    round_half_away([est_a], 4), pa.float64()
+                ),
+                "est_purchase": pa.array(
+                    round_half_away([est_b], 4), pa.float64()
+                ),
+                "est_union": pa.array(
+                    round_half_away([est_u], 4), pa.float64()
+                ),
+                "est_intersection": pa.array(
+                    round_half_away([est_a + est_b - est_u], 4), pa.float64()
+                ),
+                "n_exact_intersection": pa.array([exact], pa.int64()),
+            }
+        )
+    )
+
+
+def embedding_sq8(sf_dir: str) -> Dataset:
+    """Scalar INT8 QUANTIZATION of an embedding column (the vector-
+    compression encode that precedes ANN serving — 4× smaller than
+    float32): per vector, symmetric max-abs scale (mx/127, one exact
+    division) and half-up codes floor(x/scale + 0.5), reported as the
+    integer code census (min/max/sum/sum-of-squares — INT-EXACT, so the
+    oracle's list-fold replay hashes bit-for-bit; the float32→float64
+    widening is exact on both sides). Pure vectorized map — one matmul-
+    free pass, no shuffle, embarrassingly scalable."""
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = batch["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        M = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+        mx = np.abs(M).max(axis=1) if len(ids) else np.zeros(0)
+        scale = mx / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        codes = np.floor(M / safe[:, None] + 0.5)
+        codes = np.where(scale[:, None] == 0.0, 0.0, codes).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "scale": pa.array(round_half_away(scale, 6), pa.float64()),
+                "code_min": pa.array(codes.min(axis=1) if len(ids) else [], pa.int64()),
+                "code_max": pa.array(codes.max(axis=1) if len(ids) else [], pa.int64()),
+                "code_sum": pa.array(codes.sum(axis=1) if len(ids) else [], pa.int64()),
+                "code_sumsq": pa.array(
+                    (codes * codes).sum(axis=1) if len(ids) else [], pa.int64()
+                ),
+            }
+        )
+
+    return emb.map_batches(quant, batch_format="pyarrow")

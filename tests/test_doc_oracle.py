@@ -614,3 +614,93 @@ def test_closing_batch_ops_survive_empty_input(tmp_path):
     # BPE's contract is a loud raise when the corpus yields zero pairs
     with pytest.raises(ValueError, match="pairs exhausted"):
         q.corpus_bpe_merges(d)
+
+
+def test_round4_sixth_batch_queries_match_oracles():
+    """Sixth-batch additions (equi-width histogram, IQR outliers, MoM lag,
+    RANGE-interval window, latest-record compaction, FK orphan audit, HLL
+    audience overlap, int8 scalar quantization) against their registered
+    oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "lineitem", "documents", "orders", "part",
+              "supplier", "nation", "customer", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_value_hist",
+        "events_value_outliers",
+        "orders_monthly_mom",
+        "events_user_window_1h",
+        "events_latest_per_user",
+        "fk_orphan_audit",
+        "events_audience_overlap_hll",
+        "embedding_sq8",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_sixth_batch_ops_survive_empty_input(tmp_path):
+    """Schema-faithful empty parquet must yield empty (or zero-summary)
+    results, never a crash, for every sixth-batch op."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents", "lineitem", "part", "embeddings",
+              "orders", "customer", "supplier", "nation", "region"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.events_value_hist,
+        q.events_value_outliers,
+        q.orders_monthly_mom,
+        q.events_user_window_1h,
+        q.events_latest_per_user,
+        q.fk_orphan_audit,
+        q.embedding_sq8,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+    # the overlap summary returns its one zero row (HLL count-query shape)
+    ov = q.events_audience_overlap_hll(d).to_pandas()
+    assert len(ov) == 1 and ov["n_exact_intersection"].iloc[0] == 0
+
+
+def test_hist_bins_cover_all_rows_and_quantization_roundtrip():
+    """Structural invariants the oracle replay can't state: histogram bin
+    counts must sum to the row count with every bin in [0, nbins); int8
+    codes must stay in [-127, 127] and reconstruct within scale/2 per
+    component (the quantization error bound)."""
+    import pyarrow.parquet as pq
+
+    h = q.events_value_hist(SF).to_pandas()
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert h["n_events"].sum() == n_events
+    assert h["bin"].between(0, q.HIST_NBINS - 1).all()
+    assert (h["bin_hi"] >= h["bin_lo"]).all()
+
+    sq = q.embedding_sq8(SF).to_pandas()
+    assert sq["code_min"].ge(-127).all() and sq["code_max"].le(127).all()
+    # reconstruction bound: |x - code*scale| <= scale/2 (+ rounding slack)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    import numpy as np
+
+    row = emb.iloc[0]
+    v = np.asarray(row["embedding"], np.float64)
+    scale = float(np.abs(v).max() / 127.0)
+    codes = np.floor(v / scale + 0.5)
+    assert np.abs(v - codes * scale).max() <= scale / 2 + 1e-12
