@@ -167,6 +167,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("events_user_daily_gapfill", q.events_user_daily_gapfill),
         ("events_type_value_quantiles", q.events_type_value_quantiles),
         ("orders_above_customer_avg", q.orders_above_customer_avg),
+        ("events_user_window_1h", q.events_user_window_1h),
+        ("embedding_sq8", q.embedding_sq8),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
