@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 117 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 121 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -243,9 +243,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     closing-batch queries are additionally gated in
     tests/test_doc_oracle.py. The sixth batch (histogram, IQR outliers,
     MoM lag, RANGE window, latest-row compaction, FK audit, HLL overlap,
-    int8 quantization) sits at positions 51-58 — first in line for the
-    round-5 reorder once CORRECTNESS_r04 lands — and is gated at sf0.001
-    + sf0.01 via the replica plus test_round4_sixth_batch_* replays.
+    int8 quantization) sits at positions 51-58 and the seventh batch
+    (FULL OUTER cogroup, ratio-to-report, RANK-with-ties, gaps-and-
+    islands streaks) at 59-62 — first in line for the round-5 reorder
+    once CORRECTNESS_r04 lands — each gated at sf0.001 + sf0.01 via the
+    replica plus the test_round4_{sixth,seventh}_batch_* replays.
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
@@ -309,6 +311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orphan_audit": q.fk_orphan_audit,
         "events_audience_overlap_hll": q.events_audience_overlap_hll,
         "embedding_sq8": q.embedding_sq8,
+        "nation_balance_full_outer": q.nation_balance_full_outer,
+        "orders_priority_share": q.orders_priority_share,
+        "events_user_rank_top3": q.events_user_rank_top3,
+        "events_user_max_streak": q.events_user_max_streak,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -608,6 +614,59 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(codes, x -> x * x))::BIGINT
                        AS code_sumsq
             FROM c
+        """,
+        "nation_balance_full_outer": """
+            WITH c AS (
+                SELECT c_nationkey::BIGINT AS k, count(*)::BIGINT AS n,
+                       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents
+                FROM customer GROUP BY 1),
+            s AS (
+                SELECT s_nationkey::BIGINT AS k, count(*)::BIGINT AS n,
+                       sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS cents
+                FROM supplier GROUP BY 1)
+            SELECT coalesce(c.k, s.k) AS n_nationkey,
+                   coalesce(c.n, 0)::BIGINT AS n_customers,
+                   round(coalesce(c.cents, 0) / 100.0, 4) AS cust_balance,
+                   coalesce(s.n, 0)::BIGINT AS n_suppliers,
+                   round(coalesce(s.cents, 0) / 100.0, 4) AS supp_balance
+            FROM c FULL OUTER JOIN s ON c.k = s.k
+        """,
+        "orders_priority_share": """
+            WITH c AS (
+                SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+                FROM orders GROUP BY 1),
+            t AS (SELECT sum(n_orders)::BIGINT AS total FROM c)
+            SELECT c.o_orderpriority, c.n_orders,
+                   round(c.n_orders::DOUBLE / t.total, 4) AS share
+            FROM c, t
+        """,
+        "events_user_rank_top3": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT event_type, user_id, n_events,
+                       rank() OVER (
+                           PARTITION BY event_type ORDER BY n_events DESC
+                       )::BIGINT AS rnk
+                FROM c)
+            SELECT * FROM r WHERE rnk <= 3
+        """,
+        "events_user_max_streak": """
+            WITH d AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events),
+            i AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day
+                       ) * INTERVAL 1 DAY AS grp
+                FROM d),
+            s AS (SELECT user_id, grp, count(*)::BIGINT AS len
+                  FROM i GROUP BY 1, 2)
+            SELECT user_id, sum(len)::BIGINT AS n_active_days,
+                   max(len)::BIGINT AS max_streak_days
+            FROM s GROUP BY user_id
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

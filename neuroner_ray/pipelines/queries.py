@@ -5958,3 +5958,281 @@ def embedding_sq8(sf_dir: str) -> Dataset:
         )
 
     return emb.map_batches(quant, batch_format="pyarrow")
+
+
+def nation_balance_full_outer(sf_dir: str) -> Dataset:
+    """FULL OUTER cogroup of two aggregated sides (the outer-join report
+    class — nations keep a row even when one side has no members):
+    per nation, customer count/balance next to supplier count/balance,
+    missing sides zero-filled. Each side shrinks to an enumerable-key
+    (nationkey, n, cents) census map-side and tree-combines; the outer
+    merge runs on two ≤ 25-row tables in one final task. Balances sum as
+    half-away integer CENTS (no float summation-order ulp), one double
+    division each at the end, mirrored in SQL."""
+    sides = []
+    for table, key, bal in (
+        ("customer", "c_nationkey", "c_acctbal"),
+        ("supplier", "s_nationkey", "s_acctbal"),
+    ):
+        src = read_parquet_clean(_p(sf_dir, table), columns=[key, bal])
+
+        def census(batch: pa.Table, key=key, bal=bal) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = round_half_away(
+                batch[bal].to_numpy(zero_copy_only=False).astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            g = (
+                pd.DataFrame({"k": k, "cents": cents})
+                .groupby("k", as_index=False)
+                .agg(n=("cents", "size"), cents=("cents", "sum"))
+            )
+            return pa.table(
+                {
+                    "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+                    "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                    "cents": pa.array(
+                        g["cents"].to_numpy(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        side = tree_combine(
+            src.map_batches(census, batch_format="pyarrow"),
+            group_sum_merge(("k",), ("n", "cents")),
+        ).to_pandas()
+        if side.empty:  # empty table: typed empty frame so the merge keys exist
+            side = pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "cents": pd.Series([], dtype="int64"),
+                }
+            )
+        sides.append(side)
+    cust, supp = sides
+    merged = cust.merge(supp, on="k", how="outer", suffixes=("_c", "_s"))
+    for c in ("n_c", "cents_c", "n_s", "cents_s"):
+        merged[c] = merged[c].fillna(0).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_nationkey": pa.array(
+                    merged["k"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_customers": pa.array(
+                    merged["n_c"].to_numpy(np.int64), pa.int64()
+                ),
+                "cust_balance": pa.array(
+                    round_half_away(
+                        merged["cents_c"].to_numpy(np.int64) / 100.0, 4
+                    ),
+                    pa.float64(),
+                ),
+                "n_suppliers": pa.array(
+                    merged["n_s"].to_numpy(np.int64), pa.int64()
+                ),
+                "supp_balance": pa.array(
+                    round_half_away(
+                        merged["cents_s"].to_numpy(np.int64) / 100.0, 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+def orders_priority_share(sf_dir: str) -> Dataset:
+    """RATIO-TO-REPORT window (percent-of-total — ``n / sum(n) OVER ()``):
+    per priority, order count and its share of all orders. The census is
+    enumerable-key map-side partials + tree combine; the share is ONE
+    double division of exact int64 operands per row (bit-identical to
+    SQL), computed where the whole ≤ #priorities-row table already sits."""
+    orders = read_parquet_clean(_p(sf_dir, "orders"), columns=["o_orderpriority"])
+
+    def census(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["o_orderpriority"].to_pylist())
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(list(c.keys()), pa.string()),
+                "n_orders": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        orders.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("o_orderpriority",), ("n_orders",)),
+    )
+    schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("n_orders", pa.int64()),
+            ("share", pa.float64()),
+        ]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": t["n_orders"],
+                "share": pa.array(
+                    round_half_away(n.astype(np.float64) / total, 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return counts.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+def events_user_rank_top3(sf_dir: str, k: int = 3) -> Dataset:
+    """RANK window with gap semantics (ties share a rank AND consume
+    rank slots — ``rank() <= k`` can return more OR skip past k, unlike
+    dense_rank): per type, users ranked by event count desc, keeping
+    rank ≤ k. Same scale shape as events_user_dense_rank: the rank
+    structure comes from the tiny (type, count, multiplicity) census —
+    rank(n) = 1 + Σ multiplicity(n' > n) — so the cut is a broadcast
+    threshold filter over the count census, never a per-group sort of
+    the user table."""
+    from ..runtime.combine import anchor
+
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "user_id"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_events": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = anchor(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+    # (type, count, multiplicity) census — O(#distinct counts) per type
+    mcensus = tree_combine(
+        counts.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n_events": t["n_events"],
+                    "m": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        group_sum_merge(("event_type", "n_events"), ("m",)),
+    ).to_pandas()
+    if mcensus.empty:
+        return rd.from_arrow(schema.empty_table())
+
+    rank_of: dict[tuple, int] = {}
+    thresh: dict[str, int] = {}
+    for t, g in mcensus.groupby("event_type", sort=False):
+        g = g.sort_values("n_events", ascending=False)
+        ns = g["n_events"].to_numpy(np.int64)
+        ms = g["m"].to_numpy(np.int64)
+        ranks = 1 + np.concatenate([[0], np.cumsum(ms)[:-1]])
+        keep = ranks <= k
+        if not keep.any():
+            continue
+        thresh[t] = int(ns[keep][-1])
+        for n, r in zip(ns[keep], ranks[keep]):
+            rank_of[(t, int(n))] = int(r)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_events"].to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return schema.empty_table()
+        thr = np.array([thresh.get(t, np.iinfo(np.int64).max) for t in et])
+        keep = n >= thr
+        et, u, n = et[keep], u[keep], n[keep]
+        rnk = np.array(
+            [rank_of[(t, int(v))] for t, v in zip(et, n)], np.int64
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "user_id": pa.array(u, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return counts.map_batches(fin, batch_format="pyarrow")
+
+
+def events_user_max_streak(sf_dir: str) -> Dataset:
+    """GAPS-AND-ISLANDS (the consecutive-run / streak class — SQL's
+    ``day - row_number() * INTERVAL 1 DAY`` island trick): per user, the
+    count of distinct active days and the longest run of CONSECUTIVE
+    days. Batches shrink to distinct (user, epoch-day) rows map-side;
+    ONE groupby on the reused user_id key and the per-group streak is a
+    vectorized diff-split over the sorted unique day ints — no per-day
+    loop, state bounded by active-day span."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        us = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = (
+            pc.floor_temporal(batch["ts"], unit="day")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        uniq = np.unique(np.stack([us, days], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0], pa.int64()),
+                "day": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    def streak(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy(np.int64))
+        runs = np.split(days, np.where(np.diff(days) != 1)[0] + 1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64)[:1],
+                "n_active_days": np.array([len(days)], np.int64),
+                "max_streak_days": np.array(
+                    [max(len(r) for r in runs)], np.int64
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(streak, batch_format="pandas")
+    )

@@ -704,3 +704,68 @@ def test_hist_bins_cover_all_rows_and_quantization_roundtrip():
     scale = float(np.abs(v).max() / 127.0)
     codes = np.floor(v / scale + 0.5)
     assert np.abs(v - codes * scale).max() <= scale / 2 + 1e-12
+
+
+def test_round4_seventh_batch_queries_match_oracles():
+    """Seventh-batch additions (FULL OUTER cogroup, ratio-to-report,
+    RANK-with-ties top-k, gaps-and-islands streaks) against their
+    registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "orders", "customer", "supplier", "nation"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "nation_balance_full_outer",
+        "orders_priority_share",
+        "events_user_rank_top3",
+        "events_user_max_streak",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_seventh_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "orders", "customer", "supplier", "nation"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.nation_balance_full_outer,
+        q.orders_priority_share,
+        q.events_user_rank_top3,
+        q.events_user_max_streak,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_rank_vs_dense_rank_tie_semantics():
+    """rank() consumes slots on ties while dense_rank() does not: on the
+    same corpus every rnk from the RANK cut must be >= its dense
+    counterpart for the same (type, user), and the RANK result can never
+    contain MORE distinct rank values than dense within the k-cut."""
+    r = q.events_user_rank_top3(SF).to_pandas()
+    d = q.events_user_dense_rank(SF).to_pandas()
+    m = r.merge(d, on=["event_type", "user_id", "n_events"],
+                suffixes=("_rank", "_dense"))
+    assert (m["rnk_rank"] >= m["rnk_dense"]).all()
+    # streak sanity: max streak never exceeds active days
+    s = q.events_user_max_streak(SF).to_pandas()
+    assert (s["max_streak_days"] <= s["n_active_days"]).all()
+    assert (s["max_streak_days"] >= 1).all()
