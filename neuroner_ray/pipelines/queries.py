@@ -3672,29 +3672,31 @@ def _lev_leq(a: str, b: str, k: int = 2) -> int | None:
     return prev[lb] if prev[lb] <= k else None
 
 
-def part_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> Dataset:
+def part_fuzzy_pairs(
+    sf_dir: str, max_dist: int = 2, route: str = "auto"
+) -> Dataset:
     """Fuzzy string-similarity self-join: all pairs of DISTINCT part names
     within edit distance ``max_dist`` (the entity-resolution primitive for
-    dirty dimension data). Shape: a distributed distinct-name census
-    (map-side dedup, tree-combined — the pair domain is DISTINCT names,
-    vocabulary-sized by definition) is collected sorted and broadcast;
-    the quadratic pair sweep is then sharded over Ray tasks by row range,
-    each pruning candidates by the |len(a)−len(b)| ≤ k band before a
-    banded-DP Levenshtein. Provably-exact-or-raise contract (like the
-    Misra-Gries sketch): past ``FUZZY_MAX_NAMES`` distinct names the
-    exact sweep would be quadratic in a non-vocabulary-sized domain, so
-    it raises loudly — the documented scale path is LSH/n-gram candidate
-    blocking (stages/dedup.py machinery), which trades the exactness the
-    oracle checks for bounded candidates."""
+    dirty dimension data). Size-adaptive: below ``FUZZY_MAX_NAMES``
+    distinct names the sorted census broadcasts and the pair sweep shards
+    over Ray tasks by row range (length-band pruning + banded-DP
+    Levenshtein); past the cap it routes to the PassJoin-style
+    SEGMENT-BLOCKING path (``_fuzzy_pairs_blocked``) — sound and complete
+    by pigeonhole, constant emitted rows per name, one segment-key
+    groupby, no all-pairs sweep. ``route`` forces "broadcast" / "blocked"
+    (equivalence-tested on both the corpus and a planted edit set)."""
     part = read_parquet_clean(_p(sf_dir, "part"), columns=["p_name"])
     merge = group_sum_merge(("p_name",), ())
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["p_name"]).aggregate([])
 
-    census = tree_combine(
+    census_ds = tree_combine(
         part.map_batches(distinct_partial, batch_format="pyarrow"), merge
-    ).to_pandas()
+    )
+    if route == "blocked":
+        return _fuzzy_pairs_blocked(census_ds, max_dist)
+    census = census_ds.to_pandas()
     if census.empty:  # empty table: typed empty result
         return rd.from_arrow(
             pa.table(
@@ -3707,12 +3709,13 @@ def part_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> Dataset:
         )
     names = sorted(census["p_name"].tolist())
     if len(names) > FUZZY_MAX_NAMES:
-        raise ValueError(
-            f"part_fuzzy_pairs: {len(names)} distinct names exceeds "
-            f"FUZZY_MAX_NAMES={FUZZY_MAX_NAMES}; the exact all-pairs sweep "
-            "is quadratic — use n-gram/LSH candidate blocking "
-            "(stages.dedup) for open-vocabulary domains"
-        )
+        if route == "broadcast":
+            raise ValueError(
+                f"part_fuzzy_pairs: {len(names)} distinct names exceeds "
+                f"FUZZY_MAX_NAMES={FUZZY_MAX_NAMES} and route='broadcast' "
+                "pins the quadratic sweep — use route='auto'/'blocked'"
+            )
+        return _fuzzy_pairs_blocked(census_ds, max_dist)
     names_arr = np.array(names, dtype=object)
     lens = np.array([len(n) for n in names], dtype=np.int64)
     names_ref = ray.put((names_arr, lens))
@@ -6236,3 +6239,120 @@ def events_user_max_streak(sf_dir: str) -> Dataset:
         .groupby("user_id")
         .map_groups(streak, batch_format="pandas")
     )
+
+
+FUZZY_BLOCK_MAX = 4_000_000  # per-segment-group candidate cross cap (loud)
+
+
+def _segments(L: int, k: int) -> list[tuple[int, int]]:
+    """PassJoin partition of a length-L string into k+1 contiguous
+    (start, len) segments — shorter segments first (one fixed convention
+    shared by the index and probe sides; PassJoin, Li et al. VLDB'11)."""
+    parts = k + 1
+    base, rem = divmod(L, parts)
+    out, pos = [], 0
+    for i in range(parts):
+        seg_len = base + (1 if i >= parts - rem else 0)
+        out.append((pos, seg_len))
+        pos += seg_len
+    return out
+
+
+def _fuzzy_pairs_blocked(census: Dataset, k: int) -> Dataset:
+    """Segment-blocking fuzzy self-join — the SCALE path behind
+    ``part_fuzzy_pairs``'s FUZZY_MAX_NAMES cap (converts the formerly
+    named-but-not-built fallback into a real path). Sound and complete
+    by pigeonhole: ≤ k edits can corrupt at most k of a string's k+1
+    segments, so any match shares at least one segment EXACTLY, at a
+    position shifted by at most k. Every distinct name emits its k+1
+    (L, seg_idx, segment) index keys plus the ≤ (2k+1)²(k+1) probe
+    substrings matching any candidate indexed length — constant rows
+    per name, ONE groupby on the segment key, in-group index×probe
+    cross (capped loudly at FUZZY_BLOCK_MAX — a hot segment means a
+    shared-prefix pile-up; split on a longer q-gram before raising the
+    cap), a pair-dedupe groupby, then banded-DP verify. No all-pairs
+    sweep anywhere; candidate volume is data-dependent, not quadratic.
+    Equivalence-tested against the broadcast sweep
+    (tests/test_doc_oracle.py::test_fuzzy_blocked_path_matches_broadcast)."""
+    from ray.data.aggregate import Count as _Count
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keys, sides, names = [], [], []
+        for s in batch["p_name"].to_pylist():
+            n = len(s)
+            # index side: this name's own segments
+            for i, (p, seg_len) in enumerate(_segments(n, k)):
+                keys.append(f"{n}|{i}|{s[p:p + seg_len]}")
+                sides.append(0)
+                names.append(s)
+            # probe side: substrings matching the segment grid of every
+            # candidate indexed length, start shifted by at most k
+            for lc in range(max(0, n - k), n + k + 1):
+                for i, (p, seg_len) in enumerate(_segments(lc, k)):
+                    lo = max(0, p - k)
+                    hi = min(n - seg_len, p + k)
+                    seen: set[str] = set()
+                    for st in range(lo, hi + 1):
+                        sub = s[st:st + seg_len]
+                        if sub in seen:
+                            continue
+                        seen.add(sub)
+                        keys.append(f"{lc}|{i}|{sub}")
+                        sides.append(1)
+                        names.append(s)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "side": pa.array(sides, pa.int64()),
+                "name": pa.array(names, pa.string()),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.loc[df["side"] == 0, "name"].unique()
+        prb = df.loc[df["side"] == 1, "name"].unique()
+        if len(idx) * len(prb) > FUZZY_BLOCK_MAX:
+            raise ValueError(
+                f"fuzzy segment group '{df['key'].iloc[0]}' crosses "
+                f"{len(idx)}x{len(prb)} candidates > FUZZY_BLOCK_MAX="
+                f"{FUZZY_BLOCK_MAX}: a shared-prefix pile-up — block on a "
+                "longer q-gram or pre-split the hot segment"
+            )
+        out_a, out_b = [], []
+        for a in idx:
+            for b in prb:
+                if a != b:
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+        return pd.DataFrame(
+            {"name_a": out_a, "name_b": out_b}
+        ).drop_duplicates()
+
+    cands = (
+        census.map_batches(emit, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["name_a", "name_b"])
+        .aggregate(_Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_out, b_out, d_out = [], [], []
+        for a, b in zip(
+            batch["name_a"].to_pylist(), batch["name_b"].to_pylist()
+        ):
+            d = _lev_leq(a, b, k)
+            if d is not None:
+                a_out.append(a)
+                b_out.append(b)
+                d_out.append(d)
+        return pa.table(
+            {
+                "name_a": pa.array(a_out, pa.string()),
+                "name_b": pa.array(b_out, pa.string()),
+                "dist": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow")

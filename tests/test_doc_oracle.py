@@ -769,3 +769,56 @@ def test_rank_vs_dense_rank_tie_semantics():
     s = q.events_user_max_streak(SF).to_pandas()
     assert (s["max_streak_days"] <= s["n_active_days"]).all()
     assert (s["max_streak_days"] >= 1).all()
+
+
+def test_fuzzy_blocked_path_matches_broadcast():
+    """The PassJoin-style segment-blocking scale path must reproduce the
+    broadcast all-pairs sweep exactly on the corpus names."""
+    want = _norm(q.part_fuzzy_pairs(SF, route="broadcast").to_pandas())
+    got = _norm(q.part_fuzzy_pairs(SF, route="blocked").to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fuzzy_blocked_path_complete_on_planted_edits(tmp_path):
+    """Completeness stress: names engineered with substitutions and
+    indels at segment boundaries (the positions where a blocking scheme
+    with wrong shift bounds loses pairs), plus decoys just past the
+    distance cap — the blocked path must equal the brute-force sweep."""
+    import itertools
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuroner_ray.pipelines.queries import _lev_leq
+
+    base = "abcdefghij"
+    names = {base}
+    # substitutions / deletions / insertions at every position (covers
+    # every segment boundary for k=2's 3-segment grid)
+    for i in range(len(base)):
+        names.add(base[:i] + "X" + base[i + 1:])          # sub
+        names.add(base[:i] + base[i + 1:])                # del
+        names.add(base[:i] + "Z" + base[i:])              # ins
+    # double edits at far-apart positions (both segments corrupted →
+    # must still match via the untouched third segment)
+    names.add("Xbcdefghij"[:9] + "Y")
+    names.add("abXdefgYij")
+    # decoys at distance 3 from base
+    names.add("XYZdefghij")
+    names.add(base + "XYZ")
+    names = sorted(names)
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"p_name": pa.array(names, pa.string())}),
+        os.path.join(d, "part.parquet"),
+    )
+    got = _norm(q.part_fuzzy_pairs(d, route="blocked").to_pandas())
+    rows = []
+    for a, b in itertools.combinations(names, 2):
+        dist = _lev_leq(a, b, 2)
+        if dist is not None:
+            rows.append({"name_a": a, "name_b": b, "dist": dist})
+    want = _norm(pd.DataFrame(rows))
+    assert len(got) == len(want) and len(want) > 20
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
