@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 121 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 122 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_share": q.orders_priority_share,
         "events_user_rank_top3": q.events_user_rank_top3,
         "events_user_max_streak": q.events_user_max_streak,
+        "events_selfjoin_size_cms": q.events_selfjoin_size_cms,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -667,6 +668,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(len)::BIGINT AS n_active_days,
                    max(len)::BIGINT AS max_streak_days
             FROM s GROUP BY user_id
+        """,
+        "events_selfjoin_size_cms": """
+            WITH rows_ AS (SELECT unnest(range(4)) AS r),
+            regs AS (
+                SELECT rows_.r,
+                       md5_number_upper(rows_.r::VARCHAR || '|'
+                                        || e.user_id::VARCHAR) % 1024 AS col,
+                       count(*)::BIGINT AS cnt
+                FROM events e CROSS JOIN rows_
+                GROUP BY 1, 2),
+            est AS (
+                SELECT min(s)::BIGINT AS est_selfjoin FROM (
+                    SELECT r, sum(cnt * cnt) AS s FROM regs GROUP BY r)),
+            ex AS (
+                SELECT sum(n * n)::BIGINT AS exact_selfjoin FROM (
+                    SELECT count(*)::BIGINT AS n FROM events
+                    GROUP BY user_id))
+            SELECT est.est_selfjoin, ex.exact_selfjoin,
+                   round((est.est_selfjoin - ex.exact_selfjoin)::DOUBLE
+                         / ex.exact_selfjoin, 4) AS rel_overestimate
+            FROM est, ex
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

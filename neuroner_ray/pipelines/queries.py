@@ -6356,3 +6356,90 @@ def _fuzzy_pairs_blocked(census: Dataset, k: int) -> Dataset:
         )
 
     return cands.map_batches(verify, batch_format="pyarrow")
+
+
+def events_selfjoin_size_cms(sf_dir: str) -> Dataset:
+    """JOIN-SIZE ESTIMATION from a sketch (the query-optimizer
+    cardinality primitive — |R ⋈ R| on user_id = Σ_u c(u)², estimated as
+    min_r Σ_col reg[r,col]², the CMS inner-product bound: an
+    OVERESTIMATE, never under): the register pass is the
+    events_user_freq_cms shape (depth × width fixed-width partials,
+    element-wise-sum tree combine); the exact side needs the true
+    per-user counts, so it pays the one user-key groupby the sketch
+    exists to avoid — reported side by side with the relative
+    overestimate. All md5 hashing replays bit-for-bit in the oracle."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+    merge = group_sum_merge(("r", "col"), ("cnt",))
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        users, counts = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        rs, cols, cnts = [], [], []
+        for u, c in zip(users, counts):
+            for r in range(CMS_DEPTH):
+                rs.append(r)
+                cols.append(_cms_col(r, str(int(u))))
+                cnts.append(int(c))
+        return merge(
+            pa.table(
+                {
+                    "r": pa.array(rs, pa.int64()),
+                    "col": pa.array(cols, pa.int64()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            )
+        )
+
+    regs = tree_combine(
+        ev.map_batches(reg_partial, batch_format="pyarrow"), merge
+    ).to_pandas()
+    if regs.empty:
+        est = 0
+    else:
+        est = int(
+            regs.assign(sq=regs["cnt"] * regs["cnt"])
+            .groupby("r")["sq"]
+            .sum()
+            .min()
+        )
+
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="n"))
+    sq_merge = group_sum_merge(("k",), ("s",))
+    parts = tree_combine(
+        counts.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "s": pa.array(
+                        [
+                            int(
+                                np.sum(
+                                    t["n"]
+                                    .to_numpy(zero_copy_only=False)
+                                    .astype(np.int64)
+                                    ** 2
+                                )
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        sq_merge,
+    ).take_all()
+    exact = int(parts[0]["s"]) if parts else 0
+    rel = (est - exact) / exact if exact else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "est_selfjoin": pa.array([est], pa.int64()),
+                "exact_selfjoin": pa.array([exact], pa.int64()),
+                "rel_overestimate": pa.array(
+                    round_half_away([rel], 4), pa.float64()
+                ),
+            }
+        )
+    )

@@ -822,3 +822,35 @@ def test_fuzzy_blocked_path_complete_on_planted_edits(tmp_path):
     want = _norm(pd.DataFrame(rows))
     assert len(got) == len(want) and len(want) > 20
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_selfjoin_cms_overestimates_never_under():
+    """CMS inner-product join-size bound: est >= exact, always; and the
+    oracle replay must agree exactly."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    got = q.events_selfjoin_size_cms(SF).to_pandas()
+    assert got["est_selfjoin"].iloc[0] >= got["exact_selfjoin"].iloc[0]
+    assert got["rel_overestimate"].iloc[0] >= 0
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = _norm(c.execute(e.oracle_sql()["events_selfjoin_size_cms"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        _norm(got), want, check_dtype=False, check_exact=False, atol=1e-9,
+        rtol=0,
+    )
+    # empty-input: zero row, no crash
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    z = q.events_selfjoin_size_cms(d).to_pandas()
+    assert z["est_selfjoin"].iloc[0] == 0 and z["exact_selfjoin"].iloc[0] == 0
