@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 122 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 124 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rank_top3": q.events_user_rank_top3,
         "events_user_max_streak": q.events_user_max_streak,
         "events_selfjoin_size_cms": q.events_selfjoin_size_cms,
+        "part_name_clusters": q.part_name_clusters,
+        "events_user_gini": q.events_user_gini,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -689,6 +691,43 @@ def oracle_sql() -> dict[str, str]:
                    round((est.est_selfjoin - ex.exact_selfjoin)::DOUBLE
                          / ex.exact_selfjoin, 4) AS rel_overestimate
             FROM est, ex
+        """,
+        "part_name_clusters": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            pairs AS (
+                SELECT a.p_name AS x, b.p_name AS y
+                FROM names a JOIN names b
+                  ON a.p_name < b.p_name
+                 AND levenshtein(a.p_name, b.p_name) <= 2),
+            edges AS (SELECT x, y FROM pairs
+                      UNION SELECT y, x FROM pairs),
+            reach(src, dst) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst),
+            lab AS (SELECT src AS p_name, min(dst) AS cluster_id
+                    FROM reach GROUP BY src)
+            SELECT l.p_name, l.cluster_id, c.cluster_size
+            FROM lab l JOIN (
+                SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                FROM lab GROUP BY 1) c USING (cluster_id)
+        """,
+        "events_user_gini": """
+            WITH c AS (
+                SELECT user_id, count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1),
+            r AS (
+                SELECT n_events,
+                       row_number() OVER (ORDER BY n_events, user_id) AS i
+                FROM c),
+            a AS (
+                SELECT sum(i * n_events)::BIGINT AS A,
+                       sum(n_events)::BIGINT AS B,
+                       count(*)::BIGINT AS n
+                FROM r)
+            SELECT n AS n_users, B AS n_events,
+                   round(2.0 * A / (n * B) - (n + 1.0) / n, 4) AS gini
+            FROM a
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

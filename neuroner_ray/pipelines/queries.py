@@ -6443,3 +6443,127 @@ def events_selfjoin_size_cms(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+ER_CLUSTER_MAX_PAIRS = 5_000_000  # driver union-find gate (loud)
+
+
+def part_name_clusters(sf_dir: str) -> Dataset:
+    """ENTITY-RESOLUTION CLUSTERING (the dirty-dimension master-data
+    step composing the fuzzy join with connected components): names
+    within edit distance 2 are linked, clusters are transitive closures,
+    cluster_id = the lexicographic min member, size attached. The pair
+    set comes from the size-adaptive fuzzy join (broadcast sweep or
+    PassJoin blocking); the closure is a union-find over the
+    vocabulary-sized pair list (gated loudly at ER_CLUSTER_MAX_PAIRS —
+    past it, the distributed min-label-propagation in stages/graph is
+    the documented path). Oracle: DuckDB recursive-CTE reachability with
+    the same min-member labeling."""
+    pairs = part_fuzzy_pairs(sf_dir).to_pandas()
+    if len(pairs) > ER_CLUSTER_MAX_PAIRS:
+        raise ValueError(
+            f"part_name_clusters: {len(pairs)} fuzzy pairs exceeds "
+            f"ER_CLUSTER_MAX_PAIRS={ER_CLUSTER_MAX_PAIRS}; run the "
+            "distributed min-label propagation (stages.graph.components) "
+            "over the pair stream instead"
+        )
+    part = read_parquet_clean(_p(sf_dir, "part"), columns=["p_name"])
+    merge = group_sum_merge(("p_name",), ())
+    census = tree_combine(
+        part.map_batches(
+            lambda b: b.group_by(["p_name"]).aggregate([]),
+            batch_format="pyarrow",
+        ),
+        merge,
+    ).to_pandas()
+    schema = pa.schema(
+        [
+            ("p_name", pa.string()),
+            ("cluster_id", pa.string()),
+            ("cluster_size", pa.int64()),
+        ]
+    )
+    if census.empty:
+        return rd.from_arrow(schema.empty_table())
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs.get("name_a", ()), pairs.get("name_b", ())):
+        ra, rb = find(a), find(b)
+        if ra != rb:  # min-root union keeps the label deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    names = census["p_name"].tolist()
+    labels = [find(n) for n in names]
+    sizes = Counter(labels)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "p_name": pa.array(names, pa.string()),
+                "cluster_id": pa.array(labels, pa.string()),
+                "cluster_size": pa.array(
+                    [sizes[x] for x in labels], pa.int64()
+                ),
+            },
+            schema=schema,
+        )
+    )
+
+
+def events_user_gini(sf_dir: str) -> Dataset:
+    """GINI COEFFICIENT of the per-user event-count distribution (the
+    skew-diagnostics statistic a partitioner consults before choosing a
+    salting strategy): G = 2·Σ i·c(i) / (n·Σc) − (n+1)/n over counts
+    sorted ascending. Computed WITHOUT touching per-user rows on the
+    driver: after the one user-key count groupby, the (count-value,
+    multiplicity) census — O(√(2·total)) rows — gives every rank block
+    in closed form (Σ i over m tied users at offset o = m·o + m(m+1)/2),
+    all integer-exact until the two final divisions mirrored in SQL."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    mcensus = tree_combine(
+        counts.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": t["n_events"],
+                    "m": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        group_sum_merge(("v",), ("m",)),
+    ).to_pandas()
+    schema = pa.schema(
+        [
+            ("n_users", pa.int64()),
+            ("n_events", pa.int64()),
+            ("gini", pa.float64()),
+        ]
+    )
+    if mcensus.empty:
+        return rd.from_arrow(schema.empty_table())
+    mc = mcensus.sort_values("v")
+    v = mc["v"].to_numpy(np.int64)
+    m = mc["m"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(m)[:-1]])
+    A = int(np.sum(v * (m * offsets + m * (m + 1) // 2)))
+    B = int(np.sum(v * m))
+    n = int(m.sum())
+    gini = 2.0 * A / (n * B) - (n + 1.0) / n
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n], pa.int64()),
+                "n_events": pa.array([B], pa.int64()),
+                "gini": pa.array(round_half_away([gini], 4), pa.float64()),
+            },
+            schema=schema,
+        )
+    )

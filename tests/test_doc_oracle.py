@@ -854,3 +854,81 @@ def test_selfjoin_cms_overestimates_never_under():
     pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
     z = q.events_selfjoin_size_cms(d).to_pandas()
     assert z["est_selfjoin"].iloc[0] == 0 and z["exact_selfjoin"].iloc[0] == 0
+
+
+def test_fk_audit_detects_planted_orphans(tmp_path):
+    """The corpus has zero orphans, so plant some: fact rows whose FK is
+    missing from the dimension must be counted as orphan rows AND orphan
+    keys, exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    orders = pq.read_table(f"{SF}/orders.parquet")
+    cust = pq.read_table(f"{SF}/customer.parquet")
+    li = pq.read_table(f"{SF}/lineitem.parquet")
+    # orphan orders: two custkeys far outside the customer domain,
+    # three rows total (2 + 1)
+    extra = orders.slice(0, 3).set_column(
+        orders.schema.get_field_index("o_custkey"),
+        "o_custkey",
+        pa.array([99_999_991, 99_999_991, 99_999_992], pa.int64()),
+    )
+    pq.write_table(pa.concat_tables([orders, extra]), os.path.join(d, "orders.parquet"))
+    pq.write_table(cust, os.path.join(d, "customer.parquet"))
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+
+    a = q.fk_orphan_audit(d).to_pandas().set_index("relation")
+    oc = a.loc["orders->customer"]
+    assert oc["n_orphan_rows"] == 3 and oc["n_orphan_keys"] == 2
+    assert oc["n_rows"] == orders.num_rows + 3
+    # lineitem->orders unaffected except the extra order keys exist now
+    lo = a.loc["lineitem->orders"]
+    assert lo["n_orphan_rows"] == 0 and lo["n_orphan_keys"] == 0
+
+
+def test_round4_ninth_batch_queries_match_oracles():
+    """ER clustering + Gini skew statistic vs their oracles, plus
+    structural invariants (cluster label is a member and the min;
+    Gini in [0, 1))."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("part_name_clusters", "events_user_gini"):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    cl = queries["part_name_clusters"](SF).to_pandas()
+    per = cl.groupby("cluster_id")
+    assert (per["p_name"].min() == per["p_name"].min().index).all()
+    assert (per.size().to_numpy() == per["cluster_size"].first().to_numpy()).all()
+    g = queries["events_user_gini"](SF).to_pandas()
+    assert 0.0 <= g["gini"].iloc[0] < 1.0
+
+
+def test_ninth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "part"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    assert len(q.part_name_clusters(d).to_pandas()) == 0
+    assert len(q.events_user_gini(d).to_pandas()) == 0
