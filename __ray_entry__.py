@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 126 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 128 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gini": q.events_user_gini,
         "events_value_ks_drift": q.events_value_ks_drift,
         "events_sliding_distinct_users": q.events_sliding_distinct_users,
+        "events_session_conversion": q.events_session_conversion,
+        "events_table_fingerprint": q.events_table_fingerprint,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -768,6 +770,37 @@ def oracle_sql() -> dict[str, str]:
                                - INTERVAL '30 minutes']) AS t(w))
             SELECT w AS window_start, count(*)::BIGINT AS n_users
             FROM p GROUP BY w
+        """,
+        "events_session_conversion": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_type,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, event_type,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps
+            ), s AS (
+                SELECT user_id, sid,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END) AS conv
+                FROM numbered GROUP BY 1, 2
+            )
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   sum(conv)::BIGINT AS n_converted,
+                   round(sum(conv)::DOUBLE / count(*), 4) AS conv_rate
+            FROM s GROUP BY user_id
+        """,
+        "events_table_fingerprint": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   (sum(md5_number_upper(event_id::VARCHAR || '|'
+                                         || user_id::VARCHAR)
+                        % 2305843009213693951)
+                    % 2305843009213693951)::BIGINT AS fingerprint
+            FROM events
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

@@ -6709,3 +6709,109 @@ def events_sliding_distinct_users(sf_dir: str) -> Dataset:
         )
 
     return counts.map_batches(fin, batch_format="pyarrow")
+
+
+def events_session_conversion(sf_dir: str) -> Dataset:
+    """SESSIONIZED OUTCOME aggregate (composing gap sessionization with
+    a conversion flag — the funnel-completion rate per user): sessions
+    are 30-minute-gap groups (the events_sessions convention); a session
+    converts if it contains ≥ 1 purchase. Per user: session count,
+    converted count, and the rate (ONE division of exact ints, mirrored
+    in SQL). One groupby on the reused user_id key; the per-group sweep
+    is vectorized (sorted ts diff → session starts → purchase flag
+    max-per-session via np.maximum.reduceat)."""
+    gap_us = np.timedelta64(30 * 60 * 1_000_000, "us")
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy()
+        is_buy = (g["event_type"] == "purchase").to_numpy()
+        new = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        starts = np.nonzero(new)[0]
+        n_sessions = len(starts)
+        converted = np.maximum.reduceat(is_buy.astype(np.int64), starts)
+        n_conv = int(converted.sum())
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64)[:1],
+                "n_sessions": np.array([n_sessions], np.int64),
+                "n_converted": np.array([n_conv], np.int64),
+                "conv_rate": round_half_away(
+                    np.array([n_conv / n_sessions]), 4
+                ),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(conv, batch_format="pandas")
+
+
+FP_MOD = (1 << 61) - 1  # Mersenne modulus keeps every partial in int64
+
+
+def events_table_fingerprint(sf_dir: str) -> Dataset:
+    """ORDER-INDEPENDENT TABLE FINGERPRINT (the replication / migration
+    audit checksum — two copies of a table compare equal iff their
+    fingerprints do, no sort, no row shipping): sum over rows of
+    md5(event_id|user_id) mod 2⁶¹−1, plus the row count. Per-batch
+    partial sums are associative and fixed-width (ONE row per block);
+    the merge reduces in arbitrary-precision Python ints before
+    re-applying the modulus so no overflow wraps differently than the
+    oracle's HUGEINT sum."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eids = batch["event_id"].to_pylist()
+        uids = batch["user_id"].to_pylist()
+        s = 0
+        for e, u in zip(eids, uids):
+            h = int.from_bytes(
+                hashlib.md5(f"{e}|{u}".encode("utf-8")).digest()[:8],
+                "little",
+            )  # md5_number_upper replay (HLL-oracle convention)
+            s += h % FP_MOD
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "fp": pa.array([s % FP_MOD], pa.int64()),
+                "n_rows": pa.array([len(eids)], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        fp = sum(int(x) for x in t["fp"].to_pylist()) % FP_MOD
+        n = int(pc.sum(t["n_rows"]).as_py() or 0)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "fp": pa.array([fp], pa.int64()),
+                "n_rows": pa.array([n], pa.int64()),
+            }
+        )
+
+    out = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"), merge
+    ).take_all()
+    if not out:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_rows": pa.array([], pa.int64()),
+                    "fingerprint": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([int(out[0]["n_rows"])], pa.int64()),
+                "fingerprint": pa.array([int(out[0]["fp"])], pa.int64()),
+            }
+        )
+    )

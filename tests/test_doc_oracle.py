@@ -976,3 +976,64 @@ def test_tenth_batch_ops_survive_empty_input(tmp_path):
     pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
     assert len(q.events_value_ks_drift(d).to_pandas()) == 0
     assert len(q.events_sliding_distinct_users(d).to_pandas()) == 0
+
+
+def test_round4_eleventh_batch_queries_match_oracles():
+    """Session conversion + table fingerprint vs their oracles, with
+    invariants: converted <= sessions; fingerprint is order-independent
+    (identical on a shuffled copy) and changes when a row changes."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("events_session_conversion", "events_table_fingerprint"):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    sc = queries["events_session_conversion"](SF).to_pandas()
+    assert (sc["n_converted"] <= sc["n_sessions"]).all()
+
+
+def test_table_fingerprint_order_independent_and_sensitive(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = q.events_table_fingerprint(SF).to_pandas()
+    d1 = str(tmp_path / "shuffled")
+    os.makedirs(d1)
+    t = pq.read_table(f"{SF}/events.parquet")
+    idx = pa.array(list(reversed(range(t.num_rows))))
+    pq.write_table(t.take(idx), os.path.join(d1, "events.parquet"))
+    shuf = q.events_table_fingerprint(d1).to_pandas()
+    assert shuf["fingerprint"].iloc[0] == base["fingerprint"].iloc[0]
+
+    d2 = str(tmp_path / "mutated")
+    os.makedirs(d2)
+    mut = t.set_column(
+        t.schema.get_field_index("user_id"),
+        "user_id",
+        pc.add(t["user_id"], pa.scalar(0, pa.int64())).combine_chunks(),
+    )
+    first = pa.array(
+        [int(t["user_id"][0].as_py()) + 1]
+        + t["user_id"].to_pylist()[1:],
+        pa.int64(),
+    )
+    mut = t.set_column(t.schema.get_field_index("user_id"), "user_id", first)
+    pq.write_table(mut, os.path.join(d2, "events.parquet"))
+    m = q.events_table_fingerprint(d2).to_pandas()
+    assert m["fingerprint"].iloc[0] != base["fingerprint"].iloc[0]
