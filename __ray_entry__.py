@@ -322,6 +322,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct_users": q.events_sliding_distinct_users,
         "events_session_conversion": q.events_session_conversion,
         "events_table_fingerprint": q.events_table_fingerprint,
+        "events_type_dow_chi2": q.events_type_dow_chi2,
+        "events_cohort_retention": q.events_cohort_retention,
+        "events_user_max_drawdown": q.events_user_max_drawdown,
+        "events_value_trend_ols": q.events_value_trend_ols,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -801,6 +805,76 @@ def oracle_sql() -> dict[str, str]:
                         % 2305843009213693951)
                     % 2305843009213693951)::BIGINT AS fingerprint
             FROM events
+        """,
+        "events_type_dow_chi2": """
+            WITH c AS (
+                SELECT event_type, dayofweek(ts)::BIGINT AS dow,
+                       count(*)::BIGINT AS observed
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(observed)::BIGINT AS n FROM c),
+            r AS (SELECT event_type, sum(observed)::BIGINT AS rt
+                  FROM c GROUP BY 1),
+            d AS (SELECT dow, sum(observed)::BIGINT AS ct FROM c GROUP BY 1)
+            SELECT c.event_type, c.dow, c.observed,
+                   round((r.rt::HUGEINT * d.ct)::DOUBLE / t.n, 4) AS expected,
+                   round(((c.observed::HUGEINT * t.n - r.rt::HUGEINT * d.ct)
+                          * (c.observed::HUGEINT * t.n
+                             - r.rt::HUGEINT * d.ct))::DOUBLE
+                         / ((r.rt::HUGEINT * d.ct * t.n))::DOUBLE, 4)
+                       AS contrib
+            FROM c JOIN r USING (event_type) JOIN d USING (dow), t
+        """,
+        "events_cohort_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('week', ts)::TIMESTAMP AS week
+                FROM events),
+            f AS (SELECT user_id, min(week) AS cohort_week
+                  FROM w GROUP BY 1)
+            SELECT f.cohort_week,
+                   (date_diff('day', f.cohort_week, w.week) // 7)::BIGINT
+                       AS week_offset,
+                   count(*)::BIGINT AS n_active
+            FROM w JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_user_max_drawdown": """
+            WITH c AS (
+                SELECT user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       max(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmax
+                FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   round(max(runmax) / 100.0, 4) AS peak_value,
+                   round(max(runmax - cents) / 100.0, 4) AS max_drawdown
+            FROM c GROUP BY user_id
+        """,
+        "events_value_trend_ols": """
+            WITH m AS (
+                SELECT event_type, count(*)::HUGEINT AS n,
+                       sum(epoch_us(ts) // 60000000 - 28401120)::HUGEINT
+                           AS st,
+                       sum(CAST(round(value * 100) AS BIGINT))::HUGEINT
+                           AS sv,
+                       sum((epoch_us(ts) // 60000000 - 28401120)
+                           * CAST(round(value * 100) AS BIGINT))::HUGEINT
+                           AS stv,
+                       sum((epoch_us(ts) // 60000000 - 28401120)
+                           * (epoch_us(ts) // 60000000 - 28401120))::HUGEINT
+                           AS stt
+                FROM events GROUP BY 1)
+            SELECT event_type, n::BIGINT AS n_rows,
+                   CASE WHEN n * stt - st * st = 0 THEN NULL
+                        ELSE round(((n * stv - st * sv) * 1440)::DOUBLE
+                                   / ((n * stt - st * st) * 100)::DOUBLE, 6)
+                   END AS slope_per_day,
+                   CASE WHEN n * stt - st * st = 0 THEN NULL
+                        ELSE round((sv * stt - st * stv)::DOUBLE
+                                   / ((n * stt - st * st) * 100)::DOUBLE, 4)
+                   END AS intercept_value
+            FROM m
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

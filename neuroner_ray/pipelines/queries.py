@@ -6815,3 +6815,300 @@ def events_table_fingerprint(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+# ----------------------------------------------- batch 12: stat tests & paths
+# Calendar arithmetic travels as int64 epoch-µs (the events_daily_retention
+# convention — int keys shuffle clean and avoid the datetime64 precision-
+# coercion warning class).
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+# 1970-01-01 is a Thursday: +4d aligns day-of-week to Sunday=0 (DuckDB's
+# dayofweek), +3d aligns the week floor to Monday (DuckDB date_trunc('week')).
+_SUNDAY_SHIFT_DAYS = 4
+_MONDAY_SHIFT_US = 3 * _DAY_US
+
+
+def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
+    """Timestamp column → int64 epoch-µs numpy array."""
+    return (
+        batch[col]
+        .cast(pa.timestamp("us"))
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+
+
+def events_type_dow_chi2(sf_dir: str) -> Dataset:
+    """CHI-SQUARE INDEPENDENCE TEST (event_type × day-of-week) — the
+    classic categorical-association diagnostic over an event log. ONE
+    streaming census pass: map-side (event_type, dow) group-sum partials
+    tree-combined (cell domain = #types × 7, enumerable), then a driver-
+    block finish computes per-cell expected counts and χ² contributions
+    from EXACT Python-int cross products — expected = rt·ct/n and
+    contrib = (o·n − rt·ct)²/(rt·ct·n) are each ONE double division of
+    exact integers, mirrored in SQL via HUGEINT (no float summation
+    anywhere; the quotient magnitudes are O(n), so 4-decimal rounding has
+    ~1e-10 headroom — same documented class as lineitem_corr). Per-cell
+    rows are emitted instead of a single χ² scalar so neither side sums
+    doubles in an order-dependent way."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    merge = group_sum_merge(("event_type", "dow"), ("observed",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow = (_ts_us(batch) // _DAY_US + _SUNDAY_SHIFT_DAYS) % 7
+        return merge(
+            pa.table(
+                {
+                    "event_type": batch["event_type"],
+                    "dow": pa.array(dow.astype(np.int64), pa.int64()),
+                    "observed": pa.array(
+                        np.ones(len(dow), np.int64), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    census = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "dow": pa.array([], pa.int64()),
+                    "observed": pa.array([], pa.int64()),
+                    "expected": pa.array([], pa.float64()),
+                    "contrib": pa.array([], pa.float64()),
+                }
+            )
+        types = t["event_type"].to_pylist()
+        dows = [int(d) for d in t["dow"].to_pylist()]
+        obs = [int(o) for o in t["observed"].to_pylist()]
+        n = sum(obs)
+        row_tot: Counter = Counter()
+        col_tot: Counter = Counter()
+        for ty, d, o in zip(types, dows, obs):
+            row_tot[ty] += o
+            col_tot[d] += o
+        expected, contrib = [], []
+        for ty, d, o in zip(types, dows, obs):
+            rc = row_tot[ty] * col_tot[d]  # exact Python int
+            expected.append(rc / n)  # ONE correctly-rounded division
+            num = (o * n - rc) ** 2  # exact Python int
+            contrib.append(num / (rc * n))  # ONE division
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "dow": pa.array(dows, pa.int64()),
+                "observed": pa.array(obs, pa.int64()),
+                "expected": pa.array(
+                    round_half_away(np.array(expected, np.float64), 4),
+                    pa.float64(),
+                ),
+                "contrib": pa.array(
+                    round_half_away(np.array(contrib, np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_cohort_retention(sf_dir: str) -> Dataset:
+    """WEEKLY COHORT-RETENTION TRIANGLE (the product-analytics staple the
+    adjacent-day retention query doesn't cover): cohort_week = the Monday-
+    truncated week of each user's FIRST activity; for every (cohort_week,
+    week_offset) report how many of that cohort were active offset weeks
+    later. Shape: map-side per-batch dedup to distinct (user, week) int
+    pairs → ONE (user, week) groupby → per-user vectorized offset emit
+    (groups are bounded by the corpus week span, never by activity volume)
+    → week²-sized census tree-combined. Per-user state never concentrates;
+    both shuffles move fixed-width int rows."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        week = (us + _MONDAY_SHIFT_US) // _WEEK_US * _WEEK_US - _MONDAY_SHIFT_US
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "week": pa.array(week.astype(np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    act = (
+        ev.map_batches(to_weeks, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.sort(g["week"].to_numpy(np.int64))
+        cohort = w[0]
+        return pd.DataFrame(
+            {
+                "cohort_week": np.full(len(w), cohort, np.int64),
+                "week_offset": ((w - cohort) // _WEEK_US).astype(np.int64),
+                "n_active": np.ones(len(w), np.int64),
+            }
+        )
+
+    per_user = act.groupby("user_id").map_groups(offsets, batch_format="pandas")
+    merge = group_sum_merge(("cohort_week", "week_offset"), ("n_active",))
+    out = tree_combine(per_user.map_batches(merge, batch_format="pyarrow"), merge)
+
+    def cast_week(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cohort_week" not in t.schema.names:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.timestamp("us")),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n_active": pa.array([], pa.int64()),
+                }
+            )
+        idx = t.schema.get_field_index("cohort_week")
+        return t.set_column(
+            idx, "cohort_week", t["cohort_week"].cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(cast_week, batch_size=None, batch_format="pyarrow")
+
+
+def events_user_max_drawdown(sf_dir: str) -> Dataset:
+    """PATH-DEPENDENT SCAN STATISTIC (max drawdown): per user, the largest
+    running-peak-to-current fall of the value series ordered by
+    (ts, event_id) — the risk metric no plain aggregate can express
+    because it depends on the running maximum (max(value) − min(value)
+    overstates it whenever the minimum precedes the peak). ONE user-key
+    groupby; the per-group sweep is fully vectorized
+    (np.maximum.accumulate over exact int cents → max gap), and every
+    reported float is ONE division of an exact int by 100, mirrored in
+    SQL by the identical cents-window arithmetic."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def mdd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = round_half_away(
+            g["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        runmax = np.maximum.accumulate(cents)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64)[:1],
+                "n_events": np.array([len(cents)], np.int64),
+                "peak_value": round_half_away(
+                    np.array([int(runmax[-1]) / 100.0]), 4
+                ),
+                "max_drawdown": round_half_away(
+                    np.array([int(np.max(runmax - cents)) / 100.0]), 4
+                ),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(mdd, batch_format="pandas")
+
+
+# epoch minutes of 2024-01-01 00:00:00 UTC — a fixed reference origin that
+# keeps regression time values small: with minute-resolution t and a multi-
+# year span (|t| ≤ ~5e6), Σt² stays inside int64 up to ~10⁸ rows per group.
+# Past that, widen the stt partial to two int64 limbs (the fingerprint op's
+# Python-int merge shows the pattern); the finish already reduces in
+# arbitrary-precision Python ints.
+_TREND_EPOCH_MIN = 28_401_120
+
+
+def events_value_trend_ols(sf_dir: str) -> Dataset:
+    """INTEGER-EXACT OLS TREND per event_type (least-squares slope and
+    intercept of value against time) — the drift/regression primitive done
+    without any float accumulation: time is minute-resolution int64 offsets
+    from a fixed origin, value is exact int cents, and the five raw moments
+    (n, Σt, Σv, Σtv, Σt²) are integer partials group-summed map-side and
+    tree-combined. The finish expands the closed forms in arbitrary-
+    precision Python ints — slope = (nΣtv − ΣtΣv)/(nΣt² − (Σt)²), intercept
+    = (ΣvΣt² − ΣtΣtv)/(nΣt² − (Σt)²) — so each reported float is ONE
+    division of exact integers; the SQL mirror computes the same forms in
+    HUGEINT. Degenerate groups (all rows in one minute) report NULLs on
+    both sides."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+    merge = group_sum_merge(
+        ("event_type",), ("n_rows", "st", "sv", "stv", "stt")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch) // 60_000_000 - _TREND_EPOCH_MIN
+        v = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        return merge(
+            pa.table(
+                {
+                    "event_type": batch["event_type"],
+                    "n_rows": pa.array(np.ones(len(t), np.int64), pa.int64()),
+                    "st": pa.array(t, pa.int64()),
+                    "sv": pa.array(v, pa.int64()),
+                    "stv": pa.array(t * v, pa.int64()),
+                    "stt": pa.array(t * t, pa.int64()),
+                }
+            )
+        )
+
+    census = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "slope_per_day": pa.array([], pa.float64()),
+                    "intercept_value": pa.array([], pa.float64()),
+                }
+            )
+        slopes, icepts = [], []
+        for i in range(t.num_rows):
+            n = int(t["n_rows"][i].as_py())
+            st = int(t["st"][i].as_py())
+            sv = int(t["sv"][i].as_py())
+            stv = int(t["stv"][i].as_py())
+            stt = int(t["stt"][i].as_py())
+            den = n * stt - st * st  # exact Python int
+            if den == 0:
+                slopes.append(None)
+                icepts.append(None)
+                continue
+            # ×1440 min/day up top, ×100 cents down below — ONE division each
+            slopes.append(
+                float(
+                    round_half_away(
+                        np.array([(n * stv - st * sv) * 1440 / (den * 100)]),
+                        6,
+                    )[0]
+                )
+            )
+            icepts.append(
+                float(
+                    round_half_away(
+                        np.array([(sv * stt - st * stv) / (den * 100)]), 4
+                    )[0]
+                )
+            )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_rows": t["n_rows"],
+                "slope_per_day": pa.array(slopes, pa.float64()),
+                "intercept_value": pa.array(icepts, pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

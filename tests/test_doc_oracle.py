@@ -1037,3 +1037,141 @@ def test_table_fingerprint_order_independent_and_sensitive(tmp_path):
     pq.write_table(mut, os.path.join(d2, "events.parquet"))
     m = q.events_table_fingerprint(d2).to_pandas()
     assert m["fingerprint"].iloc[0] != base["fingerprint"].iloc[0]
+
+
+def test_round4_twelfth_batch_queries_match_oracles():
+    """Chi-square independence, cohort retention, max drawdown, and
+    integer-exact OLS trend vs their oracles, plus structural invariants
+    (contrib >= 0 and cell counts sum to n; cohort offsets >= 0 and no
+    offset exceeds its cohort size; 0 <= drawdown <= peak; OLS group
+    sizes sum to the event count)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_type_dow_chi2",
+        "events_cohort_retention",
+        "events_user_max_drawdown",
+        "events_value_trend_ols",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    n_events = int(c.execute("SELECT count(*) FROM events").fetchone()[0])
+    chi = queries["events_type_dow_chi2"](SF).to_pandas()
+    assert int(chi["observed"].sum()) == n_events
+    assert (chi["contrib"] >= 0).all() and (chi["expected"] > 0).all()
+    co = queries["events_cohort_retention"](SF).to_pandas()
+    assert (co["week_offset"] >= 0).all()
+    size0 = co[co["week_offset"] == 0].set_index("cohort_week")["n_active"]
+    for _, r in co.iterrows():
+        assert r["n_active"] <= size0[r["cohort_week"]]
+    dd = queries["events_user_max_drawdown"](SF).to_pandas()
+    assert (dd["max_drawdown"] >= 0).all()
+    assert (dd["max_drawdown"] <= dd["peak_value"]).all()
+    ols = queries["events_value_trend_ols"](SF).to_pandas()
+    assert int(ols["n_rows"].sum()) == n_events
+
+
+def test_twelfth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    assert len(q.events_type_dow_chi2(d).to_pandas()) == 0
+    assert len(q.events_cohort_retention(d).to_pandas()) == 0
+    assert len(q.events_user_max_drawdown(d).to_pandas()) == 0
+    assert len(q.events_value_trend_ols(d).to_pandas()) == 0
+
+
+def _planted_events(tmp_path, rows):
+    """Write a schema-faithful events parquet from (event_id, ts_iso,
+    user_id, event_type, value) tuples."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_cohort_dimension_with_staggered_starts(tmp_path):
+    """The corpus has every user starting in week one (single cohort), so
+    plant staggered first-activity weeks to prove the cohort dimension:
+    u1 starts week0 and returns week1+week2; u2 starts week1 and returns
+    week2; u3 starts week2 only."""
+    d = _planted_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T10:00:00", 1, "click", 1.0),
+            (2, "2024-01-08T10:00:00", 1, "click", 1.0),
+            (3, "2024-01-17T10:00:00", 1, "click", 1.0),
+            (4, "2024-01-09T10:00:00", 2, "click", 1.0),
+            (5, "2024-01-19T10:00:00", 2, "click", 1.0),
+            (6, "2024-01-20T09:00:00", 2, "click", 1.0),
+            (7, "2024-01-21T10:00:00", 3, "click", 1.0),
+        ],
+    )
+    co = q.events_cohort_retention(d).to_pandas()
+    got = {
+        (str(r["cohort_week"])[:10], int(r["week_offset"])): int(r["n_active"])
+        for _, r in co.iterrows()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+        ("2024-01-15", 0): 1,
+    }
+
+
+def test_drawdown_on_planted_path(tmp_path):
+    """max(value) - min(value) overstates the drawdown when the minimum
+    precedes the peak — the planted path [5, 1, 10, 4] has range 9 but
+    true max drawdown 6 (10 -> 4); order must follow (ts, event_id)."""
+    d = _planted_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00:00", 7, "click", 5.0),
+            (2, "2024-01-01T00:01:00", 7, "click", 1.0),
+            (3, "2024-01-01T00:02:00", 7, "click", 10.0),
+            (4, "2024-01-01T00:03:00", 7, "click", 4.0),
+        ],
+    )
+    dd = q.events_user_max_drawdown(d).to_pandas()
+    assert len(dd) == 1
+    assert dd["peak_value"].iloc[0] == 10.0
+    assert dd["max_drawdown"].iloc[0] == 6.0
+    assert dd["n_events"].iloc[0] == 4
