@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_user_max_drawdown": q.events_user_max_drawdown,
         "events_value_trend_ols": q.events_value_trend_ols,
+        "events_ab_conversion_ztest": q.events_ab_conversion_ztest,
+        "events_session_paths_top20": q.events_session_paths_top20,
+        "events_user_burst_max": q.events_user_burst_max,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -875,6 +878,86 @@ def oracle_sql() -> dict[str, str]:
                                    / ((n * stt - st * st) * 100)::DOUBLE, 4)
                    END AS intercept_value
             FROM m
+        """,
+        "events_ab_conversion_ztest": """
+            WITH u AS (
+                SELECT user_id,
+                       CASE WHEN md5_number_upper(user_id::VARCHAR) % 2 = 0
+                            THEN 'A' ELSE 'B' END AS arm,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value >= 150 THEN 1 ELSE 0
+                           END) AS conv
+                FROM events GROUP BY user_id),
+            a AS (
+                SELECT
+                    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n1,
+                    sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)::BIGINT
+                        AS c1,
+                    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n2,
+                    sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)::BIGINT
+                        AS c2
+                FROM u)
+            SELECT n1 AS n_users_a, c1 AS n_conv_a,
+                   n2 AS n_users_b, c2 AS n_conv_b,
+                   CASE WHEN n1 = 0 THEN NULL
+                        ELSE round(c1::DOUBLE / n1, 4) END AS rate_a,
+                   CASE WHEN n2 = 0 THEN NULL
+                        ELSE round(c2::DOUBLE / n2, 4) END AS rate_b,
+                   CASE WHEN n1 = 0 OR n2 = 0 OR c1 + c2 = 0
+                             OR c1 + c2 = n1 + n2 THEN NULL
+                        ELSE round(
+                            (c1::HUGEINT * n2 - c2::HUGEINT * n1)::DOUBLE
+                            / sqrt(((c1 + c2)::HUGEINT
+                                    * (n1 + n2 - c1 - c2) * n1 * n2)::DOUBLE
+                                   / (n1 + n2)), 4)
+                   END AS z_stat
+            FROM a
+        """,
+        "events_session_paths_top20": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps),
+            ranked AS (
+                SELECT user_id, sid, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) AS rn
+                FROM numbered),
+            paths AS (
+                SELECT user_id, sid,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
+            SELECT path, count(*)::BIGINT AS n
+            FROM paths GROUP BY path
+            ORDER BY n DESC, path ASC LIMIT 20
+        """,
+        "events_user_burst_max": """
+            WITH w AS (
+                SELECT user_id, ts,
+                       count(*) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN CURRENT ROW
+                                 AND INTERVAL 5 MINUTE FOLLOWING
+                       )::BIGINT AS c
+                FROM events),
+            agg AS (
+                SELECT user_id, count(*)::BIGINT AS n_events,
+                       max(c)::BIGINT AS burst_5min
+                FROM w GROUP BY 1)
+            SELECT a.user_id, a.n_events, a.burst_5min,
+                   min(w.ts) AS burst_start_ts
+            FROM agg a JOIN w
+              ON w.user_id = a.user_id AND w.c = a.burst_5min
+            GROUP BY 1, 2, 3
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

@@ -7112,3 +7112,227 @@ def events_value_trend_ols(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# ------------------------------------- batch 13: experimentation & behavior
+AB_CONV_MIN_VALUE = 150
+
+
+def events_ab_conversion_ztest(sf_dir: str) -> Dataset:
+    """TWO-PROPORTION Z-TEST over a hash-randomized A/B split — the
+    experimentation primitive (is arm A's conversion rate significantly
+    different from arm B's?). Users are assigned arms by the
+    md5_number_upper parity convention (deterministic, replayed
+    bit-for-bit in SQL); a user converts if they ever make a HIGH-VALUE
+    purchase (value >= AB_CONV_MIN_VALUE — plain "ever purchased" is
+    degenerate on this corpus: every user converts and z is NULL). Shape:
+    map-side (user, converted) partials → ONE user-key groupby (Max) →
+    arm-level census tree-combined (2 fixed rows through the merge) →
+    driver finish expands the pooled z closed form in exact Python ints,
+    z = (c1·n2 − c2·n1) / sqrt(c·(N−c)·n1·n2 / N) — the only floats are
+    ONE division inside the sqrt and the final quotient, mirrored in SQL
+    via HUGEINT (~1-2 ulp slack against 4-decimal rounding). Degenerate
+    splits (no conversions, all conversions, an empty arm) report NULL z
+    on both sides."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "conv": pc.cast(
+                    pc.and_(
+                        pc.equal(batch["event_type"], "purchase"),
+                        pc.greater_equal(
+                            batch["value"], pa.scalar(float(AB_CONV_MIN_VALUE))
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        return pa.TableGroupBy(t, ["user_id"]).aggregate(
+            [("conv", "max")]
+        ).rename_columns(["user_id", "conv"])
+
+    per_user = (
+        ev.map_batches(user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("conv", alias_name="conv"))
+    )
+    merge = group_sum_merge(("arm",), ("n_users", "n_conv"))
+
+    def arm_partial(batch: pa.Table) -> pa.Table:
+        arms = []
+        for u in batch["user_id"].to_pylist():
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode("utf-8")).digest()[:8], "little"
+            )  # md5_number_upper replay (split-assign convention)
+            arms.append("A" if h % 2 == 0 else "B")
+        return merge(
+            pa.table(
+                {
+                    "arm": pa.array(arms, pa.string()),
+                    "n_users": pa.array([1] * len(arms), pa.int64()),
+                    "n_conv": batch["conv"].cast(pa.int64()),
+                }
+            )
+        )
+
+    census = tree_combine(
+        per_user.map_batches(arm_partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {
+            "n_users_a": pa.array([], pa.int64()),
+            "n_conv_a": pa.array([], pa.int64()),
+            "n_users_b": pa.array([], pa.int64()),
+            "n_conv_b": pa.array([], pa.int64()),
+            "rate_a": pa.array([], pa.float64()),
+            "rate_b": pa.array([], pa.float64()),
+            "z_stat": pa.array([], pa.float64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(cols)
+        by = {
+            a: (int(n), int(c))
+            for a, n, c in zip(
+                t["arm"].to_pylist(),
+                t["n_users"].to_pylist(),
+                t["n_conv"].to_pylist(),
+            )
+        }
+        n1, c1 = by.get("A", (0, 0))
+        n2, c2 = by.get("B", (0, 0))
+        c, big_n = c1 + c2, n1 + n2
+        if n1 and n2 and 0 < c < big_n:
+            z = float(
+                round_half_away(
+                    np.array(
+                        [
+                            (c1 * n2 - c2 * n1)
+                            / np.sqrt(c * (big_n - c) * n1 * n2 / big_n)
+                        ]
+                    ),
+                    4,
+                )[0]
+            )
+        else:
+            z = None
+        return pa.table(
+            {
+                "n_users_a": pa.array([n1], pa.int64()),
+                "n_conv_a": pa.array([c1], pa.int64()),
+                "n_users_b": pa.array([n2], pa.int64()),
+                "n_conv_b": pa.array([c2], pa.int64()),
+                "rate_a": pa.array(
+                    [
+                        float(round_half_away(np.array([c1 / n1]), 4)[0])
+                        if n1
+                        else None
+                    ],
+                    pa.float64(),
+                ),
+                "rate_b": pa.array(
+                    [
+                        float(round_half_away(np.array([c2 / n2]), 4)[0])
+                        if n2
+                        else None
+                    ],
+                    pa.float64(),
+                ),
+                "z_stat": pa.array([z], pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+SESSION_PATH_MAX_STEPS = 5
+
+
+def events_session_paths_top20(sf_dir: str) -> Dataset:
+    """CLICKSTREAM PATH MINING: the 20 most common session-opening
+    event-type sequences (first ≤5 steps of each 30-minute-gap session,
+    joined with '>') — the behavioral-pattern census downstream of
+    sessionization. ONE user-key groupby; the per-group sweep reuses the
+    vectorized session-start machinery (diff → reduceat bounds) and emits
+    one path row per session; the path census group-sums map-side (path
+    vocabulary is tiny: #types^≤5 bounded by observed behavior) and the
+    top-20 cut is the associative (n DESC, path ASC) tree merge — no
+    global sort."""
+    gap_us = np.timedelta64(30 * 60 * 1_000_000, "us")
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        types = g["event_type"].to_numpy(object)
+        new = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(ts))
+        out = [
+            ">".join(types[s : min(e, s + SESSION_PATH_MAX_STEPS)])
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame({"path": np.array(out, object)})
+
+    per_session = ev.groupby("user_id").map_groups(paths, batch_format="pandas")
+    merge = group_sum_merge(("path",), ("n",))
+
+    def census_rows(t: pa.Table) -> pa.Table:
+        return merge(
+            pa.table(
+                {
+                    "path": t["path"],
+                    "n": pa.array([1] * t.num_rows, pa.int64()),
+                }
+            )
+        )
+
+    counts = tree_combine(
+        per_session.map_batches(census_rows, batch_format="pyarrow"), merge
+    )
+    return counts.map_batches(
+        topk_merge(20, "n", ["path"]), batch_size=None, batch_format="pyarrow"
+    )
+
+
+BURST_WINDOW_US = 5 * 60 * 1_000_000
+
+
+def events_user_burst_max(sf_dir: str) -> Dataset:
+    """BURST DETECTION (rate-limit / abuse audit): per user, the maximum
+    number of events inside any 5-minute window anchored at an event
+    ([t, t+5min], value-based frame so equal timestamps are peers), plus
+    the earliest window start achieving it. ONE user-key groupby; the
+    per-group sweep is two vectorized searchsorted calls — no per-window
+    loop, no window replication through the shuffle (contrast the
+    sliding-window ops, which replicate rows to buckets; anchored-at-event
+    windows localize to the group)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+
+    def burst(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").view(np.int64))
+        lo = np.searchsorted(ts, ts, side="left")
+        hi = np.searchsorted(ts, ts + BURST_WINDOW_US, side="right")
+        c = hi - lo
+        best = int(c.max())
+        at = int(ts[np.argmax(c == best)])  # first index achieving the max
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64)[:1],
+                "n_events": np.array([len(ts)], np.int64),
+                "burst_5min": np.array([best], np.int64),
+                "burst_start_ts": np.array([at], "datetime64[us]"),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(burst, batch_format="pandas")

@@ -1175,3 +1175,96 @@ def test_drawdown_on_planted_path(tmp_path):
     assert dd["peak_value"].iloc[0] == 10.0
     assert dd["max_drawdown"].iloc[0] == 6.0
     assert dd["n_events"].iloc[0] == 4
+
+
+def test_round4_thirteenth_batch_queries_match_oracles():
+    """A/B z-test, session path mining, and burst detection vs their
+    oracles, plus invariants: arm sizes partition the user set and the
+    z sign agrees with the rate difference; every path has <= 5 steps;
+    bursts are >= 1 and never exceed the user's event count."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_ab_conversion_ztest",
+        "events_session_paths_top20",
+        "events_user_burst_max",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    n_users = int(
+        c.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    )
+    z = queries["events_ab_conversion_ztest"](SF).to_pandas()
+    assert int(z["n_users_a"].iloc[0] + z["n_users_b"].iloc[0]) == n_users
+    if pd.notna(z["z_stat"].iloc[0]):
+        diff = z["rate_a"].iloc[0] - z["rate_b"].iloc[0]
+        assert (z["z_stat"].iloc[0] >= 0) == (diff >= 0)
+    p = queries["events_session_paths_top20"](SF).to_pandas()
+    assert (p["path"].str.count(">") <= 4).all() and (p["n"] >= 1).all()
+    b = queries["events_user_burst_max"](SF).to_pandas()
+    assert (b["burst_5min"] >= 1).all()
+    assert (b["burst_5min"] <= b["n_events"]).all()
+
+
+def test_thirteenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    assert len(q.events_ab_conversion_ztest(d).to_pandas()) == 0
+    assert len(q.events_session_paths_top20(d).to_pandas()) == 0
+    assert len(q.events_user_burst_max(d).to_pandas()) == 0
+
+
+def test_burst_window_is_value_anchored(tmp_path):
+    """The 5-minute burst frame is anchored at each event's timestamp and
+    inclusive of the boundary: four events at 0/4/5/11 minutes give a
+    max window of 3 (0 -> [0,4,5]); an event at exactly +5min counts."""
+    d = _planted_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00:00", 9, "click", 1.0),
+            (2, "2024-01-01T00:04:00", 9, "click", 1.0),
+            (3, "2024-01-01T00:05:00", 9, "click", 1.0),
+            (4, "2024-01-01T00:11:00", 9, "click", 1.0),
+        ],
+    )
+    b = q.events_user_burst_max(d).to_pandas()
+    assert int(b["burst_5min"].iloc[0]) == 3
+    assert str(b["burst_start_ts"].iloc[0]) == "2024-01-01 00:00:00"
+
+
+def test_session_paths_truncate_and_split_sessions(tmp_path):
+    """Paths cut at 5 steps and a >30-min gap starts a new session: seven
+    rapid-fire events then a later pair yield '5-step prefix' and a
+    2-step path."""
+    rows = [
+        (i, f"2024-01-01T00:0{i}:00", 4, ty, 1.0)
+        for i, ty in enumerate(
+            ["a", "b", "c", "d", "e", "f", "g"]
+        )
+    ] + [
+        (10, "2024-01-01T02:00:00", 4, "x", 1.0),
+        (11, "2024-01-01T02:10:00", 4, "y", 1.0),
+    ]
+    d = _planted_events(tmp_path, rows)
+    p = q.events_session_paths_top20(d).to_pandas()
+    got = set(p["path"])
+    assert got == {"a>b>c>d>e", "x>y"}
