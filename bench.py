@@ -169,6 +169,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("orders_above_customer_avg", q.orders_above_customer_avg),
         ("events_user_window_1h", q.events_user_window_1h),
         ("embedding_sq8", q.embedding_sq8),
+        ("events_session_paths_top20", q.events_session_paths_top20),
+        ("events_user_burst_max", q.events_user_burst_max),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)

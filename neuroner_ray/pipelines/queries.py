@@ -7336,3 +7336,129 @@ def events_user_burst_max(sf_dir: str) -> Dataset:
         )
 
     return ev.groupby("user_id").map_groups(burst, batch_format="pandas")
+
+
+# ------------------------------- batch 14: time-series state & anomaly ops
+ZSCORE_WINDOW = 10  # trailing rows preceding current (frame = 11 rows)
+
+
+def events_rolling_zscore(sf_dir: str) -> Dataset:
+    """ROLLING Z-SCORE ANOMALY SCORE: per event, how unusual its value is
+    against the user's trailing window (10 preceding rows + current) —
+    the streaming-anomaly primitive. All windowed moments are EXACT int
+    prefix sums of cents (and cents²), so mean and z reduce to single
+    divisions of exact integers: z = (x·w − Σx)/√(w·Σx² − (Σx)²), with
+    the sqrt the only other float op — the SQL mirror computes the same
+    closed form from the identical cents windows. Zero-variance windows
+    report NULL z on both sides. ONE user-key groupby; the per-group
+    sweep is two cumsum arrays + slicing, no per-row loop."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = round_half_away(
+            g["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        n = len(cents)
+        p1 = np.concatenate([[0], np.cumsum(cents)])
+        p2 = np.concatenate([[0], np.cumsum(cents * cents)])
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - ZSCORE_WINDOW)
+        w = idx - lo + 1
+        s = p1[idx + 1] - p1[lo]
+        ss = p2[idx + 1] - p2[lo]
+        var_num = w * ss - s * s  # exact int64 (|cents| ≤ 5e4, w ≤ 11)
+        z = np.full(n, np.nan)
+        nz = var_num > 0
+        z[nz] = (cents[nz] * w[nz] - s[nz]) / np.sqrt(
+            var_num[nz].astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "ts": g["ts"].to_numpy(),
+                "roll_mean": round_half_away(s / (w * 100.0), 4),
+                "roll_z": round_half_away(z, 4),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def events_user_twa(sf_dir: str) -> Dataset:
+    """TIME-WEIGHTED AVERAGE value per user (each value held until the
+    next event — the ops/billing metric a plain avg misstates when
+    sampling is irregular): TWA = Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_N−t₀). The
+    numerator is an exact int64 sum of cents × µs-gap terms — bounded by
+    max_cents × total_span (telescoping), i.e. inside int64 through
+    ~5-year spans at these magnitudes — and the result is ONE division
+    of exact ints, HUGEINT-mirrored. Single-event users (zero span)
+    report NULL on both sides. ONE user-key groupby, vectorized diff."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        cents = round_half_away(
+            g["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        span = int(ts[-1] - ts[0])
+        if span > 0:
+            num = int(np.sum(cents[:-1] * np.diff(ts)))
+            val = float(round_half_away(np.array([num / (span * 100.0)]), 4)[0])
+        else:
+            val = None
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64)[:1],
+                "n_events": np.array([len(ts)], np.int64),
+                "span_us": np.array([span], np.int64),
+                "twa_value": np.array([val], np.float64),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(twa, batch_format="pandas")
+
+
+_HOUR_US = 3_600_000_000
+
+
+def events_user_hourly_locf(sf_dir: str) -> Dataset:
+    """LOCF HOURLY RESAMPLING (last-observation-carried-forward): per
+    user, one row per hour from the hour of their first event to the
+    hour of their last, carrying the value of the latest event seen
+    before the hour ends — the state-sampling primitive behind billing
+    meters and sensor gauges (the gap-fill op fills COUNTS with zeros;
+    this carries VALUES forward). ONE user-key groupby; the per-group
+    sweep is a single searchsorted of hour-ends into the sorted event
+    times (grid size is bounded by the corpus time span, not by event
+    volume). Values are carried verbatim — no arithmetic, exact parity
+    with the SQL mirror's IGNORE-NULLS window carry."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def locf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        vals = g["value"].to_numpy(np.float64)
+        h0 = ts[0] // _HOUR_US
+        h1 = ts[-1] // _HOUR_US
+        hours = np.arange(h0, h1 + 1, dtype=np.int64) * _HOUR_US
+        # latest event strictly before each hour's END (ties within the
+        # hour resolved by the (ts, event_id) sort → last occurrence)
+        idx = np.searchsorted(ts, hours + _HOUR_US, side="left") - 1
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(hours), g["user_id"].iloc[0], np.int64),
+                "hour": hours.view("datetime64[us]"),
+                "locf_value": vals[idx],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(locf, batch_format="pandas")
