@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_conversion_ztest": q.events_ab_conversion_ztest,
         "events_session_paths_top20": q.events_session_paths_top20,
         "events_user_burst_max": q.events_user_burst_max,
+        "events_rolling_zscore": q.events_rolling_zscore,
+        "events_user_twa": q.events_user_twa,
+        "events_user_hourly_locf": q.events_user_hourly_locf,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -958,6 +961,79 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN w
               ON w.user_id = a.user_id AND w.c = a.burst_5min
             GROUP BY 1, 2, 3
+        """,
+        "events_rolling_zscore": """
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            w AS (
+                SELECT event_id, user_id, ts, cents,
+                       count(*) OVER win AS w,
+                       sum(cents) OVER win AS s,
+                       sum(cents * cents) OVER win AS ss
+                FROM c WINDOW win AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts,
+                   round(s / (w * 100.0), 4) AS roll_mean,
+                   CASE WHEN w * ss - s * s <= 0 THEN NULL
+                        ELSE round((cents * w - s)
+                                   / sqrt((w * ss - s * s)::DOUBLE), 4)
+                   END AS roll_z
+            FROM w
+        """,
+        "events_user_twa": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       lead(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events),
+            a AS (
+                SELECT user_id, count(*)::BIGINT AS n_events,
+                       date_diff('microsecond', min(ts),
+                                 max(coalesce(nxt, ts)))::BIGINT AS span_us,
+                       sum(CASE WHEN nxt IS NULL THEN 0
+                                ELSE cents * date_diff('microsecond', ts, nxt)
+                           END)::HUGEINT AS num
+                FROM o GROUP BY user_id)
+            SELECT user_id, n_events, span_us,
+                   CASE WHEN span_us = 0 THEN NULL
+                        ELSE round(num::DOUBLE / (span_us * 100.0), 4)
+                   END AS twa_value
+            FROM a
+        """,
+        "events_user_hourly_locf": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, value,
+                       date_trunc('hour', ts)::TIMESTAMP AS ehour
+                FROM events),
+            b AS (
+                SELECT user_id, min(ehour) AS h0, max(ehour) AS h1
+                FROM e GROUP BY 1),
+            g AS (
+                SELECT user_id,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                           AS hour
+                FROM b),
+            last_in_hour AS (
+                SELECT user_id, ehour AS hour, value FROM (
+                    SELECT user_id, ehour, value,
+                           row_number() OVER (
+                               PARTITION BY user_id, ehour
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM e) WHERE rn = 1),
+            joined AS (
+                SELECT g.user_id, g.hour, l.value
+                FROM g LEFT JOIN last_in_hour l
+                  ON l.user_id = g.user_id AND l.hour = g.hour)
+            SELECT user_id, hour,
+                   last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY hour
+                       ROWS UNBOUNDED PRECEDING) AS locf_value
+            FROM joined
         """,
         "events_cum_value": """
             SELECT event_id, user_id, ts,

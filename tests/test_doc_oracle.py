@@ -1268,3 +1268,87 @@ def test_session_paths_truncate_and_split_sessions(tmp_path):
     p = q.events_session_paths_top20(d).to_pandas()
     got = set(p["path"])
     assert got == {"a>b>c>d>e", "x>y"}
+
+
+def test_round4_fourteenth_batch_queries_match_oracles():
+    """Rolling z-score, time-weighted average, and LOCF hourly resample
+    vs their oracles, plus invariants: window means stay inside the
+    user's value range; TWA lies in [min, max] value for multi-event
+    users; the LOCF grid is contiguous per user."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_rolling_zscore",
+        "events_user_twa",
+        "events_user_hourly_locf",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    lim = c.execute("SELECT min(value), max(value) FROM events").fetchone()
+    rz = queries["events_rolling_zscore"](SF).to_pandas()
+    assert rz["roll_mean"].between(lim[0] - 0.01, lim[1] + 0.01).all()
+    tw = queries["events_user_twa"](SF).to_pandas()
+    multi = tw[tw["span_us"] > 0]
+    assert multi["twa_value"].between(lim[0] - 0.01, lim[1] + 0.01).all()
+    lc = queries["events_user_hourly_locf"](SF).to_pandas()
+    per = lc.groupby("user_id")["hour"]
+    spans = (per.max() - per.min()).dt.total_seconds() / 3600 + 1
+    assert (per.count().to_numpy() == spans.to_numpy()).all()
+
+
+def test_fourteenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    assert len(q.events_rolling_zscore(d).to_pandas()) == 0
+    assert len(q.events_user_twa(d).to_pandas()) == 0
+    assert len(q.events_user_hourly_locf(d).to_pandas()) == 0
+
+
+def test_locf_carries_values_across_empty_hours(tmp_path):
+    """Hours with no events repeat the last seen value; hours with
+    multiple events sample the LAST one by (ts, event_id)."""
+    d = _planted_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T00:10:00", 5, "click", 7.0),
+            (2, "2024-01-01T00:50:00", 5, "click", 9.0),
+            (3, "2024-01-01T03:30:00", 5, "click", 2.0),
+        ],
+    )
+    lc = q.events_user_hourly_locf(d).to_pandas().sort_values("hour")
+    assert list(lc["locf_value"]) == [9.0, 9.0, 9.0, 2.0]
+
+
+def test_twa_weights_by_holding_time(tmp_path):
+    """A value held 3x as long weighs 3x: values 10 (3h) then 40 (1h)
+    give TWA = (10*3 + 40*1) / 4 = 17.5 — the plain mean (25 over the
+    two rows, or any count weighting) would misstate it."""
+    d = _planted_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00:00", 6, "click", 10.0),
+            (2, "2024-01-01T03:00:00", 6, "click", 40.0),
+            (3, "2024-01-01T04:00:00", 6, "click", 0.0),
+        ],
+    )
+    tw = q.events_user_twa(d).to_pandas()
+    assert tw["twa_value"].iloc[0] == 17.5
