@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 135 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 138 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_zscore": q.events_rolling_zscore,
         "events_user_twa": q.events_user_twa,
         "events_user_hourly_locf": q.events_user_hourly_locf,
+        "basket_brand_lift_top20": q.basket_brand_lift_top20,
+        "orders_top20_diversified": q.orders_top20_diversified,
+        "events_value_psi": q.events_value_psi,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -961,6 +964,71 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN w
               ON w.user_id = a.user_id AND w.c = a.burst_5min
             GROUP BY 1, 2, 3
+        """,
+        "basket_brand_lift_top20": """
+            WITH ob AS (
+                SELECT DISTINCT l.l_orderkey, p.p_brand
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders
+                  FROM ob),
+            s AS (SELECT p_brand, count(*)::BIGINT AS n1 FROM ob GROUP BY 1),
+            pr AS (
+                SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                       count(*)::BIGINT AS n_ab
+                FROM ob a JOIN ob b
+                  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+                GROUP BY 1, 2)
+            SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+                   round(pr.n_ab::DOUBLE / n.n_orders, 4) AS support,
+                   round((pr.n_ab::HUGEINT * n.n_orders)::DOUBLE
+                         / (sa.n1::HUGEINT * sb.n1), 4) AS lift
+            FROM pr
+            CROSS JOIN n
+            JOIN s sa ON sa.p_brand = pr.brand_a
+            JOIN s sb ON sb.p_brand = pr.brand_b
+            WHERE pr.n_ab >= 3
+            ORDER BY lift DESC, pr.brand_a ASC, pr.brand_b ASC
+            LIMIT 20
+        """,
+        "orders_top20_diversified": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 2
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "events_value_psi": """
+            WITH v AS (
+                SELECT event_type, value FROM events
+                WHERE event_type IN ('click', 'purchase')),
+            mm AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+            b AS (
+                SELECT event_type,
+                       CASE WHEN mm.hi = mm.lo THEN 0.0
+                            ELSE least(floor((v.value - mm.lo) * 10.0
+                                             / (mm.hi - mm.lo)), 9.0)
+                       END AS fbin
+                FROM v, mm),
+            c AS (
+                SELECT fbin::BIGINT AS bin,
+                       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END)::BIGINT AS n_click,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END)::BIGINT AS n_purchase
+                FROM b GROUP BY 1),
+            t AS (SELECT sum(n_click)::BIGINT AS na,
+                         sum(n_purchase)::BIGINT AS nb FROM c)
+            SELECT c.bin, c.n_click, c.n_purchase,
+                   CASE WHEN c.n_click = 0 OR c.n_purchase = 0 THEN NULL
+                        ELSE round(
+                            (c.n_purchase::DOUBLE / t.nb
+                             - c.n_click::DOUBLE / t.na)
+                            * ln((c.n_purchase::HUGEINT * t.na)::DOUBLE
+                                 / (c.n_click::HUGEINT * t.nb)), 4)
+                   END AS psi_contrib
+            FROM c, t
         """,
         "events_rolling_zscore": """
             WITH c AS (

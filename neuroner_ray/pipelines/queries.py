@@ -7462,3 +7462,282 @@ def events_user_hourly_locf(sf_dir: str) -> Dataset:
         )
 
     return ev.groupby("user_id").map_groups(locf, batch_format="pandas")
+
+
+# ------------------------ batch 15: association, quotas, and drift indices
+BASKET_MIN_PAIR_ORDERS = 3  # support floor keeps the lift ranking stable
+
+
+def basket_brand_lift_top20(sf_dir: str) -> Dataset:
+    """MARKET-BASKET ASSOCIATION RULES (support + lift over brand pairs
+    co-occurring in an order) — the recommender/assortment primitive.
+    Scale shape: the part dimension broadcasts as a sorted partkey→brand
+    lookup (never shuffled, the profit_by_nation_year convention); ONE
+    order-key groupby emits each order's distinct-brand pairs (≤ C(12,2)
+    rows per order, bounded by basket size) plus one ("","") marker row
+    per order, so the single census carries pair counts, per-brand order
+    counts, AND the total order count N — no second pass. The finish
+    computes support = n_ab/N and lift = N·n_ab/(n_a·n_b) as single
+    divisions of exact Python ints (HUGEINT-mirrored) over the
+    brand²-sized table, and the top-20 cut is the associative
+    (lift DESC, brands ASC) merge. Pairs below BASKET_MIN_PAIR_ORDERS
+    co-orders are dropped on both sides (noise floor keeps rank ties
+    meaningful)."""
+    part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order_ = np.argsort(pk)
+    pk = pk[order_]
+    brands = np.array(part["p_brand"].to_pylist(), dtype=object)[order_]
+    lookup_ref = ray.put((pk, brands))
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def with_brand(batch: pa.Table, ref=lookup_ref) -> pa.Table:
+        keys, vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, lp)
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "brand": pa.array(vals[idx], pa.string()),
+            }
+        )
+        return t.group_by(["l_orderkey", "brand"]).aggregate([])
+
+    ob = (
+        li.map_batches(with_brand, batch_format="pyarrow")
+        .groupby(["l_orderkey", "brand"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        bs = np.sort(g["brand"].to_numpy(object))
+        ii, jj = np.triu_indices(len(bs), k=1)
+        # row classes: (brand, "") per-brand presence; (a, b) pairs;
+        # ("", "") one marker per order for N
+        return pd.DataFrame(
+            {
+                "brand_a": np.concatenate([bs, bs[ii], [""]]),
+                "brand_b": np.concatenate(
+                    [np.full(len(bs), "", object), bs[jj], [""]]
+                ),
+                "n": np.ones(len(bs) + len(ii) + 1, np.int64),
+            }
+        )
+
+    rows = ob.groupby("l_orderkey").map_groups(pair_rows, batch_format="pandas")
+    merge = group_sum_merge(("brand_a", "brand_b"), ("n",))
+    census = tree_combine(rows.map_batches(merge, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "brand_a": pa.array([], pa.string()),
+                "brand_b": pa.array([], pa.string()),
+                "n_ab": pa.array([], pa.int64()),
+                "support": pa.array([], pa.float64()),
+                "lift": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        a = t["brand_a"].to_pylist()
+        b = t["brand_b"].to_pylist()
+        n = [int(x) for x in t["n"].to_pylist()]
+        singles = {x: c for x, y, c in zip(a, b, n) if y == "" and x != ""}
+        n_orders = next(
+            (c for x, y, c in zip(a, b, n) if x == "" and y == ""), 0
+        )
+        if n_orders == 0:
+            return empty
+        oa, ob_, nab, sup, lift = [], [], [], [], []
+        for x, y, c in zip(a, b, n):
+            if y == "" or c < BASKET_MIN_PAIR_ORDERS:
+                continue
+            oa.append(x)
+            ob_.append(y)
+            nab.append(c)
+            sup.append(c / n_orders)  # ONE division of exact ints
+            lift.append((c * n_orders) / (singles[x] * singles[y]))
+        return pa.table(
+            {
+                "brand_a": pa.array(oa, pa.string()),
+                "brand_b": pa.array(ob_, pa.string()),
+                "n_ab": pa.array(nab, pa.int64()),
+                "support": pa.array(
+                    round_half_away(np.array(sup, np.float64), 4), pa.float64()
+                ),
+                "lift": pa.array(
+                    round_half_away(np.array(lift, np.float64), 4), pa.float64()
+                ),
+            }
+        )
+
+    pairs = census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+    return pairs.map_batches(
+        topk_merge(20, "lift", ["brand_a", "brand_b"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+def orders_top20_diversified(sf_dir: str) -> Dataset:
+    """DIVERSIFIED TOP-K (group quotas): the 20 highest-value orders with
+    AT MOST 2 per customer — the ranking shape plain top-k can't express
+    (a whale customer would flood the list). Fully associative, no global
+    sort: per-batch/per-tree-level keep each customer's top-2 by
+    (price DESC, orderkey ASC) — a provable superset of the quota-
+    constrained answer — then the global top-20 cut with the same total
+    order. Prices are compared verbatim (no arithmetic), so parity with
+    the SQL row_number mirror is exact."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    per_cust = topk_merge(
+        2, "o_totalprice", ["o_orderkey"], group_cols=["o_custkey"]
+    )
+    survivors = tree_combine(
+        orders.map_batches(per_cust, batch_format="pyarrow"), per_cust
+    )
+    return survivors.map_batches(
+        topk_merge(20, "o_totalprice", ["o_orderkey"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+PSI_BINS = 10
+
+
+def events_value_psi(sf_dir: str) -> Dataset:
+    """POPULATION STABILITY INDEX (the model-monitoring drift metric
+    scored between the click and purchase value distributions): 10
+    equal-width bins over the two slices' combined [min, max]; per bin,
+    both counts and the PSI contribution (p_b − p_a)·ln(p_b/p_a). All
+    counts are exact ints; each contribution uses ONE division per
+    proportion and one ln of their exact-int ratio (numpy log vs DuckDB
+    ln agree within ulps — 4-decimal rounding has orders of magnitude of
+    headroom). Per-bin rows only, so neither side sums doubles
+    order-dependently (the chi2 convention); bins where either slice is
+    empty report NULL contribution on both sides. Two streaming passes
+    (min/max census, then the bin census) — the events_value_hist
+    machinery with a slice filter."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["click", "purchase"], pa.string()),
+        )
+        v = batch.filter(mask)["value"]
+        if len(v) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(v).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(v).as_py()], pa.float64()),
+            }
+        )
+
+    def mm_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(t["lo"]).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(t["hi"]).as_py()], pa.float64()),
+            }
+        )
+
+    mm = tree_combine(
+        ev.map_batches(mm_partial, batch_format="pyarrow"), mm_merge
+    ).take_all()
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "n_click": pa.array([], pa.int64()),
+            "n_purchase": pa.array([], pa.int64()),
+            "psi_contrib": pa.array([], pa.float64()),
+        }
+    )
+    if not mm:
+        return rd.from_arrow(empty)
+    lo, hi = float(mm[0]["lo"]), float(mm[0]["hi"])
+
+    merge = group_sum_merge(("event_type", "bin"), ("n",))
+
+    def bin_partial(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["click", "purchase"], pa.string()),
+        )
+        t = batch.filter(mask)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if hi == lo:
+            fbin = np.zeros(len(v), np.int64)
+        else:
+            fbin = np.minimum(
+                np.floor((v - lo) * float(PSI_BINS) / (hi - lo)),
+                PSI_BINS - 1,
+            ).astype(np.int64)
+        return merge(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "bin": pa.array(fbin, pa.int64()),
+                    "n": pa.array(np.ones(len(v), np.int64), pa.int64()),
+                }
+            )
+        )
+
+    census = tree_combine(
+        ev.map_batches(bin_partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        counts: dict[int, dict[str, int]] = {}
+        for ty, b, c in zip(
+            t["event_type"].to_pylist(), t["bin"].to_pylist(), t["n"].to_pylist()
+        ):
+            counts.setdefault(int(b), {})[ty] = int(c)
+        na = sum(d.get("click", 0) for d in counts.values())
+        nb = sum(d.get("purchase", 0) for d in counts.values())
+        bins = sorted(counts)
+        ncs, nps, contribs = [], [], []
+        for b in bins:
+            ca = counts[b].get("click", 0)
+            cb = counts[b].get("purchase", 0)
+            ncs.append(ca)
+            nps.append(cb)
+            if ca == 0 or cb == 0 or na == 0 or nb == 0:
+                contribs.append(None)
+                continue
+            # (p_b - p_a) · ln(p_b / p_a), each factor from exact ints
+            diff = cb / nb - ca / na
+            ratio = (cb * na) / (ca * nb)
+            contribs.append(
+                float(round_half_away(np.array([diff * np.log(ratio)]), 4)[0])
+            )
+        return pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "n_click": pa.array(ncs, pa.int64()),
+                "n_purchase": pa.array(nps, pa.int64()),
+                "psi_contrib": pa.array(contribs, pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

@@ -1352,3 +1352,96 @@ def test_twa_weights_by_holding_time(tmp_path):
     )
     tw = q.events_user_twa(d).to_pandas()
     assert tw["twa_value"].iloc[0] == 17.5
+
+
+def test_round4_fifteenth_batch_queries_match_oracles():
+    """Market-basket lift, diversified top-k, and PSI drift vs their
+    oracles, plus invariants: lift pairs are ordered (a < b) and meet
+    the support floor; no customer exceeds the quota of 2 and the list
+    is price-sorted; PSI bin counts reconcile with the slice totals."""
+    import os
+
+    import numpy as np
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "part", "lineitem", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "basket_brand_lift_top20",
+        "orders_top20_diversified",
+        "events_value_psi",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    bl = queries["basket_brand_lift_top20"](SF).to_pandas()
+    assert (bl["brand_a"] < bl["brand_b"]).all()
+    assert (bl["n_ab"] >= q.BASKET_MIN_PAIR_ORDERS).all()
+    dv = queries["orders_top20_diversified"](SF).to_pandas()
+    assert dv["o_custkey"].value_counts().max() <= 2
+    assert (dv["o_totalprice"].to_numpy()
+            == np.sort(dv["o_totalprice"].to_numpy())[::-1]).all()
+    psi = queries["events_value_psi"](SF).to_pandas()
+    na = int(
+        c.execute(
+            "SELECT count(*) FROM events WHERE event_type = 'click'"
+        ).fetchone()[0]
+    )
+    assert int(psi["n_click"].sum()) == na
+
+
+def test_fifteenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "part", "lineitem", "orders"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    assert len(q.basket_brand_lift_top20(d).to_pandas()) == 0
+    assert len(q.orders_top20_diversified(d).to_pandas()) == 0
+    assert len(q.events_value_psi(d).to_pandas()) == 0
+
+
+def test_diversified_topk_quota_binds_on_planted_whale(tmp_path):
+    """A whale customer owning the 5 highest-priced orders must surface
+    only twice; the freed slots go to the next customers down."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    rows = [(i, 1, 1000.0 - i) for i in range(5)]  # whale custkey=1
+    rows += [(10 + i, 2 + i, 500.0 - i) for i in range(25)]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2024-01-01", "us")] * len(rows),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "orders.parquet"))
+    dv = q.orders_top20_diversified(d).to_pandas()
+    assert len(dv) == 20
+    assert (dv["o_custkey"] == 1).sum() == 2
+    assert set(dv[dv["o_custkey"] == 1]["o_orderkey"]) == {0, 1}
