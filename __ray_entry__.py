@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 138 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 145 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_brand_lift_top20": q.basket_brand_lift_top20,
         "orders_top20_diversified": q.orders_top20_diversified,
         "events_value_psi": q.events_value_psi,
+        "events_user_rfm_segments": q.events_user_rfm_segments,
+        "events_user_scd2": q.events_user_scd2,
+        "events_value_benford": q.events_value_benford,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1029,6 +1032,86 @@ def oracle_sql() -> dict[str, str]:
                                  / (c.n_click::HUGEINT * t.nb)), 4)
                    END AS psi_contrib
             FROM c, t
+        """,
+        "events_user_rfm_segments": """
+            WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+            m AS (
+                SELECT user_id,
+                       (ref.ref_us - max(epoch_us(ts))) // 86400000000
+                           AS r_days,
+                       count(*)::BIGINT AS f_n,
+                       sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                           AS m_cents
+                FROM events, ref
+                GROUP BY user_id, ref.ref_us),
+            qb AS (
+                SELECT quantile_disc(r_days, 0.25) AS q1r,
+                       quantile_disc(r_days, 0.5) AS q2r,
+                       quantile_disc(r_days, 0.75) AS q3r,
+                       quantile_disc(f_n, 0.25) AS q1f,
+                       quantile_disc(f_n, 0.5) AS q2f,
+                       quantile_disc(f_n, 0.75) AS q3f,
+                       quantile_disc(m_cents, 0.25) AS q1m,
+                       quantile_disc(m_cents, 0.5) AS q2m,
+                       quantile_disc(m_cents, 0.75) AS q3m
+                FROM m)
+            SELECT (4 - CASE WHEN m.r_days > qb.q1r THEN 1 ELSE 0 END
+                      - CASE WHEN m.r_days > qb.q2r THEN 1 ELSE 0 END
+                      - CASE WHEN m.r_days > qb.q3r THEN 1 ELSE 0 END
+                   )::BIGINT AS r_score,
+                   (1 + CASE WHEN m.f_n > qb.q1f THEN 1 ELSE 0 END
+                      + CASE WHEN m.f_n > qb.q2f THEN 1 ELSE 0 END
+                      + CASE WHEN m.f_n > qb.q3f THEN 1 ELSE 0 END
+                   )::BIGINT AS f_score,
+                   (1 + CASE WHEN m.m_cents > qb.q1m THEN 1 ELSE 0 END
+                      + CASE WHEN m.m_cents > qb.q2m THEN 1 ELSE 0 END
+                      + CASE WHEN m.m_cents > qb.q3m THEN 1 ELSE 0 END
+                   )::BIGINT AS m_score,
+                   count(*)::BIGINT AS n_users
+            FROM m, qb
+            GROUP BY 1, 2, 3
+        """,
+        "events_user_scd2": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, event_type, ts,
+                       sum(chg) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seg
+                FROM o),
+            g AS (
+                SELECT user_id, seg, min(event_type) AS event_type,
+                       min(ts) AS valid_from, count(*)::BIGINT AS n_events
+                FROM s GROUP BY 1, 2)
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY seg) AS valid_to,
+                   n_events
+            FROM g
+        """,
+        "events_value_benford": """
+            WITH c AS (
+                SELECT abs(CAST(round(value * 100) AS BIGINT)) AS ac
+                FROM events),
+            d AS (SELECT CAST(substr(CAST(ac AS VARCHAR), 1, 1) AS BIGINT)
+                         AS digit
+                  FROM c WHERE ac > 0),
+            t AS (SELECT count(*)::BIGINT AS total FROM d),
+            g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1)
+            SELECT g.digit, g.n,
+                   round(g.n::DOUBLE / t.total, 4) AS obs_share,
+                   round(log10(1.0 + 1.0 / g.digit), 4) AS exp_share,
+                   round(pow(g.n::DOUBLE
+                             - t.total * log10(1.0 + 1.0 / g.digit), 2)
+                         / (t.total * log10(1.0 + 1.0 / g.digit)), 4)
+                       AS chi2_term
+            FROM g, t
         """,
         "events_rolling_zscore": """
             WITH c AS (

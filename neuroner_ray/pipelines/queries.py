@@ -7741,3 +7741,430 @@ def events_value_psi(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# -------------------- batch 16: segmentation, history modeling, forensics
+RFM_Q = (0.25, 0.5, 0.75)
+
+
+def events_user_rfm_segments(sf_dir: str, num_bins: int = 4096) -> Dataset:
+    """RFM SEGMENTATION (recency / frequency / monetary quartile scoring —
+    the marketing-analytics segmentation primitive): per user, R = whole
+    days since last activity (vs the corpus max timestamp), F = event
+    count, M = exact-int cents value sum; each metric is scored 1-4
+    against its own exact quartile boundaries (quantile_disc, the
+    sorted[ceil(n*q)-1] order statistic) and the output is the segment
+    census (r_score, f_score, m_score, n_users) — at most 64 rows.
+
+    Scale shape: ONE user-key groupby (map-side per-batch pre-aggregation
+    first) builds the vocabulary-sized metric table; the nine quartile
+    boundaries come from ONE keyed (metric, bin) histogram pass + ONE
+    targeted collect over the metric table — per-bin populations past
+    QUANTILE_COLLECT_MAX recurse through ``_exact_quantile_in_interval``
+    (integer-valued metrics hit its lo == hi exit fast) instead of
+    collecting. Scores compare exact-int-in-double values against exact
+    observed boundaries, so no float arithmetic can flip a segment; the
+    SQL mirror is quantile_disc + identical CASE comparisons. R is scored
+    inverted (4 = most recent) per RFM convention; F and M score high =
+    heavy/valuable."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    def upartial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        cents = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                    "last_us": us,
+                    "f_n": np.ones(len(us), np.int64),
+                    "m_cents": cents,
+                }
+            )
+            .groupby("user_id", sort=True)
+            .agg(
+                last_us=("last_us", "max"),
+                f_n=("f_n", "sum"),
+                m_cents=("m_cents", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "last_us": pa.array(df["last_us"].to_numpy(np.int64)),
+                "f_n": pa.array(df["f_n"].to_numpy(np.int64)),
+                "m_cents": pa.array(df["m_cents"].to_numpy(np.int64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "r_score": pa.array([], pa.int64()),
+            "f_score": pa.array([], pa.int64()),
+            "m_score": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+    if pq.read_metadata(_p(sf_dir, "events")).num_rows == 0:
+        return rd.from_arrow(empty)
+
+    metrics = (
+        ev.map_batches(upartial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("f_n", alias_name="f_n"),
+            Sum("m_cents", alias_name="m_cents"),
+        )
+        .materialize()
+    )
+    ref_us = int(metrics.max("last_us"))
+
+    def add_rdays(t: pa.Table, ref_us=ref_us) -> pa.Table:
+        r_days = (
+            ref_us - t["last_us"].to_numpy(zero_copy_only=False)
+        ) // 86_400_000_000
+        return pa.table(
+            {
+                "r_days": pa.array(r_days.astype(np.float64), pa.float64()),
+                "f_n": pa.array(
+                    t["f_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+                "m_cents": pa.array(
+                    t["m_cents"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                ),
+            }
+        )
+
+    mt = metrics.map_batches(add_rdays, batch_format="pyarrow").materialize()
+    from ..runtime.combine import group_agg_merge
+
+    METRICS = ("r_days", "f_n", "m_cents")
+    merge0 = group_agg_merge(("metric",), sums=("n",), mins=("mn",), maxs=("mx",))
+
+    def mmn(t: pa.Table) -> pa.Table:
+        rows = []
+        for m in METRICS:
+            v = t[m].to_numpy(zero_copy_only=False)
+            rows.append((m, len(v), float(v.min()), float(v.max())))
+        return pa.table(
+            {
+                "metric": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "mn": pa.array([r[2] for r in rows], pa.float64()),
+                "mx": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+
+    stats = {
+        r["metric"]: r
+        for r in tree_combine(
+            mt.map_batches(mmn, batch_format="pyarrow"), merge0
+        ).take_all()
+    }
+    n_users = int(stats["r_days"]["n"])
+
+    merge1 = group_sum_merge(("metric", "bin"), ("n",))
+
+    def hist(t: pa.Table) -> pa.Table:
+        parts = []
+        for m in METRICS:
+            v = t[m].to_numpy(zero_copy_only=False)
+            mn, mx = stats[m]["mn"], stats[m]["mx"]
+            width = (mx - mn) or 1.0
+            b = np.clip(
+                ((v - mn) / width * num_bins).astype(np.int64), 0, num_bins - 1
+            )
+            counts = np.bincount(b, minlength=num_bins)
+            nz = np.nonzero(counts)[0]
+            parts.append(
+                pa.table(
+                    {
+                        "metric": pa.array([m] * len(nz), pa.string()),
+                        "bin": pa.array(nz, pa.int64()),
+                        "n": pa.array(counts[nz], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    htab = pa.concat_tables(
+        tree_combine(mt.map_batches(hist, batch_format="pyarrow"), merge1)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    # localize each (metric, q) rank to a bin; collect only needed bins
+    targets: dict[str, list] = {m: [] for m in METRICS}
+    bounds: dict[str, dict[float, float]] = {m: {} for m in METRICS}
+    need: dict[str, set] = {m: set() for m in METRICS}
+    for m in METRICS:
+        mask = pc.equal(htab["metric"], m)
+        sub = htab.filter(mask)
+        bins = sub["bin"].to_numpy(zero_copy_only=False)
+        counts = sub["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bins)
+        bins, counts = bins[order], counts[order]
+        cum = np.cumsum(counts)
+        for qv in RFM_Q:
+            rank = int(np.ceil(n_users * qv))
+            i = int(np.searchsorted(cum, rank, side="left"))
+            before = int(cum[i - 1]) if i > 0 else 0
+            if int(counts[i]) > QUANTILE_COLLECT_MAX:
+                # over-populated bin: the shared re-binning recursion on a
+                # one-column view (int-valued metrics exit at lo == hi fast)
+                evm = mt.map_batches(
+                    lambda t, m=m: pa.table({"value": t[m]}),
+                    batch_format="pyarrow",
+                )
+                bounds[m][qv] = _exact_quantile_in_interval(
+                    evm,
+                    stats[m]["mn"],
+                    stats[m]["mx"],
+                    rank,
+                    n_users,
+                    num_bins,
+                    QUANTILE_COLLECT_MAX,
+                )
+            else:
+                targets[m].append((qv, int(bins[i]), rank - before))
+                need[m].add(int(bins[i]))
+
+    if any(targets[m] for m in METRICS):
+        need_arrs = {
+            m: np.array(sorted(need[m]), dtype=np.int64) for m in METRICS
+        }
+
+        def collect(t: pa.Table) -> pa.Table:
+            parts = []
+            for m in METRICS:
+                if len(need_arrs[m]) == 0:
+                    continue
+                v = t[m].to_numpy(zero_copy_only=False)
+                mn, mx = stats[m]["mn"], stats[m]["mx"]
+                width = (mx - mn) or 1.0
+                b = np.clip(
+                    ((v - mn) / width * num_bins).astype(np.int64),
+                    0,
+                    num_bins - 1,
+                )
+                keep = np.isin(b, need_arrs[m])
+                parts.append(
+                    pa.table(
+                        {
+                            "metric": pa.array(
+                                [m] * int(keep.sum()), pa.string()
+                            ),
+                            "bin": pa.array(b[keep], pa.int64()),
+                            "value": pa.array(v[keep], pa.float64()),
+                        }
+                    )
+                )
+            return (
+                pa.concat_tables(parts)
+                if parts
+                else pa.table(
+                    {
+                        "metric": pa.array([], pa.string()),
+                        "bin": pa.array([], pa.int64()),
+                        "value": pa.array([], pa.float64()),
+                    }
+                )
+            )
+
+        rows = pa.concat_tables(
+            mt.map_batches(collect, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        for m in METRICS:
+            sub = rows.filter(pc.equal(rows["metric"], m))
+            bvals = sub["bin"].to_numpy(zero_copy_only=False)
+            vvals = sub["value"].to_numpy(zero_copy_only=False)
+            for qv, b, r in targets[m]:
+                vals = np.sort(vvals[bvals == b])
+                bounds[m][qv] = float(vals[r - 1])
+
+    q1r, q2r, q3r = (bounds["r_days"][qv] for qv in RFM_Q)
+    q1f, q2f, q3f = (bounds["f_n"][qv] for qv in RFM_Q)
+    q1m, q2m, q3m = (bounds["m_cents"][qv] for qv in RFM_Q)
+
+    def score(t: pa.Table) -> pa.Table:
+        r = t["r_days"].to_numpy(zero_copy_only=False)
+        f = t["f_n"].to_numpy(zero_copy_only=False)
+        m = t["m_cents"].to_numpy(zero_copy_only=False)
+        r_s = 4 - (r > q1r).astype(np.int64) - (r > q2r) - (r > q3r)
+        f_s = 1 + (f > q1f).astype(np.int64) + (f > q2f) + (f > q3f)
+        m_s = 1 + (m > q1m).astype(np.int64) + (m > q2m) + (m > q3m)
+        return pa.table(
+            {
+                "r_score": pa.array(r_s.astype(np.int64), pa.int64()),
+                "f_score": pa.array(f_s.astype(np.int64), pa.int64()),
+                "m_score": pa.array(m_s.astype(np.int64), pa.int64()),
+                "n_users": pa.array(np.ones(len(r_s), np.int64), pa.int64()),
+            }
+        )
+
+    merge2 = group_sum_merge(("r_score", "f_score", "m_score"), ("n_users",))
+    return tree_combine(
+        mt.map_batches(score, batch_format="pyarrow").map_batches(
+            merge2, batch_format="pyarrow"
+        ),
+        merge2,
+    )
+
+
+SCD2_BUCKETS = 64
+
+
+def events_user_scd2(sf_dir: str, n_buckets: int = SCD2_BUCKETS) -> Dataset:
+    """SCD TYPE-2 HISTORY MODELING (change-data-capture intervals): per
+    user, collapse the (ts, event_id)-ordered event_type stream into
+    validity intervals — one row per run of equal consecutive types with
+    valid_from (first ts), valid_to (next run's start, NULL while
+    current) and n_events (run length) — the warehouse dimension-history
+    primitive (LOCF/latest-record model the converse direction).
+
+    Scale shape: ONE user-bucket int-key shuffle (the ntile convention —
+    users hash into ``n_buckets`` groups so group size tracks corpus/64,
+    not the hottest user); per bucket the run detection is fully
+    vectorized — one mergesort, one change mask (user break OR type
+    change), run lengths by diff of change indices, valid_to by shifting
+    run starts within the same user. No per-row loop, no driver state."""
+    if pq.read_metadata(_p(sf_dir, "events")).num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "valid_from": pa.array([], pa.timestamp("us")),
+                    "valid_to": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(batch["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    def runs(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        ty = df["event_type"].to_numpy(object)
+        ts = df["ts"].to_numpy()  # datetime64[us]
+        brk = np.empty(len(u), np.bool_)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(u))
+        vfrom = ts[starts]
+        # valid_to = next run's valid_from when that run is the SAME user
+        vto = np.full(len(starts), np.datetime64("NaT", "us"))
+        same = np.empty(len(starts), np.bool_)
+        same[:-1] = u[starts[1:]] == u[starts[:-1]]
+        same[-1] = False
+        vto[same] = vfrom[np.nonzero(same)[0] + 1]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "event_type": pa.array(list(ty[starts]), pa.string()),
+                "valid_from": pa.array(vfrom, pa.timestamp("us")),
+                "valid_to": pa.array(vto, pa.timestamp("us")),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(runs, batch_format="pandas")
+    )
+
+
+def events_value_benford(sf_dir: str) -> Dataset:
+    """BENFORD'S-LAW FIRST-DIGIT AUDIT (data-forensics / fraud-screening
+    primitive): distribution of the first significant digit of |value|
+    (via exact int cents — the leading digit of the cents integer IS the
+    first significant digit of the decimal value) against the Benford
+    expectation log10(1 + 1/d), with the chi-square contribution per
+    digit. ONE census pass (digit domain = 1..9); digit extraction is
+    exact repeated integer division (never float log10, whose ulp error
+    flips digits at powers of ten). Every share is ONE division of exact
+    ints; expected shares and chi2 terms are computed with the identical
+    expression shape on both sides (4-decimal rounding has >1e5 ulp
+    headroom at every boundary — verified for all nine log10 constants)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+    merge = group_sum_merge(("digit",), ("n",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.abs(
+            round_half_away(
+                batch["value"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+        )
+        d = cents[cents > 0]
+        while (d >= 10).any():  # exact leading digit: ≤19 vectorized halvings
+            big = d >= 10
+            d[big] //= 10
+        counts = np.bincount(d, minlength=10)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "digit": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    census = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "digit": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "obs_share": pa.array([], pa.float64()),
+                    "exp_share": pa.array([], pa.float64()),
+                    "chi2_term": pa.array([], pa.float64()),
+                }
+            )
+        digit = t["digit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        e = np.log10(1.0 + 1.0 / digit.astype(np.float64))
+        obs = n.astype(np.float64) / total
+        chi2 = (n.astype(np.float64) - total * e) ** 2 / (total * e)
+        return pa.table(
+            {
+                "digit": pa.array(digit, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "obs_share": pa.array(round_half_away(obs, 4), pa.float64()),
+                "exp_share": pa.array(round_half_away(e, 4), pa.float64()),
+                "chi2_term": pa.array(round_half_away(chi2, 4), pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

@@ -1445,3 +1445,109 @@ def test_diversified_topk_quota_binds_on_planted_whale(tmp_path):
     assert len(dv) == 20
     assert (dv["o_custkey"] == 1).sum() == 2
     assert set(dv[dv["o_custkey"] == 1]["o_orderkey"]) == {0, 1}
+
+
+def test_round4_sixteenth_batch_queries_match_oracles():
+    """RFM segmentation, SCD2 intervals, and Benford audit vs their
+    oracles, plus invariants: scores are 1-4 and segment counts sum to
+    the user count; SCD2 n_events reconciles with the event count and
+    every digit row is 1-9 with counts summing to the nonzero-cents
+    total."""
+    import os
+
+    import numpy as np
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_user_rfm_segments",
+        "events_user_scd2",
+        "events_value_benford",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    rfm = queries["events_user_rfm_segments"](SF).to_pandas()
+    for col in ("r_score", "f_score", "m_score"):
+        assert rfm[col].between(1, 4).all()
+    n_users = int(
+        c.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    )
+    assert int(rfm["n_users"].sum()) == n_users
+    scd = queries["events_user_scd2"](SF).to_pandas()
+    n_events = int(c.execute("SELECT count(*) FROM events").fetchone()[0])
+    assert int(scd["n_events"].sum()) == n_events
+    assert scd.groupby("user_id")["valid_to"].apply(
+        lambda s: s.isna().sum()
+    ).eq(1).all()  # exactly one open (current) interval per user
+    ben = queries["events_value_benford"](SF).to_pandas()
+    assert ben["digit"].between(1, 9).all()
+    nz = int(
+        c.execute(
+            "SELECT count(*) FROM events"
+            " WHERE abs(CAST(round(value * 100) AS BIGINT)) > 0"
+        ).fetchone()[0]
+    )
+    assert int(ben["n"].sum()) == nz
+    np.testing.assert_allclose(float(ben["obs_share"].sum()), 1.0, atol=5e-4)
+
+
+def test_sixteenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    assert len(q.events_user_rfm_segments(d).to_pandas()) == 0
+    assert len(q.events_user_scd2(d).to_pandas()) == 0
+    assert len(q.events_value_benford(d).to_pandas()) == 0
+
+
+def test_scd2_planted_run_structure(tmp_path):
+    """A planted A,A,B,A stream must yield exactly three intervals with
+    the right boundaries, the middle ones closed by the NEXT run's start,
+    and the last left open (NULL valid_to)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    ts = [np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(i, "m")
+          for i in range(4)]
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(["A", "A", "B", "A"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    scd = (
+        q.events_user_scd2(d)
+        .to_pandas()
+        .sort_values("valid_from")
+        .reset_index(drop=True)
+    )
+    assert list(scd["event_type"]) == ["A", "B", "A"]
+    assert list(scd["n_events"]) == [2, 1, 1]
+    assert scd["valid_to"].iloc[0] == scd["valid_from"].iloc[1]
+    assert scd["valid_to"].iloc[1] == scd["valid_from"].iloc[2]
+    assert pd.isna(scd["valid_to"].iloc[2])
