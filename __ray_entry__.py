@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 145 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 148 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rfm_segments": q.events_user_rfm_segments,
         "events_user_scd2": q.events_user_scd2,
         "events_value_benford": q.events_value_benford,
+        "orders_fulfillment_lag": q.orders_fulfillment_lag,
+        "events_duplicate_payments": q.events_duplicate_payments,
+        "events_hourly_mase": q.events_hourly_mase,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1112,6 +1115,75 @@ def oracle_sql() -> dict[str, str]:
                          / (t.total * log10(1.0 + 1.0 / g.digit)), 4)
                        AS chi2_term
             FROM g, t
+        """,
+        "orders_fulfillment_lag": """
+            WITH ms AS (
+                SELECT l_orderkey, min(l_shipdate) AS first_ship
+                FROM lineitem GROUP BY 1),
+            lg AS (
+                SELECT o.o_orderpriority AS priority,
+                       (epoch_us(ms.first_ship) - epoch_us(o.o_orderdate))
+                           // 86400000000 AS lag_days
+                FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey)
+            SELECT priority,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(lag_days)::DOUBLE / count(*), 4)
+                       AS avg_lag_days,
+                   max(lag_days)::BIGINT AS max_lag_days
+            FROM lg GROUP BY 1
+        """,
+        "events_duplicate_payments": """
+            WITH p AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(round(value) AS BIGINT) AS amt
+                FROM events WHERE event_type = 'purchase'),
+            f AS (
+                SELECT DISTINCT a.user_id, a.event_id
+                FROM p a JOIN p b
+                  ON a.user_id = b.user_id AND a.amt = b.amt
+                 AND a.event_id <> b.event_id
+                 AND abs(a.us - b.us) <= 86400000000)
+            SELECT user_id, count(*)::BIGINT AS n_flagged
+            FROM f GROUP BY 1
+        """,
+        "events_hourly_mase": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                FROM events),
+            c AS (SELECT event_type, h, count(*)::BIGINT AS n
+                  FROM e GROUP BY 1, 2),
+            b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+            grid AS (
+                SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS h
+                FROM (SELECT DISTINCT event_type FROM e) t, b),
+            s AS (
+                SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+                FROM grid g LEFT JOIN c
+                  ON c.event_type = g.event_type AND c.h = g.h),
+            l AS (
+                SELECT event_type, n,
+                       lag(n, 1) OVER w AS n1,
+                       lag(n, 24) OVER w AS n24
+                FROM s WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+            a AS (
+                SELECT event_type,
+                       count(n1)::BIGINT AS cnt1,
+                       coalesce(sum(abs(n - n1)), 0)::BIGINT AS sad1,
+                       count(n24)::BIGINT AS cnt24,
+                       coalesce(sum(abs(n - n24)), 0)::BIGINT AS sad24
+                FROM l GROUP BY 1)
+            SELECT event_type,
+                   cnt24 AS n_pairs,
+                   CASE WHEN cnt1 = 0 THEN NULL
+                        ELSE round(sad1::DOUBLE / cnt1, 4) END AS mae_naive1,
+                   CASE WHEN cnt24 = 0 THEN NULL
+                        ELSE round(sad24::DOUBLE / cnt24, 4)
+                   END AS mae_seasonal24,
+                   CASE WHEN sad1 = 0 OR cnt24 = 0 THEN NULL
+                        ELSE round((sad24::HUGEINT * cnt1)::DOUBLE
+                                   / (sad1::HUGEINT * cnt24), 4)
+                   END AS mase
+            FROM a
         """,
         "events_rolling_zscore": """
             WITH c AS (

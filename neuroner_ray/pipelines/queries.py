@@ -8168,3 +8168,351 @@ def events_value_benford(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# ------------- batch 17: ops analytics, fraud screening, forecast eval
+_SHIP_SENTINEL = 1 << 62
+
+
+def orders_fulfillment_lag(sf_dir: str) -> Dataset:
+    """FULFILLMENT-LAG AUDIT (order-to-first-ship interval per order
+    priority): joins the orders table with min(l_shipdate) per order —
+    the min-per-key large-large join — then aggregates lag days by
+    priority. ONE int-key cogroup shuffle (side-tagged union rows: the
+    lineitem side carries per-batch MIN-ship partials, the orders side
+    carries orderdate + priority under sentinels; Min/Max aggregation
+    reconstructs the pair) — no hash join, so no Ray 2.49 empty-partition
+    FieldRef failure mode (NOTES.md). Both date columns are
+    midnight-aligned (verified in the corpus), so lag day counts are
+    exact integer multiples and floor == trunc division on both sides;
+    avg lag is ONE division of exact int sums, mirrored in SQL."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch, "l_shipdate")
+        df = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": batch["l_orderkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "ship_us": us,
+                }
+            )
+            .groupby("o_orderkey", sort=True)["ship_us"]
+            .min()
+            .reset_index()
+        )
+        n = len(df)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    df["o_orderkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "ship_us": pa.array(
+                    df["ship_us"].to_numpy(np.int64), pa.int64()
+                ),
+                "odate_us": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "prio": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "ship_us": pa.array(
+                    np.full(n, _SHIP_SENTINEL, np.int64), pa.int64()
+                ),
+                "odate_us": pa.array(_ts_us(batch, "o_orderdate"), pa.int64()),
+                "prio": batch["o_orderpriority"],
+            }
+        )
+
+    paired = (
+        li.map_batches(li_rows, batch_format="pyarrow")
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        .groupby("o_orderkey")
+        .aggregate(
+            Min("ship_us", alias_name="ship_us"),
+            Max("odate_us", alias_name="odate_us"),
+            Max("prio", alias_name="prio"),
+        )
+    )
+    from ..runtime.combine import group_agg_merge
+
+    merge = group_agg_merge(
+        ("priority",), sums=("n_orders", "sum_lag"), maxs=("max_lag_days",)
+    )
+
+    def lag_partial(t: pa.Table) -> pa.Table:
+        ship = t["ship_us"].to_numpy(zero_copy_only=False)
+        odate = t["odate_us"].to_numpy(zero_copy_only=False)
+        keep = (ship < _SHIP_SENTINEL) & (odate >= 0)  # both sides present
+        lag = (ship[keep] - odate[keep]) // 86_400_000_000
+        df = (
+            pd.DataFrame(
+                {
+                    "priority": np.asarray(t["prio"].to_pylist(), object)[
+                        keep
+                    ],
+                    "n_orders": np.ones(len(lag), np.int64),
+                    "sum_lag": lag,
+                    "max_lag_days": lag,
+                }
+            )
+            .groupby("priority", sort=True)
+            .agg(
+                n_orders=("n_orders", "sum"),
+                sum_lag=("sum_lag", "sum"),
+                max_lag_days=("max_lag_days", "max"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "priority": pa.array(df["priority"].tolist(), pa.string()),
+                "n_orders": pa.array(
+                    df["n_orders"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_lag": pa.array(
+                    df["sum_lag"].to_numpy(np.int64), pa.int64()
+                ),
+                "max_lag_days": pa.array(
+                    df["max_lag_days"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    census = tree_combine(
+        paired.map_batches(lag_partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "priority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "avg_lag_days": pa.array([], pa.float64()),
+                    "max_lag_days": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        s = t["sum_lag"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "priority": t["priority"],
+                "n_orders": t["n_orders"],
+                "avg_lag_days": pa.array(
+                    round_half_away(s.astype(np.float64) / n, 4), pa.float64()
+                ),
+                "max_lag_days": t["max_lag_days"],
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+DUP_PAY_WINDOW_US = 86_400_000_000  # same-amount window: 24 h, inclusive
+
+
+def events_duplicate_payments(sf_dir: str, n_buckets: int = 64) -> Dataset:
+    """DUPLICATE-PAYMENT SCREENING (fraud/reconciliation primitive): per
+    user, count purchase events for which ANOTHER purchase with the SAME
+    rounded-dollar amount exists within ±24 hours — the same-amount
+    near-in-time double-charge signature (dollar bucket + day window
+    chosen so the synthetic corpus actually exercises the match path at
+    sf0.001/sf0.01; the cents/minutes variant is a parameter change).
+    ONE user-bucket int-key shuffle; per bucket, events sort by
+    (user, amt, ts, event_id) and the exists-test is purely the two
+    ADJACENT neighbors inside each equal-(user, amt) run (sorted by
+    time, the nearest same-amount event is adjacent — exact, not a
+    heuristic). Only flagged users are emitted; each user lives in
+    exactly one bucket so per-bucket counts are final (no second
+    shuffle). Purchase values are positive in this corpus, and the
+    rounded-dollar bucket is half-away on both sides (no floor-vs-trunc
+    hazard). map_groups emits typed Arrow tables so an all-empty result
+    keeps its schema (NOTES.md empty-bucket convention)."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_flagged": pa.array([], pa.int64()),
+        }
+    )
+    if pq.read_metadata(_p(sf_dir, "events")).num_rows == 0:
+        return rd.from_arrow(empty)
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        amt = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64), 0
+        ).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "us": pa.array(_ts_us(t), pa.int64()),
+                "event_id": t["event_id"],
+                "amt": pa.array(amt, pa.int64()),
+                "_bucket": pa.array(
+                    (uid & (n_buckets - 1)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def flag(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["user_id", "amt", "us", "event_id"], kind="mergesort"
+        )
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["amt"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        samerun = np.empty(len(u), np.bool_)
+        samerun[0] = False
+        samerun[1:] = (u[1:] == u[:-1]) & (c[1:] == c[:-1])
+        near = np.zeros(len(u), np.bool_)
+        close = samerun[1:] & (us[1:] - us[:-1] <= DUP_PAY_WINDOW_US)
+        near[1:] |= close  # previous neighbor close
+        near[:-1] |= close  # next neighbor close
+        if not near.any():
+            return empty
+        out = (
+            pd.DataFrame({"user_id": u[near]})
+            .groupby("user_id", sort=True)
+            .size()
+            .reset_index(name="n_flagged")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    out["user_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_flagged": pa.array(
+                    out["n_flagged"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(pre, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(flag, batch_format="pandas")
+    )
+
+
+def events_hourly_mase(sf_dir: str) -> Dataset:
+    """FORECAST-BASELINE EVALUATION (MASE-style): per event_type, the
+    mean absolute error of the lag-1 naive and lag-24 seasonal-naive
+    hourly-count forecasts over the corpus-wide hour grid (missing hours
+    count 0), and their ratio — the standard 'is there daily
+    seasonality worth modeling' diagnostic. ONE streaming census pass
+    ((type, hour) partials group-summed map-side); the finish densifies
+    each type's series over the global [min, max] hour span — driver
+    state is hours × types (time-span-bounded: ~9k rows/type/decade,
+    NOT data-sized). All errors are exact int sums of |int diffs|; each
+    MAE is ONE division and the MASE ratio is ONE division of exact int
+    cross-products (HUGEINT-mirrored); degenerate spans NULL on both
+    sides."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    merge = group_sum_merge(("event_type", "h"), ("n",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _ts_us(batch) // 3_600_000_000
+        df = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pylist(), "h": h}
+            )
+            .groupby(["event_type", "h"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    census = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "mae_naive1": pa.array([], pa.float64()),
+                "mae_seasonal24": pa.array([], pa.float64()),
+                "mase": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        types = np.asarray(t["event_type"].to_pylist(), object)
+        h0, h1 = int(hs.min()), int(hs.max())
+        span = h1 - h0 + 1
+        out = {
+            "event_type": [],
+            "n_pairs": [],
+            "mae_naive1": [],
+            "mae_seasonal24": [],
+            "mase": [],
+        }
+        for ty in sorted(set(types)):
+            sel = types == ty
+            dense = np.zeros(span, np.int64)
+            dense[hs[sel] - h0] = ns[sel]
+            sad1 = int(np.abs(np.diff(dense)).sum()) if span > 1 else 0
+            cnt1 = span - 1
+            cnt24 = max(span - 24, 0)
+            sad24 = (
+                int(np.abs(dense[24:] - dense[:-24]).sum()) if cnt24 else 0
+            )
+            out["event_type"].append(ty)
+            out["n_pairs"].append(cnt24)
+            out["mae_naive1"].append(
+                float(round_half_away(np.array([sad1 / cnt1]), 4)[0])
+                if cnt1 > 0
+                else None
+            )
+            out["mae_seasonal24"].append(
+                float(round_half_away(np.array([sad24 / cnt24]), 4)[0])
+                if cnt24 > 0
+                else None
+            )
+            out["mase"].append(
+                float(
+                    round_half_away(
+                        np.array([(sad24 * cnt1) / (sad1 * cnt24)]), 4
+                    )[0]
+                )
+                if sad1 > 0 and cnt24 > 0
+                else None
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+                "mae_naive1": pa.array(out["mae_naive1"], pa.float64()),
+                "mae_seasonal24": pa.array(
+                    out["mae_seasonal24"], pa.float64()
+                ),
+                "mase": pa.array(out["mase"], pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

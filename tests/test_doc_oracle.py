@@ -1551,3 +1551,101 @@ def test_scd2_planted_run_structure(tmp_path):
     assert scd["valid_to"].iloc[0] == scd["valid_from"].iloc[1]
     assert scd["valid_to"].iloc[1] == scd["valid_from"].iloc[2]
     assert pd.isna(scd["valid_to"].iloc[2])
+
+
+def test_round4_seventeenth_batch_queries_match_oracles():
+    """Fulfillment lag, duplicate-payment screening, and hourly MASE vs
+    their oracles, plus invariants: priority groups cover exactly the
+    orders that have lineitems; every flagged user has n_flagged >= 2
+    (a flag always has a same-user partner within the window); MASE
+    emits one row per event type."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "orders", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "orders_fulfillment_lag",
+        "events_duplicate_payments",
+        "events_hourly_mase",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    fl = queries["orders_fulfillment_lag"](SF).to_pandas()
+    n_with_li = int(
+        c.execute(
+            "SELECT count(DISTINCT o_orderkey) FROM orders"
+            " WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)"
+        ).fetchone()[0]
+    )
+    assert int(fl["n_orders"].sum()) == n_with_li
+    dp = queries["events_duplicate_payments"](SF).to_pandas()
+    assert len(dp) > 0  # non-vacuous at the gate scale
+    assert (dp["n_flagged"] >= 2).all()  # a flag always has a partner
+    ms = queries["events_hourly_mase"](SF).to_pandas()
+    n_types = int(
+        c.execute("SELECT count(DISTINCT event_type) FROM events").fetchone()[0]
+    )
+    assert len(ms) == n_types
+
+
+def test_seventeenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "orders", "lineitem"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    assert len(q.orders_fulfillment_lag(d).to_pandas()) == 0
+    assert len(q.events_duplicate_payments(d).to_pandas()) == 0
+    assert len(q.events_hourly_mase(d).to_pandas()) == 0
+
+
+def test_duplicate_payments_planted_pair(tmp_path):
+    """Two same-dollar purchases 1 min apart flag both events; a third
+    same-dollar purchase 48 h away and a different-amount neighbor stay
+    unflagged."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    rows = [
+        (0, base, 5, "purchase", 49.99),                        # pair A
+        (1, base + np.timedelta64(60, "s"), 5, "purchase", 50.01),  # pair A (same rounded $50)
+        (2, base + np.timedelta64(48, "h"), 5, "purchase", 50.0),   # outside window
+        (3, base + np.timedelta64(30, "s"), 5, "purchase", 75.0),   # different amount
+        (4, base, 9, "purchase", 50.0),                         # other user, alone
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    dp = q.events_duplicate_payments(d).to_pandas()
+    assert len(dp) == 1
+    assert int(dp["user_id"].iloc[0]) == 5
+    assert int(dp["n_flagged"].iloc[0]) == 2
