@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 148 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 151 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fulfillment_lag": q.orders_fulfillment_lag,
         "events_duplicate_payments": q.events_duplicate_payments,
         "events_hourly_mase": q.events_hourly_mase,
+        "events_hourly_acf24": q.events_hourly_acf24,
+        "events_hourly_changepoint": q.events_hourly_changepoint,
+        "events_quality_audit": q.events_quality_audit,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1184,6 +1187,125 @@ def oracle_sql() -> dict[str, str]:
                                    / (sad1::HUGEINT * cnt24), 4)
                    END AS mase
             FROM a
+        """,
+        "events_hourly_acf24": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                FROM events),
+            c AS (SELECT event_type, h, count(*)::BIGINT AS n
+                  FROM e GROUP BY 1, 2),
+            b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+            grid AS (
+                SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS h
+                FROM (SELECT DISTINCT event_type FROM e) t, b),
+            s AS (
+                SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+                FROM grid g LEFT JOIN c
+                  ON c.event_type = g.event_type AND c.h = g.h),
+            l AS (
+                SELECT event_type, n AS a, lag(n, 24) OVER w AS bb
+                FROM s WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+            m AS (
+                SELECT event_type,
+                       count(bb)::BIGINT AS np,
+                       coalesce(sum(a) FILTER (WHERE bb IS NOT NULL), 0
+                           )::HUGEINT AS sa,
+                       coalesce(sum(bb), 0)::HUGEINT AS sb,
+                       coalesce(sum(a * a) FILTER (WHERE bb IS NOT NULL), 0
+                           )::HUGEINT AS saa,
+                       coalesce(sum(bb * bb), 0)::HUGEINT AS sbb,
+                       coalesce(sum(a * bb), 0)::HUGEINT AS sab
+                FROM l GROUP BY 1)
+            SELECT event_type, np AS n_pairs,
+                   CASE WHEN np = 0 OR (np * saa - sa * sa) = 0
+                             OR (np * sbb - sb * sb) = 0 THEN NULL
+                        ELSE round((np * sab - sa * sb)::DOUBLE
+                                   / sqrt(((np * saa - sa * sa)
+                                           * (np * sbb - sb * sb))::DOUBLE),
+                                   4)
+                   END AS acf24
+            FROM m
+        """,
+        "events_hourly_changepoint": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                FROM events),
+            c AS (SELECT event_type, h, count(*)::BIGINT AS n
+                  FROM e GROUP BY 1, 2),
+            b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+            grid AS (
+                SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS h
+                FROM (SELECT DISTINCT event_type FROM e) t, b),
+            s AS (
+                SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+                FROM grid g LEFT JOIN c
+                  ON c.event_type = g.event_type AND c.h = g.h),
+            w AS (
+                SELECT event_type, h,
+                       sum(n) OVER (PARTITION BY event_type ORDER BY h
+                                    ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h) AS i,
+                       count(*) OVER (PARTITION BY event_type)::BIGINT
+                           AS span,
+                       sum(n) OVER (PARTITION BY event_type)::HUGEINT
+                           AS total
+                FROM s),
+            g2 AS (
+                SELECT event_type, h + 1 AS split_h,
+                       cum AS sl, i::HUGEINT AS nl,
+                       total - cum AS sr, (span - i)::HUGEINT AS nr
+                FROM w WHERE i < span),
+            sc AS (
+                SELECT event_type, split_h, sl, nl, sr, nr,
+                       abs(sl * nr - sr * nl) AS gap,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY abs(sl * nr - sr * nl) DESC,
+                                    split_h ASC) AS rk
+                FROM g2)
+            SELECT event_type, split_h::BIGINT AS split_h,
+                   gap::DOUBLE AS gap_stat,
+                   round(sl::DOUBLE / nl, 4) AS mean_left,
+                   round(sr::DOUBLE / nr, 4) AS mean_right
+            FROM sc WHERE rk = 1
+        """,
+        "events_quality_audit": r"""
+            WITH k AS (
+                SELECT event_type, ts, value, epoch_us(ts) AS us,
+                       CASE WHEN regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                                 = '' THEN NULL
+                            ELSE regexp_extract(props, '"k":\s*(-?\d+)', 1
+                                 )::BIGINT
+                       END AS kk
+                FROM events),
+            t AS (SELECT count(*)::BIGINT AS total FROM k),
+            r AS (
+                SELECT 'value_above_cap' AS rule,
+                       count(*) FILTER (WHERE value > 400.0)::BIGINT
+                           AS n_violations FROM k
+                UNION ALL
+                SELECT 'error_event',
+                       count(*) FILTER (WHERE event_type = 'error')::BIGINT
+                FROM k
+                UNION ALL
+                SELECT 'night_activity',
+                       count(*) FILTER (
+                           WHERE (us // 3600000000) % 24 < 6)::BIGINT
+                FROM k
+                UNION ALL
+                SELECT 'weekend_activity',
+                       count(*) FILTER (
+                           WHERE dayofweek(ts) IN (0, 6))::BIGINT
+                FROM k
+                UNION ALL
+                SELECT 'props_k_above_max',
+                       count(*) FILTER (WHERE kk > 90)::BIGINT
+                FROM k)
+            SELECT r.rule, r.n_violations,
+                   round(r.n_violations::DOUBLE / t.total, 4) AS share
+            FROM r, t
+            WHERE t.total > 0
         """,
         "events_rolling_zscore": """
             WITH c AS (

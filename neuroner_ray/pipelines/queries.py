@@ -8516,3 +8516,260 @@ def events_hourly_mase(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# ---------- batch 18: series diagnostics and a data-quality rules engine
+_HOUR_US = 3_600_000_000
+
+
+def _hourly_type_census(sf_dir: str) -> Dataset:
+    """Shared (event_type, hour) count census for the series diagnostics
+    (MASE / ACF / changepoint family): map-side group-sum partials +
+    tree combine — the shuffle moves types × observed-hours rows, never
+    events."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    merge = group_sum_merge(("event_type", "h"), ("n",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _ts_us(batch) // _HOUR_US
+        df = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pylist(), "h": h}
+            )
+            .groupby(["event_type", "h"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+def _dense_by_type(t: pa.Table):
+    """Census table → (h0, {type: dense int64 series over the global
+    [min, max] hour grid}) — driver state is hours × types
+    (time-span-bounded, not data-sized)."""
+    hs = t["h"].to_numpy(zero_copy_only=False)
+    ns = t["n"].to_numpy(zero_copy_only=False)
+    types = np.asarray(t["event_type"].to_pylist(), object)
+    h0, h1 = int(hs.min()), int(hs.max())
+    span = h1 - h0 + 1
+    out = {}
+    for ty in sorted(set(types)):
+        sel = types == ty
+        dense = np.zeros(span, np.int64)
+        dense[hs[sel] - h0] = ns[sel]
+        out[ty] = dense
+    return h0, out
+
+
+def events_hourly_acf24(sf_dir: str) -> Dataset:
+    """LAG-24 AUTOCORRELATION (the 'is there daily seasonality' test
+    statistic proper, complementing events_hourly_mase's error ratio):
+    per event_type, the Pearson correlation between the dense hourly
+    count series and itself shifted 24 hours, over the corpus-wide hour
+    grid (missing hours count 0). Same ONE-census-pass shape as MASE;
+    the five correlation moments (n, Σa, Σb, Σab, Σa², Σb²) are exact
+    Python ints from the dense grid, and r is ONE division by one sqrt
+    of an exact-int product — expression shape mirrored in HUGEINT SQL.
+    Degenerate spans or zero-variance sides are NULL on both sides."""
+    census = _hourly_type_census(sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "acf24": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        _, dense = _dense_by_type(t)
+        tys, nps, acfs = [], [], []
+        for ty, d in dense.items():
+            a, b = d[24:], d[:-24]  # x_t vs x_{t-24}
+            n = len(a)
+            tys.append(ty)
+            nps.append(n)
+            if n == 0:
+                acfs.append(None)
+                continue
+            sa, sb = int(a.sum()), int(b.sum())
+            saa = int((a * a).sum())
+            sbb = int((b * b).sum())
+            sab = int((a * b).sum())
+            va = n * saa - sa * sa
+            vb = n * sbb - sb * sb
+            if va == 0 or vb == 0:
+                acfs.append(None)
+                continue
+            r = (n * sab - sa * sb) / np.sqrt(float(va * vb))
+            acfs.append(float(round_half_away(np.array([r]), 4)[0]))
+        return pa.table(
+            {
+                "event_type": pa.array(tys, pa.string()),
+                "n_pairs": pa.array(nps, pa.int64()),
+                "acf24": pa.array(acfs, pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_hourly_changepoint(sf_dir: str) -> Dataset:
+    """CHANGEPOINT DETECTION (balanced-CUSUM split): per event_type, the
+    hour that best splits the dense hourly series into two halves with
+    maximally different rates, scored by the INTEGER statistic
+    |sumL·nR − sumR·nL| (the cross-multiplied mean gap — argmax over
+    exact ints, so no float ulp can move the split; ties take the
+    earliest hour). Output also reports the two 4-dp mean rates (ONE
+    exact division each). Same census pass as the MASE/ACF family; SQL
+    mirrors via window cumsums and HUGEINT ordering."""
+    census = _hourly_type_census(sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "split_h": pa.array([], pa.int64()),
+                "gap_stat": pa.array([], pa.float64()),
+                "mean_left": pa.array([], pa.float64()),
+                "mean_right": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        h0, dense = _dense_by_type(t)
+        tys, shs, gaps, mls, mrs = [], [], [], [], []
+        for ty, d in dense.items():
+            span = len(d)
+            if span < 2:
+                continue
+            pre = np.cumsum(d)
+            total = int(pre[-1])
+            best = None
+            for s in range(1, span):  # span is time-bounded driver state
+                sl, nl = int(pre[s - 1]), s
+                sr, nr = total - sl, span - s
+                gap = abs(sl * nr - sr * nl)
+                if best is None or gap > best[0]:
+                    best = (gap, s, sl, nl, sr, nr)
+            gap, s, sl, nl, sr, nr = best
+            tys.append(ty)
+            shs.append(h0 + s)
+            gaps.append(float(gap))
+            mls.append(float(round_half_away(np.array([sl / nl]), 4)[0]))
+            mrs.append(float(round_half_away(np.array([sr / nr]), 4)[0]))
+        if not tys:
+            return empty
+        return pa.table(
+            {
+                "event_type": pa.array(tys, pa.string()),
+                "split_h": pa.array(shs, pa.int64()),
+                "gap_stat": pa.array(gaps, pa.float64()),
+                "mean_left": pa.array(mls, pa.float64()),
+                "mean_right": pa.array(mrs, pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+QUALITY_VALUE_CAP = 400.0
+QUALITY_K_MAX = 90
+
+
+def events_quality_audit(sf_dir: str) -> Dataset:
+    """DATA-QUALITY RULES ENGINE: a battery of five vectorized business
+    rules evaluated in ONE streaming pass, reported as a per-rule
+    violation census with corpus shares — the data-contract audit every
+    ingest pipeline runs before training. Rules: value above cap,
+    error-type events, night-hours activity (00-06 UTC), weekend
+    activity (dayofweek convention shared with the chi2 op), and JSON
+    props k above threshold (ONE RE2 ``pc.extract_regex`` kernel — no
+    per-row json.loads). Map-side partials carry a ("", total) marker
+    row (the basket-census convention) so shares need no second pass;
+    each share is ONE division of exact ints."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["event_type", "ts", "value", "props"],
+    )
+    merge = group_sum_merge(("rule",), ("n_violations",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)'), "k"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        hour = (us // _HOUR_US) % 24
+        dow = (us // _DAY_US + _SUNDAY_SHIFT_DAYS) % 7
+        counts = {
+            "value_above_cap": int((v > QUALITY_VALUE_CAP).sum()),
+            "error_event": int(
+                pc.sum(
+                    pc.cast(pc.equal(et, "error"), pa.int64())
+                ).as_py()
+                or 0
+            ),
+            "night_activity": int((hour < 6).sum()),
+            "weekend_activity": int(((dow == 0) | (dow == 6)).sum()),
+            "props_k_above_max": int(
+                np.nansum((k > QUALITY_K_MAX).astype(np.int64))
+            ),
+            "": batch.num_rows,  # total marker
+        }
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "rule": pa.array(ks, pa.string()),
+                "n_violations": pa.array(
+                    [counts[x] for x in ks], pa.int64()
+                ),
+            }
+        )
+
+    census = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rule": pa.array([], pa.string()),
+                "n_violations": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        rules = t["rule"].to_pylist()
+        ns = [int(x) for x in t["n_violations"].to_pylist()]
+        total = next((n for r, n in zip(rules, ns) if r == ""), 0)
+        if total == 0:
+            return empty
+        out_r = [r for r in rules if r != ""]
+        out_n = [n for r, n in zip(rules, ns) if r != ""]
+        return pa.table(
+            {
+                "rule": pa.array(out_r, pa.string()),
+                "n_violations": pa.array(out_n, pa.int64()),
+                "share": pa.array(
+                    round_half_away(
+                        np.array([n / total for n in out_n], np.float64), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

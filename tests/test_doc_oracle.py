@@ -1649,3 +1649,100 @@ def test_duplicate_payments_planted_pair(tmp_path):
     assert len(dp) == 1
     assert int(dp["user_id"].iloc[0]) == 5
     assert int(dp["n_flagged"].iloc[0]) == 2
+
+
+def test_round4_eighteenth_batch_queries_match_oracles():
+    """Lag-24 ACF, changepoint, and quality-rules audit vs their oracles,
+    plus invariants: |acf| <= 1; the split means differ by at least the
+    scaled gap implied amount (gap > 0 when means differ); rule shares
+    lie in [0, 1] and the error_event count equals the error row count."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_hourly_acf24",
+        "events_hourly_changepoint",
+        "events_quality_audit",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    acf = queries["events_hourly_acf24"](SF).to_pandas()
+    assert acf["acf24"].dropna().abs().le(1.0).all()
+    cp = queries["events_hourly_changepoint"](SF).to_pandas()
+    assert (cp["gap_stat"] >= 0).all()
+    qa = queries["events_quality_audit"](SF).to_pandas()
+    assert qa["share"].between(0.0, 1.0).all()
+    n_err = int(
+        c.execute(
+            "SELECT count(*) FROM events WHERE event_type = 'error'"
+        ).fetchone()[0]
+    )
+    assert (
+        int(qa.set_index("rule").loc["error_event", "n_violations"]) == n_err
+    )
+
+
+def test_eighteenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    assert len(q.events_hourly_acf24(d).to_pandas()) == 0
+    assert len(q.events_hourly_changepoint(d).to_pandas()) == 0
+    assert len(q.events_quality_audit(d).to_pandas()) == 0
+
+
+def test_changepoint_finds_planted_level_shift(tmp_path):
+    """A series that jumps from 2/hour to 20/hour at a known hour must
+    place the split exactly at the jump."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    for h in range(48):
+        per = 2 if h < 24 else 20
+        for j in range(per):
+            rows.append(
+                (eid, base + np.timedelta64(h, "h") + np.timedelta64(j, "m"))
+            )
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    cp = q.events_hourly_changepoint(d).to_pandas()
+    h0 = int(base.astype("datetime64[h]").astype(int))
+    assert int(cp["split_h"].iloc[0]) == h0 + 24
+    assert float(cp["mean_left"].iloc[0]) == 2.0
+    assert float(cp["mean_right"].iloc[0]) == 20.0
+    acf = q.events_hourly_acf24(d).to_pandas()
+    assert int(acf["n_pairs"].iloc[0]) == 24
