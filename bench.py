@@ -171,6 +171,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("embedding_sq8", q.embedding_sq8),
         ("events_session_paths_top20", q.events_session_paths_top20),
         ("events_user_burst_max", q.events_user_burst_max),
+        ("events_user_rfm_segments", q.events_user_rfm_segments),
+        ("events_user_scd2", q.events_user_scd2),
+        ("orders_fulfillment_lag", q.orders_fulfillment_lag),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
