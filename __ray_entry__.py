@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 151 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 154 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_acf24": q.events_hourly_acf24,
         "events_hourly_changepoint": q.events_hourly_changepoint,
         "events_quality_audit": q.events_quality_audit,
+        "events_ltv_weekly": q.events_ltv_weekly,
+        "events_purchase_survival": q.events_purchase_survival,
+        "doc_top_terms": q.doc_top_terms,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1306,6 +1309,69 @@ def oracle_sql() -> dict[str, str]:
                    round(r.n_violations::DOUBLE / t.total, 4) AS share
             FROM r, t
             WHERE t.total > 0
+        """,
+        "events_ltv_weekly": """
+            WITH f AS (
+                SELECT user_id, min(epoch_us(ts)) AS f_us
+                FROM events GROUP BY 1),
+            w AS (
+                SELECT e.user_id,
+                       (epoch_us(e.ts) - f.f_us) // 604800000000
+                           AS week_since,
+                       CAST(round(e.value * 100) AS BIGINT) AS cents
+                FROM events e JOIN f USING (user_id)),
+            c AS (
+                SELECT week_since,
+                       count(DISTINCT user_id)::BIGINT AS n_users_active,
+                       sum(cents)::BIGINT AS week_cents
+                FROM w GROUP BY 1),
+            t AS (SELECT count(*)::BIGINT AS n_users FROM f)
+            SELECT week_since, n_users_active, week_cents,
+                   (sum(week_cents) OVER (
+                       ORDER BY week_since
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents,
+                   round((sum(week_cents) OVER (
+                              ORDER BY week_since
+                              ROWS UNBOUNDED PRECEDING))::DOUBLE
+                         / (100.0 * t.n_users), 4) AS avg_cum_ltv
+            FROM c, t
+        """,
+        "events_purchase_survival": """
+            WITH pc AS (
+                SELECT user_id, count(*)::BIGINT AS c
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            d AS (SELECT c, count(*)::BIGINT AS nu FROM pc GROUP BY 1),
+            mx AS (SELECT max(c) AS m FROM d),
+            n AS (SELECT unnest(generate_series(1, mx.m)) AS n FROM mx),
+            s AS (
+                SELECT n.n,
+                       (SELECT coalesce(sum(nu), 0) FROM d
+                        WHERE d.c >= n.n)::BIGINT AS n_users
+                FROM n)
+            SELECT n AS n_purchases, n_users,
+                   CASE WHEN n = 1 THEN NULL
+                        ELSE round(n_users::DOUBLE
+                                   / lag(n_users) OVER (ORDER BY n), 4)
+                   END AS conversion
+            FROM s
+        """,
+        "doc_top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '{_TOK}')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfc AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok GROUP BY 1),
+            r AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, dfc.df ASC, tf.token ASC
+                       ) AS rk
+                FROM tf JOIN dfc USING (token))
+            SELECT doc_id, token, tf, df FROM r WHERE rk <= 3
         """,
         "events_rolling_zscore": """
             WITH c AS (

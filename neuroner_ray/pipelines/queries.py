@@ -8773,3 +8773,326 @@ def events_quality_audit(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# -------- batch 19: LTV curve, survival ordinals, per-doc keyword ranks
+_WEEK_US = 7 * 86_400_000_000
+
+
+def events_ltv_weekly(sf_dir: str, n_buckets: int = 64) -> Dataset:
+    """LIFETIME-VALUE CURVE (cumulative revenue by week index since each
+    user's first activity — the growth-analytics primitive): one row per
+    week-since-signup with the active-user count, that week's exact-cents
+    revenue, the running cumulative, and average cumulative LTV per
+    signed-up user. ONE user-bucket int-key shuffle: users are disjoint
+    across buckets, so per-bucket distinct-user counts and per-week
+    partials sum exactly; a per-bucket (-1)-week marker row carries the
+    bucket's user count so the total needs no second pass. The finish
+    runs on the week-domain-sized census (time-bounded driver state);
+    cum sums are exact ints and avg LTV is ONE division mirrored in
+    SQL."""
+    empty = pa.table(
+        {
+            "week_since": pa.array([], pa.int64()),
+            "n_users_active": pa.array([], pa.int64()),
+            "week_cents": pa.array([], pa.int64()),
+            "cum_cents": pa.array([], pa.int64()),
+            "avg_cum_ltv": pa.array([], pa.float64()),
+        }
+    )
+    if pq.read_metadata(_p(sf_dir, "events")).num_rows == 0:
+        return rd.from_arrow(empty)
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "us": pa.array(_ts_us(batch), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "_bucket": pa.array(
+                    (uid & (n_buckets - 1)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def bucket_census(df: pd.DataFrame) -> pa.Table:
+        f_us = df.groupby("user_id")["us"].transform("min").to_numpy(np.int64)
+        week = (df["us"].to_numpy(np.int64) - f_us) // _WEEK_US
+        g = (
+            pd.DataFrame(
+                {
+                    "week_since": week,
+                    "user_id": df["user_id"].to_numpy(np.int64),
+                    "cents": df["cents"].to_numpy(np.int64),
+                }
+            )
+            .groupby("week_since")
+            .agg(
+                n_users_active=("user_id", "nunique"),
+                week_cents=("cents", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "week_since": pa.array(
+                    np.concatenate(
+                        [g["week_since"].to_numpy(np.int64), [-1]]
+                    ),
+                    pa.int64(),
+                ),
+                "n_users_active": pa.array(
+                    np.concatenate(
+                        [
+                            g["n_users_active"].to_numpy(np.int64),
+                            [df["user_id"].nunique()],
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "week_cents": pa.array(
+                    np.concatenate([g["week_cents"].to_numpy(np.int64), [0]]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    merge = group_sum_merge(("week_since",), ("n_users_active", "week_cents"))
+    census = tree_combine(
+        ev.map_batches(pre, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_census, batch_format="pandas")
+        .map_batches(merge, batch_format="pyarrow"),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        w = t["week_since"].to_numpy(zero_copy_only=False)
+        nu = t["n_users_active"].to_numpy(zero_copy_only=False)
+        wc = t["week_cents"].to_numpy(zero_copy_only=False)
+        total_users = int(nu[w == -1].sum())
+        keep = w >= 0
+        w, nu, wc = w[keep], nu[keep], wc[keep]
+        order = np.argsort(w)
+        w, nu, wc = w[order], nu[order], wc[order]
+        cum = np.cumsum(wc)
+        if total_users == 0:
+            return empty
+        return pa.table(
+            {
+                "week_since": pa.array(w, pa.int64()),
+                "n_users_active": pa.array(nu, pa.int64()),
+                "week_cents": pa.array(wc, pa.int64()),
+                "cum_cents": pa.array(cum.astype(np.int64), pa.int64()),
+                "avg_cum_ltv": pa.array(
+                    round_half_away(
+                        cum.astype(np.float64) / (100.0 * total_users), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_purchase_survival(sf_dir: str) -> Dataset:
+    """SURVIVAL-BY-ORDINAL (repeat-purchase curve): for every ordinal n,
+    how many users made at least n purchases and the conversion rate
+    from ordinal n-1 — the repeat-behavior diagnostic behind retention
+    economics. ONE user-key groupby (map-side count partials) builds the
+    per-user purchase counts; the (count → users) census is
+    O(distinct counts) ≈ O(√total) rows, so the suffix-sum finish is
+    tiny driver state. Conversions are ONE division of exact ints per
+    ordinal; ordinal 1 is NULL on both sides."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        df = (
+            pd.DataFrame(
+                {"user_id": t["user_id"].to_numpy(zero_copy_only=False)}
+            )
+            .groupby("user_id")
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "c": pa.array(df["c"].to_numpy(np.int64)),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    merge = group_sum_merge(("c",), ("nu",))
+    census = tree_combine(
+        per_user.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": t["c"],
+                    "nu": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_purchases": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "conversion": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        cs = t["c"].to_numpy(zero_copy_only=False)
+        nus = t["nu"].to_numpy(zero_copy_only=False)
+        m = int(cs.max())
+        exact = np.zeros(m + 1, np.int64)
+        exact[cs] = nus
+        ge = np.cumsum(exact[::-1])[::-1]  # ge[n] = users with >= n
+        ns = np.arange(1, m + 1, dtype=np.int64)
+        conv = [None] + [
+            float(
+                round_half_away(
+                    np.array([int(ge[n]) / int(ge[n - 1])]), 4
+                )[0]
+            )
+            if ge[n - 1] > 0
+            else None
+            for n in range(2, m + 1)
+        ]
+        return pa.table(
+            {
+                "n_purchases": pa.array(ns, pa.int64()),
+                "n_users": pa.array(ge[1:].astype(np.int64), pa.int64()),
+                "conversion": pa.array(conv, pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+DOC_TOP_TERMS_K = 3
+_TT_PACK = 1 << 40  # packed rank key: tf DESC then df ASC (df < 2^40)
+
+
+def doc_top_terms(sf_dir: str, n_buckets: int = 64) -> Dataset:
+    """PER-DOCUMENT KEYWORD EXTRACTION: each document's top-3 tokens
+    ranked frequent-in-doc but rare-in-corpus — (tf DESC, df ASC,
+    token ASC), a pure lexicographic ordering on exact ints (no float
+    score can reorder it; the packed int64 key tf·2^40 − df realizes the
+    first two legs in one column, the house packed-key idiom). Two
+    int-key shuffles, both corpus-proportional: (1) token cogroup
+    attaches the exact global df to every (doc, token, tf) posting row
+    (df partials and postings share ONE groupby — no broadcast of the
+    token vocabulary); (2) doc-bucket shuffle ranks each document's
+    postings with ONE vectorized sort + groupby head per bucket."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs, dfs = [], [], [], []
+        for did, txt in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            cnt = Counter(_TOKEN_RE.findall(txt or ""))
+            for tok, n in cnt.items():
+                ids.append(did)
+                toks.append(tok)
+                tfs.append(n)
+                dfs.append(0)
+        # df partial rows: doc_id = -1 markers, one per (token, batch)
+        dfc: Counter = Counter()
+        for txt in batch["text"].to_pylist():
+            dfc.update(set(_TOKEN_RE.findall(txt or "")))
+        for tok, n in dfc.items():
+            ids.append(-1)
+            toks.append(tok)
+            tfs.append(0)
+            dfs.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df_p": pa.array(dfs, pa.int64()),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pa.Table:
+        # one token's rows: df marker partials + posting rows
+        total_df = int(df["df_p"].sum())
+        posts = df[df["doc_id"] >= 0]
+        n = len(posts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        did = posts["doc_id"].to_numpy(np.int64)
+        tf = posts["tf"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "token": pa.array(posts["token"].tolist(), pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+                "df": pa.array(np.full(n, total_df, np.int64), pa.int64()),
+                "_bucket": pa.array(
+                    (did & (n_buckets - 1)).astype(np.int64), pa.int64()
+                ),
+                "score": pa.array(tf * _TT_PACK - total_df, pa.int64()),
+            }
+        )
+
+    scored = (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(attach_df, batch_format="pandas")
+    )
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["doc_id", "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("doc_id", sort=False).head(DOC_TOP_TERMS_K)
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                "token": pa.array(top["token"].tolist(), pa.string()),
+                "tf": pa.array(top["tf"].to_numpy(np.int64)),
+                "df": pa.array(top["df"].to_numpy(np.int64)),
+            }
+        )
+
+    return scored.groupby("_bucket").map_groups(rank, batch_format="pandas")

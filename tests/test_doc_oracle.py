@@ -1746,3 +1746,105 @@ def test_changepoint_finds_planted_level_shift(tmp_path):
     assert float(cp["mean_right"].iloc[0]) == 20.0
     acf = q.events_hourly_acf24(d).to_pandas()
     assert int(acf["n_pairs"].iloc[0]) == 24
+
+
+def test_round4_nineteenth_batch_queries_match_oracles():
+    """LTV curve, purchase survival, and per-doc keywords vs their
+    oracles, plus invariants: cum_cents is nondecreasing and week 0
+    covers every user; survival counts are nonincreasing in the ordinal;
+    every doc gets at most 3 keyword rows and tf/df are positive."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_ltv_weekly",
+        "events_purchase_survival",
+        "doc_top_terms",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    ltv = (
+        queries["events_ltv_weekly"](SF)
+        .to_pandas()
+        .sort_values("week_since")
+    )
+    assert (ltv["cum_cents"].diff().dropna() >= 0).all()
+    n_users = int(
+        c.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    )
+    assert int(ltv["n_users_active"].iloc[0]) == n_users  # week 0 = everyone
+    sv = (
+        queries["events_purchase_survival"](SF)
+        .to_pandas()
+        .sort_values("n_purchases")
+    )
+    assert (sv["n_users"].diff().dropna() <= 0).all()
+    tt = queries["doc_top_terms"](SF).to_pandas()
+    assert tt.groupby("doc_id").size().le(3).all()
+    assert (tt["tf"] > 0).all() and (tt["df"] > 0).all()
+
+
+def test_nineteenth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    assert len(q.events_ltv_weekly(d).to_pandas()) == 0
+    assert len(q.events_purchase_survival(d).to_pandas()) == 0
+    assert len(q.doc_top_terms(d).to_pandas()) == 0
+
+
+def test_ltv_weekly_planted_two_users(tmp_path):
+    """Two users with different start weeks: week_since realigns each to
+    their own signup, and the average divides by BOTH users even in
+    weeks where only one is active."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    base = np.datetime64("2024-02-01T00:00:00", "us")
+    wk = np.timedelta64(7, "D")
+    rows = [
+        (0, base, 1, 10.0),              # u1 week 0
+        (1, base + wk, 1, 20.0),         # u1 week 1
+        (2, base + 3 * wk, 2, 40.0),     # u2 week 0 (starts 3 wks later)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["purchase"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    ltv = (
+        q.events_ltv_weekly(d).to_pandas().set_index("week_since")
+    )
+    assert int(ltv.loc[0, "n_users_active"]) == 2   # both week-0 aligned
+    assert int(ltv.loc[0, "week_cents"]) == 5000    # 10.00 + 40.00
+    assert int(ltv.loc[1, "week_cents"]) == 2000
+    assert float(ltv.loc[1, "avg_cum_ltv"]) == 35.0  # 70.00 / 2 users
