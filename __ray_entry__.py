@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 154 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 157 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ltv_weekly": q.events_ltv_weekly,
         "events_purchase_survival": q.events_purchase_survival,
         "doc_top_terms": q.doc_top_terms,
+        "events_new_behavior_adoption": q.events_new_behavior_adoption,
+        "events_calibration_curve": q.events_calibration_curve,
+        "corpus_top_terms_by_source": q.corpus_top_terms_by_source,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1372,6 +1375,57 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM tf JOIN dfc USING (token))
             SELECT doc_id, token, tf, df FROM r WHERE rk <= 3
+        """,
+        "events_new_behavior_adoption": """
+            WITH ft AS (
+                SELECT user_id, event_type,
+                       min(epoch_us(ts)) AS first_us
+                FROM events GROUP BY 1, 2),
+            ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+            SELECT event_type,
+                   sum(CASE WHEN first_us > ref.ref_us - 604800000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_new_adopters,
+                   count(*)::BIGINT AS n_adopters,
+                   round(sum(CASE WHEN first_us > ref.ref_us - 604800000000
+                                  THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+                       AS new_share
+            FROM ft, ref
+            GROUP BY event_type, ref.ref_us
+        """,
+        "events_calibration_curve": """
+            WITH mm AS (SELECT min(value) AS lo, max(value) AS hi
+                        FROM events),
+            b AS (
+                SELECT CASE WHEN mm.hi = mm.lo THEN 0.0
+                            ELSE least(floor((e.value - mm.lo) * 10.0
+                                             / (mm.hi - mm.lo)), 9.0)
+                       END AS fbin,
+                       CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0
+                       END AS pos,
+                       CAST(round(e.value * 100) AS BIGINT) AS cents
+                FROM events e, mm)
+            SELECT fbin::BIGINT AS bin,
+                   count(*)::BIGINT AS n,
+                   sum(pos)::BIGINT AS n_pos,
+                   round(sum(pos)::DOUBLE / count(*), 4) AS pos_rate,
+                   round(sum(cents)::DOUBLE / (100.0 * count(*)), 4)
+                       AS mean_score
+            FROM b GROUP BY 1
+        """,
+        "corpus_top_terms_by_source": f"""
+            WITH tok AS (
+                SELECT source,
+                       unnest(regexp_extract_all(text, '{_TOK}')) AS token
+                FROM documents),
+            c AS (SELECT source, token, count(*)::BIGINT AS n
+                  FROM tok GROUP BY 1, 2),
+            r AS (
+                SELECT source, token, n,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n DESC, token ASC) AS rk
+                FROM c)
+            SELECT source, token, n FROM r WHERE rk <= 3
         """,
         "events_rolling_zscore": """
             WITH c AS (

@@ -9096,3 +9096,264 @@ def doc_top_terms(sf_dir: str, n_buckets: int = 64) -> Dataset:
         )
 
     return scored.groupby("_bucket").map_groups(rank, batch_format="pandas")
+
+
+# ------- batch 20: adoption analytics, calibration, trending-term ranks
+ADOPTION_WINDOW_US = 7 * 86_400_000_000
+
+
+def events_new_behavior_adoption(sf_dir: str) -> Dataset:
+    """NEW-BEHAVIOR ADOPTION (feature-adoption / anomaly-onboarding
+    metric): per event_type, how many users performed it for the FIRST
+    time inside the trailing 7-day window of the corpus, against the
+    type's all-time adopter count. ONE (user, type) min-ts groupby
+    (map-side Min partials) — the same first-touch shape as cohorting —
+    then a type-domain census; the global reference timestamp is the max
+    of the per-pair minima's own source column, taken from the SAME
+    aggregate (no second events pass). Share is ONE division of exact
+    ints."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                    "event_type": batch["event_type"].to_pylist(),
+                    "first_us": us,
+                    "max_us": us,
+                }
+            )
+            .groupby(["user_id", "event_type"], sort=True)
+            .agg(first_us=("first_us", "min"), max_us=("max_us", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "first_us": pa.array(df["first_us"].to_numpy(np.int64)),
+                "max_us": pa.array(df["max_us"].to_numpy(np.int64)),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(pre, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(
+            Min("first_us", alias_name="first_us"),
+            Max("max_us", alias_name="max_us"),
+        )
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_new_adopters": pa.array([], pa.int64()),
+            "n_adopters": pa.array([], pa.int64()),
+            "new_share": pa.array([], pa.float64()),
+        }
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    ref_us = int(pairs.max("max_us"))
+    merge = group_sum_merge(("event_type",), ("n_new_adopters", "n_adopters"))
+
+    def census(t: pa.Table, ref_us=ref_us) -> pa.Table:
+        first = t["first_us"].to_numpy(zero_copy_only=False)
+        recent = (first > ref_us - ADOPTION_WINDOW_US).astype(np.int64)
+        return merge(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n_new_adopters": pa.array(recent, pa.int64()),
+                    "n_adopters": pa.array(
+                        np.ones(len(recent), np.int64), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    agg = tree_combine(pairs.map_batches(census, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        nn = t["n_new_adopters"].to_numpy(zero_copy_only=False)
+        na = t["n_adopters"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_new_adopters": t["n_new_adopters"],
+                "n_adopters": t["n_adopters"],
+                "new_share": pa.array(
+                    round_half_away(
+                        nn.astype(np.float64) / na.astype(np.float64), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+CALIB_BINS = 10
+
+
+def events_calibration_curve(sf_dir: str) -> Dataset:
+    """CALIBRATION / RELIABILITY CURVE (the model-monitoring companion to
+    PSI and chi2): treat value as a score and purchase as the positive
+    label; 10 equal-width score bins over the global [min, max]; per bin
+    the row count, positive count, positive rate and 4-dp mean score —
+    the reliability-diagram table. Two streaming passes (min/max census,
+    then the per-bin count/positive/cents census); every reported float
+    is ONE division of exact ints (mean score via exact int cents / 100n
+    — no order-dependent double summation on either side)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        if len(v) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(v).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(v).as_py()], pa.float64()),
+            }
+        )
+
+    def mm_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(t["lo"]).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(t["hi"]).as_py()], pa.float64()),
+            }
+        )
+
+    mm = tree_combine(
+        ev.map_batches(mm_partial, batch_format="pyarrow"), mm_merge
+    ).take_all()
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "n_pos": pa.array([], pa.int64()),
+            "pos_rate": pa.array([], pa.float64()),
+            "mean_score": pa.array([], pa.float64()),
+        }
+    )
+    if not mm:
+        return rd.from_arrow(empty)
+    lo, hi = float(mm[0]["lo"]), float(mm[0]["hi"])
+    merge = group_sum_merge(("bin",), ("n", "n_pos", "cents"))
+
+    def bin_partial(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if hi == lo:
+            fbin = np.zeros(len(v), np.int64)
+        else:
+            fbin = np.minimum(
+                np.floor((v - lo) * float(CALIB_BINS) / (hi - lo)),
+                CALIB_BINS - 1,
+            ).astype(np.int64)
+        pos = pc.cast(
+            pc.equal(batch["event_type"], "purchase"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cents = round_half_away(v * 100.0, 0).astype(np.int64)
+        return merge(
+            pa.table(
+                {
+                    "bin": pa.array(fbin, pa.int64()),
+                    "n": pa.array(np.ones(len(v), np.int64), pa.int64()),
+                    "n_pos": pa.array(pos, pa.int64()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+        )
+
+    census = tree_combine(
+        ev.map_batches(bin_partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False)
+        npos = t["n_pos"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": t["bin"],
+                "n": t["n"],
+                "n_pos": t["n_pos"],
+                "pos_rate": pa.array(
+                    round_half_away(
+                        npos.astype(np.float64) / n.astype(np.float64), 4
+                    ),
+                    pa.float64(),
+                ),
+                "mean_score": pa.array(
+                    round_half_away(
+                        cents.astype(np.float64)
+                        / (100.0 * n.astype(np.float64)),
+                        4,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+TRENDING_K = 3
+
+
+def corpus_top_terms_by_source(sf_dir: str) -> Dataset:
+    """CHARACTERISTIC TERMS PER SOURCE: each source's top-3 tokens by
+    (count DESC, token ASC) — the grouped-top-k text census over the
+    documents table's natural partition dimension (documents carry no
+    timestamps, so source, not day, is the grouping axis here).
+    Map-side (source, token) partials → ONE token-key groupby → an
+    associative per-source top-k merge: the tree state is sources × k
+    rows (group count bounded), the safe grouped variant of the
+    doc-level ranking in ``doc_top_terms``, which needs its own bucket
+    shuffle because its group count is corpus-sized."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["source", "text"]
+    )
+    merge = group_sum_merge(("source", "token"), ("n",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for src, txt in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in _TOKEN_RE.findall(txt or ""):
+                cnt[(src, tok)] += 1
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "token": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    census = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    cut = topk_merge(TRENDING_K, "n", ["token"], group_cols=["source"])
+    return tree_combine(census.map_batches(cut, batch_format="pyarrow"), cut)

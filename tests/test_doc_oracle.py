@@ -1848,3 +1848,61 @@ def test_ltv_weekly_planted_two_users(tmp_path):
     assert int(ltv.loc[0, "week_cents"]) == 5000    # 10.00 + 40.00
     assert int(ltv.loc[1, "week_cents"]) == 2000
     assert float(ltv.loc[1, "avg_cum_ltv"]) == 35.0  # 70.00 / 2 users
+
+
+def test_round4_twentieth_batch_queries_match_oracles():
+    """Adoption, calibration, and per-source top terms vs their oracles,
+    plus invariants: new adopters never exceed adopters; calibration
+    bins reconcile to the event count and pos counts to the purchase
+    count; each source gets at most 3 term rows."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_new_behavior_adoption",
+        "events_calibration_curve",
+        "corpus_top_terms_by_source",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    ad = queries["events_new_behavior_adoption"](SF).to_pandas()
+    assert (ad["n_new_adopters"] <= ad["n_adopters"]).all()
+    cal = queries["events_calibration_curve"](SF).to_pandas()
+    n_ev = int(c.execute("SELECT count(*) FROM events").fetchone()[0])
+    n_pos = int(
+        c.execute(
+            "SELECT count(*) FROM events WHERE event_type = 'purchase'"
+        ).fetchone()[0]
+    )
+    assert int(cal["n"].sum()) == n_ev
+    assert int(cal["n_pos"].sum()) == n_pos
+    tt = queries["corpus_top_terms_by_source"](SF).to_pandas()
+    assert tt.groupby("source").size().le(3).all()
+
+
+def test_twentieth_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    assert len(q.events_new_behavior_adoption(d).to_pandas()) == 0
+    assert len(q.events_calibration_curve(d).to_pandas()) == 0
+    assert len(q.corpus_top_terms_by_source(d).to_pandas()) == 0
