@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 157 entries. Entries are therefore ordered
+    checks the FIRST 50 of these 160 entries. Entries are therefore ordered
     by driver-verification recency — never-driver-verified first (the r3
     graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
     additions rollup/funnel/range-join/MG-sketch/bounded-window, the
@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_behavior_adoption": q.events_new_behavior_adoption,
         "events_calibration_curve": q.events_calibration_curve,
         "corpus_top_terms_by_source": q.corpus_top_terms_by_source,
+        "events_power_users_pareto": q.events_power_users_pareto,
+        "events_dau_wau_stickiness": q.events_dau_wau_stickiness,
+        "orders_order_gap_days": q.orders_order_gap_days,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1426,6 +1429,61 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n DESC, token ASC) AS rk
                 FROM c)
             SELECT source, token, n FROM r WHERE rk <= 3
+        """,
+        "events_power_users_pareto": """
+            WITH pc AS (
+                SELECT user_id, count(*)::BIGINT AS c
+                FROM events GROUP BY 1),
+            d AS (SELECT c, count(*)::BIGINT AS nu FROM pc GROUP BY 1),
+            o AS (
+                SELECT c, nu,
+                       sum(nu) OVER (ORDER BY c DESC)::BIGINT AS cum_users,
+                       sum(c * nu) OVER (ORDER BY c DESC)::BIGINT
+                           AS cum_events
+                FROM d),
+            t AS (SELECT sum(nu)::BIGINT AS total_users,
+                         sum(c * nu)::BIGINT AS total_events FROM d),
+            qs AS (SELECT unnest([0.01, 0.05, 0.10]) AS top_pct),
+            k AS (SELECT qs.top_pct,
+                         CAST(ceil(t.total_users * qs.top_pct) AS BIGINT)
+                             AS k
+                  FROM qs, t),
+            b AS (
+                SELECT k.top_pct, k.k, o.c, o.cum_users, o.cum_events,
+                       row_number() OVER (
+                           PARTITION BY k.top_pct
+                           ORDER BY o.cum_users ASC) AS rn
+                FROM k JOIN o ON o.cum_users >= k.k)
+            SELECT b.top_pct, b.k AS n_top_users,
+                   round((b.cum_events
+                          - b.c * (b.cum_users - b.k))::DOUBLE
+                         / t.total_events, 4) AS event_share
+            FROM b, t WHERE b.rn = 1
+        """,
+        "events_dau_wau_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+            wau AS (
+                SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+                FROM dau d JOIN ud u
+                  ON u.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1)
+            SELECT d.day, d.dau, w.wau,
+                   round(d.dau::DOUBLE / w.wau, 4) AS stickiness
+            FROM dau d JOIN wau w USING (day)
+        """,
+        "orders_order_gap_days": """
+            WITH o AS (
+                SELECT o_custkey, epoch_us(o_orderdate) AS us,
+                       lag(epoch_us(o_orderdate)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev_us
+                FROM orders)
+            SELECT (us - prev_us) // 86400000000 AS gap_days,
+                   count(*)::BIGINT AS n
+            FROM o WHERE prev_us IS NOT NULL GROUP BY 1
         """,
         "events_rolling_zscore": """
             WITH c AS (

@@ -9357,3 +9357,291 @@ def corpus_top_terms_by_source(sf_dir: str) -> Dataset:
     )
     cut = topk_merge(TRENDING_K, "n", ["token"], group_cols=["source"])
     return tree_combine(census.map_batches(cut, batch_format="pyarrow"), cut)
+
+
+# --------- batch 21: concentration, stickiness, inter-arrival analysis
+PARETO_QS = (0.01, 0.05, 0.10)
+
+
+def events_power_users_pareto(sf_dir: str) -> Dataset:
+    """POWER-USER CONCENTRATION (Lorenz cut points — the '1% of users
+    drive X% of traffic' statement Gini compresses away): for the top
+    1% / 5% / 10% of users by event count, the exact share of all
+    events they contribute. ONE user-key groupby (map-side partials) →
+    the O(√total)-row (count → users) census; the finish walks the
+    census in descending count order with EXACT integer arithmetic —
+    the boundary count class contributes fractionally
+    (c_b · users_taken_from_class), so the share is an exact rational,
+    ONE division per cut point (HUGEINT-mirrored in SQL via the same
+    boundary-row window algebra)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {"user_id": batch["user_id"].to_numpy(zero_copy_only=False)}
+            )
+            .groupby("user_id")
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "c": pa.array(df["c"].to_numpy(np.int64)),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    merge = group_sum_merge(("c",), ("nu",))
+    census = tree_combine(
+        per_user.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": t["c"],
+                    "nu": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "top_pct": pa.array([], pa.float64()),
+                "n_top_users": pa.array([], pa.int64()),
+                "event_share": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        cs = t["c"].to_numpy(zero_copy_only=False)
+        nus = t["nu"].to_numpy(zero_copy_only=False)
+        order = np.argsort(-cs)  # descending count classes
+        cs, nus = cs[order], nus[order]
+        total_users = int(nus.sum())
+        total_events = int((cs * nus).sum())
+        cum_users = np.cumsum(nus)
+        cum_events = np.cumsum(cs * nus)
+        pcts, ks, shares = [], [], []
+        for qv in PARETO_QS:
+            k = int(np.ceil(total_users * qv))
+            if k == 0:
+                continue
+            i = int(np.searchsorted(cum_users, k, side="left"))
+            users_above = int(cum_users[i - 1]) if i > 0 else 0
+            events_above = int(cum_events[i - 1]) if i > 0 else 0
+            taken = events_above + int(cs[i]) * (k - users_above)
+            pcts.append(qv)
+            ks.append(k)
+            shares.append(
+                float(
+                    round_half_away(
+                        np.array([taken / total_events]), 4
+                    )[0]
+                )
+                if total_events > 0
+                else None
+            )
+        return pa.table(
+            {
+                "top_pct": pa.array(pcts, pa.float64()),
+                "n_top_users": pa.array(ks, pa.int64()),
+                "event_share": pa.array(shares, pa.float64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_dau_wau_stickiness(sf_dir: str) -> Dataset:
+    """DAU/WAU STICKINESS (the product-analytics engagement ratio): per
+    corpus day, distinct daily actives, distinct trailing-7-day actives,
+    and their ratio. Shape: events dedup to (user, day) pairs map-side
+    + ONE pair groupby (corpus → user-day scale); WAU expands each pair
+    to its ≤7 following window days and dedups (user, window_day) with
+    a SECOND bounded groupby — the expansion never exceeds 7× the
+    user-day table and no distinct-count ever crosses blocks unmerged.
+    Ratio is ONE division of exact ints; days before the corpus start
+    +6 still report their partial trailing window (same on both
+    sides)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = _ts_us(batch) // _DAY_US
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                    "day": day,
+                }
+            )
+            .drop_duplicates()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "day": pa.array(df["day"].to_numpy(np.int64)),
+            }
+        )
+
+    ud = (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    merge_d = group_sum_merge(("day",), ("dau",))
+    dau = tree_combine(
+        ud.map_batches(
+            lambda t: pa.table(
+                {
+                    "day": t["day"],
+                    "dau": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge_d,
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        off = np.repeat(np.arange(7, dtype=np.int64), n)
+        return pa.table(
+            {
+                "user_id": pa.array(np.tile(u, 7), pa.int64()),
+                "wday": pa.array(np.tile(d, 7) + off, pa.int64()),
+            }
+        )
+
+    merge_w = group_sum_merge(("wday",), ("wau",))
+    wau = tree_combine(
+        ud.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "wday"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "wday": t["wday"],
+                    "wau": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge_w,
+    )
+    # seed the concat with a typed empty table (NOTES: iter_batches of an
+    # empty dataset yields ZERO tables and concat_tables raises)
+    dt = pa.concat_tables(
+        [pa.table({"day": pa.array([], pa.int64()),
+                   "dau": pa.array([], pa.int64())})]
+        + list(dau.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    wt = pa.concat_tables(
+        [pa.table({"wday": pa.array([], pa.int64()),
+                   "wau": pa.array([], pa.int64())})]
+        + list(wau.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "dau": pa.array([], pa.int64()),
+            "wau": pa.array([], pa.int64()),
+            "stickiness": pa.array([], pa.float64()),
+        }
+    )
+    if dt.num_rows == 0:
+        return rd.from_arrow(empty)
+    # day-domain driver state (time-bounded): join DAU days to WAU days
+    ddays = dt["day"].to_numpy(zero_copy_only=False)
+    dvals = dt["dau"].to_numpy(zero_copy_only=False)
+    wmap = dict(
+        zip(
+            wt["wday"].to_numpy(zero_copy_only=False).tolist(),
+            wt["wau"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    order = np.argsort(ddays)
+    ddays, dvals = ddays[order], dvals[order]
+    waus = np.array([int(wmap.get(int(d), 0)) for d in ddays], np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(ddays, pa.int64()),
+                "dau": pa.array(dvals, pa.int64()),
+                "wau": pa.array(waus, pa.int64()),
+                "stickiness": pa.array(
+                    round_half_away(
+                        dvals.astype(np.float64) / waus.astype(np.float64), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+def orders_order_gap_days(sf_dir: str) -> Dataset:
+    """INTER-ORDER GAP DISTRIBUTION: the day-gap histogram between each
+    customer's consecutive orders (ordered by o_orderdate, o_orderkey) —
+    the purchase-cadence profile behind replenishment models. ONE
+    customer-bucket int-key shuffle; per bucket the consecutive gaps are
+    one mergesort + one diff (orderdates are midnight-aligned, so gaps
+    are exact day ints); the (gap_days → n) census is value-domain-sized
+    driver-free output."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    n_buckets = 64
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck, pa.int64()),
+                "us": pa.array(_ts_us(batch, "o_orderdate"), pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+                "_bucket": pa.array(
+                    (ck & (n_buckets - 1)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def gaps(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_custkey", "us", "o_orderkey"], kind="mergesort")
+        ck = df["o_custkey"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        same = ck[1:] == ck[:-1]
+        gap = (us[1:] - us[:-1])[same] // _DAY_US
+        if len(gap) == 0:
+            return pa.table(
+                {
+                    "gap_days": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vals, counts = np.unique(gap, return_counts=True)
+        return pa.table(
+            {
+                "gap_days": pa.array(vals.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("gap_days",), ("n",))
+    return tree_combine(
+        orders.map_batches(pre, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(gaps, batch_format="pandas"),
+        merge,
+    )

@@ -1906,3 +1906,94 @@ def test_twentieth_batch_ops_survive_empty_input(tmp_path):
     assert len(q.events_new_behavior_adoption(d).to_pandas()) == 0
     assert len(q.events_calibration_curve(d).to_pandas()) == 0
     assert len(q.corpus_top_terms_by_source(d).to_pandas()) == 0
+
+
+def test_round4_twentyfirst_batch_queries_match_oracles():
+    """Pareto concentration, DAU/WAU stickiness, and order-gap histogram
+    vs their oracles, plus invariants: shares are monotone in the cut
+    (top 10% >= top 5% >= top 1%); stickiness in (0, 1] and WAU >= DAU;
+    gap counts reconcile with orders minus first-order-per-customer."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_power_users_pareto",
+        "events_dau_wau_stickiness",
+        "orders_order_gap_days",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    pr = (
+        queries["events_power_users_pareto"](SF)
+        .to_pandas()
+        .sort_values("top_pct")
+    )
+    assert (pr["event_share"].diff().dropna() >= 0).all()
+    st = queries["events_dau_wau_stickiness"](SF).to_pandas()
+    assert (st["wau"] >= st["dau"]).all()
+    assert st["stickiness"].between(0.0, 1.0).all()
+    gp = queries["orders_order_gap_days"](SF).to_pandas()
+    n_orders = int(c.execute("SELECT count(*) FROM orders").fetchone()[0])
+    n_cust = int(
+        c.execute("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    )
+    assert int(gp["n"].sum()) == n_orders - n_cust
+
+
+def test_twentyfirst_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "orders"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    assert len(q.events_power_users_pareto(d).to_pandas()) == 0
+    assert len(q.events_dau_wau_stickiness(d).to_pandas()) == 0
+    assert len(q.orders_order_gap_days(d).to_pandas()) == 0
+
+
+def test_pareto_planted_whale_dominates(tmp_path):
+    """100 users: one whale with 901 events, 99 with 1 each. The top-1%
+    cut (exactly the whale) must report share 0.901."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    uids = [1] * 901 + list(range(2, 101))
+    n = len(uids)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    pr = q.events_power_users_pareto(d).to_pandas().set_index("top_pct")
+    assert int(pr.loc[0.01, "n_top_users"]) == 1
+    assert float(pr.loc[0.01, "event_share"]) == 0.901
