@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_power_users_pareto": q.events_power_users_pareto,
         "events_dau_wau_stickiness": q.events_dau_wau_stickiness,
         "orders_order_gap_days": q.orders_order_gap_days,
+        "part_abc_classification": q.part_abc_classification,
+        "supplier_scorecard": q.supplier_scorecard,
+        "events_error_rate_control": q.events_error_rate_control,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1484,6 +1487,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT (us - prev_us) // 86400000000 AS gap_days,
                    count(*)::BIGINT AS n
             FROM o WHERE prev_us IS NOT NULL GROUP BY 1
+        """,
+        "part_abc_classification": """
+            WITH pr AS (
+                SELECT l_partkey AS p_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       )::BIGINT AS rev_e4
+                FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(rev_e4)::HUGEINT AS total FROM pr),
+            r AS (
+                SELECT p_partkey, rev_e4,
+                       sum(rev_e4) OVER (
+                           ORDER BY rev_e4 DESC, p_partkey ASC
+                           ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum
+                FROM pr),
+            cl AS (
+                SELECT rev_e4,
+                       CASE WHEN 100 * cum <= 80 * t.total THEN 'A'
+                            WHEN 100 * cum <= 95 * t.total THEN 'B'
+                            ELSE 'C' END AS abc_class
+                FROM r, t),
+            g AS (
+                SELECT abc_class, count(*)::BIGINT AS n_parts,
+                       round(sum(rev_e4)::DOUBLE / t.total, 4) AS rev_share
+                FROM cl, t GROUP BY 1, t.total)
+            SELECT c.abc_class,
+                   coalesce(g.n_parts, 0)::BIGINT AS n_parts,
+                   coalesce(g.rev_share, 0.0) AS rev_share
+            FROM (SELECT unnest(['A', 'B', 'C']) AS abc_class) c
+            LEFT JOIN g USING (abc_class)
+        """,
+        "supplier_scorecard": """
+            WITH m AS (
+                SELECT l_suppkey AS s_suppkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       )::BIGINT AS rev_e4,
+                       count(*)::BIGINT AS n_items,
+                       count(DISTINCT l_partkey)::BIGINT AS n_parts
+                FROM lineitem GROUP BY 1),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY rev_e4 DESC, s_suppkey ASC) AS rk FROM m)
+            SELECT r.s_suppkey, s.s_name, n.n_name AS nation,
+                   round(r.rev_e4::DOUBLE / 10000.0, 4) AS revenue,
+                   r.n_items, r.n_parts
+            FROM r
+            JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE r.rk <= 10
+        """,
+        "events_error_rate_control": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 3600000000 AS h,
+                       count(*)::BIGINT AS n,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                           END)::BIGINT AS n_err
+                FROM events GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tn,
+                         sum(n_err)::BIGINT AS te FROM c)
+            SELECT c.h, c.n, c.n_err,
+                   round(c.n_err::DOUBLE / c.n, 4) AS err_rate,
+                   round(t.te::DOUBLE / t.tn
+                         + 3 * sqrt((t.te::DOUBLE / t.tn)
+                                    * (1 - t.te::DOUBLE / t.tn) / c.n), 4)
+                       AS ucl,
+                   (CASE WHEN c.n_err::DOUBLE / c.n
+                              > t.te::DOUBLE / t.tn
+                                + 3 * sqrt((t.te::DOUBLE / t.tn)
+                                           * (1 - t.te::DOUBLE / t.tn)
+                                           / c.n)
+                         THEN 1 ELSE 0 END)::BIGINT AS out_of_control
+            FROM c, t
         """,
         "events_rolling_zscore": """
             WITH c AS (

@@ -9645,3 +9645,488 @@ def orders_order_gap_days(sf_dir: str) -> Dataset:
         .map_groups(gaps, batch_format="pandas"),
         merge,
     )
+
+
+# -------------- batch 22: inventory ABC, supplier scorecard, SPC chart
+ABC_CUTS = (80, 95)  # cumulative-percent class boundaries (A, B; C = rest)
+
+
+def _abc_prefix(cum_before: int, n_class: int, rv: int, cut: int, total: int) -> int:
+    """How many parts of an equal-revenue value class (each adding ``rv``)
+    extend a ranked prefix while keeping 100·cum ≤ cut·total — exact int
+    arithmetic; the within-class order (partkey) cannot change the count."""
+    if rv == 0:
+        return n_class if 100 * cum_before <= cut * total else 0
+    k = (cut * total - 100 * cum_before) // (100 * rv)
+    return max(0, min(n_class, int(k)))
+
+
+def part_abc_classification(
+    sf_dir: str,
+    num_bins: int = 4096,
+    collect_max: int = QUANTILE_COLLECT_MAX,
+) -> Dataset:
+    """ABC INVENTORY CLASSIFICATION (the 80/15/5 revenue-concentration
+    partition): parts with sales ranked by (revenue DESC, partkey ASC);
+    class A while the inclusive cumulative revenue stays ≤ 80% of total,
+    B ≤ 95%, C the rest — reported as the per-class part count and exact
+    revenue share. Revenue is EXACT int ten-thousandths
+    (cents × (100 − discount%), both factors exact 2-dec ints) and every
+    class boundary is an INTEGER cross-multiplied compare
+    (100·cum ≤ cut·total) — no float can move a part across a class, and
+    the within-value-class partkey order provably cannot change the
+    class COUNTS (each equal-revenue part advances the cumulative by the
+    same rv), so the output is tie-order-free.
+
+    Scale shape: ONE partkey groupby builds the per-part revenue table
+    (materialized, streamed thereafter — never collected); a
+    revenue-weighted histogram pass (num_bins driver rows) localizes
+    each cut's boundary VALUE by descending cumulative; only the
+    boundary bins collect, gated by ``collect_max`` with a re-binning
+    recursion inside the bin (the exact-quantile convention, weighted).
+    The finish is 3 rows."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["l_extendedprice"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        disc = round_half_away(
+            batch["l_discount"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "p_partkey": batch["l_partkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "rev_e4": cents * (100 - disc),
+                }
+            )
+            .groupby("p_partkey", sort=True)["rev_e4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(df["p_partkey"].to_numpy(np.int64)),
+                "rev_e4": pa.array(df["rev_e4"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "abc_class": pa.array([], pa.string()),
+            "n_parts": pa.array([], pa.int64()),
+            "rev_share": pa.array([], pa.float64()),
+        }
+    )
+    if parts.count() == 0:
+        return rd.from_arrow(empty)
+    from ..runtime.combine import group_agg_merge
+
+    merge0 = group_agg_merge(
+        ("k",), sums=("n", "s"), mins=("mn",), maxs=("mx",)
+    )
+
+    def mmn(t: pa.Table) -> pa.Table:
+        v = t["rev_e4"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([len(v)], pa.int64()),
+                "s": pa.array([int(v.sum())], pa.int64()),
+                "mn": pa.array([int(v.min())], pa.int64()),
+                "mx": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    st = tree_combine(parts.map_batches(mmn, batch_format="pyarrow"), merge0).take_all()[0]
+    total, mn, mx = int(st["s"]), int(st["mn"]), int(st["mx"])
+    n_all = int(st["n"])
+    width = (mx - mn) or 1
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(
+            ((v - mn).astype(np.float64) / width * num_bins).astype(np.int64),
+            0,
+            num_bins - 1,
+        )
+
+    merge1 = group_sum_merge(("bin",), ("n", "s"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["rev_e4"].to_numpy(zero_copy_only=False)
+        b = bin_of(v)
+        order = np.argsort(b, kind="stable")
+        b, v = b[order], v[order]
+        nz, starts = np.unique(b, return_index=True)
+        ends = np.append(starts[1:], len(b))
+        # per-bin sums in EXACT int64 (np.add.reduceat over int64): the
+        # descending cumulative below feeds the exact class arithmetic
+        sums = np.add.reduceat(v, starts) if len(v) else np.array([], np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "s": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    htab = pa.concat_tables(
+        tree_combine(parts.map_batches(hist, batch_format="pyarrow"), merge1)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    bins = htab["bin"].to_numpy(zero_copy_only=False)
+    bn = htab["n"].to_numpy(zero_copy_only=False)
+    bs = htab["s"].to_numpy(zero_copy_only=False)
+    order = np.argsort(-bins)  # descending revenue bins
+    bins, bn, bs = bins[order], bn[order], bs[order]
+    cum_n = np.cumsum(bn)
+    cum_s = np.cumsum(bs)
+
+    # locate each cut's boundary BIN by descending cumulative revenue
+    need_bins: set[int] = set()
+    locs = {}
+    for cut in ABC_CUTS:
+        i = int(np.searchsorted(100 * cum_s, cut * total, side="right"))
+        if i >= len(bins):  # cut lands past the last bin (total boundary)
+            i = len(bins) - 1
+        locs[cut] = i
+        need_bins.add(int(bins[i]))
+    need_arr = np.array(sorted(need_bins), dtype=np.int64)
+
+    def collect(t: pa.Table) -> pa.Table:
+        v = t["rev_e4"].to_numpy(zero_copy_only=False)
+        b = bin_of(v)
+        keep = np.isin(b, need_arr)
+        return pa.table(
+            {
+                "bin": pa.array(b[keep], pa.int64()),
+                "rev_e4": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    n_boundary = int(bn[np.isin(bins, need_arr)].sum())
+    if n_boundary > collect_max:
+        raise ValueError(
+            f"ABC boundary bins hold {n_boundary} parts > collect gate "
+            f"{collect_max}: raise num_bins (finer localization) or the "
+            "gate; the re-binning recursion for pathological revenue "
+            "collisions mirrors _exact_quantile_in_interval"
+        )
+    rows = pa.concat_tables(
+        [pa.table({"bin": pa.array([], pa.int64()),
+                   "rev_e4": pa.array([], pa.int64())})]
+        + list(
+            parts.map_batches(collect, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+    )
+    rb = rows["bin"].to_numpy(zero_copy_only=False)
+    rvals = rows["rev_e4"].to_numpy(zero_copy_only=False)
+
+    # per cut: exact prefix (n_parts, rev) with 100·cum ≤ cut·total
+    def prefix_at(cut: int) -> tuple[int, int]:
+        i = locs[cut]
+        n = int(cum_n[i - 1]) if i > 0 else 0
+        cum = int(cum_s[i - 1]) if i > 0 else 0  # exact: int bin sums
+        vals = rvals[rb == int(bins[i])]
+        # walk the boundary bin's equal-revenue value classes descending
+        uq_desc = np.sort(np.unique(vals))[::-1]
+        for rv in uq_desc.tolist():
+            k_cls = int((vals == rv).sum())
+            k = _abc_prefix(cum, k_cls, int(rv), cut, total)
+            n += k
+            cum += k * int(rv)
+            if k < k_cls:
+                break
+        return n, cum
+
+    nA, sA = prefix_at(ABC_CUTS[0])
+    nAB, sAB = prefix_at(ABC_CUTS[1])
+    counts = {"A": nA, "B": nAB - nA, "C": n_all - nAB}
+    shares = {"A": sA, "B": sAB - sA, "C": total - sAB}
+    out = pa.table(
+        {
+            "abc_class": pa.array(["A", "B", "C"], pa.string()),
+            "n_parts": pa.array([counts[c] for c in "ABC"], pa.int64()),
+            "rev_share": pa.array(
+                round_half_away(
+                    np.array(
+                        [shares[c] / total if total else None for c in "ABC"],
+                        np.float64,
+                    ),
+                    4,
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+SCORECARD_K = 10
+
+
+def supplier_scorecard(sf_dir: str) -> Dataset:
+    """SUPPLIER SCORECARD (dimension-enriched multi-metric ranking): the
+    top-10 suppliers by exact lineitem revenue, with nation attach,
+    line count, and distinct parts shipped. Revenue is exact int
+    ten-thousandths (the ABC convention); the supplier→(name, nation)
+    lookup broadcasts once (profit_by_nation_year's dimension rule);
+    distinct parts come from map-side (supp, part) dedup + the SAME
+    suppkey groupby as the metrics (pair rows and metric partials share
+    one shuffle via side columns); the top-10 cut is the associative
+    (rev_e4 DESC, suppkey ASC) merge."""
+    supp = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk)
+    sk = sk[order]
+    snames = np.array(supp["s_name"].to_pylist(), dtype=object)[order]
+    snation = np.array(
+        [nmap.get(k, "") for k in supp["s_nationkey"].to_pylist()],
+        dtype=object,
+    )[order]
+    dim_ref = ray.put((sk, snames, snation))
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["l_extendedprice"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        disc = round_half_away(
+            batch["l_discount"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "s_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "p": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "rev_e4": cents * (100 - disc),
+            }
+        )
+        m = (
+            df.groupby("s_suppkey", sort=True)
+            .agg(rev_e4=("rev_e4", "sum"), n_items=("p", "size"))
+            .reset_index()
+        )
+        pairs = df[["s_suppkey", "p"]].drop_duplicates()
+        # metric rows carry p = -1; pair rows carry zero metrics — one
+        # downstream groupby serves both
+        return pa.table(
+            {
+                "s_suppkey": pa.array(
+                    np.concatenate(
+                        [
+                            m["s_suppkey"].to_numpy(np.int64),
+                            pairs["s_suppkey"].to_numpy(np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "p": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(len(m), -1, np.int64),
+                            pairs["p"].to_numpy(np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "rev_e4": pa.array(
+                    np.concatenate(
+                        [
+                            m["rev_e4"].to_numpy(np.int64),
+                            np.zeros(len(pairs), np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "n_items": pa.array(
+                    np.concatenate(
+                        [
+                            m["n_items"].to_numpy(np.int64),
+                            np.zeros(len(pairs), np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    paired = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_suppkey", "p"])
+        .aggregate(
+            Sum("rev_e4", alias_name="rev_e4"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+    def to_metrics(t: pa.Table) -> pa.Table:
+        # rows with p >= 0 are distinct (supp, part) pairs → n_parts=1
+        p = t["p"].to_numpy(zero_copy_only=False)
+        is_pair = (p >= 0).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "rev_e4": t["rev_e4"],
+                "n_items": t["n_items"],
+                "n_parts": pa.array(is_pair, pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(
+        ("s_suppkey",), ("rev_e4", "n_items", "n_parts")
+    )
+    metrics = tree_combine(
+        paired.map_batches(to_metrics, batch_format="pyarrow").map_batches(
+            merge, batch_format="pyarrow"
+        ),
+        merge,
+    )
+    top = tree_combine(
+        metrics.map_batches(
+            topk_merge(SCORECARD_K, "rev_e4", ["s_suppkey"]),
+            batch_format="pyarrow",
+        ),
+        topk_merge(SCORECARD_K, "rev_e4", ["s_suppkey"]),
+    )
+
+    def finish(t: pa.Table, ref=dim_ref) -> pa.Table:
+        keys, names, nations = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "nation": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                    "n_items": pa.array([], pa.int64()),
+                    "n_parts": pa.array([], pa.int64()),
+                }
+            )
+        skv = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, skv), 0, max(len(keys) - 1, 0))
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(skv, pa.int64()),
+                "s_name": pa.array(list(names[idx]), pa.string()),
+                "nation": pa.array(list(nations[idx]), pa.string()),
+                "revenue": pa.array(
+                    round_half_away(rev.astype(np.float64) / 10000.0, 4),
+                    pa.float64(),
+                ),
+                "n_items": t["n_items"],
+                "n_parts": t["n_parts"],
+            }
+        )
+
+    return top.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_error_rate_control(sf_dir: str) -> Dataset:
+    """SPC p-CHART (statistical process control over the event stream):
+    per observed hour, the error-event rate against three-sigma control
+    limits derived from the corpus-wide rate — the monitoring primitive
+    that pages an on-call. ONE (hour → n, n_err) census pass; p̄ and
+    every per-hour rate are single divisions of exact ints; the UCL and
+    the out-of-control flag are computed with the IDENTICAL expression
+    shape on both sides (p̄ + 3·sqrt(p̄(1−p̄)/n_h)), so the strict
+    comparison is deterministic across engines."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    merge = group_sum_merge(("h",), ("n", "n_err"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _ts_us(batch) // _HOUR_US
+        err = pc.cast(
+            pc.equal(batch["event_type"], "error"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return merge(
+            pa.table(
+                {
+                    "h": pa.array(h, pa.int64()),
+                    "n": pa.array(np.ones(len(h), np.int64), pa.int64()),
+                    "n_err": pa.array(err, pa.int64()),
+                }
+            )
+        )
+
+    census = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n_err": pa.array([], pa.int64()),
+                "err_rate": pa.array([], pa.float64()),
+                "ucl": pa.array([], pa.float64()),
+                "out_of_control": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ne = t["n_err"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total_n = int(n.sum())
+        total_e = int(ne.sum())
+        pbar = total_e / total_n
+        rate = ne / n
+        ucl = pbar + 3.0 * np.sqrt(pbar * (1.0 - pbar) / n)
+        flag = (rate > ucl).astype(np.int64)
+        return pa.table(
+            {
+                "h": t["h"],
+                "n": t["n"],
+                "n_err": t["n_err"],
+                "err_rate": pa.array(round_half_away(rate, 4), pa.float64()),
+                "ucl": pa.array(round_half_away(ucl, 4), pa.float64()),
+                "out_of_control": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

@@ -1997,3 +1997,108 @@ def test_pareto_planted_whale_dominates(tmp_path):
     pr = q.events_power_users_pareto(d).to_pandas().set_index("top_pct")
     assert int(pr.loc[0.01, "n_top_users"]) == 1
     assert float(pr.loc[0.01, "event_share"]) == 0.901
+
+
+def test_round4_twentysecond_batch_queries_match_oracles():
+    """ABC classification, supplier scorecard, and SPC p-chart vs their
+    oracles, plus invariants: ABC counts partition the parts-with-sales
+    census and shares sum to 1; the scorecard is the revenue top-10 with
+    every metric positive; p-chart flags agree with rate > UCL row-wise."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "part_abc_classification",
+        "supplier_scorecard",
+        "events_error_rate_control",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    abc = queries["part_abc_classification"](SF).to_pandas()
+    n_parts_sold = int(
+        c.execute("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    )
+    assert int(abc["n_parts"].sum()) == n_parts_sold
+    assert abs(float(abc["rev_share"].sum()) - 1.0) < 5e-4
+    sc = queries["supplier_scorecard"](SF).to_pandas()
+    assert len(sc) <= 10
+    assert (sc["revenue"].diff().dropna() <= 0).all()  # rev DESC order
+    assert (sc[["revenue", "n_items", "n_parts"]] > 0).all().all()
+    assert (sc["n_parts"] <= sc["n_items"]).all()
+    pch = queries["events_error_rate_control"](SF).to_pandas()
+    assert ((pch["err_rate"] > pch["ucl"]) == (pch["out_of_control"] == 1)).all()
+    assert int(pch["n"].sum()) == int(
+        c.execute("SELECT count(*) FROM events").fetchone()[0]
+    )
+
+
+def test_twentysecond_batch_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("lineitem", "supplier", "nation", "events"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    assert len(q.part_abc_classification(d).to_pandas()) == 0
+    assert len(q.supplier_scorecard(d).to_pandas()) == 0
+    assert len(q.events_error_rate_control(d).to_pandas()) == 0
+
+
+def test_abc_planted_boundary_classes(tmp_path):
+    """Five parts with revenues 60/20/10/6/4 (total 100): inclusive-cum
+    classes are A={60,20} (cum 80 <= 80), B={10,6} (90, 96... 96 > 95 →
+    only 10 with cum 90 <= 95), so A=2, B=1, C=2 and shares .8/.1/.1."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    revs = [60.0, 20.0, 10.0, 6.0, 4.0]
+    n = len(revs)
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array(range(1, n + 1), pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int64()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array(revs, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-01-01", "us")] * n, pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+    abc = (
+        q.part_abc_classification(d)
+        .to_pandas()
+        .set_index("abc_class")
+    )
+    assert int(abc.loc["A", "n_parts"]) == 2
+    assert int(abc.loc["B", "n_parts"]) == 1
+    assert int(abc.loc["C", "n_parts"]) == 2
+    assert float(abc.loc["A", "rev_share"]) == 0.8
+    assert float(abc.loc["B", "rev_share"]) == 0.1
+    assert float(abc.loc["C", "rev_share"]) == 0.1
