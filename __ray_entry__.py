@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_abc_classification": q.part_abc_classification,
         "supplier_scorecard": q.supplier_scorecard,
         "events_error_rate_control": q.events_error_rate_control,
+        "doc_bm25_topk": q.doc_bm25_topk,
+        "orders_shipping_priority_q3": q.orders_shipping_priority_q3,
+        "events_concurrent_sessions": q.events_concurrent_sessions,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1559,6 +1562,83 @@ def oracle_sql() -> dict[str, str]:
                                            / c.n)
                          THEN 1 ELSE 0 END)::BIGINT AS out_of_control
             FROM c, t
+        """,
+        "doc_bm25_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '{_TOK}')) AS tok
+                FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+            stats AS (
+                SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dl),
+            qt AS (SELECT unnest(['hash', 'join', 'scan', 'merge']) AS tok),
+            tf AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS tf
+                FROM toks WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+            df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            -- contribution shape mirrors the Ray side exactly:
+            -- idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n / sumdl))
+            contrib AS (
+                SELECT tf.doc_id, tf.tok,
+                       ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n
+                                                / stats.sumdl)) AS c
+                FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats),
+            -- fixed term-order sum (no group-ordered float reassociation)
+            sc AS (
+                SELECT doc_id,
+                       coalesce(sum(CASE WHEN tok = 'hash' THEN c END), 0)
+                     + coalesce(sum(CASE WHEN tok = 'join' THEN c END), 0)
+                     + coalesce(sum(CASE WHEN tok = 'scan' THEN c END), 0)
+                     + coalesce(sum(CASE WHEN tok = 'merge' THEN c END), 0)
+                           AS score
+                FROM contrib GROUP BY doc_id)
+            SELECT doc_id, round(score, 4) AS bm25
+            FROM sc ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+        """,
+        "orders_shipping_priority_q3": """
+            SELECT l.l_orderkey,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100)
+                                           AS BIGINT))
+                         )::DOUBLE / 10000.0, 4) AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ) DESC,
+                     l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "events_concurrent_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER
+                         (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sidx
+                FROM gaps),
+            s AS (SELECT user_id, sidx, min(ts) AS start_ts, max(ts) AS end_ts
+                  FROM numbered GROUP BY 1, 2),
+            b AS (SELECT epoch_us(start_ts) AS t, 1 AS d FROM s
+                  UNION ALL SELECT epoch_us(end_ts), -1 FROM s),
+            r AS (SELECT t, d,
+                         sum(d) OVER (ORDER BY t ASC, d DESC
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+                  FROM b)
+            SELECT (SELECT max(c) FROM r)::BIGINT AS peak_concurrency,
+                   (SELECT min(t) FROM r
+                    WHERE c = (SELECT max(c) FROM r))::BIGINT AS peak_ts_us
         """,
         "events_rolling_zscore": """
             WITH c AS (

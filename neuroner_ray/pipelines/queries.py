@@ -10130,3 +10130,377 @@ def events_error_rate_control(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# --- batch 23: BM25 ranking, TPC-H Q3 shipping priority, sweep-line ---
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("hash", "join", "scan", "merge")
+BM25_K = 10
+
+
+def doc_bm25_topk(sf_dir: str) -> Dataset:
+    """BM25 TOP-K (the IR ranking primitive behind retrieval-quality
+    curation): score every document against a fixed 4-term query and keep
+    the 10 best. ONE tokenize pass reduces each document to a fixed-width
+    row (doc_id, dl, tf per query term) — the corpus text never flows
+    again; that compact per-doc dataset is materialized once and reused
+    for (a) the corpus stats (N, Σdl, df per term — one tree-combined
+    summary row) and (b) the scoring pass + associative top-k merge.
+    Float parity with the oracle: per-term contributions are computed
+    with the IDENTICAL double expression shape and summed in the FIXED
+    term order on both sides (the SQL pivots per term instead of a
+    group-ordered sum), so no reordering of partial sums can flip the
+    4-decimal rounding."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    terms = BM25_TERMS
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dl = np.zeros(len(ids), np.int64)
+        tf = np.zeros((len(terms), len(ids)), np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(t or "")
+            dl[i] = len(toks)
+            c = Counter(toks)
+            for j, term in enumerate(terms):
+                tf[j, i] = c.get(term, 0)
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for j, term in enumerate(terms):
+            cols[f"tf_{term}"] = pa.array(tf[j], pa.int64())
+        return pa.table(cols)
+
+    compact = docs.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    stat_cols = ("n", "sumdl") + tuple(f"df_{t}" for t in terms)
+    smerge = group_sum_merge(("g",), stat_cols)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "g": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            "sumdl": batch["dl"],
+        }
+        for t in terms:
+            cols[f"df_{t}"] = pa.array(
+                (
+                    batch[f"tf_{t}"].to_numpy(zero_copy_only=False) > 0
+                ).astype(np.int64),
+                pa.int64(),
+            )
+        return smerge(pa.table(cols))
+
+    stats = tree_combine(
+        compact.map_batches(stat_partial, batch_format="pyarrow"), smerge
+    ).take(1)
+    if not stats or stats[0]["n"] == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bm25": pa.array([], pa.float64()),
+                }
+            )
+        )
+    st = stats[0]
+    n = np.float64(st["n"])
+    sumdl = np.float64(st["sumdl"])
+    idf = {
+        t: np.log((n - st[f"df_{t}"] + 0.5) / (st[f"df_{t}"] + 0.5) + 1.0)
+        for t in terms
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # IDENTICAL shape to the oracle: 1-b and k1+1 pre-folded constants,
+        # contributions added in fixed term order
+        denom_norm = BM25_K1 * (0.25 + 0.75 * dl * n / sumdl)
+        s = np.zeros(len(dl), np.float64)
+        any_tf = np.zeros(len(dl), np.bool_)
+        for t in terms:
+            tf = (
+                batch[f"tf_{t}"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            s = s + idf[t] * tf * 2.2 / (tf + denom_norm)
+            any_tf |= tf > 0
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bm25": pa.array(round_half_away(s, 4), pa.float64()),
+            }
+        )
+        return out.filter(pa.array(any_tf, pa.bool_()))
+
+    cut = topk_merge(BM25_K, "bm25", ["doc_id"])
+    return tree_combine(
+        compact.map_batches(score, batch_format="pyarrow").map_batches(
+            cut, batch_format="pyarrow"
+        ),
+        cut,
+    )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE_US = 883_612_800_000_000  # 1998-01-01 epoch-µs
+Q3_K = 10
+
+
+def orders_shipping_priority_q3(sf_dir: str) -> Dataset:
+    """TPC-H Q3 (shipping priority): top-10 orders by exact lineitem
+    revenue among BUILDING-segment customers with o_orderdate < 1998-01-01
+    and l_shipdate > it. The segment customer-key set broadcasts once
+    (it is a fixed fraction of the customer dimension — the same
+    broadcast-semi-join rule as customers_with_orders_by_nation; past
+    BROADCAST_JOIN_MAX_ROWS the union+cogroup used below would absorb it
+    too); qualified orders and date-filtered lineitems then meet in ONE
+    orderkey-keyed union+groupby cogroup — lineitem rows carry map-side
+    pre-aggregated revenue partials (rev_e4, n_li), order rows carry the
+    qualification marker — so the shuffle moves order-count-sized rows,
+    no string/date payload. The top-10 cut is the associative
+    (rev_e4 DESC, orderkey ASC) merge; o_orderdate and o_orderpriority
+    for the <=10 winners come from a targeted filtered parquet read
+    (row-group pruned), never a full dimension collect."""
+    seg_keys = frozenset(
+        pq.read_table(
+            _p(sf_dir, "customer"),
+            columns=["c_custkey", "c_mktsegment"],
+            filters=[("c_mktsegment", "=", Q3_SEGMENT)],
+        )
+        .column("c_custkey")
+        .to_pylist()
+    )
+    keys_ref = ray.put(seg_keys)
+
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    class QualOrders:
+        def __init__(self, ref):
+            self.ks = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            odate = _ts_us(batch, "o_orderdate")
+            keep_date = odate < Q3_DATE_US
+            ck = batch["o_custkey"].to_pylist()
+            keep = pa.array(
+                [d and (k in self.ks) for d, k in zip(keep_date, ck)],
+                pa.bool_(),
+            )
+            kept = batch.filter(keep)
+            nrows = kept.num_rows
+            return pa.table(
+                {
+                    "k": kept["o_orderkey"].cast(pa.int64()),
+                    "rev_e4": pa.array(np.zeros(nrows, np.int64), pa.int64()),
+                    "n_li": pa.array(np.zeros(nrows, np.int64), pa.int64()),
+                    "qual": pa.array(np.ones(nrows, np.int64), pa.int64()),
+                }
+            )
+
+    merge = group_sum_merge(("k",), ("rev_e4", "n_li", "qual"))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sdate = _ts_us(batch, "l_shipdate")
+        kept = batch.filter(pa.array(sdate > Q3_DATE_US, pa.bool_()))
+        cents = round_half_away(
+            kept["l_extendedprice"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        disc = round_half_away(
+            kept["l_discount"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        nrows = kept.num_rows
+        return merge(
+            pa.table(
+                {
+                    "k": kept["l_orderkey"].cast(pa.int64()),
+                    "rev_e4": pa.array(cents * (100 - disc), pa.int64()),
+                    "n_li": pa.array(np.ones(nrows, np.int64), pa.int64()),
+                    "qual": pa.array(np.zeros(nrows, np.int64), pa.int64()),
+                }
+            )
+        )
+
+    unioned = orders.map_batches(
+        QualOrders,
+        fn_constructor_args=(keys_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).union(li.map_batches(li_partial, batch_format="pyarrow"))
+    agg = unioned.groupby("k").aggregate(
+        Sum("rev_e4", alias_name="rev_e4"),
+        Sum("n_li", alias_name="n_li"),
+        Sum("qual", alias_name="qual"),
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        n_li = t["n_li"].to_numpy(zero_copy_only=False)
+        qual = t["qual"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((n_li > 0) & (qual > 0), pa.bool_())).select(
+            ["k", "rev_e4"]
+        )
+
+    cut = topk_merge(Q3_K, "rev_e4", ["k"])
+    winners = tree_combine(
+        agg.map_batches(qualify, batch_format="pyarrow").map_batches(
+            cut, batch_format="pyarrow"
+        ),
+        cut,
+    ).take_all()
+
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string()),
+        }
+    )
+    if not winners:
+        return rd.from_arrow(empty)
+    wkeys = sorted(int(r["k"]) for r in winners)
+    dim = pq.read_table(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filters=[("o_orderkey", "in", wkeys)],
+    )
+    dmap = {
+        int(k): (d, p)
+        for k, d, p in zip(
+            dim["o_orderkey"].to_pylist(),
+            dim["o_orderdate"].cast(pa.timestamp("us")).to_pylist(),
+            dim["o_orderpriority"].to_pylist(),
+        )
+    }
+    rows = sorted(
+        ((int(r["rev_e4"]), int(r["k"])) for r in winners),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([k for _, k in rows], pa.int64()),
+                "revenue": pa.array(
+                    round_half_away(
+                        np.array([r for r, _ in rows], np.float64) / 10000.0,
+                        4,
+                    ),
+                    pa.float64(),
+                ),
+                "o_orderdate": pa.array(
+                    [dmap[k][0] for _, k in rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    [dmap[k][1] for _, k in rows], pa.string()
+                ),
+            }
+        )
+    )
+
+
+def events_concurrent_sessions(sf_dir: str) -> Dataset:
+    """PEAK CONCURRENCY (sweep-line over sessionized intervals): the
+    maximum number of simultaneously-open 30-minute-gap sessions and the
+    first microsecond it is reached — the capacity-planning number. The
+    sweep is distributed segment-tree style: session boundaries (+1 at
+    start, -1 at end, inclusive interval so starts sort before ends at
+    an equal timestamp) bucket by hour; each bucket reduces to ONE
+    summary row (delta total, max running prefix, first ts attaining
+    it); the global scan then runs over hour-count-sized summaries in a
+    single tiny ordered pass — identical to the full sort's answer
+    because count(t) = bucket_offset + local_prefix(t)."""
+    from ..stages.sessions import sessionize
+
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    sessions = sessionize(ev, gap_minutes=30.0)
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        start = (
+            t["start_ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        end = (
+            t["end_ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = np.concatenate([start, end])
+        d = np.concatenate(
+            [np.ones(len(start), np.int64), -np.ones(len(end), np.int64)]
+        )
+        return pa.table(
+            {
+                "hb": pa.array(ts // _HOUR_US, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+            }
+        )
+
+    def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "d"], ascending=[True, False]).reset_index(
+            drop=True
+        )
+        run = g["d"].to_numpy(np.int64).cumsum()
+        mx = int(run.max())
+        first = int(np.argmax(run == mx))
+        return pd.DataFrame(
+            {
+                "hb": [int(g["hb"].iloc[0])],
+                "total": [int(run[-1])],
+                "max_prefix": [mx],
+                "ts_at_max": [int(g["t"].iloc[first])],
+            }
+        )
+
+    summaries = (
+        sessions.map_batches(boundaries, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(bucket_scan, batch_format="pandas")
+    )
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        )
+
+    def global_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hb").reset_index(drop=True)
+        offset = (
+            g["total"].to_numpy(np.int64).cumsum()
+            - g["total"].to_numpy(np.int64)
+        )
+        cand = offset + g["max_prefix"].to_numpy(np.int64)
+        peak = int(cand.max())
+        i = int(np.argmax(cand == peak))
+        return pd.DataFrame(
+            {
+                "peak_concurrency": pd.Series([peak], dtype="int64"),
+                "peak_ts_us": pd.Series(
+                    [int(g["ts_at_max"].iloc[i])], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        summaries.map_batches(add_g, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(global_scan, batch_format="pandas")
+    )

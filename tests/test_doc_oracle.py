@@ -2102,3 +2102,78 @@ def test_abc_planted_boundary_classes(tmp_path):
     assert float(abc.loc["A", "rev_share"]) == 0.8
     assert float(abc.loc["B", "rev_share"]) == 0.1
     assert float(abc.loc["C", "rev_share"]) == 0.1
+
+
+def test_batch23_queries_match_oracles():
+    """Batch-23 additions (BM25 top-k ranking, TPC-H Q3 shipping priority,
+    sweep-line peak session concurrency) against their registered oracles
+    at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents", "orders", "customer", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "doc_bm25_topk",
+        "orders_shipping_priority_q3",
+        "events_concurrent_sessions",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_batch23_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents", "orders", "customer", "lineitem"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.doc_bm25_topk,
+        q.orders_shipping_priority_q3,
+        q.events_concurrent_sessions,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_bm25_monotonicity_and_sweep_line_bound():
+    """Structural invariants: every BM25 winner must actually contain a
+    query term (tf > 0 somewhere); the peak concurrency is positive and
+    bounded by the total session count, and its timestamp is a session
+    start (+1 boundaries are the only way the running count increases)."""
+    import pyarrow.parquet as pq
+
+    top = q.doc_bm25_topk(SF).to_pandas()
+    assert len(top) == q.BM25_K
+    assert (top["bm25"] > 0).all()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    texts = docs.set_index("doc_id")["text"]
+    for did in top["doc_id"]:
+        assert any(t in texts[did] for t in q.BM25_TERMS), did
+
+    peak = q.events_concurrent_sessions(SF).to_pandas()
+    n_sessions = len(q.events_sessions(SF).to_pandas())
+    p = int(peak["peak_concurrency"].iloc[0])
+    assert 1 <= p <= n_sessions
+    starts = set(
+        q.events_sessions(SF)
+        .to_pandas()["start_ts"]
+        .astype("datetime64[us]")
+        .astype("int64")
+    )
+    assert int(peak["peak_ts_us"].iloc[0]) in starts
