@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": q.doc_bm25_topk,
         "orders_shipping_priority_q3": q.orders_shipping_priority_q3,
         "events_concurrent_sessions": q.events_concurrent_sessions,
+        "doc_pack_bins": q.doc_pack_bins,
+        "revenue_by_nation_q5": q.revenue_by_nation_q5,
+        "events_user_entropy_topk": q.events_user_entropy_topk,
         # --- last driver check: round 2
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
@@ -1639,6 +1642,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT max(c) FROM r)::BIGINT AS peak_concurrency,
                    (SELECT min(t) FROM r
                     WHERE c = (SELECT max(c) FROM r))::BIGINT AS peak_ts_us
+        """,
+        "doc_pack_bins": f"""
+            WITH tc AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_TOK}'))::BIGINT
+                           AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+                FROM tc)
+            SELECT (off // 4096)::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens
+            FROM c GROUP BY 1
+        """,
+        "revenue_by_nation_q5": """
+            SELECT n.n_name AS nation,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100)
+                                           AS BIGINT))
+                         )::DOUBLE / 10000.0, 4) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "events_user_entropy_topk": """
+            WITH c AS (
+                SELECT user_id,
+                       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END)::BIGINT AS n_click,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                           END)::BIGINT AS n_error,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END)::BIGINT AS n_purchase,
+                       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                           END)::BIGINT AS n_signup,
+                       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                           END)::BIGINT AS n_view,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1),
+            -- fixed type-order subtraction mirrors the Ray side exactly
+            e AS (
+                SELECT user_id, n_events,
+                    0.0
+                    - (CASE WHEN n_click > 0 THEN (n_click::DOUBLE / n_events)
+                            * ln(n_click::DOUBLE / n_events) ELSE 0 END)
+                    - (CASE WHEN n_error > 0 THEN (n_error::DOUBLE / n_events)
+                            * ln(n_error::DOUBLE / n_events) ELSE 0 END)
+                    - (CASE WHEN n_purchase > 0
+                            THEN (n_purchase::DOUBLE / n_events)
+                            * ln(n_purchase::DOUBLE / n_events) ELSE 0 END)
+                    - (CASE WHEN n_signup > 0
+                            THEN (n_signup::DOUBLE / n_events)
+                            * ln(n_signup::DOUBLE / n_events) ELSE 0 END)
+                    - (CASE WHEN n_view > 0 THEN (n_view::DOUBLE / n_events)
+                            * ln(n_view::DOUBLE / n_events) ELSE 0 END)
+                      AS ent
+                FROM c)
+            SELECT user_id, n_events, round(ent, 4) AS entropy
+            FROM e ORDER BY round(ent, 4) DESC, user_id ASC LIMIT 10
         """,
         "events_rolling_zscore": """
             WITH c AS (

@@ -10504,3 +10504,423 @@ def events_concurrent_sessions(sf_dir: str) -> Dataset:
         .groupby("g")
         .map_groups(global_scan, batch_format="pandas")
     )
+
+
+# --- batch 24: sequence packing, TPC-H Q5 deep join, behavioral entropy ---
+
+PACK_CAP = 4096  # tokens per packed bin (context-window budget)
+PACK_BUCKET = 1024  # doc_ids per prefix-sum bucket
+
+
+def doc_pack_bins(sf_dir: str) -> Dataset:
+    """SEQUENCE PACKING (the LLM-training shard-builder): concatenate the
+    corpus in doc_id order and assign each document to the PACK_CAP-token
+    bin its first token lands in (concat-and-chunk packing); report per
+    bin the doc count and token total. ONE tokenize pass reduces the
+    corpus to fixed-width (doc_id, n_tokens) rows, materialized and
+    reused; the global ordered prefix sum is the two-level
+    events_cum_value scheme — doc_id-range bucket totals (bucket-count
+    driver state only) plus per-bucket local cumsums — so no task ever
+    sees more than one bucket and nothing corpus-sized collects. A bin
+    spanning a bucket boundary is re-joined by the final bin-key sum."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = np.array(
+            [
+                len(_TOKEN_RE.findall(t or ""))
+                for t in batch["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    compact = docs.map_batches(counts, batch_format="pyarrow").materialize()
+
+    bmerge = group_sum_merge(("bk",), ("total",))
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        bk = batch["doc_id"].to_numpy(zero_copy_only=False) // PACK_BUCKET
+        return bmerge(
+            pa.table(
+                {
+                    "bk": pa.array(bk, pa.int64()),
+                    "total": batch["n_tokens"],
+                }
+            )
+        )
+
+    totals = tree_combine(
+        compact.map_batches(bucket_partial, batch_format="pyarrow"), bmerge
+    ).take_all()
+    if not totals:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "total_tokens": pa.array([], pa.int64()),
+                }
+            )
+        )
+    totals.sort(key=lambda r: r["bk"])
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in totals:
+        offsets[int(r["bk"])] = run
+        run += int(r["total"])
+    off_ref = ray.put(offsets)
+
+    def add_bk(t: pa.Table) -> pa.Table:
+        bk = t["doc_id"].to_numpy(zero_copy_only=False) // PACK_BUCKET
+        return t.append_column("bk", pa.array(bk, pa.int64()))
+
+    merge = group_sum_merge(("bin",), ("n_docs", "total_tokens"))
+
+    class BinAssign:
+        def __init__(self, ref):
+            self.off = ray.get(ref)
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("doc_id").reset_index(drop=True)
+            n = g["n_tokens"].to_numpy(np.int64)
+            start = self.off[int(g["bk"].iloc[0])] + n.cumsum() - n
+            df = pd.DataFrame({"bin": start // PACK_CAP, "n_tokens": n})
+            out = (
+                df.groupby("bin", sort=True)
+                .agg(n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"))
+                .reset_index()
+            )
+            return out
+
+    binned = (
+        compact.map_batches(add_bk, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(
+            BinAssign,
+            fn_constructor_args=(off_ref,),
+            batch_format="pandas",
+            concurrency=(1, 4),
+        )
+    )
+    return tree_combine(binned.map_batches(merge, batch_format="pyarrow"), merge)
+
+
+Q5_REGION = "ASIA"
+Q5_LO_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q5_HI_US = 852_076_800_000_000  # 1997-01-01 epoch-µs
+
+
+def revenue_by_nation_q5(sf_dir: str) -> Dataset:
+    """TPC-H Q5 (local supplier volume): revenue per ASIA nation over one
+    order year, counting only lineitems whose SUPPLIER sits in the
+    CUSTOMER's nation. Two chained int-key cogroups, no row-level join
+    engine: (1) date-filtered orders meet region-filtered customers in a
+    custkey union+map_groups that stamps each order with its customer
+    nation (groups are per-customer, bounded by one customer's orders);
+    (2) those stamped orders meet supplier-nation-stamped lineitem
+    revenue partials in an orderkey+nation groupby — the Q5 equality
+    s_nationkey = c_nationkey becomes KEY COINCIDENCE: a (k, nation)
+    group sums revenue only when both the order marker and lineitem
+    partials landed on the same nation. Region/nation/supplier→nation
+    are broadcast dimensions (supplier_scorecard's rule); revenue is
+    exact int ten-thousandths end to end."""
+    nation = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(
+        _p(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    )
+    rkeys = {
+        int(k)
+        for k, nm in zip(
+            region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()
+        )
+        if nm == Q5_REGION
+    }
+    nat_keys = [
+        int(k)
+        for k, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+        if int(rk) in rkeys
+    ]
+    nat_names = dict(
+        zip(
+            (int(k) for k in nation["n_nationkey"].to_pylist()),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    asia = frozenset(nat_keys)
+    supp = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order_idx = np.argsort(sk)
+    sk = sk[order_idx]
+    snat = (
+        supp["s_nationkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)[order_idx]
+    )
+    dims_ref = ray.put((asia, sk, snat))
+
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = read_parquet_clean(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    # stage 1: stamp each in-window order with its customer's nation
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = _ts_us(batch, "o_orderdate")
+        kept = batch.filter(
+            pa.array((odate >= Q5_LO_US) & (odate < Q5_HI_US), pa.bool_())
+        )
+        return pa.table(
+            {
+                "ck": kept["o_custkey"].cast(pa.int64()),
+                "k": kept["o_orderkey"].cast(pa.int64()),
+                "nat": pa.array(np.full(kept.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    class CustRows:
+        def __init__(self, ref):
+            self.asia = ray.get(ref)[0]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            keep = pa.array([int(x) in self.asia for x in nk], pa.bool_())
+            kept = batch.filter(keep)
+            return pa.table(
+                {
+                    "ck": kept["c_custkey"].cast(pa.int64()),
+                    "k": pa.array(np.full(kept.num_rows, -1, np.int64), pa.int64()),
+                    "nat": kept["c_nationkey"].cast(pa.int64()),
+                }
+            )
+
+    def stamp(g: pd.DataFrame) -> pd.DataFrame:
+        nat = g.loc[g["k"] < 0, "nat"]
+        if nat.empty:
+            return pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                 "nat": pd.Series([], dtype="int64")})
+        ods = g.loc[g["k"] >= 0, "k"]
+        return pd.DataFrame(
+            {"k": ods.to_numpy(np.int64),
+             "nat": np.full(len(ods), int(nat.iloc[0]), np.int64)}
+        )
+
+    stamped = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(
+            cust.map_batches(
+                CustRows,
+                fn_constructor_args=(dims_ref,),
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        )
+        .groupby("ck")
+        .map_groups(stamp, batch_format="pandas")
+    )
+
+    def order_markers(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["k"],
+                "nat": t["nat"],
+                "rev_e4": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "n_li": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "is_order": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    kmerge = group_sum_merge(("k", "nat"), ("rev_e4", "n_li", "is_order"))
+
+    class LiPartial:
+        def __init__(self, ref):
+            self.asia, self.sk, self.snat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            suppk = (
+                batch["l_suppkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if len(self.sk) == 0:
+                mask = np.zeros(len(suppk), np.bool_)
+                nat = np.full(len(suppk), -1, np.int64)
+            else:
+                idx = np.clip(
+                    np.searchsorted(self.sk, suppk), 0, len(self.sk) - 1
+                )
+                nat = self.snat[idx]
+                in_asia = np.array(
+                    [int(x) in self.asia for x in nat], np.bool_
+                )
+                mask = (self.sk[idx] == suppk) & in_asia
+            kept = batch.filter(pa.array(mask, pa.bool_()))
+            knat = nat[mask]
+            cents = round_half_away(
+                kept["l_extendedprice"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            disc = round_half_away(
+                kept["l_discount"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            return kmerge(
+                pa.table(
+                    {
+                        "k": kept["l_orderkey"].cast(pa.int64()),
+                        "nat": pa.array(knat, pa.int64()),
+                        "rev_e4": pa.array(cents * (100 - disc), pa.int64()),
+                        "n_li": pa.array(
+                            np.ones(kept.num_rows, np.int64), pa.int64()
+                        ),
+                        "is_order": pa.array(
+                            np.zeros(kept.num_rows, np.int64), pa.int64()
+                        ),
+                    }
+                )
+            )
+
+    cogrouped = (
+        stamped.map_batches(order_markers, batch_format="pyarrow")
+        .union(
+            li.map_batches(
+                LiPartial,
+                fn_constructor_args=(dims_ref,),
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        )
+        .groupby(["k", "nat"])
+        .aggregate(
+            Sum("rev_e4", alias_name="rev_e4"),
+            Sum("n_li", alias_name="n_li"),
+            Sum("is_order", alias_name="is_order"),
+        )
+    )
+
+    nmerge = group_sum_merge(("nat",), ("rev_e4",))
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        n_li = t["n_li"].to_numpy(zero_copy_only=False)
+        is_o = t["is_order"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array((n_li > 0) & (is_o > 0), pa.bool_()))
+        return nmerge(kept.select(["nat", "rev_e4"]))
+
+    per_nation = tree_combine(
+        cogrouped.map_batches(nation_partial, batch_format="pyarrow"), nmerge
+    )
+
+    def finish(t: pa.Table, names=nat_names) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        df = t.to_pandas()
+        df["nation"] = df["nat"].map(lambda k: names.get(int(k), ""))
+        df = df.sort_values("nation").reset_index(drop=True)
+        return pa.table(
+            {
+                "nation": pa.array(df["nation"], pa.string()),
+                "revenue": pa.array(
+                    round_half_away(
+                        df["rev_e4"].to_numpy(np.float64) / 10000.0, 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return per_nation.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+ENTROPY_TYPES = ("click", "error", "purchase", "signup", "view")
+ENTROPY_K = 10
+
+
+def events_user_entropy_topk(sf_dir: str) -> Dataset:
+    """BEHAVIORAL ENTROPY (engagement-diversity ranking): the 10 users
+    whose event-type mix has the highest Shannon entropy. Map-side
+    per-user indicator partials (one int column per known type) meet in
+    ONE user-key groupby; the per-row entropy is then embarrassingly
+    vectorized. Float parity: the five -p·ln(p) contributions are
+    SUBTRACTED in the fixed type order on both sides (no group-ordered
+    float sum), zero-count types contribute an exact 0, and the top-10
+    cut orders by the 4-dp ROUNDED entropy with user_id tiebreak."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    cols = tuple(f"n_{t}" for t in ENTROPY_TYPES) + ("n_events",)
+    merge = group_sum_merge(("user_id",), cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        data = {"user_id": batch["user_id"].cast(pa.int64())}
+        for t in ENTROPY_TYPES:
+            data[f"n_{t}"] = pa.array((et == t).astype(np.int64), pa.int64())
+        data["n_events"] = pa.array(np.ones(len(et), np.int64), pa.int64())
+        return merge(pa.table(data))
+
+    census = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        tot = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ent = np.zeros(len(tot), np.float64)
+        # mirror the oracle: 0.0 - c_click - c_error - ... in fixed order
+        for ty in ENTROPY_TYPES:
+            n = t[f"n_{ty}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(n > 0, (n / tot) * np.log(n / tot), 0.0)
+            ent = ent - c
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"],
+                "entropy": pa.array(round_half_away(ent, 4), pa.float64()),
+            }
+        )
+
+    cut = topk_merge(ENTROPY_K, "entropy", ["user_id"])
+    return tree_combine(
+        census.map_batches(score, batch_format="pyarrow").map_batches(
+            cut, batch_format="pyarrow"
+        ),
+        cut,
+    )

@@ -2177,3 +2177,91 @@ def test_bm25_monotonicity_and_sweep_line_bound():
         .astype("int64")
     )
     assert int(peak["peak_ts_us"].iloc[0]) in starts
+
+def test_batch24_queries_match_oracles():
+    """Batch-24 additions (sequence packing into 4096-token bins, TPC-H Q5
+    local-supplier revenue, behavioral-entropy top-k) against their
+    registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in (
+        "events",
+        "documents",
+        "orders",
+        "customer",
+        "lineitem",
+        "supplier",
+        "nation",
+        "region",
+    ):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "doc_pack_bins",
+        "revenue_by_nation_q5",
+        "events_user_entropy_topk",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_batch24_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in (
+        "events",
+        "documents",
+        "orders",
+        "customer",
+        "lineitem",
+        "supplier",
+        "nation",
+        "region",
+    ):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.doc_pack_bins,
+        q.revenue_by_nation_q5,
+        q.events_user_entropy_topk,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_pack_bins_conservation_and_entropy_bounds():
+    """Structural invariants: packing conserves every document and every
+    token (bin sums equal corpus totals) over contiguous bin ids; entropy
+    is within [0, ln(5)] and the top-k cut is sorted descending."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    bins = q.doc_pack_bins(SF).to_pandas().sort_values("bin")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    n_tok = sum(
+        len(q._TOKEN_RE.findall(t or "")) for t in docs["text"].to_pylist()
+    )
+    assert int(bins["n_docs"].sum()) == docs.num_rows
+    assert int(bins["total_tokens"].sum()) == n_tok
+    b = bins["bin"].to_numpy()
+    assert b[0] == 0 and (np.diff(b) == 1).all()
+
+    ent = q.events_user_entropy_topk(SF).to_pandas()
+    assert len(ent) == q.ENTROPY_K
+    e = ent["entropy"].to_numpy()
+    assert (e >= 0).all() and (e <= np.log(5) + 1e-9).all()
+    assert (np.diff(e) <= 0).all()
