@@ -226,28 +226,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    checks the FIRST 50 of these 160 entries. Entries are therefore ordered
-    by driver-verification recency — never-driver-verified first (the r3
-    graph-analytics suite, incremental ingest, TF-IDF, audio, the round-4
-    additions rollup/funnel/range-join/MG-sketch/bounded-window, the
-    continuation additions corr/star-join/pivot/co-occurrence/unigram-LM/
-    fuzzy-join/transitions/posting-lists/CMS/cube/chunks/redact/BPE, the
-    fourth-batch additions PMI/gap-fill/ntile/grouped-HLL/weighted-sample,
-    and the fifth-batch additions grouped-quantiles/set-ops/dense-rank/
-    correlated-avg/string-agg/unpivot), then the r2-verified-only group,
-    then the long-green r3 relational/text tail. Every entry past position
-    50 has a green row in CORRECTNESS_r03 or CORRECTNESS_r02 AND in the
-    committed full-registry replica logs (docs/CHECK_ORACLES_r4c.txt is
-    the round-4-close full sweep, 0 failures at sf0.01;
-    docs/CHECK_ORACLES_r4d.txt covers this final 109-entry registry); the
-    closing-batch queries are additionally gated in
-    tests/test_doc_oracle.py. The sixth batch (histogram, IQR outliers,
-    MoM lag, RANGE window, latest-row compaction, FK audit, HLL overlap,
-    int8 quantization) sits at positions 51-58 and the seventh batch
-    (FULL OUTER cogroup, ratio-to-report, RANK-with-ties, gaps-and-
-    islands streaks) at 59-62 — first in line for the round-5 reorder
-    once CORRECTNESS_r04 lands — each gated at sf0.001 + sf0.01 via the
-    replica plus the test_round4_{sixth,seventh}_batch_* replays.
+    checks the FIRST 50 of these 169 entries. Priority order:
+    (1) positions 0-11: never driver-verified AND judge-flagged (the r3
+    graph-analytics suite, incremental ingest x2, TF-IDF, audio);
+    (2) positions 12-22: the flagship KG core / multimodal / similarity
+    variants whose last driver row is round 2 (kg_mentions/triples/nodes/
+    edges/top_entities, media_image/video, mention_heavy_hitters,
+    similarity_topk_lsh/ivf/multi) — VERDICT's done-criterion names them
+    explicitly, so they ride inside the window ahead of the relational
+    continuation batches;
+    (3) positions 23-49: the oldest never-driver-verified round-4
+    continuation entries (rollup/funnel/range-join/MG-sketch/corr/
+    star-join/pivot/co-occurrence/unigram-LM/fuzzy-join/transitions/
+    posting-lists/CMS/cube/chunks/redact/BPE/PMI/...);
+    (4) positions 50+: the remaining round-4 batches (every one
+    replica-gated at sf0.001 + sf0.01 AND replayed in the pytest suite —
+    see tests/test_doc_oracle.py test_batch*_queries_match_oracles and
+    the test_round4_* replays), then the long-green r2/r3 relational and
+    text tail. Every entry past position 50 has a green row in
+    CORRECTNESS_r03/r02 or in the committed full-registry replica logs
+    (docs/CHECK_ORACLES_r4c.txt is a round-4 full sweep, 0 failures at
+    sf0.01; docs/CHECK_ORACLES_r4d.txt covers the grown registry; the
+    batch 21-24 additions are gated by their test replays and the
+    per-batch replica runs recorded in SURVEY §18).
     """
     return {
         # --- never driver-verified before r4 (lead the 50-query window)
@@ -263,6 +264,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_edges3": kg_incremental_edges3,
         "doc_tfidf_top50": q.doc_tfidf_top50,
         "media_audio_energy": q.media_audio_energy,
+        # --- last driver check: round 2 — the KG core, multimodal, and
+        # similarity variants are the flagship family, so they ride inside
+        # the 50-query window ahead of the relational continuation batches
+        # (every one of which is replica-gated + test-replayed; see the
+        # ordering contract above).
+        "kg_mentions": kg_mentions,
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "kg_top_entities": kg_top_entities,
+        "media_image_features": q.media_image_features,
+        "media_video_frames": q.media_video_frames,
+        "mention_heavy_hitters": _mention_heavy_hitters_cached,
+        "similarity_topk_lsh": q.similarity_topk_lsh,
+        "similarity_topk_ivf": q.similarity_topk_ivf,
+        "similarity_topk_multi": q.similarity_topk_multi,
+        # --- never driver-verified (round-4 continuation batches)
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -362,18 +380,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": q.doc_pack_bins,
         "revenue_by_nation_q5": q.revenue_by_nation_q5,
         "events_user_entropy_topk": q.events_user_entropy_topk,
-        # --- last driver check: round 2
-        "kg_mentions": kg_mentions,
-        "kg_triples": kg_triples,
-        "kg_nodes": kg_nodes,
-        "kg_edges": kg_edges,
-        "kg_top_entities": kg_top_entities,
-        "media_image_features": q.media_image_features,
-        "media_video_frames": q.media_video_frames,
-        "mention_heavy_hitters": _mention_heavy_hitters_cached,
-        "similarity_topk_lsh": q.similarity_topk_lsh,
-        "similarity_topk_ivf": q.similarity_topk_ivf,
-        "similarity_topk_multi": q.similarity_topk_multi,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
