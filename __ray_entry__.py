@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": q.doc_pack_bins,
         "revenue_by_nation_q5": q.revenue_by_nation_q5,
         "events_user_entropy_topk": q.events_user_entropy_topk,
+        "lineitem_promo_share_q14": q.lineitem_promo_share_q14,
+        "orders_large_volume_q18": q.orders_large_volume_q18,
+        "events_markov_stationary": q.events_markov_stationary,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -436,6 +439,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TOK = TOKEN_PATTERN  # the pattern is RE2-compatible as-is (SQL single-quoted)
+
+
+def _markov_stationary_sql(iters: int = 12) -> str:
+    """Unrolled-CTE mirror of ``q.events_markov_stationary`` (the
+    kg_pagerank oracle precedent): pivot the transition census into 25
+    exact-int scalars, derive the row-stochastic matrix with the same
+    int/int divisions and zero-row identity self-loops, then unroll the
+    power iteration with the identical left-associated add chains."""
+    types = ("click", "error", "purchase", "signup", "view")
+    ab = {t: t[0] for t in types}
+    n_cols = ",\n                   ".join(
+        f"coalesce(max(CASE WHEN prev_type = '{i}' AND next_type = '{j}' "
+        f"THEN n END), 0) AS n_{ab[i]}{ab[j]}"
+        for i in types
+        for j in types
+    )
+    tot_cols = ",\n                   ".join(
+        " + ".join(f"n_{ab[i]}{ab[j]}" for j in types) + f" AS t_{ab[i]}"
+        for i in types
+    )
+    p_cols = ",\n                   ".join(
+        f"CASE WHEN t_{ab[i]} = 0 THEN {'1.0' if i == j else '0.0'} "
+        f"ELSE CAST(n_{ab[i]}{ab[j]} AS DOUBLE) / t_{ab[i]} END "
+        f"AS p_{ab[i]}{ab[j]}"
+        for i in types
+        for j in types
+    )
+    iter_ctes = []
+    prev = "i0"
+    for k in range(1, iters + 1):
+        cols = ",\n                   ".join(
+            " + ".join(
+                f"{prev}.v_{ab[i]} * p.p_{ab[i]}{ab[j]}" for i in types
+            )
+            + f" AS v_{ab[j]}"
+            for j in types
+        )
+        iter_ctes.append(f"i{k} AS (SELECT {cols} FROM {prev}, pm p)")
+        prev = f"i{k}"
+    case_final = " ".join(f"WHEN '{t}' THEN {prev}.v_{ab[t]}" for t in types)
+    values = ", ".join(f"('{t}')" for t in types)
+    joined = ",\n            ".join(iter_ctes)
+    return f"""
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events),
+            tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+                   FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            m AS (SELECT {n_cols},
+                   count(*) AS nrows FROM tr),
+            tm AS (SELECT *, {tot_cols} FROM m),
+            pm AS (SELECT *, {p_cols} FROM tm),
+            i0 AS (SELECT 0.2 AS v_c, 0.2 AS v_e, 0.2 AS v_p,
+                          0.2 AS v_s, 0.2 AS v_v),
+            {joined}
+            SELECT t.event_type,
+                   round(CASE t.event_type {case_final} END, 4) AS stationary
+            FROM {prev}, pm, (VALUES {values}) AS t(event_type)
+            WHERE pm.nrows > 0
+            ORDER BY t.event_type
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1718,6 +1785,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n_events, round(ent, 4) AS entropy
             FROM e ORDER BY round(ent, 4) DESC, user_id ASC LIMIT 10
         """,
+        "lineitem_promo_share_q14": """
+            WITH j AS (
+                SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev_e4,
+                       CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                           AS promo
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01'),
+            s AS (SELECT
+                      sum(CASE WHEN promo = 1 THEN rev_e4 ELSE 0 END)
+                          AS promo_e4,
+                      sum(rev_e4) AS tot_e4
+                  FROM j)
+            -- exact-int single divisions, shipped UNROUNDED (NOTES.md rule)
+            SELECT CAST(promo_e4 AS DOUBLE) / 10000.0 AS promo_revenue,
+                   CAST(tot_e4 AS DOUBLE) / 10000.0 AS total_revenue,
+                   CAST(promo_e4 * 100 AS DOUBLE) / tot_e4 AS promo_share
+            FROM s WHERE tot_e4 > 0
+        """,
+        "orders_large_volume_q18": """
+            WITH s AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_e2
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000)
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+                   CAST(s.qty_e2 AS DOUBLE) / 100.0 AS total_qty
+            FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+            ORDER BY s.qty_e2 DESC, o.o_orderkey ASC
+            LIMIT 20
+        """,
+        "events_markov_stationary": _markov_stationary_sql(),
         "events_rolling_zscore": """
             WITH c AS (
                 SELECT event_id, user_id, ts,

@@ -10924,3 +10924,314 @@ def events_user_entropy_topk(sf_dir: str) -> Dataset:
         ),
         cut,
     )
+
+
+# --------------------------------------------- batch 25: Q14 / Q18 / Markov
+Q14_LO_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q14_HI_US = 852_076_800_000_000  # 1997-01-01 epoch-µs
+Q18_QTY_E2_MIN = 30_000  # sum(l_quantity) > 300, in exact hundredths
+Q18_K = 20
+
+
+def lineitem_promo_share_q14(sf_dir: str) -> Dataset:
+    """TPC-H Q14 (promotion effect) over the 1996 ship year: the share of
+    lineitem revenue attributable to PROMO-type parts. The part dimension
+    is corpus-scale at 100 TB, so it is NOT broadcast: part rows (partkey,
+    promo flag) and in-window map-side revenue partials meet in ONE
+    partkey union+groupby cogroup (``Sum`` over the revenue partials,
+    ``Max`` over the flag — part rows carry 0/1, lineitem rows carry -1,
+    so the max IS the part's flag and a -1 survivor marks an orphan key).
+    The two global scalars then tree-combine as one fixed-width row.
+    Float parity: revenue is exact int ten-thousandths end to end; the
+    three outputs are each ONE IEEE division of exact ints (promo_e4·100
+    stays < 2^53), shipped UNROUNDED per the NOTES.md exact-arithmetic
+    rule."""
+    part = read_parquet_clean(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_type"]
+    )
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        promo = pc.starts_with(batch["p_type"], "PROMO")
+        return pa.table(
+            {
+                "k": batch["p_partkey"].cast(pa.int64()),
+                "rev_e4": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+                "flag": pc.cast(promo, pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("k",), ("rev_e4",))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sdate = _ts_us(batch, "l_shipdate")
+        kept = batch.filter(
+            pa.array((sdate >= Q14_LO_US) & (sdate < Q14_HI_US), pa.bool_())
+        )
+        cents = round_half_away(
+            kept["l_extendedprice"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        disc = round_half_away(
+            kept["l_discount"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        t = merge(
+            pa.table(
+                {
+                    "k": kept["l_partkey"].cast(pa.int64()),
+                    "rev_e4": pa.array(cents * (100 - disc), pa.int64()),
+                }
+            )
+        )
+        return t.append_column(
+            "flag", pa.array(np.full(t.num_rows, -1, np.int64), pa.int64())
+        )
+
+    cogrouped = (
+        part.map_batches(part_rows, batch_format="pyarrow")
+        .union(li.map_batches(li_partial, batch_format="pyarrow"))
+        .groupby("k")
+        .aggregate(
+            Sum("rev_e4", alias_name="rev_e4"),
+            Max("flag", alias_name="flag"),
+        )
+    )
+
+    def smerge(t: pa.Table) -> pa.Table:
+        # keyless scalar merge (TableGroupBy needs >=1 key): one row out
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                "promo_e4": pa.array(
+                    [int(pc.sum(t["promo_e4"]).as_py() or 0)], pa.int64()
+                ),
+                "tot_e4": pa.array(
+                    [int(pc.sum(t["tot_e4"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        flag = t["flag"].to_numpy(zero_copy_only=False)
+        in_dim = flag >= 0  # orphan partkeys (no part row) never count
+        return pa.table(
+            {
+                "promo_e4": pa.array(
+                    [int(rev[in_dim & (flag == 1)].sum())], pa.int64()
+                ),
+                "tot_e4": pa.array([int(rev[in_dim].sum())], pa.int64()),
+            }
+        )
+
+    totals = tree_combine(
+        cogrouped.map_batches(scalar_partial, batch_format="pyarrow"), smerge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "promo_revenue": pa.array([], pa.float64()),
+                "total_revenue": pa.array([], pa.float64()),
+                "promo_share": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        promo = int(t["promo_e4"][0].as_py())
+        tot = int(t["tot_e4"][0].as_py())
+        if tot <= 0:
+            return empty
+        return pa.table(
+            {
+                "promo_revenue": pa.array([promo / 10000.0], pa.float64()),
+                "total_revenue": pa.array([tot / 10000.0], pa.float64()),
+                "promo_share": pa.array(
+                    [float(promo * 100) / float(tot)], pa.float64()
+                ),
+            }
+        )
+
+    return totals.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def orders_large_volume_q18(sf_dir: str) -> Dataset:
+    """TPC-H Q18 (large-volume customers): the top-20 orders whose total
+    lineitem quantity exceeds 300 units. The HAVING-on-the-fact-side
+    shape: ONE orderkey groupby over map-side exact-hundredths quantity
+    partials, a post-aggregate filter (the having threshold makes winners
+    a vanishing fraction), then the associative (qty DESC, orderkey ASC)
+    top-20 merge — so nothing order-count-sized ever sorts globally. The
+    o_custkey / o_orderdate / o_totalprice attach for the ≤20 winners is
+    a targeted row-group-pruned parquet read (the Q3 precedent), never a
+    dimension shuffle. o_totalprice passes through untouched (bit-equal
+    both sides); total_qty is one exact-int division."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+    merge = group_sum_merge(("k",), ("qty_e2",))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        qty = round_half_away(
+            batch["l_quantity"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        return merge(
+            pa.table(
+                {
+                    "k": batch["l_orderkey"].cast(pa.int64()),
+                    "qty_e2": pa.array(qty, pa.int64()),
+                }
+            )
+        )
+
+    agg = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("qty_e2", alias_name="qty_e2"))
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        q = t["qty_e2"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q > Q18_QTY_E2_MIN, pa.bool_())).select(
+            ["k", "qty_e2"]
+        )
+
+    cut = topk_merge(Q18_K, "qty_e2", ["k"])
+    winners = tree_combine(
+        agg.map_batches(having, batch_format="pyarrow").map_batches(
+            cut, batch_format="pyarrow"
+        ),
+        cut,
+    ).take_all()
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.float64()),
+        }
+    )
+    if not winners:
+        return rd.from_arrow(empty)
+    wkeys = sorted(int(r["k"]) for r in winners)
+    dim = pq.read_table(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filters=[("o_orderkey", "in", wkeys)],
+    )
+    dmap = {
+        int(k): (int(c), d, float(p))
+        for k, c, d, p in zip(
+            dim["o_orderkey"].to_pylist(),
+            dim["o_custkey"].to_pylist(),
+            dim["o_orderdate"].cast(pa.timestamp("us")).to_pylist(),
+            dim["o_totalprice"].to_pylist(),
+        )
+    }
+    rows = sorted(
+        ((int(r["qty_e2"]), int(r["k"])) for r in winners),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([k for _, k in rows], pa.int64()),
+                "o_custkey": pa.array(
+                    [dmap[k][0] for _, k in rows], pa.int64()
+                ),
+                "o_orderdate": pa.array(
+                    [dmap[k][1] for _, k in rows], pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array(
+                    [dmap[k][2] for _, k in rows], pa.float64()
+                ),
+                "total_qty": pa.array(
+                    [q / 100.0 for q, _ in rows], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+MARKOV_ITERS = 12
+
+
+def events_markov_stationary(sf_dir: str) -> Dataset:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain: where a
+    user's behavior settles if the observed transition matrix keeps
+    acting. The corpus-scale work is exactly the transition census
+    (``events_type_transitions`` — one int-key bucket shuffle, #type²
+    output); the chain itself is a closed 5×5 row-stochastic matrix, so
+    the 12-step power iteration is driver math over ≤25 collected rows.
+    Float parity with the unrolled-CTE oracle: P entries are ONE int/int
+    IEEE division each; every iteration accumulates the 5 contributions
+    in FIXED type order with left-associated adds (the SQL `a*b + c*d +
+    ...` chain); never-seen prev types take an identity self-loop so the
+    matrix stays stochastic on both sides. Empty event log → 0 rows."""
+    trans = events_type_transitions(sf_dir).take_all()
+    if not trans:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "stationary": pa.array([], pa.float64()),
+                }
+            )
+        )
+    types = ENTROPY_TYPES  # the closed alphabetical event-type set
+    n = {
+        (r["prev_type"], r["next_type"]): int(r["n"])
+        for r in trans
+        if r["prev_type"] in types and r["next_type"] in types
+    }
+    prob: dict[tuple[str, str], float] = {}
+    for i in types:
+        tot = 0
+        for j in types:
+            tot += n.get((i, j), 0)
+        for j in types:
+            if tot == 0:
+                prob[(i, j)] = 1.0 if i == j else 0.0
+            else:
+                prob[(i, j)] = n.get((i, j), 0) / tot
+    v = {t: 0.2 for t in types}
+    for _ in range(MARKOV_ITERS):
+        nxt = {}
+        for j in types:
+            acc = v[types[0]] * prob[(types[0], j)]
+            for i in types[1:]:
+                acc = acc + v[i] * prob[(i, j)]
+            nxt[j] = acc
+        v = nxt
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(list(types), pa.string()),
+                "stationary": pa.array(
+                    round_half_away(
+                        np.array([v[t] for t in types], np.float64), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+    )

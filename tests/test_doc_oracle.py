@@ -2265,3 +2265,70 @@ def test_pack_bins_conservation_and_entropy_bounds():
     e = ent["entropy"].to_numpy()
     assert (e >= 0).all() and (e <= np.log(5) + 1e-9).all()
     assert (np.diff(e) <= 0).all()
+
+
+def test_batch25_queries_match_oracles():
+    """Batch-25 additions (TPC-H Q14 promo share, TPC-H Q18 large-volume
+    orders, event-type Markov stationary distribution) against their
+    registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "lineitem", "orders", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "lineitem_promo_share_q14",
+        "orders_large_volume_q18",
+        "events_markov_stationary",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_batch25_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "lineitem", "orders", "part"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.lineitem_promo_share_q14,
+        q.orders_large_volume_q18,
+        q.events_markov_stationary,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_markov_stationary_is_a_distribution_and_q18_threshold_binds():
+    """Structural invariants: the stationary vector is a probability
+    distribution (non-negative, sums to 1 within rounding slack) over the
+    closed type set; every Q18 winner clears the 300-unit threshold and
+    the cut is (qty DESC, orderkey ASC)-ordered."""
+    import numpy as np
+
+    st = q.events_markov_stationary(SF).to_pandas()
+    assert list(st["event_type"]) == sorted(st["event_type"])
+    v = st["stationary"].to_numpy()
+    assert (v >= 0).all()
+    assert abs(v.sum() - 1.0) < 5e-4  # 5 values rounded to 4 decimals
+
+    big = q.orders_large_volume_q18(SF).to_pandas()
+    assert len(big) <= q.Q18_K
+    tq = big["total_qty"].to_numpy()
+    assert (tq > 300).all()
+    assert (np.diff(tq) <= 0).all()
