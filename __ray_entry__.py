@@ -121,6 +121,16 @@ def kg_degree(sf_dir: str) -> Any:
     return degree_table(_kg_tables(sf_dir)["edges"])
 
 
+def kg_assortativity(sf_dir: str) -> Any:
+    """Graph analytics: directed degree assortativity (Pearson r of
+    (out_degree(src), in_degree(dst)) over edge rows — one fixed-width
+    six-moment partial per batch against a broadcast vocabulary-sized
+    degree map, tree-combined)."""
+    from neuroner_ray.stages.graph import assortativity
+
+    return assortativity(_kg_tables(sf_dir)["edges"])
+
+
 def kg_components(sf_dir: str) -> Any:
     """Graph analytics: connected components of the undirected entity
     graph (size-adaptive union-find / distributed min-label propagation);
@@ -383,6 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_promo_share_q14": q.lineitem_promo_share_q14,
         "orders_large_volume_q18": q.orders_large_volume_q18,
         "events_markov_stationary": q.events_markov_stationary,
+        "doc_readability": q.doc_readability,
+        "doc_jaccard_clusters": q.doc_jaccard_clusters,
+        "kg_assortativity": kg_assortativity,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -543,6 +556,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_top_entities": ko.kg_top_entities_sql(tglob),
         "kg_pagerank": ko.kg_pagerank_sql(tglob),
         "kg_degree": ko.kg_degree_sql(tglob),
+        "kg_assortativity": ko.kg_assortativity_sql(tglob),
+        "doc_jaccard_clusters": do.doc_jaccard_clusters_sql(),
         "kg_components": ko.kg_components_sql(tglob),
         "kg_triangles": ko.kg_triangles_sql(tglob),
         "kg_bfs_levels": ko.kg_bfs_levels_sql(tglob),
@@ -1819,6 +1834,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "events_markov_stationary": _markov_stationary_sql(),
+        "doc_readability": """
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                                          '[A-Za-z]+'))::BIGINT AS n_words,
+                   len(regexp_extract_all(coalesce(text, ''),
+                                          '[.!?]+'))::BIGINT AS n_sentences,
+                   len(regexp_extract_all(coalesce(text, ''),
+                                          '[AEIOUaeiou]+'))::BIGINT
+                       AS n_syllables,
+                   CASE WHEN n_words = 0 THEN NULL
+                        ELSE round(
+                            206.835
+                            - 1.015 * (CAST(n_words AS DOUBLE)
+                                       / greatest(n_sentences, 1))
+                            - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                            4)
+                   END AS flesch
+            FROM documents
+        """,
         "events_rolling_zscore": """
             WITH c AS (
                 SELECT event_id, user_id, ts,

@@ -470,3 +470,30 @@ w{i} AS MATERIALIZED (
         for i in range(1, n_merges + 1)
     ]
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def doc_jaccard_clusters_sql(threshold: float = 0.8) -> str:
+    """Near-dup cluster sizes: recursive closure over the SAME pair CTE
+    that backs ``doc_ngram_jaccard_pairs``, restricted to paired ids
+    (singletons carry no pair row), then a size census per min-member
+    label — mirrors ``queries.doc_jaccard_clusters``."""
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte(threshold)},
+        sym AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        uni AS (SELECT a AS id FROM sym),
+        reach AS (
+            SELECT id AS src, id AS dst FROM uni
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id
+            FROM reach GROUP BY src
+        )
+        SELECT cluster_id, count(*)::BIGINT AS n_docs
+        FROM lab GROUP BY cluster_id
+        ORDER BY cluster_id
+    """

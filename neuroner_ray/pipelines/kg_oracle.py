@@ -557,3 +557,46 @@ def kg_communities_lpa_sql(transcripts_glob: str, rounds: int = 8) -> str:
         SELECT node AS entity_id, val AS community FROM {prev}"""
     )
     return "".join(parts)
+
+
+def kg_assortativity_sql(transcripts_glob: str) -> str:
+    """Directed degree assortativity — mirrors ``stages.graph.assortativity``:
+    integer six-moment sums over edge rows of (out_degree(src),
+    in_degree(dst)), then the fixed Pearson expression with ONE
+    int→double cast per factor (DuckDB integer sums are exact HUGEINT,
+    matching Python's arbitrary-precision ints on the Ray side)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        d AS (
+            SELECT entity_id,
+                   sum(is_out)::BIGINT AS out_degree,
+                   sum(1 - is_out)::BIGINT AS in_degree
+            FROM (
+                SELECT src_id AS entity_id, 1 AS is_out FROM e
+                UNION ALL SELECT dst_id, 0 FROM e
+            )
+            GROUP BY entity_id
+        ),
+        j AS (
+            SELECT ds.out_degree AS x, dd.in_degree AS y
+            FROM e
+            JOIN d ds ON ds.entity_id = e.src_id
+            JOIN d dd ON dd.entity_id = e.dst_id
+        ),
+        s AS (
+            SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM j
+        )
+        SELECT m::BIGINT AS n_edges,
+               CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+                    THEN NULL
+                    ELSE round(
+                        CAST(m * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(m * syy - sy * sy AS DOUBLE))),
+                        4)
+               END AS assortativity
+        FROM s WHERE m > 0
+    """

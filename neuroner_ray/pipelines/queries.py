@@ -11235,3 +11235,123 @@ def events_markov_stationary(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+# ------------------------------------ batch 26: readability / dup clusters
+_FLESCH_WORD_RE = re.compile(r"[A-Za-z]+")
+_FLESCH_SENT_RE = re.compile(r"[.!?]+")
+_FLESCH_VOWEL_RE = re.compile(r"[AEIOUaeiou]+")
+
+
+def doc_readability(sf_dir: str) -> Dataset:
+    """Flesch-style reading-ease score per document from three exact
+    counts — alpha words, sentence-ending punctuation runs, and vowel
+    groups (the standard syllable proxy). Pure map, no shuffle. Float
+    parity: the counts are exact ints; the score is the fixed chain
+    206.835 − 1.015·(w/max(s,1)) − 84.6·(sy/w) — two int/int IEEE
+    divisions and left-associated subtractions, mirrored verbatim in the
+    oracle; w = 0 yields NULL on both sides."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_w, n_s, n_sy, fl = [], [], [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            w = len(_FLESCH_WORD_RE.findall(t))
+            s = len(_FLESCH_SENT_RE.findall(t))
+            sy = len(_FLESCH_VOWEL_RE.findall(t))
+            n_w.append(w)
+            n_s.append(s)
+            n_sy.append(sy)
+            if w == 0:
+                fl.append(None)
+            else:
+                fl.append(
+                    float(
+                        round_half_away(
+                            206.835 - 1.015 * (w / max(s, 1)) - 84.6 * (sy / w),
+                            4,
+                        )
+                    )
+                )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(n_w, pa.int64()),
+                "n_sentences": pa.array(n_s, pa.int64()),
+                "n_syllables": pa.array(n_sy, pa.int64()),
+                "flesch": pa.array(fl, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def doc_jaccard_clusters(sf_dir: str) -> Dataset:
+    """Near-duplicate CLUSTER SIZES: connected components over the
+    exact-verified 3-gram Jaccard pair graph (``doc_ngram_jaccard_pairs``)
+    → one row per multi-document cluster (label = min member id). The
+    curation diagnostic that tells you whether near-dups come as pairs or
+    as giant template families — the histogram the survivor-picker's cost
+    model needs. Composition of two oracled parts: the banded pair
+    generation (id-only band rows, capped blocks) feeds the size-adaptive
+    union-find / min-label-propagation CC machinery; the node universe is
+    the paired ids only (pair-count-bounded, far below the corpus)."""
+    from ..stages.canonicalize import connected_components
+    from ..stages.dedup import _id_key, ngram_jaccard_pairs
+
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def as_keys(t: pa.Table) -> pa.Table:
+        # zero-padded id strings: the union-find's lexicographic-min
+        # label IS the numeric-min doc_id (the dedup-stage convention)
+        return pa.table(
+            {
+                "a": pa.array(
+                    [_id_key(v) for v in t["a"].to_pylist()], pa.string()
+                ),
+                "b": pa.array(
+                    [_id_key(v) for v in t["b"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=0.8)
+        .map_batches(as_keys, batch_format="pyarrow")
+        .materialize()
+    )
+    nmerge = group_sum_merge(("node",), ("one",))
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return nmerge(
+            pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                    ),
+                    "one": pa.array(np.ones(2 * t.num_rows, np.int64)),
+                }
+            )
+        )
+
+    nodes = tree_combine(
+        pairs.map_batches(node_rows, batch_format="pyarrow"), nmerge
+    ).select_columns(["node"])
+    cc = connected_components(pairs, nodes)
+    sizes = (
+        cc.map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": pa.array(
+                        [int(v) for v in t["label"].to_pylist()], pa.int64()
+                    ),
+                    "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster_id")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return sizes.sort("cluster_id")

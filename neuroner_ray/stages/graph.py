@@ -2490,3 +2490,119 @@ def label_propagation(
             }
         )
     )
+
+
+def assortativity(edges: Dataset) -> Dataset:
+    """Directed degree assortativity: the Pearson correlation, over edge
+    rows, of (out_degree(src), in_degree(dst)) — do high-fan-out entities
+    point at high-fan-in ones? One row out: (n_edges, assortativity).
+
+    Scale shape: the degree census is entity-vocabulary-sized (the
+    canonical_map bound), so it broadcasts ONCE via ``ray.put`` and each
+    edge batch reduces to a single fixed-width six-moment partial row
+    (m, Σx, Σy, Σx², Σy², Σxy — all exact ints) that tree-combines; the
+    corpus-sized edge stream is never collected. Float parity: the five
+    moment sums stay integers through the merge, and the Pearson r is the
+    fixed expression num/(sqrt(dx)·sqrt(dy)) over ONE int→double cast
+    each, mirrored verbatim in the unrolled oracle; degenerate variance
+    (all-equal x or y) yields NULL on both sides."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import tree_combine
+
+    degs = degree_table(edges).materialize()
+    out_map: dict[str, int] = {}
+    in_map: dict[str, int] = {}
+    for b in degs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for e, o, i in zip(
+            b["entity_id"].to_pylist(),
+            b["out_degree"].to_pylist(),
+            b["in_degree"].to_pylist(),
+        ):
+            out_map[e] = int(o)
+            in_map[e] = int(i)
+    maps_ref = ray.put((out_map, in_map))
+
+    class Moments:
+        def __init__(self, ref):
+            self.out_map, self.in_map = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = np.array(
+                [self.out_map.get(s, 0) for s in t["src_id"].to_pylist()],
+                np.int64,
+            )
+            y = np.array(
+                [self.in_map.get(d, 0) for d in t["dst_id"].to_pylist()],
+                np.int64,
+            )
+            return pa.table(
+                {
+                    "m": pa.array([t.num_rows], pa.int64()),
+                    "sx": pa.array([int(x.sum())], pa.int64()),
+                    "sy": pa.array([int(y.sum())], pa.int64()),
+                    "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                    "syy": pa.array([int((y * y).sum())], pa.int64()),
+                    "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                }
+            )
+
+    def smerge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                c: pa.array(
+                    [int(pc.sum(t[c]).as_py() or 0)], pa.int64()
+                )
+                for c in ("m", "sx", "sy", "sxx", "syy", "sxy")
+            }
+        )
+
+    moments = tree_combine(
+        edges.select_columns(["src_id", "dst_id"]).map_batches(
+            Moments,
+            fn_constructor_args=(maps_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ),
+        smerge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_edges": pa.array([], pa.int64()),
+                "assortativity": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        m = int(t["m"][0].as_py())
+        if m == 0:
+            return empty
+        sx, sy, sxx, syy, sxy = (
+            int(t[c][0].as_py()) for c in ("sx", "sy", "sxx", "syy", "sxy")
+        )
+        # exact python-int moments; ONE int→double cast per factor
+        dx = m * sxx - sx * sx
+        dy = m * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            r = None
+        else:
+            import math
+
+            r = round_half_away(
+                float(m * sxy - sx * sy)
+                / (math.sqrt(float(dx)) * math.sqrt(float(dy))),
+                4,
+            )
+        return pa.table(
+            {
+                "n_edges": pa.array([m], pa.int64()),
+                "assortativity": pa.array([r], pa.float64()),
+            }
+        )
+
+    return moments.map_batches(finish, batch_size=None, batch_format="pyarrow")

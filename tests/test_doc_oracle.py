@@ -2332,3 +2332,44 @@ def test_markov_stationary_is_a_distribution_and_q18_threshold_binds():
     tq = big["total_qty"].to_numpy()
     assert (tq > 300).all()
     assert (np.diff(tq) <= 0).all()
+
+
+def test_batch26_queries_match_oracles():
+    """Batch-26 additions (Flesch-style readability, near-dup cluster
+    sizes over the Jaccard pair graph, KG degree assortativity) against
+    their registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "doc_readability",
+        "doc_jaccard_clusters",
+        "kg_assortativity",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_batch26_doc_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "documents.parquet"))
+    for fn in (q.doc_readability, q.doc_jaccard_clusters):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__

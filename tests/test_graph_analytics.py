@@ -542,3 +542,37 @@ def test_sharded_regimes_agree_on_random_graph():
         .reset_index(drop=True)
     )
     assert fast.equals(chunked), (fast.head(8), chunked.head(8))
+
+
+def test_assortativity_closed_form_and_empty():
+    """Six-moment Pearson vs hand-computed values: the fixture graph's
+    (out(src), in(dst)) pairs are exactly centered (r = 0); a three-edge
+    feed-forward triangle gives r = -0.5; empty edges give zero rows."""
+    from neuroner_ray.stages.graph import assortativity
+
+    df = assortativity(_edges_ds()).to_pandas()
+    assert df["n_edges"].tolist() == [6]
+    assert df["assortativity"].tolist() == [0.0]
+
+    tri = rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "weight": 1}
+            for s, d in [("a", "b"), ("a", "c"), ("b", "c")]
+        ]
+    )
+    df2 = assortativity(tri).to_pandas()
+    assert df2["n_edges"].tolist() == [3]
+    assert df2["assortativity"].tolist() == [-0.5]
+
+    import pyarrow as pa
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([], pa.string()),
+                "dst_id": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    )
+    assert len(assortativity(empty).to_pandas()) == 0
