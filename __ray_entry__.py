@@ -131,6 +131,14 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_edge_reciprocity(sf_dir: str) -> Any:
+    """Graph analytics: mutual-edge fraction of the distinct directed
+    edge set (two edge-bounded shuffles + one fixed-width scalar row)."""
+    from neuroner_ray.stages.graph import edge_reciprocity
+
+    return edge_reciprocity(_kg_tables(sf_dir)["edges"])
+
+
 def kg_components(sf_dir: str) -> Any:
     """Graph analytics: connected components of the undirected entity
     graph (size-adaptive union-find / distributed min-label propagation);
@@ -396,6 +404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": q.doc_readability,
         "doc_jaccard_clusters": q.doc_jaccard_clusters,
         "kg_assortativity": kg_assortativity,
+        "corpus_keyness_g2": q.corpus_keyness_g2,
+        "orders_returned_q10": q.orders_returned_q10,
+        "kg_edge_reciprocity": kg_edge_reciprocity,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -557,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": ko.kg_pagerank_sql(tglob),
         "kg_degree": ko.kg_degree_sql(tglob),
         "kg_assortativity": ko.kg_assortativity_sql(tglob),
+        "kg_edge_reciprocity": ko.kg_edge_reciprocity_sql(tglob),
         "doc_jaccard_clusters": do.doc_jaccard_clusters_sql(),
         "kg_components": ko.kg_components_sql(tglob),
         "kg_triangles": ko.kg_triangles_sql(tglob),
@@ -1834,6 +1846,57 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "events_markov_stationary": _markov_stationary_sql(),
+        "corpus_keyness_g2": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                                                 '{_TOK}')) AS token,
+                       CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t
+                FROM documents),
+            c AS (SELECT token,
+                         sum(is_t)::BIGINT AS n_target,
+                         sum(1 - is_t)::BIGINT AS n_rest
+                  FROM toks GROUP BY token),
+            tot AS (SELECT sum(n_target)::BIGINT AS nt,
+                           sum(n_rest)::BIGINT AS nr
+                    FROM c),
+            -- expected counts: double * int then ONE division (no giant
+            -- int product); zero cells contribute an exact 0; the two
+            -- ln terms add in fixed (target, rest) order — mirrors the
+            -- Ray side verbatim
+            g AS (SELECT token, n_target, n_rest,
+                      (CASE WHEN n_target > 0
+                            THEN n_target * ln(CAST(n_target AS DOUBLE)
+                                 / (CAST(nt AS DOUBLE)
+                                    * (n_target + n_rest) / (nt + nr)))
+                            ELSE 0 END)
+                      + (CASE WHEN n_rest > 0
+                              THEN n_rest * ln(CAST(n_rest AS DOUBLE)
+                                   / (CAST(nr AS DOUBLE)
+                                      * (n_target + n_rest) / (nt + nr)))
+                              ELSE 0 END) AS h
+                  FROM c, tot)
+            SELECT token, n_target, n_rest, round(2.0 * h, 4) AS g2
+            FROM g ORDER BY round(2.0 * h, 4) DESC, token ASC LIMIT 50
+        """,
+        "orders_returned_q10": """
+            SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100)
+                                           AS BIGINT))
+                         )::DOUBLE / 10000.0, 4) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+            ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ) DESC,
+                     c.c_custkey ASC
+            LIMIT 20
+        """,
         "doc_readability": """
             SELECT doc_id,
                    len(regexp_extract_all(coalesce(text, ''),

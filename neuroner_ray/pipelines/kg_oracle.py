@@ -600,3 +600,32 @@ def kg_assortativity_sql(transcripts_glob: str) -> str:
                END AS assortativity
         FROM s WHERE m > 0
     """
+
+
+def kg_edge_reciprocity_sql(transcripts_glob: str) -> str:
+    """Mutual-edge fraction — mirrors ``stages.graph.edge_reciprocity``:
+    distinct directed non-self-loop edges, unordered-pair direction-flag
+    sums (1 | 2, total 3 = reciprocated), ONE exact-int division."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (
+            SELECT DISTINCT src_id, dst_id FROM edges
+            WHERE src_id <> dst_id
+        ),
+        p AS (
+            SELECT least(src_id, dst_id) AS lo,
+                   greatest(src_id, dst_id) AS hi,
+                   sum(CASE WHEN src_id < dst_id THEN 1 ELSE 2 END) AS f
+            FROM e GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT count(*) AS np,
+                   sum(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS nr,
+                   sum(CASE WHEN f = 3 THEN 2 ELSE 1 END) AS nd
+            FROM p
+        )
+        SELECT nd::BIGINT AS n_directed_edges,
+               nr::BIGINT AS n_reciprocated_pairs,
+               round(CAST(2 * nr AS DOUBLE) / nd, 4) AS reciprocity
+        FROM s WHERE np > 0
+    """

@@ -11355,3 +11355,282 @@ def doc_jaccard_clusters(sf_dir: str) -> Dataset:
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
     return sizes.sort("cluster_id")
+
+
+# --------------------------- batch 27: keyness / Q10 / edge reciprocity
+KEYNESS_SOURCE = "src0"
+KEYNESS_K = 50
+Q10_LO_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q10_HI_US = 828_316_800_000_000  # 1996-04-01 epoch-µs
+Q10_K = 20
+
+
+def corpus_keyness_g2(sf_dir: str) -> Dataset:
+    """DUNNING LOG-LIKELIHOOD KEYNESS (G²): the 50 tokens whose frequency
+    most distinguishes one source from the rest of the corpus — the
+    corpus-linguistics contrast statistic behind "characteristic
+    vocabulary" reports. ONE (token → in-target / in-rest) census
+    shuffle (map-side partials, vocabulary-sized), the two global totals
+    tree-combine as one fixed-width row, then the G² scoring pass is
+    embarrassingly vectorized. Float parity: expected counts use the
+    shape CAST(Nt AS DOUBLE)·(a+b)/(Nt+Nr) — double·int then ONE
+    division, never a giant int product (int64-overflow-safe at corpus
+    scale); zero cells contribute an exact 0; both ln-term adds run in
+    fixed (target, rest) order; the top-50 cut orders by the 4-dp
+    ROUNDED score with token tiebreak."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["source", "text"]
+    )
+    merge = group_sum_merge(("token",), ("n_target", "n_rest"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ct: Counter = Counter()
+        cr: Counter = Counter()
+        for src, txt in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = ct if src == KEYNESS_SOURCE else cr
+            for tok in _TOKEN_RE.findall(txt or ""):
+                c[tok] += 1
+        toks = sorted(set(ct) | set(cr))
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n_target": pa.array([ct.get(t, 0) for t in toks], pa.int64()),
+                "n_rest": pa.array([cr.get(t, 0) for t in toks], pa.int64()),
+            }
+        )
+
+    census = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum("n_target", alias_name="n_target"),
+            Sum("n_rest", alias_name="n_rest"),
+        )
+        .materialize()
+    )
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nt": pa.array(
+                    [int(pc.sum(t["n_target"]).as_py() or 0)], pa.int64()
+                ),
+                "nr": pa.array(
+                    [int(pc.sum(t["n_rest"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    def tot_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                c: pa.array([int(pc.sum(t[c]).as_py() or 0)], pa.int64())
+                for c in ("nt", "nr")
+            }
+        )
+
+    tot = tree_combine(
+        census.map_batches(tot_partial, batch_format="pyarrow"), tot_merge
+    ).take_all()
+    nt = int(tot[0]["nt"]) if tot else 0
+    nr = int(tot[0]["nr"]) if tot else 0
+    if nt + nr == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_target": pa.array([], pa.int64()),
+                    "n_rest": pa.array([], pa.int64()),
+                    "g2": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def score(t: pa.Table, nt=nt, nr=nr) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_target": pa.array([], pa.int64()),
+                    "n_rest": pa.array([], pa.int64()),
+                    "g2": pa.array([], pa.float64()),
+                }
+            )
+        a = t["n_target"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t["n_rest"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot_f = (
+            (
+                t["n_target"].to_numpy(zero_copy_only=False)
+                + t["n_rest"].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+        )
+        n = nt + nr
+        ea = float(nt) * tot_f / n
+        eb = float(nr) * tot_f / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(a > 0, a * np.log(a / ea), 0.0)
+            tb = np.where(b > 0, b * np.log(b / eb), 0.0)
+        g2 = round_half_away(2.0 * (ta + tb), 4)
+        return pa.table(
+            {
+                "token": t["token"],
+                "n_target": t["n_target"],
+                "n_rest": t["n_rest"],
+                "g2": pa.array(g2, pa.float64()),
+            }
+        )
+
+    cut = topk_merge(KEYNESS_K, "g2", ["token"])
+    return tree_combine(
+        census.map_batches(score, batch_format="pyarrow").map_batches(
+            cut, batch_format="pyarrow"
+        ),
+        cut,
+    )
+
+
+def orders_returned_q10(sf_dir: str) -> Dataset:
+    """TPC-H Q10 (returned-item reporting): the top-20 customers by exact
+    revenue of RETURNED lineitems against orders placed in 1996-Q1. The
+    three-table chain is two int-key stages, no row-level join engine:
+    in-window orders carry their custkey as a marker into ONE orderkey
+    cogroup with the R-flag revenue partials (``Max`` picks the marker,
+    li rows carry -1 — the Q14 flag rule), the surviving (custkey,
+    rev_e4) rows then meet in ONE custkey groupby, the top-20 cut is the
+    associative (rev DESC, custkey ASC) merge, and the name/nation/
+    balance attach for the ≤20 winners is a targeted row-group-pruned
+    customer read (the Q3/Q18 precedent)."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = _ts_us(batch, "o_orderdate")
+        kept = batch.filter(
+            pa.array((odate >= Q10_LO_US) & (odate < Q10_HI_US), pa.bool_())
+        )
+        return pa.table(
+            {
+                "k": kept["o_orderkey"].cast(pa.int64()),
+                "ck": kept["o_custkey"].cast(pa.int64()),
+                "rev_e4": pa.array(np.zeros(kept.num_rows, np.int64)),
+                "n_li": pa.array(np.zeros(kept.num_rows, np.int64)),
+            }
+        )
+
+    merge = group_sum_merge(("k",), ("rev_e4", "n_li"))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        cents = round_half_away(
+            kept["l_extendedprice"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        disc = round_half_away(
+            kept["l_discount"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        t = merge(
+            pa.table(
+                {
+                    "k": kept["l_orderkey"].cast(pa.int64()),
+                    "rev_e4": pa.array(cents * (100 - disc), pa.int64()),
+                    "n_li": pa.array(np.ones(kept.num_rows, np.int64)),
+                }
+            )
+        )
+        return t.append_column(
+            "ck", pa.array(np.full(t.num_rows, -1, np.int64), pa.int64())
+        ).select(["k", "ck", "rev_e4", "n_li"])  # match order_rows' layout
+
+    cogrouped = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(li.map_batches(li_partial, batch_format="pyarrow"))
+        .groupby("k")
+        .aggregate(
+            Sum("rev_e4", alias_name="rev_e4"),
+            Sum("n_li", alias_name="n_li"),
+            Max("ck", alias_name="ck"),
+        )
+    )
+    cmerge = group_sum_merge(("ck",), ("rev_e4",))
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        n_li = t["n_li"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array((ck >= 0) & (n_li > 0), pa.bool_()))
+        return cmerge(kept.select(["ck", "rev_e4"]))
+
+    per_cust = (
+        cogrouped.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+    cut = topk_merge(Q10_K, "rev_e4", ["ck"])
+    winners = tree_combine(per_cust.map_batches(cut, batch_format="pyarrow"), cut).take_all()
+
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "c_nationkey": pa.array([], pa.int64()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "revenue": pa.array([], pa.float64()),
+        }
+    )
+    if not winners:
+        return rd.from_arrow(empty)
+    wkeys = sorted(int(r["ck"]) for r in winners)
+    dim = pq.read_table(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        filters=[("c_custkey", "in", wkeys)],
+    )
+    dmap = {
+        int(k): (nm, int(nk), float(ab))
+        for k, nm, nk, ab in zip(
+            dim["c_custkey"].to_pylist(),
+            dim["c_name"].to_pylist(),
+            dim["c_nationkey"].to_pylist(),
+            dim["c_acctbal"].to_pylist(),
+        )
+    }
+    rows = sorted(
+        ((int(r["rev_e4"]), int(r["ck"])) for r in winners),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([k for _, k in rows], pa.int64()),
+                "c_name": pa.array([dmap[k][0] for _, k in rows], pa.string()),
+                "c_nationkey": pa.array(
+                    [dmap[k][1] for _, k in rows], pa.int64()
+                ),
+                "c_acctbal": pa.array(
+                    [dmap[k][2] for _, k in rows], pa.float64()
+                ),
+                "revenue": pa.array(
+                    round_half_away(
+                        np.array([r for r, _ in rows], np.float64) / 10000.0,
+                        4,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+    )

@@ -2606,3 +2606,120 @@ def assortativity(edges: Dataset) -> Dataset:
         )
 
     return moments.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def edge_reciprocity(edges: Dataset) -> Dataset:
+    """EDGE RECIPROCITY: the fraction of distinct directed edges (u → v,
+    u ≠ v, predicates collapsed) whose reverse edge also exists — the
+    mutuality diagnostic of the produced KG. One row out:
+    (n_directed_edges, n_reciprocated_pairs, reciprocity).
+
+    Scale shape: TWO int/string-key shuffles, both corpus-edge-bounded —
+    a (src, dst) groupby dedups the directed edge set, then an unordered
+    (lo, hi) groupby sums direction flags (1 = forward, 2 = backward, so
+    a group total of 3 marks a reciprocated pair — distinctness makes
+    the sum a bit-set). Scalar partials tree-combine; nothing collects
+    beyond one fixed-width row. Float parity: reciprocity is ONE IEEE
+    division CAST(2·n_recip AS DOUBLE)/n_directed of exact ints; an
+    empty (or all-self-loop) graph yields zero rows on both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import group_sum_merge, tree_combine
+
+    dmerge = group_sum_merge(("src_id", "dst_id"), ("one",))
+
+    def directed_rows(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.invert(pc.equal(t["src_id"], t["dst_id"])))
+        return dmerge(
+            pa.table(
+                {
+                    "src_id": kept["src_id"],
+                    "dst_id": kept["dst_id"],
+                    "one": pa.array(np.ones(kept.num_rows, np.int64)),
+                }
+            )
+        )
+
+    distinct = (
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(directed_rows, batch_format="pyarrow")
+        .groupby(["src_id", "dst_id"])
+        .aggregate(Sum("one", alias_name="one"))
+    )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        s = t["src_id"].to_pylist()
+        d = t["dst_id"].to_pylist()
+        fwd = [a < b for a, b in zip(s, d)]
+        return pa.table(
+            {
+                "lo": pa.array(
+                    [a if f else b for a, b, f in zip(s, d, fwd)], pa.string()
+                ),
+                "hi": pa.array(
+                    [b if f else a for a, b, f in zip(s, d, fwd)], pa.string()
+                ),
+                "f": pa.array([1 if f else 2 for f in fwd], pa.int64()),
+            }
+        )
+
+    pairs = (
+        distinct.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("f", alias_name="f"))
+    )
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_pairs": pa.array([t.num_rows], pa.int64()),
+                "n_recip": pa.array([int((f == 3).sum())], pa.int64()),
+                "n_dir": pa.array(
+                    [int(np.where(f == 3, 2, 1).sum())], pa.int64()
+                ),
+            }
+        )
+
+    def smerge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                c: pa.array([int(pc.sum(t[c]).as_py() or 0)], pa.int64())
+                for c in ("n_pairs", "n_recip", "n_dir")
+            }
+        )
+
+    scalars = tree_combine(
+        pairs.map_batches(scalar_partial, batch_format="pyarrow"), smerge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_directed_edges": pa.array([], pa.int64()),
+                "n_reciprocated_pairs": pa.array([], pa.int64()),
+                "reciprocity": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nd = int(t["n_dir"][0].as_py())
+        if nd == 0:
+            return empty
+        nr = int(t["n_recip"][0].as_py())
+        return pa.table(
+            {
+                "n_directed_edges": pa.array([nd], pa.int64()),
+                "n_reciprocated_pairs": pa.array([nr], pa.int64()),
+                "reciprocity": pa.array(
+                    [float(round_half_away(float(2 * nr) / nd, 4))],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return scalars.map_batches(finish, batch_size=None, batch_format="pyarrow")

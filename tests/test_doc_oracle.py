@@ -2373,3 +2373,46 @@ def test_batch26_doc_ops_survive_empty_input(tmp_path):
     pq.write_table(sch.empty_table(), os.path.join(d, "documents.parquet"))
     for fn in (q.doc_readability, q.doc_jaccard_clusters):
         assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_batch27_queries_match_oracles():
+    """Batch-27 additions (Dunning G² keyness, TPC-H Q10 returned-item
+    revenue, KG edge reciprocity) against their registered oracles at
+    fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "customer", "orders", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "corpus_keyness_g2",
+        "orders_returned_q10",
+        "kg_edge_reciprocity",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_batch27_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("documents", "customer", "orders", "lineitem"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (q.corpus_keyness_g2, q.orders_returned_q10):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__

@@ -576,3 +576,38 @@ def test_assortativity_closed_form_and_empty():
         )
     )
     assert len(assortativity(empty).to_pandas()) == 0
+
+
+def test_edge_reciprocity_counts_mutual_pairs():
+    """a<->b reciprocated, b->c and x->y not, self-loop ignored,
+    parallel predicates collapse: 4 directed edges, 1 mutual pair."""
+    from neuroner_ray.stages.graph import edge_reciprocity
+
+    ds = rd.from_items(
+        [
+            {"src_id": s, "dst_id": d, "weight": 1}
+            for s, d in [
+                ("a", "b"), ("a", "b"),  # parallel predicates collapse
+                ("b", "a"),              # reciprocated
+                ("b", "c"), ("x", "y"),  # one-way
+                ("c", "c"),              # self-loop dropped
+            ]
+        ]
+    )
+    df = edge_reciprocity(ds).to_pandas()
+    assert df["n_directed_edges"].tolist() == [4]
+    assert df["n_reciprocated_pairs"].tolist() == [1]
+    assert df["reciprocity"].tolist() == [0.5]
+
+    import pyarrow as pa
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([], pa.string()),
+                "dst_id": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    )
+    assert len(edge_reciprocity(empty).to_pandas()) == 0
