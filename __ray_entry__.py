@@ -407,6 +407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_keyness_g2": q.corpus_keyness_g2,
         "orders_returned_q10": q.orders_returned_q10,
         "kg_edge_reciprocity": kg_edge_reciprocity,
+        "events_hourly_ewma": q.events_hourly_ewma,
+        "revenue_two_nation_q7": q.revenue_two_nation_q7,
+        "doc_shingle_novelty": q.doc_shingle_novelty,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -1846,6 +1849,64 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "events_markov_stationary": _markov_stationary_sql(),
+        "events_hourly_ewma": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1),
+            o AS (SELECT hour, n_events,
+                         row_number() OVER (ORDER BY hour) AS rn
+                  FROM h),
+            -- literal 0.3 / 0.7 mirror the Ray-side recurrence exactly
+            r AS (
+                SELECT rn, hour, n_events, CAST(n_events AS DOUBLE) AS s
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.hour, o.n_events,
+                       0.3 * o.n_events + 0.7 * r.s
+                FROM r JOIN o ON o.rn = r.rn + 1)
+            SELECT hour, n_events, round(s, 4) AS ewma FROM r
+        """,
+        "revenue_two_nation_q7": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100)
+                                           AS BIGINT))
+                         )::DOUBLE / 10000.0, 4) AS revenue
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE ((ns.n_name = 'NATION_11' AND nc.n_name = 'NATION_12')
+                OR (ns.n_name = 'NATION_12' AND nc.n_name = 'NATION_11'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "doc_shingle_novelty": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 6),
+                              i -> array_to_string(ws[i:i+7], ' ')))
+                           AS shingle
+                FROM w WHERE len(ws) >= 8),
+            m AS (SELECT shingle, min(doc_id) AS md FROM sh GROUP BY 1)
+            SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN sh.doc_id = m.md THEN 1 ELSE 0 END)::BIGINT
+                       AS n_novel,
+                   round(sum(CASE WHEN sh.doc_id = m.md THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 4) AS novelty
+            FROM sh JOIN m ON m.shingle = sh.shingle
+            GROUP BY sh.doc_id
+        """,
         "corpus_keyness_g2": f"""
             WITH toks AS (
                 SELECT unnest(regexp_extract_all(coalesce(text, ''),

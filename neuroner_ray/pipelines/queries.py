@@ -11634,3 +11634,429 @@ def orders_returned_q10(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+# -------------------------- batch 28: EWMA / Q7 / first-occurrence novelty
+EWMA_ALPHA = 0.3
+Q7_NATIONS = ("NATION_11", "NATION_12")
+Q7_LO_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q7_HI_US = 883_526_400_000_000  # 1998-01-01 epoch-µs
+
+
+def events_hourly_ewma(sf_dir: str) -> Dataset:
+    """EXPONENTIAL SMOOTHING (EWMA, α = 0.3) over the hourly event-count
+    series — the classic monitoring baseline the MASE/changepoint ops
+    compare against. The corpus-scale work is ONE hour-key census
+    (map-side partials, hour-count-sized output — the time domain bounds
+    it regardless of corpus size, the events_sliding_hourly argument);
+    the recurrence s_t = α·x_t + (1−α)·s_{t−1} then runs over OBSERVED
+    hours ascending inside the final single combine block. Float parity:
+    both sides evaluate the identical α·x + (1−α)·s chain in time order
+    (DuckDB mirrors with a row-number recursive CTE), s_1 = x_1 exactly,
+    4-dp round at output only."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts"])
+    HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = _ts_us(batch)
+        slot = micros // HOUR * HOUR
+        uniq, counts = np.unique(slot, return_counts=True)
+        return pa.table(
+            {
+                "hour_us": pa.array(uniq, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("hour_us",), ("n_events",))
+    census = tree_combine(ev.map_batches(partial, batch_format="pyarrow"), merge)
+
+    def smooth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        hrs = t["hour_us"].to_numpy(zero_copy_only=False)
+        ns = t["n_events"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hrs)
+        hrs, ns = hrs[order], ns[order]
+        out = np.empty(len(ns), np.float64)
+        s = float(ns[0])
+        out[0] = s
+        for i in range(1, len(ns)):
+            # literal 0.3 / 0.7 on BOTH sides (don't derive 1 - α at
+            # runtime; the oracle uses the same two literals)
+            s = 0.3 * ns[i] + 0.7 * s
+            out[i] = s
+        return pa.table(
+            {
+                "hour": pa.array(
+                    hrs.view("datetime64[us]"), pa.timestamp("us")
+                ),
+                "n_events": pa.array(ns, pa.int64()),
+                "ewma": pa.array(round_half_away(out, 4), pa.float64()),
+            }
+        )
+
+    return census.map_batches(smooth, batch_size=None, batch_format="pyarrow")
+
+
+def revenue_two_nation_q7(sf_dir: str) -> Dataset:
+    """TPC-H Q7 (volume shipping): revenue flowing between two named
+    nations per ship year, split by (supplier nation, customer nation)
+    direction. Two chained int-key stages (the Q5 scaffolding, but the
+    nation PAIR survives instead of collapsing to a key equality):
+    region-free customer rows in either nation meet orders in a custkey
+    union+map_groups that stamps orders with the customer nation; the
+    stamped markers then meet supplier-nation/year revenue partials in an
+    orderkey groupby whose per-order group (bounded by one order's
+    lineitems) emits the (supp_nation, cust_nation, year) pair rows when
+    the two nations differ. Supplier→nation broadcasts once as sorted
+    arrays (the Q5 rule); revenue is exact int ten-thousandths."""
+    nation = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    name_of = dict(
+        zip(
+            (int(k) for k in nation["n_nationkey"].to_pylist()),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    nkeys = frozenset(
+        k for k, nm in name_of.items() if nm in Q7_NATIONS
+    )
+    supp = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order_idx = np.argsort(sk)
+    sk = sk[order_idx]
+    snat = (
+        supp["s_nationkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)[order_idx]
+    )
+    dims_ref = ray.put((nkeys, sk, snat))
+
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = read_parquet_clean(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": batch["o_custkey"].cast(pa.int64()),
+                "k": batch["o_orderkey"].cast(pa.int64()),
+                "nat": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            }
+        )
+
+    class CustRows:
+        def __init__(self, ref):
+            self.nkeys = ray.get(ref)[0]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            keep = pa.array([int(x) in self.nkeys for x in nk], pa.bool_())
+            kept = batch.filter(keep)
+            return pa.table(
+                {
+                    "ck": kept["c_custkey"].cast(pa.int64()),
+                    "k": pa.array(np.full(kept.num_rows, -1, np.int64)),
+                    "nat": kept["c_nationkey"].cast(pa.int64()),
+                }
+            )
+
+    def stamp(g: pd.DataFrame) -> pd.DataFrame:
+        nat = g.loc[g["k"] < 0, "nat"]
+        if nat.empty:
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="int64"),
+                    "c_nat": pd.Series([], dtype="int64"),
+                }
+            )
+        ods = g.loc[g["k"] >= 0, "k"]
+        return pd.DataFrame(
+            {
+                "k": ods.to_numpy(np.int64),
+                "c_nat": np.full(len(ods), int(nat.iloc[0]), np.int64),
+            }
+        )
+
+    stamped = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(
+            cust.map_batches(
+                CustRows,
+                fn_constructor_args=(dims_ref,),
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        )
+        .groupby("ck")
+        .map_groups(stamp, batch_format="pandas")
+    )
+
+    def order_markers(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["k"],
+                "s_nat": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "year": pa.array(np.zeros(t.num_rows, np.int64)),
+                "rev_e4": pa.array(np.zeros(t.num_rows, np.int64)),
+                "c_nat": t["c_nat"],
+            }
+        )
+
+    lmerge = group_sum_merge(("k", "s_nat", "year"), ("rev_e4",))
+
+    class LiPartial:
+        def __init__(self, ref):
+            self.nkeys, self.sk, self.snat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sdate = _ts_us(batch, "l_shipdate")
+            batch = batch.filter(
+                pa.array((sdate >= Q7_LO_US) & (sdate < Q7_HI_US), pa.bool_())
+            )
+            sdate = _ts_us(batch, "l_shipdate")
+            suppk = (
+                batch["l_suppkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if len(self.sk) == 0:
+                mask = np.zeros(len(suppk), np.bool_)
+                nat = np.full(len(suppk), -1, np.int64)
+            else:
+                idx = np.clip(
+                    np.searchsorted(self.sk, suppk), 0, len(self.sk) - 1
+                )
+                nat = self.snat[idx]
+                in_set = np.array(
+                    [int(x) in self.nkeys for x in nat], np.bool_
+                )
+                mask = (self.sk[idx] == suppk) & in_set
+            kept = batch.filter(pa.array(mask, pa.bool_()))
+            knat = nat[mask]
+            year = (
+                (sdate[mask] // 1_000_000).astype("datetime64[s]")
+                .astype("datetime64[Y]")
+                .astype(np.int64)
+                + 1970
+            )
+            cents = round_half_away(
+                kept["l_extendedprice"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            disc = round_half_away(
+                kept["l_discount"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            t = lmerge(
+                pa.table(
+                    {
+                        "k": kept["l_orderkey"].cast(pa.int64()),
+                        "s_nat": pa.array(knat, pa.int64()),
+                        "year": pa.array(year, pa.int64()),
+                        "rev_e4": pa.array(cents * (100 - disc), pa.int64()),
+                    }
+                )
+            )
+            return t.append_column(
+                "c_nat", pa.array(np.full(t.num_rows, -1, np.int64))
+            ).select(["k", "s_nat", "year", "rev_e4", "c_nat"])
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "s_nat": pd.Series([], dtype="int64"),
+                "c_nat": pd.Series([], dtype="int64"),
+                "year": pd.Series([], dtype="int64"),
+                "rev_e4": pd.Series([], dtype="int64"),
+            }
+        )
+        cn = g.loc[g["s_nat"] < 0, "c_nat"]
+        if cn.empty:
+            return empty
+        c_nat = int(cn.iloc[0])
+        li_rows = g[(g["s_nat"] >= 0) & (g["s_nat"] != c_nat)]
+        if li_rows.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "s_nat": li_rows["s_nat"].to_numpy(np.int64),
+                "c_nat": np.full(len(li_rows), c_nat, np.int64),
+                "year": li_rows["year"].to_numpy(np.int64),
+                "rev_e4": li_rows["rev_e4"].to_numpy(np.int64),
+            }
+        )
+
+    paired = (
+        stamped.map_batches(order_markers, batch_format="pyarrow")
+        .union(
+            li.map_batches(
+                LiPartial,
+                fn_constructor_args=(dims_ref,),
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        )
+        .groupby("k")
+        .map_groups(pair_rows, batch_format="pandas")
+        .groupby(["s_nat", "c_nat", "year"])
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+
+    def finish(t: pa.Table, names=name_of) -> pa.Table:
+        empty = pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        df["supp_nation"] = df["s_nat"].map(lambda k: names.get(int(k), ""))
+        df["cust_nation"] = df["c_nat"].map(lambda k: names.get(int(k), ""))
+        df = df.sort_values(
+            ["supp_nation", "cust_nation", "year"]
+        ).reset_index(drop=True)
+        return pa.table(
+            {
+                "supp_nation": pa.array(df["supp_nation"], pa.string()),
+                "cust_nation": pa.array(df["cust_nation"], pa.string()),
+                "l_year": pa.array(df["year"].to_numpy(np.int64), pa.int64()),
+                "revenue": pa.array(
+                    round_half_away(
+                        df["rev_e4"].to_numpy(np.float64) / 10000.0, 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return paired.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+NOVELTY_W = 8
+
+
+def doc_shingle_novelty(sf_dir: str) -> Dataset:
+    """FIRST-OCCURRENCE NOVELTY per document: of a doc's distinct word-
+    8-gram shingles (the corpus_dup_shingles definition), the fraction
+    whose GLOBAL first occurrence (min doc_id) is this doc — the
+    dataset-ordering signal behind "is this shard mostly recycled
+    passages?" curation checks. Two corpus-proportional string-key
+    shuffles: distinct (shingle, doc_id) posting rows group per shingle
+    (the per-group novelty flags are one vectorized min-compare; group
+    size = shingle df), then the flags re-group per doc. Docs under 8
+    words carry no shingles and drop out — on both sides."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        dids, shs = [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = _WORD_RE.findall((t or "").lower())
+            for sh in {
+                " ".join(ws[i : i + NOVELTY_W])
+                for i in range(len(ws) - NOVELTY_W + 1)
+            }:
+                dids.append(did)
+                shs.append(sh)
+        return pa.table(
+            {
+                "shingle": pa.array(shs, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+            }
+        )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "novel": (ids == ids.min()).astype(np.int64),
+                "one": np.ones(len(ids), np.int64),
+            }
+        )
+
+    flags = (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(flag, batch_format="pandas")
+    )
+    merge = group_sum_merge(("doc_id",), ("n_novel", "n_shingles"))
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        return merge(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_novel": t["novel"],
+                    "n_shingles": t["one"],
+                }
+            )
+        )
+
+    census = (
+        flags.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_novel", alias_name="n_novel"),
+            Sum("n_shingles", alias_name="n_shingles"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                    "novelty": pa.array([], pa.float64()),
+                }
+            )
+        nn = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": t["n_shingles"],
+                "n_novel": t["n_novel"],
+                "novelty": pa.array(
+                    round_half_away(nn / ns, 4), pa.float64()
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_format="pyarrow")

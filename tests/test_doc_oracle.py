@@ -2416,3 +2416,86 @@ def test_batch27_ops_survive_empty_input(tmp_path):
         pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
     for fn in (q.corpus_keyness_g2, q.orders_returned_q10):
         assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_batch28_queries_match_oracles():
+    """Batch-28 additions (hourly EWMA smoothing, TPC-H Q7 two-nation
+    volume, first-occurrence shingle novelty) against their registered
+    oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in (
+        "events",
+        "documents",
+        "orders",
+        "customer",
+        "lineitem",
+        "supplier",
+        "nation",
+    ):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_hourly_ewma",
+        "revenue_two_nation_q7",
+        "doc_shingle_novelty",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0,
+            obj=name,
+        )
+
+
+def test_batch28_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in (
+        "events",
+        "documents",
+        "orders",
+        "customer",
+        "lineitem",
+        "supplier",
+        "nation",
+    ):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.events_hourly_ewma,
+        q.revenue_two_nation_q7,
+        q.doc_shingle_novelty,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_ewma_recurrence_and_novelty_bounds():
+    """Structural invariants: the EWMA replays the recurrence exactly on
+    the collected hourly census; novelty is in (0, 1] and every doc's
+    novel count is bounded by its shingle count."""
+    import numpy as np
+
+    ew = q.events_hourly_ewma(SF).to_pandas().sort_values("hour")
+    ns = ew["n_events"].to_numpy()
+    s = float(ns[0])
+    for i in range(1, len(ns)):
+        s = 0.3 * ns[i] + 0.7 * s
+    assert ew["ewma"].iloc[-1] == float(q.round_half_away(s, 4))
+    assert ew["ewma"].iloc[0] == float(ns[0])
+
+    nov = q.doc_shingle_novelty(SF).to_pandas()
+    assert (nov["n_novel"] <= nov["n_shingles"]).all()
+    assert (nov["novelty"] > 0).sum() > 0
+    assert (nov["novelty"] <= 1.0).all()
