@@ -181,6 +181,15 @@ def kg_neighbor_jaccard(sf_dir: str) -> Any:
     return neighbor_jaccard_topk(_kg_tables(sf_dir)["edges"])
 
 
+def kg_twohop_reach(sf_dir: str) -> Any:
+    """Graph analytics: distinct ≤2-hop reach per entity (adjacency
+    broadcast / wedge-dedup shuffle past the cap — see
+    stages.graph.twohop_reach)."""
+    from neuroner_ray.stages.graph import twohop_reach
+
+    return twohop_reach(_kg_tables(sf_dir)["edges"])
+
+
 def kg_communities_lpa(sf_dir: str) -> Any:
     """Graph analytics: synchronous label-propagation communities (fixed
     8 rounds; labels broadcast per round, one streamed pair pass each)."""
@@ -410,6 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_ewma": q.events_hourly_ewma,
         "revenue_two_nation_q7": q.revenue_two_nation_q7,
         "doc_shingle_novelty": q.doc_shingle_novelty,
+        "embedding_semdedup": q.embedding_semdedup,
+        "orders_custdist_q13": q.orders_custdist_q13,
+        "kg_twohop_reach": kg_twohop_reach,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -556,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard_pairs": do.doc_ngram_jaccard_pairs_sql(),
         "embedding_near_dup": do.embedding_near_dup_sql(),
         "embedding_kmeans": do.embedding_kmeans_sql(),
+        "embedding_semdedup": do.embedding_semdedup_sql(),
         "embedding_pca_top1": do.embedding_pca_top1_sql(),
         "similarity_topk_lsh": do.similarity_topk_sql(),
         "similarity_topk_ivf": do.similarity_topk_ivf_sql(oracle_sf),
@@ -578,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_levels": ko.kg_bfs_levels_sql(tglob),
         "kg_kcore": ko.kg_kcore_sql(tglob),
         "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
+        "kg_twohop_reach": ko.kg_twohop_sql(tglob),
         "kg_communities_lpa": ko.kg_communities_lpa_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
         "events_value_quantiles": """
@@ -1849,6 +1863,16 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "events_markov_stationary": _markov_stationary_sql(),
+        "orders_custdist_q13": f"""
+            SELECT c_count, count(*)::BIGINT AS custdist FROM (
+                SELECT c.c_custkey,
+                       count(o.o_orderkey)::BIGINT AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority <> '{q.Q13_EXCLUDED_PRIORITY}'
+                GROUP BY 1)
+            GROUP BY c_count
+        """,
         "events_hourly_ewma": """
             WITH RECURSIVE h AS (
                 SELECT date_trunc('hour', ts) AS hour,

@@ -384,6 +384,33 @@ SELECT vec_id, cluster FROM (
     return "".join(parts)
 
 
+def embedding_semdedup_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, tau: float = 0.42
+) -> str:
+    """SemDedup keep flags: the ``embedding_kmeans_sql`` unrolled-Lloyd
+    chain (verbatim — same init, iterations, rounding, tie-breaks) plus a
+    final-assignment CTE and the within-cluster pairwise cosine pass. A
+    vector is DROPPED (keep = 0) when some cluster-mate with a SMALLER
+    vec_id has round(cosine, 6) ≥ τ — the deterministic min-id-survivor
+    rule mirrored by ``queries.embedding_semdedup``. τ sits ≥ 1e-4 from
+    every observed within-cluster cosine at sf0.001/0.01/0.1, so the
+    rounded compare cannot flip on summation-order ulps (same fragility
+    class as ``embedding_kmeans_sql`` — see its docstring)."""
+    base = embedding_kmeans_sql(k=k, iters=iters, dim=dim)
+    head, final = base.rsplit("\nSELECT vec_id, cluster FROM (", 1)
+    return f"""{head},
+asg AS MATERIALIZED (
+  SELECT vec_id, cluster FROM ({final})
+SELECT a.vec_id, a.cluster,
+       (CASE WHEN EXISTS (
+           SELECT 1 FROM asg b
+           JOIN e eb ON eb.vec_id = b.vec_id
+           WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+             AND round(list_cosine_similarity(eb.v, ea.v), 6) >= {tau})
+        THEN 0 ELSE 1 END)::BIGINT AS keep
+FROM asg a JOIN e ea ON ea.vec_id = a.vec_id"""
+
+
 def embedding_pca_top1_sql(iters: int = 3, dim: int = 64) -> str:
     """Unrolled power iterations mirroring ``queries.embedding_pca_top1``:
     v0 = 1/8 per component (exact dyadic), per iteration

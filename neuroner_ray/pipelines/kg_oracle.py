@@ -629,3 +629,33 @@ def kg_edge_reciprocity_sql(transcripts_glob: str) -> str:
                round(CAST(2 * nr AS DOUBLE) / nd, 4) AS reciprocity
         FROM s WHERE np > 0
     """
+
+
+def kg_twohop_sql(transcripts_glob: str) -> str:
+    """Distinct ≤2-hop reach per node — mirrors
+    ``stages.graph.twohop_reach`` (direct neighbors UNION wedge endpoints
+    through any center, self excluded, counted per source node)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS x,
+                            greatest(src_id, dst_id) AS y
+            FROM e WHERE src_id <> dst_id
+        ),
+        ud AS MATERIALIZED (
+            SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und
+        ),
+        two AS (
+            -- UNION ALL + outer DISTINCT: inside a WITH RECURSIVE block
+            -- DuckDB does NOT set-dedup a plain UNION across these two
+            -- branches (observed: 30,722 rows where the distinct pair set
+            -- is 1,332), so the dedup must be explicit
+            SELECT a AS u, b AS v FROM ud
+            UNION ALL
+            SELECT n1.a, n2.b
+            FROM ud n1 JOIN ud n2 ON n1.b = n2.a AND n1.a <> n2.b
+        )
+        SELECT u AS entity_id, count(*)::BIGINT AS reach2
+        FROM (SELECT DISTINCT u, v FROM two) GROUP BY u
+    """

@@ -12060,3 +12060,127 @@ def doc_shingle_novelty(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_format="pyarrow")
+
+
+# ----------------------- batch 29: SemDedup / Q13 custdist / 2-hop reach
+SEMDEDUP_TAU = 0.42
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def embedding_semdedup(sf_dir: str) -> Dataset:
+    """SEMDEDUP (semantic dedup, Abbas et al. 2023 pattern): k-means the
+    embedding space, then within each cluster drop every vector that has
+    a cluster-mate with SMALLER vec_id at round(cosine, 6) ≥ τ — the
+    deterministic min-id-survivor rule. Output = (vec_id, cluster, keep)
+    for every vector.
+
+    Scale shape: the clustering is the oracled ``kmeans_assign`` (K-row
+    partial sums per pass, K×D driver state); the pairwise pass runs as
+    ONE cluster-key groupby whose per-group task is quadratic in cluster
+    size — bounded because k is chosen ∝ corpus size in SemDedup (per the
+    paper: cluster size ≈ N/k stays constant); a corpus whose clusters
+    outgrow task memory sub-clusters first (recurse kmeans inside the
+    group) rather than collecting anywhere. τ = 0.42 sits ≥ 1e-4 from
+    every observed within-cluster cosine at all three test scales, so the
+    6-dp rounded compare is summation-order-safe on both sides."""
+    from ..stages.similarity import kmeans_assign
+
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    assigned = kmeans_assign(emb, k=8, iters=3, keep_vec=True)
+
+    def flag_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(v, np.float64) for v in df["embedding"].to_numpy()[order]]
+        )
+        nrm = np.sqrt((X * X).sum(axis=1))
+        denom = np.outer(nrm, nrm)
+        S = np.divide(
+            X @ X.T, denom, out=np.zeros_like(denom), where=denom > 0.0
+        )
+        S = round_half_away(S, 6)
+        # a mate with a strictly smaller id = the strict lower triangle
+        # (ids ascend along the axis after the argsort)
+        dup = np.tril(S >= SEMDEDUP_TAU, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(len(ids), int(df["cluster"].iloc[0]), np.int64),
+                "keep": (~dup).astype(np.int64),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        flag_group, batch_format="pandas"
+    )
+
+
+def orders_custdist_q13(sf_dir: str) -> Dataset:
+    """TPC-H Q13 (customer distribution): histogram of customers by how
+    many non-URGENT orders each placed — INCLUDING the zero-order
+    customers the left join keeps. The filtered-LEFT-JOIN-then-double-
+    aggregate shape: customer marker rows (cust=1, n=0) union per-batch
+    order count partials (cust=0, n=count) through ONE custkey groupby
+    cogroup (no Dataset.join — NOTES.md zero-row-partition rule); rows
+    with cust ≥ 1 are customers whose c_count = summed n (0 when no order
+    row arrived = the left-join NULL branch); the (c_count → custdist)
+    census is map-side partials + a tree combine (the count domain is
+    tiny)."""
+    cust = read_parquet_clean(_p(sf_dir, "customer"), columns=["c_custkey"])
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t["c_custkey"].cast(pa.int64()),
+                "cust": pa.array([1] * n, pa.int64()),
+                "n": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        kept = t.filter(
+            pc.not_equal(t["o_orderpriority"], Q13_EXCLUDED_PRIORITY)
+        )
+        g = (
+            pa.table({"k": kept["o_custkey"].cast(pa.int64())})
+            .group_by("k")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g["k"],
+                "cust": pa.array([0] * g.num_rows, pa.int64()),
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    per_cust = (
+        cust.map_batches(cust_rows, batch_format="pyarrow")
+        .union(orders.map_batches(order_partials, batch_format="pyarrow"))
+        .groupby("k")
+        .aggregate(Sum("cust", alias_name="cust"), Sum("n", alias_name="n"))
+    )
+    merge = group_sum_merge(("c_count",), ("custdist",))
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["cust"], 1))
+        return merge(
+            pa.table(
+                {
+                    "c_count": t["n"],
+                    "custdist": pa.array([1] * t.num_rows, pa.int64()),
+                }
+            )
+        )
+
+    return tree_combine(
+        per_cust.map_batches(census, batch_format="pyarrow"), merge
+    )

@@ -2723,3 +2723,204 @@ def edge_reciprocity(edges: Dataset) -> Dataset:
         )
 
     return scalars.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def _twohop_sharded(
+    edges: Dataset, num_buckets: int = PR_NUM_BUCKETS
+) -> Dataset:
+    """Shuffle-formulated distinct ≤2-hop reach (the past-the-cap regime):
+    no adjacency broadcast, no driver state.
+
+    1. Distinct simple pairs as a Dataset (one string-key groupby, as in
+       ``_neighbor_jaccard_sharded``).
+    2. Every 2-hop connection is a wedge through some center: group the
+       undirected adjacency rows per center and emit each unordered
+       neighbor pair once (quadratic in center degree — the same bound as
+       ``_neighbor_jaccard_sharded``; its NJ_HUB_CHUNK two-level chunk
+       regime applies verbatim if hub centers appear). Direct edges join
+       the stream as 1-hop pairs.
+    3. ONE (x, y) groupby dedups pair multiplicities (a pair may arrive
+       from many centers plus the direct edge); the distinct rows then
+       feed a map-side endpoint census + one id groupby — each distinct
+       unordered pair contributes 1 to both endpoints' reach.
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..runtime.combine import anchor
+
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "reach2": pa.array([], pa.int64()),
+        }
+    )
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    pairs = anchor(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def und_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        return pa.table(
+            {
+                "m": pa.concat_arrays([a, b]),
+                "nb": pa.concat_arrays([b, a]),
+            }
+        )
+
+    def wedge_group(df: pd.DataFrame) -> pd.DataFrame:
+        nb = df["nb"].to_numpy()  # distinct within a center by construction
+        n = len(nb)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "x": pd.Series([], dtype=object),
+                    "y": pd.Series([], dtype=object),
+                }
+            )
+        iu, ju = np.triu_indices(n, 1)
+        lo = np.minimum(nb[iu], nb[ju])
+        hi = np.maximum(nb[iu], nb[ju])
+        return pd.DataFrame({"x": lo, "y": hi})
+
+    def to_arrow_pairs(t: pa.Table) -> pa.Table:
+        # normalize the map_groups pandas blocks to Arrow string pairs so
+        # the union with the Arrow direct-edge stream is block-type-clean
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return pa.table(
+                {
+                    "x": pa.array([], pa.string()),
+                    "y": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {"x": t["x"].cast(pa.string()), "y": t["y"].cast(pa.string())}
+        )
+
+    wedges = (
+        pairs.map_batches(und_rows, batch_format="pyarrow")
+        .groupby("m")
+        .map_groups(wedge_group, batch_format="pandas")
+        .map_batches(to_arrow_pairs, batch_format="pyarrow")
+    )
+    direct = pairs.map_batches(
+        lambda t: pa.table({"x": t["a"], "y": t["b"]}),
+        batch_format="pyarrow",
+    )
+    distinct = (
+        direct.union(wedges)
+        .groupby(["x", "y"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def endpoint_census(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["x"].combine_chunks(), t["y"].combine_chunks()]
+        )
+        return (
+            pa.table(
+                {
+                    "entity_id": ids,
+                    "reach2": pa.array([1] * len(ids), pa.int64()),
+                }
+            )
+            .group_by("entity_id")
+            .aggregate([("reach2", "sum")])
+            .rename_columns(["entity_id", "reach2"])
+        )
+
+    return (
+        distinct.map_batches(endpoint_census, batch_format="pyarrow")
+        .groupby("entity_id")
+        .aggregate(_Sum("reach2", alias_name="reach2"))
+    )
+
+
+def twohop_reach(
+    edges: Dataset,
+    force_sharded: bool = False,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Distinct ≤2-hop reach per node of the undirected simple entity
+    graph: reach2(u) = |{v ≠ u : dist(u, v) ≤ 2}| — the neighborhood-size
+    signal behind "how local is this entity" audits (SURVEY §2 graph
+    analytics family).
+
+    Same distribution ladder as ``neighbor_jaccard_topk``: vocabulary
+    graphs compute locally on the collected simple edge set; mid-size
+    graphs broadcast the adjacency once and fan the per-node set unions
+    over node batches; past the TRIANGLE_MAX_EDGES cap the wedge-dedup
+    shuffle formulation (``_twohop_sharded``) runs instead of raising.
+    """
+    import ray.data as rd
+
+    if force_sharded:
+        return _twohop_sharded(edges, num_buckets or PR_NUM_BUCKETS)
+    try:
+        simple = _simple_edges(edges, "twohop_reach")
+    except ValueError:
+        return _twohop_sharded(edges, num_buckets or PR_NUM_BUCKETS)
+    if simple.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array([], pa.string()),
+                    "reach2": pa.array([], pa.int64()),
+                }
+            )
+        )
+    adj: dict[str, set[str]] = {}
+    for u, v in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    node_table = pa.table({"u": pa.array(sorted(adj), pa.string())})
+
+    def reach_batch(t: pa.Table, adj_ref=None) -> pa.Table:
+        A = ray.get(adj_ref) if isinstance(adj_ref, ray.ObjectRef) else adj_ref
+        us, ns = [], []
+        for u in t["u"].to_pylist():
+            reach = set(A[u])
+            for w in A[u]:
+                reach.update(A[w])
+            reach.discard(u)
+            us.append(u)
+            ns.append(len(reach))
+        return pa.table(
+            {
+                "entity_id": pa.array(us, pa.string()),
+                "reach2": pa.array(ns, pa.int64()),
+            }
+        )
+
+    # small-graph fast path: one in-process sweep over the node list
+    if simple.num_rows <= SMALL_GRAPH_EDGES_MAX:
+        return rd.from_arrow(reach_batch(node_table, adj))
+    adj_ref = ray.put(adj)
+    return rd.from_arrow(node_table).map_batches(
+        lambda t, adj_ref=adj_ref: reach_batch(t, adj_ref),
+        batch_format="pyarrow",
+    )

@@ -396,6 +396,7 @@ def kmeans_assign(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> Dataset:
     """Distributed Lloyd k-means; returns the final (id, cluster) table.
 
@@ -422,12 +423,13 @@ def kmeans_assign(
     if not seed:  # empty input → typed empty assignment table
         import ray.data as rd
 
-        return rd.from_arrow(
-            pa.table(
-                {id_col: pa.array([], pa.int64()),
-                 "cluster": pa.array([], pa.int64())}
-            )
-        )
+        cols = {
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+        }
+        if keep_vec:
+            cols[vec_col] = pa.array([], pa.list_(pa.float64()))
+        return rd.from_arrow(pa.table(cols))
     seed.sort(key=lambda r: r[id_col])
     centroids = np.asarray([r[vec_col] for r in seed], dtype=np.float64)
     kk, dim = centroids.shape  # kk may be < k when the corpus is tiny
@@ -491,11 +493,12 @@ def kmeans_assign(
     def assign(t: pa.Table, cref=cref) -> pa.Table:
         c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
         a = _kmeans_assign_ids(_vectors_of(t, vec_col), c)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "cluster": pa.array(a.astype(np.int64), pa.int64()),
-            }
-        )
+        cols = {
+            id_col: t[id_col],
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        }
+        if keep_vec:  # callers that post-process per cluster (SemDedup)
+            cols[vec_col] = t[vec_col]
+        return pa.table(cols)
 
     return embeddings.map_batches(assign, batch_format="pyarrow")

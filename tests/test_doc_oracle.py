@@ -2499,3 +2499,57 @@ def test_ewma_recurrence_and_novelty_bounds():
     assert (nov["n_novel"] <= nov["n_shingles"]).all()
     assert (nov["novelty"] > 0).sum() > 0
     assert (nov["novelty"] <= 1.0).all()
+
+
+def test_batch29_queries_match_oracles():
+    """Batch-29 additions (SemDedup keep flags, TPC-H Q13 custdist)
+    against their registered oracles at fixture scale (kg_twohop_reach is
+    exercised in test_graph_analytics + the gate replica — it needs the
+    transcripts corpus, not the sf tables)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("embeddings", "customer", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("embedding_semdedup", "orders_custdist_q13"):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch29_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("embeddings", "customer", "orders"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (q.embedding_semdedup, q.orders_custdist_q13):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_semdedup_invariants():
+    """Structural invariants independent of the oracle: the smallest
+    vec_id of every cluster is always kept, keep is 0/1, and dropping is
+    monotone in tau (tau=1.01 keeps everything)."""
+    import numpy as np
+
+    out = q.embedding_semdedup(SF).to_pandas()
+    assert set(out["keep"].unique()) <= {0, 1}
+    mins = out.groupby("cluster")["vec_id"].min()
+    kept_min = out.set_index("vec_id").loc[mins, "keep"]
+    assert (kept_min == 1).all()
+    assert out["keep"].sum() < len(out)  # tau=0.42 drops something here

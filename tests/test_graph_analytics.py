@@ -611,3 +611,67 @@ def test_edge_reciprocity_counts_mutual_pairs():
         )
     )
     assert len(edge_reciprocity(empty).to_pandas()) == 0
+
+
+class TestTwohopReach:
+    """twohop_reach: closed form on the shared fixture, regime
+    equivalence, empty input."""
+
+    # undirected simple set of EDGES: a-b, a-c, b-c, c-d, a-e
+    WANT = {"a": 4, "b": 4, "c": 4, "d": 3, "e": 3}
+
+    def _mk(self):
+        return rd.from_items(
+            [{"src_id": s, "dst_id": d, "weight": w} for s, d, w in EDGES]
+        )
+
+    def test_local_matches_closed_form(self):
+        from neuroner_ray.stages.graph import twohop_reach
+
+        got = twohop_reach(self._mk()).to_pandas()
+        assert dict(zip(got["entity_id"], got["reach2"])) == self.WANT
+
+    def test_sharded_matches_local(self):
+        from neuroner_ray.stages.graph import twohop_reach
+
+        sharded = (
+            twohop_reach(self._mk(), force_sharded=True, num_buckets=4)
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+        assert (
+            dict(zip(sharded["entity_id"], sharded["reach2"])) == self.WANT
+        )
+
+    def test_empty_input(self):
+        import pyarrow as pa
+
+        from neuroner_ray.stages.graph import twohop_reach
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.string()),
+                    "dst_id": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        )
+        assert twohop_reach(empty).count() == 0
+        assert twohop_reach(
+            empty, force_sharded=True, num_buckets=4
+        ).count() == 0
+
+    def test_self_loops_and_parallel_edges_ignored(self):
+        from neuroner_ray.stages.graph import twohop_reach
+
+        ds = rd.from_items(
+            [
+                {"src_id": "a", "dst_id": "a", "weight": 1.0},  # self-loop
+                {"src_id": "a", "dst_id": "b", "weight": 1.0},
+                {"src_id": "b", "dst_id": "a", "weight": 1.0},  # reverse dup
+            ]
+        )
+        got = twohop_reach(ds).to_pandas()
+        assert dict(zip(got["entity_id"], got["reach2"])) == {"a": 1, "b": 1}
