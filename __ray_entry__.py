@@ -422,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": q.embedding_semdedup,
         "orders_custdist_q13": q.orders_custdist_q13,
         "kg_twohop_reach": kg_twohop_reach,
+        "embedding_pq_codes": q.embedding_pq_codes,
+        "events_value_bootstrap": q.events_value_bootstrap,
+        "orders_waiting_supplier_q21": q.orders_waiting_supplier_q21,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -569,6 +572,57 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": do.embedding_near_dup_sql(),
         "embedding_kmeans": do.embedding_kmeans_sql(),
         "embedding_semdedup": do.embedding_semdedup_sql(),
+        "embedding_pq_codes": do.embedding_pq_codes_sql(),
+        "events_value_bootstrap": """
+            WITH b AS (SELECT unnest(range(0, 8)) AS replica),
+            e AS (
+                SELECT CAST(round(value * 10000) AS BIGINT) AS v_e4,
+                       md5_number_upper(event_id::VARCHAR) AS hu,
+                       md5_number_lower(event_id::VARCHAR) AS hl
+                FROM events),
+            -- replica b reads the b-th 16-bit LE slice of md5(event_id);
+            -- thresholds = floor(Poisson(1) CDF * 65536), count capped at 5
+            u AS (
+                SELECT b.replica, e.v_e4,
+                       CASE WHEN b.replica < 4
+                            THEN (e.hu >> (16 * b.replica)) & 65535
+                            ELSE (e.hl >> (16 * (b.replica - 4))) & 65535
+                       END AS u16
+                FROM e, b),
+            w AS (
+                SELECT replica, v_e4,
+                       CASE WHEN u16 < 24109 THEN 0
+                            WHEN u16 < 48218 THEN 1
+                            WHEN u16 < 60273 THEN 2
+                            WHEN u16 < 64291 THEN 3
+                            WHEN u16 < 65296 THEN 4
+                            ELSE 5 END AS cnt
+                FROM u)
+            SELECT replica::BIGINT AS replica,
+                   round(sum(cnt * v_e4)::DOUBLE / (10000.0 * sum(cnt)), 4)
+                       AS boot_mean
+            FROM w GROUP BY replica HAVING sum(cnt) > 0
+        """,
+        "orders_waiting_supplier_q21": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS has_r
+                FROM lineitem GROUP BY 1, 2),
+            f AS (
+                SELECT l.* FROM l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                            AND o.o_orderstatus = 'F'),
+            g AS (
+                SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_failed,
+                       max(CASE WHEN has_r = 1 THEN l_suppkey END)
+                           AS failed_supp
+                FROM f GROUP BY 1)
+            SELECT s.s_name, count(*)::BIGINT AS numwait
+            FROM g JOIN supplier s ON s.s_suppkey = g.failed_supp
+            WHERE g.n_supp >= 2 AND g.n_failed = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+        """,
         "embedding_pca_top1": do.embedding_pca_top1_sql(),
         "similarity_topk_lsh": do.similarity_topk_sql(),
         "similarity_topk_ivf": do.similarity_topk_ivf_sql(oracle_sf),

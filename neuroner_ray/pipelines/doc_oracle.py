@@ -345,43 +345,56 @@ def embedding_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     compare assignments with a tolerance on the distance margin (or round
     partial sums at a coarser epsilon checked against the boundary
     distance) rather than chasing bit equality."""
+    body, assign = _kmeans_parts(k, iters, dim)
+    return f"WITH {body}\nSELECT vec_id, cluster FROM ({assign}) WHERE rn = 1"
+
+
+def _kmeans_parts(
+    k: int,
+    iters: int,
+    dim: int,
+    prefix: str = "",
+    vec_expr: str = "embedding::DOUBLE[]",
+) -> tuple[str, str]:
+    """Shared unrolled-Lloyd CTE chain: returns (cte_body, final-assignment
+    subquery selecting ``e.vec_id, c.cluster`` with an rn=1 filter expected
+    at the caller). ``prefix`` namespaces every CTE so several chains (the
+    product-quantization subspace oracles) compose in ONE statement;
+    ``vec_expr`` selects/slices the vector column."""
     r = 6
+    x = prefix
     parts = [
-        f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-pos AS (SELECT unnest(range(1, {dim + 1})) AS p),
-c0 AS (
+        f"""{x}e AS (SELECT vec_id, {vec_expr} AS v FROM embeddings),
+{x}pos AS (SELECT unnest(range(1, {dim + 1})) AS p),
+{x}c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""
+  FROM (SELECT vec_id, v FROM {x}e ORDER BY vec_id LIMIT {k}))"""
     ]
     prev = "c0"
     for i in range(1, iters + 1):
         parts.append(
             f""",
-a{i} AS (
+{x}a{i} AS (
   SELECT vec_id, cluster, v FROM (
     SELECT e.vec_id, c.cluster, e.v,
            row_number() OVER (PARTITION BY e.vec_id
                ORDER BY round(list_distance(e.v, c.v), {r}), c.cluster) AS rn
-    FROM e, {prev} c) WHERE rn = 1),
-m{i} AS (
+    FROM {x}e e, {x}{prev} c) WHERE rn = 1),
+{x}m{i} AS (
   SELECT cluster, list(m ORDER BY p) AS v FROM (
     SELECT a.cluster, pos.p, round(avg(a.v[pos.p]), {r}) AS m
-    FROM a{i} a, pos GROUP BY a.cluster, pos.p) GROUP BY cluster),
-c{i} AS (
+    FROM {x}a{i} a, {x}pos pos GROUP BY a.cluster, pos.p) GROUP BY cluster),
+{x}c{i} AS (
   SELECT pc.cluster, coalesce(nm.v, pc.v) AS v
-  FROM {prev} pc LEFT JOIN m{i} nm USING (cluster))"""
+  FROM {x}{prev} pc LEFT JOIN {x}m{i} nm USING (cluster))"""
         )
         prev = f"c{i}"
-    parts.append(
-        f"""
-SELECT vec_id, cluster FROM (
+    assign = f"""
   SELECT e.vec_id, c.cluster,
          row_number() OVER (PARTITION BY e.vec_id
              ORDER BY round(list_distance(e.v, c.v), {r}), c.cluster) AS rn
-  FROM e, {prev} c) WHERE rn = 1"""
-    )
-    return "".join(parts)
+  FROM {x}e e, {x}{prev} c"""
+    return "".join(parts), assign
 
 
 def embedding_semdedup_sql(
@@ -396,11 +409,10 @@ def embedding_semdedup_sql(
     every observed within-cluster cosine at sf0.001/0.01/0.1, so the
     rounded compare cannot flip on summation-order ulps (same fragility
     class as ``embedding_kmeans_sql`` — see its docstring)."""
-    base = embedding_kmeans_sql(k=k, iters=iters, dim=dim)
-    head, final = base.rsplit("\nSELECT vec_id, cluster FROM (", 1)
-    return f"""{head},
+    body, assign = _kmeans_parts(k, iters, dim)
+    return f"""WITH {body},
 asg AS MATERIALIZED (
-  SELECT vec_id, cluster FROM ({final})
+  SELECT vec_id, cluster FROM ({assign}) WHERE rn = 1)
 SELECT a.vec_id, a.cluster,
        (CASE WHEN EXISTS (
            SELECT 1 FROM asg b
@@ -409,6 +421,46 @@ SELECT a.vec_id, a.cluster,
              AND round(list_cosine_similarity(eb.v, ea.v), 6) >= {tau})
         THEN 0 ELSE 1 END)::BIGINT AS keep
 FROM asg a JOIN e ea ON ea.vec_id = a.vec_id"""
+
+
+def embedding_pq_codes_sql(
+    m: int = 4, sub_dim: int = 16, k: int = 4, iters: int = 2
+) -> str:
+    """Product-quantization codebook assignment: ``m`` independent
+    ``_kmeans_parts`` chains (one per contiguous ``sub_dim`` slice of the
+    vector, 1-based inclusive DuckDB list slicing), each namespaced with
+    an ``s{{i}}_`` prefix so the unrolled iterations compose in ONE
+    statement; the final select joins the per-subspace assignments into
+    the code tuple. Mirrors ``queries.embedding_pq_codes`` (same init =
+    k smallest vec_ids per subspace, same rounding/tie-breaks — the
+    ``embedding_kmeans_sql`` fragility note applies per chain)."""
+    bodies, finals = [], []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        body, assign = _kmeans_parts(
+            k,
+            iters,
+            sub_dim,
+            prefix=f"s{s}_",
+            vec_expr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+        )
+        bodies.append(body)
+        finals.append(
+            f"s{s}_asg AS MATERIALIZED (\n"
+            f"  SELECT vec_id, cluster FROM ({assign}) WHERE rn = 1)"
+        )
+    joins = "\n".join(
+        f"JOIN s{s}_asg s{s} USING (vec_id)" for s in range(1, m)
+    )
+    cols = ",\n       ".join(
+        f"s{s}.cluster AS c{s}" for s in range(m)
+    )
+    return f"""WITH {",".join(bodies)},
+{",".join(finals)}
+SELECT vec_id,
+       {cols}
+FROM s0_asg s0
+{joins}"""
 
 
 def embedding_pca_top1_sql(iters: int = 3, dim: int = 64) -> str:

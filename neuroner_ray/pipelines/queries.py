@@ -12184,3 +12184,276 @@ def orders_custdist_q13(sf_dir: str) -> Dataset:
     return tree_combine(
         per_cust.map_batches(census, batch_format="pyarrow"), merge
     )
+
+
+# --------------------- batch 30: PQ codes / bootstrap CI / adapted Q21
+PQ_M, PQ_SUB_DIM, PQ_K, PQ_ITERS = 4, 16, 4, 2
+BOOT_B = 8
+# floor(CDF_Poisson(1)(k) * 65536) for k = 0..4; count 5 past the last
+BOOT_BINS = np.array([24109, 48218, 60273, 64291, 65296], np.int64)
+
+
+def embedding_pq_codes(sf_dir: str) -> Dataset:
+    """PRODUCT QUANTIZATION codebook assignment (the IVF-PQ building
+    block): the 64-dim vector splits into 4 contiguous 16-dim subspaces,
+    each clustered independently by the oracled deterministic
+    ``kmeans_assign`` (k=4, 2 iterations, same min-id seeding and 6-dp
+    rounding); output = (vec_id, c0..c3) — the 4-byte code that replaces
+    the 256-byte vector in a PQ index.
+
+    Scale shape: m streamed clusterings (K-row partials each, K×D driver
+    state), then the per-subspace assignments meet in ONE int-key groupby
+    — each subspace packs its code into disjoint bit positions
+    (code << 2s) so the cogroup is a plain Sum and the unpack is one
+    vectorized shift/mask pass; nothing row-wise, nothing collected."""
+    from ..stages.similarity import kmeans_assign
+
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    parts = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUB_DIM
+
+        def slice_batch(t: pa.Table, lo=lo) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": t["vec_id"],
+                    "embedding": pc.list_slice(
+                        t["embedding"], lo, lo + PQ_SUB_DIM
+                    ),
+                }
+            )
+
+        assigned = kmeans_assign(
+            emb.map_batches(slice_batch, batch_format="pyarrow"),
+            k=PQ_K,
+            iters=PQ_ITERS,
+        )
+        parts.append(
+            assigned.map_batches(
+                lambda t, s=s: pa.table(
+                    {
+                        "vec_id": t["vec_id"].cast(pa.int64()),
+                        "packed": pc.shift_left(
+                            t["cluster"].cast(pa.int64()), 2 * s
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    packed = (
+        parts[0]
+        .union(*parts[1:])
+        .groupby("vec_id")
+        .aggregate(Sum("packed", alias_name="packed"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        cols: dict = {"vec_id": t["vec_id"]}
+        for s in range(PQ_M):
+            cols[f"c{s}"] = pa.array((p >> (2 * s)) & 3, pa.int64())
+        return pa.table(cols)
+
+    return packed.map_batches(unpack, batch_format="pyarrow")
+
+
+def events_value_bootstrap(sf_dir: str) -> Dataset:
+    """DETERMINISTIC POISSON BOOTSTRAP of the mean event value: 8
+    resampling replicas whose per-row multiplicities are Poisson(1)
+    counts driven by md5(event_id) — replica b reads the b-th 16-bit
+    little-endian slice of the digest and inverts the Poisson CDF at
+    fixed integer thresholds (BOOT_BINS, in 1/65536 units), so both sides
+    reproduce the identical resample with no RNG. Output = the 8 replica
+    means; their spread is the bootstrap CI (structural test pins the
+    spread, the oracle pins the values).
+
+    Scale shape: pure map — each batch emits ONE fixed 8-row partial
+    (replica, Σcount, Σcount·value_e4) with exact int ten-thousandths, a
+    tree combine reduces them, one division at the end. The md5-per-row
+    Python loop is the documented hot spot of this op; a 100-TB corpus
+    swaps it for a vectorized 64-bit mix of event_id (the hashing.py
+    kernel) at the cost of re-deriving the oracle constants."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        v_e4 = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 10000.0, 0
+        ).astype(np.int64)
+        if len(ids) == 0:
+            z = np.zeros(BOOT_B, np.int64)
+            return pa.table(
+                {
+                    "replica": pa.array(np.arange(BOOT_B), pa.int64()),
+                    "sw": pa.array(z, pa.int64()),
+                    "sv": pa.array(z, pa.int64()),
+                }
+            )
+        raw = b"".join(
+            hashlib.md5(str(int(i)).encode()).digest() for i in ids
+        )
+        u16 = (
+            np.frombuffer(raw, np.dtype("<u2"))
+            .reshape(-1, BOOT_B)
+            .astype(np.int64)
+        )
+        cnt = np.digitize(u16, BOOT_BINS)  # (n, 8) Poisson(1) counts 0..5
+        return pa.table(
+            {
+                "replica": pa.array(np.arange(BOOT_B), pa.int64()),
+                "sw": pa.array(cnt.sum(axis=0), pa.int64()),
+                "sv": pa.array((cnt * v_e4[:, None]).sum(axis=0), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("replica",), ("sw", "sv"))
+    combined = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["sw"], 0))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "replica": pa.array([], pa.int64()),
+                    "boot_mean": pa.array([], pa.float64()),
+                }
+            )
+        sw = t["sw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "replica": t["replica"],
+                "boot_mean": pa.array(
+                    round_half_away(sv / (10000.0 * sw), 4), pa.float64()
+                ),
+            }
+        )
+
+    return combined.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def orders_waiting_supplier_q21(sf_dir: str) -> Dataset:
+    """TPC-H Q21 SHAPE (suppliers who kept orders waiting), adapted to
+    this schema: in a finished (status F) order touched by ≥ 2 distinct
+    suppliers, the ONE supplier whose lines carry returnflag R — when no
+    other supplier failed — gets a wait count; output the top 20 by
+    (numwait DESC, s_name). The multi-EXISTS/NOT-EXISTS per-order logic
+    becomes ONE orderkey cogroup: per-batch (orderkey, suppkey,
+    max has_r) partials union status-F marker rows; each per-order group
+    (bounded by the order's supplier count) re-dedups supplier partials
+    and applies the exactly-one-failure rule. Supplier names broadcast
+    (dimension-sized); the numwait census is supplier-vocabulary-sized →
+    tree combine + associative top-20, no sort shuffle."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    )
+    supp = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
+    )
+    names = dict(
+        zip(
+            (int(k) for k in supp["s_suppkey"].to_pylist()),
+            supp["s_name"].to_pylist(),
+        )
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "k": t["l_orderkey"].cast(pa.int64()),
+                    "supp": t["l_suppkey"].cast(pa.int64()),
+                    "has_r": pc.equal(t["l_returnflag"], "R").cast(pa.int64()),
+                }
+            )
+            .group_by(["k", "supp"])
+            .aggregate([("has_r", "max")])
+        )
+        return g.rename_columns(["k", "supp", "has_r"])
+
+    def order_markers(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        n = kept.num_rows
+        return pa.table(
+            {
+                "k": kept["o_orderkey"].cast(pa.int64()),
+                "supp": pa.array([-1] * n, pa.int64()),
+                "has_r": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"supp": pd.Series([], dtype="int64")})
+        if not (g["supp"] < 0).any():  # order not status-F
+            return empty
+        rows = g[g["supp"] >= 0]
+        if rows.empty:
+            return empty
+        per_supp = rows.groupby("supp")["has_r"].max()
+        if len(per_supp) < 2 or int(per_supp.sum()) != 1:
+            return empty
+        return pd.DataFrame({"supp": [int(per_supp.idxmax())]})
+
+    failed = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(order_markers, batch_format="pyarrow"))
+        .groupby("k")
+        .map_groups(judge, batch_format="pandas")
+    )
+    merge = group_sum_merge(("supp",), ("numwait",))
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "supp" not in t.column_names:
+            return pa.table(
+                {
+                    "supp": pa.array([], pa.int64()),
+                    "numwait": pa.array([], pa.int64()),
+                }
+            )
+        return merge(
+            pa.table(
+                {
+                    "supp": t["supp"].cast(pa.int64()),
+                    "numwait": pa.array([1] * t.num_rows, pa.int64()),
+                }
+            )
+        )
+
+    counts = tree_combine(
+        failed.map_batches(census, batch_format="pyarrow"), merge
+    )
+    cut = topk_merge(20, "numwait", ["s_name"])
+
+    def finish(t: pa.Table, names=names) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s_name": pa.array([], pa.string()),
+                    "numwait": pa.array([], pa.int64()),
+                }
+            )
+        return cut(
+            pa.table(
+                {
+                    "s_name": pa.array(
+                        [
+                            names.get(int(k), "")
+                            for k in t["supp"].to_pylist()
+                        ],
+                        pa.string(),
+                    ),
+                    "numwait": t["numwait"],
+                }
+            )
+        )
+
+    return counts.map_batches(finish, batch_size=None, batch_format="pyarrow")

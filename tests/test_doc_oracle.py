@@ -2553,3 +2553,103 @@ def test_semdedup_invariants():
     kept_min = out.set_index("vec_id").loc[mins, "keep"]
     assert (kept_min == 1).all()
     assert out["keep"].sum() < len(out)  # tau=0.42 drops something here
+
+
+def test_batch30_queries_match_oracles():
+    """Batch-30 additions (PQ codes, Poisson-bootstrap means, adapted
+    TPC-H Q21) against their registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("embeddings", "events", "lineitem", "orders", "supplier"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "embedding_pq_codes",
+        "events_value_bootstrap",
+        "orders_waiting_supplier_q21",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch30_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("embeddings", "events", "lineitem", "orders", "supplier"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.embedding_pq_codes,
+        q.events_value_bootstrap,
+        q.orders_waiting_supplier_q21,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_pq_codes_and_bootstrap_invariants():
+    """Structural invariants: every PQ code is one row per vector with
+    codes in [0, k); subspace 0's code column equals a standalone k-means
+    over the first 16 dims (the packing/unpacking is lossless). The
+    bootstrap replica means straddle (or closely bracket) the true mean
+    and are mutually distinct — a degenerate hash slice would collapse
+    them."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from neuroner_ray.stages.similarity import kmeans_assign
+    from neuroner_ray.sources.parquet import read_parquet_clean
+
+    out = q.embedding_pq_codes(SF).to_pandas()
+    emb = papq.read_table(f"{SF}/embeddings.parquet")
+    assert len(out) == emb.num_rows
+    for s in range(q.PQ_M):
+        assert out[f"c{s}"].between(0, q.PQ_K - 1).all()
+
+    def slice0(t, sub_dim=q.PQ_SUB_DIM):
+        import pyarrow as pa
+        import pyarrow.compute as pac
+
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pac.list_slice(t["embedding"], 0, sub_dim),
+            }
+        )
+
+    sliced = read_parquet_clean(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(slice0, batch_format="pyarrow")
+    solo = (
+        kmeans_assign(sliced, k=q.PQ_K, iters=q.PQ_ITERS)
+        .to_pandas()
+        .set_index("vec_id")["cluster"]
+    )
+    joined = out.set_index("vec_id")["c0"]
+    assert (joined.sort_index() == solo.sort_index()).all()
+
+    boot = q.events_value_bootstrap(SF).to_pandas()
+    assert len(boot) == q.BOOT_B
+    assert boot["boot_mean"].nunique() > 1
+    ev = papq.read_table(f"{SF}/events.parquet", columns=["value"])
+    true_mean = float(
+        np.mean(ev["value"].to_numpy(zero_copy_only=False))
+    )
+    spread = boot["boot_mean"].max() - boot["boot_mean"].min()
+    assert abs(boot["boot_mean"].mean() - true_mean) < max(
+        4 * spread, 1e-3
+    )
