@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pq_codes": q.embedding_pq_codes,
         "events_value_bootstrap": q.events_value_bootstrap,
         "orders_waiting_supplier_q21": q.orders_waiting_supplier_q21,
+        "doc_bigram_logprob": q.doc_bigram_logprob,
+        "part_supplier_cnt_q16": q.part_supplier_cnt_q16,
+        "customers_lapsed_rich_q22": q.customers_lapsed_rich_q22,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -622,6 +625,71 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN supplier s ON s.s_suppkey = g.failed_supp
             WHERE g.n_supp >= 2 AND g.n_failed = 1
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "doc_bigram_logprob": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ws
+                FROM documents),
+            inst AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1])) AS bg,
+                       unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i])) AS w1
+                FROM t WHERE len(ws) > 1),
+            bgc AS (
+                SELECT doc_id, bg, w1, count(*)::BIGINT AS cnt
+                FROM inst GROUP BY 1, 2, 3),
+            c12 AS (SELECT bg, sum(cnt)::BIGINT AS c FROM bgc GROUP BY bg),
+            uni AS (
+                SELECT w, count(*)::BIGINT AS c FROM (
+                    SELECT unnest(ws) AS w FROM t) GROUP BY w),
+            v AS (SELECT count(*)::BIGINT AS nv FROM uni)
+            SELECT b.doc_id, sum(b.cnt)::BIGINT AS n_bigrams,
+                   round(sum(b.cnt * (ln(c12.c + 1) - ln(uni.c + v.nv))), 4)
+                       AS logprob
+            FROM bgc b JOIN c12 USING (bg)
+                 JOIN uni ON uni.w = b.w1 CROSS JOIN v
+            GROUP BY b.doc_id
+        """,
+        "part_supplier_cnt_q16": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_suppkey % 5 <> 0),
+            j AS (
+                SELECT p.p_brand, p.p_type, p.p_size, ps.l_suppkey
+                FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+                WHERE p.p_brand <> 'Brand#13'
+                  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49))
+            SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM j GROUP BY 1, 2, 3
+        """,
+        "customers_lapsed_rich_q22": """
+            WITH pos AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer WHERE c_acctbal > 0),
+            thr AS (SELECT sum(cents) AS sc, count(*)::BIGINT AS n FROM pos),
+            cutoff AS (
+                SELECT max(o_orderdate) - INTERVAL 365 DAY AS cut
+                FROM orders),
+            cand AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer, thr
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thr.n
+                      > thr.sc),
+            idle AS (
+                SELECT * FROM cand
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM orders o, cutoff
+                    WHERE o.o_custkey = cand.c_custkey
+                      AND o.o_orderdate >= cutoff.cut))
+            SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+                   round(sum(cents) / 100.0, 4) AS totacctbal
+            FROM idle GROUP BY 1
         """,
         "embedding_pca_top1": do.embedding_pca_top1_sql(),
         "similarity_topk_lsh": do.similarity_topk_sql(),

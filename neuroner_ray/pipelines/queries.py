@@ -12457,3 +12457,432 @@ def orders_waiting_supplier_q21(sf_dir: str) -> Dataset:
         )
 
     return counts.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# ------------- batch 31: bigram LM / Q16 distinct suppliers / lapsed Q22
+LM_BUCKETS = 64
+Q16_EXCL_MOD = 5  # complaints analog: exclude suppliers with suppkey %5==0
+Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+Q22_LAPSE_DAYS = 365
+
+
+def doc_bigram_logprob(sf_dir: str) -> Dataset:
+    """LAPLACE-SMOOTHED BIGRAM LM document scoring (the stronger
+    perplexity-filter curation signal next to ``doc_unigram_logprob``):
+    fit bigram counts over the corpus, score every doc by
+    Σ cnt·(ln(c(w1w2)+1) − ln(c(w1)+V)) over its distinct bigrams. Unlike
+    the unigram model, the BIGRAM census is NOT vocabulary-bounded — it
+    grows with the corpus — so c(w1w2) attaches through a DISTRIBUTED
+    int-bucket cogroup (the NOTES.md LSH-blocking pattern: hash each
+    bigram into 64 buckets, one int-key shuffle, per-bucket vectorized
+    pandas sweep), never a broadcast and never a driver collect. The
+    unigram denominators ARE vocabulary-bounded and broadcast once.
+    Per-(bucket, doc) partial sums pre-aggregate before the final doc-key
+    Sum. Float parity is the documented kmeans/PCA fragility class:
+    identical per-term IEEE ops on both sides, summation order differs
+    (per-doc sums are hundreds of terms, error ~1e-12 against the 5e-5
+    rounding boundary)."""
+    from ..runtime.hashing import hash_buckets
+
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    merge = group_sum_merge(("token",), ("c",))
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            if text:
+                c.update(_WORD_RE.findall(text.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    census = tree_combine(
+        docs.map_batches(census_partial, batch_format="pyarrow"), merge
+    ).to_pandas()  # vocabulary-sized by construction
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "logprob": pa.array([], pa.float64()),
+        }
+    )
+    if census.empty:
+        return rd.from_arrow(empty)
+    nv = int(len(census))
+    lnden = {
+        t: float(np.log(int(c) + nv))
+        for t, c in zip(census["token"], census["c"])
+    }
+    lnden_ref = ray.put(lnden)
+
+    def instances(batch: pa.Table) -> pa.Table:
+        dids, w1s, bgs, cnts = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = _WORD_RE.findall((text or "").lower())
+            if len(ws) < 2:
+                continue
+            c = Counter(zip(ws[:-1], ws[1:]))
+            for (w1, w2), n in c.items():
+                dids.append(doc_id)
+                w1s.append(w1)
+                bgs.append(w1 + " " + w2)
+                cnts.append(n)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    hash_buckets(bgs, LM_BUCKETS), pa.int64()
+                ),
+                "bg": pa.array(bgs, pa.string()),
+                "w1": pa.array(w1s, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame, ref=lnden_ref) -> pd.DataFrame:
+        d = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cnt = g["cnt"].to_numpy()
+        c12 = g.groupby("bg", sort=False)["cnt"].transform("sum").to_numpy()
+        den = g["w1"].map(d).to_numpy(dtype=np.float64)
+        contrib = cnt * (np.log(c12 + 1.0) - den)
+        out = pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(), "contrib": contrib, "nb": cnt}
+        )
+        out = out.groupby("doc_id", as_index=False).sum()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["nb"] = out["nb"].astype(np.int64)
+        return out
+
+    per_doc = (
+        docs.map_batches(instances, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("contrib", alias_name="contrib"),
+            Sum("nb", alias_name="n_bigrams"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_bigrams": t["n_bigrams"].cast(pa.int64()),
+                "logprob": pa.array(
+                    round_half_away(
+                        t["contrib"].to_numpy(zero_copy_only=False), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def part_supplier_cnt_q16(sf_dir: str) -> Dataset:
+    """TPC-H Q16 SHAPE (distinct supplier counts per part attribute),
+    adapted to this schema: no partsupp table, so the part⋈supplier
+    relation is the distinct (l_partkey, l_suppkey) set observed in
+    lineitem; the complaints NOT-IN exclusion becomes the deterministic
+    ``l_suppkey % 5 == 0`` predicate (no complaint text exists); the
+    attribute filter keeps p_brand <> 'Brand#13' and square p_size
+    values. Shape: part attrs are dimension-sized and broadcast as a
+    partkey→group-id map (group id enumerates the surviving
+    (brand, type, size) combos); each lineitem batch dedups its
+    (gid, suppkey) pairs map-side, ONE int-key gid shuffle groups them,
+    and the per-group distinct-supplier count is one np.unique sweep;
+    the result is attr-combo-bounded."""
+    part = pq.read_table(
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    part = part[
+        (part["p_brand"] != "Brand#13") & part["p_size"].isin(Q16_SIZES)
+    ]
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "p_type": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "supplier_cnt": pa.array([], pa.int64()),
+        }
+    )
+    if part.empty:
+        return rd.from_arrow(empty)
+    combos = (
+        part[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    gid_of_combo = {
+        (b, t, int(s)): i
+        for i, (b, t, s) in enumerate(
+            zip(combos["p_brand"], combos["p_type"], combos["p_size"])
+        )
+    }
+    pk_to_gid = {
+        int(pk): gid_of_combo[(b, t, int(s))]
+        for pk, b, t, s in zip(
+            part["p_partkey"], part["p_brand"], part["p_type"], part["p_size"]
+        )
+    }
+    map_ref = ray.put(pk_to_gid)
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pairs(batch: pa.Table, ref=map_ref) -> pa.Table:
+        m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = (sk % Q16_EXCL_MOD) != 0
+        pk, sk = pk[keep], sk[keep]
+        gid = (
+            pd.Series(pk).map(m).fillna(-1).to_numpy(dtype=np.int64)
+        )  # C-speed dict lookup, no per-row Python
+        ok = gid >= 0
+        uniq = np.unique(np.stack([gid[ok], sk[ok]], axis=1), axis=0)
+        return pa.table(
+            {
+                "gid": pa.array(uniq[:, 0], pa.int64()),
+                "supp": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gid": [int(g["gid"].iloc[0])],
+                "supplier_cnt": [int(g["supp"].nunique())],
+            }
+        )
+
+    counts = (
+        li.map_batches(pairs, batch_format="pyarrow")
+        .groupby("gid")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+    combo_rows = combos.to_dict("list")
+
+    def attach(t: pa.Table, cr=combo_rows) -> pa.Table:
+        if t.num_rows == 0 or "gid" not in t.column_names:
+            return empty
+        gids = t["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": pa.array(
+                    [cr["p_brand"][g] for g in gids], pa.string()
+                ),
+                "p_type": pa.array(
+                    [cr["p_type"][g] for g in gids], pa.string()
+                ),
+                "p_size": pa.array(
+                    [int(cr["p_size"][g]) for g in gids], pa.int64()
+                ),
+                "supplier_cnt": t["supplier_cnt"].cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def customers_lapsed_rich_q22(sf_dir: str) -> Dataset:
+    """TPC-H Q22 SHAPE (rich customers gone idle), adapted: at every
+    test scale each customer has orders, so Q22's 'no orders at all'
+    is empty — the lapse predicate becomes 'no order in the final 365
+    days of the dataset'. Three bounded stages: (1) one column-pruned
+    scan computes the exact global order-date max (fixed 1-row
+    partials); (2) one customer scan computes the positive-balance
+    average as exact integer cents (the NOTES.md correlated-comparison
+    rule: candidates filter by cents·n > sum_cents, never a float
+    compare); (3) candidates ∪ per-batch-deduped recent-orderer marker
+    rows cogroup through ONE custkey-bucket int shuffle, the per-bucket
+    anti-join is one vectorized isin, and the surviving rows collapse
+    into segment-bounded census partials (sum in exact cents, ONE
+    double division at the end, both sides)."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
+    cust = read_parquet_clean(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    empty = pa.table(
+        {
+            "c_mktsegment": pa.array([], pa.string()),
+            "numcust": pa.array([], pa.int64()),
+            "totacctbal": pa.array([], pa.float64()),
+        }
+    )
+
+    # stage 1: exact global max(o_orderdate) as int64 epoch-us
+    def max_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        od = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"mx": pa.array([int(od.max())], pa.int64())})
+
+    def max_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        v = t["mx"].to_numpy(zero_copy_only=False)
+        return pa.table({"mx": pa.array([int(v.max())], pa.int64())})
+
+    mx = tree_combine(
+        orders.map_batches(max_partial, batch_format="pyarrow"), max_merge
+    ).to_pandas()
+    if mx.empty or "mx" not in mx.columns:
+        return rd.from_arrow(empty)
+    cutoff_us = int(mx["mx"].iloc[0]) - Q22_LAPSE_DAYS * 86_400_000_000
+
+    # stage 2: exact positive-balance threshold (integer cents)
+    def thr_partial(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "sc": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([int(pos.size)], pa.int64()),
+            }
+        )
+
+    def thr_merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sc": pa.array(
+                    [int(t["sc"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    [int(t["n"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    thr = tree_combine(
+        cust.map_batches(thr_partial, batch_format="pyarrow"), thr_merge
+    ).to_pandas()
+    if thr.empty or int(thr["n"].iloc[0]) == 0:
+        return rd.from_arrow(empty)
+    sc, n = int(thr["sc"].iloc[0]), int(thr["n"].iloc[0])
+
+    nbuckets = 64
+
+    def candidates(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keep = cents * n > sc
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    ck.astype(np.int64) % nbuckets, pa.int64()
+                ),
+                "ck": pa.array(ck.astype(np.int64), pa.int64()),
+                "seg": t["c_mktsegment"].filter(pa.array(keep)),
+                "cents": pa.array(cents[keep], pa.int64()),
+                "kind": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    def recent_markers(t: pa.Table) -> pa.Table:
+        od = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ck = np.unique(
+            t["o_custkey"].to_numpy(zero_copy_only=False)[od >= cutoff_us]
+        ).astype(np.int64)
+        z = np.zeros(ck.size, np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ck % nbuckets, pa.int64()),
+                "ck": pa.array(ck, pa.int64()),
+                "seg": pa.array([""] * ck.size, pa.string()),
+                "cents": pa.array(z, pa.int64()),
+                "kind": pa.array(np.ones(ck.size, np.int64)),
+            }
+        )
+
+    merge = group_sum_merge(("c_mktsegment",), ("numcust", "sum_cents"))
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        recent = g.loc[g["kind"] == 1, "ck"]
+        kept = g[(g["kind"] == 0) & ~g["ck"].isin(set(recent))]
+        if kept.empty:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype="object"),
+                    "numcust": pd.Series([], dtype="int64"),
+                    "sum_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        out = kept.groupby("seg", as_index=False).agg(
+            numcust=("ck", "size"), sum_cents=("cents", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "c_mktsegment": out["seg"].astype(object),
+                "numcust": out["numcust"].astype(np.int64),
+                "sum_cents": out["sum_cents"].astype(np.int64),
+            }
+        )
+
+    census = (
+        cust.map_batches(candidates, batch_format="pyarrow")
+        .union(orders.map_batches(recent_markers, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(judge, batch_format="pandas")
+    )
+    combined = tree_combine(
+        census.map_batches(
+            lambda t: merge(t)
+            if t.num_rows > 0 and "c_mktsegment" in t.column_names
+            else pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "numcust": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_mktsegment" not in t.column_names:
+            return empty
+        cents = t["sum_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "numcust": t["numcust"].cast(pa.int64()),
+                "totacctbal": pa.array(
+                    round_half_away(cents / 100.0, 4), pa.float64()
+                ),
+            }
+        )
+
+    return combined.map_batches(finish, batch_size=None, batch_format="pyarrow")

@@ -2653,3 +2653,78 @@ def test_pq_codes_and_bootstrap_invariants():
     assert abs(boot["boot_mean"].mean() - true_mean) < max(
         4 * spread, 1e-3
     )
+
+
+def test_batch31_queries_match_oracles():
+    """Batch-31 additions (bigram LM scoring, adapted TPC-H Q16 and Q22)
+    against their registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "part", "lineitem", "customer", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "doc_bigram_logprob",
+        "part_supplier_cnt_q16",
+        "customers_lapsed_rich_q22",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch31_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("documents", "part", "lineitem", "customer", "orders"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.doc_bigram_logprob,
+        q.part_supplier_cnt_q16,
+        q.customers_lapsed_rich_q22,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_bigram_logprob_invariants():
+    """Structural invariants: every logprob is negative (Laplace
+    probabilities < 1), n_bigrams = n_words - 1 for a single-row replay,
+    and docs under two words are absent."""
+    import numpy as np
+
+    out = q.doc_bigram_logprob(SF).to_pandas()
+    assert (out["logprob"] < 0).all()
+    assert (out["n_bigrams"] >= 1).all()
+    import pyarrow.parquet as papq
+
+    docs = papq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    import re
+
+    wre = re.compile(r"[a-z0-9_]+")
+    nw = {
+        int(r.doc_id): len(wre.findall((r.text or "").lower()))
+        for r in docs.itertuples()
+    }
+    got = dict(zip(out["doc_id"], out["n_bigrams"]))
+    for did, n in nw.items():
+        if n >= 2:
+            assert got[did] == n - 1, did
+        else:
+            assert did not in got
