@@ -181,6 +181,16 @@ def kg_neighbor_jaccard(sf_dir: str) -> Any:
     return neighbor_jaccard_topk(_kg_tables(sf_dir)["edges"])
 
 
+def kg_adamic_adar(sf_dir: str) -> Any:
+    """Graph analytics: top-20 non-adjacent entity pairs by Adamic-Adar
+    link-prediction score (broadcast adjacency + per-batch local top-k;
+    weighted-wedge shuffle past the cap — see
+    stages.graph.adamic_adar_topk)."""
+    from neuroner_ray.stages.graph import adamic_adar_topk
+
+    return adamic_adar_topk(_kg_tables(sf_dir)["edges"])
+
+
 def kg_twohop_reach(sf_dir: str) -> Any:
     """Graph analytics: distinct ≤2-hop reach per entity (adjacency
     broadcast / wedge-dedup shuffle past the cap — see
@@ -428,6 +438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_logprob": q.doc_bigram_logprob,
         "part_supplier_cnt_q16": q.part_supplier_cnt_q16,
         "customers_lapsed_rich_q22": q.customers_lapsed_rich_q22,
+        "kg_adamic_adar": kg_adamic_adar,
+        "nation_market_share_q8": q.nation_market_share_q8,
+        "part_important_value_q11": q.part_important_value_q11,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -714,6 +727,36 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": ko.kg_kcore_sql(tglob),
         "kg_neighbor_jaccard": ko.kg_neighbor_jaccard_sql(tglob),
         "kg_twohop_reach": ko.kg_twohop_sql(tglob),
+        "kg_adamic_adar": ko.kg_adamic_adar_sql(tglob),
+        "nation_market_share_q8": """
+            WITH rev AS (
+                SELECT l.l_orderkey,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS units,
+                       CASE WHEN s.s_nationkey =
+                                 (SELECT n_nationkey FROM nation
+                                  WHERE n_name = 'NATION_19')
+                            THEN 1 ELSE 0 END AS is_t
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+            SELECT year(o.o_orderdate)::BIGINT AS o_year,
+                   round(sum(r.units * r.is_t)::DOUBLE / sum(r.units), 4)
+                       AS mkt_share
+            FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+            GROUP BY 1
+        """,
+        "part_important_value_q11": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS units
+                FROM lineitem GROUP BY l_partkey),
+            tot AS (SELECT sum(units) AS t, count(*)::BIGINT AS n FROM v)
+            SELECT l_partkey, round(units / 10000.0, 4) AS value
+            FROM v, tot WHERE units * tot.n > tot.t
+        """,
         "kg_communities_lpa": ko.kg_communities_lpa_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),
         "events_value_quantiles": """

@@ -659,3 +659,34 @@ def kg_twohop_sql(transcripts_glob: str) -> str:
         SELECT u AS entity_id, count(*)::BIGINT AS reach2
         FROM (SELECT DISTINCT u, v FROM two) GROUP BY u
     """
+
+
+def kg_adamic_adar_sql(transcripts_glob: str, k: int = 20) -> str:
+    """Top-k NON-ADJACENT pairs by Adamic-Adar score — mirrors
+    ``stages.graph.adamic_adar_topk`` (pairs u < v with a common
+    neighbor and no edge, AA = Σ 1/ln(deg(w)) over common neighbors w,
+    rounded to 4 decimals, cut by (aa_score DESC, u, v))."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS x,
+                            greatest(src_id, dst_id) AS y
+            FROM e WHERE src_id <> dst_id
+        ),
+        ud AS MATERIALIZED (
+            SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und
+        ),
+        deg AS MATERIALIZED (SELECT a, count(*) AS d FROM ud GROUP BY a),
+        aa AS MATERIALIZED (
+            SELECT n1.a AS u, n2.a AS v, sum(1.0 / ln(dw.d)) AS s
+            FROM ud n1
+            JOIN ud n2 ON n1.b = n2.b AND n1.a < n2.a
+            JOIN deg dw ON dw.a = n1.b
+            GROUP BY n1.a, n2.a
+        )
+        SELECT aa.u, aa.v, round(aa.s, 4) AS aa_score
+        FROM aa LEFT JOIN und ON und.x = aa.u AND und.y = aa.v
+        WHERE und.x IS NULL
+        ORDER BY aa_score DESC, aa.u, aa.v LIMIT {k}
+    """

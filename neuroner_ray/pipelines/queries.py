@@ -12886,3 +12886,271 @@ def customers_lapsed_rich_q22(sf_dir: str) -> Dataset:
         )
 
     return combined.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# ------ batch 32: Q8 market share / Q11 important parts (kg_adamic_adar
+# lives in __ray_entry__ beside the other graph-analytics wrappers)
+Q8_TARGET_NATION = "NATION_19"
+
+
+def nation_market_share_q8(sf_dir: str) -> Dataset:
+    """TPC-H Q8 SHAPE (national market share by year), adapted: the
+    yearly share of total revenue contributed by suppliers from ONE
+    nation (NATION_19 — present at every test scale; no region/part filters exist in this schema).
+    Revenue is exact integer ten-thousandths
+    (price_cents · (100 − disc_hundredths)); the supplier→nation map is
+    dimension-sized and broadcast; the order year attaches through ONE
+    orderkey int-bucket cogroup (side-tagged union, never Dataset.join);
+    the (year, is_target) census is year-bounded, tree-combined, and the
+    share is ONE double division of exact integer operands per year —
+    mirrored in SQL (NOTES.md integer-cents rule)."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+    supp = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    tgt_keys = {
+        int(k)
+        for k, name in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+        )
+        if name == Q8_TARGET_NATION
+    }
+    s_is_tgt = {
+        int(s): int(int(n) in tgt_keys)
+        for s, n in zip(
+            supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()
+        )
+    }
+    tgt_ref = ray.put(s_is_tgt)
+    empty = pa.table(
+        {
+            "o_year": pa.array([], pa.int64()),
+            "mkt_share": pa.array([], pa.float64()),
+        }
+    )
+    nbuckets = 64
+
+    def li_partial(t: pa.Table, ref=tgt_ref) -> pa.Table:
+        m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        price = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        disc = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        units = price * (100 - disc)
+        is_t = pd.Series(sk).map(m).fillna(0).to_numpy(dtype=np.int64)
+        df = (
+            pd.DataFrame(
+                {"k": ok, "units": units, "tunits": units * is_t}
+            )
+            .groupby("k", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    df["k"].to_numpy() % nbuckets, pa.int64()
+                ),
+                "k": pa.array(df["k"].to_numpy(), pa.int64()),
+                "units": pa.array(df["units"].to_numpy(), pa.int64()),
+                "tunits": pa.array(df["tunits"].to_numpy(), pa.int64()),
+                "yr": pa.array(np.full(len(df), -1, np.int64), pa.int64()),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .to_pandas()
+            .dt.year.to_numpy()
+            .astype(np.int64)
+        )
+        z = np.zeros(len(ok), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ok % nbuckets, pa.int64()),
+                "k": pa.array(ok, pa.int64()),
+                "units": pa.array(z, pa.int64()),
+                "tunits": pa.array(z, pa.int64()),
+                "yr": pa.array(yr, pa.int64()),
+            }
+        )
+
+    def cogroup(g: pd.DataFrame) -> pd.DataFrame:
+        yrs = g[g["yr"] >= 0]
+        rev = g[g["yr"] < 0]
+        if yrs.empty or rev.empty:
+            return pd.DataFrame(
+                {
+                    "o_year": pd.Series([], dtype="int64"),
+                    "units": pd.Series([], dtype="int64"),
+                    "tunits": pd.Series([], dtype="int64"),
+                }
+            )
+        ymap = pd.Series(
+            yrs["yr"].to_numpy(), index=yrs["k"].to_numpy()
+        )
+        out = pd.DataFrame(
+            {
+                "o_year": rev["k"].map(ymap).to_numpy(),
+                "units": rev["units"].to_numpy(),
+                "tunits": rev["tunits"].to_numpy(),
+            }
+        ).dropna(subset=["o_year"])
+        out["o_year"] = out["o_year"].astype(np.int64)
+        return out.groupby("o_year", as_index=False).sum()
+
+    merge = group_sum_merge(("o_year",), ("units", "tunits"))
+    census = tree_combine(
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(cogroup, batch_format="pandas")
+        .map_batches(
+            lambda t: merge(t)
+            if t.num_rows > 0 and "o_year" in t.column_names
+            else pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "units": pa.array([], pa.int64()),
+                    "tunits": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_year" not in t.column_names:
+            return empty
+        u = t["units"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tu = t["tunits"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "o_year": t["o_year"].cast(pa.int64()),
+                "mkt_share": pa.array(
+                    round_half_away(tu / u, 4), pa.float64()
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def part_important_value_q11(sf_dir: str) -> Dataset:
+    """TPC-H Q11 SHAPE (important stock), adapted: parts whose total
+    revenue value (exact integer ten-thousandths, the Q8 unit) exceeds
+    the MEAN part value — the self-scaling analog of Q11's
+    0.0001/SF fraction threshold. One partkey int-key census (map-side
+    partial sums first), anchored; the global (total, n_parts) scalar
+    pair tree-combines over the SAME census; the filter is the exact
+    integer comparison units·n > total (no float threshold), and the
+    reported value is ONE double division per surviving part —
+    mirrored in SQL."""
+    from ..runtime.combine import anchor
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    empty = pa.table(
+        {
+            "l_partkey": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        disc = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"l_partkey": pk, "units": price * (100 - disc)})
+            .groupby("l_partkey", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(df["l_partkey"].to_numpy(), pa.int64()),
+                "units": pa.array(df["units"].to_numpy(), pa.int64()),
+            }
+        )
+
+    census = anchor(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("units", alias_name="units"))
+    )
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        u = t["units"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pa.array([int(u.sum())], pa.int64()),
+                "n": pa.array([int(u.size)], pa.int64()),
+            }
+        )
+
+    def tot_merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t": pa.array(
+                    [int(t["t"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    [int(t["n"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    tot = tree_combine(
+        census.map_batches(tot_partial, batch_format="pyarrow"), tot_merge
+    ).to_pandas()
+    if tot.empty or "n" not in tot.columns or int(tot["n"].iloc[0]) == 0:
+        return rd.from_arrow(empty)
+    total, n_parts = int(tot["t"].iloc[0]), int(tot["n"].iloc[0])
+
+    def filt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t["units"].to_numpy(zero_copy_only=False)
+        keep = u * n_parts > total
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    t["l_partkey"]
+                    .to_numpy(zero_copy_only=False)[keep]
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "value": pa.array(
+                    round_half_away(
+                        u[keep].astype(np.float64) / 10000.0, 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return census.map_batches(filt, batch_format="pyarrow")

@@ -2924,3 +2924,406 @@ def twohop_reach(
         lambda t, adj_ref=adj_ref: reach_batch(t, adj_ref),
         batch_format="pyarrow",
     )
+
+
+def adamic_adar_topk(
+    edges: Dataset,
+    k: int = 20,
+    force_sharded: bool = False,
+    num_buckets: int | None = None,
+    hub_chunk: int = 0,
+) -> Dataset:
+    """Top-k NON-ADJACENT node pairs by Adamic-Adar link-prediction score
+    over the undirected simple entity graph:
+    AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) for pairs u < v sharing at
+    least one common neighbor and NOT already joined by an edge (the
+    classic "which entities should be linked next" signal), rounded to 4
+    decimals, cut by (aa_score DESC, u ASC, v ASC). A common neighbor
+    has degree ≥ 2, so ln(deg) > 0 always.
+
+    Same distribution shape as ``neighbor_jaccard_topk``: adjacency
+    broadcast once (vocabulary-bounded, loud cap), candidate pairs from
+    the two-hop closure, LOCAL top-k per batch, associative merge. Past
+    the TRIANGLE_MAX_EDGES cap ``_adamic_adar_sharded`` runs instead:
+    each wedge (u—w—v) carries weight 1/ln(deg(w)) — the degree is free
+    at wedge time (the center's whole adjacency sits in its group; the
+    chunked-hub regime reads it from the ``_attach_deg`` column) — the
+    weights sum per pair in the hash(u|v) cogroup, and adjacency
+    exclusion rides the same cogroup as marker rows. Per-pair float sums
+    accumulate in whatever order the wedges arrive (documented
+    kmeans/PCA fragility class; the per-pair term count is the common-
+    neighborhood size)."""
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import topk_merge, tree_combine
+
+    import ray.data as rd
+
+    if force_sharded:
+        return _adamic_adar_sharded(
+            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS,
+            hub_chunk=hub_chunk,
+        )
+    try:
+        simple = _simple_edges(edges, "adamic_adar_topk")
+    except ValueError:
+        return _adamic_adar_sharded(
+            edges, k, num_buckets=num_buckets or PR_NUM_BUCKETS,
+            hub_chunk=hub_chunk,
+        )
+    adj: dict[str, set[str]] = {}
+    for u, v in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    node_table = pa.table({"u": pa.array(sorted(adj), pa.string())})
+    cut = topk_merge(k, "aa_score", ["u", "v"])
+
+    def pairs_batch(t: pa.Table, adj_ref=None) -> pa.Table:
+        A = ray.get(adj_ref) if isinstance(adj_ref, ray.ObjectRef) else adj_ref
+        us, vs, ss = [], [], []
+        for u in t["u"].to_pylist():
+            nu = A[u]
+            cands = set()
+            for w in nu:
+                cands.update(x for x in A[w] if x > u)
+            cands -= nu  # non-adjacent pairs only
+            for v in sorted(cands):
+                common = nu & A[v]
+                if common:
+                    us.append(u)
+                    vs.append(v)
+                    ss.append(
+                        float(
+                            sum(1.0 / np.log(len(A[w])) for w in sorted(common))
+                        )
+                    )
+        return cut(
+            pa.table(
+                {
+                    "u": pa.array(us, pa.string()),
+                    "v": pa.array(vs, pa.string()),
+                    "aa_score": pa.array(
+                        round_half_away(ss, 4), pa.float64()
+                    ),
+                }
+            )
+        )
+
+    # small-graph fast path: one in-process sweep over the node list
+    if simple.num_rows <= SMALL_GRAPH_EDGES_MAX:
+        return rd.from_arrow(pairs_batch(node_table, adj_ref=adj))
+
+    adj_ref = ray.put(adj)
+    nodes = rd.from_arrow(node_table)
+    return tree_combine(
+        nodes.map_batches(
+            lambda t, adj_ref=adj_ref: pairs_batch(t, adj_ref=adj_ref),
+            batch_format="pyarrow",
+        ),
+        cut,
+    )
+
+
+def _adamic_adar_sharded(
+    edges: Dataset,
+    k: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+    hub_chunk: int = 0,
+) -> Dataset:
+    """Shuffle-formulated Adamic-Adar (the past-the-cap regime): the
+    weighted twin of ``_neighbor_jaccard_sharded``. Every unordered pair
+    (u, v) with a common neighbor is a wedge through some center w; each
+    wedge carries weight 1/ln(deg(w)) — ``_attach_deg`` stamps the
+    center degree onto every undirected adjacency row BEFORE wedge
+    generation (one bucketed cogroup), so both the plain and the
+    chunked-hub regimes read it off the row. Per-pair partial weight
+    sums re-aggregate in one hash(u|v) int-bucket cogroup which ALSO
+    carries the simple-edge marker rows: a pair with a marker is
+    adjacent and drops (the Q22/anti-join idiom); everything downstream
+    is an associative top-k merge. Driver state: the final top-k table
+    only."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import anchor, topk_merge, tree_combine
+    from ..runtime.hashing import hash_buckets, hash_raw
+
+    import ray.data as rd
+
+    empty = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("aa_score", pa.float64())]
+    ).empty_table()
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    pairs = anchor(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return (
+            pa.table(
+                {"id": ids, "deg": pa.array([1] * len(ids), pa.int64())}
+            )
+            .group_by("id")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["id", "deg"])
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    degs = anchor(
+        pairs.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(_Sum("deg", alias_name="deg"))
+    )
+
+    def und_plain(t: pa.Table) -> pa.Table:
+        center = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        nbr = pa.concat_arrays(
+            [t["b"].combine_chunks(), t["a"].combine_chunks()]
+        )
+        return pa.table({"center": center, "nbr": nbr})
+
+    with_dc = _attach_deg(
+        pairs.map_batches(und_plain, batch_format="pyarrow"),
+        degs,
+        "center",
+        "dc",
+        num_buckets,
+        frozenset({"center", "nbr"}),
+    )
+
+    def _pair_partials(outs_u: list, outs_v: list, outs_w: list) -> pd.DataFrame:
+        if not outs_u:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "u": pd.Series([], dtype=object),
+                    "v": pd.Series([], dtype=object),
+                    "s": pd.Series([], dtype="float64"),
+                    "kind": pd.Series([], dtype="int64"),
+                }
+            )
+        uu = np.concatenate(outs_u)
+        vv = np.concatenate(outs_v)
+        ww = np.concatenate(outs_w)
+        out = (
+            pd.DataFrame({"u": uu, "v": vv, "s": ww})
+            .groupby(["u", "v"], as_index=False)["s"]
+            .sum()
+        )
+        out.insert(
+            0,
+            "bucket",
+            hash_buckets(
+                (out["u"].astype(str) + "|" + out["v"].astype(str)).to_numpy(),
+                num_buckets,
+            ),
+        )
+        out["kind"] = np.zeros(len(out), np.int64)
+        return out
+
+    C = hub_chunk or NJ_HUB_CHUNK
+    max_deg = int(degs.max("deg") or 0)
+    if max_deg <= C:
+
+        def bucketed(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "wbucket", _bucket_of(t["center"], num_buckets)
+            )
+
+        def wedge_group(df: pd.DataFrame) -> pd.DataFrame:
+            outs_u, outs_v, outs_w = [], [], []
+            for _, g in df.groupby("center", sort=False):
+                nb = np.sort(g["nbr"].to_numpy(dtype=object))
+                m = len(nb)
+                if m < 2:
+                    continue
+                w = 1.0 / float(np.log(int(g["dc"].iloc[0])))
+                iu, ju = np.triu_indices(m, 1)
+                outs_u.append(nb[iu])
+                outs_v.append(nb[ju])
+                outs_w.append(np.full(len(iu), w, np.float64))
+            return _pair_partials(outs_u, outs_v, outs_w)
+
+        wedge_src = with_dc.map_batches(bucketed, batch_format="pyarrow")
+        wedge_fn = wedge_group
+    else:
+        chunk_schema = pa.schema(
+            [
+                ("wbucket", pa.int64()),
+                ("center", pa.string()),
+                ("ci", pa.int64()),
+                ("cj", pa.int64()),
+                ("side", pa.int64()),
+                ("nbr", pa.string()),
+                ("dc", pa.int64()),
+            ]
+        )
+
+        def chunk_expand(t: pa.Table, C=C) -> pa.Table:
+            if t.num_rows == 0:
+                return chunk_schema.empty_table()
+            center = np.asarray(t["center"].to_pylist(), dtype=object)
+            nbr = np.asarray(t["nbr"].to_pylist(), dtype=object)
+            dc = t["dc"].to_numpy(zero_copy_only=False)
+            nch = np.maximum(1, -(-dc // C)).astype(np.int64)
+            cn = (
+                hash_raw(nbr, key="aachunk") % nch.astype(np.uint64)
+            ).astype(np.int64)
+            reps = nch
+            idx = np.repeat(np.arange(len(dc)), reps)
+            total = int(reps.sum())
+            o = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+            cn_r = cn[idx]
+            ci = np.minimum(cn_r, o)
+            cj = np.maximum(cn_r, o)
+            side = np.where(
+                o == cn_r, 2, np.where(cn_r < o, 0, 1)
+            ).astype(np.int64)
+            cc = center[idx]
+            gk = (
+                pd.Series(cc).astype(str)
+                + "|"
+                + pd.Series(ci).astype(str)
+                + "|"
+                + pd.Series(cj).astype(str)
+            )
+            wb = hash_buckets(gk.to_numpy(), num_buckets, key="aawedge")
+            return pa.table(
+                {
+                    "wbucket": pa.array(wb, pa.int64()),
+                    "center": pa.array(cc, pa.string()),
+                    "ci": pa.array(ci, pa.int64()),
+                    "cj": pa.array(cj, pa.int64()),
+                    "side": pa.array(side, pa.int64()),
+                    "nbr": pa.array(nbr[idx], pa.string()),
+                    "dc": pa.array(dc[idx], pa.int64()),
+                }
+            )
+
+        def wedge_group_chunked(df: pd.DataFrame) -> pd.DataFrame:
+            outs_u, outs_v, outs_w = [], [], []
+            for (_, i, j), g in df.groupby(
+                ["center", "ci", "cj"], sort=False
+            ):
+                dci = int(g["dc"].iloc[0])
+                if dci < 2:  # degree-1 center: no wedge, and ln(1) == 0
+                    continue
+                w = 1.0 / float(np.log(dci))
+                if i == j:
+                    nb = np.sort(
+                        g.loc[g["side"] == 2, "nbr"].to_numpy(dtype=object)
+                    )
+                    m = len(nb)
+                    if m < 2:
+                        continue
+                    iu, ju = np.triu_indices(m, 1)
+                    outs_u.append(nb[iu])
+                    outs_v.append(nb[ju])
+                    outs_w.append(np.full(len(iu), w, np.float64))
+                else:
+                    left = g.loc[g["side"] == 0, "nbr"].to_numpy(
+                        dtype=object
+                    )
+                    right = g.loc[g["side"] == 1, "nbr"].to_numpy(
+                        dtype=object
+                    )
+                    if len(left) == 0 or len(right) == 0:
+                        continue
+                    u0 = np.repeat(left, len(right))
+                    v0 = np.tile(right, len(left))
+                    outs_u.append(np.minimum(u0, v0))
+                    outs_v.append(np.maximum(u0, v0))
+                    outs_w.append(np.full(len(u0), w, np.float64))
+            return _pair_partials(outs_u, outs_v, outs_w)
+
+        wedge_src = with_dc.map_batches(chunk_expand, batch_format="pyarrow")
+        wedge_fn = wedge_group_chunked
+
+    def marker_rows(t: pa.Table) -> pa.Table:
+        key = pa.compute.binary_join_element_wise(t["a"], t["b"], "|")
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    hash_buckets(key, num_buckets), pa.int64()
+                ),
+                "u": t["a"],
+                "v": t["b"],
+                "s": pa.array(
+                    np.zeros(t.num_rows, np.float64), pa.float64()
+                ),
+                "kind": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], as_index=False).agg(
+            s=("s", "sum"), adj=("kind", "max")
+        )
+        g = g[g["adj"] == 0]
+        return pd.DataFrame(
+            {
+                "u": g["u"].to_numpy(dtype=object),
+                "v": g["v"].to_numpy(dtype=object),
+                "s": g["s"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    scored = (
+        wedge_src.groupby("wbucket")
+        .map_groups(wedge_fn, batch_format="pandas")
+        # bundle to Arrow BEFORE the union: mixing pandas map_groups
+        # blocks with Arrow marker blocks breaks the sort sampler
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        .union(pairs.map_batches(marker_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(sum_group, batch_format="pandas")
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+    )
+
+    cut = topk_merge(k, "aa_score", ["u", "v"])
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return empty
+        return cut(
+            pa.table(
+                {
+                    "u": t["u"].cast(pa.string()),
+                    "v": t["v"].cast(pa.string()),
+                    "aa_score": pa.array(
+                        round_half_away(
+                            t["s"].to_numpy(zero_copy_only=False), 4
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            )
+        )
+
+    return tree_combine(
+        scored.map_batches(score_rows, batch_format="pyarrow"), cut
+    )

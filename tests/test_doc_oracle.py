@@ -2728,3 +2728,43 @@ def test_bigram_logprob_invariants():
             assert got[did] == n - 1, did
         else:
             assert did not in got
+
+
+def test_batch32_queries_match_oracles():
+    """Batch-32 additions (adapted TPC-H Q8 market share and Q11
+    important parts) against their registered oracles at fixture scale
+    (kg_adamic_adar is exercised in test_graph_analytics + the gate
+    replica — it needs the transcripts corpus, not the sf tables)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("nation_market_share_q8", "part_important_value_q11"):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch32_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (q.nation_market_share_q8, q.part_important_value_q11):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__

@@ -675,3 +675,94 @@ class TestTwohopReach:
         )
         got = twohop_reach(ds).to_pandas()
         assert dict(zip(got["entity_id"], got["reach2"])) == {"a": 1, "b": 1}
+
+
+def test_adamic_adar_closed_form_and_empty():
+    """AA on a path graph a—b—c—d plus edge a—c: non-adjacent candidate
+    pairs are (a,d) via c and (b,d) via c; the adjacent (a,c)/(b,c)/(a,b)
+    pairs are excluded; score = 1/ln(deg(c)) with deg(c) = 3."""
+    import math
+
+    import pyarrow as pa
+
+    from neuroner_ray.stages.graph import adamic_adar_topk
+
+    def mk():
+        return rd.from_items(
+            [
+                {"src_id": s, "dst_id": d, "pred": "p", "weight": 1}
+                for s, d in [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+            ]
+        )
+
+    out = (
+        adamic_adar_topk(mk())
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    w = round(1.0 / math.log(3), 4)
+    assert list(out["u"]) == ["a", "b"]
+    assert list(out["v"]) == ["d", "d"]
+    assert list(out["aa_score"]) == [w, w]
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [("src_id", pa.string()), ("dst_id", pa.string()),
+             ("pred", pa.string()), ("weight", pa.int64())]
+        ).empty_table()
+    )
+    assert adamic_adar_topk(empty).count() == 0
+    assert (
+        adamic_adar_topk(empty, force_sharded=True, num_buckets=4).count()
+        == 0
+    )
+
+
+def test_adamic_adar_sharded_regimes_agree():
+    """force_sharded routes AA through the weighted-wedge shuffle; both
+    the plain and the hub-chunked regimes must reproduce the broadcast
+    path exactly (same 4-decimal rounding, same top-k total order) on a
+    seeded random multigraph with a planted hub."""
+    import numpy as np
+
+    from neuroner_ray.stages.graph import adamic_adar_topk
+
+    rng = np.random.RandomState(23)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    rows = []
+    for _ in range(140):
+        s_, d_ = rng.choice(60, 2)
+        rows.append(
+            {
+                "src_id": nodes[s_],
+                "dst_id": nodes[d_],
+                "pred": rng.choice(["p", "q"]),
+                "weight": int(rng.randint(1, 4)),
+            }
+        )
+    hub = nodes[0]
+    for i in range(1, 22):
+        rows.append(
+            {"src_id": hub, "dst_id": nodes[i], "pred": "p", "weight": 1}
+        )
+
+    def mk():
+        return rd.from_items(rows)
+
+    fast = adamic_adar_topk(mk(), k=25).to_pandas().reset_index(drop=True)
+    assert len(fast) == 25
+    shard = (
+        adamic_adar_topk(mk(), k=25, force_sharded=True, num_buckets=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert fast.equals(shard), (fast.head(8), shard.head(8))
+    chunked = (
+        adamic_adar_topk(
+            mk(), k=25, force_sharded=True, num_buckets=4, hub_chunk=4
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert fast.equals(chunked), (fast.head(8), chunked.head(8))
