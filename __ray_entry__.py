@@ -441,6 +441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar": kg_adamic_adar,
         "nation_market_share_q8": q.nation_market_share_q8,
         "part_important_value_q11": q.part_important_value_q11,
+        "orders_priority_late_q4": q.orders_priority_late_q4,
+        "supplier_top_quarter_q15": q.supplier_top_quarter_q15,
+        "part_smallqty_revenue_q17": q.part_smallqty_revenue_q17,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -745,6 +748,43 @@ def oracle_sql() -> dict[str, str]:
                        AS mkt_share
             FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
             GROUP BY 1
+        """,
+        "orders_priority_late_q4": """
+            WITH late AS (
+                SELECT l_orderkey, max(l_shipdate) AS mx
+                FROM lineitem GROUP BY 1)
+            SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o JOIN late ON late.l_orderkey = o.o_orderkey
+            WHERE late.mx > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
+        "supplier_top_quarter_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS units
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1),
+            mx AS (SELECT max(units) AS m FROM rev)
+            SELECT s.s_name, round(r.units / 10000.0, 4) AS total_rev
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, mx
+            WHERE r.units = mx.m
+        """,
+        "part_smallqty_revenue_q17": """
+            WITH pq AS (
+                SELECT l.l_partkey,
+                       sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS sq,
+                       count(*)::BIGINT AS n
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#2' GROUP BY 1)
+            SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                          / 700.0, 4) AS avg_yearly
+            FROM lineitem l JOIN pq ON pq.l_partkey = l.l_partkey
+            WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pq.n < pq.sq
+            HAVING count(*) > 0
         """,
         "part_important_value_q11": """
             WITH v AS (

@@ -13154,3 +13154,375 @@ def part_important_value_q11(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(filt, batch_format="pyarrow")
+
+
+# --- batch 33: Q4 late-shipment priorities / Q15 top supplier / Q17
+Q4_LATE_DAYS = 60
+Q15_Q_START = "1996-01-01"
+Q15_Q_END = "1996-04-01"
+Q17_BRAND = "Brand#2"
+
+
+def orders_priority_late_q4(sf_dir: str) -> Dataset:
+    """TPC-H Q4 SHAPE (order priority checking), adapted: count, per
+    o_orderpriority, the orders with at least one lineitem shipped more
+    than 60 days after the order date (the schema has no
+    commit/receipt dates — the EXISTS becomes max(l_shipdate) >
+    o_orderdate + 60d, equivalent because max witnesses the EXISTS).
+    One orderkey int-bucket cogroup: per-batch (orderkey, max-ship)
+    lineitem partials ∪ (orderkey, orderdate, priority) rows; the
+    per-bucket judge is two vectorized int64 compares; the surviving
+    priorities collapse into a 5-row census (tree combine). Timestamps
+    travel as exact epoch-µs int64 throughout (the NOTES.md temporal-key
+    rule)."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    empty = pa.table(
+        {
+            "o_orderpriority": pa.array([], pa.string()),
+            "order_count": pa.array([], pa.int64()),
+        }
+    )
+    nbuckets = 64
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (
+            t["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = (
+            pd.DataFrame({"k": ok, "mx": sd})
+            .groupby("k", as_index=False)
+            .max()
+        )
+        n = len(df)
+        return pa.table(
+            {
+                "bucket": pa.array(df["k"].to_numpy() % nbuckets, pa.int64()),
+                "k": pa.array(df["k"].to_numpy(), pa.int64()),
+                "mx": pa.array(df["mx"].to_numpy(), pa.int64()),
+                "prio": pa.array([""] * n, pa.string()),
+                "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(ok % nbuckets, pa.int64()),
+                "k": pa.array(ok, pa.int64()),
+                "mx": pa.array(od, pa.int64()),
+                "prio": t["o_orderpriority"],
+                "kind": pa.array(np.ones(len(ok), np.int64), pa.int64()),
+            }
+        )
+
+    def judge(g: pd.DataFrame, late_us=late_us) -> pd.DataFrame:
+        li_rows = g[g["kind"] == 0]
+        o_rows = g[g["kind"] == 1]
+        if li_rows.empty or o_rows.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype="object"),
+                    "order_count": pd.Series([], dtype="int64"),
+                }
+            )
+        # partials for one order may arrive from several lineitem batches
+        mx = li_rows.groupby("k")["mx"].max()
+        om = o_rows.set_index("k")
+        common = om.index.intersection(mx.index)
+        late = mx.loc[common] > om.loc[common, "mx"] + late_us
+        kept = om.loc[common[late.to_numpy()], "prio"]
+        vc = kept.value_counts()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": vc.index.to_numpy(dtype=object),
+                "order_count": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    merge = group_sum_merge(("o_orderpriority",), ("order_count",))
+    census = tree_combine(
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(judge, batch_format="pandas")
+        .map_batches(
+            lambda t: merge(t)
+            if t.num_rows > 0 and "o_orderpriority" in t.column_names
+            else empty,
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderpriority" not in t.column_names:
+            return empty
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "order_count": t["order_count"].cast(pa.int64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def supplier_top_quarter_q15(sf_dir: str) -> Dataset:
+    """TPC-H Q15 SHAPE (top supplier by quarterly revenue): suppliers
+    whose 1996-Q1 shipped revenue equals the global maximum (the view +
+    scalar-subquery classic). Revenue in exact integer ten-thousandths;
+    the ship-date window filters map-side at the read; the per-supplier
+    census is supplier-bounded and anchored so the global max
+    (tree-combined scalar) and the equality filter reuse it without
+    recomputation; names attach from the dimension-sized broadcast. The
+    max compare is exact integers — ties all surface, as in Q15."""
+    from ..runtime.combine import anchor
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supp = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
+    )
+    names = dict(
+        zip(
+            (int(k) for k in supp["s_suppkey"].to_pylist()),
+            supp["s_name"].to_pylist(),
+        )
+    )
+    empty = pa.table(
+        {
+            "s_name": pa.array([], pa.string()),
+            "total_rev": pa.array([], pa.float64()),
+        }
+    )
+    lo = int(np.datetime64(Q15_Q_START, "us").astype(np.int64))
+    hi = int(np.datetime64(Q15_Q_END, "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = (
+            t["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = (sd >= lo) & (sd < hi)
+        sk = (
+            t["l_suppkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        )
+        price = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100.0,
+            0,
+        ).astype(np.int64)
+        disc = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"supp": sk, "units": price * (100 - disc)})
+            .groupby("supp", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "supp": pa.array(df["supp"].to_numpy(), pa.int64()),
+                "units": pa.array(df["units"].to_numpy(), pa.int64()),
+            }
+        )
+
+    census = anchor(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("supp")
+        .aggregate(Sum("units", alias_name="units"))
+    )
+
+    def mx_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        u = t["units"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(u.max())], pa.int64())})
+
+    def mx_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "m": pa.array(
+                    [int(t["m"].to_numpy(zero_copy_only=False).max())],
+                    pa.int64(),
+                )
+            }
+        )
+
+    mx = tree_combine(
+        census.map_batches(mx_partial, batch_format="pyarrow"), mx_merge
+    ).to_pandas()
+    if mx.empty or "m" not in mx.columns:
+        return rd.from_arrow(empty)
+    m = int(mx["m"].iloc[0])
+
+    def filt(t: pa.Table, names=names) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t["units"].to_numpy(zero_copy_only=False)
+        keep = u == m
+        sk = t["supp"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "s_name": pa.array(
+                    [names.get(int(k), "") for k in sk], pa.string()
+                ),
+                "total_rev": pa.array(
+                    round_half_away(
+                        u[keep].astype(np.float64) / 10000.0, 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return census.map_batches(filt, batch_format="pyarrow")
+
+
+def part_smallqty_revenue_q17(sf_dir: str) -> Dataset:
+    """TPC-H Q17 SHAPE (small-quantity-order revenue): average yearly
+    revenue lost if Brand#2 parts stop shipping quantities under 20% of
+    that part's average order quantity. The correlated scalar subquery
+    becomes: pass 1 builds the per-part quantity census for Brand#2
+    parts (brand filter via the dimension-sized part broadcast; census
+    is part-bounded, collected and broadcast); pass 2 filters lineitems
+    map-side with the exact integer comparison qty_h·5·n < sum_qty_h
+    (the NOTES.md correlated-comparison rule — never a float 0.2·avg)
+    and tree-combines ONE price-cents scalar; the /7.0 division happens
+    once, on both sides. Empty when nothing qualifies (the oracle's
+    HAVING mirrors it)."""
+    part = pq.read_table(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    )
+    brand_pks = {
+        int(k)
+        for k, b in zip(
+            part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()
+        )
+        if b == Q17_BRAND
+    }
+    empty = pa.table({"avg_yearly": pa.array([], pa.float64())})
+    if not brand_pks:
+        return rd.from_arrow(empty)
+    pks_ref = ray.put(brand_pks)
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    merge = group_sum_merge(("pk",), ("sq", "n"))
+
+    def qty_partial(t: pa.Table, ref=pks_ref) -> pa.Table:
+        pks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.array([int(k) in pks for k in pk], bool)
+        qh = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"pk": pk[keep], "sq": qh, "n": np.ones(qh.size, np.int64)}
+            )
+            .groupby("pk", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "pk": pa.array(df["pk"].to_numpy(), pa.int64()),
+                "sq": pa.array(df["sq"].to_numpy(), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    census = tree_combine(
+        li.map_batches(qty_partial, batch_format="pyarrow"), merge
+    ).to_pandas()  # Brand#2-part-bounded (dimension-sized)
+    if census.empty or "pk" not in census.columns:
+        return rd.from_arrow(empty)
+    thr = (
+        census.assign(pk=census["pk"].astype(np.int64))
+        .set_index("pk")[["sq", "n"]]
+        .astype(np.int64)
+    )
+    thr_ref = ray.put(thr)
+
+    def rev_partial(t: pa.Table, ref=thr_ref) -> pa.Table:
+        m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        pk = pd.Series(
+            t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        qh = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        price = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        # int64 end-to-end: a float sq would lose exactness past 2^53
+        sqv = pk.map(m["sq"]).fillna(-1).to_numpy(dtype=np.int64)
+        nv = pk.map(m["n"]).fillna(0).to_numpy(dtype=np.int64)
+        mask = (sqv >= 0) & (qh * 5 * nv < sqv)
+        return pa.table(
+            {
+                "t": pa.array([int(price[mask].sum())], pa.int64()),
+                "c": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    def sc_merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t": pa.array(
+                    [int(t["t"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "c": pa.array(
+                    [int(t["c"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    tot = tree_combine(
+        li.map_batches(rev_partial, batch_format="pyarrow"), sc_merge
+    ).to_pandas()
+    if tot.empty or "c" not in tot.columns or int(tot["c"].iloc[0]) == 0:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "avg_yearly": pa.array(
+                    [
+                        float(
+                            round_half_away(
+                                int(tot["t"].iloc[0]) / 700.0, 4
+                            )
+                        )
+                    ],
+                    pa.float64(),
+                )
+            }
+        )
+    )

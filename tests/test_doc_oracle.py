@@ -2768,3 +2768,49 @@ def test_batch32_ops_survive_empty_input(tmp_path):
         pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
     for fn in (q.nation_market_share_q8, q.part_important_value_q11):
         assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_batch33_queries_match_oracles():
+    """Batch-33 additions (adapted TPC-H Q4, Q15, Q17) against their
+    registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "orders_priority_late_q4",
+        "supplier_top_quarter_q15",
+        "part_smallqty_revenue_q17",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch33_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("lineitem", "orders", "supplier", "part"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.orders_priority_late_q4,
+        q.supplier_top_quarter_q15,
+        q.part_smallqty_revenue_q17,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
