@@ -664,8 +664,8 @@ def oracle_sql() -> dict[str, str]:
                     SELECT unnest(ws) AS w FROM t) GROUP BY w),
             v AS (SELECT count(*)::BIGINT AS nv FROM uni)
             SELECT b.doc_id, sum(b.cnt)::BIGINT AS n_bigrams,
-                   round(sum(b.cnt * (ln(c12.c + 1) - ln(uni.c + v.nv))), 4)
-                       AS logprob
+                   round(sum(b.cnt * ln(c12.c + 1))
+                         - sum(b.cnt * ln(uni.c + v.nv)), 4) AS logprob
             FROM bgc b JOIN c12 USING (bg)
                  JOIN uni ON uni.w = b.w1 CROSS JOIN v
             GROUP BY b.doc_id

@@ -139,6 +139,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     timings["kg_pagerank"] = round(time.perf_counter() - t0, 3)
 
+    # link prediction over the same edges (broadcast adjacency + local
+    # top-k; weighted-wedge shuffle past the cap)
+    from neuroner_ray.stages.graph import adamic_adar_topk
+
+    t0 = time.perf_counter()
+    for _ in adamic_adar_topk(
+        read_parquet_clean(
+            os.path.join(out_dir, "edges"),
+            columns=["src_id", "dst_id", "weight"],
+        )
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        pass
+    timings["kg_adamic_adar"] = round(time.perf_counter() - t0, 3)
+
     # secondary: classic (materializing) pipeline with the gazetteer tagger
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -174,6 +188,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("events_user_rfm_segments", q.events_user_rfm_segments),
         ("events_user_scd2", q.events_user_scd2),
         ("orders_fulfillment_lag", q.orders_fulfillment_lag),
+        # batch 31+: distributed bigram-census join; orderkey cogroup
+        ("doc_bigram_logprob", q.doc_bigram_logprob),
+        ("orders_priority_late_q4", q.orders_priority_late_q4),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)

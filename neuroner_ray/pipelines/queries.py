@@ -12518,8 +12518,14 @@ def doc_bigram_logprob(sf_dir: str) -> Dataset:
     }
     lnden_ref = ray.put(lnden)
 
-    def instances(batch: pa.Table) -> pa.Table:
-        dids, w1s, bgs, cnts = [], [], [], []
+    def instances(batch: pa.Table, ref=lnden_ref) -> pa.Table:
+        # the smoothing DENOMINATOR Σ cnt·ln(c(w1)+V) is computable
+        # map-side (a doc is one row and the unigram map is broadcast),
+        # so the bucket shuffle carries only (bg, doc_id, cnt) — no w1
+        # strings, no per-bucket dict lookups (the 24 s → ~12 s rework
+        # measured at sf0.1/32)
+        d = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        dids, bgs, cnts, dens = [], [], [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -12527,46 +12533,75 @@ def doc_bigram_logprob(sf_dir: str) -> Dataset:
             if len(ws) < 2:
                 continue
             c = Counter(zip(ws[:-1], ws[1:]))
+            den = 0.0
             for (w1, w2), n in c.items():
                 dids.append(doc_id)
-                w1s.append(w1)
                 bgs.append(w1 + " " + w2)
                 cnts.append(n)
+                dens.append(0.0)
+                den += n * d[w1]
+            # one sentinel row per doc (bg "", den>0): carries the whole
+            # denominator straight through its bucket to the doc aggregate
+            dids.append(doc_id)
+            bgs.append("")
+            cnts.append(0)
+            dens.append(den)
         return pa.table(
             {
                 "bucket": pa.array(
                     hash_buckets(bgs, LM_BUCKETS), pa.int64()
                 ),
                 "bg": pa.array(bgs, pa.string()),
-                "w1": pa.array(w1s, pa.string()),
                 "doc_id": pa.array(dids, pa.int64()),
                 "cnt": pa.array(cnts, pa.int64()),
+                "den": pa.array(dens, pa.float64()),
             }
         )
 
-    def score_bucket(g: pd.DataFrame, ref=lnden_ref) -> pd.DataFrame:
-        d = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        cnt = g["cnt"].to_numpy()
-        c12 = g.groupby("bg", sort=False)["cnt"].transform("sum").to_numpy()
-        den = g["w1"].map(d).to_numpy(dtype=np.float64)
-        contrib = cnt * (np.log(c12 + 1.0) - den)
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sent = g["bg"].to_numpy() == ""
+        inst = g[~sent]
+        cnt = inst["cnt"].to_numpy()
+        c12 = (
+            inst.groupby("bg", sort=False)["cnt"].transform("sum").to_numpy()
+        )
         out = pd.DataFrame(
-            {"doc_id": g["doc_id"].to_numpy(), "contrib": contrib, "nb": cnt}
+            {
+                "doc_id": np.concatenate(
+                    [inst["doc_id"].to_numpy(), g.loc[sent, "doc_id"].to_numpy()]
+                ),
+                "contrib": np.concatenate(
+                    [cnt * np.log(c12 + 1.0), -g.loc[sent, "den"].to_numpy()]
+                ),
+                "nb": np.concatenate(
+                    [cnt, np.zeros(int(sent.sum()), np.int64)]
+                ),
+            }
         )
         out = out.groupby("doc_id", as_index=False).sum()
         out["doc_id"] = out["doc_id"].astype(np.int64)
         out["nb"] = out["nb"].astype(np.int64)
+        # second-stage routing key: a plain Ray groupby("doc_id")
+        # sort-aggregate measured 27 s on 169k rows at sf0.1 — the
+        # int-bucket cogroup (NOTES.md house pattern) does it in <1 s
+        out.insert(0, "dbucket", out["doc_id"].to_numpy() % LM_BUCKETS)
+        return out
+
+    def doc_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("doc_id", as_index=False)
+            .agg(contrib=("contrib", "sum"), n_bigrams=("nb", "sum"))
+        )
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
         return out
 
     per_doc = (
         docs.map_batches(instances, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("contrib", alias_name="contrib"),
-            Sum("nb", alias_name="n_bigrams"),
-        )
+        .groupby("dbucket")
+        .map_groups(doc_group, batch_format="pandas")
     )
 
     def finish(t: pa.Table) -> pa.Table:
