@@ -200,6 +200,16 @@ def kg_twohop_reach(sf_dir: str) -> Any:
     return twohop_reach(_kg_tables(sf_dir)["edges"])
 
 
+def kg_clustering(sf_dir: str) -> Any:
+    """Graph analytics: local clustering coefficient per deg≥2 entity
+    (broadcast adjacency with a driver fast path below
+    SMALL_GRAPH_EDGES_MAX; the degree-oriented wedge cogroup past the
+    TRIANGLE_MAX_EDGES cap — see stages.graph.clustering_coeff)."""
+    from neuroner_ray.stages.graph import clustering_coeff
+
+    return clustering_coeff(_kg_tables(sf_dir)["edges"])
+
+
 def kg_communities_lpa(sf_dir: str) -> Any:
     """Graph analytics: synchronous label-propagation communities (fixed
     8 rounds; labels broadcast per round, one streamed pair pass each)."""
@@ -444,6 +454,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_late_q4": q.orders_priority_late_q4,
         "supplier_top_quarter_q15": q.supplier_top_quarter_q15,
         "part_smallqty_revenue_q17": q.part_smallqty_revenue_q17,
+        "lineitem_forecast_revenue_q6": q.lineitem_forecast_revenue_q6,
+        "lineitem_shipmode_q12": q.lineitem_shipmode_q12,
+        "lineitem_disjunctive_q19": q.lineitem_disjunctive_q19,
+        "kg_clustering": kg_clustering,
+        "events_user_count_kmv": q.events_user_count_kmv,
+        "events_hour_dow_seasonality": q.events_hour_dow_seasonality,
+        "events_windowed_funnel": q.events_windowed_funnel,
+        "events_user_lifecycle": q.events_user_lifecycle,
+        "events_seasonal_anomaly": q.events_seasonal_anomaly,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -796,6 +815,151 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(units) AS t, count(*)::BIGINT AS n FROM v)
             SELECT l_partkey, round(units / 10000.0, 4) AS value
             FROM v, tot WHERE units * tot.n > tot.t
+        """,
+        "lineitem_forecast_revenue_q6": """
+            SELECT round(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       CAST(round(l_discount * 100) AS BIGINT)), 0)
+                   / 10000.0, 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+        """,
+        "lineitem_shipmode_q12": """
+            SELECT l.l_returnflag,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
+        "lineitem_disjunctive_q19": """
+            WITH b AS (
+                SELECT p_partkey,
+                       CASE p_brand WHEN 'Brand#1' THEN 100
+                                    WHEN 'Brand#2' THEN 1000
+                                    ELSE 2000 END AS qlo,
+                       CASE p_brand WHEN 'Brand#1' THEN 1100
+                                    WHEN 'Brand#2' THEN 2000
+                                    ELSE 3000 END AS qhi
+                FROM part
+                WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5)
+                   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10)
+                   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15))
+            SELECT round(coalesce(sum(
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+                   / 10000.0, 4) AS revenue
+            FROM lineitem l JOIN b ON b.p_partkey = l.l_partkey
+            WHERE CAST(round(l.l_quantity * 100) AS BIGINT)
+                      BETWEEN b.qlo AND b.qhi
+        """,
+        "kg_clustering": ko.kg_clustering_sql(tglob),
+        "events_user_count_kmv": """
+            WITH h AS (
+                SELECT DISTINCT md5_number_upper(user_id::VARCHAR) AS hv
+                FROM events),
+            k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+            s AS (SELECT count(*)::BIGINT AS ku, max(hv) AS hk FROM k)
+            SELECT ku AS k_used,
+                   round(CASE WHEN ku < 256 THEN ku::DOUBLE
+                              ELSE 255 * power(2.0, 64) / hk::DOUBLE END,
+                         4) AS est_kmv
+            FROM s
+        """,
+        "events_hour_dow_seasonality": """
+            WITH c AS (
+                SELECT isodow(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
+                       count(*)::BIGINT AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS sv
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS tot FROM c)
+            SELECT dow, hr, n,
+                   round(sv / 100.0 / n, 4) AS avg_value,
+                   round(n * 168.0 / tot, 4) AS seasonal_idx
+            FROM c, t
+        """,
+        "events_windowed_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'view'),
+            rc AS (SELECT DISTINCT e2.user_id, e2.ts
+                   FROM events e1 JOIN events e2
+                     ON e2.user_id = e1.user_id
+                    AND e1.event_type = 'view'
+                    AND e2.event_type = 'click'
+                    AND e1.ts < e2.ts
+                    AND e2.ts <= e1.ts + INTERVAL 1 HOUR),
+            rp AS (SELECT DISTINCT e3.user_id
+                   FROM rc JOIN events e3
+                     ON e3.user_id = rc.user_id
+                    AND e3.event_type = 'purchase'
+                    AND rc.ts < e3.ts
+                    AND e3.ts <= rc.ts + INTERVAL 1 HOUR),
+            st AS (SELECT u.user_id,
+                          CASE WHEN rp.user_id IS NOT NULL THEN 3
+                               WHEN rcu.user_id IS NOT NULL THEN 2
+                               WHEN v.user_id IS NOT NULL THEN 1
+                               ELSE 0 END AS stage
+                   FROM u
+                   LEFT JOIN rp ON rp.user_id = u.user_id
+                   LEFT JOIN (SELECT DISTINCT user_id FROM rc) rcu
+                          ON rcu.user_id = u.user_id
+                   LEFT JOIN v ON v.user_id = u.user_id)
+            SELECT stage, count(*)::BIGINT AS n_users FROM st GROUP BY 1
+        """,
+        "events_user_lifecycle": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 604800) AS BIGINT)
+                                  AS wk
+                       FROM events),
+            mx AS (SELECT max(wk) AS maxw FROM w),
+            lagd AS (SELECT user_id, wk,
+                            lag(wk) OVER (PARTITION BY user_id
+                                          ORDER BY wk) AS pw,
+                            lead(wk) OVER (PARTITION BY user_id
+                                           ORDER BY wk) AS nw
+                     FROM w),
+            st AS (
+                SELECT wk, CASE WHEN pw IS NULL THEN 0
+                                WHEN pw = wk - 1 THEN 1
+                                ELSE 2 END AS s
+                FROM lagd
+                UNION ALL
+                SELECT wk + 1, 3 FROM lagd, mx
+                WHERE (nw IS NULL OR nw > wk + 1) AND wk + 1 <= maxw)
+            SELECT wk,
+                   sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS n_new,
+                   sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_retained,
+                   sum(CASE WHEN s = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_resurrected,
+                   sum(CASE WHEN s = 3 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_churned
+            FROM st GROUP BY 1
+        """,
+        "events_seasonal_anomaly": """
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT)
+                                  AS wk,
+                              isodow(ts)::BIGINT AS dow,
+                              hour(ts)::BIGINT AS hr,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2, 3),
+            wr AS (SELECT max(wk) - min(wk) + 1 AS W FROM c),
+            cell AS (SELECT dow, hr, sum(n)::BIGINT AS S,
+                            sum(n * n)::BIGINT AS Q
+                     FROM c GROUP BY 1, 2),
+            sc AS (SELECT c.wk, c.dow, c.hr, c.n,
+                          (c.n * wr.W - cell.S)
+                              / sqrt(wr.W * cell.Q - cell.S * cell.S) AS z
+                   FROM c JOIN cell USING (dow, hr) CROSS JOIN wr
+                   WHERE wr.W * cell.Q - cell.S * cell.S > 0)
+            SELECT wk, dow, hr, n, round(z, 4) AS z
+            FROM sc ORDER BY abs(z) DESC, wk, dow, hr LIMIT 20
         """,
         "kg_communities_lpa": ko.kg_communities_lpa_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),

@@ -690,3 +690,39 @@ def kg_adamic_adar_sql(transcripts_glob: str, k: int = 20) -> str:
         WHERE und.x IS NULL
         ORDER BY aa_score DESC, aa.u, aa.v LIMIT {k}
     """
+
+
+def kg_clustering_sql(transcripts_glob: str) -> str:
+    """Local clustering coefficient per deg≥2 node — mirrors
+    ``stages.graph.clustering_coeff``: deg = distinct undirected
+    neighbors, triangles(u) = closed wedges centered at u (each triangle
+    counted once per member node), coeff = 2·tri / (deg·(deg−1))."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        simple AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS a,
+                            greatest(src_id, dst_id) AS b
+            FROM edges WHERE src_id <> dst_id
+        ),
+        ud AS MATERIALIZED (
+            SELECT a AS x, b AS y FROM simple
+            UNION ALL SELECT b, a FROM simple
+        ),
+        deg AS (
+            SELECT x AS node, count(*)::BIGINT AS deg FROM ud GROUP BY 1
+        ),
+        tri AS (
+            SELECT w.c AS node, count(*)::BIGINT AS tri
+            FROM (SELECT u1.x AS c, u1.y AS a, u2.y AS b
+                  FROM ud u1 JOIN ud u2
+                       ON u2.x = u1.x AND u1.y < u2.y) w
+            JOIN simple s ON s.a = w.a AND s.b = w.b
+            GROUP BY 1
+        )
+        SELECT d.node AS entity_id, d.deg AS degree,
+               coalesce(t.tri, 0)::BIGINT AS triangles,
+               round(2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1.0)), 4)
+                   AS coeff
+        FROM deg d LEFT JOIN tri t ON t.node = d.node
+        WHERE d.deg >= 2
+    """

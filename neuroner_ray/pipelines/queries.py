@@ -13561,3 +13561,777 @@ def part_smallqty_revenue_q17(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+Q6_DISC_LO, Q6_DISC_HI, Q6_QTY_LT = 5, 7, 24  # int hundredths / units
+
+
+def lineitem_forecast_revenue_q6(sf_dir: str) -> Dataset:
+    """TPC-H Q6 SHAPE (forecasting revenue change): one filtered scan of
+    lineitem, revenue = Σ extendedprice·discount over 1996 shipments with
+    discount in [0.05, 0.07] and quantity < 24. Pure map-side partials
+    (one int64 scalar per batch: price-cents × discount-hundredths =
+    exact ten-thousandths) tree-combined to a single row; the only
+    division is the final /10000. Column-pruned read; predicate applied
+    per batch with vectorized numpy masks — nothing shuffles.
+    Reference shape: TPC-H spec Q6 (the no-join aggregate)."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo_us = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi_us = int(pd.Timestamp("1997-01-01").value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = (
+            t["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        dh = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        qh = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        price = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        mask = (
+            (sd >= lo_us)
+            & (sd < hi_us)
+            & (dh >= Q6_DISC_LO)
+            & (dh <= Q6_DISC_HI)
+            & (qh < Q6_QTY_LT * 100)
+        )
+        return pa.table(
+            {"u": pa.array([int((price[mask] * dh[mask]).sum())], pa.int64())}
+        )
+
+    def sc_merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    [int(t["u"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                )
+            }
+        )
+
+    tot = tree_combine(
+        li.map_batches(partial, batch_format="pyarrow"), sc_merge
+    ).to_pandas()
+    units = int(tot["u"].iloc[0]) if not tot.empty and "u" in tot.columns else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "revenue": pa.array(
+                    [float(round_half_away(units / 10000.0, 4))], pa.float64()
+                )
+            }
+        )
+    )
+
+
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def lineitem_shipmode_q12(sf_dir: str) -> Dataset:
+    """TPC-H Q12 SHAPE (shipping modes and order priority), adapted: the
+    schema has no l_shipmode or commit/receipt dates, so the mode analog
+    is l_returnflag and "late" is the Q4 rule (l_shipdate more than 60
+    days after o_orderdate). Per returnflag, count late LINES on
+    high-priority orders (1-URGENT / 2-HIGH) vs the rest. The line→order
+    priority attach is one orderkey int-bucket cogroup (the Q4 pattern):
+    fixed-width lineitem rows (orderkey, shipdate-µs, flag-code) ∪ order
+    rows (orderkey, orderdate-µs, is-high); the per-bucket judge is one
+    int64 compare + a 6-cell bincount; the global census is a 3-row tree
+    combine. No broadcast of either side — both tables stream.
+    Reference shape: TPC-H spec Q12 with the Q4 lateness witness."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+    )
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    empty = pa.table(
+        {
+            "l_returnflag": pa.array([], pa.string()),
+            "high_line_count": pa.array([], pa.int64()),
+            "low_line_count": pa.array([], pa.int64()),
+        }
+    )
+    nbuckets = 64
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+    flags = ("A", "N", "R")
+    fcode = {f: i for i, f in enumerate(flags)}
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (
+            t["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        fc = (
+            pd.Series(t["l_returnflag"].to_pylist())
+            .map(fcode)
+            .fillna(-1)
+            .to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(ok % nbuckets, pa.int64()),
+                "k": pa.array(ok, pa.int64()),
+                "ts": pa.array(sd, pa.int64()),
+                "aux": pa.array(fc, pa.int64()),
+                "kind": pa.array(np.zeros(ok.size, np.int64), pa.int64()),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        hi = np.array(
+            [1 if p in Q12_HIGH else 0 for p in t["o_orderpriority"].to_pylist()],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(ok % nbuckets, pa.int64()),
+                "k": pa.array(ok, pa.int64()),
+                "ts": pa.array(od, pa.int64()),
+                "aux": pa.array(hi, pa.int64()),
+                "kind": pa.array(np.ones(ok.size, np.int64), pa.int64()),
+            }
+        )
+
+    def judge(g: pd.DataFrame, late_us=late_us) -> pd.DataFrame:
+        lr = g[g["kind"] == 0]
+        orow = g[g["kind"] == 1]
+        if lr.empty or orow.empty:
+            return pd.DataFrame(
+                {
+                    "fc": pd.Series([], dtype="int64"),
+                    "hi": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        om = orow.drop_duplicates("k").set_index("k")[["ts", "aux"]]
+        od = lr["k"].map(om["ts"]).to_numpy(dtype=np.float64)
+        hi = lr["k"].map(om["aux"]).fillna(-1).to_numpy(dtype=np.int64)
+        late = (hi >= 0) & (lr["ts"].to_numpy() > od + late_us)
+        if not late.any():
+            return pd.DataFrame(
+                {
+                    "fc": pd.Series([], dtype="int64"),
+                    "hi": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        cell = lr["aux"].to_numpy()[late] * 2 + hi[late]
+        cnt = np.bincount(cell, minlength=6)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "fc": (nz // 2).astype(np.int64),
+                "hi": (nz % 2).astype(np.int64),
+                "n": cnt[nz].astype(np.int64),
+            }
+        )
+
+    merge = group_sum_merge(("fc", "hi"), ("n",))
+    census = tree_combine(
+        li.map_batches(li_rows, batch_format="pyarrow")
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(judge, batch_format="pandas")
+        .map_batches(
+            lambda t: merge(t)
+            if t.num_rows > 0 and "fc" in t.column_names
+            else pa.table(
+                {
+                    "fc": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "fc" not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        wide = (
+            df.pivot_table(
+                index="fc", columns="hi", values="n", aggfunc="sum", fill_value=0
+            )
+            .reindex(columns=[1, 0], fill_value=0)
+            .sort_index()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [flags[int(i)] for i in wide.index], pa.string()
+                ),
+                "high_line_count": pa.array(
+                    wide[1].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "low_line_count": pa.array(
+                    wide[0].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# (brand, max size, qty lo, qty hi) — the three disjunctive arms
+Q19_ARMS = (
+    ("Brand#1", 5, 1, 11),
+    ("Brand#2", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def lineitem_disjunctive_q19(sf_dir: str) -> Dataset:
+    """TPC-H Q19 SHAPE (discounted revenue under disjunctive predicates),
+    adapted to the schema (no container column): three OR-arms over
+    (p_brand, p_size, l_quantity) windows. The part side filters to the
+    three arms' brands at the read and broadcasts a partkey→(qty-lo,
+    qty-hi) map (arm-qualified parts only — a small fraction of an
+    already dimension-sized table; `ray.put` once, read per actor);
+    lineitem then streams one pure map-side pass: the OR collapses into
+    a single per-row interval test against the broadcast bounds, revenue
+    partials are exact int ten-thousandths, tree-combined to one row.
+    Reference shape: TPC-H spec Q19 (join + disjunction of conjuncts)."""
+    part = pq.read_table(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    bounds = {}
+    for k, b, s in zip(
+        part["p_partkey"].to_pylist(),
+        part["p_brand"].to_pylist(),
+        part["p_size"].to_pylist(),
+    ):
+        for brand, szmax, qlo, qhi in Q19_ARMS:
+            if b == brand and 1 <= s <= szmax:
+                bounds[int(k)] = (qlo * 100, qhi * 100)
+    empty_units = 0
+    if bounds:
+        keys = np.array(sorted(bounds), np.int64)
+        lo = np.array([bounds[k][0] for k in keys], np.int64)
+        hi = np.array([bounds[k][1] for k in keys], np.int64)
+        bref = ray.put((keys, lo, hi))
+
+        li = read_parquet_clean(
+            _p(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+
+        def partial(t: pa.Table, bref=bref) -> pa.Table:
+            keys, lo, hi = (
+                ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+            )
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(keys, pk)
+            idx_c = np.clip(idx, 0, keys.size - 1)
+            known = keys[idx_c] == pk
+            qh = round_half_away(
+                t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)
+            mask = known & (qh >= lo[idx_c]) & (qh <= hi[idx_c])
+            price = round_half_away(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[mask]
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            dh = round_half_away(
+                t["l_discount"].to_numpy(zero_copy_only=False)[mask] * 100.0, 0
+            ).astype(np.int64)
+            return pa.table(
+                {"u": pa.array([int((price * (100 - dh)).sum())], pa.int64())}
+            )
+
+        def sc_merge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u": pa.array(
+                        [int(t["u"].to_numpy(zero_copy_only=False).sum())],
+                        pa.int64(),
+                    )
+                }
+            )
+
+        tot = tree_combine(
+            li.map_batches(partial, batch_format="pyarrow"), sc_merge
+        ).to_pandas()
+        empty_units = (
+            int(tot["u"].iloc[0]) if not tot.empty and "u" in tot.columns else 0
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "revenue": pa.array(
+                    [float(round_half_away(empty_units / 10000.0, 4))],
+                    pa.float64(),
+                )
+            }
+        )
+    )
+
+
+KMV_K = 256  # sketch size: fixed 2 KiB of state per partial, any scale
+
+
+def events_user_count_kmv(sf_dir: str) -> Dataset:
+    """Distinct-user estimate via a KMV (k-minimum-values) sketch, the
+    order-statistics cousin of the HLL variant: keep the K smallest
+    DISTINCT md5 hash values of user_id; if fewer than K exist the count
+    is exact, else est = (K−1)·2⁶⁴ / h_(K) (Bar-Yossef et al.'s unbiased
+    estimator). Hashing is the house md5-first-8-bytes-little-endian
+    (DuckDB ``md5_number_upper`` parity — no RNG, so the oracle replays
+    the sketch bit-for-bit). Per-batch partials carry ≤K uint64 rows;
+    the merge is a sorted distinct-union cut back to K — associative, so
+    it tree-combines. Driver state: K ints."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.unique(t["user_id"]).to_pylist()
+        hv = np.unique(
+            np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(str(u).encode("utf-8")).digest()[:8],
+                        "little",
+                    )
+                    for u in us
+                ],
+                np.uint64,
+            )
+        )[:KMV_K]
+        return pa.table({"hv": pa.array(hv, pa.uint64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        hv = np.unique(t["hv"].to_numpy(zero_copy_only=False))[:KMV_K]
+        return pa.table({"hv": pa.array(hv, pa.uint64())})
+
+    sk = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"), merge
+    ).to_pandas()
+    hv = (
+        np.unique(sk["hv"].to_numpy())[:KMV_K]
+        if not sk.empty and "hv" in sk.columns
+        else np.array([], np.uint64)
+    )
+    ku = int(hv.size)
+    est = float(ku) if ku < KMV_K else (KMV_K - 1) * 2.0**64 / float(hv[-1])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k_used": pa.array([ku], pa.int64()),
+                "est_kmv": pa.array(
+                    [float(round_half_away(est, 4))], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def events_hour_dow_seasonality(sf_dir: str) -> Dataset:
+    """Weekly seasonality profile: per (ISO day-of-week, hour-of-day)
+    cell, event count, mean value, and the seasonal index n·168/total
+    (1.0 = a perfectly flat week). One streamed pass of ≤168-row
+    integer partials (value in exact cents — the summation-order-proof
+    idiom) tree-combined; every division happens once, on the driver,
+    mirrored exactly in the oracle."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts", "value"])
+    empty = pa.table(
+        {
+            "dow": pa.array([], pa.int64()),
+            "hr": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "avg_value": pa.array([], pa.float64()),
+            "seasonal_idx": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "dow": (ts.dt.dayofweek + 1).to_numpy(np.int64),
+                    "hr": ts.dt.hour.to_numpy(np.int64),
+                    "n": np.ones(t.num_rows, np.int64),
+                    "sv": round_half_away(
+                        t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["dow", "hr"], as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "dow": pa.array(g["dow"].to_numpy(), pa.int64()),
+                "hr": pa.array(g["hr"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "sv": pa.array(g["sv"].to_numpy(), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("dow", "hr"), ("n", "sv"))
+    census = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dow" not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        tot = float(df["n"].sum())
+        n = df["n"].to_numpy(dtype=np.int64)
+        sv = df["sv"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "dow": pa.array(df["dow"].to_numpy(np.int64), pa.int64()),
+                "hr": pa.array(df["hr"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "avg_value": pa.array(
+                    round_half_away(sv / 100.0 / n, 4), pa.float64()
+                ),
+                "seasonal_idx": pa.array(
+                    round_half_away(n * 168.0 / tot, 4), pa.float64()
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+FUNNEL_WINDOW_US = 3_600_000_000  # 1 h per transition
+WEEK_US = 604_800_000_000
+
+
+def events_windowed_funnel(sf_dir: str) -> Dataset:
+    """Time-bounded funnel (view → click → purchase, each transition
+    within 1 hour): per user the furthest stage reachable through ANY
+    qualifying chain (EXISTS semantics, not greedy — a click is
+    stage-2-reachable iff some view precedes it by ≤1 h, a purchase is
+    stage-3-reachable iff some REACHABLE click precedes it by ≤1 h),
+    histogrammed as (stage, n_users). ONE user-key groupby shuffle; the
+    per-group reduction is three sorted arrays + searchsorted window
+    probes (O(n log n) per user, no pairwise joins); the stage histogram
+    is a 4-row tree combine."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    empty = pa.table(
+        {
+            "stage": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["view", "click", "purchase"]),
+        )
+        # non-funnel users still count at stage 0, so keep one marker row
+        # per user seen in the batch (event_type "")
+        users = pc.unique(t["user_id"])  # pc.unique yields a flat Array
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        kept = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [kept["user_id"].combine_chunks(), users]
+                ),
+                "event_type": pa.concat_arrays(
+                    [
+                        kept["event_type"].combine_chunks(),
+                        pa.array([""] * len(users), pa.string()),
+                    ]
+                ),
+                "ts_us": pa.concat_arrays(
+                    [
+                        kept["ts"]
+                        .cast(pa.timestamp("us"))
+                        .cast(pa.int64())
+                        .combine_chunks(),
+                        pa.array([0] * len(users), pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    def stage_of(g: pd.DataFrame, W=FUNNEL_WINDOW_US) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        v = np.sort(ts[et == "view"])
+        stage = 0
+        if v.size:
+            stage = 1
+            c = np.sort(ts[et == "click"])
+            # click reachable iff a view sits in [c-W, c)
+            lo = np.searchsorted(v, c - W, "left")
+            hi = np.searchsorted(v, c, "left")
+            rc = c[hi > lo]
+            if rc.size:
+                stage = 2
+                p = np.sort(ts[et == "purchase"])
+                lo = np.searchsorted(rc, p - W, "left")
+                hi = np.searchsorted(rc, p, "left")
+                if (hi > lo).any():
+                    stage = 3
+        return pd.DataFrame(
+            {"stage": pd.Series([stage], dtype="int64"),
+             "n_users": pd.Series([1], dtype="int64")}
+        )
+
+    merge = group_sum_merge(("stage",), ("n_users",))
+    census = tree_combine(
+        ev.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stage_of, batch_format="pandas"),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "stage" not in t.column_names:
+            return empty
+        return pa.table(
+            {
+                "stage": t["stage"].cast(pa.int64()),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_user_lifecycle(sf_dir: str) -> Dataset:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    decomposition): per epoch week, users active for the first time
+    (new), active this week and last (retained), active this week after
+    a gap (resurrected), and active LAST week but not this one (churned,
+    attributed to the first inactive week, capped at the dataset's final
+    week). Per-user distinct weeks travel through ONE user-key groupby
+    (weeks-per-user-bounded rows); the global max week is a scalar
+    pre-pass; the week census is a ≤n_weeks-row tree combine."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    empty = pa.table(
+        {
+            "wk": pa.array([], pa.int64()),
+            "n_new": pa.array([], pa.int64()),
+            "n_retained": pa.array([], pa.int64()),
+            "n_resurrected": pa.array([], pa.int64()),
+            "n_churned": pa.array([], pa.int64()),
+        }
+    )
+
+    def user_weeks(t: pa.Table) -> pa.Table:
+        wk = (
+            t["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // WEEK_US
+        )
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                    "wk": wk,
+                }
+            )
+            .drop_duplicates()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "wk": pa.array(df["wk"].to_numpy(), pa.int64()),
+            }
+        )
+
+    uw = ev.map_batches(user_weeks, batch_format="pyarrow")
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table(
+            {"m": pa.array([int(pc.max(t["wk"]).as_py())], pa.int64())}
+        )
+
+    def max_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table(
+            {"m": pa.array([int(pc.max(t["m"]).as_py())], pa.int64())}
+        )
+
+    mx = tree_combine(uw.map_batches(max_partial, batch_format="pyarrow"),
+                      max_merge).to_pandas()
+    if mx.empty or "m" not in mx.columns:
+        return rd.from_arrow(empty)
+    maxw = int(mx["m"].iloc[0])
+
+    def stages(g: pd.DataFrame, maxw=maxw) -> pd.DataFrame:
+        wks = np.unique(g["wk"].to_numpy(dtype=np.int64))
+        out_w, out_s = [wks[0]], [0]  # 0=new
+        prev = wks[0]
+        for w in wks[1:]:
+            out_w.append(w)
+            out_s.append(1 if w == prev + 1 else 2)  # retained / resurrected
+            if w > prev + 1 and prev + 1 <= maxw:
+                out_w.append(prev + 1)
+                out_s.append(3)  # churned at the first inactive week
+            prev = w
+        if prev + 1 <= maxw:
+            out_w.append(prev + 1)
+            out_s.append(3)
+        return pd.DataFrame(
+            {
+                "wk": pd.Series(out_w, dtype="int64"),
+                "st": pd.Series(out_s, dtype="int64"),
+                "n": pd.Series(np.ones(len(out_w), np.int64)),
+            }
+        )
+
+    merge = group_sum_merge(("wk", "st"), ("n",))
+    census = tree_combine(
+        uw.groupby("user_id").map_groups(stages, batch_format="pandas"),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wk" not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        wide = (
+            df.pivot_table(
+                index="wk", columns="st", values="n", aggfunc="sum",
+                fill_value=0,
+            )
+            .reindex(columns=[0, 1, 2, 3], fill_value=0)
+            .sort_index()
+        )
+        return pa.table(
+            {
+                "wk": pa.array(wide.index.to_numpy(np.int64), pa.int64()),
+                "n_new": pa.array(wide[0].to_numpy(np.int64), pa.int64()),
+                "n_retained": pa.array(
+                    wide[1].to_numpy(np.int64), pa.int64()
+                ),
+                "n_resurrected": pa.array(
+                    wide[2].to_numpy(np.int64), pa.int64()
+                ),
+                "n_churned": pa.array(wide[3].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_seasonal_anomaly(sf_dir: str) -> Dataset:
+    """Top-20 anomalous (week, day-of-week, hour) cells by |z| against
+    that cell's weekly profile: z = (n·W − S) / sqrt(W·Q − S²) where S/Q
+    are the cell's count sum / sum-of-squares across the dataset's W
+    weeks (missing weeks count as zero via W; only OBSERVED cells are
+    scored — absence anomalies would need the zero-filled cross join,
+    documented). The algebra keeps every operand integer until one final
+    divide+sqrt, so Ray and DuckDB agree bit-for-bit. Partials are
+    (week, dow, hr) int counts (weeks×168-bounded census); ranking
+    happens once on the driver over that census."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts"])
+    empty = pa.table(
+        {
+            "wk": pa.array([], pa.int64()),
+            "dow": pa.array([], pa.int64()),
+            "hr": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = t["ts"].cast(pa.timestamp("us")).to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "wk": us // WEEK_US,
+                    "dow": (ts.dt.dayofweek + 1).to_numpy(np.int64),
+                    "hr": ts.dt.hour.to_numpy(np.int64),
+                    "n": np.ones(t.num_rows, np.int64),
+                }
+            )
+            .groupby(["wk", "dow", "hr"], as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "wk": pa.array(g["wk"].to_numpy(), pa.int64()),
+                "dow": pa.array(g["dow"].to_numpy(), pa.int64()),
+                "hr": pa.array(g["hr"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("wk", "dow", "hr"), ("n",))
+    census = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wk" not in t.column_names:
+            return empty
+        df = t.to_pandas().astype(
+            {"wk": np.int64, "dow": np.int64, "hr": np.int64, "n": np.int64}
+        )
+        W = int(df["wk"].max() - df["wk"].min() + 1)
+        cell = (
+            df.assign(n2=df["n"] * df["n"])
+            .groupby(["dow", "hr"], as_index=False)
+            .agg(S=("n", "sum"), Q=("n2", "sum"))
+        )
+        m = df.merge(cell, on=["dow", "hr"])
+        num = (m["n"] * W - m["S"]).to_numpy(dtype=np.int64)
+        den = (W * m["Q"] - m["S"] * m["S"]).to_numpy(dtype=np.int64)
+        ok = den > 0
+        m = m[ok]
+        z = num[ok] / np.sqrt(den[ok])
+        m = m.assign(z=z, az=np.abs(z)).sort_values(
+            ["az", "wk", "dow", "hr"], ascending=[False, True, True, True]
+        ).head(20)
+        return pa.table(
+            {
+                "wk": pa.array(m["wk"].to_numpy(np.int64), pa.int64()),
+                "dow": pa.array(m["dow"].to_numpy(np.int64), pa.int64()),
+                "hr": pa.array(m["hr"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(m["n"].to_numpy(np.int64), pa.int64()),
+                "z": pa.array(
+                    round_half_away(m["z"].to_numpy(), 4), pa.float64()
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

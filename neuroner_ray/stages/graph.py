@@ -3327,3 +3327,362 @@ def _adamic_adar_sharded(
     return tree_combine(
         scored.map_batches(score_rows, batch_format="pyarrow"), cut
     )
+
+
+def _clustering_sharded(
+    edges: Dataset, num_buckets: int = PR_NUM_BUCKETS
+) -> Dataset:
+    """Per-node triangle credit via the degree-oriented edge⋈wedge shuffle
+    (the past-the-cap regime of ``clustering_coeff``): no adjacency is
+    ever broadcast or collected.
+
+    Same orientation as ``_triangles_sharded`` (lower-degree endpoint
+    first, O(√m)-bounded out-degrees), but wedge rows KEEP the center id:
+    a closed wedge (u—w—v) is one triangle and credits u, v AND w exactly
+    once each, so the per-node totals need no /2 correction. Credits and
+    the degree census merge through one node-bounded group-sum."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import anchor, group_sum_merge, tree_combine
+    from ..runtime.hashing import hash_buckets
+
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+            "coeff": pa.array([], pa.float64()),
+        }
+    )
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    pairs = anchor(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return (
+            pa.table(
+                {"id": ids, "deg": pa.array([1] * len(ids), pa.int64())}
+            )
+            .group_by("id")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["id", "deg"])
+        )
+
+    degs = anchor(
+        pairs.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(_Sum("deg", alias_name="deg"))
+    )
+
+    with_da = _attach_deg(pairs, degs, "a", "deg_a", num_buckets)
+    with_db = anchor(_attach_deg(with_da, degs, "b", "deg_b", num_buckets))
+
+    def orient(t: pa.Table) -> pa.Table:
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a = np.asarray(t["a"].to_pylist(), dtype=object)
+        b = np.asarray(t["b"].to_pylist(), dtype=object)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.string()),
+                "dst": pa.array(np.where(a_first, b, a), pa.string()),
+            }
+        )
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        cols = {"a": [], "b": [], "c": []}
+        for src, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy(dtype=object))
+            m = len(nb)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            cols["a"].append(nb[iu])
+            cols["b"].append(nb[ju])
+            cols["c"].append(np.full(iu.size, src, dtype=object))
+        if not cols["a"]:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                    "a": pd.Series([], dtype="object"),
+                    "b": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="object"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "a": np.concatenate(cols["a"]),
+                "b": np.concatenate(cols["b"]),
+                "c": np.concatenate(cols["c"]),
+            }
+        )
+        out.insert(
+            0,
+            "bucket",
+            hash_buckets(
+                (out["a"].astype(str) + "|" + out["b"].astype(str)).to_numpy(),
+                num_buckets,
+            ),
+        )
+        out.insert(1, "kind", np.int64(1))
+        return out
+
+    wedge_src = oriented.map_batches(
+        lambda t: t.append_column(
+            "wbucket", _bucket_of(t["src"], num_buckets)
+        ),
+        batch_format="pyarrow",
+    )
+    wedges = (
+        wedge_src.groupby("wbucket")
+        .map_groups(wedge_group, batch_format="pandas")
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+    )
+
+    def edge_key_rows(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{x}|{y}"
+            for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(hash_buckets(keys, num_buckets), pa.int64()),
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "a": t["a"],
+                "b": t["b"],
+                "c": pa.array([""] * t.num_rows, pa.string()),
+            }
+        )
+
+    def credit_group(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["kind"] == 0]
+        w = df[df["kind"] == 1]
+        if e.empty or w.empty:
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="object"),
+                    "tri": pd.Series([], dtype="int64"),
+                }
+            )
+        edge_set = set(zip(e["a"], e["b"]))
+        mask = np.fromiter(
+            ((x, y) in edge_set for x, y in zip(w["a"], w["b"])),
+            bool,
+            len(w),
+        )
+        closed = w.loc[mask]
+        if closed.empty:
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="object"),
+                    "tri": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = np.concatenate(
+            [
+                closed["a"].to_numpy(dtype=object),
+                closed["b"].to_numpy(dtype=object),
+                closed["c"].to_numpy(dtype=object),
+            ]
+        )
+        vc = pd.Series(ids).value_counts()
+        return pd.DataFrame(
+            {
+                "id": vc.index.to_numpy(dtype=object),
+                "tri": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    credits = (
+        wedges.union(pairs.map_batches(edge_key_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(credit_group, batch_format="pandas")
+    )
+
+    # node-bounded merge of (id → triangles) with (id → degree): zero-fill
+    # the missing column on each side, one group-sum tree combine
+    both = credits.map_batches(
+        lambda t: t.append_column(
+            "deg", pa.array([0] * t.num_rows, pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).union(
+        degs.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["id"],
+                    "tri": pa.array([0] * t.num_rows, pa.int64()),
+                    "deg": t["deg"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    merge = group_sum_merge(("id",), ("tri", "deg"))
+    census = tree_combine(
+        both.map_batches(
+            lambda t: merge(t)
+            if t.num_rows > 0 and "id" in t.column_names
+            else pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "tri": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id" not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        df = df[df["deg"] >= 2]
+        deg = df["deg"].to_numpy(dtype=np.int64)
+        tri = df["tri"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "entity_id": pa.array(
+                    df["id"].to_numpy(dtype=object), pa.string()
+                ),
+                "degree": pa.array(deg, pa.int64()),
+                "triangles": pa.array(tri, pa.int64()),
+                "coeff": pa.array(
+                    round_half_away(2.0 * tri / (deg * (deg - 1.0)), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def clustering_coeff(
+    edges: Dataset, force_sharded: bool = False
+) -> pa.Table | Dataset:
+    """Local clustering coefficient per node of the undirected simple
+    entity graph: coeff(u) = 2·T(u) / (deg(u)·(deg(u)−1)) for nodes with
+    degree ≥ 2, where T(u) counts triangles through u and deg counts
+    distinct neighbors. Output: (entity_id, degree, triangles, coeff-
+    rounded-to-4).
+
+    Broadcast regime: the ``_simple_edges`` pair set + adjacency map (the
+    ``triangle_count`` machinery); per edge (u, v) every common neighbor
+    w credits u and v once — each triangle credits each of its nodes via
+    its two incident edges, so T(u) = credit(u)/2. Small graphs compute
+    on the driver (the size-adaptive rule); larger ones stream batches of
+    pairs against the broadcast adjacency and group-sum the credits. Past
+    TRIANGLE_MAX_EDGES the ``_clustering_sharded`` wedge cogroup runs
+    instead (equivalence-tested)."""
+    from ..functions.rounding import round_half_away
+
+    if force_sharded:
+        return _clustering_sharded(edges)
+    try:
+        simple = _simple_edges(edges, "clustering_coeff")
+    except ValueError:
+        return _clustering_sharded(edges)
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+            "coeff": pa.array([], pa.float64()),
+        }
+    )
+    if simple.num_rows == 0:
+        return empty
+    adj: dict[str, list[str]] = {}
+    for a, b in zip(simple["a"].to_pylist(), simple["b"].to_pylist()):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    adj_np = {k: np.sort(np.asarray(v, dtype=object)) for k, v in adj.items()}
+
+    def credit_batch(t: pa.Table, adj_ref=None) -> pa.Table:
+        A = ray.get(adj_ref) if isinstance(adj_ref, ray.ObjectRef) else adj_ref
+        credit: dict[str, int] = {}
+        for u, v in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            c = int(
+                np.intersect1d(A[u], A[v], assume_unique=True).size
+            )
+            if c:
+                credit[u] = credit.get(u, 0) + c
+                credit[v] = credit.get(v, 0) + c
+        return pa.table(
+            {
+                "id": pa.array(list(credit.keys()), pa.string()),
+                "tri2": pa.array(list(credit.values()), pa.int64()),
+            }
+        )
+
+    def finish(credit: dict[str, int]) -> pa.Table:
+        ids = sorted(k for k, v in adj_np.items() if v.size >= 2)
+        deg = np.array([adj_np[k].size for k in ids], np.int64)
+        tri = np.array([credit.get(k, 0) // 2 for k in ids], np.int64)
+        return pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "degree": pa.array(deg, pa.int64()),
+                "triangles": pa.array(tri, pa.int64()),
+                "coeff": pa.array(
+                    round_half_away(2.0 * tri / (deg * (deg - 1.0)), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    if simple.num_rows <= SMALL_GRAPH_EDGES_MAX:
+        part = credit_batch(simple, adj_ref=adj_np)
+        credit = dict(
+            zip(part["id"].to_pylist(), part["tri2"].to_pylist())
+        )
+        return finish(credit)
+
+    import ray.data as rd
+
+    adj_ref = ray.put(adj_np)
+    credit: dict[str, int] = {}
+    for b in (
+        rd.from_arrow(simple)
+        .map_batches(
+            lambda t, adj_ref=adj_ref: credit_batch(t, adj_ref=adj_ref),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for i, n in zip(b["id"].to_pylist(), b["tri2"].to_pylist()):
+            credit[i] = credit.get(i, 0) + int(n)
+    return finish(credit)

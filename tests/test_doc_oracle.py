@@ -2814,3 +2814,200 @@ def test_batch33_ops_survive_empty_input(tmp_path):
         q.part_smallqty_revenue_q17,
     ):
         assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_batch34_queries_match_oracles():
+    """Batch-34 additions (TPC-H Q6, adapted Q12, adapted Q19) against
+    their registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "lineitem_forecast_revenue_q6",
+        "lineitem_shipmode_q12",
+        "lineitem_disjunctive_q19",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch34_ops_survive_empty_input(tmp_path):
+    """Scalar aggregates keep their one-row zero shape on empty input
+    (mirrored by the oracles' coalesce); the grouped Q12 goes empty."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("lineitem", "orders", "part"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    q6 = q.lineitem_forecast_revenue_q6(d).to_pandas()
+    assert list(q6["revenue"]) == [0.0]
+    assert len(q.lineitem_shipmode_q12(d).to_pandas()) == 0
+    q19 = q.lineitem_disjunctive_q19(d).to_pandas()
+    assert list(q19["revenue"]) == [0.0]
+
+
+def test_batch35_queries_match_oracles():
+    """Batch-35 additions (KMV distinct sketch, dow×hour seasonality)
+    against their registered oracles at fixture scale."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("events_user_count_kmv", "events_hour_dow_seasonality"):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_kmv_exact_below_k_and_empty(tmp_path):
+    """With fewer distinct users than K the estimate IS the exact count;
+    empty input yields the one-row zero sketch (oracle mirrored)."""
+    import os
+
+    import numpy as np
+    import pyarrow as paw
+    import pyarrow.parquet as pq
+
+    out = q.events_user_count_kmv(SF).to_pandas()
+    import duckdb as dk
+
+    c2 = dk.connect()
+    n_exact = c2.execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    if int(out["k_used"].iloc[0]) < 256:
+        assert out["est_kmv"].iloc[0] == float(n_exact)
+    else:
+        # the estimator's relative error concentrates near 1/sqrt(K)
+        assert abs(out["est_kmv"].iloc[0] / n_exact - 1.0) < 0.25
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    e0 = q.events_user_count_kmv(d).to_pandas()
+    assert list(e0["k_used"]) == [0] and list(e0["est_kmv"]) == [0.0]
+    assert len(q.events_hour_dow_seasonality(d).to_pandas()) == 0
+
+
+def test_seasonality_invariants():
+    """The 168-cell profile: indices average to ~1 weighted by share, the
+    cell count never exceeds 168, totals reconcile with the row count."""
+    out = q.events_hour_dow_seasonality(SF).to_pandas()
+    assert len(out) <= 168
+    assert set(out["dow"]).issubset(set(range(1, 8)))
+    assert set(out["hr"]).issubset(set(range(24)))
+    import duckdb as dk
+
+    c2 = dk.connect()
+    n = c2.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n"].sum()) == n
+
+
+def test_batch36_queries_match_oracles():
+    """Batch-36 additions (windowed funnel, weekly growth accounting,
+    seasonal anomaly top-20) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_windowed_funnel",
+        "events_user_lifecycle",
+        "events_seasonal_anomaly",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch36_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    for fn in (
+        q.events_windowed_funnel,
+        q.events_user_lifecycle,
+        q.events_seasonal_anomaly,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_lifecycle_identities():
+    """Growth-accounting sanity: Σ new = distinct users; week-w actives =
+    new+retained+resurrected; churned(w) ≤ actives(w−1)."""
+    out = (
+        q.events_user_lifecycle(SF)
+        .to_pandas()
+        .sort_values("wk")
+        .reset_index(drop=True)
+    )
+    import duckdb as dk
+
+    c2 = dk.connect()
+    n_users = c2.execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_new"].sum()) == n_users
+    act = (out["n_new"] + out["n_retained"] + out["n_resurrected"]).to_numpy()
+    ch = out["n_churned"].to_numpy()
+    wk = out["wk"].to_numpy()
+    for i in range(1, len(out)):
+        if wk[i] == wk[i - 1] + 1:
+            assert ch[i] <= act[i - 1]
+
+
+def test_windowed_funnel_never_exceeds_plain_funnel():
+    """The 1-hour window can only LOSE conversions vs the unbounded
+    funnel: cumulative users at stage ≥ k is ≤ the plain funnel's."""
+    wf = q.events_windowed_funnel(SF).to_pandas().set_index("stage")["n_users"]
+    pf = q.events_funnel(SF).to_pandas().set_index("stage")["n_users"]
+    for k in (1, 2, 3):
+        wk_ge = int(wf[wf.index >= k].sum())
+        pk_ge = int(pf[pf.index >= k].sum())
+        assert wk_ge <= pk_ge, k
+    assert int(wf.sum()) == int(pf.sum())  # same user universe

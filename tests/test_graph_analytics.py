@@ -766,3 +766,84 @@ def test_adamic_adar_sharded_regimes_agree():
         .reset_index(drop=True)
     )
     assert fast.equals(chunked), (fast.head(8), chunked.head(8))
+
+
+def test_clustering_coeff_closed_form_and_empty():
+    """Fixture graph: triangle a-b-c (parallel edges collapse, self-loop
+    drops) + disconnected x—y. Nodes a/b/c have deg 2 and 1 triangle →
+    coeff 1.0; x/y (deg 1) are excluded."""
+    import pyarrow as pa
+
+    from neuroner_ray.stages.graph import clustering_coeff
+
+    out = clustering_coeff(_edges_ds()).to_pandas()
+    out = out.sort_values("entity_id").reset_index(drop=True)
+    assert list(out["entity_id"]) == ["a", "b", "c"]
+    assert list(out["degree"]) == [2, 2, 2]
+    assert list(out["triangles"]) == [1, 1, 1]
+    assert list(out["coeff"]) == [1.0, 1.0, 1.0]
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [("src_id", pa.string()), ("dst_id", pa.string()),
+             ("pred", pa.string()), ("weight", pa.int64())]
+        ).empty_table()
+    )
+    assert len(clustering_coeff(empty).to_pandas()) == 0
+    assert (
+        clustering_coeff(empty, force_sharded=True).to_pandas().shape[0]
+        == 0
+    )
+
+
+def test_clustering_coeff_sharded_agrees():
+    """The wedge-cogroup regime must reproduce the broadcast path exactly
+    (same rounding, same row set) on a seeded random multigraph with a
+    planted hub — per-node wedge closure is where a center/endpoint
+    credit bug would show, which a single-triangle fixture cannot see."""
+    import numpy as np
+
+    from neuroner_ray.stages.graph import clustering_coeff
+
+    rng = np.random.RandomState(29)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    rows = []
+    for _ in range(150):
+        s_, d_ = rng.choice(60, 2)
+        rows.append(
+            {
+                "src_id": nodes[s_],
+                "dst_id": nodes[d_],
+                "pred": rng.choice(["p", "q"]),
+                "weight": int(rng.randint(1, 4)),
+            }
+        )
+    hub = nodes[0]
+    for i in range(1, 25):
+        rows.append(
+            {"src_id": hub, "dst_id": nodes[i], "pred": "p", "weight": 1}
+        )
+
+    def mk():
+        return rd.from_items(rows)
+
+    fast = (
+        clustering_coeff(mk())
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    assert len(fast) > 10
+    assert (fast["coeff"] <= 1.0).all() and (fast["coeff"] >= 0.0).all()
+    # global consistency: Σ per-node triangles = 3 × global count
+    from neuroner_ray.stages.graph import triangle_count
+
+    n_tri = triangle_count(mk())["n_triangles"].to_pylist()[0]
+    assert int(fast["triangles"].sum()) == 3 * n_tri
+    shard = (
+        clustering_coeff(mk(), force_sharded=True)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(shard), (fast.head(8), shard.head(8))
