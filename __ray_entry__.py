@@ -463,6 +463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_funnel": q.events_windowed_funnel,
         "events_user_lifecycle": q.events_user_lifecycle,
         "events_seasonal_anomaly": q.events_seasonal_anomaly,
+        "doc_containment_pairs": q.doc_containment_pairs,
+        "users_all_event_types": q.users_all_event_types,
+        "events_conversion_delay": q.events_conversion_delay,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -607,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": do.doc_simhash_sql(),
         "doc_minhash_dedup": do.doc_minhash_dedup_sql(),
         "doc_ngram_jaccard_pairs": do.doc_ngram_jaccard_pairs_sql(),
+        "doc_containment_pairs": do.doc_containment_pairs_sql(),
         "embedding_near_dup": do.embedding_near_dup_sql(),
         "embedding_kmeans": do.embedding_kmeans_sql(),
         "embedding_semdedup": do.embedding_semdedup_sql(),
@@ -960,6 +964,28 @@ def oracle_sql() -> dict[str, str]:
                    WHERE wr.W * cell.Q - cell.S * cell.S > 0)
             SELECT wk, dow, hr, n, round(z, 4) AS z
             FROM sc ORDER BY abs(z) DESC, wk, dow, hr LIMIT 20
+        """,
+        "users_all_event_types": """
+            WITH t AS (SELECT count(DISTINCT event_type) AS nt FROM events),
+            u AS (SELECT user_id, count(DISTINCT event_type) AS c
+                  FROM events GROUP BY 1)
+            SELECT u.user_id FROM u, t WHERE u.c = t.nt
+        """,
+        "events_conversion_delay": """
+            WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS tp
+                  FROM events e JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > v.tv
+                  GROUP BY 1),
+            d AS (SELECT CAST(floor(epoch(v.tv) / 604800) AS BIGINT) AS wk,
+                         CAST(floor(epoch(p.tp - v.tv)) AS BIGINT)
+                             AS delay_s
+                  FROM v JOIN p ON p.user_id = v.user_id)
+            SELECT wk, count(*)::BIGINT AS n_converted,
+                   quantile_disc(delay_s, 0.5) AS p50_delay_s,
+                   quantile_disc(delay_s, 0.9) AS p90_delay_s
+            FROM d GROUP BY 1
         """,
         "kg_communities_lpa": ko.kg_communities_lpa_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),

@@ -576,3 +576,20 @@ def doc_jaccard_clusters_sql(threshold: float = 0.8) -> str:
         FROM lab GROUP BY cluster_id
         ORDER BY cluster_id
     """
+
+
+def doc_containment_pairs_sql(threshold: float = 0.8) -> str:
+    """Ordered containment pairs — mirrors
+    ``stages.dedup.containment_pairs`` (|S(a)∩S(b)| / |S(a)|, empty
+    shingle sets never contained)."""
+    return f"""
+        WITH {_shingle_cte()},
+        cp AS (
+            SELECT a.doc_id AS ca, b.doc_id AS cb,
+                   CASE WHEN len(a.sh) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.sh, b.sh))
+                             / len(a.sh) END AS cont
+            FROM shin a JOIN shin b ON a.doc_id <> b.doc_id)
+        SELECT ca AS a, cb AS b, round(cont, 4) AS containment
+        FROM cp WHERE cont >= {threshold}
+    """

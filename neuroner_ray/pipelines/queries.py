@@ -14335,3 +14335,177 @@ def events_seasonal_anomaly(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def doc_containment_pairs(sf_dir: str) -> Dataset:
+    """Asymmetric shingle-containment near-dup pairs (the subset /
+    quotation case Jaccard misses) — see
+    ``stages.dedup.containment_pairs`` for the exact-recall per-shingle
+    blocking and the size-adaptive two-direction verify."""
+    from ..stages.dedup import containment_pairs
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return containment_pairs(docs)
+
+
+def users_all_event_types(sf_dir: str) -> Dataset:
+    """Relational division (the FOR ALL join classic): users who
+    performed EVERY event type present in the dataset. The global type
+    set is a tiny tree-combined census; per-user distinct-type counts
+    ride ONE int-bucket cogroup over per-batch-deduped (user, type)
+    pairs; the division is count-equality."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    empty = pa.table({"user_id": pa.array([], pa.int64())})
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"et": pc.unique(t["event_type"])})
+
+    def type_merge(t: pa.Table) -> pa.Table:
+        return pa.table({"et": pc.unique(t["et"])})
+
+    types = tree_combine(
+        ev.map_batches(type_partial, batch_format="pyarrow"), type_merge
+    ).to_pandas()
+    if types.empty or "et" not in types.columns:
+        return rd.from_arrow(empty)
+    nt = int(types["et"].nunique())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "et": t["event_type"].to_pylist(),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    df["user_id"].to_numpy(np.int64) % 64, pa.int64()
+                ),
+                "user_id": pa.array(
+                    df["user_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "et": pa.array(df["et"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    def divide(g: pd.DataFrame, nt=nt) -> pd.DataFrame:
+        c = g.drop_duplicates(["user_id", "et"]).groupby("user_id").size()
+        keep = c[c == nt].index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({"user_id": pd.Series(keep, dtype="int64")})
+
+    return (
+        ev.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(divide, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {"user_id": t["user_id"].cast(pa.int64())}
+            )
+            if t.num_rows
+            else empty,
+            batch_format="pyarrow",
+        )
+    )
+
+
+def events_conversion_delay(sf_dir: str) -> Dataset:
+    """Cohorted view→purchase conversion delay: per user the first view
+    and the first purchase STRICTLY after it; per first-view epoch-week
+    cohort, converted-user count and exact p50/p90 delay in whole
+    seconds (quantile_disc order statistics — sorted[ceil(n·q)−1],
+    matched exactly). One user-key groupby computes the per-user delay
+    (fixed-width int rows out); the per-cohort quantile group is
+    user-bounded."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    empty = pa.table(
+        {
+            "wk": pa.array([], pa.int64()),
+            "n_converted": pa.array([], pa.int64()),
+            "p50_delay_s": pa.array([], pa.int64()),
+            "p90_delay_s": pa.array([], pa.int64()),
+        }
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"], value_set=pa.array(["view", "purchase"])
+        )
+        kept = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": kept["user_id"],
+                "event_type": kept["event_type"],
+                "ts_us": kept["ts"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    def delay_of(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        v = ts[et == "view"]
+        out = {
+            "wk": pd.Series([], dtype="int64"),
+            "delay_s": pd.Series([], dtype="int64"),
+        }
+        if v.size:
+            tv = int(v.min())
+            p = ts[(et == "purchase") & (ts > tv)]
+            if p.size:
+                out = {
+                    "wk": pd.Series([tv // WEEK_US], dtype="int64"),
+                    "delay_s": pd.Series(
+                        [(int(p.min()) - tv) // 1_000_000], dtype="int64"
+                    ),
+                }
+        return pd.DataFrame(out)
+
+    def cohort_q(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["delay_s"].to_numpy(dtype=np.int64))
+        n = d.size
+        i50 = max(int(np.ceil(n * 0.5)) - 1, 0)
+        i90 = max(int(np.ceil(n * 0.9)) - 1, 0)
+        return pd.DataFrame(
+            {
+                "wk": pd.Series([int(g["wk"].iloc[0])], dtype="int64"),
+                "n_converted": pd.Series([n], dtype="int64"),
+                "p50_delay_s": pd.Series([int(d[i50])], dtype="int64"),
+                "p90_delay_s": pd.Series([int(d[i90])], dtype="int64"),
+            }
+        )
+
+    out = (
+        ev.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(delay_of, batch_format="pandas")
+        .groupby("wk")
+        .map_groups(cohort_q, batch_format="pandas")
+    )
+
+    def pin(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "wk" not in df.columns:
+            return empty
+        return pa.table(
+            {
+                "wk": pa.array(df["wk"].to_numpy(np.int64), pa.int64()),
+                "n_converted": pa.array(
+                    df["n_converted"].to_numpy(np.int64), pa.int64()
+                ),
+                "p50_delay_s": pa.array(
+                    df["p50_delay_s"].to_numpy(np.int64), pa.int64()
+                ),
+                "p90_delay_s": pa.array(
+                    df["p90_delay_s"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(pin, batch_format="pandas")

@@ -605,3 +605,315 @@ def embedding_cosine_dedup(
     blocked = embeddings.map_batches(bucketize, batch_format="pyarrow")
     pairs = blocked.groupby("block").map_groups(pairs_in_block, batch_format="pandas")
     return _cluster(pairs, embeddings, id_col)
+
+
+# ---------------------------------------------------- shingle containment
+CONTAIN_BLOCK_MAX = 5_000  # docs sharing ONE shingle before the loud raise
+
+
+def containment_pairs(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> Dataset:
+    """Asymmetric near-dup detection: ordered pairs (a, b) with shingle
+    CONTAINMENT |S(a) ∩ S(b)| / |S(a)| ≥ threshold — "a is (mostly)
+    contained in b", the subset/quotation case Jaccard misses when the
+    container is much larger. A qualifying pair shares ≥ ceil(θ·|S(a)|)
+    ≥ 1 shingles, so per-shingle blocking has EXACT recall (not the
+    probabilistic minhash-band recall): candidates = unordered pairs
+    co-occurring in at least one shingle block.
+
+    Scale shape mirrors ``ngram_jaccard_pairs``: blocking rows carry only
+    (id, shingle) through one int-bucket shuffle; blocks above
+    ``CONTAIN_BLOCK_MAX`` raise loudly (a df cap / stopword-shingle
+    filter is the remedy, not silent truncation); cross-block pair dedup
+    rides the pb bucket; the exact verify reuses the size-adaptive
+    broadcast / distributed-join machinery, scoring BOTH directions per
+    unordered candidate. Empty shingle sets are never contained
+    (containment 0, oracle-mirrored)."""
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_block = [], []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            key = _id_key(did)
+            for s in word_shingles(
+                [t for t, _, _ in tokenize_text((text or "").lower())],
+                shingle_k,
+            ):
+                out_id.append(key)
+                out_block.append(s)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "block": pa.array(out_block, pa.string()),
+                "bucket": pa.array(hash_buckets(out_block, 64), pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g["block"].value_counts()
+        over = sizes[sizes.gt(CONTAIN_BLOCK_MAX)]
+        if len(over):
+            raise ValueError(
+                f"containment_pairs: shingle block {over.index[0]!r} has "
+                f"{int(over.iloc[0])} docs (> CONTAIN_BLOCK_MAX="
+                f"{CONTAIN_BLOCK_MAX}); add a df cutoff for stopword "
+                "shingles before blocking"
+            )
+        g = g[g["block"].isin(sizes.index[sizes.ge(2)])]
+        outs = []
+        for _, gb in g.groupby("block", sort=False):
+            ids = np.sort(gb["id"].drop_duplicates().to_numpy())
+            m = len(ids)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            outs.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
+        out = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"a": [], "b": []})
+        )
+        out = out.drop_duplicates(["a", "b"])
+        if len(out):
+            out["pb"] = hash_buckets(
+                (out["a"].astype(str) + "|" + out["b"].astype(str)).to_numpy(),
+                64,
+            )
+        else:
+            out["pb"] = np.array([], dtype=np.int64)
+        return out.astype({"a": "object", "b": "object", "pb": "int64"})
+
+    def _norm_pairs(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(df["a"] if "a" in df else [], pa.string()),
+                "b": pa.array(df["b"] if "b" in df else [], pa.string()),
+            }
+        )
+
+    cand = (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]), batch_format="pandas"
+        )
+        .map_batches(_norm_pairs, batch_format="pandas")
+        .repartition(target_num_rows_per_block=65536)
+        .materialize()  # candidate-pair-bounded, not corpus-bounded
+    )
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64()),
+        }
+    )
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    if n_pairs <= NGRAM_BROADCAST_MAX_PAIRS:
+        return _verify_containment_broadcast(
+            cand, docs, id_col, text_col, shingle_k, threshold
+        )
+    return _verify_containment_join(
+        cand, docs, id_col, text_col, shingle_k, threshold
+    )
+
+
+def _containment_rows(
+    sa: set, sb: set, a: str, b: str, threshold: float
+) -> list[tuple[int, int, float]]:
+    """Directional scores for one unordered candidate: up to two output
+    rows (contained, container, containment)."""
+    inter = len(sa & sb)
+    rows = []
+    if sa:
+        ca = inter / len(sa)
+        if ca >= threshold:
+            rows.append((int(a), int(b), float(round_half_away(ca))))
+    if sb:
+        cb = inter / len(sb)
+        if cb >= threshold:
+            rows.append((int(b), int(a), float(round_half_away(cb))))
+    return rows
+
+
+def _verify_containment_broadcast(
+    cand: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+) -> Dataset:
+    """Small-candidate-set verify (same staging as
+    ``_verify_pairs_broadcast``): candidate-bounded shingle dict broadcast
+    once, both containment directions scored map-side."""
+    cand_ids: set[str] = set()
+    for t in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
+        cand_ids.update(t["a"].to_pylist())
+        cand_ids.update(t["b"].to_pylist())
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        members = ray.get(ids_ref)
+        out_id, out_sh = [], []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            key = _id_key(did)
+            if key not in members:
+                continue
+            out_id.append(key)
+            out_sh.append(_shingle_str(text, shingle_k))
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "sh": pa.array(out_sh, pa.string()),
+            }
+        )
+
+    shingle_map: dict[str, str] = {}
+    for t in docs.map_batches(
+        cand_shingles, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        shingle_map.update(zip(t["id"].to_pylist(), t["sh"].to_pylist()))
+    sh_ref = ray.put(shingle_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sm: dict[str, str] = ray.get(sh_ref)
+        a_out, b_out, c_out = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            for ca, cb, cv in _containment_rows(
+                _split_shingles(sm.get(a)),
+                _split_shingles(sm.get(b)),
+                a,
+                b,
+                threshold,
+            ):
+                a_out.append(ca)
+                b_out.append(cb)
+                c_out.append(cv)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "containment": pa.array(c_out, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_containment_join(
+    cand: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+) -> Dataset:
+    """Large-candidate-set verify, fully distributed (the
+    ``_verify_pairs_join`` staging with a directional scorer)."""
+    from ..runtime.partitions import join_partitions
+
+    def explode_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array(
+                    t["a"].to_pylist() + t["b"].to_pylist(), pa.string()
+                )
+            }
+        )
+
+    ids_ds = (
+        cand.map_batches(explode_ids, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(AggCount())
+        .select_columns(["id"])
+    )
+
+    def keyed_shingles(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array(
+                    [_id_key(v) for v in batch[id_col].to_pylist()],
+                    pa.string(),
+                ),
+                "sh": pa.array(
+                    [
+                        _shingle_str(text, shingle_k)
+                        for text in batch[text_col].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    sh_cand = docs.map_batches(keyed_shingles, batch_format="pyarrow").join(
+        ids_ds, join_type="inner",
+        num_partitions=join_partitions(64), on=("id",),
+    )
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        pair = [f"{x}|{y}" for x, y in zip(a, b)]
+        return pa.table(
+            {
+                "pair": pa.array(pair + pair, pa.string()),
+                "id": pa.array(a + b, pa.string()),
+                "side": pa.array(
+                    [0] * len(a) + [1] * len(b), pa.int64()
+                ),
+            }
+        )
+
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    joined = sides.join(
+        sh_cand, join_type="left_outer",
+        num_partitions=join_partitions(64), on=("id",),
+    )
+
+    def pair_cont(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("side")
+        shs = [_split_shingles(v) for v in g["sh"]]
+        rows = []
+        if len(shs) == 2:
+            a_s, b_s = g["pair"].iloc[0].split("|")
+            rows = _containment_rows(shs[0], shs[1], a_s, b_s, threshold)
+        return pd.DataFrame(
+            {
+                "a": pd.Series([r[0] for r in rows], dtype="int64"),
+                "b": pd.Series([r[1] for r in rows], dtype="int64"),
+                "containment": pd.Series(
+                    [r[2] for r in rows], dtype="float64"
+                ),
+            }
+        )
+
+    out = joined.groupby("pair").map_groups(pair_cont, batch_format="pandas")
+
+    def _pin(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(df["a"] if "a" in df else [], pa.int64()),
+                "b": pa.array(df["b"] if "b" in df else [], pa.int64()),
+                "containment": pa.array(
+                    df["containment"] if "containment" in df else [],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return out.map_batches(_pin, batch_format="pandas")

@@ -3011,3 +3011,86 @@ def test_windowed_funnel_never_exceeds_plain_funnel():
         pk_ge = int(pf[pf.index >= k].sum())
         assert wk_ge <= pk_ge, k
     assert int(wf.sum()) == int(pf.sum())  # same user universe
+
+
+def test_batch37_queries_match_oracles():
+    """Batch-37 additions (containment dedup, relational division,
+    cohorted conversion-delay quantiles) against their oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "doc_containment_pairs",
+        "users_all_event_types",
+        "events_conversion_delay",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch37_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("documents", "events"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.doc_containment_pairs,
+        q.users_all_event_types,
+        q.events_conversion_delay,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_containment_planted_subset():
+    """A doc whose text is a strict prefix chunk of another must surface
+    as contained (containment 1.0) in the asymmetric direction — the
+    case symmetric Jaccard misses by construction. Also: containment
+    pairs are a SUPERSET of jaccard-0.8 pairs in both directions."""
+    import pyarrow as paw
+    import pyarrow.parquet as pq
+    import ray.data as rdm
+
+    from neuroner_ray.stages.dedup import containment_pairs
+
+    big = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine ten"
+    docs = rdm.from_items(
+        [
+            {"doc_id": 1, "text": big},
+            {"doc_id": 2, "text": small},
+            {"doc_id": 3, "text": other},
+        ]
+    )
+    out = containment_pairs(docs).to_pandas()
+    got = {(r.a, r.b): r.containment for r in out.itertuples()}
+    assert got[(2, 1)] == 1.0  # small fully contained in big
+    assert (1, 2) not in got   # big NOT contained in small
+    assert all(a != 3 and b != 3 for a, b in got)
+
+    jac = q.doc_ngram_jaccard_pairs(SF).to_pandas()
+    cont = q.doc_containment_pairs(SF).to_pandas()
+    cpairs = set(zip(cont["a"], cont["b"]))
+    for r in jac.itertuples():
+        assert (r.a, r.b) in cpairs and (r.b, r.a) in cpairs
