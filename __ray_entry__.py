@@ -466,6 +466,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_pairs": q.doc_containment_pairs,
         "users_all_event_types": q.users_all_event_types,
         "events_conversion_delay": q.events_conversion_delay,
+        "doc_winnowing_fp": q.doc_winnowing_fp,
+        "doc_dedup_keep_longest": q.doc_dedup_keep_longest,
+        "embedding_centroid_outliers": q.embedding_centroid_outliers,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -611,6 +614,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": do.doc_minhash_dedup_sql(),
         "doc_ngram_jaccard_pairs": do.doc_ngram_jaccard_pairs_sql(),
         "doc_containment_pairs": do.doc_containment_pairs_sql(),
+        "doc_winnowing_fp": do.doc_winnowing_fp_sql(),
+        "doc_dedup_keep_longest": do.doc_dedup_keep_longest_sql(),
+        "embedding_centroid_outliers": do.embedding_centroid_outliers_sql(),
         "embedding_near_dup": do.embedding_near_dup_sql(),
         "embedding_kmeans": do.embedding_kmeans_sql(),
         "embedding_semdedup": do.embedding_semdedup_sql(),

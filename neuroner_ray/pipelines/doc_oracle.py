@@ -593,3 +593,103 @@ def doc_containment_pairs_sql(threshold: float = 0.8) -> str:
         SELECT ca AS a, cb AS b, round(cont, 4) AS containment
         FROM cp WHERE cont >= {threshold}
     """
+
+
+def doc_winnowing_fp_sql() -> str:
+    """Winnowing fingerprints — mirrors ``queries.doc_winnowing_fp``
+    (ordered token 3-grams, md5-hex-prefix hashes, window-of-4
+    lexicographic minima, distinct per doc)."""
+    return f"""
+        WITH dt AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                       '{TOKEN_PATTERN}') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE [array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]
+                   END AS gs
+            FROM dt
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(gs, g -> substr(md5(g), 1, 16)) AS h
+            FROM grams
+        ),
+        sel AS (
+            SELECT doc_id,
+                   CASE WHEN len(h) = 0 THEN []::VARCHAR[]
+                        WHEN len(h) < 4 THEN [list_min(h)]
+                        ELSE list_distinct([list_min(h[i:i+3])
+                                            for i in range(1, len(h) - 2)])
+                   END AS fps
+            FROM hs
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM sel
+    """
+
+
+def doc_dedup_keep_longest_sql(threshold: float = 0.8) -> str:
+    """Keep-longest survivorship over the exact Jaccard clusters —
+    mirrors ``queries.doc_dedup_keep_longest`` (paired docs only;
+    survivor = n_chars DESC, doc_id ASC)."""
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte(threshold)},
+        sym AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        uni AS (
+            SELECT pa AS doc_id FROM pairs
+            UNION SELECT pb FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM uni
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        ),
+        cl AS (
+            SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        j AS (
+            SELECT cl.doc_id, cl.cluster_id, d.n_chars
+            FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+        ),
+        win AS (
+            SELECT cluster_id, doc_id AS keep_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM j) WHERE rn = 1
+        )
+        SELECT j.doc_id, j.cluster_id,
+               (CASE WHEN j.doc_id = w.keep_id THEN 1 ELSE 0 END)::BIGINT
+                   AS keep
+        FROM j JOIN win w ON w.cluster_id = j.cluster_id
+    """
+
+
+def embedding_centroid_outliers_sql(k: int = 10) -> str:
+    """Top-k distance-to-own-label-centroid — mirrors
+    ``queries.embedding_centroid_outliers`` (documented float-summation
+    fragility class, same as kmeans/PCA)."""
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        pos AS (SELECT unnest(range(1, 65)) AS p),
+        comp AS (
+            SELECT label, pos.p, avg(v[pos.p]) AS m
+            FROM e, pos GROUP BY label, pos.p),
+        d AS (
+            SELECT e.vec_id, e.label::BIGINT AS label,
+                   sum((e.v[c.p] - c.m) * (e.v[c.p] - c.m)) AS d2
+            FROM e JOIN comp c ON c.label = e.label
+            GROUP BY e.vec_id, e.label)
+        SELECT vec_id, label, round(sqrt(d2), 4) AS dist
+        FROM d ORDER BY d2 DESC, vec_id ASC LIMIT {k}
+    """

@@ -14509,3 +14509,316 @@ def events_conversion_delay(sf_dir: str) -> Dataset:
         )
 
     return out.map_batches(pin, batch_format="pandas")
+
+
+WINNOW_K = 3  # token k-gram size
+WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
+
+
+def doc_winnowing_fp(sf_dir: str) -> Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS selection rule): hash every ORDERED token 3-gram (md5 hex
+    prefix — DuckDB parity), slide a window of 4 consecutive hashes,
+    keep each window's lexicographic minimum, output the distinct
+    selected fingerprints per doc. Guarantees every match of ≥
+    K+W−1 tokens shares a fingerprint (the coverage property ad-hoc
+    mod-p sampling lacks — cf. ``doc_rolling_fp``). Pure map (a doc is
+    one row); the sliding min is a vectorized stride trick."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def fps(batch: pa.Table) -> pa.Table:
+        out_id, out_fp = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _TOKEN_RE.findall((text or "").lower())
+            if len(toks) == 0:
+                continue
+            if len(toks) < WINNOW_K:
+                grams = [" ".join(toks)]
+            else:
+                grams = [
+                    " ".join(toks[i : i + WINNOW_K])
+                    for i in range(len(toks) - WINNOW_K + 1)
+                ]
+            hs = np.array(
+                [
+                    hashlib.md5(g.encode("utf-8")).hexdigest()[:16]
+                    for g in grams
+                ],
+                dtype=object,
+            )
+            if hs.size == 0:
+                continue
+            if hs.size < WINNOW_W:
+                sel = {hs.min()}
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(
+                    hs, WINNOW_W
+                )
+                sel = set(win.min(axis=1))
+            for fp in sorted(sel):
+                out_id.append(did)
+                out_fp.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+            }
+        )
+
+    return docs.map_batches(fps, batch_format="pyarrow")
+
+
+def doc_dedup_keep_longest(sf_dir: str) -> Dataset:
+    """Near-dup survivorship by LENGTH (the curation policy that keeps
+    the most complete copy instead of the min-id one): over the
+    exact-verified 3-gram Jaccard clusters (``doc_jaccard_clusters``
+    machinery), keep = 1 for each cluster's longest doc (n_chars DESC,
+    doc_id ASC tiebreak), 0 for the rest; singletons don't appear
+    (trivially kept). Member attrs attach via a candidate-bounded
+    broadcast (the verify-stage convention); the per-cluster argmax is
+    member-bounded."""
+    from ..stages.canonicalize import connected_components
+    from ..stages.dedup import _id_key, ngram_jaccard_pairs
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.int64()),
+        }
+    )
+
+    def as_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(
+                    [_id_key(v) for v in t["a"].to_pylist()], pa.string()
+                ),
+                "b": pa.array(
+                    [_id_key(v) for v in t["b"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    pairs = (
+        ngram_jaccard_pairs(
+            docs.select_columns(["doc_id", "text"]), threshold=0.8
+        )
+        .map_batches(as_keys, batch_format="pyarrow")
+        .materialize()
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    nmerge = group_sum_merge(("node",), ("one",))
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return nmerge(
+            pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                    ),
+                    "one": pa.array(np.ones(2 * t.num_rows, np.int64)),
+                }
+            )
+        )
+
+    nodes = tree_combine(
+        pairs.map_batches(node_rows, batch_format="pyarrow"), nmerge
+    ).select_columns(["node"])
+    cc = connected_components(pairs, nodes)
+
+    # member → n_chars via one corpus pass against the broadcast member set
+    members = set()
+    for t in nodes.iter_batches(batch_size=None, batch_format="pyarrow"):
+        members.update(int(v) for v in t["node"].to_pylist())
+    mref = ray.put(frozenset(members))
+
+    def member_chars(t: pa.Table, mref=mref) -> pa.Table:
+        ms = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        keep = np.array([int(i) in ms for i in ids], bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "n_chars": pa.array(nc[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    chars: dict[int, int] = {}
+    for t in docs.map_batches(
+        member_chars, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        chars.update(
+            zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist())
+        )
+    cref = ray.put(chars)
+
+    def with_attrs(t: pa.Table, cref=cref) -> pa.Table:
+        cm = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        ids = [int(v) for v in t["node"].to_pylist()]
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    [int(v) for v in t["label"].to_pylist()], pa.int64()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(
+                    [int(cm.get(i, 0)) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True],
+            kind="mergesort",
+        )
+        keep = np.zeros(len(g), np.int64)
+        keep[0] = 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "cluster_id": g["cluster_id"].to_numpy(np.int64),
+                "keep": keep,
+            }
+        )
+
+    out = (
+        cc.map_batches(with_attrs, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+    def pin(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "doc_id" not in df.columns:
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "cluster_id": pa.array(
+                    df["cluster_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "keep": pa.array(df["keep"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return out.map_batches(pin, batch_format="pandas")
+
+
+def embedding_centroid_outliers(sf_dir: str) -> Dataset:
+    """Embedding quality audit: top-10 vectors by Euclidean distance to
+    their OWN label centroid (mislabeled / out-of-distribution
+    candidates). The label×dim centroid matrix concentrates via the
+    ``embedding_label_centroids`` partial-sum chain and broadcasts once;
+    the distance pass is one vectorized matmul-free scan with per-batch
+    local top-10 + associative tree merge. Float caveat: centroid and
+    distance sums are differently-ordered double summation vs the oracle
+    (the documented kmeans/PCA fragility class) — rounded to 4."""
+    from ..stages.similarity import _vectors_of
+
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"]
+    )
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.float64()),
+        }
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = _vectors_of(batch, "embedding")
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        counts = np.bincount(inv)
+        sums = np.zeros((len(uniq), X.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, X)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        S = _vectors_of(t, "sums")
+        uniq, inv = np.unique(labels, return_inverse=True)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, n)
+        sums = np.zeros((len(uniq), S.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, S)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    cen = tree_combine(
+        emb.map_batches(partials, batch_format="pyarrow"), merge
+    ).to_pandas()
+    if cen.empty or "label" not in cen.columns:
+        return rd.from_arrow(empty)
+    labels = cen["label"].to_numpy(np.int64)
+    C = np.stack(cen["sums"].to_numpy()) / cen["n"].to_numpy(np.float64)[
+        :, None
+    ]
+    lab_idx = {int(l): i for i, l in enumerate(labels)}
+    cref = ray.put((lab_idx, C))
+
+    cut = topk_merge(10, "d2", ["vec_id"])
+
+    def dist_batch(t: pa.Table, cref=cref) -> pa.Table:
+        lab_idx, C = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        X = _vectors_of(t, "embedding").astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.array([lab_idx[int(l)] for l in lab], np.int64)
+        diff = X - C[idx]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        part = pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "label": pa.array(lab, pa.int64()),
+                "d2": pa.array(d2, pa.float64()),
+            }
+        )
+        return cut(part)
+
+    top = tree_combine(
+        emb.map_batches(dist_batch, batch_format="pyarrow"), cut
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return empty
+        df = t.to_pandas().sort_values(
+            ["d2", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(df["vec_id"].to_numpy(np.int64), pa.int64()),
+                "label": pa.array(df["label"].to_numpy(np.int64), pa.int64()),
+                "dist": pa.array(
+                    round_half_away(np.sqrt(df["d2"].to_numpy()), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return top.map_batches(finish, batch_size=None, batch_format="pyarrow")
