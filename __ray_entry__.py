@@ -469,6 +469,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing_fp": q.doc_winnowing_fp,
         "doc_dedup_keep_longest": q.doc_dedup_keep_longest,
         "embedding_centroid_outliers": q.embedding_centroid_outliers,
+        "events_type_trigrams_top20": q.events_type_trigrams_top20,
+        "events_bot_users": q.events_bot_users,
+        "events_attribution_linear": q.events_attribution_linear,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
@@ -992,6 +995,56 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(delay_s, 0.5) AS p50_delay_s,
                    quantile_disc(delay_s, 0.9) AS p90_delay_s
             FROM d GROUP BY 1
+        """,
+        "events_type_trigrams_top20": """
+            WITH s AS (SELECT user_id, event_type AS t1,
+                              lead(event_type, 1) OVER w AS t2,
+                              lead(event_type, 2) OVER w AS t3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+                   count(*)::BIGINT AS n
+            FROM s WHERE t3 IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 20
+        """,
+        "events_bot_users": """
+            WITH o AS (SELECT user_id, ts,
+                              lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            g AS (SELECT user_id,
+                         CAST(floor(epoch(nxt - ts)) AS BIGINT) AS gap_s
+                  FROM o WHERE nxt IS NOT NULL),
+            a AS (SELECT user_id, count(*)::BIGINT + 1 AS n_events,
+                         quantile_disc(gap_s, 0.5) AS med_gap_s
+                  FROM g GROUP BY 1)
+            SELECT user_id, n_events, med_gap_s,
+                   (CASE WHEN n_events >= 40 AND med_gap_s < 2400
+                         THEN 1 ELSE 0 END)::BIGINT AS is_bot
+            FROM a
+        """,
+        "events_attribution_linear": """
+            WITH p AS (SELECT event_id AS pid, user_id, ts AS pts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, event_id AS cid, ts AS cts
+                  FROM events WHERE event_type = 'click'),
+            m AS (SELECT p.pid, c.cid, c.cts,
+                         row_number() OVER (PARTITION BY p.pid
+                             ORDER BY c.cts, c.cid) AS rn,
+                         count(*) OVER (PARTITION BY p.pid) AS mtot
+                  FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.cts < p.pts
+                   AND c.cts >= p.pts - INTERVAL 7 DAY),
+            cr AS (SELECT cid, cts,
+                          (1000 // mtot
+                           + CASE WHEN rn <= 1000 % mtot
+                                  THEN 1 ELSE 0 END)::BIGINT AS credit
+                   FROM m)
+            SELECT CAST(floor(epoch(cts) / 604800) AS BIGINT) AS wk,
+                   count(*)::BIGINT AS n_touches,
+                   sum(credit)::BIGINT AS credit_milli
+            FROM cr GROUP BY 1
         """,
         "kg_communities_lpa": ko.kg_communities_lpa_sql(tglob),
         "mention_heavy_hitters": ko.mention_heavy_hitters_sql(tglob),

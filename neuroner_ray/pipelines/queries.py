@@ -14822,3 +14822,260 @@ def embedding_centroid_outliers(sf_dir: str) -> Dataset:
         )
 
     return top.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_type_trigrams_top20(sf_dir: str) -> Dataset:
+    """Behavioral sequence mining one order up from the transition
+    matrix: top-20 event-type TRIGRAMS over each user's (ts, event_id)-
+    ordered stream. ONE user-key groupby (per-group partials pre-
+    aggregate to distinct-trigram rows), a trigram census tree combine,
+    an associative top-k cut — no window-function shuffle."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    empty = pa.table(
+        {
+            "trigram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    def tri_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy(dtype=object)
+        if et.size < 3:
+            return pd.DataFrame(
+                {
+                    "trigram": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        tri = np.array(
+            [
+                f"{et[i]}>{et[i + 1]}>{et[i + 2]}"
+                for i in range(et.size - 2)
+            ],
+            dtype=object,
+        )
+        vc = pd.Series(tri).value_counts()
+        return pd.DataFrame(
+            {
+                "trigram": vc.index.to_numpy(dtype=object),
+                "n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    merge = group_sum_merge(("trigram",), ("n",))
+    census = tree_combine(
+        ev.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(tri_of, batch_format="pandas"),
+        merge,
+    )
+    cut = topk_merge(20, "n", ["trigram"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "trigram" not in t.column_names:
+            return empty
+        out = cut(
+            pa.table(
+                {"trigram": t["trigram"], "n": t["n"].cast(pa.int64())}
+            )
+        )
+        return out
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+BOT_MIN_EVENTS = 40
+BOT_MAX_MED_GAP_S = 2400
+
+
+def events_bot_users(sf_dir: str) -> Dataset:
+    """Bot/automation screening (the data-cleaning gate a behavioral
+    corpus needs before modeling): per user with ≥2 events, event count,
+    exact MEDIAN inter-event gap in whole seconds (quantile_disc order
+    statistic over the (ts, event_id)-ordered stream), and the flag
+    n ≥ 40 ∧ median gap < 2400 s. ONE user-key groupby; gaps never
+    leave their group (fixed-width per-user summary rows out)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "med_gap_s": pa.array([], pa.int64()),
+            "is_bot": pa.array([], pa.int64()),
+        }
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    def stats_of(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "med_gap_s": pd.Series([], dtype="int64"),
+                    "is_bot": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        gaps = np.sort((ts[1:] - ts[:-1]) // 1_000_000)
+        n = len(g)
+        med = int(gaps[max(int(np.ceil(gaps.size * 0.5)) - 1, 0)])
+        bot = int(n >= BOT_MIN_EVENTS and med < BOT_MAX_MED_GAP_S)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [int(g["user_id"].iloc[0])], dtype="int64"
+                ),
+                "n_events": pd.Series([n], dtype="int64"),
+                "med_gap_s": pd.Series([med], dtype="int64"),
+                "is_bot": pd.Series([bot], dtype="int64"),
+            }
+        )
+
+    out = (
+        ev.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stats_of, batch_format="pandas")
+    )
+
+    def pin(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "user_id" not in df.columns:
+            return empty
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "n_events": pa.array(
+                    df["n_events"].to_numpy(np.int64), pa.int64()
+                ),
+                "med_gap_s": pa.array(
+                    df["med_gap_s"].to_numpy(np.int64), pa.int64()
+                ),
+                "is_bot": pa.array(df["is_bot"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return out.map_batches(pin, batch_format="pandas")
+
+
+ATTRIB_WINDOW_US = 7 * 86_400_000_000
+ATTRIB_MILLI = 1000
+
+
+def events_attribution_linear(sf_dir: str) -> Dataset:
+    """Linear multi-touch attribution in EXACT integer milli-credits:
+    each purchase distributes 1000 milli-credits equally over the user's
+    clicks in the preceding 7 days (1000 // m each; the 1000 % m
+    remainder goes to the EARLIEST clicks — deterministic, no floats).
+    Output: per click epoch-week, credited touch count and total
+    milli-credit. ONE user-key groupby; per-purchase click windows via
+    searchsorted; the week census is a tree combine."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    empty = pa.table(
+        {
+            "wk": pa.array([], pa.int64()),
+            "n_touches": pa.array([], pa.int64()),
+            "credit_milli": pa.array([], pa.int64()),
+        }
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        kept = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": kept["user_id"],
+                "event_type": kept["event_type"],
+                "ts_us": kept["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": kept["event_id"],
+            }
+        )
+
+    def credits_of(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        c = (
+            g[et == "click"]
+            .sort_values(["ts_us", "event_id"], kind="mergesort")
+        )
+        p_ts = np.sort(g.loc[et == "purchase", "ts_us"].to_numpy(np.int64))
+        cts = c["ts_us"].to_numpy(dtype=np.int64)
+        if cts.size == 0 or p_ts.size == 0:
+            return pd.DataFrame(
+                {
+                    "wk": pd.Series([], dtype="int64"),
+                    "n_touches": pd.Series([], dtype="int64"),
+                    "credit_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        credit = np.zeros(cts.size, np.int64)
+        touched = np.zeros(cts.size, np.int64)
+        for pt in p_ts:
+            lo = np.searchsorted(cts, pt - ATTRIB_WINDOW_US, "left")
+            hi = np.searchsorted(cts, pt, "left")
+            m = hi - lo
+            if m == 0:
+                continue
+            base, rem = divmod(ATTRIB_MILLI, m)
+            credit[lo:hi] += base
+            credit[lo : lo + rem] += 1
+            touched[lo:hi] += 1
+        sel = touched > 0
+        df = pd.DataFrame(
+            {
+                "wk": cts[sel] // WEEK_US,
+                "n_touches": touched[sel],
+                "credit_milli": credit[sel],
+            }
+        )
+        out = df.groupby("wk", as_index=False).sum()
+        return out.astype(
+            {"wk": "int64", "n_touches": "int64", "credit_milli": "int64"}
+        )
+
+    merge = group_sum_merge(("wk",), ("n_touches", "credit_milli"))
+    census = tree_combine(
+        ev.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(credits_of, batch_format="pandas"),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wk" not in t.column_names:
+            return empty
+        return pa.table(
+            {
+                "wk": t["wk"].cast(pa.int64()),
+                "n_touches": t["n_touches"].cast(pa.int64()),
+                "credit_milli": t["credit_milli"].cast(pa.int64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

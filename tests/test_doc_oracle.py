@@ -3205,3 +3205,62 @@ def test_keep_longest_exactly_one_survivor_per_cluster():
     for cid, grp in out.groupby("cluster_id"):
         kept = grp.loc[grp["keep"] == 1, "doc_id"].iloc[0]
         assert nc[kept] == max(nc[d] for d in grp["doc_id"])
+
+
+def test_batch39_queries_match_oracles():
+    """Batch-39 additions (type trigrams, bot screening, linear
+    attribution) against their registered oracles."""
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_type_trigrams_top20",
+        "events_bot_users",
+        "events_attribution_linear",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch39_ops_survive_empty_input(tmp_path):
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    for fn in (
+        q.events_type_trigrams_top20,
+        q.events_bot_users,
+        q.events_attribution_linear,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_attribution_mass_conservation():
+    """Every attributed purchase hands out exactly 1000 milli-credits:
+    Σ credit = 1000 × (#purchases with ≥1 click in the prior 7 days)."""
+    out = q.events_attribution_linear(SF).to_pandas()
+    import duckdb as dk
+
+    c2 = dk.connect()
+    n_attr = c2.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{SF}/events.parquet') p
+        WHERE p.event_type = 'purchase' AND EXISTS (
+            SELECT 1 FROM read_parquet('{SF}/events.parquet') c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 7 DAY)
+        """
+    ).fetchone()[0]
+    assert int(out["credit_milli"].sum()) == 1000 * n_attr
