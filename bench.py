@@ -191,6 +191,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # batch 31+: distributed bigram-census join; orderkey cogroup
         ("doc_bigram_logprob", q.doc_bigram_logprob),
         ("orders_priority_late_q4", q.orders_priority_late_q4),
+        # batch 34+: containment dedup (exact-recall shingle blocking),
+        # winnowing fingerprints, windowed funnel, linear attribution
+        ("doc_containment_pairs", q.doc_containment_pairs),
+        ("doc_winnowing_fp", q.doc_winnowing_fp),
+        ("events_windowed_funnel", q.events_windowed_funnel),
+        ("events_attribution_linear", q.events_attribution_linear),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)

@@ -3686,3 +3686,352 @@ def clustering_coeff(
         for i, n in zip(b["id"].to_pylist(), b["tri2"].to_pylist()):
             credit[i] = credit.get(i, 0) + int(n)
     return finish(credit)
+
+
+KTRUSS_ROUNDS = 8
+
+
+def _edge_support_sharded(
+    pairs: Dataset, num_buckets: int = PR_NUM_BUCKETS
+) -> Dataset:
+    """Per-EDGE triangle support of a distinct (a < b) pair Dataset via
+    the degree-oriented wedge cogroup (no adjacency broadcast): a closed
+    wedge (u—w—v) is one triangle and supports all THREE of its edges —
+    the closing edge (u,v) and the two wedge legs. Output: (a, b, sup)
+    for edges with sup ≥ 1 (zero-support edges simply don't surface,
+    exactly like the oracle's inner-join census)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..runtime.combine import anchor
+    from ..runtime.hashing import hash_buckets
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return (
+            pa.table(
+                {"id": ids, "deg": pa.array([1] * len(ids), pa.int64())}
+            )
+            .group_by("id")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["id", "deg"])
+        )
+
+    degs = anchor(
+        pairs.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(_Sum("deg", alias_name="deg"))
+    )
+    with_da = _attach_deg(pairs, degs, "a", "deg_a", num_buckets)
+    with_db = anchor(_attach_deg(with_da, degs, "b", "deg_b", num_buckets))
+
+    def orient(t: pa.Table) -> pa.Table:
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a = np.asarray(t["a"].to_pylist(), dtype=object)
+        b = np.asarray(t["b"].to_pylist(), dtype=object)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.string()),
+                "dst": pa.array(np.where(a_first, b, a), pa.string()),
+            }
+        )
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        cols = {"a": [], "b": [], "c": []}
+        for src, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy(dtype=object))
+            m = len(nb)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            cols["a"].append(nb[iu])
+            cols["b"].append(nb[ju])
+            cols["c"].append(np.full(iu.size, src, dtype=object))
+        if not cols["a"]:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                    "a": pd.Series([], dtype="object"),
+                    "b": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="object"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "a": np.concatenate(cols["a"]),
+                "b": np.concatenate(cols["b"]),
+                "c": np.concatenate(cols["c"]),
+            }
+        )
+        out.insert(
+            0,
+            "bucket",
+            hash_buckets(
+                (out["a"].astype(str) + "|" + out["b"].astype(str)).to_numpy(),
+                num_buckets,
+            ),
+        )
+        out.insert(1, "kind", np.int64(1))
+        return out
+
+    wedge_src = oriented.map_batches(
+        lambda t: t.append_column(
+            "wbucket", _bucket_of(t["src"], num_buckets)
+        ),
+        batch_format="pyarrow",
+    )
+    wedges = (
+        wedge_src.groupby("wbucket")
+        .map_groups(wedge_group, batch_format="pandas")
+        .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+    )
+
+    def edge_key_rows(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{x}|{y}"
+            for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(hash_buckets(keys, num_buckets), pa.int64()),
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "a": t["a"],
+                "b": t["b"],
+                "c": pa.array([""] * t.num_rows, pa.string()),
+            }
+        )
+
+    def support_group(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["kind"] == 0]
+        w = df[df["kind"] == 1]
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="object"),
+                "b": pd.Series([], dtype="object"),
+                "sup": pd.Series([], dtype="int64"),
+            }
+        )
+        if e.empty or w.empty:
+            return empty
+        edge_set = set(zip(e["a"], e["b"]))
+        mask = np.fromiter(
+            ((x, y) in edge_set for x, y in zip(w["a"], w["b"])),
+            bool,
+            len(w),
+        )
+        closed = w.loc[mask]
+        if closed.empty:
+            return empty
+        # each closed wedge supports its three edges (canonical a < b)
+        ua = closed["a"].to_numpy(dtype=object)
+        ub = closed["b"].to_numpy(dtype=object)
+        uc = closed["c"].to_numpy(dtype=object)
+        ea = np.concatenate([ua, np.minimum(uc, ua), np.minimum(uc, ub)])
+        eb = np.concatenate([ub, np.maximum(uc, ua), np.maximum(uc, ub)])
+        out = (
+            pd.DataFrame({"a": ea, "b": eb})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "sup"})
+        )
+        return out.astype({"a": "object", "b": "object", "sup": "int64"})
+
+    support = (
+        wedges.union(pairs.map_batches(edge_key_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(support_group, batch_format="pandas")
+    )
+
+    # the same edge's support arrives from several buckets (its two legs
+    # live in other wedges' buckets) — one edge-keyed sum concentrates it
+    def pin(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(df["a"] if "a" in df else [], pa.string()),
+                "b": pa.array(df["b"] if "b" in df else [], pa.string()),
+                "sup": pa.array(
+                    (df["sup"] if "sup" in df else []), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        support.map_batches(pin, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(_Sum("sup", alias_name="sup"))
+    )
+
+
+def _ktruss_sharded(
+    edges: Dataset,
+    k: int,
+    rounds: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+) -> Dataset:
+    """Fixed-round k-truss peel, fully sharded: per round one
+    ``_edge_support_sharded`` pass and one support filter; the final
+    support recompute left-joins back onto the survivors (zero-support
+    rows only possible pre-convergence, mirrored by the oracle)."""
+    import ray.data as rd
+
+    from ..runtime.combine import anchor
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "support": pa.array([], pa.int64()),
+        }
+    )
+
+    def ab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["src_id"], t["dst_id"]),
+                    "b": pa.compute.max_element_wise(t["src_id"], t["dst_id"]),
+                }
+            )
+            .filter(pa.compute.not_equal(t["src_id"], t["dst_id"]))
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    from ray.data.aggregate import Count as _Count
+
+    cur = anchor(
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(ab_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    ).materialize()
+    prev_n = cur.count()
+    if prev_n == 0:
+        return rd.from_arrow(empty)
+    for _ in range(rounds):
+        sup = _edge_support_sharded(cur, num_buckets)
+        cur = (
+            sup.filter(lambda r, k=k: r["sup"] >= k - 2)
+            .select_columns(["a", "b"])
+            .materialize()
+        )
+        n = cur.count()
+        if n == 0:
+            return rd.from_arrow(empty)
+        if n == prev_n:  # monotone peel: stable == converged
+            break
+        prev_n = n
+
+    # final support on the survivors; zero-support rows kept via the
+    # marker union (mirrors the oracle's LEFT JOIN coalesce)
+    sup = _edge_support_sharded(cur, num_buckets)
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "sup": pa.array([0] * t.num_rows, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    merged = (
+        sup.union(cur.map_batches(zero_rows, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(_Sum("sup", alias_name="support"))
+    )
+    return merged.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "support": t["support"].cast(pa.int64()),
+            }
+        )
+        if t.num_rows
+        else empty,
+        batch_format="pyarrow",
+    )
+
+
+def ktruss(
+    edges: Dataset,
+    k: int = 3,
+    rounds: int = KTRUSS_ROUNDS,
+    *,
+    force_sharded: bool = False,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Fixed-round k-truss of the undirected simple entity graph: keep
+    edges participating in ≥ k−2 triangles among surviving edges,
+    ``rounds`` times (exact k-truss once converged — the peel is
+    monotone, and the oracle unrolls the SAME round count). Output:
+    surviving (a, b, support) with support recomputed on the final
+    graph. The cohesion notch between k-core (node peel) and cliques.
+
+    Under the loud cap the collected pair set peels on the driver (set
+    arithmetic, early exit on stability); past it — or with
+    ``force_sharded`` — the per-round ``_edge_support_sharded`` wedge
+    cogroup runs instead of raising."""
+    import ray.data as rd
+
+    if force_sharded:
+        return _ktruss_sharded(
+            edges, k, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+    try:
+        simple = _simple_edges(edges, "ktruss")
+    except ValueError:
+        return _ktruss_sharded(
+            edges, k, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "support": pa.array([], pa.int64()),
+        }
+    )
+    E = set(zip(simple["a"].to_pylist(), simple["b"].to_pylist()))
+    if not E:
+        return rd.from_arrow(empty)
+
+    def supports(E: set) -> dict:
+        adj: dict[str, set] = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {
+            (u, v): len(adj[u] & adj[v]) for u, v in E
+        }
+
+    for _ in range(rounds):
+        sup = supports(E)
+        nxt = {e for e, s in sup.items() if s >= k - 2}
+        if nxt == E:
+            break
+        E = nxt
+        if not E:
+            return rd.from_arrow(empty)
+    sup = supports(E)
+    rows = sorted(E)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in rows], pa.string()),
+                "b": pa.array([b for _, b in rows], pa.string()),
+                "support": pa.array(
+                    [int(sup[e]) for e in rows], pa.int64()
+                ),
+            }
+        )
+    )
