@@ -210,6 +210,17 @@ def kg_clustering(sf_dir: str) -> Any:
     return clustering_coeff(_kg_tables(sf_dir)["edges"])
 
 
+def kg_ktruss(sf_dir: str) -> Any:
+    """Graph analytics: fixed-round 3-truss of the undirected simple
+    entity graph (edges in >= 1 triangle after the monotone peel, final
+    support recomputed on the survivors; driver set arithmetic under the
+    loud cap, per-round wedge-cogroup shuffle past it — see
+    stages.graph.ktruss)."""
+    from neuroner_ray.stages.graph import ktruss
+
+    return ktruss(_kg_tables(sf_dir)["edges"])
+
+
 def kg_communities_lpa(sf_dir: str) -> Any:
     """Graph analytics: synchronous label-propagation communities (fixed
     8 rounds; labels broadcast per round, one streamed pair pass each)."""
@@ -458,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shipmode_q12": q.lineitem_shipmode_q12,
         "lineitem_disjunctive_q19": q.lineitem_disjunctive_q19,
         "kg_clustering": kg_clustering,
+        "kg_ktruss": kg_ktruss,
         "events_user_count_kmv": q.events_user_count_kmv,
         "events_hour_dow_seasonality": q.events_hour_dow_seasonality,
         "events_windowed_funnel": q.events_windowed_funnel,
@@ -872,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
                       BETWEEN b.qlo AND b.qhi
         """,
         "kg_clustering": ko.kg_clustering_sql(tglob),
+        "kg_ktruss": ko.kg_ktruss_sql(tglob),
         "events_user_count_kmv": """
             WITH h AS (
                 SELECT DISTINCT md5_number_upper(user_id::VARCHAR) AS hv

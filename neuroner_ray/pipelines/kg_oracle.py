@@ -726,3 +726,52 @@ def kg_clustering_sql(transcripts_glob: str) -> str:
         FROM deg d LEFT JOIN tri t ON t.node = d.node
         WHERE d.deg >= 2
     """
+
+
+def kg_ktruss_sql(
+    transcripts_glob: str, k: int = 3, rounds: int = 8
+) -> str:
+    """Fixed-round k-truss peel — mirrors ``stages.graph.ktruss`` (same
+    k, same round count; the peel is monotone, so the engine's early
+    stability exit equals running all rounds). Final support recomputed
+    on the survivors via a LEFT JOIN so pre-convergence zero-support
+    edges mirror too."""
+    parts = [
+        f"""
+        t0 AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS a,
+                            greatest(src_id, dst_id) AS b
+            FROM edges WHERE src_id <> dst_id)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        ud{i - 1} AS MATERIALIZED (
+            SELECT a AS x, b AS y FROM t{i - 1}
+            UNION ALL SELECT b, a FROM t{i - 1}),
+        s{i} AS MATERIALIZED (
+            SELECT e.a, e.b, count(*)::BIGINT AS sup
+            FROM t{i - 1} e
+            JOIN ud{i - 1} u1 ON u1.x = e.a
+            JOIN ud{i - 1} u2 ON u2.x = e.b AND u2.y = u1.y
+            GROUP BY e.a, e.b),
+        t{i} AS MATERIALIZED (
+            SELECT a, b FROM s{i} WHERE sup >= {k - 2})"""
+        )
+    parts.append(
+        f""",
+        udF AS MATERIALIZED (
+            SELECT a AS x, b AS y FROM t{rounds}
+            UNION ALL SELECT b, a FROM t{rounds}),
+        sF AS MATERIALIZED (
+            SELECT e.a, e.b, count(*)::BIGINT AS sup
+            FROM t{rounds} e
+            JOIN udF u1 ON u1.x = e.a
+            JOIN udF u2 ON u2.x = e.b AND u2.y = u1.y
+            GROUP BY e.a, e.b)"""
+    )
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},{"".join(parts)}
+        SELECT e.a, e.b, coalesce(s.sup, 0)::BIGINT AS support
+        FROM t{rounds} e LEFT JOIN sF s ON s.a = e.a AND s.b = e.b
+    """

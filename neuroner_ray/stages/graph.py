@@ -3863,6 +3863,11 @@ def _edge_support_sharded(
 
     return (
         support.map_batches(pin, batch_format="pandas")
+        # map_groups' empty sort partitions emit schema-less pandas blocks
+        # that BYPASS map fns (Ray skips zero-row blocks) — coalescing by
+        # row count drops them before the groupby sort, which rejects
+        # mixed Arrow/pandas block streams (the NOTES.md ngram fix)
+        .repartition(target_num_rows_per_block=65536)
         .groupby(["a", "b"])
         .aggregate(_Sum("sup", alias_name="sup"))
     )
@@ -3920,6 +3925,14 @@ def _ktruss_sharded(
         cur = (
             sup.filter(lambda r, k=k: r["sup"] >= k - 2)
             .select_columns(["a", "b"])
+            # pin the loop state to Arrow blocks and coalesce away the
+            # zero-row pandas blocks that bypass map fns (NOTES.md) —
+            # the next round's Aggregate rejects mixed block streams
+            .map_batches(
+                lambda t: pa.table({"a": t["a"], "b": t["b"]}),
+                batch_format="pyarrow",
+            )
+            .repartition(target_num_rows_per_block=65536)
             .materialize()
         )
         n = cur.count()
@@ -3945,7 +3958,14 @@ def _ktruss_sharded(
     from ray.data.aggregate import Sum as _Sum
 
     merged = (
-        sup.union(cur.map_batches(zero_rows, batch_format="pyarrow"))
+        sup.map_batches(
+            lambda t: pa.table(
+                {"a": t["a"], "b": t["b"], "sup": t["sup"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(target_num_rows_per_block=65536)
+        .union(cur.map_batches(zero_rows, batch_format="pyarrow"))
         .groupby(["a", "b"])
         .aggregate(_Sum("sup", alias_name="support"))
     )

@@ -847,3 +847,87 @@ def test_clustering_coeff_sharded_agrees():
         .reset_index(drop=True)
     )
     assert fast.equals(shard), (fast.head(8), shard.head(8))
+
+
+def test_ktruss_closed_form_and_regimes():
+    """Fixture graph: the a-b-c triangle survives the 3-truss (every
+    edge supports exactly 1 triangle); the x—y bridge peels off. The
+    sharded wedge-cogroup regime must agree exactly."""
+    import pyarrow as pa
+
+    from neuroner_ray.stages.graph import ktruss
+
+    out = (
+        ktruss(_edges_ds())
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["a"], out["b"])) == [
+        ("a", "b"), ("a", "c"), ("b", "c")
+    ]
+    assert list(out["support"]) == [1, 1, 1]
+
+    shard = (
+        ktruss(_edges_ds(), force_sharded=True, num_buckets=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(shard)
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [("src_id", pa.string()), ("dst_id", pa.string()),
+             ("pred", pa.string()), ("weight", pa.int64())]
+        ).empty_table()
+    )
+    assert ktruss(empty).count() == 0
+    assert ktruss(empty, force_sharded=True, num_buckets=4).count() == 0
+
+
+def test_ktruss_sharded_agrees_on_random_graph():
+    """Driver peel vs the per-round wedge-cogroup shuffle on a seeded
+    multigraph with a planted hub — the multi-round interaction (edges
+    losing support as neighbors peel) is where the regimes could drift."""
+    import numpy as np
+
+    from neuroner_ray.stages.graph import ktruss
+
+    rng = np.random.RandomState(31)
+    nodes = [f"n{i:03d}" for i in range(50)]
+    rows = []
+    for _ in range(160):
+        s_, d_ = rng.choice(50, 2)
+        rows.append(
+            {
+                "src_id": nodes[s_],
+                "dst_id": nodes[d_],
+                "pred": "p",
+                "weight": 1,
+            }
+        )
+    hub = nodes[0]
+    for i in range(1, 20):
+        rows.append(
+            {"src_id": hub, "dst_id": nodes[i], "pred": "p", "weight": 1}
+        )
+
+    def mk():
+        return rd.from_items(rows)
+
+    fast = (
+        ktruss(mk())
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    assert (fast["support"] >= 1).all()  # converged: no zero-support rows
+    shard = (
+        ktruss(mk(), force_sharded=True, num_buckets=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert fast.equals(shard), (fast.head(8), shard.head(8))
