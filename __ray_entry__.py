@@ -356,16 +356,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_posting_lists": q.corpus_posting_lists,
         "events_user_freq_cms": q.events_user_freq_cms,
         "orders_cube": q.orders_cube,
-        "doc_chunks": q.doc_chunks,
-        "doc_redact_terms": q.doc_redact_terms,
+        "kg_clustering": kg_clustering,
+        "kg_ktruss": kg_ktruss,
         "corpus_bpe_merges": q.corpus_bpe_merges,
-        "corpus_pmi_top50": q.corpus_pmi_top50,
+        "doc_containment_pairs": q.doc_containment_pairs,
+        "doc_winnowing_fp": q.doc_winnowing_fp,
+        "events_user_count_kmv": q.events_user_count_kmv,
+        "events_windowed_funnel": q.events_windowed_funnel,
+        "events_attribution_linear": q.events_attribution_linear,
+        "events_user_lifecycle": q.events_user_lifecycle,
+        "doc_dedup_keep_longest": q.doc_dedup_keep_longest,
+        "doc_redact_terms": q.doc_redact_terms,
         "events_user_daily_gapfill": q.events_user_daily_gapfill,
         "events_value_ntile": q.events_value_ntile,
-        "events_type_user_hll": q.events_type_user_hll,
         "doc_sample_weighted": q.doc_sample_weighted,
         "doc_entropy": q.doc_entropy,
         "corpus_skipgram_top50": q.corpus_skipgram_top50,
+        "events_type_user_hll": q.events_type_user_hll,
+        "corpus_pmi_top50": q.corpus_pmi_top50,
+        "doc_chunks": q.doc_chunks,
         "dedup_normalized": q.dedup_normalized,
         "events_time_to_next": q.events_time_to_next,
         "lineitem_qty_mad": q.lineitem_qty_mad,
@@ -468,22 +477,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_forecast_revenue_q6": q.lineitem_forecast_revenue_q6,
         "lineitem_shipmode_q12": q.lineitem_shipmode_q12,
         "lineitem_disjunctive_q19": q.lineitem_disjunctive_q19,
-        "kg_clustering": kg_clustering,
-        "kg_ktruss": kg_ktruss,
-        "events_user_count_kmv": q.events_user_count_kmv,
         "events_hour_dow_seasonality": q.events_hour_dow_seasonality,
-        "events_windowed_funnel": q.events_windowed_funnel,
-        "events_user_lifecycle": q.events_user_lifecycle,
         "events_seasonal_anomaly": q.events_seasonal_anomaly,
-        "doc_containment_pairs": q.doc_containment_pairs,
         "users_all_event_types": q.users_all_event_types,
         "events_conversion_delay": q.events_conversion_delay,
-        "doc_winnowing_fp": q.doc_winnowing_fp,
-        "doc_dedup_keep_longest": q.doc_dedup_keep_longest,
         "embedding_centroid_outliers": q.embedding_centroid_outliers,
         "events_type_trigrams_top20": q.events_type_trigrams_top20,
         "events_bot_users": q.events_bot_users,
-        "events_attribution_linear": q.events_attribution_linear,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
         "token_freq_top100": q.token_freq_top100,
         "doc_token_counts": q.doc_token_counts,
