@@ -482,6 +482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_all_event_types": q.users_all_event_types,
         "events_conversion_delay": q.events_conversion_delay,
         "embedding_centroid_outliers": q.embedding_centroid_outliers,
+        "events_funnel_window_sweep": q.events_funnel_window_sweep,
+        "events_bounce_rate_weekly": q.events_bounce_rate_weekly,
+        "orders_cohort_repeat_rate": q.orders_cohort_repeat_rate,
         "events_type_trigrams_top20": q.events_type_trigrams_top20,
         "events_bot_users": q.events_bot_users,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
@@ -537,6 +540,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_pca_top1": q.embedding_pca_top1,
     }
+
+
+def _funnel_sweep_sql() -> str:
+    """Three-window UNION of the windowed-funnel EXISTS SQL (mirrors
+    queries.events_funnel_window_sweep's single-shuffle sweep)."""
+    arms = []
+    for w_s, iv in ((900, "15 MINUTE"), (3600, "1 HOUR"),
+                    (21600, "6 HOUR")):
+        arms.append(f"""
+            SELECT {w_s} AS window_s, stage, count(*)::BIGINT AS n_users
+            FROM (
+                WITH u AS (SELECT DISTINCT user_id FROM events),
+                v AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'view'),
+                rc AS (SELECT DISTINCT e2.user_id, e2.ts
+                       FROM events e1 JOIN events e2
+                         ON e2.user_id = e1.user_id
+                        AND e1.event_type = 'view'
+                        AND e2.event_type = 'click'
+                        AND e1.ts < e2.ts
+                        AND e2.ts <= e1.ts + INTERVAL {iv}),
+                rp AS (SELECT DISTINCT e3.user_id
+                       FROM rc JOIN events e3
+                         ON e3.user_id = rc.user_id
+                        AND e3.event_type = 'purchase'
+                        AND rc.ts < e3.ts
+                        AND e3.ts <= rc.ts + INTERVAL {iv})
+                SELECT u.user_id,
+                       CASE WHEN rp.user_id IS NOT NULL THEN 3
+                            WHEN rcu.user_id IS NOT NULL THEN 2
+                            WHEN v.user_id IS NOT NULL THEN 1
+                            ELSE 0 END AS stage
+                FROM u
+                LEFT JOIN rp ON rp.user_id = u.user_id
+                LEFT JOIN (SELECT DISTINCT user_id FROM rc) rcu
+                       ON rcu.user_id = u.user_id
+                LEFT JOIN v ON v.user_id = u.user_id)
+            GROUP BY stage""")
+    return " UNION ALL ".join(arms)
 
 
 _TOK = TOKEN_PATTERN  # the pattern is RE2-compatible as-is (SQL single-quoted)
@@ -885,6 +927,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_clustering": ko.kg_clustering_sql(tglob),
         "kg_ktruss": ko.kg_ktruss_sql(tglob),
+        "events_funnel_window_sweep": _funnel_sweep_sql(),
+        "events_bounce_rate_weekly": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER
+                         (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps
+            ), sess AS (
+                SELECT user_id, sid, min(ts) AS start_ts,
+                       count(*) AS n_ev
+                FROM numbered GROUP BY user_id, sid
+            ), c AS (
+                SELECT CAST(floor(epoch(start_ts) / 604800) AS BIGINT)
+                           AS wk,
+                       count(*)::BIGINT AS n_sessions,
+                       sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_bounce
+                FROM sess GROUP BY 1)
+            SELECT wk, n_sessions, n_bounce,
+                   round(n_bounce / n_sessions, 4) AS bounce_rate
+            FROM c
+        """,
+        "orders_cohort_repeat_rate": """
+            WITH f AS (SELECT o_custkey, min(o_orderdate) AS fd
+                       FROM orders GROUP BY 1),
+            r AS (SELECT f.o_custkey,
+                         CASE WHEN EXISTS (
+                             SELECT 1 FROM orders o
+                             WHERE o.o_custkey = f.o_custkey
+                               AND o.o_orderdate > f.fd
+                               AND o.o_orderdate <= f.fd
+                                   + INTERVAL 90 DAY)
+                              THEN 1 ELSE 0 END AS rep,
+                         date_trunc('month', f.fd) AS cohort_month
+                  FROM f)
+            SELECT cohort_month, count(*)::BIGINT AS n_customers,
+                   sum(rep)::BIGINT AS n_repeat,
+                   round(sum(rep) / count(*), 4) AS repeat_rate
+            FROM r GROUP BY 1
+        """,
         "events_user_count_kmv": """
             WITH h AS (
                 SELECT DISTINCT md5_number_upper(user_id::VARCHAR) AS hv

@@ -15079,3 +15079,257 @@ def events_attribution_linear(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+FUNNEL_SWEEP_WINDOWS_S = (900, 3600, 21600)  # 15 min / 1 h / 6 h
+
+
+def events_funnel_window_sweep(sf_dir: str) -> Dataset:
+    """Window-sensitivity sweep of the time-bounded funnel: the
+    ``events_windowed_funnel`` reachable-set DP evaluated at THREE
+    transition windows (15 min / 1 h / 6 h) in ONE user-key shuffle —
+    the per-user sorted arrays are built once and probed three times,
+    so adding a window costs two searchsorted passes, not a pipeline.
+    Output: (window_s, stage, n_users)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    empty = pa.table(
+        {
+            "window_s": pa.array([], pa.int64()),
+            "stage": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["view", "click", "purchase"]),
+        )
+        users = pc.unique(t["user_id"])
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        kept = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [kept["user_id"].combine_chunks(), users]
+                ),
+                "event_type": pa.concat_arrays(
+                    [
+                        kept["event_type"].combine_chunks(),
+                        pa.array([""] * len(users), pa.string()),
+                    ]
+                ),
+                "ts_us": pa.concat_arrays(
+                    [
+                        kept["ts"]
+                        .cast(pa.timestamp("us"))
+                        .cast(pa.int64())
+                        .combine_chunks(),
+                        pa.array([0] * len(users), pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    def stages_of(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        v = np.sort(ts[et == "view"])
+        c = np.sort(ts[et == "click"])
+        p = np.sort(ts[et == "purchase"])
+        ws, st = [], []
+        for w_s in FUNNEL_SWEEP_WINDOWS_S:
+            W = w_s * 1_000_000
+            stage = 0
+            if v.size:
+                stage = 1
+                lo = np.searchsorted(v, c - W, "left")
+                hi = np.searchsorted(v, c, "left")
+                rc = c[hi > lo]
+                if rc.size:
+                    stage = 2
+                    lo = np.searchsorted(rc, p - W, "left")
+                    hi = np.searchsorted(rc, p, "left")
+                    if (hi > lo).any():
+                        stage = 3
+            ws.append(w_s)
+            st.append(stage)
+        return pd.DataFrame(
+            {
+                "window_s": pd.Series(ws, dtype="int64"),
+                "stage": pd.Series(st, dtype="int64"),
+                "n_users": pd.Series(
+                    np.ones(len(ws), np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    merge = group_sum_merge(("window_s", "stage"), ("n_users",))
+    census = tree_combine(
+        ev.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stages_of, batch_format="pandas"),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "window_s" not in t.column_names:
+            return empty
+        return pa.table(
+            {
+                "window_s": t["window_s"].cast(pa.int64()),
+                "stage": t["stage"].cast(pa.int64()),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def events_bounce_rate_weekly(sf_dir: str) -> Dataset:
+    """Weekly session bounce rate: sessions via the house 30-minute
+    inactivity rule (the ``events_sessions`` definition), bounce =
+    single-event session, grouped by the session-start epoch week.
+    Per-user session reduction in ONE user-key groupby (fixed-width
+    (week, is_bounce) rows out), week census tree-combined; the one
+    division happens on the driver and in the oracle identically."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    empty = pa.table(
+        {
+            "wk": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_bounce": pa.array([], pa.int64()),
+            "bounce_rate": pa.array([], pa.float64()),
+        }
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def sessions_of(g: pd.DataFrame, gap_us=gap_us) -> pd.DataFrame:
+        ts = np.sort(g["ts_us"].to_numpy(dtype=np.int64))
+        starts = np.concatenate(
+            [[True], (ts[1:] - ts[:-1]) > gap_us]
+        )
+        idx = np.flatnonzero(starts)
+        sizes = np.diff(np.append(idx, ts.size))
+        return pd.DataFrame(
+            {
+                "wk": pd.Series(ts[idx] // WEEK_US, dtype="int64"),
+                "n_sessions": pd.Series(
+                    np.ones(idx.size, np.int64), dtype="int64"
+                ),
+                "n_bounce": pd.Series(
+                    (sizes == 1).astype(np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    merge = group_sum_merge(("wk",), ("n_sessions", "n_bounce"))
+    census = tree_combine(
+        ev.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessions_of, batch_format="pandas"),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wk" not in t.column_names:
+            return empty
+        ns = t["n_sessions"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_bounce"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "wk": t["wk"].cast(pa.int64()),
+                "n_sessions": pa.array(ns, pa.int64()),
+                "n_bounce": pa.array(nb, pa.int64()),
+                "bounce_rate": pa.array(
+                    round_half_away(nb / ns, 4), pa.float64()
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+REPEAT_WINDOW_DAYS = 90
+
+
+def orders_cohort_repeat_rate(sf_dir: str) -> Dataset:
+    """Relational cohort analysis: per first-order month cohort, the
+    share of customers placing a SECOND order within 90 days of their
+    first. One custkey-key groupby (per-customer reduction: min date +
+    one strictly-later-within-window existence probe, both on int64
+    epoch-µs), month census tree-combined."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
+    empty = pa.table(
+        {
+            "cohort_month": pa.array([], pa.timestamp("us")),
+            "n_customers": pa.array([], pa.int64()),
+            "n_repeat": pa.array([], pa.int64()),
+            "repeat_rate": pa.array([], pa.float64()),
+        }
+    )
+    win_us = REPEAT_WINDOW_DAYS * 86_400_000_000
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "od_us": t["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    def per_cust(g: pd.DataFrame, win_us=win_us) -> pd.DataFrame:
+        ts = np.sort(g["od_us"].to_numpy(dtype=np.int64))
+        first = int(ts[0])
+        rep = int(((ts > first) & (ts <= first + win_us)).any())
+        month = pd.Timestamp(first, unit="us").to_period("M").start_time
+        return pd.DataFrame(
+            {
+                "m_us": pd.Series([month.value // 1000], dtype="int64"),
+                "n_customers": pd.Series([1], dtype="int64"),
+                "n_repeat": pd.Series([rep], dtype="int64"),
+            }
+        )
+
+    merge = group_sum_merge(("m_us",), ("n_customers", "n_repeat"))
+    census = tree_combine(
+        orders.map_batches(to_us, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(per_cust, batch_format="pandas"),
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "m_us" not in t.column_names:
+            return empty
+        nc = t["n_customers"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = t["n_repeat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_month": t["m_us"]
+                .cast(pa.int64())
+                .cast(pa.timestamp("us")),
+                "n_customers": pa.array(nc, pa.int64()),
+                "n_repeat": pa.array(nr, pa.int64()),
+                "repeat_rate": pa.array(
+                    round_half_away(nr / nc, 4), pa.float64()
+                ),
+            }
+        )
+
+    return census.map_batches(finish, batch_size=None, batch_format="pyarrow")

@@ -3264,3 +3264,65 @@ def test_attribution_mass_conservation():
         """
     ).fetchone()[0]
     assert int(out["credit_milli"].sum()) == 1000 * n_attr
+
+
+def test_batch41_queries_match_oracles():
+    """Batch-41 additions (funnel window sweep, weekly bounce rate,
+    order-cohort repeat rate) against their registered oracles."""
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_funnel_window_sweep",
+        "events_bounce_rate_weekly",
+        "orders_cohort_repeat_rate",
+    ):
+        got = _norm(queries[name](SF).to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch41_ops_survive_empty_input(tmp_path):
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "orders"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn in (
+        q.events_funnel_window_sweep,
+        q.events_bounce_rate_weekly,
+        q.orders_cohort_repeat_rate,
+    ):
+        assert len(fn(d).to_pandas()) == 0, fn.__name__
+
+
+def test_funnel_sweep_monotone_in_window():
+    """A wider window can only help: cumulative users at stage ≥ k is
+    non-decreasing in window_s, and the 1 h arm equals the standalone
+    windowed funnel."""
+    out = q.events_funnel_window_sweep(SF).to_pandas()
+    piv = out.pivot_table(
+        index="stage", columns="window_s", values="n_users", fill_value=0
+    )
+    wins = sorted(piv.columns)
+    for k in (1, 2, 3):
+        ge = [int(piv.loc[piv.index >= k, w].sum()) for w in wins]
+        assert ge == sorted(ge), (k, ge)
+    one_h = out[out["window_s"] == 3600][["stage", "n_users"]]
+    wf = q.events_windowed_funnel(SF).to_pandas()
+    assert (
+        one_h.sort_values("stage").reset_index(drop=True)
+        .equals(wf.sort_values("stage").reset_index(drop=True))
+    )
