@@ -139,6 +139,15 @@ def kg_edge_reciprocity(sf_dir: str) -> Any:
     return edge_reciprocity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_hits(sf_dir: str) -> Any:
+    """Graph analytics: weighted HITS hubs/authorities (5 iterations,
+    L1 normalization — deterministic, so the DuckDB oracle unrolls the
+    same arithmetic; size-adaptive driver/streamed/sharded regimes)."""
+    from neuroner_ray.stages.graph import hits
+
+    return hits(_kg_tables(sf_dir)["edges"])
+
+
 def kg_components(sf_dir: str) -> Any:
     """Graph analytics: connected components of the undirected entity
     graph (size-adaptive union-find / distributed min-label propagation);
@@ -318,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": kg_kcore,
         "kg_neighbor_jaccard": kg_neighbor_jaccard,
         "kg_communities_lpa": kg_communities_lpa,
+        "kg_hits": kg_hits,
         "kg_incremental_edges": kg_incremental_edges,
         "kg_incremental_edges3": kg_incremental_edges3,
         "doc_tfidf_top50": q.doc_tfidf_top50,
@@ -485,6 +495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_window_sweep": q.events_funnel_window_sweep,
         "events_bounce_rate_weekly": q.events_bounce_rate_weekly,
         "orders_cohort_repeat_rate": q.orders_cohort_repeat_rate,
+        "part_mincost_supplier_q2": q.part_mincost_supplier_q2,
+        "supplier_promo_stock_q20": q.supplier_promo_stock_q20,
+        "corpus_zipf_fit": q.corpus_zipf_fit,
+        "corpus_temperature_weights": q.corpus_temperature_weights,
         "events_type_trigrams_top20": q.events_type_trigrams_top20,
         "events_bot_users": q.events_bot_users,
         # --- green in CORRECTNESS_r03 (re-checked as window room allows)
@@ -926,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
                       BETWEEN b.qlo AND b.qhi
         """,
         "kg_clustering": ko.kg_clustering_sql(tglob),
+        "kg_hits": ko.kg_hits_sql(tglob),
         "kg_ktruss": ko.kg_ktruss_sql(tglob),
         "events_funnel_window_sweep": _funnel_sweep_sql(),
         "events_bounce_rate_weekly": """
@@ -972,6 +987,51 @@ def oracle_sql() -> dict[str, str]:
                    sum(rep)::BIGINT AS n_repeat,
                    round(sum(rep) / count(*), 4) AS repeat_rate
             FROM r GROUP BY 1
+        """,
+        "part_mincost_supplier_q2": """
+            WITH cs AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS cents,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+                FROM lineitem GROUP BY 1, 2),
+            cand AS (
+                SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+                       n.n_name, s.s_acctbal,
+                       CAST(cs.cents * 10000 // cs.qty AS BIGINT)
+                           AS cost_micro
+                FROM cs
+                JOIN part p ON p.p_partkey = cs.pk
+                 AND p.p_size = 15 AND p.p_type = 'ECONOMY'
+                JOIN supplier s ON s.s_suppkey = cs.sk
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                 AND r.r_name = 'EUROPE'),
+            best AS (
+                SELECT *, row_number() OVER
+                    (PARTITION BY p_partkey
+                     ORDER BY cost_micro, s_suppkey) AS rn
+                FROM cand)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_micro
+            FROM best WHERE rn = 1
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "supplier_promo_stock_q20": """
+            SELECT s.s_name, s.s_acctbal
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+             AND n.n_name = 'NATION_7'
+            WHERE s.s_suppkey IN (
+                SELECT l.l_suppkey
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE 'red %'
+                  AND l.l_shipdate >= DATE '1996-01-01'
+                  AND l.l_shipdate < DATE '1997-01-01'
+                GROUP BY l.l_suppkey, l.l_partkey
+                HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 30)
+            ORDER BY s.s_name
         """,
         "events_user_count_kmv": """
             WITH h AS (
@@ -2712,7 +2772,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '{_TOK}'))::BIGINT AS n_tokens
             FROM documents
         """,
+        # explicit Σ OLS formulas (NOT regr_slope) so both sides evaluate
+        # the same arithmetic on identical integer census inputs
+        "corpus_zipf_fit": f"""
+            WITH c AS (
+                SELECT token, count(*)::BIGINT AS n
+                FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}'))
+                          AS token FROM documents)
+                GROUP BY token),
+            r AS (
+                SELECT ln(row_number() OVER (ORDER BY n DESC, token))
+                           AS x,
+                       ln(n::DOUBLE) AS y
+                FROM c),
+            s AS (
+                SELECT count(*)::BIGINT AS k, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM r)
+            SELECT k AS n_types,
+                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                       AS slope,
+                   round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                          * sx) / k, 4) AS intercept,
+                   round(CASE WHEN k * syy - sy * sy = 0 THEN 1.0
+                         ELSE ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+                              / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+                         END, 4) AS r2
+            FROM s WHERE k >= 2
+        """,
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "corpus_temperature_weights": """
+            WITH c AS (SELECT lang, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n)::DOUBLE AS tot FROM c),
+            s AS (SELECT sum(pow(n / (SELECT tot FROM t), 0.3)) AS z FROM c)
+            SELECT lang, n AS n_docs,
+                   round(n / (SELECT tot FROM t), 4) AS p,
+                   round(pow(n / (SELECT tot FROM t), 0.3)
+                         / (SELECT z FROM s), 4) AS q
+            FROM c
+        """,
         "doc_quality": f"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,

@@ -775,3 +775,51 @@ def kg_ktruss_sql(
         SELECT e.a, e.b, coalesce(s.sup, 0)::BIGINT AS support
         FROM t{rounds} e LEFT JOIN sF s ON s.a = e.a AND s.b = e.b
     """
+
+
+def kg_hits_sql(transcripts_glob: str, iters: int = 5) -> str:
+    """Weighted HITS with L1 normalization, unrolled as generated CTEs —
+    mirrors ``stages.graph.hits`` exactly: auth_k from hub_{k-1}, hub_k
+    from the NEW auth_k, contributions linear in edge weight, L1 divide
+    after each half-step (guarded identically on both sides), round-to-4
+    at the end only. MATERIALIZED for the kg_pagerank reason (DuckDB would
+    otherwise re-inline the recursive edge closure into every iteration)."""
+    parts = [
+        """
+        g AS MATERIALIZED (SELECT src_id, dst_id, weight::DOUBLE AS w FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+                  (SELECT src_id AS id FROM g UNION ALL SELECT dst_id FROM g)),
+        nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+        h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS v FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        ca{k} AS (SELECT g.dst_id AS id, sum(h.v * g.w) AS c
+                  FROM g JOIN h{k - 1} h ON g.src_id = h.id
+                  GROUP BY g.dst_id),
+        sa{k} AS (SELECT coalesce(sum(c), 0.0) AS s FROM ca{k}),
+        a{k} AS MATERIALIZED (
+            SELECT n.id,
+                   CASE WHEN (SELECT s FROM sa{k}) > 0
+                        THEN coalesce(c.c, 0.0) / (SELECT s FROM sa{k})
+                        ELSE coalesce(c.c, 0.0) END AS v
+            FROM nodes n LEFT JOIN ca{k} c ON c.id = n.id),
+        ch{k} AS (SELECT g.src_id AS id, sum(a.v * g.w) AS c
+                  FROM g JOIN a{k} a ON g.dst_id = a.id
+                  GROUP BY g.src_id),
+        sh{k} AS (SELECT coalesce(sum(c), 0.0) AS s FROM ch{k}),
+        h{k} AS MATERIALIZED (
+            SELECT n.id,
+                   CASE WHEN (SELECT s FROM sh{k}) > 0
+                        THEN coalesce(c.c, 0.0) / (SELECT s FROM sh{k})
+                        ELSE coalesce(c.c, 0.0) END AS v
+            FROM nodes n LEFT JOIN ch{k} c ON c.id = n.id)"""
+        )
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},{"".join(parts)}
+        SELECT n.id AS entity_id, round(h.v, 4) AS hub, round(a.v, 4) AS auth
+        FROM nodes n
+        JOIN h{iters} h ON h.id = n.id
+        JOIN a{iters} a ON a.id = n.id
+    """

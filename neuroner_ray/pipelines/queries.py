@@ -15333,3 +15333,446 @@ def orders_cohort_repeat_rate(sf_dir: str) -> Dataset:
         )
 
     return census.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+Q2_SIZE = 15
+Q2_TYPE = "ECONOMY"
+Q2_REGION = "EUROPE"
+
+
+def part_mincost_supplier_q2(sf_dir: str) -> pa.Table:
+    """TPC-H Q2 SHAPE (min-cost supplier per part within a region),
+    adapted to this schema: no partsupp, so supply cost per
+    (part, supplier) is the observed lineitem unit price — integer-exact
+    as cost_micro = floor(Σcents·10⁴ / Σqty) (prices are exact cents,
+    quantities integral, so BOTH sides compute the identical BIGINT; no
+    float min-equality anywhere, the fragility class ADVICE r3 flagged).
+    Shape: part/supplier/nation/region are dimension-sized broadcasts;
+    ONE lineitem pass emits per-batch (pk, sk, cents, qty) partial sums
+    map-side filtered to surviving parts × in-region suppliers (so the
+    combine is candidate-bounded, not corpus-bounded); tree-combined;
+    the argmin per part (tie-break suppkey) and the final total-order
+    sort happen on the candidate-sized result. Completes the TPC-H suite
+    alongside Q1/Q3-Q19/Q21/Q22."""
+    part = pq.read_table(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_name", "p_size", "p_type"]
+    ).to_pandas()
+    part = part[(part["p_size"] == Q2_SIZE) & (part["p_type"] == Q2_TYPE)]
+    sup = pq.read_table(
+        _p(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    nat = pq.read_table(
+        _p(sf_dir, "nation"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        _p(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat = nat.merge(
+        reg[reg["r_name"] == Q2_REGION], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    empty = pa.table(
+        {
+            "s_acctbal": pa.array([], pa.float64()),
+            "s_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string()),
+            "p_partkey": pa.array([], pa.int64()),
+            "p_name": pa.array([], pa.string()),
+            "cost_micro": pa.array([], pa.int64()),
+        }
+    )
+    if part.empty or sup.empty:
+        return empty
+    pname = {int(k): v for k, v in zip(part["p_partkey"], part["p_name"])}
+    sinfo = {
+        int(k): (str(nm), str(nn), float(ab))
+        for k, nm, nn, ab in zip(
+            sup["s_suppkey"], sup["s_name"], sup["n_name"], sup["s_acctbal"]
+        )
+    }
+    pk_ref = ray.put(np.fromiter(pname, dtype=np.int64))
+    sk_ref = ray.put(np.fromiter(sinfo, dtype=np.int64))
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table, pk_ref=pk_ref, sk_ref=sk_ref) -> pa.Table:
+        pks = ray.get(pk_ref) if isinstance(pk_ref, ray.ObjectRef) else pk_ref
+        sks = ray.get(sk_ref) if isinstance(sk_ref, ray.ObjectRef) else sk_ref
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, pks) & np.isin(sk, sks)
+        if not keep.any():
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                }
+            )
+        pk, sk = pk[keep], sk[keep]
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        ).astype(np.int64)
+        df = pd.DataFrame({"pk": pk, "sk": sk, "cents": cents, "qty": qty})
+        g = df.groupby(["pk", "sk"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("pk", pa.int64()),
+                    ("sk", pa.int64()),
+                    ("cents", pa.int64()),
+                    ("qty", pa.int64()),
+                ]
+            )
+        )
+
+    merge = group_sum_merge(("pk", "sk"), ("cents", "qty"))
+    # candidate-bounded census → driver (NOTES: an all-empty block stream
+    # bypasses map fns entirely on Ray 2.49, so the finish must not be a
+    # map_batches — seed the concat to keep the schema when zero rows
+    # survive the filters)
+    t = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(partial, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        best: dict = {}  # pk -> (cost_micro, sk)
+        for pk, sk, cents, qty in zip(
+            t["pk"].to_pylist(), t["sk"].to_pylist(),
+            t["cents"].to_pylist(), t["qty"].to_pylist(),
+        ):
+            cm = (cents * 10000) // qty  # exact Python ints: no overflow
+            cur = best.get(pk)
+            if cur is None or (cm, sk) < cur:
+                best[pk] = (cm, sk)
+        rows = []
+        for pk, (cm, sk) in best.items():
+            nm, nn, ab = sinfo[sk]
+            rows.append((ab, nm, nn, pk, pname[pk], cm))
+        # total order: acctbal DESC then n_name, s_name, p_partkey ASC
+        rows.sort(key=lambda r: (-r[0], r[2], r[1], r[3]))
+        rows = rows[:100]
+        return pa.table(
+            {
+                "s_acctbal": pa.array([r[0] for r in rows], pa.float64()),
+                "s_name": pa.array([r[1] for r in rows], pa.string()),
+                "n_name": pa.array([r[2] for r in rows], pa.string()),
+                "p_partkey": pa.array([r[3] for r in rows], pa.int64()),
+                "p_name": pa.array([r[4] for r in rows], pa.string()),
+                "cost_micro": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        )
+
+    return finish(t)
+
+
+Q20_NAME_PREFIX = "red "
+Q20_NATION = "NATION_7"
+Q20_QTY_THRESHOLD = 30
+Q20_YEAR = 1996
+
+
+def supplier_promo_stock_q20(sf_dir: str) -> pa.Table:
+    """TPC-H Q20 SHAPE (suppliers with meaningful stock of name-prefix
+    parts, restricted to one nation), adapted: no partsupp availqty, so a
+    supplier qualifies when some prefix-part's shipped quantity in the
+    target year exceeds a fixed threshold (integer-exact; the original's
+    0.5·availqty comparison has no data to bind to). Shape: the prefix
+    part set is dimension-sized and broadcast; ONE windowed lineitem pass
+    emits (pk, sk, qty) partials (candidate-bounded combine), the
+    qualifying suppkey set falls out of the tree-combined census, and the
+    nation-filtered supplier table (dimension-sized) is semi-joined on
+    the driver. Output ordered by s_name (unique in TPC-H)."""
+    part = pq.read_table(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    part = part[part["p_name"].str.startswith(Q20_NAME_PREFIX)]
+    sup = pq.read_table(
+        _p(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    nat = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    sup = sup.merge(
+        nat[nat["n_name"] == Q20_NATION],
+        left_on="s_nationkey", right_on="n_nationkey",
+    )
+    empty = pa.table(
+        {
+            "s_name": pa.array([], pa.string()),
+            "s_acctbal": pa.array([], pa.float64()),
+        }
+    )
+    if part.empty or sup.empty:
+        return empty
+    pk_ref = ray.put(part["p_partkey"].to_numpy(dtype=np.int64))
+    lo = np.datetime64(f"{Q20_YEAR}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{Q20_YEAR + 1}-01-01", "us").astype(np.int64)
+
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table, pk_ref=pk_ref) -> pa.Table:
+        pks = ray.get(pk_ref) if isinstance(pk_ref, ray.ObjectRef) else pk_ref
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = np.isin(pk, pks) & (ts >= lo) & (ts < hi)
+        if not keep.any():
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "pk": pk[keep],
+                "sk": batch["l_suppkey"].to_numpy(zero_copy_only=False)[keep],
+                "qty": np.rint(
+                    batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["pk", "sk"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [("pk", pa.int64()), ("sk", pa.int64()), ("qty", pa.int64())]
+            )
+        )
+
+    merge = group_sum_merge(("pk", "sk"), ("qty",))
+    # candidate-bounded census → driver (empty-block-stream rule, see Q2)
+    t = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(partial, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    s_by_key = {
+        int(k): (str(nm), float(ab))
+        for k, nm, ab in zip(
+            sup["s_suppkey"], sup["s_name"], sup["s_acctbal"]
+        )
+    }
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        qual = np.unique(sk[qty > Q20_QTY_THRESHOLD])
+        rows = sorted(
+            s_by_key[int(k)] for k in qual if int(k) in s_by_key
+        )
+        return pa.table(
+            {
+                "s_name": pa.array([r[0] for r in rows], pa.string()),
+                "s_acctbal": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        )
+
+    return finish(t)
+
+
+def corpus_zipf_fit(sf_dir: str) -> pa.Table:
+    """Zipf-law fit over the token frequency census: OLS of ln(freq) on
+    ln(rank) where rank is the total order (count DESC, token ASC) —
+    the standard corpus-statistics health check for a training corpus
+    (a slope far from −1 flags templated / degenerate text). The census
+    is the token_freq partial-counts pass (vocabulary-sized shuffle);
+    ranks and the closed-form OLS sums are computed in ONE numpy sweep
+    inside the final map — both sides evaluate the identical explicit
+    Σ formulas on identical integer inputs (float-parity note: double
+    summation order may differ by ulps; rounded at 4 decimals, the
+    NOTES.md convention)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    empty = pa.table(
+        {
+            "n_types": pa.array([], pa.int64()),
+            "slope": pa.array([], pa.float64()),
+            "intercept": pa.array([], pa.float64()),
+            "r2": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            if text:
+                c.update(_TOKEN_RE.findall(text))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("token",), ("n",))
+    # vocabulary-sized census → driver (empty-block-stream rule, see Q2)
+    t = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                docs.map_batches(partial_counts, batch_format="pyarrow"),
+                merge,
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        df = pd.DataFrame(
+            {"token": t["token"].to_pylist(), "n": t["n"].to_pylist()}
+        ).sort_values(["n", "token"], ascending=[False, True])
+        k = len(df)
+        x = np.log(np.arange(1, k + 1, dtype=np.float64))
+        y = np.log(df["n"].to_numpy(dtype=np.float64))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, syy = float((x * x).sum()), float((y * y).sum())
+        sxy = float((x * y).sum())
+        den = k * sxx - sx * sx
+        slope = (k * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / k
+        deny = k * syy - sy * sy
+        r2 = ((k * sxy - sx * sy) ** 2) / (den * deny) if deny else 1.0
+        return pa.table(
+            {
+                "n_types": pa.array([k], pa.int64()),
+                "slope": pa.array(
+                    round_half_away(np.array([slope]), 4), pa.float64()
+                ),
+                "intercept": pa.array(
+                    round_half_away(np.array([intercept]), 4), pa.float64()
+                ),
+                "r2": pa.array(
+                    round_half_away(np.array([r2]), 4), pa.float64()
+                ),
+            }
+        )
+
+    return finish(t)
+
+
+SAMPLING_TEMPERATURE_ALPHA = 0.3
+
+
+def corpus_temperature_weights(sf_dir: str) -> pa.Table:
+    """Temperature-smoothed multilingual sampling weights (the XLM-R /
+    mBERT exponent trick): q_l ∝ p_l^α with α=0.3, where p_l is the
+    language's share of the corpus — the standard knob for up-sampling
+    low-resource languages when drawing a training mix. Language census
+    is a map-side partial count (language-cardinality-sized rows) tree-
+    combined; the two normalizations happen in ONE final map over the
+    tiny census, identically to the oracle's arithmetic."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["lang"])
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "p": pa.array([], pa.float64()),
+            "q": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["lang"].to_pandas().value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.astype(str), pa.string()),
+                "n_docs": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("lang",), ("n_docs",))
+    # language-cardinality census → driver (empty-block-stream rule)
+    t = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                docs.map_batches(partial, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = n / n.sum()
+        pw = p ** SAMPLING_TEMPERATURE_ALPHA
+        q = pw / pw.sum()
+        return pa.table(
+            {
+                "lang": t["lang"].cast(pa.string()),
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "p": pa.array(round_half_away(p, 4), pa.float64()),
+                "q": pa.array(round_half_away(q, 4), pa.float64()),
+            }
+        )
+
+    return finish(t)

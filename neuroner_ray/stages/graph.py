@@ -4055,3 +4055,454 @@ def ktruss(
             }
         )
     )
+
+
+HITS_ITERS = 5
+
+
+def _hits_local(tab: pa.Table, iters: int) -> pa.Table:
+    """Small-graph HITS fast path: identical formulation to the streamed
+    and sharded regimes (weighted contributions, L1 normalization after
+    each half-step, auth from hub then hub from the NEW auth), vectorized
+    on the collected edge table."""
+    from ..functions.rounding import round_half_away
+
+    if tab.num_rows == 0:
+        return pa.table(
+            {
+                "entity_id": pa.array([], pa.string()),
+                "hub": pa.array([], pa.float64()),
+                "auth": pa.array([], pa.float64()),
+            }
+        )
+    src = np.asarray(tab["src_id"].to_pylist(), dtype=object)
+    dst = np.asarray(tab["dst_id"].to_pylist(), dtype=object)
+    w = tab["weight"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.fromiter((idx[v] for v in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((idx[v] for v in dst), dtype=np.int64, count=len(dst))
+    n = len(nodes)
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, di, hub[si] * w)
+        s = a.sum()
+        auth = a / s if s > 0.0 else a
+        h = np.zeros(n)
+        np.add.at(h, si, auth[di] * w)
+        s = h.sum()
+        hub = h / s if s > 0.0 else h
+    return pa.table(
+        {
+            "entity_id": pa.array(list(nodes), pa.string()),
+            "hub": pa.array(round_half_away(hub), pa.float64()),
+            "auth": pa.array(round_half_away(auth), pa.float64()),
+        }
+    )
+
+
+def hits(
+    edges: Dataset,
+    iters: int = HITS_ITERS,
+    *,
+    small_max: int = SMALL_GRAPH_EDGES_MAX,
+    max_nodes: int = PAGERANK_MAX_NODES,
+    num_buckets: int | None = None,
+    force_sharded: bool = False,
+) -> pa.Table | Dataset:
+    """Weighted HITS (hubs and authorities, Kleinberg) over the canonical
+    edge table — fixed iteration count, L1 normalization (no sqrt, so the
+    DuckDB oracle can unroll the same arithmetic exactly).
+
+    Per iteration: auth'(v) = Σ_{u→v} hub(u)·w, L1-normalized; then
+    hub'(u) = Σ_{u→v} auth'(v)·w, L1-normalized. Parallel edges sum
+    naturally (contributions are linear in weight, the pagerank
+    convention).
+
+    Size-adaptive, three regimes (the ``pagerank`` convention):
+    - ≤ ``small_max`` edges: ONE collect + vectorized driver loop.
+    - ≤ ``max_nodes`` nodes: edge table STREAMED twice per iteration
+      (once per direction) with the vocabulary-sized hub/auth maps
+      broadcast via ``ray.put``.
+    - > ``max_nodes`` nodes (or ``force_sharded``): ``_hits_sharded`` —
+      bucketed node state, per-direction union+groupby cogroups; the
+      hub/auth vectors never touch the driver.
+    All regimes implement the SAME arithmetic (equivalence-tested at the
+    4-decimal output rounding).
+    """
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import group_sum_merge, tree_combine
+
+    slim = edges.select_columns(["src_id", "dst_id", "weight"])
+    if not force_sharded:
+        collected = _try_collect_edges(
+            slim, ["src_id", "dst_id", "weight"], row_cap=small_max
+        )
+        if collected is not None:
+            return _hits_local(collected, iters)
+    g = slim.materialize()
+
+    nm = group_sum_merge(("id",), ("one",))
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return nm(
+            pa.table(
+                {
+                    "id": pa.concat_arrays(
+                        [
+                            t["src_id"].combine_chunks(),
+                            t["dst_id"].combine_chunks(),
+                        ]
+                    ),
+                    "one": pa.array([1] * (2 * n), pa.int64()),
+                }
+            )
+        )
+
+    # seed the concat (NOTES: iter_batches of an empty dataset yields ZERO
+    # tables and concat_tables raises)
+    census = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                g.map_batches(node_rows, batch_format="pyarrow"), nm
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if force_sharded or census.num_rows > max_nodes:
+        return _hits_sharded(
+            g, iters, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+    node_ids = census["id"].to_pylist()
+    n_nodes = len(node_ids)
+    if n_nodes == 0:
+        return _hits_local(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.string()),
+                    "dst_id": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            ),
+            iters,
+        )
+    hub = {v: 1.0 / n_nodes for v in node_ids}
+    auth = {v: 1.0 / n_nodes for v in node_ids}
+    cmerge = group_sum_merge(("id",), ("contrib",))
+
+    def _contrib_pass(vec: dict, key_col: str, out_col: str) -> dict:
+        """One streamed direction: broadcast ``vec`` (keyed by the
+        ``key_col`` endpoint), emit per-``out_col`` contribution partials,
+        tree-combine, return the dict."""
+        vec_ref = ray.put(pd.Series(vec))
+
+        def contribs(
+            t: pa.Table, vec_ref=vec_ref, key_col=key_col, out_col=out_col
+        ) -> pa.Table:
+            f = ray.get(vec_ref)
+            w = t["weight"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            keyed = pd.Series(t[key_col].to_pylist())
+            return cmerge(
+                pa.table(
+                    {
+                        "id": t[out_col],
+                        "contrib": pa.array(
+                            keyed.map(f).to_numpy(dtype=np.float64) * w,
+                            pa.float64(),
+                        ),
+                    }
+                )
+            )
+
+        ctab = pa.concat_tables(
+            tree_combine(
+                g.map_batches(contribs, batch_format="pyarrow"), cmerge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        return dict(
+            zip(
+                ctab["id"].to_pylist(),
+                ctab["contrib"].to_numpy(zero_copy_only=False),
+            )
+        )
+
+    for _ in range(iters):
+        c = _contrib_pass(hub, "src_id", "dst_id")
+        s = sum(c.values())
+        auth = {
+            v: (c.get(v, 0.0) / s if s > 0.0 else c.get(v, 0.0))
+            for v in node_ids
+        }
+        c = _contrib_pass(auth, "dst_id", "src_id")
+        s = sum(c.values())
+        hub = {
+            v: (c.get(v, 0.0) / s if s > 0.0 else c.get(v, 0.0))
+            for v in node_ids
+        }
+
+    order = sorted(node_ids)
+    return pa.table(
+        {
+            "entity_id": pa.array(order, pa.string()),
+            "hub": pa.array(
+                [float(round_half_away(hub[v])) for v in order], pa.float64()
+            ),
+            "auth": pa.array(
+                [float(round_half_away(auth[v])) for v in order],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _hits_sharded(
+    g: Dataset, iters: int, num_buckets: int = PR_NUM_BUCKETS
+) -> Dataset:
+    """Sharded-vector HITS (the > PAGERANK_MAX_NODES regime): node state
+    (id, hub, auth) lives as a bucketed Dataset; each half-step is one
+    union+groupby cogroup (factor rows bucketed by the edge's factor
+    endpoint UNION endpoint-bucketed edge rows → per-target contribution
+    partials) followed by a streamed scalar L1 sum and a state-update
+    cogroup folding in the normalization. Same partitioning assumption as
+    ``_pagerank_sharded`` (one bucket's node + incident edge rows fit one
+    task's heap; buckets = siphash(id) % B)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..runtime.combine import anchor
+
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return (
+            pa.table(
+                {
+                    "id": pa.concat_arrays(
+                        [
+                            t["src_id"].combine_chunks(),
+                            t["dst_id"].combine_chunks(),
+                        ]
+                    ),
+                    "one": pa.array([1] * (2 * n), pa.int64()),
+                }
+            )
+            .group_by("id")
+            .aggregate([("one", "sum")])
+            .rename_columns(["id", "one"])
+        )
+
+    census = (
+        g.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("one", alias_name="one"))
+        .drop_columns(["one"])
+        .materialize()
+    )
+    n_nodes = census.count()
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "auth": pa.array([], pa.float64()),
+        }
+    )
+    if n_nodes == 0:
+        return census.map_batches(
+            lambda t: empty, batch_format="pyarrow"
+        )
+
+    def init_state(t: pa.Table) -> pa.Table:
+        v = 1.0 / n_nodes
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["id"], num_buckets),
+                "id": t["id"],
+                "hub": pa.array([v] * t.num_rows, pa.float64()),
+                "auth": pa.array([v] * t.num_rows, pa.float64()),
+            }
+        )
+
+    state = anchor(census.map_batches(init_state, batch_format="pyarrow"))
+
+    def edge_rows_by(col: str):
+        def _rows(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": _bucket_of(t[col], num_buckets),
+                    "kind": pa.array([1] * t.num_rows, pa.int64()),
+                    "a": t["src_id"],
+                    "b": t["dst_id"],
+                    "w": t["weight"].cast(pa.float64()),
+                }
+            )
+
+        return _rows
+
+    e_by_src = anchor(
+        g.map_batches(edge_rows_by("src_id"), batch_format="pyarrow")
+    )
+    e_by_dst = anchor(
+        g.map_batches(edge_rows_by("dst_id"), batch_format="pyarrow")
+    )
+
+    def factor_rows(col: str):
+        def _rows(t: pa.Table, col=col) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([0] * t.num_rows, pa.int64()),
+                    "a": t["id"],
+                    "b": pa.array([None] * t.num_rows, pa.string()),
+                    "w": t[col].cast(pa.float64()),
+                }
+            )
+
+        return _rows
+
+    def contrib_group_by(key_col: str, out_col: str):
+        def _group(
+            df: pd.DataFrame, num_buckets=num_buckets
+        ) -> pd.DataFrame:
+            from ..runtime.hashing import hash_buckets
+
+            f = df[df["kind"] == 0].set_index("a")["w"]
+            e = df[df["kind"] == 1]
+            if e.empty:
+                return pd.DataFrame(
+                    {
+                        "bucket": pd.Series([], dtype="int64"),
+                        "id": pd.Series([], dtype="object"),
+                        "contrib": pd.Series([], dtype="float64"),
+                    }
+                )
+            out = (
+                pd.DataFrame(
+                    {
+                        "id": e[out_col].to_numpy(),
+                        "contrib": e[key_col].map(f).to_numpy(
+                            dtype=np.float64
+                        )
+                        * e["w"].to_numpy(dtype=np.float64),
+                    }
+                )
+                .groupby("id", as_index=False)["contrib"]
+                .sum()
+            )
+            out.insert(
+                0,
+                "bucket",
+                hash_buckets(out["id"].to_numpy(dtype=object), num_buckets),
+            )
+            return out
+
+        return _group
+
+    def contrib_tagged(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "kind": pa.array([1] * t.num_rows, pa.int64()),
+                "id": t["id"],
+                "hub": pa.array([0.0] * t.num_rows, pa.float64()),
+                "auth": pa.array([0.0] * t.num_rows, pa.float64()),
+                "val": t["contrib"],
+            }
+        )
+
+    def state_tagged(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "kind": pa.array([0] * t.num_rows, pa.int64()),
+                "id": t["id"],
+                "hub": t["hub"],
+                "auth": t["auth"],
+                "val": pa.array([0.0] * t.num_rows, pa.float64()),
+            }
+        )
+
+    def half_step(state: Dataset, vec_col: str, key_col: str, out_col: str):
+        """One HITS half-step: contributions of ``vec_col`` along edges
+        keyed at ``key_col``, written (L1-normalized) into the OTHER
+        vector column of the state."""
+        eb = e_by_src if key_col == "a" else e_by_dst
+        fr = state.map_batches(factor_rows(vec_col), batch_format="pyarrow")
+        contribs = anchor(
+            fr.union(eb)
+            .groupby("bucket")
+            .map_groups(
+                contrib_group_by(key_col, out_col), batch_format="pandas"
+            )
+        )
+        s = contribs.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            float(
+                                pa.compute.sum(t["contrib"]).as_py() or 0.0
+                            )
+                        ],
+                        pa.float64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("s") or 0.0
+        upd_col = "auth" if vec_col == "hub" else "hub"
+
+        def new_state_group(df: pd.DataFrame, s=s) -> pd.DataFrame:
+            st = df[df["kind"] == 0]
+            c = df[df["kind"] == 1].groupby("id")["val"].sum()
+            new = st["id"].map(c).fillna(0.0).to_numpy(dtype=np.float64)
+            if s > 0.0:
+                new = new / s
+            out = {
+                "bucket": st["bucket"].to_numpy(),
+                "id": st["id"].to_numpy(),
+                "hub": st["hub"].to_numpy(dtype=np.float64),
+                "auth": st["auth"].to_numpy(dtype=np.float64),
+            }
+            out[upd_col] = new
+            return pd.DataFrame(out)
+
+        return anchor(
+            state.map_batches(state_tagged, batch_format="pyarrow")
+            .union(contribs.map_batches(contrib_tagged, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(new_state_group, batch_format="pandas")
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        )
+
+    for _ in range(iters):
+        state = half_step(state, "hub", "a", "b")    # auth ← hub over u→v
+        state = half_step(state, "auth", "b", "a")   # hub ← new auth
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t["id"],
+                "hub": pa.array(
+                    round_half_away(t["hub"].to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+                "auth": pa.array(
+                    round_half_away(
+                        t["auth"].to_numpy(zero_copy_only=False)
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

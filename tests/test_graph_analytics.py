@@ -931,3 +931,75 @@ def test_ktruss_sharded_agrees_on_random_graph():
         .reset_index(drop=True)
     )
     assert fast.equals(shard), (fast.head(8), shard.head(8))
+
+
+def test_hits_all_regimes_agree_and_match_dense():
+    """HITS three regimes (driver-local, broadcast-streamed, sharded
+    cogroup) agree at the 4-decimal rounding AND match a dense NumPy
+    reference on the dangling/parallel-edge fixture graph."""
+    import pandas as pd
+
+    from neuroner_ray.stages.graph import hits
+
+    def _dense_hits(edges, iters=3):
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        W = np.zeros((n, n))
+        for s, d, w in edges:
+            W[idx[s], idx[d]] += w
+        hub = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            auth = W.T @ hub
+            s = auth.sum()
+            if s > 0:
+                auth /= s
+            hub = W @ auth
+            s = hub.sum()
+            if s > 0:
+                hub /= s
+        return {
+            v: (round(hub[i], 4), round(auth[i], 4))
+            for v, i in idx.items()
+        }
+
+    def run(**kw):
+        ds = rd.from_items(
+            [{"src_id": s, "dst_id": d, "weight": w} for s, d, w in EDGES]
+        )
+        out = hits(ds, iters=3, **kw)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        return out.sort_values("entity_id").reset_index(drop=True)
+
+    local = run()
+    streamed = run(small_max=0)
+    sharded = run(force_sharded=True, num_buckets=4)
+    pd.testing.assert_frame_equal(local, streamed, atol=1e-9)
+    pd.testing.assert_frame_equal(local, sharded, atol=1e-9)
+    want = _dense_hits(EDGES)
+    for r in local.itertuples():
+        wh, wa = want[r.entity_id]
+        assert abs(r.hub - wh) < 1e-9, r.entity_id
+        assert abs(r.auth - wa) < 1e-9, r.entity_id
+    # L1 invariants: each vector sums to 1 after normalization
+    assert abs(local["hub"].sum() - 1.0) < 1e-3
+    assert abs(local["auth"].sum() - 1.0) < 1e-3
+
+
+def test_hits_empty_edges():
+    import pyarrow as pa
+
+    from neuroner_ray.stages.graph import hits
+
+    e = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([], pa.string()),
+                "dst_id": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    )
+    assert len(hits(e).to_pandas()) == 0
+    assert len(hits(e, force_sharded=True, num_buckets=4).to_pandas()) == 0
