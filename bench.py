@@ -153,6 +153,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         pass
     timings["kg_adamic_adar"] = round(time.perf_counter() - t0, 3)
 
+    # HITS hubs/authorities over the same edges (5 L1-normalized
+    # iterations; size-adaptive driver/streamed/sharded regimes)
+    from neuroner_ray.stages.graph import hits
+
+    t0 = time.perf_counter()
+    hits(
+        read_parquet_clean(
+            os.path.join(out_dir, "edges"),
+            columns=["src_id", "dst_id", "weight"],
+        )
+    )
+    timings["kg_hits"] = round(time.perf_counter() - t0, 3)
+
     # secondary: classic (materializing) pipeline with the gazetteer tagger
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -197,12 +210,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("doc_winnowing_fp", q.doc_winnowing_fp),
         ("events_windowed_funnel", q.events_windowed_funnel),
         ("events_attribution_linear", q.events_attribution_linear),
+        # batch 41+: three-window funnel sweep (one shuffle), complete
+        # TPC-H (Q2 integer-exact argmin), Zipf census fit
+        ("events_funnel_window_sweep", q.events_funnel_window_sweep),
+        ("part_mincost_supplier_q2", q.part_mincost_supplier_q2),
+        ("corpus_zipf_fit", q.corpus_zipf_fit),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
-        # consume without driver materialization of big data
-        for _ in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            pass
+        # consume without driver materialization of big data (driver-finish
+        # queries return an already-computed pa.Table — nothing to stream)
+        if hasattr(ds, "iter_batches"):
+            for _ in ds.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            ):
+                pass
         timings[name] = round(time.perf_counter() - t0, 3)
 
     return {
