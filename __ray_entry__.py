@@ -148,6 +148,17 @@ def kg_hits(sf_dir: str) -> Any:
     return hits(_kg_tables(sf_dir)["edges"])
 
 
+def kg_sssp(sf_dir: str) -> Any:
+    """Graph analytics: weighted single-source shortest paths from the
+    lexicographically smallest entity (synchronous Bellman-Ford, 10-round
+    budget — deterministic integer distances, so the DuckDB oracle unrolls
+    the same min-plus rounds; size-adaptive driver/streamed/sharded
+    regimes)."""
+    from neuroner_ray.stages.graph import sssp
+
+    return sssp(_kg_tables(sf_dir)["edges"])
+
+
 def kg_components(sf_dir: str) -> Any:
     """Graph analytics: connected components of the undirected entity
     graph (size-adaptive union-find / distributed min-label propagation);
@@ -374,6 +385,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_window_sweep": q.events_funnel_window_sweep,
         "doc_dedup_keep_longest": q.doc_dedup_keep_longest,
         # ---- below the driver window: long-green relational/text ops
+        # (new never-driver-checked entries queue here, first in line for
+        # the round-5 window reorder)
+        "kg_sssp": kg_sssp,
+        "events_snapshot_diff": q.events_snapshot_diff,
+        "events_value_mannwhitney": q.events_value_mannwhitney,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -936,6 +952,82 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering": ko.kg_clustering_sql(tglob),
         "kg_hits": ko.kg_hits_sql(tglob),
         "kg_ktruss": ko.kg_ktruss_sql(tglob),
+        "kg_sssp": ko.kg_sssp_sql(tglob),
+        "events_snapshot_diff": """
+            WITH bnd AS (SELECT min(epoch_us(ts)) AS tmin,
+                                max(epoch_us(ts)) AS tmax FROM events),
+            cut AS (SELECT tmin + (tmax - tmin) // 2 AS t1,
+                           tmin + (tmax - tmin) * 3 // 4 AS t2 FROM bnd),
+            snap_a AS (
+                SELECT user_id, event_id FROM (
+                    SELECT e.user_id, e.event_id,
+                           row_number() OVER (PARTITION BY e.user_id
+                               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                    FROM events e, cut WHERE epoch_us(e.ts) <= cut.t1)
+                WHERE rn = 1),
+            snap_b AS (
+                SELECT user_id, event_id FROM (
+                    SELECT e.user_id, e.event_id,
+                           row_number() OVER (PARTITION BY e.user_id
+                               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                    FROM events e, cut WHERE epoch_us(e.ts) <= cut.t2)
+                WHERE rn = 1),
+            cat AS (
+                SELECT CASE WHEN a.user_id IS NULL THEN 'inserted'
+                            WHEN b.user_id IS NULL THEN 'deleted'
+                            WHEN a.event_id <> b.event_id THEN 'updated'
+                            ELSE 'unchanged' END AS category
+                FROM snap_a a FULL OUTER JOIN snap_b b
+                  ON a.user_id = b.user_id),
+            g AS (SELECT category, count(*)::BIGINT AS n
+                  FROM cat GROUP BY 1)
+            SELECT c.category, coalesce(g.n, 0)::BIGINT AS n_users
+            FROM (VALUES ('deleted'), ('inserted'), ('unchanged'),
+                         ('updated')) c(category)
+            LEFT JOIN g ON g.category = c.category
+        """,
+        "events_value_mannwhitney": """
+            WITH f AS (SELECT event_type AS t,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            cen AS (SELECT c,
+                       sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)::BIGINT
+                           AS n1,
+                       sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0
+                           END)::BIGINT AS n2
+                    FROM f GROUP BY 1),
+            r AS (SELECT c, n1, n2, n1 + n2 AS m,
+                         sum(n1 + n2) OVER (ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS cb
+                  FROM cen),
+            s AS (SELECT
+                    sum(CAST(n1 AS HUGEINT)
+                        * (2 * coalesce(cb, 0) + m + 1)) AS r1x2,
+                    sum(n1)::BIGINT AS n1t, sum(n2)::BIGINT AS n2t,
+                    sum(CAST(m AS HUGEINT) * m * m - m) AS tie
+                  FROM r),
+            fin AS (SELECT n1t, n2t,
+                       r1x2 - CAST(n1t AS HUGEINT) * (n1t + 1) AS u1x2,
+                       CAST(n1t AS HUGEINT) * n2t
+                         * (CAST(n1t + n2t AS HUGEINT) * (n1t + n2t)
+                              * (n1t + n2t)
+                            - (n1t + n2t) - tie) AS amat,
+                       12 * CAST(n1t + n2t AS HUGEINT) * (n1t + n2t - 1)
+                           AS bmat
+                    FROM s WHERE n1t > 0 AND n2t > 0)
+            SELECT n1t AS n_click, n2t AS n_purchase,
+                   CAST(u1x2 AS DOUBLE) / 2.0 AS u,
+                   CASE WHEN amat <= 0 THEN NULL
+                        ELSE round((CAST(u1x2 AS DOUBLE) / 2.0
+                             - CAST(CAST(n1t AS HUGEINT) * n2t AS DOUBLE)
+                               / 2.0)
+                            / sqrt(CAST(amat AS DOUBLE)
+                                   / CAST(bmat AS DOUBLE)), 4)
+                   END AS z
+            FROM fin
+        """,
         "events_funnel_window_sweep": _funnel_sweep_sql(),
         "events_bounce_rate_weekly": """
             WITH gaps AS (

@@ -823,3 +823,45 @@ def kg_hits_sql(transcripts_glob: str, iters: int = 5) -> str:
         JOIN h{iters} h ON h.id = n.id
         JOIN a{iters} a ON a.id = n.id
     """
+
+
+def kg_sssp_sql(transcripts_glob: str, rounds: int = 10) -> str:
+    """Round-capped weighted SSSP — mirrors ``stages.graph.sssp``
+    (synchronous Bellman-Ford from the lexicographically smallest
+    endpoint, edge length = weight, self-loops skipped, parallel pred
+    rows relax independently). One MATERIALIZED CTE per round: d_k =
+    per-node min over d_{k-1} and every one-arc relaxation of d_{k-1} —
+    the min-plus recurrence is monotone, so the engine's early exit on a
+    converged round equals running all ``rounds`` (the kcore/ktruss
+    convention). Distances are BIGINT sums of BIGINT weights — exact."""
+    parts = [
+        f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id, weight FROM edges),
+        ud AS MATERIALIZED (
+            SELECT src_id AS a, dst_id AS b, weight AS w FROM e
+            WHERE src_id <> dst_id
+            UNION ALL
+            SELECT dst_id, src_id, weight FROM e WHERE src_id <> dst_id
+        ),
+        seed AS (SELECT least(min(src_id), min(dst_id)) AS id FROM e),
+        d0 AS MATERIALIZED (
+            SELECT id AS node, 0::BIGINT AS dist FROM seed
+            WHERE id IS NOT NULL)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT node, min(dist)::BIGINT AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT u.b, d.dist + u.w FROM d{i - 1} d
+                JOIN ud u ON u.a = d.node
+            ) GROUP BY node)"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS entity_id, dist FROM d{rounds}"""
+    )
+    return "".join(parts)

@@ -15776,3 +15776,247 @@ def corpus_temperature_weights(sf_dir: str) -> pa.Table:
         )
 
     return finish(t)
+
+
+# --------------------------------------------------------- CDC snapshot diff
+
+
+def events_snapshot_diff(sf_dir: str) -> pa.Table:
+    """CDC SNAPSHOT DIFF (the replication-validation / incremental-refresh
+    audit shape: given the same append-only log read at two watermarks,
+    classify every key as inserted / updated / unchanged / deleted between
+    the two derived latest-row snapshots). Watermarks are data-derived —
+    T1 = tmin + span//2, T2 = tmin + 3·span//4, exact int µs on both
+    sides — so the op is self-scaling. ONE events pass emits per-batch
+    per-(user, side) keep-latest partials (side 0 = as-of T1, side 1 =
+    as-of T2; latest = lexicographic max of (ts, event_id) — the
+    events_latest_per_user convention); the associative lexmax merge
+    tree-combines user-vocabulary-sized fixed-width rows, and the final
+    4-row category census falls out of one vectorized pivot. ``deleted``
+    is structurally 0 for an append-only log but stays in the contract
+    (the oracle's FULL OUTER shape produces it for a mutable source)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    )
+    cats = ("deleted", "inserted", "unchanged", "updated")
+    schema = pa.schema([("category", pa.string()), ("n_users", pa.int64())])
+
+    def spanrow(t: pa.Table) -> pa.Table:
+        cols = {"tmin": pa.int64(), "tmax": pa.int64()}
+        if t.num_rows == 0:
+            return pa.schema(list(cols.items())).empty_table()
+        us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            if "ts" in t.schema.names
+            else t["tmin"]
+        )
+        lo = pc.min(us).as_py()
+        hi = pc.max(t["tmax"] if "tmax" in t.schema.names else us).as_py()
+        return pa.table(
+            {"tmin": pa.array([lo], pa.int64()), "tmax": pa.array([hi], pa.int64())}
+        )
+
+    span = tree_combine(
+        ev.map_batches(spanrow, batch_format="pyarrow"), spanrow
+    ).take_all()
+    if not span:
+        return pa.table(
+            {
+                "category": pa.array(list(cats), pa.string()),
+                "n_users": pa.array([0] * 4, pa.int64()),
+            },
+            schema=schema,
+        )
+    tmin, tmax = int(span[0]["tmin"]), int(span[0]["tmax"])
+    t1 = tmin + (tmax - tmin) // 2
+    t2 = tmin + (tmax - tmin) * 3 // 4
+
+    def lexmax(t: pa.Table) -> pa.Table:
+        # associative merge: per (user, side), keep the (ts, event_id)
+        # lexicographic max — fixed-width rows, user-vocab-sized
+        if t.num_rows == 0:
+            return t
+        df = (
+            t.to_pandas()
+            .sort_values(["user_id", "side", "ts_us", "event_id"])
+            .drop_duplicates(["user_id", "side"], keep="last")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "side": pa.array(df["side"].to_numpy(np.int64)),
+                "ts_us": pa.array(df["ts_us"].to_numpy(np.int64)),
+                "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            }
+        )
+
+    def partials(t: pa.Table, t1=t1, t2=t2) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m1, m2 = us <= t1, us <= t2
+        return lexmax(
+            pa.table(
+                {
+                    "user_id": pa.array(
+                        np.concatenate([uid[m1], uid[m2]]), pa.int64()
+                    ),
+                    "side": pa.array(
+                        np.concatenate(
+                            [
+                                np.zeros(int(m1.sum()), np.int64),
+                                np.ones(int(m2.sum()), np.int64),
+                            ]
+                        )
+                    ),
+                    "ts_us": pa.array(
+                        np.concatenate([us[m1], us[m2]]), pa.int64()
+                    ),
+                    "event_id": pa.array(
+                        np.concatenate([eid[m1], eid[m2]]), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    latest = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(partials, batch_format="pyarrow"), lexmax
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    df = latest.to_pandas()
+    a = df[df["side"] == 0].set_index("user_id")["event_id"]
+    b = df[df["side"] == 1].set_index("user_id")["event_id"]
+    joined = a.to_frame("a").join(b.to_frame("b"), how="outer")
+    n_ins = int((joined["a"].isna() & joined["b"].notna()).sum())
+    n_del = int((joined["a"].notna() & joined["b"].isna()).sum())
+    both = joined.dropna()
+    n_upd = int((both["a"] != both["b"]).sum())
+    n_unc = int((both["a"] == both["b"]).sum())
+    counts = {
+        "deleted": n_del,
+        "inserted": n_ins,
+        "unchanged": n_unc,
+        "updated": n_upd,
+    }
+    return pa.table(
+        {
+            "category": pa.array(list(cats), pa.string()),
+            "n_users": pa.array([counts[c] for c in cats], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------------- Mann-Whitney U test
+
+
+def events_value_mannwhitney(sf_dir: str) -> pa.Table:
+    """MANN-WHITNEY U rank-sum test (the nonparametric two-sample class —
+    the distribution-free complement to the z/chi²/KS family already in
+    the registry): click vs purchase values in exact integer cents.
+    ONE (type, value)-census pass (the KS-drift idiom — value-domain-sized
+    fixed-width rows); doubled average ranks (2·rank stays integer under
+    midrank ties), rank-sum / U / tie-corrected variance all expand in
+    arbitrary-precision Python ints, and the only floats are the final
+    sqrt and one division — mirrored expression-for-expression by the
+    DuckDB HUGEINT oracle, so the 4-dp z compares deterministically."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema(
+        [
+            ("n_click", pa.int64()),
+            ("n_purchase", pa.int64()),
+            ("u", pa.float64()),
+            ("z", pa.float64()),
+        ]
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        is_click = (
+            pc.equal(batch["event_type"], "click")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        key, inv = np.unique(cents, return_inverse=True)
+        n1 = np.zeros(key.size, np.int64)
+        n2 = np.zeros(key.size, np.int64)
+        np.add.at(n1, inv, is_click)
+        np.add.at(n2, inv, 1 - is_click)
+        return pa.table(
+            {
+                "c": pa.array(key, pa.int64()),
+                "n1": pa.array(n1, pa.int64()),
+                "n2": pa.array(n2, pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("c",), ("n1", "n2")),
+    ).to_pandas()
+    if counts.empty:
+        return schema.empty_table()
+    counts = counts.sort_values("c")
+    n1a = counts["n1"].to_numpy(np.int64)
+    n2a = counts["n2"].to_numpy(np.int64)
+    n1, n2 = int(n1a.sum()), int(n2a.sum())
+    if n1 == 0 or n2 == 0:
+        return schema.empty_table()
+    m = n1a + n2a
+    cum = np.concatenate([[0], np.cumsum(m)[:-1]])
+    # doubled average rank of a tie group starting after `cum` items with
+    # multiplicity m: 2·(cum + (m+1)/2) = 2·cum + m + 1 — integer
+    r1x2 = sum(
+        int(a) * (2 * int(cb) + int(mm) + 1)
+        for a, cb, mm in zip(n1a, cum, m)
+    )
+    tie = sum(int(mm) ** 3 - int(mm) for mm in m)
+    nn = n1 + n2
+    # U for the click sample: R1 − n1(n1+1)/2 (doubled to stay integer) —
+    # counts (click, purchase) pairs where click outranks purchase
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    amat = n1 * n2 * (nn**3 - nn - tie)
+    bmat = 12 * nn * (nn - 1)
+    if amat <= 0:
+        zval = None
+    else:
+        import math
+
+        sigma = math.sqrt(float(amat) / float(bmat))
+        zval = round_half_away(
+            [(float(u1x2) / 2.0 - float(n1 * n2) / 2.0) / sigma], 4
+        )[0]
+    return pa.table(
+        {
+            "n_click": pa.array([n1], pa.int64()),
+            "n_purchase": pa.array([n2], pa.int64()),
+            "u": pa.array([float(u1x2) / 2.0], pa.float64()),
+            "z": pa.array([zval], pa.float64()),
+        },
+        schema=schema,
+    )

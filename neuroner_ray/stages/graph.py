@@ -4506,3 +4506,412 @@ def _hits_sharded(
         ),
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------------------- weighted shortest paths
+
+
+def _sssp_local(tab: pa.Table, rounds: int) -> pa.Table:
+    """Driver fast path: synchronous (Jacobi) Bellman-Ford — round-capped
+    min-plus relaxation on the collected edge table. Integer distances are
+    exact, so this is bit-identical to the distributed regimes at equal
+    round counts (and to the oracle's unrolled CTEs: the relaxation is
+    monotone, so early exit on a fixed round budget equals running every
+    round — the kcore/ktruss convention)."""
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+    if tab.num_rows == 0:
+        return empty
+    src = tab["src_id"].to_pylist()
+    dst = tab["dst_id"].to_pylist()
+    w = tab["weight"].cast(pa.int64()).to_pylist()
+    seed = min(min(src), min(dst))
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for s, d, ww in zip(src, dst, w):
+        if s == d:
+            continue  # a positive-weight self-loop never relaxes
+        adj.setdefault(s, []).append((d, ww))
+        adj.setdefault(d, []).append((s, ww))
+    dist: dict[str, int] = {seed: 0}
+    frontier: dict[str, int] = {seed: 0}
+    for _ in range(rounds):
+        nxt: dict[str, int] = {}
+        # frontier-only relaxation is round-for-round identical to the
+        # full relax (a non-improved node's outgoing relaxations were
+        # already applied the round it last improved)
+        for u, du in frontier.items():
+            for v, ww in adj.get(u, ()):
+                nd = du + ww
+                if nd < dist.get(v, nd + 1) and nd < nxt.get(v, nd + 1):
+                    nxt[v] = nd
+        if not nxt:
+            break
+        dist.update(nxt)
+        frontier = nxt
+    ids = sorted(dist)
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.string()),
+            "dist": pa.array([dist[i] for i in ids], pa.int64()),
+        }
+    )
+
+
+def _sssp_seed(slim: Dataset) -> str | None:
+    """Lexicographically smallest endpoint over ALL edge rows (self-loops
+    included — the BFS seed convention)."""
+    import pyarrow.compute as pc
+
+    from ..runtime.combine import tree_combine
+
+    def min_node(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string())})
+        vals = [
+            v
+            for v in (
+                pc.min(t.column(c)).as_py() if c in t.schema.names else None
+                for c in ("src_id", "dst_id", "node")
+            )
+            if v is not None
+        ]
+        return pa.table({"node": pa.array([min(vals)], pa.string())})
+
+    rows = tree_combine(
+        slim.map_batches(min_node, batch_format="pyarrow"), min_node
+    ).take_all()
+    return rows[0]["node"] if rows else None
+
+
+def _sssp_sharded(
+    slim: Dataset,
+    rounds: int,
+    num_buckets: int = PR_NUM_BUCKETS,
+    dist0: dict[str, int] | None = None,
+) -> Dataset:
+    """Join-per-round Bellman-Ford (the > max_nodes regime): the distance
+    vector lives as a bucketed Dataset — no driver node map. Per round,
+    two int-key cogroups (union + groupby, never ``Dataset.join``):
+
+    1. frontier rows ⋈ src-bucketed weighted arcs → per-target candidate
+       distances (pre-minned per group);
+    2. candidates ⋈ state rows → the new state (min of old and candidate
+       per node) plus a per-row improved flag; the new frontier is the
+       improved subset and the round's driver state is ONE scalar (the
+       improved count, for the early exit).
+
+    Same partitioning assumption as ``_pagerank_sharded`` (one bucket's
+    state + incident arc rows fit one task's heap). ``dist0`` lets the
+    broadcast regime hand over mid-run (restart semantics: the map it
+    accumulated so far becomes round-0 state; correct because min-plus
+    state is monotone)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..runtime.combine import anchor, tree_combine
+    from ..runtime.hashing import hash_buckets
+
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    def arc_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(t["src_id"], t["dst_id"]))
+        t = t.filter(keep)
+        a = pa.concat_arrays(
+            [t["src_id"].combine_chunks(), t["dst_id"].combine_chunks()]
+        )
+        b = pa.concat_arrays(
+            [t["dst_id"].combine_chunks(), t["src_id"].combine_chunks()]
+        )
+        w = t["weight"].cast(pa.int64()).combine_chunks()
+        ww = pa.concat_arrays([w, w])
+        return pa.table(
+            {
+                "bucket": _bucket_of(a, num_buckets),
+                "kind": pa.array([1] * len(a), pa.int64()),
+                "a": a,
+                "b": b,
+                "w": ww.cast(pa.int64()),
+            }
+        )
+
+    arcs = anchor(slim.map_batches(arc_rows, batch_format="pyarrow"))
+
+    if dist0 is None:
+        seed = _sssp_seed(slim)
+        if seed is None:
+            return rd.from_arrow(empty)
+        dist0 = {seed: 0}
+
+    def state_table(d: dict[str, int]) -> pa.Table:
+        ids = pa.array(list(d), pa.string())
+        return pa.table(
+            {
+                "bucket": _bucket_of(ids, num_buckets),
+                "id": ids,
+                "dist": pa.array(list(d.values()), pa.int64()),
+            }
+        )
+
+    state = rd.from_arrow(state_table(dist0))
+    frontier = state
+
+    def relax_group(df: pd.DataFrame, num_buckets=num_buckets) -> pd.DataFrame:
+        f = df[df["kind"] == 0]
+        fmap = pd.Series(
+            f["w"].to_numpy(np.int64), index=f["a"].to_numpy(dtype=object)
+        )
+        e = df[df["kind"] == 1]
+        base = e["a"].map(fmap)
+        hit = base.notna()
+        cand = pd.DataFrame(
+            {
+                "id": e.loc[hit, "b"].to_numpy(dtype=object),
+                "dist": base[hit].to_numpy(np.int64)
+                + e.loc[hit, "w"].to_numpy(np.int64),
+            }
+        )
+        cand = cand.groupby("id", sort=False, as_index=False)["dist"].min()
+        cand["bucket"] = hash_buckets(
+            cand["id"].to_numpy(dtype=object), num_buckets
+        )
+        return cand[["bucket", "id", "dist"]]
+
+    def update_group(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["kind"] == 0]
+        new = df[df["kind"] == 1]
+        omap = pd.Series(
+            old["dist"].to_numpy(np.int64),
+            index=old["id"].to_numpy(dtype=object),
+        )
+        nmin = new.groupby("id", sort=False, as_index=False)["dist"].min()
+        prev = nmin["id"].map(omap)
+        improved = prev.isna() | (nmin["dist"] < prev)
+        keep_old = old[~old["id"].isin(set(nmin.loc[improved, "id"]))]
+        out_new = nmin[improved].copy()
+        out_new["chg"] = np.ones(len(out_new), np.int64)
+        out_old = pd.DataFrame(
+            {
+                "id": keep_old["id"].to_numpy(dtype=object),
+                "dist": keep_old["dist"].to_numpy(np.int64),
+                "chg": np.zeros(len(keep_old), np.int64),
+            }
+        )
+        out = pd.concat([out_new[["id", "dist", "chg"]], out_old])
+        out["bucket"] = df["bucket"].iloc[0]
+        return out[["bucket", "id", "dist", "chg"]]
+
+    for _ in range(rounds):
+        f_tagged = frontier.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([0] * t.num_rows, pa.int64()),
+                    "a": t["id"],
+                    "b": pa.array([None] * t.num_rows, pa.string()),
+                    "w": t["dist"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        candidates = (
+            f_tagged.union(arcs)
+            .groupby("bucket")
+            .map_groups(relax_group, batch_format="pandas")
+        )
+        cand_tagged = candidates.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([1] * t.num_rows, pa.int64()),
+                    "id": t["id"],
+                    "dist": t["dist"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        state_tagged = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "kind": pa.array([0] * t.num_rows, pa.int64()),
+                    "id": t["id"],
+                    "dist": t["dist"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        new_state = anchor(
+            cand_tagged.union(state_tagged)
+            .groupby("bucket")
+            .map_groups(update_group, batch_format="pandas")
+            .map_batches(_bundle, batch_size=65536, batch_format="pyarrow")
+        )
+        changed = new_state.sum("chg") or 0
+        frontier = anchor(
+            new_state.map_batches(
+                lambda t: t.filter(pc.equal(t["chg"], 1)).drop_columns(
+                    ["chg"]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        state = anchor(
+            new_state.map_batches(
+                lambda t: t.drop_columns(["chg"]), batch_format="pyarrow"
+            )
+        )
+        if changed == 0:
+            break
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["id"], "dist": t["dist"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sssp(
+    edges: Dataset,
+    rounds: int = 10,
+    *,
+    small_max: int = SMALL_GRAPH_EDGES_MAX,
+    max_nodes: int = PAGERANK_MAX_NODES,
+    num_buckets: int | None = None,
+    force_sharded: bool = False,
+) -> pa.Table | Dataset:
+    """Weighted single-source shortest paths over the undirected canonical
+    edge graph (edge length = the edge's weight; parallel pred rows relax
+    independently, which equals taking their min): (entity_id, dist) for
+    every node whose min-weight path from the lexicographically smallest
+    entity uses at most ``rounds`` edges — synchronous Bellman-Ford with a
+    fixed round budget, the weighted counterpart of ``bfs_levels``.
+
+    Size-adaptive, three regimes (the ``pagerank`` convention):
+    driver-local under SMALL_GRAPH_EDGES_MAX; frontier-broadcast streaming
+    under ``max_nodes`` driver-state nodes (per round: the frontier map is
+    ONE ``ray.put``, a streamed pass over the arcs emits pre-minned
+    candidate rows, a group-min tree combine returns the improvements);
+    past ``max_nodes`` the state hands over to the join-per-round shuffle
+    (``_sssp_sharded``). Oracle: ``kg_oracle.kg_sssp_sql`` (unrolled
+    min-plus CTEs, same round budget)."""
+    import ray.data as rd
+
+    from ..runtime.combine import group_agg_merge, tree_combine
+
+    empty = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+    if force_sharded:
+        slim = edges.select_columns(
+            ["src_id", "dst_id", "weight"]
+        ).materialize()
+        return _sssp_sharded(
+            slim, rounds, num_buckets=num_buckets or PR_NUM_BUCKETS
+        )
+    tab = _try_collect_edges(
+        edges, ["src_id", "dst_id", "weight"], row_cap=small_max
+    )
+    if tab is not None:
+        return rd.from_arrow(_sssp_local(tab, rounds))
+
+    slim = edges.select_columns(["src_id", "dst_id", "weight"]).materialize()
+    seed = _sssp_seed(slim)
+    if seed is None:
+        return rd.from_arrow(empty)
+    dist: dict[str, int] = {seed: 0}
+    frontier: dict[str, int] = {seed: 0}
+    mmerge = group_agg_merge(("id",), mins=("dist",))
+
+    for done in range(rounds):
+        if len(dist) > max_nodes:
+            # driver state outgrew the broadcast regime: hand the
+            # accumulated map to the sharded formulation for the REMAINING
+            # rounds (the map encodes `done` rounds of relaxation, so the
+            # total round budget — and the ≤rounds-edges semantics — is
+            # preserved exactly)
+            return _sssp_sharded(
+                slim,
+                rounds - done,
+                num_buckets=num_buckets or PR_NUM_BUCKETS,
+                dist0=dist,
+            )
+        fref = ray.put(pd.Series(frontier))
+
+        def relax(t: pa.Table, fref=fref) -> pa.Table:
+            f = ray.get(fref) if isinstance(fref, ray.ObjectRef) else fref
+            s = t["src_id"].to_pylist()
+            d = t["dst_id"].to_pylist()
+            w = t["weight"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            a = pd.Series(s + d, dtype=object)
+            b = np.asarray(d + s, dtype=object)
+            ww = np.concatenate([w, w])
+            base = a.map(f)
+            hit = base.notna().to_numpy() & (a.to_numpy(dtype=object) != b)
+            cand = pd.DataFrame(
+                {
+                    "id": b[hit],
+                    "dist": base.to_numpy()[hit].astype(np.int64) + ww[hit],
+                }
+            )
+            cand = cand.groupby("id", sort=False, as_index=False)[
+                "dist"
+            ].min()
+            return pa.table(
+                {
+                    "id": pa.array(cand["id"].tolist(), pa.string()),
+                    "dist": pa.array(
+                        cand["dist"].to_numpy(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        ctab = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "id": pa.array([], pa.string()),
+                        "dist": pa.array([], pa.int64()),
+                    }
+                )
+            ]
+            + list(
+                tree_combine(
+                    slim.map_batches(relax, batch_format="pyarrow"), mmerge
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            ),
+            promote_options="default",
+        )
+        nxt: dict[str, int] = {}
+        for i, dv in zip(ctab["id"].to_pylist(), ctab["dist"].to_pylist()):
+            if dv < dist.get(i, dv + 1):
+                nxt[i] = dv
+        if not nxt:
+            break
+        dist.update(nxt)
+        frontier = nxt
+
+    ids = sorted(dist)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "dist": pa.array([dist[i] for i in ids], pa.int64()),
+            }
+        )
+    )

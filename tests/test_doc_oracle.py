@@ -3409,3 +3409,144 @@ def test_q2_cost_micro_is_exact_argmin():
     for r in out.itertuples():
         costs = [v for (pk, _), v in by_pair.items() if pk == r.p_partkey]
         assert r.cost_micro == min(costs), r.p_partkey
+
+
+def test_round4_batch44_queries_match_oracles():
+    """Batch-44 additions (CDC snapshot diff, Mann-Whitney U) against
+    their registered oracles at fixture scale (kg_sssp replays through
+    the graph-analytics regime tests + the check_oracles replica)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("events_snapshot_diff", "events_value_mannwhitney"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch44_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    # snapshot diff keeps its 4-row category contract on an empty log
+    out = q.events_snapshot_diff(d).to_pandas()
+    assert sorted(out["category"]) == [
+        "deleted", "inserted", "unchanged", "updated",
+    ]
+    assert (out["n_users"] == 0).all()
+    mw = q.events_value_mannwhitney(d).to_pandas()
+    assert len(mw) == 0 and list(mw.columns) == [
+        "n_click", "n_purchase", "u", "z",
+    ]
+
+
+def test_snapshot_diff_planted_categories(tmp_path):
+    """Planted log pins every category's semantics: a user active only
+    after T1 is `inserted`; a user whose latest event changes between
+    the watermarks is `updated`; one inactive between them is
+    `unchanged`; `deleted` is structurally 0 for an append-only log."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # span [0, 100] minutes -> T1 = 50, T2 = 75 (integer-exact)
+    def ts(minute):
+        return np.datetime64("2026-01-01T00:00:00", "us") + np.timedelta64(
+            minute * 60_000_000, "us"
+        )
+    rows = [
+        # user 1: events at 10 and 60 -> updated (latest changes 10->60)
+        (1, 1, ts(0)), (2, 1, ts(60)),
+        # user 2: single event at 20 -> unchanged
+        (3, 2, ts(20)),
+        # user 3: first event at 70 -> inserted
+        (4, 3, ts(70)),
+        # user 4: events only after T2 -> in NEITHER snapshot (no row)
+        (5, 4, ts(90)),
+        # user 5: anchors the span end at minute 100
+        (6, 5, ts(100)), (7, 5, ts(10)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    out = q.events_snapshot_diff(str(tmp_path)).to_pandas()
+    got = dict(zip(out["category"], out["n_users"]))
+    # T1 = minute 50, T2 = minute 75: user1 updated (10 vs 60), user2 and
+    # user5 unchanged (their latest <= T1 rows still latest at T2), user3
+    # inserted, user4 invisible to both snapshots
+    assert got == {
+        "deleted": 0, "inserted": 1, "unchanged": 2, "updated": 1,
+    }
+
+
+def test_mannwhitney_planted_shift_sign():
+    """A planted location shift pins the statistic's direction: when
+    every click value exceeds every purchase value, U is maximal
+    (n1*n2) and z is positive; swapping the samples flips the sign."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def mk(click_vals, purch_vals, d):
+        n = len(click_vals) + len(purch_vals)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64("2026-01-01", "us")] * n,
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(
+                    ["click"] * len(click_vals)
+                    + ["purchase"] * len(purch_vals),
+                    pa.string(),
+                ),
+                "value": pa.array(
+                    list(click_vals) + list(purch_vals), pa.float64()
+                ),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+
+    with tempfile.TemporaryDirectory() as d:
+        mk([10.0, 11.0, 12.0], [1.0, 2.0], d)
+        hi = q.events_value_mannwhitney(d).to_pandas().iloc[0]
+        assert hi["u"] == 6.0  # n1*n2: every click outranks every purchase
+        assert hi["z"] > 0
+    with tempfile.TemporaryDirectory() as d:
+        mk([1.0, 2.0], [10.0, 11.0, 12.0], d)
+        lo = q.events_value_mannwhitney(d).to_pandas().iloc[0]
+        assert lo["u"] == 0.0
+        assert lo["z"] < 0
