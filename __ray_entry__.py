@@ -390,6 +390,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sssp": kg_sssp,
         "events_snapshot_diff": q.events_snapshot_diff,
         "events_value_mannwhitney": q.events_value_mannwhitney,
+        "events_hourly_xcorr": q.events_hourly_xcorr,
+        "events_hourly_holt": q.events_hourly_holt,
+        "doc_split_stratified": q.doc_split_stratified,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -953,6 +956,85 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": ko.kg_hits_sql(tglob),
         "kg_ktruss": ko.kg_ktruss_sql(tglob),
         "kg_sssp": ko.kg_sssp_sql(tglob),
+        "events_hourly_xcorr": f"""
+            WITH f AS (SELECT event_type AS t,
+                              epoch_us(ts) // 3600000000 AS h
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            cen AS (SELECT t, h, count(*)::BIGINT AS n FROM f GROUP BY 1, 2),
+            bnd AS (SELECT min(h) AS h0, max(h) AS h1 FROM cen),
+            grid AS (SELECT h0 + unnest(range(0, h1 - h0 + 1)) AS h
+                     FROM bnd WHERE h0 IS NOT NULL),
+            x AS (SELECT g.h, coalesce(c.n, 0)::BIGINT AS v
+                  FROM grid g LEFT JOIN
+                       (SELECT h, n FROM cen WHERE t = 'click') c
+                       USING (h)),
+            y AS (SELECT g.h, coalesce(c.n, 0)::BIGINT AS v
+                  FROM grid g LEFT JOIN
+                       (SELECT h, n FROM cen WHERE t = 'purchase') c
+                       USING (h)),
+            lags AS (SELECT unnest(range(0, {q.XCORR_MAX_LAG + 1}))
+                         AS lag),
+            m AS (SELECT l.lag,
+                         count(*)::BIGINT AS n_pairs,
+                         sum(CAST(x.v AS HUGEINT)) AS sx,
+                         sum(CAST(y.v AS HUGEINT)) AS sy,
+                         sum(CAST(x.v AS HUGEINT) * x.v) AS sxx,
+                         sum(CAST(y.v AS HUGEINT) * y.v) AS syy,
+                         sum(CAST(x.v AS HUGEINT) * y.v) AS sxy
+                  FROM lags l
+                  JOIN x ON TRUE
+                  JOIN y ON y.h = x.h + l.lag
+                  GROUP BY 1)
+            SELECT lag, n_pairs,
+                   CASE WHEN n_pairs * sxx - sx * sx <= 0
+                          OR n_pairs * syy - sy * sy <= 0 THEN NULL
+                        ELSE round(
+                            CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                            / (sqrt(CAST(n_pairs * sxx - sx * sx
+                                         AS DOUBLE))
+                               * sqrt(CAST(n_pairs * syy - sy * sy
+                                           AS DOUBLE))), 4)
+                   END AS r
+            FROM m
+        """,
+        "events_hourly_holt": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1),
+            o AS (SELECT hour, n_events,
+                         row_number() OVER (ORDER BY hour) AS rn
+                  FROM h),
+            -- literal 0.3/0.7 and 0.1/0.9 mirror the Ray-side recurrence;
+            -- the new level is recomputed inline for the trend update —
+            -- same operand sequence, same doubles
+            r AS (
+                SELECT rn, hour, n_events,
+                       CAST(n_events AS DOUBLE) AS l,
+                       CAST(0.0 AS DOUBLE) AS b
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.hour, o.n_events,
+                       0.3 * o.n_events + 0.7 * (r.l + r.b),
+                       0.1 * ((0.3 * o.n_events + 0.7 * (r.l + r.b))
+                              - r.l) + 0.9 * r.b
+                FROM r JOIN o ON o.rn = r.rn + 1)
+            SELECT hour, n_events, round(l, 4) AS level,
+                   round(b, 4) AS trend
+            FROM r
+        """,
+        "doc_split_stratified": """
+            SELECT doc_id, lang, source,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY lang, source
+                            ORDER BY md5_number_upper(doc_id::VARCHAR),
+                                     doc_id)
+                        <= (count(*) OVER (PARTITION BY lang, source)
+                            * 8) // 10
+                        THEN 'train' ELSE 'valid' END AS split
+            FROM documents
+        """,
         "events_snapshot_diff": """
             WITH bnd AS (SELECT min(epoch_us(ts)) AS tmin,
                                 max(epoch_us(ts)) AS tmax FROM events),

@@ -16020,3 +16020,383 @@ def events_value_mannwhitney(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------ lead-lag cross-correlation
+
+XCORR_MAX_LAG = 12
+
+
+def events_hourly_xcorr(sf_dir: str) -> pa.Table:
+    """LEAD-LAG CROSS-CORRELATION between two event series (the
+    which-metric-moves-first diagnostic next to the single-series
+    ACF/EWMA family): Pearson r of hourly click counts vs purchase counts
+    at lags 0..12 over the dense [min, max] hour grid of the two series.
+    Corpus-scale work is ONE (type, hour)-census (map-side partials,
+    time-span-bounded output); the per-lag five integer moments expand in
+    arbitrary-precision Python ints on the driver, mirrored by HUGEINT
+    sums — one double division and two sqrts per lag at the end (the
+    Pearson shape of kg_assortativity). Lags with no overlapping pairs
+    emit no row on either side."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema(
+        [("lag", pa.int64()), ("n_pairs", pa.int64()), ("r", pa.float64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _ts_us(batch) // _HOUR_US
+        df = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pylist(), "h": h}
+            )
+            .groupby(["event_type", "h"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    census = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "h"), ("n",)),
+    ).to_pandas()
+    if census.empty:
+        return schema.empty_table()
+    h0, h1 = int(census["h"].min()), int(census["h"].max())
+    span = h1 - h0 + 1
+    x = [0] * span
+    y = [0] * span
+    for t, h, n in census.itertuples(index=False):
+        if t == "click":
+            x[int(h) - h0] = int(n)
+        else:
+            y[int(h) - h0] = int(n)
+    import math
+
+    lags, n_pairs, rs = [], [], []
+    for lag in range(0, XCORR_MAX_LAG + 1):
+        m = span - lag
+        if m <= 0:
+            continue  # no overlapping pairs: no row on either side
+        xs = x[:m]
+        ys = y[lag:]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        dxx = m * sxx - sx * sx
+        dyy = m * syy - sy * sy
+        num = m * sxy - sx * sy
+        if dxx <= 0 or dyy <= 0:
+            r = None
+        else:
+            r = round_half_away(
+                [
+                    float(num)
+                    / (math.sqrt(float(dxx)) * math.sqrt(float(dyy)))
+                ],
+                4,
+            )[0]
+        lags.append(lag)
+        n_pairs.append(m)
+        rs.append(r)
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "r": pa.array(rs, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# -------------------------------------------------- Holt linear smoothing
+
+
+def events_hourly_holt(sf_dir: str) -> pa.Table:
+    """HOLT LINEAR (double exponential) smoothing over the hourly event
+    count series — the trend-aware extension of events_hourly_ewma
+    (α = 0.3 level, β = 0.1 trend; l₁ = x₁, b₁ = 0). The corpus-scale
+    work is the same hour-key census; the two-accumulator recurrence runs
+    over observed hours ascending inside the final combine block. Float
+    parity: both sides evaluate the identical literal chains in time
+    order (l' = 0.3·x + 0.7·(l + b); b' = 0.1·(l' − l) + 0.9·b, with the
+    oracle's recursive CTE recomputing l' inline — same operand sequence,
+    same doubles), 4-dp round at output only."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = _ts_us(batch)
+        slot = micros // _HOUR_US * _HOUR_US
+        uniq, counts = np.unique(slot, return_counts=True)
+        return pa.table(
+            {
+                "hour_us": pa.array(uniq, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    # all-empty-block rule (NOTES): a fully-filtered stream bypasses map
+    # fns on Ray 2.49 — concat the census with a typed seed on the driver
+    # and return the finished Table itself
+    census = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "hour_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(partial, batch_format="pyarrow"),
+                group_sum_merge(("hour_us",), ("n_events",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+
+    def smooth(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "level": pa.array([], pa.float64()),
+                "trend": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        hrs = t["hour_us"].to_numpy(zero_copy_only=False)
+        ns = t["n_events"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hrs)
+        hrs, ns = hrs[order], ns[order]
+        levels = np.empty(len(ns), np.float64)
+        trends = np.empty(len(ns), np.float64)
+        lv = float(ns[0])
+        b = 0.0
+        levels[0], trends[0] = lv, b
+        for i in range(1, len(ns)):
+            # literal 0.3/0.7 and 0.1/0.9 on BOTH sides
+            nl = 0.3 * ns[i] + 0.7 * (lv + b)
+            b = 0.1 * (nl - lv) + 0.9 * b
+            lv = nl
+            levels[i], trends[i] = lv, b
+        return pa.table(
+            {
+                "hour": pa.array(
+                    hrs.view("datetime64[us]"), pa.timestamp("us")
+                ),
+                "n_events": pa.array(ns, pa.int64()),
+                "level": pa.array(round_half_away(levels, 4), pa.float64()),
+                "trend": pa.array(round_half_away(trends, 4), pa.float64()),
+            }
+        )
+
+    return smooth(census)
+
+
+# --------------------------------------------- stratified exact-quota split
+
+STRAT_TRAIN_NUM = 8  # train quota = ⌊n · 8/10⌋ per stratum
+STRAT_BINS_SHIFT = 52  # h64 >> 52 → 4096 histogram bins per stratum
+STRAT_COLLECT_MAX = 5_000_000  # boundary-bin collect gate
+
+
+def doc_split_stratified(sf_dir: str) -> Dataset:
+    """STRATIFIED EXACT-QUOTA train/valid split (the curation counterpart
+    of doc_split_assign's hash split, whose per-stratum proportions are
+    only approximate): within every (lang, source) stratum, EXACTLY
+    ⌊0.8·n⌋ docs go to train — the ⌊0.8·n⌋ smallest by the deterministic
+    (md5_number_upper(doc_id), doc_id) order.
+
+    Scale shape — a distributed per-group ORDER STATISTIC, never a
+    per-stratum sort (a stratum is corpus-sized; the RFM-quartile
+    machinery generalized to grouped quotas): ONE keyed 4096-bin
+    histogram pass over the slim (id, stratum, hash) projection localizes
+    each stratum's quota boundary to one bin; ONLY the boundary bins
+    collect (md5 is uniform, so a boundary bin holds ~n/4096 rows —
+    gated loudly at STRAT_COLLECT_MAX; remedy: re-bin inside the bin on
+    the next 12 hash bits, same uniformity argument); the boundary PAIRS
+    then broadcast and one map pass assigns splits. Hash ties across docs
+    are broken by doc_id on both sides, so the quota is exact even under
+    64-bit collisions."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "source"]
+    )
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(d).encode("utf-8")).digest()[:8],
+                    "little",
+                )
+                for d in batch["doc_id"].to_pylist()
+            ],
+            np.uint64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "h64": pa.array(h, pa.uint64()),
+            }
+        )
+
+    slim = docs.map_batches(hashed, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "split": pa.array([], pa.string()),
+        }
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame(
+                {
+                    "lang": t["lang"].to_pylist(),
+                    "source": t["source"].to_pylist(),
+                    "bin": (
+                        t["h64"].to_numpy(zero_copy_only=False)
+                        >> STRAT_BINS_SHIFT
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["lang", "source", "bin"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "source": pa.array(df["source"].tolist(), pa.string()),
+                "bin": pa.array(df["bin"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = tree_combine(
+        slim.map_batches(hist_partial, batch_format="pyarrow"),
+        group_sum_merge(("lang", "source", "bin"), ("n",)),
+    ).to_pandas()
+    if hist.empty:
+        # NOTES all-empty-block rule: return the typed Table itself —
+        # rd.from_arrow(empty).to_pandas() drops the columns
+        return empty
+
+    # per stratum: quota = ⌊n·8/10⌋; localize the quota-th smallest
+    # (h64, doc_id) to its histogram bin
+    targets: dict[tuple[str, str], tuple[int, int]] = {}
+    quotas: dict[tuple[str, str], int] = {}
+    for (lang, source), g in hist.groupby(["lang", "source"], sort=False):
+        n = int(g["n"].sum())
+        quota = n * STRAT_TRAIN_NUM // 10
+        quotas[(lang, source)] = quota
+        if quota == 0:
+            continue  # no train rows: boundary below every pair
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum()
+        i = int(np.searchsorted(cum.to_numpy(), quota))
+        targets[(lang, source)] = (
+            int(g["bin"].iloc[i]),
+            quota - (int(cum.iloc[i - 1]) if i > 0 else 0),
+        )
+
+    tset = {(l, s, b) for (l, s), (b, _) in targets.items()}
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        sel = [
+            (l, s, int(h) >> STRAT_BINS_SHIFT) in tset
+            for l, s, h in zip(
+                t["lang"].to_pylist(),
+                t["source"].to_pylist(),
+                t["h64"].to_numpy(zero_copy_only=False),
+            )
+        ]
+        return t.filter(pa.array(sel, pa.bool_()))
+
+    try:
+        collected = slim.map_batches(
+            boundary_rows, batch_format="pyarrow"
+        ).take_all(limit=STRAT_COLLECT_MAX)
+    except ValueError as ex:
+        raise ValueError(
+            f"stratified-split boundary bins exceed STRAT_COLLECT_MAX="
+            f"{STRAT_COLLECT_MAX}; re-bin inside the boundary bin on the "
+            "next 12 hash bits (md5 uniformity bounds each level at "
+            "~n/4096)"
+        ) from ex
+    bdf = pd.DataFrame(collected)
+    bounds: dict[tuple[str, str], tuple[int, int]] = {}
+    if not bdf.empty:
+        for (lang, source), g in bdf.groupby(["lang", "source"], sort=False):
+            rank_in_bin = targets[(lang, source)][1]
+            g = g.sort_values(["h64", "doc_id"])
+            row = g.iloc[rank_in_bin - 1]
+            bounds[(lang, source)] = (int(row["h64"]), int(row["doc_id"]))
+    bref = ray.put(bounds)
+
+    def assign(t: pa.Table, bref=bref) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        b = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        h = t["h64"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skeys = list(b)
+        sidx = (
+            pd.Series(
+                list(zip(t["lang"].to_pylist(), t["source"].to_pylist()))
+            )
+            .map({k: i for i, k in enumerate(skeys)})
+            .fillna(-1)
+            .to_numpy(np.int64)
+        )
+        is_train = np.zeros(t.num_rows, bool)
+        idx = np.flatnonzero(sidx >= 0)
+        if idx.size:
+            # integer-exact gather + compare — no float64 narrowing of
+            # the 64-bit hash anywhere
+            hb = np.array([b[k][0] for k in skeys], np.uint64)[sidx[idx]]
+            db = np.array([b[k][1] for k in skeys], np.int64)[sidx[idx]]
+            is_train[idx] = (h[idx] < hb) | (
+                (h[idx] == hb) & (d[idx] <= db)
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "split": pa.array(
+                    np.where(is_train, "train", "valid"), pa.string()
+                ),
+            }
+        )
+
+    return slim.map_batches(assign, batch_format="pyarrow")

@@ -3550,3 +3550,134 @@ def test_mannwhitney_planted_shift_sign():
         lo = q.events_value_mannwhitney(d).to_pandas().iloc[0]
         assert lo["u"] == 0.0
         assert lo["z"] < 0
+
+
+def test_round4_batch45_queries_match_oracles():
+    """Batch-45 additions (lead-lag xcorr, Holt smoothing, stratified
+    exact-quota split) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_hourly_xcorr",
+        "events_hourly_holt",
+        "doc_split_stratified",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch45_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.events_hourly_xcorr, 3),
+        (q.events_hourly_holt, 4),
+        (q.doc_split_stratified, 4),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_stratified_split_exact_quota_per_stratum():
+    """The defining property vs the hash split: EVERY stratum hits
+    exactly ⌊0.8·n⌋ train docs (the hash split only approximates)."""
+    out = q.doc_split_stratified(SF).to_pandas()
+    for (lang, source), g in out.groupby(["lang", "source"]):
+        n_train = int((g["split"] == "train").sum())
+        assert n_train == len(g) * 8 // 10, (lang, source, n_train, len(g))
+
+
+def test_xcorr_planted_lead_peaks_at_lag():
+    """Purchases = clicks shifted 3 hours later ⇒ r peaks (exactly 1.0)
+    at lag 3 and is lower everywhere else."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    # clicks: a distinctive count pattern over 30 hours
+    pattern = [1, 5, 2, 8, 3, 1, 9, 4, 2, 7] * 3
+    for h, n in enumerate(pattern):
+        for _ in range(n):
+            rows.append(("click", base + np.timedelta64(h, "h"), eid))
+            eid += 1
+        for _ in range(n):
+            rows.append(
+                ("purchase", base + np.timedelta64(h + 3, "h"), eid)
+            )
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        res = q.events_hourly_xcorr(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    by_lag = dict(zip(out["lag"], out["r"]))
+    assert by_lag[3] == 1.0
+    assert all(
+        r is None or np.isnan(r) or r < 1.0
+        for lag, r in by_lag.items()
+        if lag != 3
+    )
+
+
+def test_holt_recurrence_replay():
+    """The distributed result replays the literal two-accumulator
+    recurrence exactly (pre-round comparison at full double width)."""
+    import numpy as np
+
+    out = q.events_hourly_holt(SF).to_pandas().sort_values("hour")
+    ns = out["n_events"].to_numpy()
+    lv, b = float(ns[0]), 0.0
+    want_l, want_b = [lv], [b]
+    for x in ns[1:]:
+        nl = 0.3 * x + 0.7 * (lv + b)
+        b = 0.1 * (nl - lv) + 0.9 * b
+        lv = nl
+        want_l.append(lv)
+        want_b.append(b)
+    assert np.allclose(out["level"], np.round(want_l, 4), atol=1e-9)
+    assert np.allclose(out["trend"], np.round(want_b, 4), atol=1e-9)
