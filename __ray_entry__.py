@@ -159,6 +159,17 @@ def kg_sssp(sf_dir: str) -> Any:
     return sssp(_kg_tables(sf_dir)["edges"])
 
 
+def kg_ppr(sf_dir: str) -> Any:
+    """Graph analytics: PERSONALIZED PageRank — seeded relevance from the
+    lexicographically smallest entity ((1−d) teleport and dangling mass
+    restart at the seed, rank₀ = seed indicator) vs kg_pagerank's global
+    centrality. Same three size-adaptive regimes, same unrolled-CTE
+    oracle machinery (personalized=True)."""
+    from neuroner_ray.stages.graph import pagerank
+
+    return pagerank(_kg_tables(sf_dir)["edges"], personalized=True)
+
+
 def kg_components(sf_dir: str) -> Any:
     """Graph analytics: connected components of the undirected entity
     graph (size-adaptive union-find / distributed min-label propagation);
@@ -393,6 +404,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_xcorr": q.events_hourly_xcorr,
         "events_hourly_holt": q.events_hourly_holt,
         "doc_split_stratified": q.doc_split_stratified,
+        "kg_ppr": kg_ppr,
+        "corpus_phrase_hits": q.corpus_phrase_hits,
+        "events_user_rrf_top20": q.events_user_rrf_top20,
+        "lineitem_zonemap_skip": q.lineitem_zonemap_skip,
+        "events_value_winsorized_mean": q.events_value_winsorized_mean,
+        "doc_kanonymity_audit": q.doc_kanonymity_audit,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -956,6 +973,99 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": ko.kg_hits_sql(tglob),
         "kg_ktruss": ko.kg_ktruss_sql(tglob),
         "kg_sssp": ko.kg_sssp_sql(tglob),
+        "kg_ppr": ko.kg_pagerank_sql(tglob, personalized=True),
+        "lineitem_zonemap_skip": f"""
+            WITH b AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us,
+                              year(l_shipdate) * 12 + month(l_shipdate) - 1
+                                  AS mid
+                       FROM lineitem),
+            z AS (
+                SELECT 'unclustered' AS layout,
+                       l_orderkey % {q.ZONEMAP_FILES} AS fid,
+                       min(us) AS mn, max(us) AS mx, count(*)::BIGINT AS n
+                FROM b GROUP BY 2
+                UNION ALL
+                SELECT 'date_clustered', mid,
+                       min(us), max(us), count(*)::BIGINT
+                FROM b GROUP BY 2)
+            SELECT layout, count(*)::BIGINT AS n_files,
+                   sum(CASE WHEN mx < {q.ZONEMAP_LO_US}
+                              OR mn >= {q.ZONEMAP_HI_US}
+                            THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
+                   sum(CASE WHEN mx < {q.ZONEMAP_LO_US}
+                              OR mn >= {q.ZONEMAP_HI_US}
+                            THEN n ELSE 0 END)::BIGINT AS n_rows_skipped
+            FROM z GROUP BY 1
+        """,
+        "events_value_winsorized_mean": f"""
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            qs AS (SELECT event_type,
+                          quantile_disc(v, {q.WINSOR_LO_Q}) AS lo,
+                          quantile_disc(v, {q.WINSOR_HI_Q}) AS hi
+                   FROM c GROUP BY 1),
+            w AS (SELECT c.event_type, qs.lo, qs.hi,
+                         least(greatest(c.v, qs.lo), qs.hi) AS cv
+                  FROM c JOIN qs ON qs.event_type = c.event_type)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   min(lo)::BIGINT AS lo_cents, min(hi)::BIGINT AS hi_cents,
+                   round(CAST(sum(cv) AS DOUBLE) / (count(*) * 100.0), 4)
+                       AS winsorized_mean
+            FROM w GROUP BY 1
+        """,
+        "doc_kanonymity_audit": f"""
+            WITH qi AS (SELECT lang, source,
+                               n_chars // {q.KANON_CHAR_BUCKET} AS cb,
+                               count(*)::BIGINT AS n
+                        FROM documents GROUP BY 1, 2, 3)
+            SELECT count(*)::BIGINT AS n_classes,
+                   min(n)::BIGINT AS min_class_size,
+                   sum(CASE WHEN n < {q.KANON_K} THEN 1 ELSE 0 END)::BIGINT
+                       AS n_classes_below_k,
+                   sum(CASE WHEN n < {q.KANON_K} THEN n ELSE 0 END)::BIGINT
+                       AS n_docs_at_risk
+            FROM qi
+        """,
+        "corpus_phrase_hits": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ws
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                       len(list_filter(range(1, len(ws)),
+                           i -> ws[i] = '{q.PHRASE_QUERY[0]}'
+                            AND ws[i + 1] = '{q.PHRASE_QUERY[1]}'))::BIGINT
+                           AS n_hits
+                FROM w WHERE len(ws) >= 2)
+            SELECT doc_id, n_hits FROM h WHERE n_hits >= 1
+        """,
+        "events_user_rrf_top20": f"""
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS m
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+            cr AS (SELECT user_id,
+                          row_number() OVER (ORDER BY m DESC, user_id)
+                              AS r
+                   FROM c),
+            ca AS (SELECT * FROM cr WHERE r <= {q.RRF_CANDIDATES}),
+            p AS (SELECT user_id,
+                         sum(CAST(round(value * 100) AS BIGINT)) AS m
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            pr AS (SELECT user_id,
+                          row_number() OVER (ORDER BY m DESC, user_id)
+                              AS r
+                   FROM p),
+            pa_ AS (SELECT * FROM pr WHERE r <= {q.RRF_CANDIDATES}),
+            f AS (SELECT coalesce(ca.user_id, pa_.user_id) AS user_id,
+                         coalesce(1.0 / ({q.RRF_K} + ca.r), 0.0)
+                         + coalesce(1.0 / ({q.RRF_K} + pa_.r), 0.0) AS rrf
+                  FROM ca FULL OUTER JOIN pa_
+                    ON ca.user_id = pa_.user_id)
+            SELECT user_id, round(rrf, 6) AS rrf
+            FROM f ORDER BY f.rrf DESC, user_id LIMIT 20
+        """,
         "events_hourly_xcorr": f"""
             WITH f AS (SELECT event_type AS t,
                               epoch_us(ts) // 3600000000 AS h

@@ -312,17 +312,35 @@ def mention_heavy_hitters_sql(transcripts_glob: str) -> str:
 
 
 def kg_pagerank_sql(
-    transcripts_glob: str, damping: float = 0.85, iters: int = 10
+    transcripts_glob: str,
+    damping: float = 0.85,
+    iters: int = 10,
+    personalized: bool = False,
 ) -> str:
     """Weighted PageRank over the oracle edge table: the fixed-iteration
     power method unrolled as generated CTEs (standard SQL forbids
     aggregation inside a recursive CTE, so each iteration is its own CTE).
     Mirrors ``stages.graph.pagerank`` exactly: raw (non-collapsed) edges,
-    uniform dangling-mass redistribution, round-to-4 at the end only."""
+    uniform dangling-mass redistribution, round-to-4 at the end only.
+    ``personalized`` mirrors the PPR variant: rank₀ = the lexicographic-
+    min-node indicator; (1−d) and the dangling mass teleport to the seed
+    (`(1−d) + d·mass` on the seed row, then `+ d·contrib` — the identical
+    add order the engine uses)."""
     d = damping
     # MATERIALIZED is load-bearing: without it DuckDB may inline the edge
     # closure (a recursive CTE) into EVERY iteration CTE that references
     # g/nodes/outw, re-evaluating the whole KG pipeline dozens of times
+    r0 = (
+        """
+        seed AS MATERIALIZED (SELECT min(id) AS id FROM nodes),
+        r0 AS (SELECT id,
+                      CASE WHEN id = (SELECT id FROM seed)
+                           THEN 1.0 ELSE 0.0 END AS rank
+               FROM nodes)"""
+        if personalized
+        else """
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    )
     parts = [
         """
         g AS MATERIALIZED (SELECT src_id, dst_id, weight::DOUBLE AS w FROM edges),
@@ -330,10 +348,19 @@ def kg_pagerank_sql(
                   (SELECT src_id AS id FROM g UNION ALL SELECT dst_id FROM g)),
         nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
         outw AS MATERIALIZED (SELECT src_id AS id, sum(w) AS ow
-                              FROM g GROUP BY src_id),
-        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+                              FROM g GROUP BY src_id),"""
+        + r0
     ]
     for k in range(1, iters + 1):
+        if personalized:
+            base_expr = f"""CASE WHEN n.id = (SELECT id FROM seed)
+                             THEN (1 - {d}) + {d} * (SELECT mass FROM d{k})
+                             ELSE 0.0 END
+                        + {d} * coalesce(c.contrib, 0.0)"""
+        else:
+            base_expr = f"""(1 - {d}) / (SELECT n FROM nn)
+                        + {d} * ((SELECT mass FROM d{k}) / (SELECT n FROM nn)
+                                 + coalesce(c.contrib, 0.0))"""
         parts.append(
             f""",
         d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass
@@ -344,9 +371,7 @@ def kg_pagerank_sql(
                         JOIN outw o ON o.id = g.src_id
                  GROUP BY g.dst_id),
         r{k} AS MATERIALIZED (SELECT n.id,
-                        (1 - {d}) / (SELECT n FROM nn)
-                        + {d} * ((SELECT mass FROM d{k}) / (SELECT n FROM nn)
-                                 + coalesce(c.contrib, 0.0)) AS rank
+                        {base_expr} AS rank
                  FROM nodes n LEFT JOIN c{k} c ON c.id = n.id)"""
         )
     return f"""

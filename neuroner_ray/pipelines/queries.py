@@ -16400,3 +16400,438 @@ def doc_split_stratified(sf_dir: str) -> Dataset:
         )
 
     return slim.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------- positional phrase search
+
+PHRASE_QUERY = ("table", "scan")
+
+
+def corpus_phrase_hits(sf_dir: str) -> pa.Table:
+    """POSITIONAL PHRASE SEARCH (the IR class BM25's bag-of-words misses —
+    exact-adjacency retrieval): every doc containing the fixed 2-token
+    phrase, with its occurrence count. Text is row-local, so the right
+    distributed shape is ONE pure map pass (tokenize + vectorized
+    shifted-equality on the token array — the positional-postings
+    intersection collapses to adjacency within a row store); the shuffle
+    moves only matching (doc_id, n_hits) rows. Oracle replays the same
+    word regex and adjacency test with list kernels."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    w1, w2 = PHRASE_QUERY
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_hits": pa.array([], pa.int64()),
+        }
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, hits = [], []
+        for d, txt in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            ws = _WORD_RE.findall((txt or "").lower())
+            if len(ws) < 2:
+                continue
+            a = np.asarray(ws, dtype=object)
+            n = int(((a[:-1] == w1) & (a[1:] == w2)).sum())
+            if n:
+                ids.append(d)
+                hits.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    # driver-concat (NOTES all-empty-block rule: every block may filter
+    # to zero rows, and the result must keep its schema)
+    return pa.concat_tables(
+        [empty]
+        + list(
+            docs.map_batches(scan, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        ),
+        promote_options="default",
+    )
+
+
+# ------------------------------------------------- reciprocal rank fusion
+
+RRF_K = 60
+RRF_CANDIDATES = 100
+
+
+def events_user_rrf_top20(sf_dir: str) -> pa.Table:
+    """RECIPROCAL RANK FUSION (the rank-blending class — combine two
+    heterogeneous rankings without score calibration): users ranked by
+    click count and by purchase spend fuse via Σ 1/(60 + rank), summed
+    over the arms the user appears in, evaluated over each arm's top-100
+    candidate list (the standard candidate-list formulation — out-of-list
+    arms contribute 0 on both sides). Scale shape: per-arm user censuses
+    via ONE user-key groupby each, the top-100 cuts are the associative
+    (metric DESC, user ASC) topk_merge — never a global sort; the fuse
+    runs on ≤200 driver rows. Double parity: both sides add the click arm
+    then the purchase arm of the identical 1/(60+r) doubles, cut by
+    (rrf DESC, user ASC) BEFORE the 6-dp output round."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def arm_census(etype: str, metric_fn) -> pd.DataFrame:
+        arm = ev.map_batches(
+            lambda t, etype=etype: t.filter(
+                pc.equal(t["event_type"], etype)
+            ),
+            batch_format="pyarrow",
+        )
+
+        def partial(t: pa.Table, metric_fn=metric_fn) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "m": pa.array([], pa.int64()),
+                    }
+                )
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = metric_fn(t)
+            keys, inv = np.unique(uid, return_inverse=True)
+            sums = np.zeros(keys.size, np.int64)
+            np.add.at(sums, inv, vals)
+            return pa.table(
+                {
+                    "user_id": pa.array(keys, pa.int64()),
+                    "m": pa.array(sums, pa.int64()),
+                }
+            )
+
+        merge = group_sum_merge(("user_id",), ("m",))
+        census = tree_combine(
+            arm.map_batches(partial, batch_format="pyarrow"), merge
+        )
+        top = tree_combine(
+            census, topk_merge(RRF_CANDIDATES, "m", ["user_id"])
+        )
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "m": pa.array([], pa.int64()),
+                    }
+                )
+            ]
+            + list(top.iter_batches(batch_size=None, batch_format="pyarrow")),
+            promote_options="default",
+        ).to_pandas()
+
+    clicks = arm_census("click", lambda t: np.ones(t.num_rows, np.int64))
+    purch = arm_census(
+        "purchase",
+        lambda t: round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64),
+    )
+    schema = pa.schema([("user_id", pa.int64()), ("rrf", pa.float64())])
+
+    def ranks(df: pd.DataFrame) -> dict[int, int]:
+        df = df.sort_values(["m", "user_id"], ascending=[False, True])
+        return {
+            int(u): i + 1 for i, u in enumerate(df["user_id"].tolist())
+        }
+
+    r1, r2 = ranks(clicks), ranks(purch)
+    fused = {
+        u: (1.0 / (RRF_K + r1[u]) if u in r1 else 0.0)
+        + (1.0 / (RRF_K + r2[u]) if u in r2 else 0.0)
+        for u in set(r1) | set(r2)
+    }
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pa.table(
+        {
+            "user_id": pa.array([u for u, _ in order], pa.int64()),
+            "rrf": pa.array(
+                round_half_away([v for _, v in order], 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------ zone-map skipping audit
+
+ZONEMAP_FILES = 64
+ZONEMAP_LO_US = 820_454_400_000_000  # 1996-01-01
+ZONEMAP_HI_US = 852_076_800_000_000  # 1997-01-01
+
+
+def lineitem_zonemap_skip(sf_dir: str) -> pa.Table:
+    """ZONE-MAP DATA-SKIPPING audit (the physical-layout planning class:
+    how many files a min/max-pruned reader skips for a date predicate,
+    under two clusterings of the same table). Layout 'unclustered' =
+    orderkey % 64 files (date-uniform, the anti-pattern); layout
+    'date_clustered' = one file per ship month (what a sort/partition by
+    date buys). ONE lineitem pass emits per-(layout, file) min/max/count
+    partials (both layouts share the pass); the min/max census
+    tree-combines and the predicate evaluates on ≤ (64 + months) driver
+    rows — exact int µs everywhere. A file is skippable iff
+    max < lo OR min >= hi (the standard zone-map test)."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    schema = pa.schema(
+        [
+            ("layout", pa.string()),
+            ("n_files", pa.int64()),
+            ("n_skippable", pa.int64()),
+            ("n_rows_skipped", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = (
+            t["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dt = us.astype("datetime64[us]")
+        months = (
+            dt.astype("datetime64[M]").astype(np.int64) + 1970 * 12
+        )  # absolute month id, mirrors year*12 + (month-1)
+        frames = []
+        for layout, fid in (
+            ("unclustered", ok % ZONEMAP_FILES),
+            ("date_clustered", months),
+        ):
+            df = pd.DataFrame({"fid": fid, "us": us})
+            g = df.groupby("fid")["us"].agg(["min", "max", "size"])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "layout": layout,
+                        "fid": g.index.to_numpy(np.int64),
+                        "mn": g["min"].to_numpy(np.int64),
+                        "mx": g["max"].to_numpy(np.int64),
+                        "n": g["size"].to_numpy(np.int64),
+                    }
+                )
+            )
+        out = pd.concat(frames)
+        return pa.table(
+            {
+                "layout": pa.array(out["layout"].tolist(), pa.string()),
+                "fid": pa.array(out["fid"].to_numpy(np.int64), pa.int64()),
+                "mn": pa.array(out["mn"].to_numpy(np.int64), pa.int64()),
+                "mx": pa.array(out["mx"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from ..runtime.combine import group_agg_merge
+
+    merge = group_agg_merge(
+        ("layout", "fid"), sums=("n",), mins=("mn",), maxs=("mx",)
+    )
+    zonemaps = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "layout": pa.array([], pa.string()),
+                    "fid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(partials, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if zonemaps.empty:
+        return schema.empty_table()
+    rows = []
+    for layout, g in zonemaps.groupby("layout", sort=True):
+        skippable = (g["mx"] < ZONEMAP_LO_US) | (g["mn"] >= ZONEMAP_HI_US)
+        rows.append(
+            (
+                layout,
+                len(g),
+                int(skippable.sum()),
+                int(g.loc[skippable, "n"].sum()),
+            )
+        )
+    return pa.table(
+        {
+            "layout": pa.array([r[0] for r in rows], pa.string()),
+            "n_files": pa.array([r[1] for r in rows], pa.int64()),
+            "n_skippable": pa.array([r[2] for r in rows], pa.int64()),
+            "n_rows_skipped": pa.array([r[3] for r in rows], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------- winsorized robust mean
+
+WINSOR_LO_Q = 0.05
+WINSOR_HI_Q = 0.95
+
+
+def events_value_winsorized_mean(sf_dir: str) -> pa.Table:
+    """WINSORIZED MEAN per event type (the robust-statistics class next
+    to MAD/IQR: clamp to [p05, p95] before averaging, so heavy tails
+    cannot dominate the location estimate). ONE (type, cents)-census
+    (value-domain-bounded, the quantiles idiom); the discrete quantiles
+    are order statistics read off the sorted census
+    (sorted[ceil(n·q)−1] — the DuckDB quantile_disc rule), the clamped
+    sum is exact ints, and the single division mirrors the oracle
+    expression-for-expression."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("lo_cents", pa.int64()),
+            ("hi_cents", pa.int64()),
+            ("winsorized_mean", pa.float64()),
+        ]
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pylist(), "v": cents}
+            )
+            .groupby(["event_type", "v"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "v": pa.array(df["v"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "v"), ("n",)),
+    ).to_pandas()
+    if counts.empty:
+        return schema.empty_table()
+    types, ns, los, his, means = [], [], [], [], []
+    for t, g in counts.groupby("event_type", sort=True):
+        g = g.sort_values("v")
+        vs = g["v"].to_numpy(np.int64)
+        cn = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(cn)
+        n = int(cum[-1])
+        lo = int(vs[np.searchsorted(cum, int(np.ceil(n * WINSOR_LO_Q)))])
+        hi = int(vs[np.searchsorted(cum, int(np.ceil(n * WINSOR_HI_Q)))])
+        clamped = np.clip(vs, lo, hi)
+        s = int(np.dot(clamped, cn))
+        types.append(t)
+        ns.append(n)
+        los.append(lo)
+        his.append(hi)
+        means.append(
+            round_half_away([float(s) / (n * 100.0)], 4)[0]
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(ns, pa.int64()),
+            "lo_cents": pa.array(los, pa.int64()),
+            "hi_cents": pa.array(his, pa.int64()),
+            "winsorized_mean": pa.array(means, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------------- k-anonymity audit
+
+KANON_K = 5
+KANON_CHAR_BUCKET = 100
+
+
+def doc_kanonymity_audit(sf_dir: str) -> pa.Table:
+    """K-ANONYMITY privacy audit (the re-identification-risk class a
+    curation pipeline runs before release): quasi-identifier =
+    (lang, source, n_chars // 100); report the equivalence-class count,
+    the anonymity level (min class size), and how many classes / docs
+    fall below k = 5. ONE QI census (map-side group-sum partials — the
+    QI domain is enumerable); the summary is one fixed-width row, exact
+    ints throughout."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["lang", "source", "n_chars"]
+    )
+    schema = pa.schema(
+        [
+            ("n_classes", pa.int64()),
+            ("min_class_size", pa.int64()),
+            ("n_classes_below_k", pa.int64()),
+            ("n_docs_at_risk", pa.int64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "lang": t["lang"].to_pylist(),
+                    "source": t["source"].to_pylist(),
+                    "cb": t["n_chars"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    // KANON_CHAR_BUCKET,
+                }
+            )
+            .groupby(["lang", "source", "cb"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "source": pa.array(df["source"].tolist(), pa.string()),
+                "cb": pa.array(df["cb"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        docs.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("lang", "source", "cb"), ("n",)),
+    ).to_pandas()
+    if counts.empty:
+        return schema.empty_table()
+    n = counts["n"].to_numpy(np.int64)
+    below = n < KANON_K
+    return pa.table(
+        {
+            "n_classes": pa.array([len(n)], pa.int64()),
+            "min_class_size": pa.array([int(n.min())], pa.int64()),
+            "n_classes_below_k": pa.array([int(below.sum())], pa.int64()),
+            "n_docs_at_risk": pa.array([int(n[below].sum())], pa.int64()),
+        },
+        schema=schema,
+    )

@@ -382,10 +382,14 @@ def _try_collect_edges(
     return pa.concat_tables(batches, promote_options="default")
 
 
-def _pagerank_local(tab: pa.Table, damping: float, iters: int) -> pa.Table:
+def _pagerank_local(
+    tab: pa.Table, damping: float, iters: int, personalized: bool = False
+) -> pa.Table:
     """Small-graph fast path: identical formulation to the streamed loop
     (same census, same dangling redistribution, same rounding), vectorized
-    on the collected edge table."""
+    on the collected edge table. ``personalized`` teleports (1−d) AND the
+    dangling mass to the lexicographically smallest node instead of
+    uniformly (rank₀ = the seed indicator)."""
     from ..functions.rounding import round_half_away
 
     if tab.num_rows == 0:
@@ -405,17 +409,25 @@ def _pagerank_local(tab: pa.Table, damping: float, iters: int) -> pa.Table:
     n = len(nodes)
     ow = np.zeros(n)
     np.add.at(ow, si, w)
-    rank = np.full(n, 1.0 / n)
+    seed_vec = np.zeros(n)
+    seed_vec[0] = 1.0  # nodes are sorted: index 0 is the lexicographic min
+    rank = seed_vec.copy() if personalized else np.full(n, 1.0 / n)
     for _ in range(iters):
         f = np.divide(rank, ow, out=np.zeros(n), where=ow > 0.0)
         contrib = np.zeros(n)
         np.add.at(contrib, di, f[si] * w)
         dangling = rank[ow == 0.0].sum()
-        rank = (
-            (1.0 - damping) / n
-            + damping * dangling / n
-            + damping * contrib
-        )
+        if personalized:
+            rank = (
+                seed_vec * ((1.0 - damping) + damping * dangling)
+                + damping * contrib
+            )
+        else:
+            rank = (
+                (1.0 - damping) / n
+                + damping * dangling / n
+                + damping * contrib
+            )
     return pa.table(
         {
             "entity_id": pa.array(list(nodes), pa.string()),
@@ -432,9 +444,13 @@ def pagerank(
     small_max: int = SMALL_GRAPH_EDGES_MAX,
     max_nodes: int = PAGERANK_MAX_NODES,
     num_buckets: int | None = None,
+    personalized: bool = False,
 ) -> pa.Table | Dataset:
     """Weighted PageRank over the canonical edge table (power method,
-    fixed iteration count, deterministic).
+    fixed iteration count, deterministic). With ``personalized``, the
+    (1−d) teleport AND the dangling mass restart at the lexicographically
+    smallest node instead of uniformly (rank₀ = seed indicator) — the
+    seeded-relevance variant (PPR), same three regimes.
 
     Size-adaptive, three regimes:
     - ≤ ``small_max`` edges: ONE collect + vectorized driver loop
@@ -461,7 +477,9 @@ def pagerank(
         slim, ["src_id", "dst_id", "weight"], row_cap=small_max
     )
     if collected is not None:
-        return _pagerank_local(collected, damping, iters)
+        return _pagerank_local(
+            collected, damping, iters, personalized=personalized
+        )
     g = slim.materialize()
 
     # out-weight per src + node census (both vocabulary-sized)
@@ -492,12 +510,21 @@ def pagerank(
     )
     if census.num_rows > max_nodes:
         return _pagerank_sharded(
-            g, damping, iters, num_buckets=num_buckets or PR_NUM_BUCKETS
+            g,
+            damping,
+            iters,
+            num_buckets=num_buckets or PR_NUM_BUCKETS,
+            personalized=personalized,
         )
     node_ids = census["id"].to_pylist()
     ow = dict(zip(node_ids, census["ow"].to_numpy(zero_copy_only=False)))
     n_nodes = len(node_ids)
-    rank = {v: 1.0 / n_nodes for v in node_ids}
+    seed = min(node_ids)
+    rank = (
+        {v: (1.0 if v == seed else 0.0) for v in node_ids}
+        if personalized
+        else {v: 1.0 / n_nodes for v in node_ids}
+    )
 
     cmerge = group_sum_merge(("id",), ("contrib",))
     for _ in range(iters):
@@ -537,8 +564,18 @@ def pagerank(
             )
         )
         dangling = sum(rank[v] for v in node_ids if ow[v] == 0.0)
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
-        rank = {v: base + damping * c.get(v, 0.0) for v in node_ids}
+        if personalized:
+            seed_base = (1.0 - damping) + damping * dangling
+            rank = {
+                v: (seed_base if v == seed else 0.0)
+                + damping * c.get(v, 0.0)
+                for v in node_ids
+            }
+        else:
+            base = (
+                (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+            )
+            rank = {v: base + damping * c.get(v, 0.0) for v in node_ids}
 
     order = sorted(node_ids)
     return pa.table(
@@ -580,6 +617,7 @@ def _pagerank_sharded(
     damping: float,
     iters: int,
     num_buckets: int = PR_NUM_BUCKETS,
+    personalized: bool = False,
 ) -> Dataset:
     """Sharded-rank-vector PageRank (the > PAGERANK_MAX_NODES regime,
     VERDICT r3 item 3): node state lives as a bucketed Dataset — the rank
@@ -642,13 +680,25 @@ def _pagerank_sharded(
             batch_format="pyarrow",
         )
 
+    # personalized teleport: the seed is ONE scalar to the driver (the
+    # sssp/bfs seed convention) — the rank vector itself stays sharded
+    seed = _sssp_seed(g) if personalized else None
+
     def init_state(t: pa.Table) -> pa.Table:
+        if personalized:
+            ranks = pa.compute.if_else(
+                pa.compute.equal(t["id"], seed),
+                pa.scalar(1.0),
+                pa.scalar(0.0),
+            )
+        else:
+            ranks = pa.array([1.0 / n_nodes] * t.num_rows, pa.float64())
         return pa.table(
             {
                 "bucket": _bucket_of(t["id"], num_buckets),
                 "id": t["id"],
                 "ow": t["ow"],
-                "rank": pa.array([1.0 / n_nodes] * t.num_rows, pa.float64()),
+                "rank": ranks,
             }
         )
 
@@ -722,7 +772,12 @@ def _pagerank_sharded(
             ).sum("d")
             or 0.0
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        if personalized:
+            base = 0.0
+            seed_base = (1.0 - damping) + damping * dangling
+        else:
+            base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+            seed_base = base
 
         factor_rows = state.map_batches(
             lambda t: (
@@ -767,16 +822,26 @@ def _pagerank_sharded(
             )
 
         def new_state_group(
-            df: pd.DataFrame, base=base, damping=damping
+            df: pd.DataFrame,
+            base=base,
+            seed_base=seed_base,
+            damping=damping,
+            seed=seed,
         ) -> pd.DataFrame:
             s = df[df["kind"] == 0]
             c = df[df["kind"] == 1].groupby("id")["val"].sum()
+            base_vec = (
+                np.where(s["id"].to_numpy(dtype=object) == seed,
+                         seed_base, base)
+                if seed is not None
+                else base
+            )
             return pd.DataFrame(
                 {
                     "bucket": s["bucket"].to_numpy(),
                     "id": s["id"].to_numpy(),
                     "ow": s["ow"].to_numpy(),
-                    "rank": base
+                    "rank": base_vec
                     + damping * s["id"].map(c).fillna(0.0).to_numpy(),
                 }
             )

@@ -3681,3 +3681,240 @@ def test_holt_recurrence_replay():
         want_b.append(b)
     assert np.allclose(out["level"], np.round(want_l, 4), atol=1e-9)
     assert np.allclose(out["trend"], np.round(want_b, 4), atol=1e-9)
+
+
+def test_round4_batch46_queries_match_oracles():
+    """Batch-46 additions (positional phrase search, RRF fusion) against
+    their registered oracles (kg_ppr replays through the graph regime
+    test + the check_oracles replica)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("corpus_phrase_hits", "events_user_rrf_top20"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch46_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.corpus_phrase_hits, 2),
+        (q.events_user_rrf_top20, 2),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_phrase_hits_planted_adjacency():
+    """Adjacency is load-bearing: 'table scan' back-to-back matches,
+    'table X scan' does not; overlapping repeats count each start."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (1, "the table scan runs"),            # 1 hit
+        (2, "table first scan later"),          # 0 hits (gap)
+        (3, "table scan table scan table scan"),  # 3 hits
+        (4, "scan table"),                       # 0 hits (order)
+        (5, "Table SCAN"),                       # 1 hit (case-folded)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(x) for _, x in docs], pa.int64()
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        res = q.corpus_phrase_hits(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {1: 1, 3: 3, 5: 1}
+
+
+def test_rrf_single_arm_users_score_one_term():
+    """A user in only one candidate list contributes exactly one
+    1/(60+r) term — checked by recomputing the fuse from the raw
+    censuses in pandas."""
+    import numpy as np
+
+    res = q.events_user_rrf_top20(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    import duckdb as dk
+
+    c = dk.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    cl = c.execute(
+        "SELECT user_id, count(*) m FROM events WHERE event_type='click' "
+        "GROUP BY 1 ORDER BY m DESC, user_id LIMIT 100"
+    ).fetchdf()
+    pu = c.execute(
+        "SELECT user_id, sum(CAST(round(value*100) AS BIGINT)) m FROM events "
+        "WHERE event_type='purchase' GROUP BY 1 ORDER BY m DESC, user_id "
+        "LIMIT 100"
+    ).fetchdf()
+    r1 = {int(u): i + 1 for i, u in enumerate(cl["user_id"])}
+    r2 = {int(u): i + 1 for i, u in enumerate(pu["user_id"])}
+    for row in out.itertuples():
+        want = (1.0 / (60 + r1[row.user_id]) if row.user_id in r1 else 0.0) + (
+            1.0 / (60 + r2[row.user_id]) if row.user_id in r2 else 0.0
+        )
+        assert abs(row.rrf - np.round(want, 6)) < 1e-12, row.user_id
+
+
+def test_round4_batch47_queries_match_oracles():
+    """Batch-47 additions (zone-map skipping audit, winsorized mean,
+    k-anonymity audit) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "lineitem_zonemap_skip",
+        "events_value_winsorized_mean",
+        "doc_kanonymity_audit",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch47_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents", "lineitem"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.lineitem_zonemap_skip, 4),
+        (q.events_value_winsorized_mean, 5),
+        (q.doc_kanonymity_audit, 4),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_zonemap_clustered_layout_skips_more():
+    """The point of the audit: the date-clustered layout must let the
+    zone-map test skip at least as many ROWS as the unclustered one, and
+    a skipped file's rows never intersect the predicate window."""
+    res = q.lineitem_zonemap_skip(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    by = out.set_index("layout")
+    assert (
+        by.loc["date_clustered", "n_rows_skipped"]
+        >= by.loc["unclustered", "n_rows_skipped"]
+    )
+    # date-clustered files are month-pure: every file outside the window
+    # is skippable, so skipped rows = rows outside the window entirely
+    c = duckdb.connect()
+    outside = c.execute(
+        f"""SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')
+            WHERE l_shipdate < TIMESTAMP '1996-01-01'
+               OR l_shipdate >= TIMESTAMP '1997-01-01'"""
+    ).fetchone()[0]
+    assert int(by.loc["date_clustered", "n_rows_skipped"]) == int(outside)
+
+
+def test_winsorized_mean_bounded_by_clamps():
+    """Structural: the winsorized mean lies inside [lo, hi] cents and is
+    no farther from the median than the raw mean on a planted outlier."""
+    res = q.events_value_winsorized_mean(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert r.lo_cents / 100.0 <= r.winsorized_mean <= r.hi_cents / 100.0
+
+
+def test_kanonymity_planted_small_class(tmp_path):
+    """A planted singleton QI class drives min_class_size to 1 and is
+    counted at risk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [("en", "s0", 150)] * 6 + [("zz", "rare", 9999)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    res = q.doc_kanonymity_audit(str(tmp_path))
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    r = out.iloc[0]
+    assert r["n_classes"] == 2
+    assert r["min_class_size"] == 1
+    assert r["n_classes_below_k"] == 1
+    assert r["n_docs_at_risk"] == 1

@@ -1105,3 +1105,51 @@ def test_sssp_self_loop_and_empty():
     )
     assert len(sssp(e).to_pandas()) == 0
     assert len(sssp(e, force_sharded=True, num_buckets=2).to_pandas()) == 0
+
+
+def test_personalized_pagerank_regimes_and_reference():
+    """PPR three regimes agree at 4-dp AND match a dense reference; the
+    seed dominates (teleport concentrates mass) and total mass stays 1."""
+    import pandas as pd
+
+    def _dense_ppr(edges, damping=0.85, iters=10):
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        W = np.zeros((n, n))
+        for s, d, w in edges:
+            W[idx[s], idx[d]] += w
+        ow = W.sum(axis=1)
+        e = np.zeros(n)
+        e[0] = 1.0
+        r = e.copy()
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for i in range(n):
+                if ow[i] > 0:
+                    contrib += r[i] * W[i] / ow[i]
+            dangling = r[ow == 0].sum()
+            r = e * ((1 - damping) + damping * dangling) + damping * contrib
+        return dict(zip(nodes, r))
+
+    def run(**kw):
+        ds = rd.from_items(
+            [{"src_id": s, "dst_id": d, "weight": w} for s, d, w in EDGES]
+        )
+        out = pagerank(ds, personalized=True, **kw)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        return out.sort_values("entity_id").reset_index(drop=True)
+
+    local = run()
+    streamed = run(small_max=0)
+    sharded = run(small_max=0, max_nodes=0, num_buckets=4)
+    pd.testing.assert_frame_equal(local, streamed, atol=1e-9)
+    pd.testing.assert_frame_equal(local, sharded, atol=1e-9)
+    want = _dense_ppr(EDGES)
+    for r in local.itertuples():
+        assert abs(r.rank - round(want[r.entity_id], 4)) < 1e-9, r.entity_id
+    # mass conservation + seed dominance vs the uniform variant
+    assert abs(local["rank"].sum() - 1.0) < 1e-3
+    seed = min(want)
+    assert local.set_index("entity_id")["rank"][seed] == local["rank"].max()
