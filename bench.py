@@ -166,6 +166,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     timings["kg_hits"] = round(time.perf_counter() - t0, 3)
 
+    # weighted SSSP + personalized PageRank over the same edges (both
+    # size-adaptive; at this corpus both take the driver fast path)
+    from neuroner_ray.stages.graph import pagerank, sssp
+
+    t0 = time.perf_counter()
+    sssp(
+        read_parquet_clean(
+            os.path.join(out_dir, "edges"),
+            columns=["src_id", "dst_id", "weight"],
+        )
+    )
+    timings["kg_sssp"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pagerank(
+        read_parquet_clean(
+            os.path.join(out_dir, "edges"),
+            columns=["src_id", "dst_id", "weight"],
+        ),
+        personalized=True,
+    )
+    timings["kg_ppr"] = round(time.perf_counter() - t0, 3)
+
     # secondary: classic (materializing) pipeline with the gazetteer tagger
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -215,6 +237,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("events_funnel_window_sweep", q.events_funnel_window_sweep),
         ("part_mincost_supplier_q2", q.part_mincost_supplier_q2),
         ("corpus_zipf_fit", q.corpus_zipf_fit),
+        # batch 44+: CDC snapshot diff (one keep-latest pass), stratified
+        # exact-quota split (keyed histogram + boundary collect), lead-lag
+        # xcorr, RRF fusion, zone-map audit
+        ("events_snapshot_diff", q.events_snapshot_diff),
+        ("doc_split_stratified", q.doc_split_stratified),
+        ("events_hourly_xcorr", q.events_hourly_xcorr),
+        ("events_user_rrf_top20", q.events_user_rrf_top20),
+        ("lineitem_zonemap_skip", q.lineitem_zonemap_skip),
     ]:
         t0 = time.perf_counter()
         ds = fn(sf_dir)
