@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_zonemap_skip": q.lineitem_zonemap_skip,
         "events_value_winsorized_mean": q.events_value_winsorized_mean,
         "doc_kanonymity_audit": q.doc_kanonymity_audit,
+        "orders_skyline": q.orders_skyline,
+        "orders_price_cume_dist": q.orders_price_cume_dist,
+        "events_value_equidepth": q.events_value_equidepth,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1026,6 +1029,49 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN n < {q.KANON_K} THEN n ELSE 0 END)::BIGINT
                        AS n_docs_at_risk
             FROM qi
+        """,
+        "orders_skyline": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS p,
+                              epoch_us(o_orderdate) AS d
+                       FROM orders)
+            SELECT o_orderkey, p AS price_cents, d AS od_us
+            FROM o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM o o2
+                WHERE o2.p >= o.p AND o2.d >= o.d
+                  AND (o2.p > o.p OR o2.d > o.d))
+        """,
+        "orders_price_cume_dist": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS p
+                       FROM orders),
+            c AS (SELECT o_orderkey, p,
+                         cume_dist() OVER (ORDER BY p) AS cd
+                  FROM o)
+            SELECT o_orderkey, p AS price_cents, round(cd, 6) AS cume_dist
+            FROM c ORDER BY cd DESC, o_orderkey LIMIT 50
+        """,
+        "events_value_equidepth": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            qs AS (SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                            0.6, 0.7, 0.8, 0.9, 1.0])
+                       AS his
+                   FROM c),
+            bins AS (SELECT unnest(range(1, 11)) AS bin),
+            h AS (SELECT bin, his[bin]::BIGINT AS hi_cents
+                  FROM bins, qs WHERE his IS NOT NULL),
+            le AS (SELECT bin, hi_cents,
+                          (SELECT count(*) FROM c WHERE v <= hi_cents)
+                              ::BIGINT AS le_n
+                   FROM h)
+            SELECT bin::BIGINT AS bin, hi_cents,
+                   (le_n - coalesce(lag(le_n) OVER (ORDER BY bin), 0))
+                       ::BIGINT AS n_rows
+            FROM le
         """,
         "corpus_phrase_hits": f"""
             WITH w AS (

@@ -16835,3 +16835,253 @@ def doc_kanonymity_audit(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------------- skyline / Pareto
+
+
+def orders_skyline(sf_dir: str) -> pa.Table:
+    """SKYLINE (Pareto-frontier) query — the multi-objective shortlist
+    classic: orders not dominated on (totalprice, orderdate), i.e. no
+    other order is >= on both dimensions and strictly > on one.
+    Distribution exploits that skylines COMPOSE: skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)), so each batch reduces to its local
+    frontier map-side and the associative tree merge keeps frontier-sized
+    rows only (the local step is the classic sort-by-x-desc /
+    running-max-y sweep, vectorized). Ints end to end (cents, epoch µs);
+    the oracle is the textbook NOT EXISTS dominance predicate."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("price_cents", pa.int64()),
+            ("od_us", pa.int64()),
+        ]
+    )
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        if "price_cents" in t.schema.names:
+            key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            price = t["price_cents"].to_numpy(zero_copy_only=False)
+            dus = t["od_us"].to_numpy(zero_copy_only=False)
+        else:
+            key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            price = round_half_away(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)
+            dus = (
+                t["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        # vectorized sweep: sort (price DESC, date DESC, key ASC); a row
+        # survives iff its date strictly exceeds every earlier row's date
+        # (earlier rows have price >= its price, so any date tie or win
+        # there dominates it) — EXCEPT exact (p, d) duplicates of a
+        # survivor, which are mutually non-dominating and sort adjacently,
+        # so run-level keep handles them
+        order = np.lexsort((key, -dus, -price))
+        p, d, k = price[order], dus[order], key[order]
+        newrun = np.ones(len(p), bool)
+        newrun[1:] = (p[1:] != p[:-1]) | (d[1:] != d[:-1])
+        runid = np.cumsum(newrun) - 1
+        prevmax = np.concatenate(
+            [[np.iinfo(np.int64).min], np.maximum.accumulate(d)[:-1]]
+        )
+        firstkeep = d[newrun] > prevmax[newrun]
+        keep = firstkeep[runid]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep], pa.int64()),
+                "price_cents": pa.array(p[keep], pa.int64()),
+                "od_us": pa.array(d[keep], pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return pa.concat_tables(
+        [schema.empty_table()]
+        + list(
+            tree_combine(
+                orders.map_batches(local_skyline, batch_format="pyarrow"),
+                local_skyline,
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+
+
+# ------------------------------------------------ global CDF attach window
+
+
+def orders_price_cume_dist(sf_dir: str, k: int = 50) -> pa.Table:
+    """GLOBAL WINDOW FUNCTION at corpus scale — cume_dist() OVER
+    (ORDER BY price) attached to every row WITHOUT a global sort: ONE
+    price-cents census (value-domain-bounded) builds the exact CDF, which
+    broadcasts as two sorted arrays; a map pass attaches ranks via
+    searchsorted. Output here is the top-k orders by (cume_dist DESC,
+    orderkey ASC) to keep the gate result bounded — the attach pass
+    itself is corpus-sized and streams. cume_dist = (#rows <= v) / N,
+    one double division per row, identical on both sides."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("price_cents", pa.int64()),
+            ("cume_dist", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keys, counts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cdf = pa.concat_tables(
+        [
+            pa.table(
+                {"v": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ]
+        + list(
+            tree_combine(
+                orders.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("v",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if cdf.num_rows == 0:
+        return schema.empty_table()
+    vs = cdf["v"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vs)
+    vs = vs[order]
+    cum = np.cumsum(cdf["n"].to_numpy(zero_copy_only=False)[order])
+    total = int(cum[-1])
+    vref = ray.put((vs, cum))
+
+    def attach(t: pa.Table, vref=vref, total=total) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        vs, cum = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        le = cum[np.searchsorted(vs, cents, side="right") - 1]
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "price_cents": pa.array(cents, pa.int64()),
+                "cume_dist": pa.array(
+                    le.astype(np.float64) / float(total), pa.float64()
+                ),
+            },
+            schema=schema,
+        )
+
+    ranked = orders.map_batches(attach, batch_format="pyarrow")
+    top = tree_combine(
+        ranked, topk_merge(k, "cume_dist", ["o_orderkey"])
+    )
+    out = pa.concat_tables(
+        [schema.empty_table()]
+        + list(top.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default",
+    )
+    cd = out["cume_dist"].to_numpy(zero_copy_only=False)
+    return out.set_column(
+        out.schema.get_field_index("cume_dist"),
+        "cume_dist",
+        pa.array(round_half_away(cd, 6), pa.float64()),
+    )
+
+
+# --------------------------------------------------- equi-depth histogram
+
+EQUIDEPTH_BINS = 10
+
+
+def events_value_equidepth(sf_dir: str) -> pa.Table:
+    """EQUI-DEPTH (equal-frequency) HISTOGRAM — the optimizer-statistics
+    counterpart of events_value_hist's equi-width bins: 10 bins whose
+    UPPER boundaries are the exact i/10-quantile order statistics of the
+    value distribution (quantile_disc rule, sorted[ceil(n·q)−1]); bin i
+    holds the rows ≤ its boundary not claimed by an earlier bin, so
+    counts concentrate near n/10 except across heavy duplicate values.
+    ONE cents census; boundaries and counts both read off the sorted
+    census cumulative — exact ints end to end."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+    schema = pa.schema(
+        [
+            ("bin", pa.int64()),
+            ("hi_cents", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keys, counts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {"v": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("v",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("v")
+    vs = cen["v"].to_numpy(np.int64)
+    cum = np.cumsum(cen["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    bins, his, rows = [], [], []
+    prev_le = 0
+    for i in range(1, EQUIDEPTH_BINS + 1):
+        rank = int(np.ceil(n * (i / EQUIDEPTH_BINS)))
+        j = int(np.searchsorted(cum, rank))
+        hi = int(vs[j])
+        le = int(cum[j])  # rows <= this boundary
+        bins.append(i)
+        his.append(hi)
+        rows.append(le - prev_le)
+        prev_le = le
+    return pa.table(
+        {
+            "bin": pa.array(bins, pa.int64()),
+            "hi_cents": pa.array(his, pa.int64()),
+            "n_rows": pa.array(rows, pa.int64()),
+        },
+        schema=schema,
+    )

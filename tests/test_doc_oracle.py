@@ -3918,3 +3918,136 @@ def test_kanonymity_planted_small_class(tmp_path):
     assert r["min_class_size"] == 1
     assert r["n_classes_below_k"] == 1
     assert r["n_docs_at_risk"] == 1
+
+
+def test_round4_batch48_queries_match_oracles():
+    """Batch-48 additions (skyline, global cume_dist attach, equi-depth
+    histogram) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "orders_skyline",
+        "orders_price_cume_dist",
+        "events_value_equidepth",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch48_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "orders"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.orders_skyline, 3),
+        (q.orders_price_cume_dist, 3),
+        (q.events_value_equidepth, 3),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_skyline_planted_dominance_and_ties(tmp_path):
+    """Planted frontier pins the dominance semantics: ties on both dims
+    survive together; a row beaten on one dim and tied on the other is
+    dominated; batch splits cannot change the result (composition)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day = lambda i: np.datetime64("2026-01-01", "us") + np.timedelta64(
+        i * 86_400_000_000, "us"
+    )
+    rows = [
+        (1, 100.0, day(5)),   # frontier (highest price, latest date)
+        (2, 100.0, day(5)),   # exact duplicate -> survives too
+        (3, 100.0, day(4)),   # dominated: price tie, earlier date
+        (4, 90.0, day(5)),    # dominated: date tie, lower price
+        (5, 80.0, day(9)),    # frontier (later date, lower price)
+        (6, 70.0, day(1)),    # dominated by everything
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [r[2] for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "orders.parquet"))
+    res = q.orders_skyline(str(tmp_path))
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert sorted(out["o_orderkey"]) == [1, 2, 5]
+
+
+def test_equidepth_bins_cover_and_balance():
+    """Coverage invariants: bin counts sum to the row count, boundaries
+    are non-decreasing, and the last boundary is the max value."""
+    res = q.events_value_equidepth(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    c = duckdb.connect()
+    n, mx = c.execute(
+        f"""SELECT count(*), max(CAST(round(value*100) AS BIGINT))
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchone()
+    assert int(out["n_rows"].sum()) == int(n)
+    his = out.sort_values("bin")["hi_cents"].to_numpy()
+    assert (his[1:] >= his[:-1]).all()
+    assert int(his[-1]) == int(mx)
+
+
+def test_cume_dist_attach_matches_definition():
+    """cume_dist of the top row is exactly 1.0 and every reported value
+    equals (#rows <= price)/N recomputed from the raw table."""
+    res = q.orders_price_cume_dist(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    c = duckdb.connect()
+    import numpy as np
+
+    prices = c.execute(
+        f"""SELECT CAST(round(o_totalprice*100) AS BIGINT) p
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchdf()["p"].to_numpy()
+    prices.sort()
+    n = len(prices)
+    assert out["cume_dist"].max() == 1.0
+    for r in out.itertuples():
+        le = int(np.searchsorted(prices, r.price_cents, side="right"))
+        assert abs(r.cume_dist - np.round(le / n, 6)) < 1e-12
