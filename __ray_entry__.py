@@ -413,6 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": q.orders_skyline,
         "orders_price_cume_dist": q.orders_price_cume_dist,
         "events_value_equidepth": q.events_value_equidepth,
+        "embedding_dim_stats": q.embedding_dim_stats,
+        "lineitem_weighted_median": q.lineitem_weighted_median,
+        "events_type_venn3": q.events_type_venn3,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1029,6 +1032,50 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN n < {q.KANON_K} THEN n ELSE 0 END)::BIGINT
                        AS n_docs_at_risk
             FROM qi
+        """,
+        "embedding_dim_stats": """
+            WITH u AS (
+                SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings)
+            SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+                   round(sum(CAST(v AS DOUBLE)) / count(*), 4) AS mean,
+                   round(min(CAST(v AS DOUBLE)), 4) AS vmin,
+                   round(max(CAST(v AS DOUBLE)), 4) AS vmax
+            FROM u GROUP BY 1
+        """,
+        "lineitem_weighted_median": """
+            WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS v,
+                              CAST(round(l_quantity * 100) AS BIGINT)
+                                  AS wh
+                       FROM lineitem),
+            cen AS (SELECT v, sum(wh)::BIGINT AS w FROM c GROUP BY 1),
+            r AS (SELECT v,
+                         sum(w) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                         (SELECT sum(w) FROM cen) AS total
+                  FROM cen)
+            SELECT total::BIGINT AS total_weight_h,
+                   min(v)::BIGINT AS weighted_median_cents
+            FROM r WHERE cum >= (total + 1) // 2
+            GROUP BY total
+        """,
+        "events_type_venn3": """
+            WITH f AS (SELECT user_id,
+                          max(CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END) AS hv,
+                          max(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END) AS hc,
+                          max(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS hp
+                       FROM events
+                       WHERE event_type IN ('view', 'click', 'purchase')
+                       GROUP BY 1)
+            SELECT hv::BIGINT AS has_view, hc::BIGINT AS has_click,
+                   hp::BIGINT AS has_purchase,
+                   count(*)::BIGINT AS n_users
+            FROM f GROUP BY 1, 2, 3
         """,
         "orders_skyline": """
             WITH o AS (SELECT o_orderkey,

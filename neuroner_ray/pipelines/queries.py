@@ -17085,3 +17085,281 @@ def events_value_equidepth(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------ list-column dim stats
+
+
+def embedding_dim_stats(sf_dir: str) -> pa.Table:
+    """LIST-COLUMN ANALYTICS (the UNNEST/explode class, distributed
+    without exploding): per embedding dimension, count/mean/min/max —
+    the feature-quality profile a vector store runs before indexing.
+    Each batch reduces its list<float> column to ONE fixed D-row partial
+    (stacked matrix column sums / mins / maxs — never one row per list
+    element through the shuffle, which is what SQL's UNNEST does); the
+    D-row partials tree-combine. float32 values widen to float64 before
+    summing on BOTH sides (the oracle casts the same way), and the mean
+    divides once at the end, 4-dp. The mean shares the documented
+    float-summation fragility class of embedding_kmeans (partial-sum
+    order vs the oracle's sequential sum — a value within ~1 ulp of a
+    4-dp boundary could flip); min/max are order-free and exact."""
+    emb = read_parquet_clean(_p(sf_dir, "embeddings"), columns=["embedding"])
+    schema = pa.schema(
+        [
+            ("dim", pa.int64()),
+            ("n", pa.int64()),
+            ("mean", pa.float64()),
+            ("vmin", pa.float64()),
+            ("vmax", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                }
+            )
+        if "s" in t.schema.names:  # merge level
+            return t
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(col[0])
+        m = flat.reshape(-1, d).astype(np.float64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "n": pa.array(
+                    np.full(d, m.shape[0], np.int64), pa.int64()
+                ),
+                "s": pa.array(m.sum(axis=0), pa.float64()),
+                "vmin": pa.array(m.min(axis=0), pa.float64()),
+                "vmax": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    from ..runtime.combine import group_agg_merge
+
+    merge = group_agg_merge(
+        ("dim",), sums=("n", "s"), mins=("vmin",), maxs=("vmax",)
+    )
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                emb.map_batches(partial, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if cen.num_rows == 0:
+        return schema.empty_table()
+    n = cen["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = cen["s"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "dim": cen["dim"].cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "mean": pa.array(round_half_away(s / n, 4), pa.float64()),
+            "vmin": pa.array(
+                round_half_away(
+                    cen["vmin"].to_numpy(zero_copy_only=False), 4
+                ),
+                pa.float64(),
+            ),
+            "vmax": pa.array(
+                round_half_away(
+                    cen["vmax"].to_numpy(zero_copy_only=False), 4
+                ),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------------- weighted median
+
+
+def lineitem_weighted_median(sf_dir: str) -> pa.Table:
+    """WEIGHTED MEDIAN (weighted order statistic — the
+    inventory-weighted price point a plain median misrepresents):
+    smallest extendedprice whose cumulative l_quantity weight reaches
+    half the total. ONE (price-cents → weight) census
+    (value-domain-bounded); the boundary reads off the sorted cumulative
+    with the ceil rule ≥ ⌈W/2⌉ in exact integer hundredth-quantity
+    units, mirrored by the oracle's cumulative-window scan."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_extendedprice", "l_quantity"]
+    )
+    schema = pa.schema(
+        [
+            ("total_weight_h", pa.int64()),
+            ("weighted_median_cents", pa.int64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        wh = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keys, inv = np.unique(cents, return_inverse=True)
+        sums = np.zeros(keys.size, np.int64)
+        np.add.at(sums, inv, wh)
+        return pa.table(
+            {
+                "v": pa.array(keys, pa.int64()),
+                "w": pa.array(sums, pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {"v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("v",), ("w",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("v")
+    cum = np.cumsum(cen["w"].to_numpy(np.int64))
+    total = int(cum[-1])
+    half = (total + 1) // 2  # ceil(W/2), exact integer arithmetic
+    j = int(np.searchsorted(cum, half))
+    return pa.table(
+        {
+            "total_weight_h": pa.array([total], pa.int64()),
+            "weighted_median_cents": pa.array(
+                [int(cen["v"].to_numpy(np.int64)[j])], pa.int64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ----------------------------------------------------- 3-way Venn census
+
+
+def events_type_venn3(sf_dir: str) -> pa.Table:
+    """3-WAY SET-OVERLAP (Venn) census — the audience-composition report
+    the pairwise set ops (events_click_purchase_setops) can't express:
+    users bucketed by WHICH of {view, click, purchase} they ever did
+    (7 non-empty cells). Map-side per-user OR partials (one bitmask row
+    per user per batch), an associative bit-OR tree combine... expressed
+    as Max per bit via ONE user-key groupby of 3 indicator columns, then
+    a 7-row census. Exact ints."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["view", "click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema(
+        [
+            ("has_view", pa.int64()),
+            ("has_click", pa.int64()),
+            ("has_purchase", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return t
+        types = t["event_type"].to_pylist()
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "has_view": np.fromiter(
+                    (x == "view" for x in types), np.int64, len(types)
+                ),
+                "has_click": np.fromiter(
+                    (x == "click" for x in types), np.int64, len(types)
+                ),
+                "has_purchase": np.fromiter(
+                    (x == "purchase" for x in types), np.int64, len(types)
+                ),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).max()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from ..runtime.combine import group_agg_merge
+
+    merge = group_agg_merge(
+        ("user_id",), maxs=("has_view", "has_click", "has_purchase")
+    )
+    flags = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"), merge
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "has_view" not in t.schema.names:
+            return schema.empty_table()
+        df = (
+            t.to_pandas()
+            .groupby(["has_view", "has_click", "has_purchase"], sort=True)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pa.table(
+            {
+                "has_view": pa.array(
+                    df["has_view"].to_numpy(np.int64), pa.int64()
+                ),
+                "has_click": pa.array(
+                    df["has_click"].to_numpy(np.int64), pa.int64()
+                ),
+                "has_purchase": pa.array(
+                    df["has_purchase"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_users": pa.array(
+                    df["n_users"].to_numpy(np.int64), pa.int64()
+                ),
+            },
+            schema=schema,
+        )
+
+    return finish(
+        pa.concat_tables(
+            [schema.empty_table().drop_columns(["n_users"]).add_column(
+                0, "user_id", pa.array([], pa.int64())
+            )]
+            + list(
+                flags.iter_batches(batch_size=None, batch_format="pyarrow")
+            ),
+            promote_options="default",
+        )
+    )

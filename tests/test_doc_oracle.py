@@ -4051,3 +4051,137 @@ def test_cume_dist_attach_matches_definition():
     for r in out.itertuples():
         le = int(np.searchsorted(prices, r.price_cents, side="right"))
         assert abs(r.cume_dist - np.round(le / n, 6)) < 1e-12
+
+
+def test_round4_batch49_queries_match_oracles():
+    """Batch-49 additions (list-column dim stats, weighted median, 3-way
+    Venn) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "lineitem", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "embedding_dim_stats",
+        "lineitem_weighted_median",
+        "events_type_venn3",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch49_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "lineitem", "embeddings"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.embedding_dim_stats, 5),
+        (q.lineitem_weighted_median, 2),
+        (q.events_type_venn3, 4),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_weighted_median_planted_weights(tmp_path):
+    """Weights move the median: one heavy cheap line outweighs many
+    light expensive ones."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # price 1.00 with qty 10 vs prices 5.00..9.00 with qty 1 each:
+    # total weight 15 -> half = 8 -> cumulative reaches 8 at price 1.00
+    rows = [(1.0, 10.0)] + [(float(p), 1.0) for p in range(5, 10)]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "l_partkey": pa.array([1] * len(rows), pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array(
+                np.arange(len(rows), dtype=np.int32), pa.int32()
+            ),
+            "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+            "l_extendedprice": pa.array(
+                [r[0] for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("1996-06-01", "us")] * len(rows),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "lineitem.parquet"))
+    res = q.lineitem_weighted_median(str(tmp_path))
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert out.iloc[0]["total_weight_h"] == 1500
+    assert out.iloc[0]["weighted_median_cents"] == 100
+
+
+def test_venn3_planted_cells(tmp_path):
+    """Planted users pin the cell semantics (view-only, view+click,
+    all-three)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    evs = [
+        (1, "view"), (2, "view"), (2, "click"),
+        (3, "view"), (3, "click"), (3, "purchase"),
+        (4, "error"),  # filtered type: user 4 absent from the census
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(evs)), pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2026-01-01", "us")] * len(evs),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([e[0] for e in evs], pa.int64()),
+            "event_type": pa.array([e[1] for e in evs], pa.string()),
+            "value": pa.array([1.0] * len(evs), pa.float64()),
+            "props": pa.array(["{}"] * len(evs), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    res = q.events_type_venn3(str(tmp_path))
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    cells = {
+        (r.has_view, r.has_click, r.has_purchase): r.n_users
+        for r in out.itertuples()
+    }
+    assert cells == {(1, 0, 0): 1, (1, 1, 0): 1, (1, 1, 1): 1}
