@@ -416,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q.embedding_dim_stats,
         "lineitem_weighted_median": q.lineitem_weighted_median,
         "events_type_venn3": q.events_type_venn3,
+        "events_type_decayed_top": q.events_type_decayed_top,
+        "events_wow_contribution": q.events_wow_contribution,
+        "doc_split_leakage": q.doc_split_leakage,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1032,6 +1035,41 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN n < {q.KANON_K} THEN n ELSE 0 END)::BIGINT
                        AS n_docs_at_risk
             FROM qi
+        """,
+        "doc_split_leakage": do.doc_split_leakage_sql(),
+        "events_type_decayed_top": f"""
+            WITH m AS (SELECT max(epoch_us(ts) // 86400000000) AS md
+                       FROM events),
+            w AS (SELECT event_type,
+                         CASE WHEN md - epoch_us(ts) // 86400000000 >= 20
+                              THEN 0
+                              ELSE {q.DECAY_UNIT} // (1::BIGINT <<
+                                   (md - epoch_us(ts) // 86400000000))
+                         END AS wt
+                  FROM events, m)
+            SELECT event_type, sum(wt)::BIGINT AS decayed_units
+            FROM w GROUP BY 1
+        """,
+        "events_wow_contribution": """
+            WITH wkc AS (SELECT event_type,
+                                epoch_us(ts) // 604800000000 AS wk,
+                                count(*)::BIGINT AS n
+                         FROM events GROUP BY 1, 2),
+            mx AS (SELECT max(wk) AS wl FROM wkc),
+            p AS (SELECT t.event_type,
+                     coalesce(sum(CASE WHEN wk = wl - 1 THEN n END),
+                              0)::BIGINT AS n_prev,
+                     coalesce(sum(CASE WHEN wk = wl THEN n END),
+                              0)::BIGINT AS n_last
+                  FROM wkc t, mx GROUP BY 1),
+            tot AS (SELECT sum(n_last - n_prev) AS td FROM p)
+            SELECT event_type, n_prev, n_last,
+                   (n_last - n_prev)::BIGINT AS delta,
+                   CASE WHEN td = 0 THEN NULL
+                        ELSE round((n_last - n_prev)
+                                   / CAST(td AS DOUBLE), 4)
+                   END AS delta_share
+            FROM p, tot
         """,
         "embedding_dim_stats": """
             WITH u AS (

@@ -693,3 +693,24 @@ def embedding_centroid_outliers_sql(k: int = 10) -> str:
         SELECT vec_id, label, round(sqrt(d2), 4) AS dist
         FROM d ORDER BY d2 DESC, vec_id ASC LIMIT {k}
     """
+
+
+def doc_split_leakage_sql(threshold: float = 0.8) -> str:
+    """Cross-split near-dup pair counts — composes the oracled jaccard
+    pair CTE with doc_split_assign's md5 split rule (pure hash labels,
+    mirrored from ``queries.doc_split_leakage``)."""
+    lab = (
+        "CASE WHEN md5_number_upper({c}::VARCHAR) % 10 < 8 THEN 'train' "
+        "WHEN md5_number_upper({c}::VARCHAR) % 10 = 8 THEN 'valid' "
+        "ELSE 'test' END"
+    )
+    return f"""
+        WITH {_jaccard_pairs_cte(threshold)},
+        lab AS (SELECT {lab.format(c="pa")} AS sa,
+                       {lab.format(c="pb")} AS sb
+                FROM pairs)
+        SELECT count(*)::BIGINT AS n_pairs,
+               coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END),
+                        0)::BIGINT AS n_cross_split
+        FROM lab
+    """

@@ -17363,3 +17363,232 @@ def events_type_venn3(sf_dir: str) -> pa.Table:
             promote_options="default",
         )
     )
+
+
+# ------------------------------------------------ time-decayed popularity
+
+DECAY_UNIT = 1_000_000  # integer micro-weights: weight = UNIT // 2^age_days
+
+
+def events_type_decayed_top(sf_dir: str) -> pa.Table:
+    """TIME-DECAYED POPULARITY (the streaming-recency class — a trending
+    score where yesterday counts half of today): per type,
+    Σ 1e6 // 2^age_days in INTEGER micro-units (exact on both sides — no
+    float exponentials to drift; weights hit 0 past 19 days, the natural
+    horizon of a daily-halving decay). One scalar max-day pre-pass, then
+    ONE (type, day)-census pass whose partials pre-multiply the integer
+    weights map-side."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    schema = pa.schema(
+        [("event_type", pa.string()), ("decayed_units", pa.int64())]
+    )
+    DAY_US = 86_400_000_000
+
+    def maxrow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        if "mx" in t.schema.names:
+            return pa.table(
+                {"mx": pa.array([pc.max(t["mx"]).as_py()], pa.int64())}
+            )
+        return pa.table(
+            {
+                "mx": pa.array(
+                    [int(_ts_us(t).max() // DAY_US)], pa.int64()
+                )
+            }
+        )
+
+    mrows = tree_combine(
+        ev.map_batches(maxrow, batch_format="pyarrow"), maxrow
+    ).take_all()
+    if not mrows:
+        return schema.empty_table()
+    max_day = int(mrows[0]["mx"])
+
+    def partial(t: pa.Table, max_day=max_day) -> pa.Table:
+        age = (max_day - _ts_us(t) // DAY_US).astype(np.int64)
+        w = np.where(
+            age >= 20, 0, DECAY_UNIT // (1 << np.minimum(age, 19))
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"event_type": t["event_type"].to_pylist(), "w": w}
+            )
+            .groupby("event_type", sort=True)["w"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "decayed_units": pa.array(
+                    df["w"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = pa.concat_tables(
+        [schema.empty_table()]
+        + list(
+            tree_combine(
+                ev.map_batches(partial, batch_format="pyarrow"),
+                group_sum_merge(("event_type",), ("decayed_units",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    return out
+
+
+# --------------------------------------------- WoW contribution analysis
+
+
+def events_wow_contribution(sf_dir: str) -> pa.Table:
+    """METRIC-DECOMPOSITION (root-cause) analysis: which event type drove
+    the week-over-week change — per type, counts in the last and previous
+    epoch week, the delta, and the delta's share of the total change
+    (NULL share when the total didn't move). ONE (type, week)-census
+    pass; exact ints until the single share division, mirrored by the
+    oracle."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_prev", pa.int64()),
+            ("n_last", pa.int64()),
+            ("delta", pa.int64()),
+            ("delta_share", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        wk = (_ts_us(t) // WEEK_US).astype(np.int64)
+        df = (
+            pd.DataFrame({"event_type": t["event_type"].to_pylist(), "wk": wk})
+            .groupby(["event_type", "wk"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "wk": pa.array(df["wk"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "wk"), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    wk_last = int(cen["wk"].max())
+    piv = (
+        cen[cen["wk"].isin([wk_last - 1, wk_last])]
+        .pivot_table(
+            index="event_type", columns="wk", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=[wk_last - 1, wk_last], fill_value=0)
+    )
+    n_prev = piv[wk_last - 1].to_numpy(np.int64)
+    n_last = piv[wk_last].to_numpy(np.int64)
+    delta = n_last - n_prev
+    total = int(delta.sum())
+    shares = [
+        (None if total == 0 else round_half_away([int(d) / total], 4)[0])
+        for d in delta
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(list(piv.index), pa.string()),
+            "n_prev": pa.array(n_prev, pa.int64()),
+            "n_last": pa.array(n_last, pa.int64()),
+            "delta": pa.array(delta, pa.int64()),
+            "delta_share": pa.array(shares, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------ train/test leakage audit
+
+
+def doc_split_leakage(sf_dir: str) -> pa.Table:
+    """TRAIN/TEST LEAKAGE audit (the curation gate that catches
+    near-duplicates straddling a split boundary — the silent eval
+    inflator): over the oracled 3-gram-Jaccard near-dup pairs (≥ 0.8)
+    and the deterministic hash split (doc_split_assign's rule), count
+    pairs whose endpoints land in DIFFERENT splits. The split is a pure
+    hash function, so endpoints label map-side — no join against an
+    assignment table; one fixed-width summary row."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    schema = pa.schema(
+        [("n_pairs", pa.int64()), ("n_cross_split", pa.int64())]
+    )
+
+    def split_of(d: int) -> str:
+        b = (
+            int.from_bytes(
+                hashlib.md5(str(d).encode("utf-8")).digest()[:8], "little"
+            )
+            % 10
+        )
+        return "train" if b < 8 else ("valid" if b == 8 else "test")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            if "n_pairs" in t.schema.names:  # merge level
+                return pa.table(
+                    {
+                        "n_pairs": pa.array(
+                            [pc.sum(t["n_pairs"]).as_py() or 0], pa.int64()
+                        ),
+                        "n_cross_split": pa.array(
+                            [pc.sum(t["n_cross_split"]).as_py() or 0],
+                            pa.int64(),
+                        ),
+                    }
+                )
+            return pa.table(
+                {
+                    "n_pairs": pa.array([0], pa.int64()),
+                    "n_cross_split": pa.array([0], pa.int64()),
+                }
+            )
+        cross = sum(
+            split_of(a) != split_of(b)
+            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())
+        )
+        return pa.table(
+            {
+                "n_pairs": pa.array([t.num_rows], pa.int64()),
+                "n_cross_split": pa.array([int(cross)], pa.int64()),
+            }
+        )
+
+    rows = tree_combine(
+        pairs.map_batches(summarize, batch_format="pyarrow"), summarize
+    ).take_all()
+    if not rows:
+        return pa.table(
+            {
+                "n_pairs": pa.array([0], pa.int64()),
+                "n_cross_split": pa.array([0], pa.int64()),
+            },
+            schema=schema,
+        )
+    return pa.table(
+        {
+            "n_pairs": pa.array([int(rows[0]["n_pairs"])], pa.int64()),
+            "n_cross_split": pa.array(
+                [int(rows[0]["n_cross_split"])], pa.int64()
+            ),
+        },
+        schema=schema,
+    )

@@ -4185,3 +4185,117 @@ def test_venn3_planted_cells(tmp_path):
         for r in out.itertuples()
     }
     assert cells == {(1, 0, 0): 1, (1, 1, 0): 1, (1, 1, 1): 1}
+
+
+def test_round4_batch50_queries_match_oracles():
+    """Batch-50 additions (decayed popularity, WoW contribution, split
+    leakage) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_type_decayed_top",
+        "events_wow_contribution",
+        "doc_split_leakage",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch50_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols, nrows in (
+        (q.events_type_decayed_top, 2, 0),
+        (q.events_wow_contribution, 5, 0),
+        # leakage has a fixed one-row contract (0 pairs, 0 cross)
+        (q.doc_split_leakage, 2, 1),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == nrows, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_decayed_top_planted_halving(tmp_path):
+    """Integer halving decay: one event today (1e6), two yesterday
+    (2 × 5e5), four 20+ days ago (0 — past the horizon)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day = lambda i: np.datetime64("2026-02-01", "us") + np.timedelta64(
+        i * 86_400_000_000, "us"
+    )
+    evs = (
+        [("a", day(25))]
+        + [("a", day(24))] * 2
+        + [("b", day(0))] * 4
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(evs)), pa.int64()),
+            "ts": pa.array([e[1] for e in evs], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(evs), pa.int64()),
+            "event_type": pa.array([e[0] for e in evs], pa.string()),
+            "value": pa.array([1.0] * len(evs), pa.float64()),
+            "props": pa.array(["{}"] * len(evs), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    res = q.events_type_decayed_top(str(tmp_path))
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    got = dict(zip(out["event_type"], out["decayed_units"]))
+    assert got == {"a": 1_000_000 + 2 * 500_000, "b": 0}
+
+
+def test_wow_contribution_shares_sum_to_one():
+    """When the total moved, the per-type shares sum to 1 (within the
+    4-dp rounding of each term)."""
+    res = q.events_wow_contribution(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    if out["delta"].sum() != 0:
+        assert abs(out["delta_share"].sum() - 1.0) < 1e-3
+    # deltas reconcile exactly regardless
+    assert (out["delta"] == out["n_last"] - out["n_prev"]).all()
+
+
+def test_split_leakage_bounded_by_pairs():
+    res = q.doc_split_leakage(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    r = out.iloc[0]
+    assert 0 <= r["n_cross_split"] <= r["n_pairs"]
+    # and the pair universe matches the oracled jaccard-pairs op
+    n_pairs = len(q.doc_ngram_jaccard_pairs(SF).to_pandas())
+    assert r["n_pairs"] == n_pairs
