@@ -419,6 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_decayed_top": q.events_type_decayed_top,
         "events_wow_contribution": q.events_wow_contribution,
         "doc_split_leakage": q.doc_split_leakage,
+        "events_conversion_wilson": q.events_conversion_wilson,
+        "events_raking_weights": q.events_raking_weights,
+        "customer_share_of_region": q.customer_share_of_region,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1037,6 +1040,87 @@ def oracle_sql() -> dict[str, str]:
             FROM qi
         """,
         "doc_split_leakage": do.doc_split_leakage_sql(),
+        "events_conversion_wilson": """
+            WITH g AS (SELECT sum(CAST(round(value * 100) AS BIGINT))
+                           AS s, count(*)::BIGINT AS n
+                       FROM events),
+            c AS (SELECT event_type, count(*)::BIGINT AS n,
+                     sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                   * (SELECT n FROM g) > (SELECT s FROM g)
+                              THEN 1 ELSE 0 END)::BIGINT AS n_hi
+                  FROM events GROUP BY 1),
+            -- z forced to DOUBLE: a bare 1.96 literal is DECIMAL and
+            -- 1.96*1.96 would round differently from the engine's doubles
+            f AS (SELECT event_type, n, n_hi,
+                         n_hi / CAST(n AS DOUBLE) AS p,
+                         CAST(1.96 AS DOUBLE) AS z
+                  FROM c)
+            SELECT event_type, n, n_hi, round(p, 4) AS rate,
+                   round((p + z * z / (2.0 * n)) / (1.0 + z * z / n)
+                         - (z * sqrt(p * (1.0 - p) / n
+                                     + z * z / (4.0 * n * n))
+                            / (1.0 + z * z / n)), 4) AS wilson_lo,
+                   round((p + z * z / (2.0 * n)) / (1.0 + z * z / n)
+                         + (z * sqrt(p * (1.0 - p) / n
+                                     + z * z / (4.0 * n * n))
+                            / (1.0 + z * z / n)), 4) AS wilson_hi
+            FROM f
+        """,
+        "events_raking_weights": """
+            WITH cen AS (SELECT event_type,
+                                ((epoch_us(ts) // 86400000000) + 4) % 7
+                                    AS dow,
+                                count(*)::BIGINT AS n
+                         FROM events GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                           count(DISTINCT event_type) AS nr,
+                           count(DISTINCT dow) AS nc
+                    FROM cen),
+            m0 AS (SELECT event_type, dow, n, CAST(n AS DOUBLE) AS w
+                   FROM cen),
+            r1 AS (SELECT m.event_type, m.dow, m.n,
+                          m.w * (((SELECT nt FROM tot)
+                                  / (SELECT nr FROM tot)) / rs.s) AS w
+                   FROM m0 m JOIN (SELECT event_type, sum(w) AS s
+                                   FROM m0 GROUP BY 1) rs
+                        USING (event_type)),
+            c1 AS (SELECT m.event_type, m.dow, m.n,
+                          m.w * (((SELECT nt FROM tot)
+                                  / (SELECT nc FROM tot)) / cs.s) AS w
+                   FROM r1 m JOIN (SELECT dow, sum(w) AS s
+                                   FROM r1 GROUP BY 1) cs USING (dow)),
+            r2 AS (SELECT m.event_type, m.dow, m.n,
+                          m.w * (((SELECT nt FROM tot)
+                                  / (SELECT nr FROM tot)) / rs.s) AS w
+                   FROM c1 m JOIN (SELECT event_type, sum(w) AS s
+                                   FROM c1 GROUP BY 1) rs
+                        USING (event_type)),
+            c2 AS (SELECT m.event_type, m.dow, m.n,
+                          m.w * (((SELECT nt FROM tot)
+                                  / (SELECT nc FROM tot)) / cs.s) AS w
+                   FROM r2 m JOIN (SELECT dow, sum(w) AS s
+                                   FROM r2 GROUP BY 1) cs USING (dow))
+            SELECT event_type, dow, n, round(w / n, 4) AS weight
+            FROM c2 WHERE n > 0
+        """,
+        "customer_share_of_region": """
+            WITH c AS (SELECT c_nationkey AS nk,
+                              sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                                  AS bal
+                       FROM customer GROUP BY 1),
+            j AS (SELECT r.r_name, n.n_name, c.bal,
+                         n.n_regionkey AS rk
+                  FROM c JOIN nation n ON n.n_nationkey = c.nk
+                  JOIN region r ON r.r_regionkey = n.n_regionkey),
+            rt AS (SELECT rk, sum(bal) AS rbal FROM j GROUP BY 1),
+            w AS (SELECT sum(bal) AS wbal FROM j)
+            SELECT j.r_name, j.n_name, j.bal::BIGINT AS bal_cents,
+                   round(j.bal / CAST(rt.rbal AS DOUBLE), 4)
+                       AS share_of_region,
+                   round(rt.rbal / CAST((SELECT wbal FROM w) AS DOUBLE),
+                         4) AS region_share_of_world
+            FROM j JOIN rt USING (rk)
+        """,
         "events_type_decayed_top": f"""
             WITH m AS (SELECT max(epoch_us(ts) // 86400000000) AS md
                        FROM events),

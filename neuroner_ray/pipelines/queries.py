@@ -17592,3 +17592,308 @@ def doc_split_leakage(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ----------------------------------------------------- Wilson interval
+
+
+def events_conversion_wilson(sf_dir: str) -> pa.Table:
+    """WILSON 95% INTERVAL on a proportion (the interval-estimation class
+    the point-estimate rate ops lack — the bound a dashboard should show
+    for small-n segments): per event type, share of events belonging to
+    high-value users... concretely: per type, the proportion of that
+    type's events whose value exceeds the GLOBAL mean value, with Wilson
+    lower/upper bounds at z = 1.96. Two streamed passes (global scalar,
+    then a per-type 2-cell census); the interval expands from exact int
+    counts with the literal 1.96 chain mirrored operand-for-operand in
+    SQL (one sqrt, one division per bound)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("n_hi", pa.int64()),
+            ("rate", pa.float64()),
+            ("wilson_lo", pa.float64()),
+            ("wilson_hi", pa.float64()),
+        ]
+    )
+
+    def scal(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        if "s" in t.schema.names:
+            return pa.table(
+                {
+                    "s": pa.array([pc.sum(t["s"]).as_py() or 0], pa.int64()),
+                    "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                }
+            )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    srows = tree_combine(
+        ev.map_batches(scal, batch_format="pyarrow"), scal
+    ).take_all()
+    if not srows or int(srows[0]["n"]) == 0:
+        return schema.empty_table()
+    s_tot, n_tot = int(srows[0]["s"]), int(srows[0]["n"])
+
+    def census(t: pa.Table, s_tot=s_tot, n_tot=n_tot) -> pa.Table:
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        # value > global mean  ⇔  value_cents · n_tot > s_tot (exact ints;
+        # cents ≤ ~1e7 and n_tot ≤ ~1e11 keep the product inside int64 —
+        # past that, widen to object dtype)
+        hi = (cents * np.int64(n_tot) > np.int64(s_tot)).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"event_type": t["event_type"].to_pylist(), "hi": hi}
+            )
+            .groupby("event_type", sort=True)
+            .agg(n=("hi", "size"), n_hi=("hi", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "n_hi": pa.array(df["n_hi"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("event_type",), ("n", "n_hi")),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    import math
+
+    types, ns, nhis, rates, los, his = [], [], [], [], [], []
+    for r in cen.itertuples(index=False):
+        n, k = int(r.n), int(r.n_hi)
+        p = k / n
+        z = 1.96
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = (
+            z
+            * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+            / denom
+        )
+        types.append(r.event_type)
+        ns.append(n)
+        nhis.append(k)
+        rates.append(round_half_away([p], 4)[0])
+        los.append(round_half_away([center - half], 4)[0])
+        his.append(round_half_away([center + half], 4)[0])
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_hi": pa.array(nhis, pa.int64()),
+            "rate": pa.array(rates, pa.float64()),
+            "wilson_lo": pa.array(los, pa.float64()),
+            "wilson_hi": pa.array(his, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------- iterative proportional fit
+
+RAKE_ROUNDS = 2
+
+
+def events_raking_weights(sf_dir: str) -> pa.Table:
+    """RAKING / iterative proportional fitting (the survey-weighting and
+    dataset-rebalancing classic): adjust the (event_type × dow) count
+    table toward UNIFORM target marginals by alternately scaling rows
+    and columns (2 full rounds — deterministic, so the oracle unrolls the
+    same scalings as CTEs, the kmeans/markov convention). The corpus
+    work is ONE census; the ≤ types×7 cell table iterates on the driver.
+    Weight = adjusted_mass / count, 4-dp; target row marginal = N/R,
+    column marginal = N/C (doubles of exact ints)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("dow", pa.int64()),
+            ("n", pa.int64()),
+            ("weight", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = _ts_us(t)
+        dow = ((us // 86_400_000_000) + 4) % 7  # epoch day 0 = Thursday
+        df = (
+            pd.DataFrame(
+                {"event_type": t["event_type"].to_pylist(), "dow": dow}
+            )
+            .groupby(["event_type", "dow"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "dow": pa.array(df["dow"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "dow"), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    piv = cen.pivot_table(
+        index="event_type", columns="dow", values="n",
+        aggfunc="sum", fill_value=0,
+    ).sort_index()
+    m = piv.to_numpy(np.int64).astype(np.float64)
+    n_total = float(m.sum())
+    r_target = n_total / m.shape[0]
+    c_target = n_total / m.shape[1]
+    for _ in range(RAKE_ROUNDS):
+        rs = m.sum(axis=1)
+        m = m * (r_target / rs)[:, None]
+        cs = m.sum(axis=0)
+        m = m * (c_target / cs)[None, :]
+    counts = piv.to_numpy(np.int64)
+    rows = []
+    for i, t in enumerate(piv.index):
+        for j, d in enumerate(piv.columns):
+            if counts[i, j] > 0:
+                rows.append(
+                    (
+                        t,
+                        int(d),
+                        int(counts[i, j]),
+                        float(
+                            round_half_away(
+                                [m[i, j] / counts[i, j]], 4
+                            )[0]
+                        ),
+                    )
+                )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "dow": pa.array([r[1] for r in rows], pa.int64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "weight": pa.array([r[3] for r in rows], pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ----------------------------------------------- percent-of-parent rollup
+
+
+def customer_share_of_region(sf_dir: str) -> pa.Table:
+    """PERCENT-OF-PARENT hierarchical rollup (the OLAP drill class
+    ratio-to-report's global denominator can't express): per nation,
+    customer account-balance mass as a share of its REGION's mass, with
+    the region's share of the world alongside — two denominators from one
+    census. Customer cents census by nationkey (ONE groupby), nation and
+    region dims broadcast; all shares are single exact-int divisions."""
+    cust = read_parquet_clean(
+        _p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"]
+    )
+    nation = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(
+        _p(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    )
+    schema = pa.schema(
+        [
+            ("r_name", pa.string()),
+            ("n_name", pa.string()),
+            ("bal_cents", pa.int64()),
+            ("share_of_region", pa.float64()),
+            ("region_share_of_world", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(keys.size, np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "nk": pa.array(keys, pa.int64()),
+                "bal": pa.array(sums, pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        cust.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("nk",), ("bal",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    nmap = {
+        int(k): (str(n), int(r))
+        for k, n, r in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    rmap = dict(
+        zip(
+            (int(x) for x in region["r_regionkey"].to_pylist()),
+            region["r_name"].to_pylist(),
+        )
+    )
+    cen["n_name"] = cen["nk"].map(lambda k: nmap[int(k)][0])
+    cen["rk"] = cen["nk"].map(lambda k: nmap[int(k)][1])
+    cen["r_name"] = cen["rk"].map(rmap)
+    region_tot = cen.groupby("rk")["bal"].sum()
+    world = int(cen["bal"].sum())
+    rows = cen.sort_values(["r_name", "n_name"])
+    return pa.table(
+        {
+            "r_name": pa.array(rows["r_name"].tolist(), pa.string()),
+            "n_name": pa.array(rows["n_name"].tolist(), pa.string()),
+            "bal_cents": pa.array(rows["bal"].to_numpy(np.int64), pa.int64()),
+            "share_of_region": pa.array(
+                round_half_away(
+                    [
+                        int(b) / int(region_tot[rk])
+                        for b, rk in zip(rows["bal"], rows["rk"])
+                    ],
+                    4,
+                ),
+                pa.float64(),
+            ),
+            "region_share_of_world": pa.array(
+                round_half_away(
+                    [int(region_tot[rk]) / world for rk in rows["rk"]], 4
+                ),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )

@@ -4299,3 +4299,98 @@ def test_split_leakage_bounded_by_pairs():
     # and the pair universe matches the oracled jaccard-pairs op
     n_pairs = len(q.doc_ngram_jaccard_pairs(SF).to_pandas())
     assert r["n_pairs"] == n_pairs
+
+
+def test_round4_batch51_queries_match_oracles():
+    """Batch-51 additions (Wilson interval, raking/IPF, percent-of-
+    parent) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "customer", "nation", "region"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_conversion_wilson",
+        "events_raking_weights",
+        "customer_share_of_region",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch51_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "customer", "nation", "region"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.events_conversion_wilson, 6),
+        (q.events_raking_weights, 4),
+        (q.customer_share_of_region, 5),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_wilson_interval_properties():
+    """Wilson bounds bracket the rate, stay inside [0, 1], and shrink
+    with n (structural)."""
+    res = q.events_conversion_wilson(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+
+
+def test_raking_converges_marginals():
+    """After 2 rounds the column (dow) marginals are exact (last scaling
+    was columns) and row marginals are near target — the IPF contract."""
+    import numpy as np
+
+    res = q.events_raking_weights(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["mass"] = out["weight"] * out["n"]
+    nt = out["n"].sum()
+    col = out.groupby("dow")["mass"].sum()
+    # columns scaled last: exact (up to the 4-dp weight rounding × n)
+    assert np.allclose(col, nt / out["dow"].nunique(), rtol=1e-2)
+    row = out.groupby("event_type")["mass"].sum()
+    assert np.allclose(row, nt / out["event_type"].nunique(), rtol=0.35)
+
+
+def test_share_of_region_sums_to_one():
+    res = q.customer_share_of_region(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    for _, g in out.groupby("r_name"):
+        assert abs(g["share_of_region"].sum() - 1.0) < 1e-2
+    assert (
+        abs(out.drop_duplicates("r_name")["region_share_of_world"].sum() - 1.0)
+        < 1e-2
+    )
