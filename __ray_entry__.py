@@ -371,9 +371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_frames": q.media_video_frames,
         "media_audio_energy": q.media_audio_energy,
         "mention_heavy_hitters": _mention_heavy_hitters_cached,
-        "similarity_topk_lsh": q.similarity_topk_lsh,
-        "similarity_topk_ivf": q.similarity_topk_ivf,
-        "similarity_topk_multi": q.similarity_topk_multi,
+        # window curation: kg_sssp/kg_ppr/snapshot_diff are NEVER
+        # driver-verified, so they take the slots of the r2-green
+        # similarity_topk_lsh/ivf/multi (now below the window)
+        "kg_sssp": kg_sssp,
+        "kg_ppr": kg_ppr,
+        "events_snapshot_diff": q.events_snapshot_diff,
         "doc_tfidf_top50": q.doc_tfidf_top50,
         "token_freq_top100_mg": q.token_freq_top100_mg,
         "events_user_freq_cms": q.events_user_freq_cms,
@@ -398,13 +401,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the driver window: long-green relational/text ops
         # (new never-driver-checked entries queue here, first in line for
         # the round-5 window reorder)
-        "kg_sssp": kg_sssp,
-        "events_snapshot_diff": q.events_snapshot_diff,
+        "similarity_topk_lsh": q.similarity_topk_lsh,
+        "similarity_topk_ivf": q.similarity_topk_ivf,
+        "similarity_topk_multi": q.similarity_topk_multi,
         "events_value_mannwhitney": q.events_value_mannwhitney,
         "events_hourly_xcorr": q.events_hourly_xcorr,
         "events_hourly_holt": q.events_hourly_holt,
         "doc_split_stratified": q.doc_split_stratified,
-        "kg_ppr": kg_ppr,
         "corpus_phrase_hits": q.corpus_phrase_hits,
         "events_user_rrf_top20": q.events_user_rrf_top20,
         "lineitem_zonemap_skip": q.lineitem_zonemap_skip,
