@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_wilson": q.events_conversion_wilson,
         "events_raking_weights": q.events_raking_weights,
         "customer_share_of_region": q.customer_share_of_region,
+        "doc_sample_allocation": q.doc_sample_allocation,
+        "join_plan_advisor": q.join_plan_advisor,
+        "events_user_spearman": q.events_user_spearman,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1043,6 +1046,90 @@ def oracle_sql() -> dict[str, str]:
             FROM qi
         """,
         "doc_split_leakage": do.doc_split_leakage_sql(),
+        "doc_sample_allocation": f"""
+            WITH c AS (SELECT source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c),
+            b AS (SELECT source, n,
+                         ({q.ALLOC_SEATS} * n) // (SELECT total FROM t)
+                             AS base,
+                         ({q.ALLOC_SEATS} * n) % (SELECT total FROM t)
+                             AS rem
+                  FROM c),
+            l AS (SELECT {q.ALLOC_SEATS} - sum(base) AS left_ FROM b),
+            r AS (SELECT source, n, base,
+                         row_number() OVER (ORDER BY rem DESC, source)
+                             AS rk
+                  FROM b)
+            SELECT source, n AS n_docs,
+                   (base + CASE WHEN rk <= (SELECT left_ FROM l)
+                                THEN 1 ELSE 0 END)::BIGINT AS seats
+            FROM r
+        """,
+        "join_plan_advisor": f"""
+            WITH t AS (
+                SELECT 'orders->customer' AS relation,
+                       (SELECT count(*) FROM orders)::BIGINT AS fact_rows,
+                       (SELECT count(*) FROM customer)::BIGINT AS dim_rows,
+                       ((SELECT count(*) FROM customer) * 56)::BIGINT
+                           AS dim_bytes_est
+                UNION ALL
+                SELECT 'lineitem->orders',
+                       (SELECT count(*) FROM lineitem)::BIGINT,
+                       (SELECT count(*) FROM orders)::BIGINT,
+                       ((SELECT count(*) FROM orders) * 64)::BIGINT
+                UNION ALL
+                SELECT 'customer->nation',
+                       (SELECT count(*) FROM customer)::BIGINT,
+                       (SELECT count(*) FROM nation)::BIGINT,
+                       ((SELECT count(*) FROM nation) * 32)::BIGINT)
+            SELECT relation, fact_rows, dim_rows, dim_bytes_est,
+                   CASE WHEN dim_bytes_est <= {q.BROADCAST_BYTES_MAX}
+                        THEN 'broadcast' ELSE 'hash_shuffle' END
+                       AS strategy
+            FROM t
+        """,
+        "events_user_spearman": """
+            WITH u AS (SELECT user_id,
+                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                        END)::BIGINT AS nc,
+                    sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END)::BIGINT AS sp
+                  FROM events GROUP BY 1),
+            b AS (SELECT * FROM u WHERE nc > 0 AND sp > 0),
+            xc AS (SELECT nc, count(*)::BIGINT AS m FROM b GROUP BY 1),
+            xr AS (SELECT nc,
+                          2 * coalesce(sum(m) OVER (ORDER BY nc
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + m + 1 AS dr
+                   FROM xc),
+            yc AS (SELECT sp, count(*)::BIGINT AS m FROM b GROUP BY 1),
+            yr AS (SELECT sp,
+                          2 * coalesce(sum(m) OVER (ORDER BY sp
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + m + 1 AS dr
+                   FROM yc),
+            j AS (SELECT xr.dr AS rx, yr.dr AS ry
+                  FROM b JOIN xr ON xr.nc = b.nc
+                  JOIN yr ON yr.sp = b.sp),
+            s AS (SELECT count(*)::BIGINT AS n,
+                         sum(CAST(rx AS HUGEINT)) AS sx,
+                         sum(CAST(ry AS HUGEINT)) AS sy,
+                         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+                         sum(CAST(ry AS HUGEINT) * ry) AS syy,
+                         sum(CAST(rx AS HUGEINT) * ry) AS sxy
+                  FROM j)
+            SELECT n AS n_users,
+                   CASE WHEN n * sxx - sx * sx <= 0
+                          OR n * syy - sy * sy <= 0 THEN NULL
+                        ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy
+                                            AS DOUBLE))), 4)
+                   END AS rho
+            FROM s WHERE n >= 2
+        """,
         "events_conversion_wilson": """
             WITH g AS (SELECT sum(CAST(round(value * 100) AS BIGINT))
                            AS s, count(*)::BIGINT AS n

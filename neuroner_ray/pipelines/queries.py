@@ -17897,3 +17897,220 @@ def customer_share_of_region(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------- largest-remainder allocation
+
+ALLOC_SEATS = 100
+
+
+def doc_sample_allocation(sf_dir: str) -> pa.Table:
+    """EXACT INTEGER ALLOCATION (Hamilton / largest-remainder
+    apportionment — the quota-design step before stratified sampling:
+    split EXACTLY 100 sample slots across sources proportional to doc
+    counts, no fractional seats, no drift): base = ⌊K·n_s/N⌋ per source,
+    the K − Σbase leftover seats go to the largest remainders
+    (K·n_s mod N, ties by source ASC). ONE tiny source census; the
+    apportionment is pure integer arithmetic on both sides."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["source"])
+    schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("seats", pa.int64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        col = "source" if "source" in t.schema.names else None
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        if col is None:
+            return t
+        keys, counts = np.unique(
+            np.asarray(t["source"].to_pylist(), object), return_counts=True
+        )
+        return pa.table(
+            {
+                "source": pa.array(list(keys), pa.string()),
+                "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        docs.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("source",), ("n_docs",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("source").reset_index(drop=True)
+    n = cen["n_docs"].to_numpy(np.int64)
+    total = int(n.sum())
+    base = (ALLOC_SEATS * n) // total
+    rem = (ALLOC_SEATS * n) % total
+    left = ALLOC_SEATS - int(base.sum())
+    # largest remainder, ties by source ASC (cen already source-sorted,
+    # mergesort is stable)
+    order = np.argsort(-rem, kind="mergesort")
+    seats = base.copy()
+    seats[order[:left]] += 1
+    return pa.table(
+        {
+            "source": pa.array(cen["source"].tolist(), pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "seats": pa.array(seats, pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------------- join-plan advisor
+
+BROADCAST_BYTES_MAX = 64 * 1024 * 1024
+
+
+def join_plan_advisor(sf_dir: str) -> pa.Table:
+    """OPTIMIZER ADVISORY (the size-adaptive philosophy as a queryable
+    op): for each declared FK join, both sides' row counts and estimated
+    in-memory bytes, and the strategy a distributed planner should pick —
+    broadcast the small side when it fits the 64 MiB budget, else a hash
+    shuffle. Row counts come from parquet metadata (no data read);
+    bytes = rows × fixed per-table row-width estimates (documented
+    deterministic constants, so the oracle reproduces them)."""
+    relations = (
+        ("orders->customer", "orders", "customer"),
+        ("lineitem->orders", "lineitem", "orders"),
+        ("customer->nation", "customer", "nation"),
+    )
+    # per-row width estimates (bytes): key columns + payload, fixed per
+    # table so both sides compute identical plans
+    widths = {
+        "orders": 64,
+        "customer": 56,
+        "lineitem": 96,
+        "nation": 32,
+    }
+    rows_of = {}
+    for t in {x for _, a, b in relations for x in (a, b)}:
+        rows_of[t] = pq.ParquetFile(_p(sf_dir, t)).metadata.num_rows
+    rel, fact_rows, dim_rows, dim_bytes, strategy = [], [], [], [], []
+    for name, fact, dim in relations:
+        fr, dr = rows_of[fact], rows_of[dim]
+        db = dr * widths[dim]
+        rel.append(name)
+        fact_rows.append(fr)
+        dim_rows.append(dr)
+        dim_bytes.append(db)
+        strategy.append(
+            "broadcast" if db <= BROADCAST_BYTES_MAX else "hash_shuffle"
+        )
+    return pa.table(
+        {
+            "relation": pa.array(rel, pa.string()),
+            "fact_rows": pa.array(fact_rows, pa.int64()),
+            "dim_rows": pa.array(dim_rows, pa.int64()),
+            "dim_bytes_est": pa.array(dim_bytes, pa.int64()),
+            "strategy": pa.array(strategy, pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------- Spearman correlation
+
+
+def events_user_spearman(sf_dir: str) -> pa.Table:
+    """SPEARMAN RANK CORRELATION with midrank ties (the rank-correlation
+    class next to Pearson xcorr and the Mann-Whitney rank test): over
+    users with ≥1 click AND ≥1 purchase, the correlation between click
+    count and purchase spend. Exactness trick: Pearson is affine-
+    invariant, so DOUBLED midranks (2·cum + m + 1 per tie group — always
+    integers) replace fractional average ranks, and all five moments
+    expand in exact ints (HUGEINT-mirrored) down to one sqrt-and-divide.
+    ONE user-key census; the rank structure comes from two value
+    censuses of it (O(distinct values) driver rows)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "value"],
+    )
+    schema = pa.schema([("n_users", pa.int64()), ("rho", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_pylist()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_c = np.fromiter(
+            (x == "click" for x in types), np.int64, len(types)
+        )
+        is_p = np.fromiter(
+            (x == "purchase" for x in types), np.int64, len(types)
+        )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keys, inv = np.unique(uid, return_inverse=True)
+        nc = np.zeros(keys.size, np.int64)
+        sp = np.zeros(keys.size, np.int64)
+        np.add.at(nc, inv, is_c)
+        np.add.at(sp, inv, is_p * cents)
+        keep = (nc > 0) | (sp != 0)
+        return pa.table(
+            {
+                "user_id": pa.array(keys[keep], pa.int64()),
+                "nc": pa.array(nc[keep], pa.int64()),
+                "sp": pa.array(sp[keep], pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("user_id",), ("nc", "sp")),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    both = cen[(cen["nc"] > 0) & (cen["sp"] > 0)]
+    n = len(both)
+    if n < 2:
+        return schema.empty_table()
+
+    def doubled_midranks(vals: np.ndarray) -> np.ndarray:
+        # 2·rank_avg per value: 2·cum_before + multiplicity + 1
+        order = np.argsort(vals, kind="mergesort")
+        sv = vals[order]
+        uniq, start, counts = np.unique(
+            sv, return_index=True, return_counts=True
+        )
+        dr_per_value = 2 * start + counts + 1  # start == cum_before
+        out = np.empty(len(vals), np.int64)
+        out[order] = np.repeat(dr_per_value, counts)
+        return out
+
+    rx = doubled_midranks(both["nc"].to_numpy(np.int64))
+    ry = doubled_midranks(both["sp"].to_numpy(np.int64))
+    sx = int(rx.sum())
+    sy = int(ry.sum())
+    sxx = sum(int(v) * int(v) for v in rx)
+    syy = sum(int(v) * int(v) for v in ry)
+    sxy = sum(int(a) * int(b) for a, b in zip(rx, ry))
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    if dxx <= 0 or dyy <= 0:
+        rho = None
+    else:
+        import math
+
+        rho = round_half_away(
+            [float(num) / (math.sqrt(float(dxx)) * math.sqrt(float(dyy)))],
+            4,
+        )[0]
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "rho": pa.array([rho], pa.float64()),
+        },
+        schema=schema,
+    )

@@ -4394,3 +4394,112 @@ def test_share_of_region_sums_to_one():
         abs(out.drop_duplicates("r_name")["region_share_of_world"].sum() - 1.0)
         < 1e-2
     )
+
+
+def test_round4_batch52_queries_match_oracles():
+    """Batch-52 additions (Hamilton allocation, join-plan advisor,
+    Spearman) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents", "orders", "customer", "lineitem",
+              "nation"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "doc_sample_allocation",
+        "join_plan_advisor",
+        "events_user_spearman",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_allocation_seats_sum_exactly():
+    """The defining property: seats sum to exactly 100 and every source
+    gets within one seat of its proportional share."""
+    res = q.doc_sample_allocation(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert int(out["seats"].sum()) == q.ALLOC_SEATS
+    total = out["n_docs"].sum()
+    for r in out.itertuples():
+        lo = q.ALLOC_SEATS * r.n_docs // total
+        assert lo <= r.seats <= lo + 1
+
+
+def test_spearman_planted_monotone(tmp_path):
+    """A perfectly monotone click→spend relationship pins rho = 1.0;
+    reversing it pins −1.0."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def mk(spends, d):
+        rows = []
+        eid = 0
+        for u, (nc, spend) in enumerate(spends, start=1):
+            for _ in range(nc):
+                rows.append((eid, u, "click", 0.0))
+                eid += 1
+            rows.append((eid, u, "purchase", spend))
+            eid += 1
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64("2026-01-01", "us")] * len(rows),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(
+                    [r[2] for r in rows], pa.string()
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        mk([(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], d)
+        res = q.events_user_spearman(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert out.iloc[0]["rho"] == 1.0
+    with tempfile.TemporaryDirectory() as d:
+        mk([(1, 40.0), (2, 30.0), (3, 20.0), (4, 10.0)], d)
+        res = q.events_user_spearman(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert out.iloc[0]["rho"] == -1.0
+
+
+def test_join_plan_advisor_strategies():
+    """Small dims broadcast; the strategy flips with the byte budget."""
+    res = q.join_plan_advisor(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    by = out.set_index("relation")
+    assert by.loc["customer->nation", "strategy"] == "broadcast"
+    assert (out["dim_bytes_est"] > 0).all()
