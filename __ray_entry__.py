@@ -428,6 +428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_allocation": q.doc_sample_allocation,
         "join_plan_advisor": q.join_plan_advisor,
         "events_user_spearman": q.events_user_spearman,
+        "events_type_target_encoding": q.events_type_target_encoding,
+        "events_user_cv_folds": q.events_user_cv_folds,
+        "orders_basket_poisson_gof": q.orders_basket_poisson_gof,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1046,6 +1049,57 @@ def oracle_sql() -> dict[str, str]:
             FROM qi
         """,
         "doc_split_leakage": do.doc_split_leakage_sql(),
+        "events_type_target_encoding": """
+            WITH g AS (SELECT sum(CAST(round(value * 100) AS BIGINT))
+                           AS s, count(*)::BIGINT AS n FROM events),
+            e AS (SELECT event_type,
+                         CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                   * (SELECT n FROM g) > (SELECT s FROM g)
+                              THEN 1 ELSE 0 END AS y
+                  FROM events),
+            c AS (SELECT event_type, y, count(*)::BIGINT AS n_rows
+                  FROM e GROUP BY 1, 2),
+            tt AS (SELECT event_type, sum(n_rows) AS n_t,
+                          sum(CASE WHEN y = 1 THEN n_rows ELSE 0 END)
+                              AS k_t
+                   FROM c GROUP BY 1)
+            SELECT c.event_type, c.y::BIGINT AS y, c.n_rows,
+                   CASE WHEN tt.n_t <= 1 THEN NULL
+                        ELSE round((tt.k_t - c.y)
+                                   / CAST(tt.n_t - 1 AS DOUBLE), 4)
+                   END AS encoding
+            FROM c JOIN tt USING (event_type)
+        """,
+        "events_user_cv_folds": f"""
+            WITH u AS (SELECT user_id, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1)
+            SELECT (md5_number_upper(user_id::VARCHAR)
+                    % {q.CV_FOLDS})::BIGINT AS fold,
+                   count(*)::BIGINT AS n_users,
+                   sum(n)::BIGINT AS n_events
+            FROM u GROUP BY 1
+        """,
+        "orders_basket_poisson_gof": """
+            WITH RECURSIVE sz AS (SELECT l_orderkey,
+                                         count(*)::BIGINT AS s
+                                  FROM lineitem GROUP BY 1),
+            cen AS (SELECT s AS k, count(*)::BIGINT AS n
+                    FROM sz GROUP BY 1),
+            t AS (SELECT sum(k * n) AS tl, sum(n) AS no, max(k) AS kmax
+                  FROM cen),
+            lam AS (SELECT tl / CAST(no AS DOUBLE) AS l FROM t),
+            p AS (SELECT 0::BIGINT AS k,
+                         exp(-(SELECT l FROM lam)) AS pk
+                  UNION ALL
+                  SELECT k + 1, pk * (SELECT l FROM lam) / (k + 1)
+                  FROM p WHERE k < (SELECT kmax FROM t))
+            SELECT c.k::BIGINT AS k, c.n AS observed,
+                   round((SELECT no FROM t) * p.pk, 4) AS expected,
+                   round((c.n - (SELECT no FROM t) * p.pk)
+                         * (c.n - (SELECT no FROM t) * p.pk)
+                         / ((SELECT no FROM t) * p.pk), 4) AS chi2_term
+            FROM cen c JOIN p ON p.k = c.k
+        """,
         "doc_sample_allocation": f"""
             WITH c AS (SELECT source, count(*)::BIGINT AS n
                        FROM documents GROUP BY 1),

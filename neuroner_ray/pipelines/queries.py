@@ -18114,3 +18114,281 @@ def events_user_spearman(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# --------------------------------------------------- LOO target encoding
+
+
+def events_type_target_encoding(sf_dir: str) -> pa.Table:
+    """LEAVE-ONE-OUT TARGET ENCODING (the categorical-featurization class
+    with the self-leakage subtlety done right): encode event_type by the
+    mean of a binary target (value above the global mean) EXCLUDING the
+    row itself — encode = (k_type − y) / (n_type − 1). Per (type, y)
+    there are only two distinct encodings, so the op reports the compact
+    (type, y, n_rows, encoding) table instead of a corpus-sized column;
+    exact ints to one division per row, global-mean compare as an int
+    cross product (the Wilson idiom). Types with a single row yield NULL
+    (undefined LOO)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("y", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("encoding", pa.float64()),
+        ]
+    )
+
+    def scal(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        if "s" in t.schema.names:
+            return pa.table(
+                {
+                    "s": pa.array([pc.sum(t["s"]).as_py() or 0], pa.int64()),
+                    "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                }
+            )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    srows = tree_combine(
+        ev.map_batches(scal, batch_format="pyarrow"), scal
+    ).take_all()
+    if not srows or int(srows[0]["n"]) == 0:
+        return schema.empty_table()
+    s_tot, n_tot = int(srows[0]["s"]), int(srows[0]["n"])
+
+    def census(t: pa.Table, s_tot=s_tot, n_tot=n_tot) -> pa.Table:
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        y = (cents * np.int64(n_tot) > np.int64(s_tot)).astype(np.int64)
+        df = (
+            pd.DataFrame({"event_type": t["event_type"].to_pylist(), "y": y})
+            .groupby(["event_type", "y"], sort=True)
+            .size()
+            .reset_index(name="n_rows")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "y": pa.array(df["y"].to_numpy(np.int64), pa.int64()),
+                "n_rows": pa.array(
+                    df["n_rows"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "y"), ("n_rows",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    per_type = cen.groupby("event_type").agg(
+        n=("n_rows", "sum"),
+        k=("n_rows", lambda g: 0),  # placeholder, recomputed below
+    )
+    k_by_type = (
+        cen[cen["y"] == 1].set_index("event_type")["n_rows"]
+        if (cen["y"] == 1).any()
+        else pd.Series(dtype="int64")
+    )
+    encs = []
+    for r in cen.itertuples(index=False):
+        n_t = int(per_type.loc[r.event_type, "n"])
+        k_t = int(k_by_type.get(r.event_type, 0))
+        if n_t <= 1:
+            encs.append(None)
+        else:
+            encs.append(
+                round_half_away([(k_t - int(r.y)) / (n_t - 1)], 4)[0]
+            )
+    return pa.table(
+        {
+            "event_type": pa.array(cen["event_type"].tolist(), pa.string()),
+            "y": pa.array(cen["y"].to_numpy(np.int64), pa.int64()),
+            "n_rows": pa.array(cen["n_rows"].to_numpy(np.int64), pa.int64()),
+            "encoding": pa.array(encs, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ----------------------------------------------------- grouped CV folds
+
+CV_FOLDS = 5
+
+
+def events_user_cv_folds(sf_dir: str) -> pa.Table:
+    """GROUP-AWARE CROSS-VALIDATION folds (the leakage-proof CV split —
+    every event of a user lands in the SAME fold, the constraint plain
+    row hashing violates): fold = md5_number_upper(user_id) % 5; report
+    per fold the user and event counts. Map-side (fold, users-as-dedup,
+    n_events) partials; the user count flows through a (fold, user)
+    dedup census — user-vocab-bounded."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+    schema = pa.schema(
+        [
+            ("fold", pa.int64()),
+            ("n_users", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = np.unique(uid, return_counts=True)
+        folds = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(u).encode("utf-8")).digest()[:8],
+                    "little",
+                )
+                % CV_FOLDS
+                for u in keys
+            ),
+            np.int64,
+            keys.size,
+        )
+        return pa.table(
+            {
+                "fold": pa.array(folds, pa.int64()),
+                "user_id": pa.array(keys, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merge = group_sum_merge(("fold", "user_id"), ("n_events",))
+    peruser = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"), merge
+    ).to_pandas()
+    if peruser.empty:
+        return schema.empty_table()
+    g = peruser.groupby("fold").agg(
+        n_users=("user_id", "size"), n_events=("n_events", "sum")
+    )
+    return pa.table(
+        {
+            "fold": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(
+                g["n_events"].to_numpy(np.int64), pa.int64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ----------------------------------------------- Poisson goodness-of-fit
+
+
+def orders_basket_poisson_gof(sf_dir: str) -> pa.Table:
+    """PARAMETRIC GOODNESS-OF-FIT (the distribution-fit-testing class —
+    does order size follow Poisson(λ = mean size)?): order-size census
+    (count-of-counts, O(√total) rows), λ as one exact-int division, the
+    Poisson pmf via the multiplicative recurrence p_k = p_{k−1}·λ/k
+    (exp called ONCE — the oracle's recursive CTE replays the identical
+    chain), per-size expected counts and chi² contributions. Output per
+    observed size k: observed, expected 4dp, chi² term 4dp."""
+    li = read_parquet_clean(_p(sf_dir, "lineitem"), columns=["l_orderkey"])
+    schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("observed", pa.int64()),
+            ("expected", pa.float64()),
+            ("chi2_term", pa.float64()),
+        ]
+    )
+
+    def per_order(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = np.unique(ok, return_counts=True)
+        return pa.table(
+            {
+                "o": pa.array(keys, pa.int64()),
+                "sz": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = tree_combine(
+        li.map_batches(per_order, batch_format="pyarrow"),
+        group_sum_merge(("o",), ("sz",)),
+    )
+
+    def coc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        if "k" in t.schema.names:
+            return t
+        keys, counts = np.unique(
+            t["sz"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "k": pa.array(keys.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ]
+        + list(
+            tree_combine(
+                sizes.map_batches(coc, batch_format="pyarrow"),
+                group_sum_merge(("k",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    import math
+
+    cen = cen.sort_values("k")
+    ks = cen["k"].to_numpy(np.int64)
+    ns = cen["n"].to_numpy(np.int64)
+    n_orders = int(ns.sum())
+    total_lines = int(np.dot(ks, ns))
+    lam = total_lines / n_orders  # one exact-int division
+    # recurrence in k order from 0 — exp called once; identical chain in
+    # the oracle's recursive CTE
+    pmf = {0: math.exp(-lam)}
+    for k in range(1, int(ks.max()) + 1):
+        pmf[k] = pmf[k - 1] * lam / k
+    rows_k, obs, exp_, chi = [], [], [], []
+    for k, n in zip(ks, ns):
+        e = n_orders * pmf[int(k)]
+        rows_k.append(int(k))
+        obs.append(int(n))
+        exp_.append(round_half_away([e], 4)[0])
+        chi.append(
+            round_half_away([(int(n) - e) * (int(n) - e) / e], 4)[0]
+        )
+    return pa.table(
+        {
+            "k": pa.array(rows_k, pa.int64()),
+            "observed": pa.array(obs, pa.int64()),
+            "expected": pa.array(exp_, pa.float64()),
+            "chi2_term": pa.array(chi, pa.float64()),
+        },
+        schema=schema,
+    )

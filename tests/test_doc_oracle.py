@@ -4503,3 +4503,109 @@ def test_join_plan_advisor_strategies():
     by = out.set_index("relation")
     assert by.loc["customer->nation", "strategy"] == "broadcast"
     assert (out["dim_bytes_est"] > 0).all()
+
+
+def test_round4_batch53_queries_match_oracles():
+    """Batch-53 additions (LOO target encoding, grouped CV folds,
+    Poisson GOF) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_type_target_encoding",
+        "events_user_cv_folds",
+        "orders_basket_poisson_gof",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch53_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "lineitem"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.events_type_target_encoding, 4),
+        (q.events_user_cv_folds, 3),
+        (q.orders_basket_poisson_gof, 4),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_target_encoding_loo_property():
+    """LOO invariant: within a type, the y=1 encoding is LOWER than the
+    y=0 encoding (excluding yourself removes your own positive), and
+    both equal (k−y)/(n−1) recomputed from the counts."""
+    res = q.events_type_target_encoding(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    import numpy as np
+
+    for t, g in out.groupby("event_type"):
+        n_t = g["n_rows"].sum()
+        k_t = g.loc[g["y"] == 1, "n_rows"].sum()
+        if n_t <= 1:
+            continue
+        for r in g.itertuples():
+            assert abs(
+                r.encoding - np.round((k_t - r.y) / (n_t - 1), 4)
+            ) < 1e-12
+        if set(g["y"]) == {0, 1}:
+            e1 = g.loc[g["y"] == 1, "encoding"].iloc[0]
+            e0 = g.loc[g["y"] == 0, "encoding"].iloc[0]
+            assert e1 <= e0
+
+
+def test_cv_folds_partition_users():
+    """Folds partition the user set: per-fold users sum to the distinct
+    user count and events sum to the total event count."""
+    res = q.events_user_cv_folds(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    c = duckdb.connect()
+    nu, ne = c.execute(
+        f"""SELECT count(DISTINCT user_id), count(*)
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchone()
+    assert int(out["n_users"].sum()) == int(nu)
+    assert int(out["n_events"].sum()) == int(ne)
+    assert out["fold"].between(0, q.CV_FOLDS - 1).all()
+
+
+def test_poisson_gof_expected_mass_bounded():
+    """Expected counts are positive and their total never exceeds the
+    order count (the pmf tail holds the rest)."""
+    res = q.orders_basket_poisson_gof(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert (out["expected"] > 0).all()
+    assert out["expected"].sum() <= out["observed"].sum() + 1e-6
+    assert (out["chi2_term"] >= 0).all()
