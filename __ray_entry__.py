@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_target_encoding": q.events_type_target_encoding,
         "events_user_cv_folds": q.events_user_cv_folds,
         "orders_basket_poisson_gof": q.orders_basket_poisson_gof,
+        "events_value_auc": q.events_value_auc,
+        "events_type_shrunk_rate": q.events_type_shrunk_rate,
+        "events_type_value_mi": q.events_type_value_mi,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1049,6 +1052,74 @@ def oracle_sql() -> dict[str, str]:
             FROM qi
         """,
         "doc_split_leakage": do.doc_split_leakage_sql(),
+        "events_value_auc": """
+            WITH f AS (SELECT event_type AS t,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            cen AS (SELECT c,
+                       sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0
+                           END)::BIGINT AS n1,
+                       sum(CASE WHEN t = 'click' THEN 1 ELSE 0
+                           END)::BIGINT AS n2
+                    FROM f GROUP BY 1),
+            r AS (SELECT c, n1, n2, n1 + n2 AS m,
+                         sum(n1 + n2) OVER (ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS cb
+                  FROM cen),
+            s AS (SELECT
+                    sum(CAST(n1 AS HUGEINT)
+                        * (2 * coalesce(cb, 0) + m + 1)) AS r1x2,
+                    sum(n1)::BIGINT AS n1t, sum(n2)::BIGINT AS n2t
+                  FROM r)
+            SELECT n2t AS n_click, n1t AS n_purchase,
+                   round(CAST(r1x2 - CAST(n1t AS HUGEINT) * (n1t + 1)
+                              AS DOUBLE)
+                         / (2.0 * CAST(n1t AS DOUBLE)
+                            * CAST(n2t AS DOUBLE)), 4) AS auc
+            FROM s WHERE n1t > 0 AND n2t > 0
+        """,
+        "events_type_shrunk_rate": f"""
+            WITH g AS (SELECT sum(CAST(round(value * 100) AS BIGINT))
+                           AS s, count(*)::BIGINT AS n FROM events),
+            c AS (SELECT event_type, count(*)::BIGINT AS n,
+                     sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                   * (SELECT n FROM g) > (SELECT s FROM g)
+                              THEN 1 ELSE 0 END)::BIGINT AS n_hi
+                  FROM events GROUP BY 1),
+            kt AS (SELECT sum(n_hi) AS k_tot FROM c)
+            SELECT event_type, n, n_hi,
+                   round(n_hi / CAST(n AS DOUBLE), 4) AS raw_rate,
+                   round((n_hi + {q.SHRINK_ALPHA}
+                          * ((SELECT k_tot FROM kt)
+                             / CAST((SELECT n FROM g) AS DOUBLE)))
+                         / (n + {q.SHRINK_ALPHA}), 4) AS shrunk_rate
+            FROM c
+        """,
+        "events_type_value_mi": f"""
+            WITH vc AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                        FROM events),
+            qs AS (SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                            0.6, 0.7, 0.8, 0.9, 1.0])
+                       AS bs
+                   FROM vc),
+            cells AS (SELECT event_type,
+                             1 + len(list_filter((SELECT bs FROM qs),
+                                 x -> x < CAST(round(value * 100)
+                                               AS BIGINT)))::BIGINT AS d,
+                             count(*)::BIGINT AS n
+                      FROM events GROUP BY 1, 2),
+            tots AS (SELECT sum(n) AS nn FROM cells),
+            nt AS (SELECT event_type, sum(n) AS n_t FROM cells GROUP BY 1),
+            nd AS (SELECT d, sum(n) AS n_d FROM cells GROUP BY 1)
+            SELECT c.event_type, c.d, c.n,
+                   round((c.n / CAST((SELECT nn FROM tots) AS DOUBLE))
+                         * ln((c.n * (SELECT nn FROM tots))
+                              / CAST(nt.n_t * nd.n_d AS DOUBLE)), 6)
+                       AS mi_term
+            FROM cells c JOIN nt USING (event_type) JOIN nd USING (d)
+        """,
         "events_type_target_encoding": """
             WITH g AS (SELECT sum(CAST(round(value * 100) AS BIGINT))
                            AS s, count(*)::BIGINT AS n FROM events),

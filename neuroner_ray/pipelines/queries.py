@@ -18392,3 +18392,313 @@ def orders_basket_poisson_gof(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------------------ ROC AUC
+
+
+def events_value_auc(sf_dir: str) -> pa.Table:
+    """ROC AUC (the ranking-metric evaluation class next to the
+    calibration curve): how well does event value rank purchases above
+    clicks — AUC = P(value_purchase > value_click) + ½·P(tie), which is
+    exactly the Mann-Whitney U over n₁·n₂ (doubled-rank machinery,
+    integer-exact to the final division). Same ONE (type, value)-census
+    as the rank test; output (n_click, n_purchase, auc 4dp)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema(
+        [
+            ("n_click", pa.int64()),
+            ("n_purchase", pa.int64()),
+            ("auc", pa.float64()),
+        ]
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        is_p = (
+            pc.equal(batch["event_type"], "purchase")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        key, inv = np.unique(cents, return_inverse=True)
+        n1 = np.zeros(key.size, np.int64)
+        n2 = np.zeros(key.size, np.int64)
+        np.add.at(n1, inv, is_p)          # positives: purchases
+        np.add.at(n2, inv, 1 - is_p)      # negatives: clicks
+        return pa.table(
+            {
+                "c": pa.array(key, pa.int64()),
+                "n1": pa.array(n1, pa.int64()),
+                "n2": pa.array(n2, pa.int64()),
+            }
+        )
+
+    counts = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("c",), ("n1", "n2")),
+    ).to_pandas()
+    if counts.empty:
+        return schema.empty_table()
+    counts = counts.sort_values("c")
+    n1a = counts["n1"].to_numpy(np.int64)
+    n2a = counts["n2"].to_numpy(np.int64)
+    n1, n2 = int(n1a.sum()), int(n2a.sum())
+    if n1 == 0 or n2 == 0:
+        return schema.empty_table()
+    m = n1a + n2a
+    cum = np.concatenate([[0], np.cumsum(m)[:-1]])
+    r1x2 = sum(
+        int(a) * (2 * int(cb) + int(mm) + 1)
+        for a, cb, mm in zip(n1a, cum, m)
+    )
+    u1x2 = r1x2 - n1 * (n1 + 1)  # doubled U for the positive sample
+    auc = round_half_away(
+        [float(u1x2) / (2.0 * float(n1) * float(n2))], 4
+    )[0]
+    return pa.table(
+        {
+            "n_click": pa.array([n2], pa.int64()),
+            "n_purchase": pa.array([n1], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------------- Bayesian shrinkage
+
+SHRINK_ALPHA = 20
+
+
+def events_type_shrunk_rate(sf_dir: str) -> pa.Table:
+    """EMPIRICAL-BAYES SHRINKAGE (the cold-start estimator class — a raw
+    small-n rate is noise; shrink it toward the global prior with
+    pseudo-count strength α = 20): per type, high-value rate
+    (k + α·p₀) / (n + α) next to the raw k/n. p₀ = global rate; the
+    compare is the exact-int cross product (Wilson idiom), shrinkage is
+    two divisions of exact operands mirrored in SQL."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("n_hi", pa.int64()),
+            ("raw_rate", pa.float64()),
+            ("shrunk_rate", pa.float64()),
+        ]
+    )
+
+    def scal(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        if "s" in t.schema.names:
+            return pa.table(
+                {
+                    "s": pa.array([pc.sum(t["s"]).as_py() or 0], pa.int64()),
+                    "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                }
+            )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    srows = tree_combine(
+        ev.map_batches(scal, batch_format="pyarrow"), scal
+    ).take_all()
+    if not srows or int(srows[0]["n"]) == 0:
+        return schema.empty_table()
+    s_tot, n_tot = int(srows[0]["s"]), int(srows[0]["n"])
+
+    def census(t: pa.Table, s_tot=s_tot, n_tot=n_tot) -> pa.Table:
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        hi = (cents * np.int64(n_tot) > np.int64(s_tot)).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"event_type": t["event_type"].to_pylist(), "hi": hi}
+            )
+            .groupby("event_type", sort=True)
+            .agg(n=("hi", "size"), n_hi=("hi", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "n_hi": pa.array(df["n_hi"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("event_type",), ("n", "n_hi")),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    k_tot = int(cen["n_hi"].sum())
+    p0 = k_tot / n_tot
+    a = SHRINK_ALPHA
+    out = []
+    for r in cen.itertuples(index=False):
+        n, k = int(r.n), int(r.n_hi)
+        out.append(
+            (
+                r.event_type,
+                n,
+                k,
+                round_half_away([k / n], 4)[0],
+                round_half_away([(k + a * p0) / (n + a)], 4)[0],
+            )
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "n": pa.array([r[1] for r in out], pa.int64()),
+            "n_hi": pa.array([r[2] for r in out], pa.int64()),
+            "raw_rate": pa.array([r[3] for r in out], pa.float64()),
+            "shrunk_rate": pa.array([r[4] for r in out], pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------- mutual information
+
+MI_DECILES = 10
+
+
+def events_type_value_mi(sf_dir: str) -> pa.Table:
+    """MUTUAL INFORMATION between event type and value decile (the
+    information-theoretic association measure next to chi² — captures
+    any dependence, not just linear): I = Σ p(t,d)·ln(p(t,d)/(p(t)p(d)))
+    over the (type, decile) census, deciles = equi-depth boundaries from
+    the value census (quantile_disc rule). Integer counts everywhere;
+    each term is ln of a ratio of exact-int products times one division.
+    PER-CELL contribution rows out (the chi² convention — neither side
+    ever sums doubles order-dependently); the consumer sums."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("d", pa.int64()),
+            ("n", pa.int64()),
+            ("mi_term", pa.float64()),
+        ]
+    )
+
+    def vcensus(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keys, counts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vc = pa.concat_tables(
+        [
+            pa.table(
+                {"v": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(vcensus, batch_format="pyarrow"),
+                group_sum_merge(("v",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if vc.empty:
+        return schema.empty_table()
+    vc = vc.sort_values("v")
+    vs = vc["v"].to_numpy(np.int64)
+    cum = np.cumsum(vc["n"].to_numpy(np.int64))
+    n_total = int(cum[-1])
+    bounds = []
+    for i in range(1, MI_DECILES + 1):
+        rank = int(np.ceil(n_total * (i / MI_DECILES)))
+        bounds.append(int(vs[np.searchsorted(cum, rank)]))
+    bref = ray.put(np.asarray(bounds, np.int64))
+
+    def cell_census(t: pa.Table, bref=bref) -> pa.Table:
+        b = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        # decile = first boundary >= value (1-based)
+        d = np.searchsorted(b, cents, side="left") + 1
+        df = (
+            pd.DataFrame(
+                {"event_type": t["event_type"].to_pylist(), "d": d}
+            )
+            .groupby(["event_type", "d"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "d": pa.array(df["d"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(cell_census, batch_format="pyarrow"),
+        group_sum_merge(("event_type", "d"), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    import math
+
+    cen = cen.sort_values(["event_type", "d"])
+    nt = cen.groupby("event_type")["n"].sum()
+    nd = cen.groupby("d")["n"].sum()
+    terms = [
+        round_half_away(
+            [
+                (int(r.n) / n_total)
+                * math.log(
+                    (int(r.n) * n_total)
+                    / (int(nt[r.event_type]) * int(nd[r.d]))
+                )
+            ],
+            6,
+        )[0]
+        for r in cen.itertuples(index=False)
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(cen["event_type"].tolist(), pa.string()),
+            "d": pa.array(cen["d"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(cen["n"].to_numpy(np.int64), pa.int64()),
+            "mi_term": pa.array(terms, pa.float64()),
+        },
+        schema=schema,
+    )

@@ -4609,3 +4609,104 @@ def test_poisson_gof_expected_mass_bounded():
     assert (out["expected"] > 0).all()
     assert out["expected"].sum() <= out["observed"].sum() + 1e-6
     assert (out["chi2_term"] >= 0).all()
+
+
+def test_round4_batch54_queries_match_oracles():
+    """Batch-54 additions (AUC, Bayesian shrinkage, mutual information)
+    against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_value_auc",
+        "events_type_shrunk_rate",
+        "events_type_value_mi",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch54_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(sch.empty_table(), os.path.join(d, "events.parquet"))
+    for fn, ncols in (
+        (q.events_value_auc, 3),
+        (q.events_type_shrunk_rate, 5),
+        (q.events_type_value_mi, 4),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_auc_is_mannwhitney_u_over_n1n2():
+    """AUC ≡ U/(n1·n2) from the registered Mann-Whitney op (the two ops
+    share the doubled-rank machinery — cross-check them)."""
+    import numpy as np
+
+    auc_res = q.events_value_auc(SF)
+    auc = (
+        auc_res if isinstance(auc_res, pd.DataFrame) else auc_res.to_pandas()
+    )
+    if not isinstance(auc, pd.DataFrame):
+        auc = auc.to_pandas()
+    mw_res = q.events_value_mannwhitney(SF)
+    mw = mw_res if isinstance(mw_res, pd.DataFrame) else mw_res.to_pandas()
+    if not isinstance(mw, pd.DataFrame):
+        mw = mw.to_pandas()
+    a, m = auc.iloc[0], mw.iloc[0]
+    # mannwhitney's U is for the CLICK sample; AUC ranks purchases, so
+    # auc = 1 - U_click/(n1 n2) up to each side's 4-dp rounding
+    u_frac = m["u"] / (m["n_click"] * m["n_purchase"])
+    assert abs(a["auc"] - np.round(1.0 - u_frac, 4)) < 2e-4
+
+
+def test_shrunk_rate_between_raw_and_prior():
+    """Shrinkage contract: the shrunk rate lies between the raw rate and
+    the global prior."""
+    res = q.events_type_shrunk_rate(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    p0 = out["n_hi"].sum() / out["n"].sum()
+    for r in out.itertuples():
+        lo, hi = sorted((r.raw_rate, p0))
+        assert lo - 1e-4 <= r.shrunk_rate <= hi + 1e-4
+
+
+def test_mi_terms_nonneg_total_and_marginals():
+    """Σ mi_term ≥ 0 (MI is non-negative up to per-cell rounding) and
+    the cell counts reconcile with both marginals."""
+    res = q.events_type_value_mi(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert out["mi_term"].sum() >= -1e-4
+    assert out["d"].between(1, q.MI_DECILES).all()
+    c = duckdb.connect()
+    n = c.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n"].sum()) == int(n)
