@@ -434,6 +434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_auc": q.events_value_auc,
         "events_type_shrunk_rate": q.events_type_shrunk_rate,
         "events_type_value_mi": q.events_type_value_mi,
+        "events_value_quantiles_cont": q.events_value_quantiles_cont,
+        "doc_langid_kappa": q.doc_langid_kappa,
+        "events_user_hill_terms": q.events_user_hill_terms,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1052,6 +1055,66 @@ def oracle_sql() -> dict[str, str]:
             FROM qi
         """,
         "doc_split_leakage": do.doc_split_leakage_sql(),
+        "events_value_quantiles_cont": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            qs AS (SELECT quantile_cont(v, [0.5, 0.9, 0.99]) AS lst
+                   FROM c),
+            i AS (SELECT unnest(range(1, 4)) AS idx)
+            SELECT CAST(CASE idx WHEN 1 THEN 0.5 WHEN 2 THEN 0.9
+                        ELSE 0.99 END AS DOUBLE) AS q,
+                   round(lst[idx] / 100.0, 4) AS value_cont
+            FROM i, qs WHERE lst IS NOT NULL
+        """,
+        "doc_langid_kappa": f"""
+            WITH pred AS (SELECT * FROM ({do.doc_langid_sql()}) AS p),
+            j AS (SELECT d.lang, pred.lang_pred
+                  FROM documents d JOIN pred USING (doc_id)),
+            c AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+                  FROM j GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS nn,
+                         sum(CASE WHEN lang = lang_pred THEN n ELSE 0
+                             END) AS d
+                  FROM c),
+            m AS (SELECT coalesce(sum(r.rn * co.cn), 0) AS s FROM
+                  (SELECT lang, sum(n) AS rn FROM c GROUP BY 1) r
+                  JOIN (SELECT lang_pred, sum(n) AS cn
+                        FROM c GROUP BY 1) co
+                    ON co.lang_pred = r.lang)
+            SELECT (SELECT nn FROM t)::BIGINT AS n_docs,
+                   (SELECT d FROM t)::BIGINT AS n_agree,
+                   round((SELECT d FROM t)
+                         / CAST((SELECT nn FROM t) AS DOUBLE), 4)
+                       AS accuracy,
+                   CASE WHEN (SELECT nn FROM t) * (SELECT nn FROM t)
+                             - (SELECT s FROM m) = 0 THEN NULL
+                        ELSE round(
+                            CAST((SELECT d FROM t) * (SELECT nn FROM t)
+                                 - (SELECT s FROM m) AS DOUBLE)
+                            / CAST((SELECT nn FROM t)
+                                   * (SELECT nn FROM t)
+                                   - (SELECT s FROM m) AS DOUBLE), 4)
+                   END AS kappa
+            FROM t WHERE (SELECT nn FROM t) > 0
+        """,
+        "events_user_hill_terms": f"""
+            WITH u AS (SELECT user_id, count(*)::BIGINT AS m
+                       FROM events GROUP BY 1),
+            r AS (SELECT user_id, m,
+                         row_number() OVER (ORDER BY m DESC, user_id)
+                             AS rk
+                  FROM u),
+            t AS (SELECT count(*) AS nu FROM u),
+            kk AS (SELECT least({q.HILL_K},
+                               (SELECT nu FROM t) - 1) AS k),
+            ref AS (SELECT m AS cref FROM r
+                    WHERE rk = (SELECT k FROM kk) + 1)
+            SELECT rk::BIGINT AS rank, m AS n_events,
+                   round(ln(m / CAST((SELECT cref FROM ref) AS DOUBLE)),
+                         6) AS ln_ratio
+            FROM r
+            WHERE rk <= (SELECT k FROM kk) AND (SELECT nu FROM t) >= 2
+        """,
         "events_value_auc": """
             WITH f AS (SELECT event_type AS t,
                               CAST(round(value * 100) AS BIGINT) AS c

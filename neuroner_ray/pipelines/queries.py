@@ -18702,3 +18702,227 @@ def events_type_value_mi(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# --------------------------------------------- interpolated percentiles
+
+CONT_QS = (0.5, 0.9, 0.99)
+
+
+def events_value_quantiles_cont(sf_dir: str) -> pa.Table:
+    """INTERPOLATED (percentile_cont) quantiles — the second SQL quantile
+    semantic, next to the discrete quantile_disc ops: position
+    h = (n−1)·q, value = v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋), linear between
+    order statistics (DuckDB quantile_cont's rule). ONE cents census;
+    both order statistics read off the cumulative, one multiply-add in
+    doubles mirrored exactly; output in dollars 4-dp."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+    schema = pa.schema([("q", pa.float64()), ("value_cont", pa.float64())])
+
+    def census(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keys, counts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {"v": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("v",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("v")
+    vs = cen["v"].to_numpy(np.int64)
+    cum = np.cumsum(cen["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+
+    def order_stat(rank0: int) -> int:
+        # 0-based order statistic via the cumulative
+        return int(vs[np.searchsorted(cum, rank0 + 1)])
+
+    qs_out, vals = [], []
+    for qq in CONT_QS:
+        h = (n - 1) * qq
+        lo = int(np.floor(h))
+        frac = h - lo
+        v_lo = order_stat(lo)
+        v = (
+            float(v_lo)
+            if frac == 0.0 or lo + 1 >= n
+            else v_lo + frac * (order_stat(lo + 1) - v_lo)
+        )
+        qs_out.append(qq)
+        vals.append(round_half_away([v / 100.0], 4)[0])
+    return pa.table(
+        {
+            "q": pa.array(qs_out, pa.float64()),
+            "value_cont": pa.array(vals, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------- langid agreement kappa
+
+
+def doc_langid_kappa(sf_dir: str) -> pa.Table:
+    """COHEN'S KAPPA inter-labeler agreement (the annotation-quality /
+    classifier-evaluation class): the n-gram language-ID predictions vs
+    the corpus lang labels. Confusion cells from ONE map pass (both
+    columns live in the same row — no join); kappa collapses to ONE
+    exact-int division: (D·N − S) / (N² − S), D = agreements, S =
+    Σ row-marginal × column-marginal."""
+    from ..functions.langid import langid_batch
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    schema = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("n_agree", pa.int64()),
+            ("accuracy", pa.float64()),
+            ("kappa", pa.float64()),
+        ]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        pred = langid_batch(t)["lang_pred"].to_pylist()
+        df = (
+            pd.DataFrame({"lang": t["lang"].to_pylist(), "pred": pred})
+            .groupby(["lang", "pred"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "pred": pa.array(df["pred"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        docs.map_batches(cells, batch_format="pyarrow"),
+        group_sum_merge(("lang", "pred"), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    n_total = int(cen["n"].sum())
+    d = int(cen.loc[cen["lang"] == cen["pred"], "n"].sum())
+    rown = cen.groupby("lang")["n"].sum()
+    coln = cen.groupby("pred")["n"].sum()
+    s = sum(
+        int(rn) * int(coln.get(l, 0)) for l, rn in rown.items()
+    )
+    denom = n_total * n_total - s
+    kappa = (
+        None
+        if denom == 0
+        else round_half_away([(d * n_total - s) / denom], 4)[0]
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_total], pa.int64()),
+            "n_agree": pa.array([d], pa.int64()),
+            "accuracy": pa.array(
+                [round_half_away([d / n_total], 4)[0]], pa.float64()
+            ),
+            "kappa": pa.array([kappa], pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------------- Hill tail index
+
+HILL_K = 50
+
+
+def events_user_hill_terms(sf_dir: str) -> pa.Table:
+    """HILL TAIL-INDEX terms (heavy-tail / power-law estimation over user
+    activity — the quantitative version of the Zipf fit): for the top-k
+    users by event count, ln(c_i / c_{k+1}) per rank (the Hill estimator
+    is k / Σ terms). PER-RANK rows out (no order-dependent double sum on
+    either side); user census via ONE groupby, the top-(k+1) cut is the
+    associative (count DESC, user ASC) merge. k = min(50, n_users − 1)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+    schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            ("n_events", pa.int64()),
+            ("ln_ratio", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = np.unique(uid, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(keys, pa.int64()),
+                "m": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    census = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("user_id",), ("m",)),
+    )
+    top = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                census, topk_merge(HILL_K + 1, "m", ["user_id"])
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if len(top) < 2:
+        return schema.empty_table()
+    top = top.sort_values(
+        ["m", "user_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    k = min(HILL_K, len(top) - 1)
+    c_ref = int(top["m"].iloc[k])  # the (k+1)-th count
+    import math
+
+    ranks = list(range(1, k + 1))
+    cs = [int(top["m"].iloc[i - 1]) for i in ranks]
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "n_events": pa.array(cs, pa.int64()),
+            "ln_ratio": pa.array(
+                [
+                    round_half_away([math.log(c / c_ref)], 6)[0]
+                    for c in cs
+                ],
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
