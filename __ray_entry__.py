@@ -437,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_cont": q.events_value_quantiles_cont,
         "doc_langid_kappa": q.doc_langid_kappa,
         "events_user_hill_terms": q.events_user_hill_terms,
+        "bloom_fpr_audit": q.bloom_fpr_audit,
+        "events_hour_value_binscatter": q.events_hour_value_binscatter,
+        "events_gap_expfit_ks": q.events_gap_expfit_ks,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1055,6 +1058,67 @@ def oracle_sql() -> dict[str, str]:
             FROM qi
         """,
         "doc_split_leakage": do.doc_split_leakage_sql(),
+        "bloom_fpr_audit": f"""
+            WITH ok AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            ii AS (SELECT unnest(range(0, {q.BLOOM_K})) AS i),
+            pos AS (SELECT DISTINCT
+                        (CAST(md5_number_upper(k::VARCHAR) AS HUGEINT)
+                         + ii.i * CAST((md5_number_lower(k::VARCHAR) | 1)
+                                       AS HUGEINT))
+                        % {q.BLOOM_BITS} AS p
+                    FROM ok, ii),
+            no_ord AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey NOT IN (SELECT k FROM ok)),
+            hits AS (SELECT n.k FROM no_ord n WHERE NOT EXISTS (
+                SELECT 1 FROM ii
+                WHERE (CAST(md5_number_upper(n.k::VARCHAR) AS HUGEINT)
+                       + ii.i
+                         * CAST((md5_number_lower(n.k::VARCHAR) | 1)
+                                AS HUGEINT)) % {q.BLOOM_BITS}
+                      NOT IN (SELECT p FROM pos))),
+            t AS (SELECT count(*)::BIGINT AS nk FROM ok),
+            th AS (SELECT 1.0 - exp(-(({q.BLOOM_K} * nk)
+                       / CAST({q.BLOOM_BITS} AS DOUBLE))) AS p1 FROM t)
+            SELECT (SELECT count(*) FROM no_ord)::BIGINT AS n_no_orders,
+                   (SELECT count(*) FROM hits)::BIGINT AS n_bloom_fp,
+                   CASE WHEN (SELECT count(*) FROM no_ord) = 0 THEN NULL
+                        ELSE round((SELECT count(*) FROM hits)
+                             / CAST((SELECT count(*) FROM no_ord)
+                                    AS DOUBLE), 6) END AS fpr_actual,
+                   round((SELECT p1 * p1 * p1 * p1 FROM th), 6)
+                       AS fpr_theory
+        """,
+        "events_hour_value_binscatter": """
+            WITH c AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events)
+            SELECT h::BIGINT AS hour, count(*)::BIGINT AS n,
+                   round(sum(v) / (count(*) * 100.0), 4) AS mean_value,
+                   round(quantile_disc(v, 0.5) / 100.0, 4)
+                       AS median_value
+            FROM c GROUP BY 1
+        """,
+        "events_gap_expfit_ks": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            g AS (SELECT (us - lag(us) OVER (PARTITION BY user_id
+                                             ORDER BY us)) // 1000000
+                      AS v
+                  FROM e),
+            cen AS (SELECT v, count(*)::BIGINT AS n FROM g
+                    WHERE v IS NOT NULL GROUP BY 1),
+            t AS (SELECT sum(n) AS n, sum(v * n) AS tot FROM cen),
+            mu AS (SELECT tot / CAST(n AS DOUBLE) AS m FROM t),
+            r AS (SELECT v, sum(n) OVER (ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM cen)
+            SELECT (SELECT n FROM t)::BIGINT AS n_gaps,
+                   round((SELECT m FROM mu), 4) AS mu_seconds,
+                   round(max(abs(cum / CAST((SELECT n FROM t) AS DOUBLE)
+                             - (1.0 - exp(-(v / (SELECT m FROM mu)))))),
+                         6) AS ks
+            FROM r
+            HAVING count(*) > 0 AND (SELECT tot FROM t) > 0
+        """,
         "events_value_quantiles_cont": """
             WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
                        FROM events),

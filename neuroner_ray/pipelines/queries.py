@@ -18926,3 +18926,261 @@ def events_user_hill_terms(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- Bloom-filter FPR audit
+
+
+def bloom_fpr_audit(sf_dir: str) -> pa.Table:
+    """SKETCH-QUALITY AUDIT (measure the sketch, not just use it): the
+    ACTUAL false-positive rate of the order-custkey Bloom filter on the
+    order-less customers, next to the theoretical (1 − e^(−kn/m))^k.
+    Builds the same 2^20-bit / k=4 double-hashed bitmap as
+    customers_without_orders_bloom; the exact key set broadcasts for
+    ground truth (an AUDIT runs at sample scale — the production anti-
+    join is the point of the sketch). One customer pass counts
+    (order-less, bloom-hit) pairs. Theory and actual are single double
+    expressions mirrored exactly (p1 multiplied k times, no pow)."""
+    orders = read_parquet_clean(_p(sf_dir, "orders"), columns=["o_custkey"])
+    schema = pa.schema(
+        [
+            ("n_no_orders", pa.int64()),
+            ("n_bloom_fp", pa.int64()),
+            ("fpr_actual", pa.float64()),
+            ("fpr_theory", pa.float64()),
+        ]
+    )
+
+    def keyrows(t: pa.Table) -> pa.Table:
+        col = "o_custkey" if "o_custkey" in t.schema.names else "k"
+        ks = np.unique(
+            t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"k": pa.array(ks, pa.int64())})
+
+    keys = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                orders.map_batches(keyrows, batch_format="pyarrow"), keyrows
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    okeys = set(keys["k"].to_pylist())
+    nk = len(okeys)
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for k in okeys:
+        for p in _bloom_positions(k):
+            bits[p >> 3] |= 1 << (p & 7)
+    bref = ray.put((bits, frozenset(okeys)))
+
+    cust = read_parquet_clean(_p(sf_dir, "customer"), columns=["c_custkey"])
+
+    def audit(t: pa.Table, bref=bref) -> pa.Table:
+        bits, okeys = (
+            ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        )
+        n_no, n_fp = 0, 0
+        for ck in t["c_custkey"].to_pylist():
+            if ck in okeys:
+                continue
+            n_no += 1
+            if all(
+                bits[p >> 3] & (1 << (p & 7))
+                for p in _bloom_positions(ck)
+            ):
+                n_fp += 1
+        return pa.table(
+            {
+                "n_no": pa.array([n_no], pa.int64()),
+                "n_fp": pa.array([n_fp], pa.int64()),
+            }
+        )
+
+    def sum_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                "n_no": pa.array([pc.sum(t["n_no"]).as_py() or 0], pa.int64()),
+                "n_fp": pa.array([pc.sum(t["n_fp"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    rows = tree_combine(
+        cust.map_batches(audit, batch_format="pyarrow"), sum_rows
+    ).take_all()
+    n_no = int(rows[0]["n_no"]) if rows else 0
+    n_fp = int(rows[0]["n_fp"]) if rows else 0
+    import math
+
+    lam = (BLOOM_K * nk) / BLOOM_BITS
+    p1 = 1.0 - math.exp(-lam)
+    theory = p1 * p1 * p1 * p1
+    return pa.table(
+        {
+            "n_no_orders": pa.array([n_no], pa.int64()),
+            "n_bloom_fp": pa.array([n_fp], pa.int64()),
+            "fpr_actual": pa.array(
+                [
+                    None
+                    if n_no == 0
+                    else round_half_away([n_fp / n_no], 6)[0]
+                ],
+                pa.float64(),
+            ),
+            "fpr_theory": pa.array(
+                [round_half_away([theory], 6)[0]], pa.float64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ----------------------------------------------------- binscatter profile
+
+
+def events_hour_value_binscatter(sf_dir: str) -> pa.Table:
+    """BINSCATTER / conditional-distribution profile (the nonparametric
+    what-does-y-do-as-x-moves view): per hour of day, event count, mean
+    value (exact-cents division) and MEDIAN value (quantile_disc order
+    statistic). ONE (hour, cents)-census pass — 24 × value-domain rows —
+    then per-hour order statistics off the sorted census."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts", "value"])
+    schema = pa.schema(
+        [
+            ("hour", pa.int64()),
+            ("n", pa.int64()),
+            ("mean_value", pa.float64()),
+            ("median_value", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        hod = (_ts_us(t) // _HOUR_US) % 24
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"h": hod, "v": cents})
+            .groupby(["h", "v"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "h": pa.array(df["h"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(df["v"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("h", "v"), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    hours, ns, means, medians = [], [], [], []
+    for h, g in cen.groupby("h", sort=True):
+        g = g.sort_values("v")
+        vs = g["v"].to_numpy(np.int64)
+        cn = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(cn)
+        n = int(cum[-1])
+        s = int(np.dot(vs, cn))
+        med = int(vs[np.searchsorted(cum, int(np.ceil(n * 0.5)))])
+        hours.append(int(h))
+        ns.append(n)
+        means.append(
+            round_half_away([float(s) / (n * 100.0)], 4)[0]
+        )
+        medians.append(round_half_away([med / 100.0], 4)[0])
+    return pa.table(
+        {
+            "hour": pa.array(hours, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "mean_value": pa.array(means, pa.float64()),
+            "median_value": pa.array(medians, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------- exponential-fit KS GOF
+
+
+def events_gap_expfit_ks(sf_dir: str) -> pa.Table:
+    """PARAMETRIC KS goodness-of-fit (continuous counterpart of the
+    Poisson chi² GOF — do inter-event gaps look exponential?): per-user
+    consecutive gaps in whole seconds pooled corpus-wide, μ = mean gap
+    (one exact-int division), D = max over the gap census of
+    |ecdf − (1 − e^(−v/μ))|. The max is ORDER-FREE, so a single-row
+    statistic is safe where a float SUM would not be (NOTES per-cell
+    rule); ecdf steps are exact-int ratios. ONE user-key groupby emits
+    gap-census partials."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    schema = pa.schema(
+        [
+            ("n_gaps", pa.int64()),
+            ("mu_seconds", pa.float64()),
+            ("ks", pa.float64()),
+        ]
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(_ts_us(t), pa.int64()),
+            }
+        )
+
+    def gaps_of(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts_us"].to_numpy(np.int64))
+        if ts.size < 2:
+            return pd.DataFrame(
+                {
+                    "v": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        d = np.diff(ts) // 1_000_000  # whole seconds
+        keys, counts = np.unique(d, return_counts=True)
+        return pd.DataFrame(
+            {"v": keys.astype(np.int64), "n": counts.astype(np.int64)}
+        )
+
+    cen = tree_combine(
+        ev.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(gaps_of, batch_format="pandas"),
+        group_sum_merge(("v",), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    import math
+
+    cen = cen.sort_values("v")
+    vs = cen["v"].to_numpy(np.int64)
+    cum = np.cumsum(cen["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    total = int(np.dot(vs, cen["n"].to_numpy(np.int64)))
+    if total == 0:
+        return schema.empty_table()
+    mu = total / n
+    d = max(
+        abs(int(c) / n - (1.0 - math.exp(-(int(v) / mu))))
+        for v, c in zip(vs, cum)
+    )
+    return pa.table(
+        {
+            "n_gaps": pa.array([n], pa.int64()),
+            "mu_seconds": pa.array(
+                [round_half_away([mu], 4)[0]], pa.float64()
+            ),
+            "ks": pa.array([round_half_away([d], 6)[0]], pa.float64()),
+        },
+        schema=schema,
+    )
