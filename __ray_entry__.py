@@ -440,6 +440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr_audit": q.bloom_fpr_audit,
         "events_hour_value_binscatter": q.events_hour_value_binscatter,
         "events_gap_expfit_ks": q.events_gap_expfit_ks,
+        "events_did_estimate": q.events_did_estimate,
+        "corpus_oov_rate": q.corpus_oov_rate,
+        "doc_cluster_purity": q.doc_cluster_purity,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1058,6 +1061,58 @@ def oracle_sql() -> dict[str, str]:
             FROM qi
         """,
         "doc_split_leakage": do.doc_split_leakage_sql(),
+        "doc_cluster_purity": do.doc_cluster_purity_sql(),
+        "events_did_estimate": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS tmin,
+                              max(epoch_us(ts)) AS tmax FROM events),
+            cut AS (SELECT tmin + (tmax - tmin) // 2 AS t1 FROM b),
+            p AS (SELECT md5_number_upper(user_id::VARCHAR) % 2 AS arm,
+                         CASE WHEN epoch_us(ts) > (SELECT t1 FROM cut)
+                              THEN 1 ELSE 0 END AS post,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE event_type = 'purchase'),
+            cen AS (SELECT arm, post, sum(c) AS s,
+                           count(*)::BIGINT AS n
+                    FROM p GROUP BY 1, 2)
+            SELECT round((SELECT s / (n * 100.0) FROM cen
+                          WHERE arm = 0 AND post = 0), 4) AS m_ctrl_pre,
+                   round((SELECT s / (n * 100.0) FROM cen
+                          WHERE arm = 0 AND post = 1), 4) AS m_ctrl_post,
+                   round((SELECT s / (n * 100.0) FROM cen
+                          WHERE arm = 1 AND post = 0), 4) AS m_treat_pre,
+                   round((SELECT s / (n * 100.0) FROM cen
+                          WHERE arm = 1 AND post = 1), 4)
+                       AS m_treat_post,
+                   round(((SELECT s / (n * 100.0) FROM cen
+                           WHERE arm = 1 AND post = 1)
+                          - (SELECT s / (n * 100.0) FROM cen
+                             WHERE arm = 1 AND post = 0))
+                         - ((SELECT s / (n * 100.0) FROM cen
+                             WHERE arm = 0 AND post = 1)
+                            - (SELECT s / (n * 100.0) FROM cen
+                               WHERE arm = 0 AND post = 0)), 4) AS did
+            WHERE (SELECT count(*) FROM cen) = 4
+        """,
+        "corpus_oov_rate": f"""
+            WITH toks AS (
+                SELECT CASE WHEN md5_number_upper(doc_id::VARCHAR) % 10
+                                 < 8 THEN 1 ELSE 0 END AS is_train,
+                       unnest(regexp_extract_all(coalesce(text, ''),
+                                                 '{_TOK}')) AS token
+                FROM documents),
+            tr AS (SELECT DISTINCT token FROM toks WHERE is_train = 1),
+            ev AS (SELECT token, count(*)::BIGINT AS n
+                   FROM toks WHERE is_train = 0 GROUP BY 1),
+            t AS (SELECT sum(n) AS n_tot,
+                         coalesce(sum(CASE WHEN token NOT IN
+                                      (SELECT token FROM tr)
+                                      THEN n ELSE 0 END), 0) AS n_oov
+                  FROM ev)
+            SELECT n_tot::BIGINT AS n_eval_tokens,
+                   n_oov::BIGINT AS n_oov,
+                   round(n_oov / CAST(n_tot AS DOUBLE), 6) AS oov_rate
+            FROM t WHERE n_tot > 0
+        """,
         "bloom_fpr_audit": f"""
             WITH ok AS (SELECT DISTINCT o_custkey AS k FROM orders),
             ii AS (SELECT unnest(range(0, {q.BLOOM_K})) AS i),

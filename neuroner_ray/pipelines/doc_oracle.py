@@ -714,3 +714,36 @@ def doc_split_leakage_sql(threshold: float = 0.8) -> str:
                         0)::BIGINT AS n_cross_split
         FROM lab
     """
+
+
+def doc_cluster_purity_sql(threshold: float = 0.8) -> str:
+    """Per-cluster majority-lang purity over the SAME jaccard cluster
+    closure that backs ``doc_jaccard_clusters`` — mirrors
+    ``queries.doc_cluster_purity``."""
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte(threshold)},
+        sym AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        uni AS (SELECT a AS id FROM sym),
+        reach AS (
+            SELECT id AS src, id AS dst FROM uni
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        cl AS (SELECT l.cluster_id, d.lang
+               FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+        c AS (SELECT cluster_id, lang, count(*)::BIGINT AS n
+              FROM cl GROUP BY 1, 2),
+        m AS (SELECT cluster_id, sum(n) AS n_docs, max(n) AS n_major
+              FROM c GROUP BY 1)
+        SELECT cluster_id, n_docs::BIGINT AS n_docs,
+               n_major::BIGINT AS n_major,
+               round(n_major / CAST(n_docs AS DOUBLE), 4) AS purity
+        FROM m
+    """

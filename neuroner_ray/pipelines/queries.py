@@ -19184,3 +19184,380 @@ def events_gap_expfit_ks(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------ difference-in-differences
+
+
+def events_did_estimate(sf_dir: str) -> pa.Table:
+    """DIFFERENCE-IN-DIFFERENCES (the causal-inference workhorse for
+    natural experiments): md5-parity user arms (the split-assign
+    convention), pre/post periods at the data-derived midpoint watermark
+    (the snapshot-diff convention), outcome = mean purchase value. DiD =
+    (treat_post − treat_pre) − (ctrl_post − ctrl_pre), each mean one
+    exact-int division, the full chain mirrored operand-for-operand. ONE
+    (arm, period) 4-cell census after a scalar span pre-pass."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "value"],
+    )
+    schema = pa.schema(
+        [
+            ("m_ctrl_pre", pa.float64()),
+            ("m_ctrl_post", pa.float64()),
+            ("m_treat_pre", pa.float64()),
+            ("m_treat_post", pa.float64()),
+            ("did", pa.float64()),
+        ]
+    )
+
+    def spanrow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tmin": pa.array([], pa.int64()),
+                    "tmax": pa.array([], pa.int64()),
+                }
+            )
+        if "tmin" in t.schema.names:
+            return pa.table(
+                {
+                    "tmin": pa.array(
+                        [pc.min(t["tmin"]).as_py()], pa.int64()
+                    ),
+                    "tmax": pa.array(
+                        [pc.max(t["tmax"]).as_py()], pa.int64()
+                    ),
+                }
+            )
+        us = _ts_us(t)
+        return pa.table(
+            {
+                "tmin": pa.array([int(us.min())], pa.int64()),
+                "tmax": pa.array([int(us.max())], pa.int64()),
+            }
+        )
+
+    span = tree_combine(
+        ev.map_batches(spanrow, batch_format="pyarrow"), spanrow
+    ).take_all()
+    if not span:
+        return schema.empty_table()
+    tmin, tmax = int(span[0]["tmin"]), int(span[0]["tmax"])
+    t1 = tmin + (tmax - tmin) // 2
+
+    def census(t: pa.Table, t1=t1) -> pa.Table:
+        sel = pc.equal(t["event_type"], "purchase")
+        t = t.filter(sel)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "arm": pa.array([], pa.int64()),
+                    "post": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        us = _ts_us(t)
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        arm = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(u).encode("utf-8")).digest()[:8],
+                    "little",
+                )
+                % 2
+                for u in t["user_id"].to_pylist()
+            ),
+            np.int64,
+            t.num_rows,
+        )
+        post = (us > t1).astype(np.int64)
+        df = (
+            pd.DataFrame({"arm": arm, "post": post, "s": cents})
+            .groupby(["arm", "post"], sort=True)
+            .agg(s=("s", "sum"), n=("s", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "arm": pa.array(df["arm"].to_numpy(np.int64), pa.int64()),
+                "post": pa.array(df["post"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("arm", "post"), ("s", "n")),
+    ).to_pandas()
+    cells = {
+        (int(r.arm), int(r.post)): (int(r.s), int(r.n))
+        for r in cen.itertuples(index=False)
+    }
+    if any((a, p) not in cells for a in (0, 1) for p in (0, 1)):
+        return schema.empty_table()
+
+    def mean(a, p):
+        s, n = cells[(a, p)]
+        return s / (n * 100.0)
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    return pa.table(
+        {
+            "m_ctrl_pre": pa.array(
+                [round_half_away([mean(0, 0)], 4)[0]], pa.float64()
+            ),
+            "m_ctrl_post": pa.array(
+                [round_half_away([mean(0, 1)], 4)[0]], pa.float64()
+            ),
+            "m_treat_pre": pa.array(
+                [round_half_away([mean(1, 0)], 4)[0]], pa.float64()
+            ),
+            "m_treat_post": pa.array(
+                [round_half_away([mean(1, 1)], 4)[0]], pa.float64()
+            ),
+            "did": pa.array(
+                [round_half_away([did], 4)[0]], pa.float64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------------------- OOV rate
+
+
+def corpus_oov_rate(sf_dir: str) -> pa.Table:
+    """VOCABULARY DRIFT / OOV-RATE audit (the train-vs-eval tokenizer
+    check an LLM pipeline runs after any split change): fraction of
+    token OCCURRENCES in the eval split (hash-split valid+test) whose
+    token never appears in the train split. Distributed membership via
+    ONE side-tagged token-key cogroup (the fk_orphan shape on tokens:
+    train rows carry a marker, eval rows carry occurrence counts —
+    vocabulary-sized shuffle, never corpus rows)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    schema = pa.schema(
+        [
+            ("n_eval_tokens", pa.int64()),
+            ("n_oov", pa.int64()),
+            ("oov_rate", pa.float64()),
+        ]
+    )
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        toks: dict[tuple[str, int], int] = {}
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = (
+                int.from_bytes(
+                    hashlib.md5(str(d).encode("utf-8")).digest()[:8],
+                    "little",
+                )
+                % 10
+            )
+            is_train = 1 if b < 8 else 0
+            for w in _TOKEN_RE.findall(txt or ""):
+                toks[(w, is_train)] = toks.get((w, is_train), 0) + 1
+        ws, tr, ns = [], [], []
+        for (w, s), n in toks.items():
+            ws.append(w)
+            tr.append(s)
+            ns.append(n)
+        return pa.table(
+            {
+                "token": pa.array(ws, pa.string()),
+                "in_train": pa.array(tr, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max as _Max
+
+    tagged = docs.map_batches(token_rows, batch_format="pyarrow")
+
+    # side-tagged token cogroup: eval rows carry counts, train rows carry
+    # the membership marker
+    def eval_rows(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t["in_train"], 0)
+        t2 = t.filter(sel)
+        return pa.table(
+            {
+                "token": t2["token"],
+                "n_eval": t2["n"].cast(pa.int64()),
+                "marker": pa.array([0] * t2.num_rows, pa.int64()),
+            }
+        )
+
+    def train_rows(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t["in_train"], 1)
+        t2 = t.filter(sel)
+        return pa.table(
+            {
+                "token": t2["token"],
+                "n_eval": pa.array([0] * t2.num_rows, pa.int64()),
+                "marker": pa.array([1] * t2.num_rows, pa.int64()),
+            }
+        )
+
+    both = tagged.map_batches(eval_rows, batch_format="pyarrow").union(
+        tagged.map_batches(train_rows, batch_format="pyarrow")
+    )
+    per_tok = both.groupby("token").aggregate(
+        Sum("n_eval", alias_name="n_eval"),
+        _Max("marker", alias_name="has_train"),
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_eval" not in t.schema.names:
+            if "n_tot" in t.schema.names:
+                return pa.table(
+                    {
+                        "n_tot": pa.array(
+                            [pc.sum(t["n_tot"]).as_py() or 0], pa.int64()
+                        ),
+                        "n_oov": pa.array(
+                            [pc.sum(t["n_oov"]).as_py() or 0], pa.int64()
+                        ),
+                    }
+                )
+            return pa.table(
+                {
+                    "n_tot": pa.array([0], pa.int64()),
+                    "n_oov": pa.array([0], pa.int64()),
+                }
+            )
+        ne = t["n_eval"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ht = t["has_train"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_tot": pa.array([int(ne.sum())], pa.int64()),
+                "n_oov": pa.array([int(ne[ht == 0].sum())], pa.int64()),
+            }
+        )
+
+    rows = tree_combine(
+        per_tok.map_batches(verdict, batch_format="pyarrow"), verdict
+    ).take_all()
+    n_tot = int(rows[0]["n_tot"]) if rows else 0
+    n_oov = int(rows[0]["n_oov"]) if rows else 0
+    if n_tot == 0:
+        return schema.empty_table()
+    return pa.table(
+        {
+            "n_eval_tokens": pa.array([n_tot], pa.int64()),
+            "n_oov": pa.array([n_oov], pa.int64()),
+            "oov_rate": pa.array(
+                [round_half_away([n_oov / n_tot], 6)[0]], pa.float64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------------- cluster purity
+
+
+def doc_cluster_purity(sf_dir: str) -> pa.Table:
+    """EXTERNAL CLUSTER VALIDATION (purity — does the near-dup clustering
+    respect the lang labels?): over the oracled 3-gram-Jaccard clusters,
+    per cluster the majority-label share. Cluster membership is
+    pair-count-bounded (far below corpus), so the member→cluster map
+    broadcasts and ONE documents pass emits (cluster, lang) cells; purity
+    is one division per cluster."""
+    from ..stages.canonicalize import connected_components
+    from ..stages.dedup import _id_key, ngram_jaccard_pairs
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    schema = pa.schema(
+        [
+            ("cluster_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_major", pa.int64()),
+            ("purity", pa.float64()),
+        ]
+    )
+    pairs = ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=0.8
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "a": pa.array(
+                    [_id_key(v) for v in t["a"].to_pylist()], pa.string()
+                ),
+                "b": pa.array(
+                    [_id_key(v) for v in t["b"].to_pylist()], pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        arr = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return pa.table({"node": pc.unique(arr)})
+
+    nodes = pairs.map_batches(node_rows, batch_format="pyarrow")
+    members = connected_components(pairs, nodes).take_all()
+    if not members:
+        return schema.empty_table()
+    memb = {int(r["node"]): int(r["label"]) for r in members}
+    mref = ray.put(memb)
+
+    def cells(t: pa.Table, mref=mref) -> pa.Table:
+        m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        cl, lg = [], []
+        for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()):
+            c = m.get(int(d))
+            if c is not None:
+                cl.append(c)
+                lg.append(lang)
+        df = (
+            pd.DataFrame({"cluster_id": cl, "lang": lg})
+            .groupby(["cluster_id", "lang"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    df["cluster_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        docs.map_batches(cells, batch_format="pyarrow"),
+        group_sum_merge(("cluster_id", "lang"), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    g = cen.groupby("cluster_id").agg(
+        n_docs=("n", "sum"), n_major=("n", "max")
+    )
+    return pa.table(
+        {
+            "cluster_id": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+            "n_major": pa.array(
+                g["n_major"].to_numpy(np.int64), pa.int64()
+            ),
+            "purity": pa.array(
+                round_half_away(
+                    g["n_major"].to_numpy(np.float64)
+                    / g["n_docs"].to_numpy(np.float64),
+                    4,
+                ),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )

@@ -4929,3 +4929,141 @@ def test_expfit_ks_bounds():
     r = out.iloc[0]
     assert 0.0 <= r["ks"] <= 1.0
     assert r["mu_seconds"] > 0
+
+
+def test_round4_batch57_queries_match_oracles():
+    """Batch-57 additions (DiD, OOV rate, cluster purity) against their
+    registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_did_estimate",
+        "corpus_oov_rate",
+        "doc_cluster_purity",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch57_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.events_did_estimate, 5),
+        (q.corpus_oov_rate, 3),
+        (q.doc_cluster_purity, 4),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_did_reconstructs_from_cell_means():
+    """did == (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre)
+    within the per-cell 4-dp rounding."""
+    res = q.events_did_estimate(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    r = out.iloc[0]
+    approx = (r.m_treat_post - r.m_treat_pre) - (
+        r.m_ctrl_post - r.m_ctrl_pre
+    )
+    assert abs(r.did - approx) < 5e-4
+
+
+def test_oov_rate_zero_when_eval_subset_of_train(tmp_path):
+    """If every eval token also appears in train, OOV = 0; a planted
+    eval-only token makes it positive."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # find doc_ids for each split under the md5 rule
+    import hashlib as h
+
+    def split_of(d):
+        return (
+            int.from_bytes(h.md5(str(d).encode()).digest()[:8], "little")
+            % 10
+        )
+
+    train_id = next(d for d in range(100) if split_of(d) < 8)
+    eval_id = next(d for d in range(100) if split_of(d) >= 8)
+    docs = [
+        (train_id, "alpha beta gamma"),
+        (eval_id, "alpha beta"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+            "lang": pa.array(["en"] * 2, pa.string()),
+            "source": pa.array(["s"] * 2, pa.string()),
+            "n_chars": pa.array([len(x) for _, x in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    res = q.corpus_oov_rate(str(tmp_path))
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert out.iloc[0]["oov_rate"] == 0.0
+    # now plant an eval-only token
+    docs2 = [(train_id, "alpha beta gamma"), (eval_id, "alpha zzznovel")]
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs2], pa.int64()),
+            "text": pa.array([x for _, x in docs2], pa.string()),
+            "lang": pa.array(["en"] * 2, pa.string()),
+            "source": pa.array(["s"] * 2, pa.string()),
+            "n_chars": pa.array([len(x) for _, x in docs2], pa.int64()),
+        }
+    )
+    pq.write_table(t2, os.path.join(str(tmp_path), "documents.parquet"))
+    res2 = q.corpus_oov_rate(str(tmp_path))
+    out2 = res2 if isinstance(res2, pd.DataFrame) else res2.to_pandas()
+    if not isinstance(out2, pd.DataFrame):
+        out2 = out2.to_pandas()
+    assert out2.iloc[0]["n_oov"] == 1
+    assert out2.iloc[0]["oov_rate"] == 0.5
+
+
+def test_cluster_purity_bounds_and_membership():
+    """Purity ∈ (0, 1], cluster sizes match the registered cluster-size
+    op, and n_major ≤ n_docs."""
+    res = q.doc_cluster_purity(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert (out["purity"] > 0).all() and (out["purity"] <= 1).all()
+    assert (out["n_major"] <= out["n_docs"]).all()
+    sizes = q.doc_jaccard_clusters(SF).to_pandas()
+    merged = out.merge(sizes, on="cluster_id", suffixes=("", "_ref"))
+    assert (merged["n_docs"] == merged["n_docs_ref"]).all()
