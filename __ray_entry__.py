@@ -170,6 +170,15 @@ def kg_ppr(sf_dir: str) -> Any:
     return pagerank(_kg_tables(sf_dir)["edges"], personalized=True)
 
 
+def kg_richclub(sf_dir: str) -> Any:
+    """Graph analytics: rich-club coefficient profile (do hubs connect
+    to each other more than chance?) — φ(k) over degree thresholds
+    1/2/4/8 on the simple undirected graph."""
+    from neuroner_ray.stages.graph import richclub
+
+    return richclub(_kg_tables(sf_dir)["edges"])
+
+
 def kg_components(sf_dir: str) -> Any:
     """Graph analytics: connected components of the undirected entity
     graph (size-adaptive union-find / distributed min-label propagation);
@@ -443,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_did_estimate": q.events_did_estimate,
         "corpus_oov_rate": q.corpus_oov_rate,
         "doc_cluster_purity": q.doc_cluster_purity,
+        "kg_richclub": kg_richclub,
+        "corpus_token_coverage": q.corpus_token_coverage,
+        "events_hourly_fano": q.events_hourly_fano,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1007,6 +1019,45 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": ko.kg_ktruss_sql(tglob),
         "kg_sssp": ko.kg_sssp_sql(tglob),
         "kg_ppr": ko.kg_pagerank_sql(tglob, personalized=True),
+        "kg_richclub": ko.kg_richclub_sql(tglob),
+        "corpus_token_coverage": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                                                 '{_TOK}')) AS token
+                FROM documents),
+            cen AS (SELECT token, count(*)::BIGINT AS n
+                    FROM toks GROUP BY 1),
+            r AS (SELECT n,
+                         sum(n) OVER (ORDER BY n DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                         row_number() OVER (ORDER BY n DESC, token)
+                             AS rk
+                  FROM cen),
+            t AS (SELECT sum(n) AS total FROM cen),
+            p AS (SELECT unnest([50, 90, 99]) AS pct)
+            SELECT p.pct::BIGINT AS pct,
+                   min(r.rk)::BIGINT AS n_tokens,
+                   min(r.cum)::BIGINT AS covered
+            FROM p JOIN r ON 100 * r.cum >= p.pct * (SELECT total FROM t)
+            GROUP BY 1
+        """,
+        "events_hourly_fano": """
+            WITH c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT max(h) - min(h) + 1 AS span,
+                         sum(n) AS s1, sum(n * n) AS s2
+                  FROM c)
+            SELECT span::BIGINT AS n_hours,
+                   round(s1 / CAST(span AS DOUBLE), 4) AS mean_per_hour,
+                   CASE WHEN s1 = 0 THEN NULL
+                        ELSE round((s2 / CAST(span AS DOUBLE)
+                               - (s1 / CAST(span AS DOUBLE))
+                                 * (s1 / CAST(span AS DOUBLE)))
+                              / (s1 / CAST(span AS DOUBLE)), 4)
+                   END AS fano
+            FROM t WHERE span IS NOT NULL
+        """,
         "lineitem_zonemap_skip": f"""
             WITH b AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us,
                               year(l_shipdate) * 12 + month(l_shipdate) - 1

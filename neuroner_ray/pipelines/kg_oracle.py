@@ -890,3 +890,37 @@ def kg_sssp_sql(transcripts_glob: str, rounds: int = 10) -> str:
         SELECT node AS entity_id, dist FROM d{rounds}"""
     )
     return "".join(parts)
+
+
+def kg_richclub_sql(transcripts_glob: str) -> str:
+    """Rich-club profile — mirrors ``stages.graph.richclub`` (simple
+    undirected graph, degree = distinct neighbors, thresholds 1/2/4/8,
+    φ = 2·E_k/(N_k·(N_k−1)), NULL below two qualifying nodes)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS x,
+                            greatest(src_id, dst_id) AS y
+            FROM e WHERE src_id <> dst_id
+        ),
+        ud AS (SELECT x AS a, y AS b FROM und
+               UNION ALL SELECT y, x FROM und),
+        deg AS MATERIALIZED (SELECT a, count(*) AS d FROM ud GROUP BY 1),
+        ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+        nk AS (SELECT k, (SELECT count(*) FROM deg WHERE d > k) AS n
+               FROM ks),
+        ek AS (SELECT k,
+                      (SELECT count(*) FROM und u
+                       JOIN deg da ON da.a = u.x
+                       JOIN deg db ON db.a = u.y
+                       WHERE da.d > k AND db.d > k) AS m
+               FROM ks)
+        SELECT nk.k::BIGINT AS k, nk.n::BIGINT AS n_nodes,
+               ek.m::BIGINT AS n_edges,
+               CASE WHEN nk.n < 2 THEN NULL
+                    ELSE round(2.0 * ek.m
+                               / (CAST(nk.n AS DOUBLE) * (nk.n - 1)), 4)
+               END AS phi
+        FROM nk JOIN ek USING (k)
+    """

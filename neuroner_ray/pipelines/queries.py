@@ -19561,3 +19561,119 @@ def doc_cluster_purity(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- token coverage curve
+
+COVERAGE_PCTS = (50, 90, 99)
+
+
+def corpus_token_coverage(sf_dir: str) -> pa.Table:
+    """VOCABULARY COVERAGE curve (the tokenizer-design question: how many
+    distinct tokens cover 50/90/99% of occurrences?): token census, rank
+    by (freq DESC, token ASC), smallest prefix whose cumulative count
+    reaches each threshold — the comparison is the exact integer cross
+    product 100·cum ≥ pct·total (the ABC-classification convention).
+    ONE vocabulary census; prefix scan on the driver (vocab-bounded)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    schema = pa.schema(
+        [
+            ("pct", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("covered", pa.int64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(_TOKEN_RE.findall(txt or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        docs.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("token",), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    )
+    cum = np.cumsum(cen["n"].to_numpy(np.int64))
+    total = int(cum[-1])
+    pcts, nts, covs = [], [], []
+    for pct in COVERAGE_PCTS:
+        j = int(np.searchsorted(100 * cum, pct * total))
+        pcts.append(pct)
+        nts.append(j + 1)
+        covs.append(int(cum[j]))
+    return pa.table(
+        {
+            "pct": pa.array(pcts, pa.int64()),
+            "n_tokens": pa.array(nts, pa.int64()),
+            "covered": pa.array(covs, pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------------------- Fano factor
+
+
+def events_hourly_fano(sf_dir: str) -> pa.Table:
+    """FANO FACTOR (index of dispersion — the overdispersion diagnostic
+    that says whether hourly arrivals are Poisson-like, var/mean = 1, or
+    bursty, > 1): over the dense hourly count grid, population variance /
+    mean from exact integer moments (Σx, Σx², span), two divisions at the
+    end mirrored by the oracle. Complements the Poisson GOF: that tests
+    the SIZE distribution, this the arrival process."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts"])
+    schema = pa.schema(
+        [
+            ("n_hours", pa.int64()),
+            ("mean_per_hour", pa.float64()),
+            ("fano", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _ts_us(t) // _HOUR_US
+        keys, counts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(keys.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = tree_combine(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        group_sum_merge(("h",), ("n",)),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    # dense grid: empty hours inside the span count as 0 (they carry no
+    # census row but DO contribute to the span)
+    span = int(cen["h"].max()) - int(cen["h"].min()) + 1
+    ns = cen["n"].to_numpy(np.int64)
+    s1 = int(ns.sum())
+    s2 = int(np.dot(ns, ns))
+    mean = s1 / span
+    # population variance: E[x²] − E[x]² — identical shape in SQL
+    var = s2 / span - (s1 / span) * (s1 / span)
+    fano = None if s1 == 0 else round_half_away([var / mean], 4)[0]
+    return pa.table(
+        {
+            "n_hours": pa.array([span], pa.int64()),
+            "mean_per_hour": pa.array(
+                [round_half_away([mean], 4)[0]], pa.float64()
+            ),
+            "fano": pa.array([fano], pa.float64()),
+        },
+        schema=schema,
+    )

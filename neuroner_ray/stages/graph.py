@@ -4980,3 +4980,166 @@ def sssp(
             }
         )
     )
+
+
+# ----------------------------------------------------- rich-club profile
+
+RICHCLUB_KS = (1, 2, 4, 8)
+
+
+def richclub(
+    edges: Dataset,
+    ks: tuple[int, ...] = RICHCLUB_KS,
+    *,
+    max_nodes: int = PAGERANK_MAX_NODES,
+) -> pa.Table:
+    """RICH-CLUB coefficient profile (do the hubs preferentially connect
+    to each other?): for each degree threshold k, φ(k) = 2·E_k /
+    (N_k·(N_k−1)) over the simple undirected graph, where N_k = nodes of
+    degree > k and E_k = edges with both endpoints above the threshold.
+
+    Scale shape: the distinct-pair dedup is ONE edge-bounded groupby; the
+    degree census is vocabulary-sized and broadcasts once (loud cap at
+    ``max_nodes`` — past it, attach degrees through the adamic-adar
+    ``_attach_deg`` cogroup instead of broadcasting); one streamed pair
+    pass carries len(ks) counters per batch. NULL φ when N_k < 2."""
+    import pyarrow.compute as pc
+
+    from ..runtime.combine import group_sum_merge, tree_combine
+
+    schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("n_nodes", pa.int64()),
+            ("n_edges", pa.int64()),
+            ("phi", pa.float64()),
+        ]
+    )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t["src_id"], t["dst_id"]))
+        t = t.filter(keep)
+        x = pc.min_element_wise(t["src_id"], t["dst_id"])
+        y = pc.max_element_wise(t["src_id"], t["dst_id"])
+        df = (
+            pd.DataFrame(
+                {"x": x.to_pylist(), "y": y.to_pylist()}
+            )
+            .drop_duplicates()
+        )
+        return pa.table(
+            {
+                "x": pa.array(df["x"].tolist(), pa.string()),
+                "y": pa.array(df["y"].tolist(), pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    und = (
+        edges.select_columns(["src_id", "dst_id"])
+        .map_batches(pair_rows, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="_c"))
+        .materialize()
+    )
+
+    dmerge = group_sum_merge(("id",), ("d",))
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.schema.names:
+            return pa.table(
+                {"id": pa.array([], pa.string()), "d": pa.array([], pa.int64())}
+            )
+        ids = pa.concat_arrays(
+            [t["x"].combine_chunks(), t["y"].combine_chunks()]
+        )
+        return dmerge(
+            pa.table(
+                {"id": ids, "d": pa.array([1] * len(ids), pa.int64())}
+            )
+        )
+
+    deg = pa.concat_tables(
+        [pa.table({"id": pa.array([], pa.string()), "d": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                und.map_batches(deg_rows, batch_format="pyarrow"), dmerge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if deg.num_rows == 0:
+        return schema.empty_table()
+    if deg.num_rows > max_nodes:
+        raise ValueError(
+            f"richclub degree map has {deg.num_rows} nodes "
+            f"(> max_nodes={max_nodes}); attach degrees via the "
+            "adamic-adar _attach_deg cogroup instead of broadcasting"
+        )
+    dmap = dict(
+        zip(deg["id"].to_pylist(), deg["d"].to_numpy(zero_copy_only=False))
+    )
+    dref = ray.put(pd.Series(dmap))
+    degs = np.asarray(list(dmap.values()), np.int64)
+
+    def counters(t: pa.Table, dref=dref, ks=ks) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.schema.names:
+            return t if "k" in t.schema.names else pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        dm = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
+        dx = pd.Series(t["x"].to_pylist()).map(dm).to_numpy(np.int64)
+        dy = pd.Series(t["y"].to_pylist()).map(dm).to_numpy(np.int64)
+        rows_k, rows_m = [], []
+        for k in ks:
+            rows_k.append(k)
+            rows_m.append(int(((dx > k) & (dy > k)).sum()))
+        return pa.table(
+            {
+                "k": pa.array(rows_k, pa.int64()),
+                "m": pa.array(rows_m, pa.int64()),
+            }
+        )
+
+    emerge = group_sum_merge(("k",), ("m",))
+    ek = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                und.map_batches(counters, batch_format="pyarrow"), emerge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    mmap = dict(zip(ek["k"], ek["m"])) if not ek.empty else {}
+    out_k, out_n, out_m, out_phi = [], [], [], []
+    for k in ks:
+        n_k = int((degs > k).sum())
+        m_k = int(mmap.get(k, 0))
+        phi = (
+            None
+            if n_k < 2
+            else float(2.0 * m_k / (float(n_k) * (n_k - 1)))
+        )
+        out_k.append(k)
+        out_n.append(n_k)
+        out_m.append(m_k)
+        out_phi.append(phi)
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "k": pa.array(out_k, pa.int64()),
+            "n_nodes": pa.array(out_n, pa.int64()),
+            "n_edges": pa.array(out_m, pa.int64()),
+            "phi": pa.array(
+                [
+                    None if p is None else float(round_half_away([p], 4)[0])
+                    for p in out_phi
+                ],
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )

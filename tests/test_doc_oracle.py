@@ -5067,3 +5067,72 @@ def test_cluster_purity_bounds_and_membership():
     sizes = q.doc_jaccard_clusters(SF).to_pandas()
     merged = out.merge(sizes, on="cluster_id", suffixes=("", "_ref"))
     assert (merged["n_docs"] == merged["n_docs_ref"]).all()
+
+
+def test_round4_batch58_queries_match_oracles():
+    """Batch-58 additions (token coverage, Fano factor) against their
+    registered oracles (kg_richclub replays through the replica + the
+    graph fixture test)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("corpus_token_coverage", "events_hourly_fano"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch58_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.corpus_token_coverage, 3),
+        (q.events_hourly_fano, 3),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_token_coverage_monotone():
+    """Higher coverage targets need at least as many tokens, and each
+    prefix genuinely reaches its threshold."""
+    res = q.corpus_token_coverage(SF)
+    out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.sort_values("pct")
+    assert out["n_tokens"].is_monotonic_increasing
+    total = None
+    c = duckdb.connect()
+    total = c.execute(
+        f"""SELECT count(*) FROM (
+            SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS t
+            FROM read_parquet('{SF}/documents.parquet'))"""
+    ).fetchone()[0]
+    for r in out.itertuples():
+        assert 100 * r.covered >= r.pct * int(total)

@@ -1153,3 +1153,41 @@ def test_personalized_pagerank_regimes_and_reference():
     assert abs(local["rank"].sum() - 1.0) < 1e-3
     seed = min(want)
     assert local.set_index("entity_id")["rank"][seed] == local["rank"].max()
+
+
+def test_richclub_fixture_and_caps():
+    """Rich-club on a planted hub clique: a 4-clique among hubs plus
+    pendant leaves drives φ(k) UP with k (hubs connect to each other);
+    NULL when fewer than two nodes qualify."""
+    from neuroner_ray.stages.graph import richclub
+
+    edges = []
+    clique = ["h1", "h2", "h3", "h4"]
+    for i, u in enumerate(clique):
+        for v in clique[i + 1:]:
+            edges.append((u, v))
+    # pendant leaves: degree 1 each, inflate hub degrees
+    for i, u in enumerate(clique):
+        for j in range(3):
+            edges.append((u, f"leaf_{u}_{j}"))
+    ds = rd.from_items(
+        [{"src_id": a, "dst_id": b, "weight": 1} for a, b in edges]
+    )
+    out = richclub(ds).to_pandas() if hasattr(
+        richclub(ds), "to_pandas"
+    ) else richclub(ds)
+    import pandas as pd
+
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    by = out.set_index("k")
+    # hubs have degree 6; leaves degree 1 -> k=1 counts only hubs... no:
+    # k=1 -> nodes with degree > 1 = the 4 hubs; edges among them = 6
+    assert by.loc[1, "n_nodes"] == 4
+    assert by.loc[1, "n_edges"] == 6
+    assert by.loc[1, "phi"] == 1.0  # the hub set is a clique
+    assert by.loc[2, "phi"] == 1.0
+    assert by.loc[4, "phi"] == 1.0
+    # k=8: nobody qualifies -> NULL
+    assert by.loc[8, "n_nodes"] == 0
+    assert pd.isna(by.loc[8, "phi"])
