@@ -455,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_richclub": kg_richclub,
         "corpus_token_coverage": q.corpus_token_coverage,
         "events_hourly_fano": q.events_hourly_fano,
+        "events_cuped_adjust": q.events_cuped_adjust,
+        "events_late_arrival_audit": q.events_late_arrival_audit,
+        "part_jw_rescored": q.part_jw_rescored,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1057,6 +1060,85 @@ def oracle_sql() -> dict[str, str]:
                               / (s1 / CAST(span AS DOUBLE)), 4)
                    END AS fano
             FROM t WHERE span IS NOT NULL
+        """,
+        "events_cuped_adjust": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS tmin,
+                              max(epoch_us(ts)) AS tmax FROM events),
+            cut AS (SELECT tmin + (tmax - tmin) // 2 AS t1 FROM b),
+            u AS (SELECT user_id,
+                         sum(CASE WHEN event_type = 'purchase'
+                                   AND epoch_us(ts) <= (SELECT t1 FROM cut)
+                                  THEN CAST(round(value * 100) AS BIGINT)
+                                  ELSE 0 END)::BIGINT AS x,
+                         sum(CASE WHEN event_type = 'purchase'
+                                   AND epoch_us(ts) > (SELECT t1 FROM cut)
+                                  THEN CAST(round(value * 100) AS BIGINT)
+                                  ELSE 0 END)::BIGINT AS y
+                  FROM events GROUP BY 1),
+            a AS (SELECT md5_number_upper(user_id::VARCHAR) % 2 AS arm,
+                         count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                         sum(x * x)::BIGINT AS sx2
+                  FROM u GROUP BY 1),
+            g AS (SELECT sum(n)::BIGINT AS n, sum(sx)::BIGINT AS sx,
+                         sum(sy)::BIGINT AS sy, sum(sxy)::BIGINT AS sxy,
+                         sum(sx2)::BIGINT AS sx2
+                  FROM a),
+            s AS (SELECT sx / n AS mxc, sy / n AS myc,
+                         sx2 / n - (sx / n) * (sx / n) AS var FROM g),
+            t AS (SELECT mxc,
+                         (( SELECT sxy / n FROM g) - mxc * myc) / var
+                             AS theta
+                  FROM s),
+            m AS (SELECT (SELECT sx / n FROM a WHERE arm = 0) AS mx0,
+                         (SELECT sy / n FROM a WHERE arm = 0) AS my0,
+                         (SELECT sx / n FROM a WHERE arm = 1) AS mx1,
+                         (SELECT sy / n FROM a WHERE arm = 1) AS my1,
+                         (SELECT theta FROM t) AS theta,
+                         (SELECT mxc FROM t) AS mxc)
+            SELECT round(theta, 6) AS theta,
+                   round(my0 / 100.0, 4) AS m_ctrl,
+                   round(my1 / 100.0, 4) AS m_treat,
+                   round((my0 - theta * (mx0 - mxc)) / 100.0, 4) AS adj_ctrl,
+                   round((my1 - theta * (mx1 - mxc)) / 100.0, 4) AS adj_treat,
+                   round((my1 - my0) / 100.0, 4) AS lift_naive,
+                   round(((my1 - theta * (mx1 - mxc))
+                          - (my0 - theta * (mx0 - mxc))) / 100.0, 4)
+                       AS lift_cuped
+            FROM m
+            WHERE (SELECT count(*) FROM a) = 2
+              AND (SELECT var FROM s) <> 0
+        """,
+        "events_late_arrival_audit": """
+            WITH s AS (SELECT epoch_us(ts) AS us,
+                              max(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS wm
+                       FROM events)
+            SELECT count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN us < wm THEN 1 ELSE 0 END)::BIGINT
+                       AS n_late,
+                   round(sum(CASE WHEN us < wm THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS late_rate,
+                   coalesce(max(CASE WHEN us < wm THEN wm - us END),
+                            0)::BIGINT AS max_lateness_us,
+                   coalesce(sum(CASE WHEN us < wm THEN wm - us ELSE 0 END),
+                            0)::BIGINT AS sum_lateness_us
+            FROM s HAVING count(*) > 0
+        """,
+        "part_jw_rescored": """
+            WITH nm AS (SELECT DISTINCT p_name FROM part),
+            pr AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+                          levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+                   FROM nm a JOIN nm b ON a.p_name < b.p_name
+                   WHERE levenshtein(a.p_name, b.p_name) <= 2)
+            SELECT name_a, name_b, dist,
+                   round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+            FROM pr
+            ORDER BY round(jaro_winkler_similarity(name_a, name_b), 6) DESC,
+                     name_a, name_b
+            LIMIT 50
         """,
         "lineitem_zonemap_skip": f"""
             WITH b AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us,

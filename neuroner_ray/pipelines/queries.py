@@ -19677,3 +19677,395 @@ def events_hourly_fano(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- CUPED variance reduction
+def events_cuped_adjust(sf_dir: str) -> pa.Table:
+    """CUPED (Controlled-experiment Using Pre-Existing Data): the
+    standard variance-reduction adjustment for A/B metrics — adjusted
+    mean = mean(Y) − θ·(mean(X) − mean(X_global)) with θ = cov(X,Y)/var(X),
+    X = a user's PRE-period purchase cents, Y = the POST-period cents
+    (arms by md5 parity, watermark at the data midpoint: the DiD
+    conventions). Universe = every user with ANY event (the randomized
+    unit), zero-filled — non-purchasers carry (0, 0). ONE user-key
+    groupby builds the per-user (x, y) pairs; the moment partials
+    (n, Σx, Σy, Σxy, Σx²) per arm are 2 fixed-width rows through the
+    tree combine, so driver state is O(arms). Every moment is an exact
+    int; θ and the adjusted means are the only float steps, mirrored
+    operand-for-operand in SQL."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "value"],
+    )
+    schema = pa.schema(
+        [
+            ("theta", pa.float64()),
+            ("m_ctrl", pa.float64()),
+            ("m_treat", pa.float64()),
+            ("adj_ctrl", pa.float64()),
+            ("adj_treat", pa.float64()),
+            ("lift_naive", pa.float64()),
+            ("lift_cuped", pa.float64()),
+        ]
+    )
+
+    def spanrow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tmin": pa.array([], pa.int64()),
+                    "tmax": pa.array([], pa.int64()),
+                }
+            )
+        if "tmin" in t.schema.names:
+            return pa.table(
+                {
+                    "tmin": pa.array([pc.min(t["tmin"]).as_py()], pa.int64()),
+                    "tmax": pa.array([pc.max(t["tmax"]).as_py()], pa.int64()),
+                }
+            )
+        us = _ts_us(t)
+        return pa.table(
+            {
+                "tmin": pa.array([int(us.min())], pa.int64()),
+                "tmax": pa.array([int(us.max())], pa.int64()),
+            }
+        )
+
+    span = tree_combine(
+        ev.map_batches(spanrow, batch_format="pyarrow"), spanrow
+    ).take_all()
+    if not span:
+        return schema.empty_table()
+    tmin, tmax = int(span[0]["tmin"]), int(span[0]["tmax"])
+    t1 = tmin + (tmax - tmin) // 2
+
+    def per_user_partial(t: pa.Table, t1=t1) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                }
+            )
+        us = _ts_us(t)
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        pre = us <= t1
+        x = np.where(is_p & pre, cents, 0)
+        y = np.where(is_p & ~pre, cents, 0)
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                    "x": x,
+                    "y": y,
+                }
+            )
+            .groupby("user_id", sort=False)
+            .agg(x=("x", "sum"), y=("y", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "x": pa.array(df["x"].to_numpy(np.int64)),
+                "y": pa.array(df["y"].to_numpy(np.int64)),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "arm": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                    "sx2": pa.array([], pa.int64()),
+                }
+            )
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(u).encode("utf-8")).digest()[:8],
+                    "little",
+                )
+                % 2
+                for u in t["user_id"].to_pylist()
+            ),
+            np.int64,
+            t.num_rows,
+        )  # md5_number_upper replay (split-assign convention)
+        df = (
+            pd.DataFrame(
+                {"arm": arm, "n": 1, "sx": x, "sy": y, "sxy": x * y, "sx2": x * x}
+            )
+            .groupby("arm", sort=True)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                c: pa.array(df[c].to_numpy(np.int64), pa.int64())
+                for c in ("arm", "n", "sx", "sy", "sxy", "sx2")
+            }
+        )
+
+    cen = tree_combine(
+        per_user.map_batches(moments, batch_format="pyarrow"),
+        group_sum_merge(("arm",), ("n", "sx", "sy", "sxy", "sx2")),
+    ).to_pandas()
+    if len(cen) != 2:
+        return schema.empty_table()
+    cells = {
+        int(r.arm): (int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sx2))
+        for r in cen.itertuples(index=False)
+    }
+    n = cells[0][0] + cells[1][0]
+    sx = cells[0][1] + cells[1][1]
+    sy = cells[0][2] + cells[1][2]
+    sxy = cells[0][3] + cells[1][3]
+    sx2 = cells[0][4] + cells[1][4]
+    mxc = sx / n
+    myc = sy / n
+    var = sx2 / n - mxc * mxc
+    if var == 0.0:
+        return schema.empty_table()
+    theta = (sxy / n - mxc * myc) / var
+
+    def arm_means(a: int) -> tuple[float, float]:
+        na, sxa, sya = cells[a][0], cells[a][1], cells[a][2]
+        return sxa / na, sya / na
+
+    mx0, my0 = arm_means(0)
+    mx1, my1 = arm_means(1)
+    adj0 = my0 - theta * (mx0 - mxc)
+    adj1 = my1 - theta * (mx1 - mxc)
+    r4 = lambda v: round_half_away([v], 4)[0]  # noqa: E731
+    return pa.table(
+        {
+            "theta": pa.array([round_half_away([theta], 6)[0]], pa.float64()),
+            "m_ctrl": pa.array([r4(my0 / 100.0)], pa.float64()),
+            "m_treat": pa.array([r4(my1 / 100.0)], pa.float64()),
+            "adj_ctrl": pa.array([r4(adj0 / 100.0)], pa.float64()),
+            "adj_treat": pa.array([r4(adj1 / 100.0)], pa.float64()),
+            "lift_naive": pa.array([r4((my1 - my0) / 100.0)], pa.float64()),
+            "lift_cuped": pa.array([r4((adj1 - adj0) / 100.0)], pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------- streaming watermark lateness
+def events_late_arrival_audit(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """Late-data / watermark audit (the streaming-ingest health check):
+    an event is LATE when its timestamp is behind the running maximum of
+    the timestamps that ARRIVED before it (arrival order = event_id, the
+    ingest sequence), per user. Reports event count, late count/rate and
+    the max/total lateness in µs — the numbers that size a streaming
+    watermark delay. ONE int-key user-bucket shuffle (the funnel /
+    transitions shape) co-locates each user's rows; the per-bucket pass
+    is fully vectorized (sort + groupby-cummax-shift, no per-user loop)
+    and emits ONE fixed-width summary row per bucket, tree-combined."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    )
+    schema = pa.schema(
+        [
+            ("n_events", pa.int64()),
+            ("n_late", pa.int64()),
+            ("late_rate", pa.float64()),
+            ("max_lateness_us", pa.int64()),
+            ("sum_lateness_us", pa.int64()),
+        ]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(batch["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "nl": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                    "sl": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([pc.sum(t["n"]).as_py()], pa.int64()),
+                "nl": pa.array([pc.sum(t["nl"]).as_py()], pa.int64()),
+                "mx": pa.array([pc.max(t["mx"]).as_py()], pa.int64()),
+                "sl": pa.array([pc.sum(t["sl"]).as_py()], pa.int64()),
+            }
+        )
+
+    def bucket_audit(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        work = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "us": us})
+        cm = work.groupby("user_id", sort=False)["us"].cummax()
+        work["cm"] = cm
+        prev = work.groupby("user_id", sort=False)["cm"].shift(1)
+        late = work["us"].to_numpy() < prev.fillna(-(2**62)).to_numpy()
+        lateness = np.where(
+            late, prev.fillna(0).to_numpy().astype(np.int64) - us, 0
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(work)], pa.int64()),
+                "nl": pa.array([int(late.sum())], pa.int64()),
+                "mx": pa.array([int(lateness.max(initial=0))], pa.int64()),
+                "sl": pa.array([int(lateness.sum())], pa.int64()),
+            }
+        )
+
+    partials = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_audit, batch_format="pandas")
+    )
+    tot = tree_combine(partials, merge).to_pandas()
+    if tot.empty or int(tot["n"].iloc[0]) == 0:
+        return schema.empty_table()
+    n, nl = int(tot["n"].iloc[0]), int(tot["nl"].iloc[0])
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "n_late": pa.array([nl], pa.int64()),
+            "late_rate": pa.array(
+                [round_half_away([nl / n], 6)[0]], pa.float64()
+            ),
+            "max_lateness_us": pa.array([int(tot["mx"].iloc[0])], pa.int64()),
+            "sum_lateness_us": pa.array([int(tot["sl"].iloc[0])], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------ Jaro-Winkler candidate rescoring
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity, bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` (verified on every distinct part-name
+    pair + the classic Winkler test strings): standard Jaro with the
+    ⌊max/2⌋−1 match window, half-transpositions, and the Winkler prefix
+    bonus (p = 0.1, prefix ≤ 4) applied above the 0.7 boost threshold."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    if j > 0.7:
+        pl = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pl += 1
+        j += pl * 0.1 * (1.0 - j)
+    return j
+
+
+def part_jw_rescored(sf_dir: str, k: int = 50) -> Dataset:
+    """Similarity RESCORING of entity-resolution candidates (the ranker
+    behind match-review queues): the edit-distance candidate pairs from
+    ``part_fuzzy_pairs`` (size-adaptive, sound + complete at any scale
+    via the PassJoin blocking route) re-scored with Jaro-Winkler and cut
+    to the global top-``k`` by (jw DESC, name pair ASC). The JW pass is
+    pair-bounded (candidates only, never all pairs); the cut is the
+    associative ``topk_merge`` — no sort shuffle. Scores are rounded to
+    6 dp BEFORE ordering on both sides so the cut and the output agree
+    bit-for-bit with the oracle's built-in."""
+    pairs = part_fuzzy_pairs(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "name_a": pa.array([], pa.string()),
+                    "name_b": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                    "jw": pa.array([], pa.float64()),
+                }
+            )
+        a = t["name_a"].to_pylist()
+        b = t["name_b"].to_pylist()
+        jw = round_half_away(
+            np.array([_jaro_winkler(x, y) for x, y in zip(a, b)]), 6
+        )
+        return pa.table(
+            {
+                "name_a": t["name_a"],
+                "name_b": t["name_b"],
+                "dist": t["dist"],
+                "jw": pa.array(jw, pa.float64()),
+            }
+        )
+
+    scored = pairs.map_batches(score, batch_format="pyarrow")
+    merge = topk_merge(k, "jw", ["name_a", "name_b"])
+    merged = tree_combine(scored, merge)
+    # All-empty block streams bypass the map fns entirely (NOTES.md), so
+    # a legitimately-empty candidate set would lose the jw column: seed a
+    # typed empty table on the driver and return the pa.Table itself.
+    seed = pa.table(
+        {
+            "name_a": pa.array([], pa.string()),
+            "name_b": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+            "jw": pa.array([], pa.float64()),
+        }
+    )
+    parts = [
+        b
+        for b in merged.iter_batches(batch_format="pyarrow")
+        if b.num_rows > 0
+    ]
+    return merge(pa.concat_tables([seed] + parts)) if parts else seed

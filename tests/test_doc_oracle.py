@@ -5136,3 +5136,117 @@ def test_token_coverage_monotone():
     ).fetchone()[0]
     for r in out.itertuples():
         assert 100 * r.covered >= r.pct * int(total)
+
+
+def test_round4_batch59_queries_match_oracles():
+    """Batch-59 additions (CUPED, late-arrival audit, JW rescoring)
+    against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_cuped_adjust",
+        "events_late_arrival_audit",
+        "part_jw_rescored",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch59_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "part"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.events_cuped_adjust, 7),
+        (q.events_late_arrival_audit, 5),
+        (q.part_jw_rescored, 4),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_cuped_reduces_to_naive_when_theta_applies():
+    """CUPED algebra: lift_cuped = lift_naive − θ·(mx_treat − mx_ctrl)
+    / 100 — reconstruct the adjusted lift from the reported cells."""
+    out = q.events_cuped_adjust(SF).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # adjusted means shift both arms by the SAME global center, so the
+    # adjusted lift differs from naive only through θ·(mx1 − mx0):
+    # |lift_cuped − (m_treat − m_ctrl − (adj-diff))| is just a rounding
+    # consistency check between the reported columns.
+    assert abs((r["adj_treat"] - r["adj_ctrl"]) - r["lift_cuped"]) < 2e-4
+    assert abs((r["m_treat"] - r["m_ctrl"]) - r["lift_naive"]) < 2e-4
+
+
+def test_late_arrival_planted_sequence(tmp_path):
+    """Planted fixture: one user with a known out-of-order arrival —
+    event_ids 1..4 with timestamps 10, 30, 20, 25 s: arrivals 3 and 4
+    are late (lateness 10 s and 5 s)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    ts = pa.array(
+        [10_000_000, 30_000_000, 20_000_000, 25_000_000],
+        pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(["click"] * 4, pa.string()),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    ).cast(sch)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q.events_late_arrival_audit(d).to_pandas()
+    assert int(out["n_events"].iloc[0]) == 4
+    assert int(out["n_late"].iloc[0]) == 2
+    assert int(out["max_lateness_us"].iloc[0]) == 10_000_000
+    assert int(out["sum_lateness_us"].iloc[0]) == 15_000_000
+
+
+def test_jw_rescored_scores_match_duckdb_builtin():
+    """The Python JW replay is bit-identical to DuckDB's built-in on
+    every emitted pair, and every pair is a registered fuzzy candidate."""
+    out = q.part_jw_rescored(SF).to_pandas()
+    assert len(out) > 0
+    c = duckdb.connect()
+    for r in out.itertuples(index=False):
+        want = c.execute(
+            "SELECT round(jaro_winkler_similarity(?, ?), 6)",
+            [r.name_a, r.name_b],
+        ).fetchone()[0]
+        assert abs(r.jw - want) < 1e-12, (r.name_a, r.name_b)
+        assert r.dist <= 2
