@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cuped_adjust": q.events_cuped_adjust,
         "events_late_arrival_audit": q.events_late_arrival_audit,
         "part_jw_rescored": q.part_jw_rescored,
+        "events_km_factors": q.events_km_factors,
+        "embedding_mutual_nn": q.embedding_mutual_nn,
+        "events_pit_features": q.events_pit_features,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1139,6 +1142,67 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(jaro_winkler_similarity(name_a, name_b), 6) DESC,
                      name_a, name_b
             LIMIT 50
+        """,
+        "events_km_factors": """
+            WITH pu AS (SELECT user_id,
+                               min(epoch_us(ts)) AS t0,
+                               max(epoch_us(ts)) AS tl,
+                               min(CASE WHEN event_type = 'purchase'
+                                        THEN epoch_us(ts) END) AS tp
+                        FROM events GROUP BY 1),
+            d AS (SELECT CASE WHEN tp IS NOT NULL
+                              THEN (tp - t0) // 86400000000
+                              ELSE (tl - t0) // 86400000000 END AS t,
+                         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+                  FROM pu),
+            cen AS (SELECT t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS n
+                    FROM d GROUP BY 1),
+            r AS (SELECT t, d, n,
+                         sum(n) OVER (ORDER BY t DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS n_risk
+                  FROM cen)
+            SELECT t::BIGINT AS day, n_risk::BIGINT AS n_risk,
+                   d::BIGINT AS n_events, (n - d)::BIGINT AS n_censored,
+                   round((n_risk - d) / CAST(n_risk AS DOUBLE), 6)
+                       AS km_factor
+            FROM r WHERE d > 0 ORDER BY day
+        """,
+        "embedding_mutual_nn": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                         round(list_cosine_similarity(a.v, b.v), 6) AS c
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            nn AS (SELECT i, j, c FROM (
+                     SELECT i, j, c,
+                            row_number() OVER (PARTITION BY i
+                                               ORDER BY c DESC, j ASC) AS rn
+                     FROM s) WHERE rn = 1),
+            p AS (SELECT least(i, j) AS lo, greatest(i, j) AS hi,
+                         max(c) AS cos, count(*) AS n
+                  FROM nn GROUP BY 1, 2)
+            SELECT lo::BIGINT AS id_a, hi::BIGINT AS id_b,
+                   round(cos, 6) AS cos
+            FROM p WHERE n = 2 ORDER BY id_a, id_b
+        """,
+        "events_pit_features": """
+            WITH s AS (SELECT event_id, event_type,
+                              sum(CASE WHEN event_type = 'click'
+                                       THEN 1 ELSE 0 END) OVER w AS pcl,
+                              sum(CASE WHEN event_type = 'purchase'
+                                       THEN CAST(round(value * 100)
+                                                 AS BIGINT)
+                                       ELSE 0 END) OVER w AS pce
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING))
+            SELECT event_id,
+                   coalesce(pcl, 0)::BIGINT AS prior_clicks,
+                   coalesce(pce, 0)::BIGINT AS prior_purchase_cents
+            FROM s WHERE event_type = 'purchase' ORDER BY event_id
         """,
         "lineitem_zonemap_skip": f"""
             WITH b AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us,

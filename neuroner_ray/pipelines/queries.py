@@ -20069,3 +20069,376 @@ def part_jw_rescored(sf_dir: str, k: int = 50) -> Dataset:
         if b.num_rows > 0
     ]
     return merge(pa.concat_tables([seed] + parts)) if parts else seed
+
+
+# ------------------------------------------------ Kaplan-Meier product-limit
+def events_km_factors(sf_dir: str) -> pa.Table:
+    """KAPLAN-MEIER survival with RIGHT CENSORING (the time-to-event
+    class the repeat-ordinal curve doesn't cover): duration = days from
+    a user's FIRST event to their FIRST purchase (the event of
+    interest); users who never purchase are CENSORED at their last
+    observed event. One per-user reduce (min/max/min-of-purchase via a
+    sentinel, so the groupby needs no null semantics) feeds the
+    (duration-day, event-flag) census — O(distinct days) driver rows;
+    n_at_risk is an integer suffix sum over it. Per the per-cell-term
+    convention the operator emits the PER-STEP product-limit factors
+    (n_risk − d)/n_risk (ONE exact-int division each, order-free) rather
+    than an order-dependent cumulative float product — the consumer
+    multiplies in day order."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    schema = pa.schema(
+        [
+            ("day", pa.int64()),
+            ("n_risk", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_censored", pa.int64()),
+            ("km_factor", pa.float64()),
+        ]
+    )
+    SENT = 2**62
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "t0": pa.array([], pa.int64()),
+                    "tl": pa.array([], pa.int64()),
+                    "tp": pa.array([], pa.int64()),
+                }
+            )
+        us = _ts_us(t)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        tp = np.where(is_p, us, SENT)
+        df = (
+            pd.DataFrame({"user_id": uid, "t0": us, "tl": us, "tp": tp})
+            .groupby("user_id", sort=False)
+            .agg(t0=("t0", "min"), tl=("tl", "max"), tp=("tp", "min"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "t0": pa.array(df["t0"].to_numpy(np.int64)),
+                "tl": pa.array(df["tl"].to_numpy(np.int64)),
+                "tp": pa.array(df["tp"].to_numpy(np.int64)),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("t0", alias_name="t0"),
+            Max("tl", alias_name="tl"),
+            Min("tp", alias_name="tp"),
+        )
+    )
+    DAY = 86_400_000_000
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "t": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t0 = t["t0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = t["tl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = t["tp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ev_flag = tp != SENT
+        dur = np.where(ev_flag, (tp - t0) // DAY, (tl - t0) // DAY)
+        df = (
+            pd.DataFrame({"t": dur, "d": ev_flag.astype(np.int64), "n": 1})
+            .groupby("t", sort=True)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "t": pa.array(df["t"].to_numpy(np.int64)),
+                "d": pa.array(df["d"].to_numpy(np.int64)),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+            }
+        )
+
+    cen = tree_combine(
+        per_user.map_batches(census, batch_format="pyarrow"),
+        group_sum_merge(("t",), ("d", "n")),
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("t")
+    n = cen["n"].to_numpy(np.int64)
+    d = cen["d"].to_numpy(np.int64)
+    n_risk = n[::-1].cumsum()[::-1]  # integer suffix sum — order-free
+    keep = d > 0
+    t_k = cen["t"].to_numpy(np.int64)[keep]
+    nr_k, d_k, n_k = n_risk[keep], d[keep], n[keep]
+    return pa.table(
+        {
+            "day": pa.array(t_k, pa.int64()),
+            "n_risk": pa.array(nr_k, pa.int64()),
+            "n_events": pa.array(d_k, pa.int64()),
+            "n_censored": pa.array(n_k - d_k, pa.int64()),
+            "km_factor": pa.array(
+                round_half_away((nr_k - d_k) / nr_k.astype(np.float64), 6),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
+# -------------------------------------------- exact mutual nearest neighbors
+MNN_CHUNKS = 8
+
+
+def embedding_mutual_nn(sf_dir: str, n_chunks: int = MNN_CHUNKS) -> pa.Table:
+    """MUTUAL (reciprocal) nearest neighbors — the high-precision
+    matching primitive (bitext mining, record linkage, cross-encoder
+    candidate pairs): pairs (a, b) where each is the other's exact
+    cosine top-1. EXACT and fully distributed with NO full-matrix
+    broadcast: every vector replicates to the ``n_chunks`` chunk-pair
+    keys its id-hash chunk participates in (the hub-chunking shape), one
+    task per chunk pair computes the (N/B)²-bounded cross matmul and
+    emits per-id LOCAL top-1 rows, and the associative
+    (cos DESC, id ASC) ``topk_merge`` produces each id's GLOBAL top-1 —
+    replication ×B through one shuffle instead of an N×N broadcast. The
+    mutual check is one more (lo, hi) pair-key groupby. Scores are
+    rounded to 6 dp BEFORE every cut (the similarity-family parity
+    convention vs ``list_cosine_similarity``)."""
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("cos", pa.float64()),
+        ]
+    )
+
+    def replicate(t: pa.Table, B=n_chunks) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ids % B
+        pair_k, side_k, idx = [], [], []
+        for c in range(B):
+            rows = np.nonzero(chunk == c)[0]
+            if len(rows) == 0:
+                continue
+            for d_ in range(B):
+                lo, hi = min(c, d_), max(c, d_)
+                pair_k.append(np.full(len(rows), lo * B + hi, np.int64))
+                side_k.append(np.full(len(rows), c, np.int64))
+                idx.append(rows)
+        idx = np.concatenate(idx)
+        return pa.table(
+            {
+                "pair": pa.array(np.concatenate(pair_k), pa.int64()),
+                "side": pa.array(np.concatenate(side_k), pa.int64()),
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "embedding": t["embedding"].take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    def local_top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        pair = int(g["pair"].iloc[0])
+        lo, hi = pair // n_chunks, pair % n_chunks
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = g["vec_id"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        a_rows = np.nonzero(side == lo)[0]
+        b_rows = np.nonzero(side == hi)[0]
+        out_id, out_nn, out_cos = [], [], []
+
+        def best_rows(rows, cand_rows):
+            if len(rows) == 0 or len(cand_rows) == 0:
+                return
+            cos = mat[rows] @ mat[cand_rows].T
+            cos = round_half_away(cos, 6)
+            cand_ids = ids[cand_rows]
+            # exclude self-matches, then vectorized (cos DESC, id ASC)
+            # argmax: max per row, min candidate id among the maxima
+            self_m = ids[rows][:, None] == cand_ids[None, :]
+            cos[self_m] = -2.0
+            ok = ~self_m.all(axis=1)
+            if not ok.any():
+                return
+            cosk = cos[ok]
+            mx = cosk.max(axis=1)
+            at_max = cosk == mx[:, None]
+            nnid = np.where(at_max, cand_ids[None, :], 2**62).min(axis=1)
+            out_id.append(ids[rows][ok])
+            out_nn.append(nnid.astype(np.int64))
+            out_cos.append(mx)
+
+        if lo == hi:
+            best_rows(a_rows, a_rows)
+        else:
+            best_rows(a_rows, b_rows)
+            best_rows(b_rows, a_rows)
+        if not out_id:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], np.int64),
+                    "nn_id": np.array([], np.int64),
+                    "cos": np.array([], np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_id).astype(np.int64),
+                "nn_id": np.concatenate(out_nn).astype(np.int64),
+                "cos": np.concatenate(out_cos).astype(np.float64),
+            }
+        )
+
+    locals_ = (
+        emb.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(local_top1, batch_format="pandas")
+    )
+    nn = tree_combine(
+        locals_, topk_merge(1, "cos", ["nn_id"], group_cols=["vec_id"])
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        a = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["nn_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(a, b), pa.int64()),
+                "hi": pa.array(np.maximum(a, b), pa.int64()),
+                "cos": t["cos"],
+            }
+        )
+
+    # each id contributes exactly ONE nn row, so a (lo, hi) group holds
+    # ≤ 2 rows and is mutual iff it holds BOTH directions (n == 2); the
+    # two rows carry the identical rounded cosine, so Max is exact.
+    pairs = (
+        nn.map_batches(pair_key, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="nn_n"), Max("cos", alias_name="cos"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["nn_n"], pa.scalar(2)))
+        return pa.table(
+            {
+                "id_a": t["lo"],
+                "id_b": t["hi"],
+                "cos": t["cos"],
+            }
+        ).cast(schema)
+
+    seed = schema.empty_table()
+    parts = [
+        finish(b)
+        for b in pairs.iter_batches(batch_format="pyarrow")
+        if b.num_rows > 0
+    ]
+    out = pa.concat_tables([seed] + parts)
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+# --------------------------------------- point-in-time feature backfill
+def events_pit_features(sf_dir: str, n_buckets: int = 64) -> Dataset:
+    """POINT-IN-TIME-CORRECT feature backfill (the feature-store
+    contract behind leakage-free training data): for every purchase
+    event, the user's running feature vector STRICTLY BEFORE it —
+    prior click count and prior purchase cents — computed over
+    (ts, event_id) order so ties resolve deterministically and nothing
+    from the label instant leaks in. ONE user-bucket shuffle (the funnel
+    shape); the per-bucket pass is vectorized shifted-cumsum per user,
+    emitting one row per label event. Exact ints end-to-end."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_id", "event_type", "ts", "value"],
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("prior_clicks", pa.int64()),
+            ("prior_purchase_cents", pa.int64()),
+        ]
+    )
+    # empty INPUT short-circuit: an all-empty block stream would bypass
+    # the map fns and lose the schema (NOTES.md); metadata-only count
+    if ev.count() == 0:
+        return schema.empty_table()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(batch["user_id"], pa.scalar(n_buckets - 1)),
+                pa.int64(),
+            ),
+        )
+
+    def bucket_features(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        is_click = (df["event_type"] == "click").to_numpy()
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        cents = round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        work = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "clk": is_click.astype(np.int64),
+                "pc": np.where(is_p, cents, 0),
+            }
+        )
+        g = work.groupby("user_id", sort=False)
+        prior_clicks = (g["clk"].cumsum() - work["clk"]).to_numpy(np.int64)
+        prior_cents = (g["pc"].cumsum() - work["pc"]).to_numpy(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    df["event_id"].to_numpy(np.int64)[is_p], pa.int64()
+                ),
+                "prior_clicks": pa.array(prior_clicks[is_p], pa.int64()),
+                "prior_purchase_cents": pa.array(
+                    prior_cents[is_p], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_features, batch_format="pandas")
+    )

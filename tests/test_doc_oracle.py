@@ -5250,3 +5250,118 @@ def test_jw_rescored_scores_match_duckdb_builtin():
         ).fetchone()[0]
         assert abs(r.jw - want) < 1e-12, (r.name_a, r.name_b)
         assert r.dist <= 2
+
+
+def test_round4_batch60_queries_match_oracles():
+    """Batch-60 additions (Kaplan-Meier factors, mutual NN, point-in-time
+    features) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_km_factors",
+        "embedding_mutual_nn",
+        "events_pit_features",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch60_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("events", "embeddings"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.events_km_factors, 5),
+        (q.embedding_mutual_nn, 3),
+        (q.events_pit_features, 3),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_km_factors_invariants():
+    """n_at_risk is strictly decreasing across death days, factors lie in
+    (0, 1], and the earliest n_risk is bounded by the user universe."""
+    out = q.events_km_factors(SF).to_pandas().sort_values("day")
+    assert len(out) > 0
+    assert out["n_risk"].is_monotonic_decreasing
+    # 0 is legal: at the final death day everyone still at risk dies
+    assert ((out["km_factor"] >= 0) & (out["km_factor"] <= 1)).all()
+    assert (out["n_events"] > 0).all() and (out["n_censored"] >= 0).all()
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_risk"].iloc[0]) <= int(n_users)
+
+
+def test_mutual_nn_chunking_invariance():
+    """The chunk-pair cogroup is an implementation detail: 3 chunks and
+    the default 8 produce the identical mutual-pair set."""
+    a = q.embedding_mutual_nn(SF, n_chunks=8).to_pandas()
+    b = q.embedding_mutual_nn(SF, n_chunks=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # mutual pairs are unique per unordered pair and strictly id_a < id_b
+    assert (a["id_a"] < a["id_b"]).all()
+    assert not a.duplicated(["id_a", "id_b"]).any()
+
+
+def test_pit_features_planted_leakage_free(tmp_path):
+    """Planted sequence: click(10s), purchase(20s, $1), click(30s),
+    purchase(40s, $2) — the first purchase must see 1 prior click and 0
+    prior cents (nothing from its own instant), the second 2 clicks and
+    100 cents."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [10_000_000, 20_000_000, 30_000_000, 40_000_000],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([5, 5, 5, 5], pa.int64()),
+            "event_type": pa.array(
+                ["click", "purchase", "click", "purchase"], pa.string()
+            ),
+            "value": pa.array([0.0, 1.0, 0.0, 2.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    ).cast(sch)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q.events_pit_features(d).to_pandas().sort_values("event_id")
+    assert out["event_id"].tolist() == [2, 4]
+    assert out["prior_clicks"].tolist() == [1, 2]
+    assert out["prior_purchase_cents"].tolist() == [0, 100]
