@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_km_factors": q.events_km_factors,
         "embedding_mutual_nn": q.embedding_mutual_nn,
         "events_pit_features": q.events_pit_features,
+        "corpus_heaps_fit": q.corpus_heaps_fit,
+        "doc_gopher_rules": q.doc_gopher_rules,
+        "doc_minhash_estimate_audit": q.doc_minhash_estimate_audit,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1204,6 +1207,84 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(pce, 0)::BIGINT AS prior_purchase_cents
             FROM s WHERE event_type = 'purchase' ORDER BY event_id
         """,
+        "corpus_heaps_fit": f"""
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            tok AS (
+                SELECT (doc_id * 256) // ((SELECT m FROM mx) + 1) AS bucket,
+                       unnest(regexp_extract_all(coalesce(text, ''),
+                                                 '{_TOK}')) AS token
+                FROM documents),
+            tb AS (SELECT token, bucket, count(*)::BIGINT AS n
+                   FROM tok GROUP BY 1, 2),
+            bt AS (SELECT bucket, sum(n)::BIGINT AS nt FROM tb GROUP BY 1),
+            fb AS (SELECT token, min(bucket) AS fbk FROM tb GROUP BY 1),
+            nv AS (SELECT fbk AS bucket, count(*)::BIGINT AS nnew
+                   FROM fb GROUP BY 1),
+            cur AS (
+                SELECT bt.bucket,
+                       sum(bt.nt) OVER (ORDER BY bt.bucket) AS cum_n,
+                       sum(coalesce(nv.nnew, 0)) OVER (ORDER BY bt.bucket)
+                           AS cum_v
+                FROM bt LEFT JOIN nv ON nv.bucket = bt.bucket),
+            r AS (SELECT ln(cum_n::DOUBLE) AS x, ln(cum_v::DOUBLE) AS y
+                  FROM cur),
+            s AS (SELECT count(*)::BIGINT AS k, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy,
+                         sum(x * y) AS sxy
+                  FROM r)
+            SELECT k AS n_points,
+                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                       AS beta,
+                   round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                          * sx) / k, 4) AS ln_k,
+                   round(CASE WHEN k * syy - sy * sy = 0 THEN 1.0
+                         ELSE ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+                              / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+                         END, 4) AS r2
+            FROM s WHERE k >= 2
+        """,
+        "doc_gopher_rules": f"""
+            WITH w AS (
+                SELECT doc_id, coalesce(text, '') AS txt,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ws
+                FROM documents),
+            f AS (
+                SELECT doc_id, ws, len(ws)::BIGINT AS nw,
+                       len(regexp_extract_all(txt, '[^A-Za-z0-9_\\s]'))::BIGINT
+                           AS n_punct
+                FROM w),
+            r AS (
+                SELECT doc_id,
+                       CASE WHEN nw BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+                           AS r_word_count,
+                       CASE WHEN list_sum(list_transform(ws,
+                                      x -> length(x)))
+                                 / CAST(nullif(nw, 0) AS DOUBLE)
+                                 BETWEEN 3.0 AND 10.0
+                            THEN 1 ELSE 0 END AS r_mean_word_len,
+                       CASE WHEN n_punct / CAST(nullif(nw, 0) AS DOUBLE)
+                                 <= 0.15
+                            THEN 1 ELSE 0 END AS r_symbol_ratio,
+                       CASE WHEN len(list_filter(ws,
+                                      x -> regexp_matches(x, '[a-z]')))
+                                 / CAST(nullif(nw, 0) AS DOUBLE) > 0.8
+                            THEN 1 ELSE 0 END AS r_alpha_frac,
+                       CASE WHEN len(list_intersect(list_distinct(ws),
+                                      [{stop_list}])) >= 2
+                            THEN 1 ELSE 0 END AS r_stopwords
+                FROM f)
+            SELECT doc_id,
+                   r_word_count::BIGINT AS r_word_count,
+                   r_mean_word_len::BIGINT AS r_mean_word_len,
+                   r_symbol_ratio::BIGINT AS r_symbol_ratio,
+                   r_alpha_frac::BIGINT AS r_alpha_frac,
+                   r_stopwords::BIGINT AS r_stopwords,
+                   (r_word_count * r_mean_word_len * r_symbol_ratio
+                    * r_alpha_frac * r_stopwords)::BIGINT AS pass_all
+            FROM r
+        """,
+        "doc_minhash_estimate_audit": do.minhash_estimate_audit_sql(oracle_sf),
         "lineitem_zonemap_skip": f"""
             WITH b AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us,
                               year(l_shipdate) * 12 + month(l_shipdate) - 1

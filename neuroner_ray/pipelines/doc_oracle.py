@@ -747,3 +747,115 @@ def doc_cluster_purity_sql(threshold: float = 0.8) -> str:
                round(n_major / CAST(n_docs AS DOUBLE), 4) AS purity
         FROM m
     """
+
+
+def minhash_estimate_audit_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    cap: int = 500,
+) -> str:
+    """Sketch-accuracy-audit oracle (``queries.doc_minhash_estimate_audit``).
+
+    The MinHash construction is deterministic (fixed blake2b base hash,
+    RandomState(42) mixing family, fixed banding), so — exactly like the
+    IVF oracle above — this builder recomputes the candidate (a, b,
+    slot-match-count) set LOCALLY with pure numpy/hashlib (no Ray, no
+    shared search code) and embeds it as a VALUES literal; DuckDB then
+    independently computes the EXACT word-shingle Jaccard per candidate
+    pair from the real table and the error column.  ``est`` = k/num_perm
+    with num_perm = 2^6 is exact at 6 decimals, so embedding it as a
+    6 dp literal is lossless.  Bound to ``sf_dir`` (the driver compares
+    at sf0.01; pass GRAFT_ORACLE_SF_DIR elsewhere)."""
+    import hashlib
+    import os
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    M = np.uint64((1 << 61) - 1)
+    rng = np.random.RandomState(42)
+    pa_ = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    pb_ = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    tok_re = re.compile(TOKEN_PATTERN)
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    sigs: dict[str, np.ndarray] = {}
+    blocks: dict[str, list[str]] = {}
+    rows = num_perm // bands
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = tok_re.findall((text or "").lower())
+        if len(toks) < shingle_k:
+            sh = {" ".join(toks)} if toks else set()
+        else:
+            sh = {
+                " ".join(toks[i : i + shingle_k])
+                for i in range(len(toks) - shingle_k + 1)
+            }
+        if sh:
+            base = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                        "little",
+                    )
+                    & ((1 << 61) - 1)
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sig = ((pa_[:, None] * base[None, :] + pb_[:, None]) % M).min(axis=1)
+        else:
+            sig = np.full(num_perm, M, dtype=np.uint64)
+        key = f"{int(did):020d}"
+        sigs[key] = sig
+        for bi in range(bands):
+            chunk = sig[bi * rows : (bi + 1) * rows]
+            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            blocks.setdefault(f"b{bi}:{digest}", []).append(key)
+
+    pairs: dict[tuple[str, str], int] = {}
+    for members in blocks.values():
+        ms = sorted(set(members))[:cap]
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                k_ = (ms[i], ms[j])
+                if k_ not in pairs:
+                    pairs[k_] = int((sigs[ms[i]] == sigs[ms[j]]).sum())
+
+    if not pairs:
+        return """
+            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+                   CAST(NULL AS DOUBLE) AS est, CAST(NULL AS DOUBLE) AS jac,
+                   CAST(NULL AS DOUBLE) AS err
+            WHERE false
+        """
+    values = ", ".join(
+        f"({int(a)}, {int(b)}, {nm / num_perm:.6f})"
+        for (a, b), nm in sorted(pairs.items())
+    )
+    return f"""
+        WITH cand(ca, cb, est) AS (VALUES {values}),
+        {_shingle_cte()},
+        j AS (
+            SELECT c.ca, c.cb, c.est,
+                   CASE WHEN len(sa.sh) = 0 AND len(sb.sh) = 0 THEN 1.0
+                        WHEN len(sa.sh) = 0 OR len(sb.sh) = 0 THEN 0.0
+                        ELSE len(list_intersect(sa.sh, sb.sh))
+                             / (len(sa.sh) + len(sb.sh)
+                                - len(list_intersect(sa.sh, sb.sh)))
+                   END AS jac
+            FROM cand c
+            JOIN shin sa ON sa.doc_id = c.ca
+            JOIN shin sb ON sb.doc_id = c.cb
+        )
+        SELECT ca::BIGINT AS a, cb::BIGINT AS b,
+               round(est, 6) AS est, round(jac, 6) AS jac,
+               round(abs(est - round(jac, 6)), 6) AS err
+        FROM j ORDER BY a, b
+    """

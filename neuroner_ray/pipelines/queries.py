@@ -34,7 +34,12 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.rounding import round_half_away, top_by_score_then_id
 from ..functions.tokenize import TOKEN_PATTERN
-from ..runtime.combine import group_sum_merge, topk_merge, tree_combine
+from ..runtime.combine import (
+    group_agg_merge,
+    group_sum_merge,
+    topk_merge,
+    tree_combine,
+)
 from ..runtime.timeutil import tbucket_of as _tbucket_of
 from ..sources.parquet import read_parquet_clean
 
@@ -20442,3 +20447,217 @@ def events_pit_features(sf_dir: str, n_buckets: int = 64) -> Dataset:
         .groupby("_bucket")
         .map_groups(bucket_features, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------- Heaps' law
+HEAPS_BUCKETS = 256
+
+
+def corpus_heaps_fit(sf_dir: str, n_buckets: int = HEAPS_BUCKETS) -> pa.Table:
+    """HEAPS'-LAW FIT V(n) = K·n^β — the vocabulary-GROWTH diagnostic that
+    complements the Zipf fit (frequency shape) and the coverage curve
+    (frequency concentration): reading the corpus in doc_id order, how
+    fast does the distinct-token vocabulary grow with tokens read?  β
+    far from the prose band (~0.4–0.6) flags templated or boilerplate
+    corpora before they poison a tokenizer fit.
+
+    Scale shape: doc_ids are range-bucketed into ``n_buckets`` prefix
+    checkpoints (bucket = id·B // (max_id+1), monotonic in doc_id — so
+    min-bucket-per-token IS the bucket of the token's first appearance).
+    ONE tokenize pass emits (token, bucket) partial counts; the merged
+    census is vocabulary-sized (the Zipf precedent).  Per-bucket token
+    totals, first-appearance type counts, the two cumulative sums and the
+    closed-form ln-ln OLS all happen in one driver sweep over ≤ B
+    checkpoint rows + the vocab census.  Both sides evaluate the identical
+    explicit Σ formulas (float-parity: rounded at 4 dp, NOTES.md)."""
+    ids_only = read_parquet_clean(_p(sf_dir, "documents"), columns=["doc_id"])
+    schema = pa.schema(
+        [
+            ("n_points", pa.int64()),
+            ("beta", pa.float64()),
+            ("ln_k", pa.float64()),
+            ("r2", pa.float64()),
+        ]
+    )
+
+    def pmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "m": pa.array([int(pc.max(t["doc_id"]).as_py())], pa.int64()),
+            }
+        )
+
+    mx = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                ids_only.map_batches(pmax, batch_format="pyarrow"),
+                group_agg_merge(("k",), maxs=("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mx.num_rows == 0:
+        return schema.empty_table()
+    max_id = int(mx["m"][0].as_py())
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            bk = int(did) * n_buckets // (max_id + 1)
+            for tok in _TOKEN_RE.findall(txt or ""):
+                c[(tok, bk)] += 1
+        toks = [k[0] for k in c.keys()]
+        bks = [k[1] for k in c.keys()]
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "bucket": pa.array(bks, pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                docs.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("token", "bucket"), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    per_bucket = cen.groupby("bucket", sort=True)["n"].sum()
+    first_bucket = cen.groupby("token", sort=False)["bucket"].min()
+    new_types = first_bucket.value_counts().sort_index()
+    buckets = per_bucket.index.to_numpy(np.int64)
+    cum_n = per_bucket.to_numpy(np.int64).cumsum()
+    nv = new_types.reindex(per_bucket.index, fill_value=0).to_numpy(np.int64)
+    cum_v = nv.cumsum()
+    k = len(buckets)
+    if k < 2:
+        return schema.empty_table()
+    x = np.log(cum_n.astype(np.float64))
+    y = np.log(cum_v.astype(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, syy = float((x * x).sum()), float((y * y).sum())
+    sxy = float((x * y).sum())
+    den = k * sxx - sx * sx
+    beta = (k * sxy - sx * sy) / den
+    ln_k = (sy - beta * sx) / k
+    deny = k * syy - sy * sy
+    r2 = ((k * sxy - sx * sy) ** 2) / (den * deny) if deny else 1.0
+    return pa.table(
+        {
+            "n_points": pa.array([k], pa.int64()),
+            "beta": pa.array(round_half_away(np.array([beta]), 4), pa.float64()),
+            "ln_k": pa.array(round_half_away(np.array([ln_k]), 4), pa.float64()),
+            "r2": pa.array(round_half_away(np.array([r2]), 4), pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------------------- Gopher rules
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.15
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+_ALPHA_RE = re.compile(r"[a-z]")
+
+
+def doc_gopher_rules(sf_dir: str) -> Dataset:
+    """GOPHER-STYLE QUALITY RULE AUDIT (the Rae et al. repetition/quality
+    gate family, thresholds adapted to this corpus's 10–99-word docs):
+    per-document 0/1 verdict for each rule plus the conjunction —
+    word-count band, mean word length band, symbol-to-word ratio cap,
+    alpha-word fraction floor, and distinct-stopword floor.  Emitting the
+    PER-RULE flags (not just the final verdict) is what makes the audit
+    actionable: the rule mix tells you WHICH filter would cut what.
+
+    Pure per-doc map (no shuffle); every ratio is a division of exact
+    integer counts, compared against decimal-literal thresholds — both
+    sides compute the identical float64 comparisons."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    stop_set = frozenset(STOPWORDS)
+
+    def rules(t: pa.Table) -> pa.Table:
+        ids, r_wc, r_mwl, r_sym, r_alpha, r_stop, r_all = (
+            [], [], [], [], [], [], [],
+        )
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            low = (txt or "").lower()
+            words = _WORD_RE.findall(low)
+            nw = len(words)
+            wc = GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+            if nw:
+                mean_wl = sum(len(w) for w in words) / nw
+                mwl = GOPHER_MIN_MEAN_WLEN <= mean_wl <= GOPHER_MAX_MEAN_WLEN
+                sym = (
+                    len(_PUNCT_RE.findall(txt or "")) / nw
+                    <= GOPHER_MAX_SYMBOL_RATIO
+                )
+                alpha = (
+                    sum(1 for w in words if _ALPHA_RE.search(w)) / nw
+                    > GOPHER_MIN_ALPHA_FRAC
+                )
+            else:
+                mwl = sym = alpha = False
+            stop = len(stop_set.intersection(words)) >= GOPHER_MIN_STOPWORDS
+            ids.append(did)
+            r_wc.append(int(wc))
+            r_mwl.append(int(mwl))
+            r_sym.append(int(sym))
+            r_alpha.append(int(alpha))
+            r_stop.append(int(stop))
+            r_all.append(int(wc and mwl and sym and alpha and stop))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "r_word_count": pa.array(r_wc, pa.int64()),
+                "r_mean_word_len": pa.array(r_mwl, pa.int64()),
+                "r_symbol_ratio": pa.array(r_sym, pa.int64()),
+                "r_alpha_frac": pa.array(r_alpha, pa.int64()),
+                "r_stopwords": pa.array(r_stop, pa.int64()),
+                "pass_all": pa.array(r_all, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rules, batch_format="pyarrow")
+
+
+# ------------------------------------------- MinHash sketch-accuracy audit
+def doc_minhash_estimate_audit(sf_dir: str) -> Dataset:
+    """Registry wrapper for ``stages.dedup.minhash_estimate_audit`` — the
+    est-vs-exact Jaccard audit over the LSH band candidate pairs (see the
+    stage docstring for the scale shape)."""
+    from ..stages.dedup import minhash_estimate_audit
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return minhash_estimate_audit(docs)

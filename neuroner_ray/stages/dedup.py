@@ -990,3 +990,301 @@ def _verify_containment_join(
         )
 
     return out.map_batches(_pin, batch_format="pandas")
+
+
+# --------------------------------------------------- sketch-accuracy audit
+def minhash_estimate_audit(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    cap: int = 500,
+) -> Dataset:
+    """SKETCH-ACCURACY AUDIT for the MinHash family: for every LSH band
+    candidate pair, the signature-estimated Jaccard (fraction of equal
+    minhash slots — what ``minhash_lsh_dedup`` thresholds on) next to the
+    EXACT word-shingle Jaccard, plus the absolute error. The operational
+    question it answers before trusting a sketch-only dedup at scale: how
+    far off is the estimate on the pairs the bands actually surface?
+
+    Output: (a, b, est, jac, err), a < b numerically, floats at 6 dp.
+    ``est`` = nmatch/num_perm is a dyadic rational (num_perm = 2^6), so
+    6 dp is EXACT — no float-parity risk on the estimate side.
+
+    Scale shape mirrors ``ngram_jaccard_pairs``: band rows carry only
+    (id, block); the integer slot-match count rides the candidate pair
+    rows (one int — never the signatures) into the exact verify, which is
+    size-adaptive (broadcast shingle dict under
+    ``NGRAM_BROADCAST_MAX_PAIRS``, distributed hash-join above it).
+    """
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = [_id_key(d) for d in batch[id_col].to_pylist()]
+        shingle_sets = [
+            word_shingles(
+                [t for t, _, _ in tokenize_text((text or "").lower())], shingle_k
+            )
+            for text in batch[text_col].to_pylist()
+        ]
+        sigs = minhash_signatures_batch(shingle_sets, num_perm)
+        out_id, out_block, out_sig = [], [], []
+        for key, sig in zip(ids, sigs):
+            s64 = sig.astype(np.int64)
+            for bk in band_keys(sig, bands):
+                out_id.append(key)
+                out_block.append(bk)
+                out_sig.append(s64)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "block": pa.array(out_block, pa.string()),
+                "bucket": pa.array(hash_buckets(out_block, 64), pa.int64()),
+                "sig": pa.array(
+                    [s.tolist() for s in out_sig], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        if len(g) > cap:
+            g = g.head(cap)
+        ids = g["id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": [], "nmatch": []})
+        S = np.stack([np.asarray(s) for s in g["sig"]])  # [m, num_perm]
+        nm = (S[:, None, :] == S[None, :, :]).sum(axis=2)
+        iu, ju = np.triu_indices(m, 1)
+        return pd.DataFrame(
+            {"a": ids[iu], "b": ids[ju], "nmatch": nm[iu, ju].astype(np.int64)}
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g["block"].value_counts()
+        g = g[g["block"].isin(sizes.index[sizes.ge(2)])]
+        outs = [pairs_in_block(gb) for _, gb in g.groupby("block", sort=False)]
+        out = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"a": [], "b": [], "nmatch": []})
+        )
+        # nmatch is a pure function of the full signatures, so duplicates
+        # from several bands carry the SAME count — plain (a, b) dedup
+        out = out.drop_duplicates(["a", "b"])
+        if len(out):
+            out["pb"] = hash_buckets(
+                (out["a"].astype(str) + "|" + out["b"].astype(str)).to_numpy(),
+                64,
+            )
+        else:
+            out["pb"] = np.array([], dtype=np.int64)
+        return out.astype(
+            {"a": "object", "b": "object", "nmatch": "int64", "pb": "int64"}
+        )
+
+    def _norm_cand(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(df["a"] if "a" in df else [], pa.string()),
+                "b": pa.array(df["b"] if "b" in df else [], pa.string()),
+                "nmatch": pa.array(
+                    df["nmatch"] if "nmatch" in df else [], pa.int64()
+                ),
+            }
+        )
+
+    blocked = docs.map_batches(sig_rows, batch_format="pyarrow")
+    cand = (
+        blocked.groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pb")  # same pair surfaces from several bands/buckets
+        .map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]), batch_format="pandas"
+        )
+        .map_batches(_norm_cand, batch_format="pandas")
+        .repartition(target_num_rows_per_block=65536)
+        .materialize()  # candidate-pair-sized (output-bounded), not corpus
+    )
+    if cand.count() == 0:
+        # NOTES.md empty-stream rule: rd.from_arrow(typed_empty) LOSES its
+        # schema at to_pandas(); a legitimately-empty result must return
+        # the typed pa.Table itself (the driver contract accepts it)
+        return _AUDIT_SCHEMA.empty_table()
+    if cand.count() <= NGRAM_BROADCAST_MAX_PAIRS:
+        return _audit_verify_broadcast(cand, docs, id_col, text_col, shingle_k, num_perm)
+    return _audit_verify_join(cand, docs, id_col, text_col, shingle_k, num_perm)
+
+
+_AUDIT_SCHEMA = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("est", pa.float64()),
+        ("jac", pa.float64()),
+        ("err", pa.float64()),
+    ]
+)
+
+
+def _audit_row_table(
+    a: list[int], b: list[int], nmatch: list[int], jv: list[float], num_perm: int
+) -> pa.Table:
+    est = np.asarray(nmatch, dtype=np.float64) / float(num_perm)
+    jac6 = round_half_away(np.asarray(jv, dtype=np.float64), 6)
+    err = round_half_away(np.abs(est - jac6), 6)
+    return pa.table(
+        {
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            # est is k/2^6: exact at 6 dp by construction
+            "est": pa.array(round_half_away(est, 6), pa.float64()),
+            "jac": pa.array(jac6, pa.float64()),
+            "err": pa.array(err, pa.float64()),
+        },
+        schema=_AUDIT_SCHEMA,
+    )
+
+
+def _audit_verify_broadcast(
+    cand: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_perm: int,
+) -> Dataset:
+    """Candidate-bounded broadcast verify (the ``_verify_pairs_broadcast``
+    shape, carrying the slot-match count through to the output)."""
+    cand_ids: set[str] = set()
+    for t in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
+        cand_ids.update(t["a"].to_pylist())
+        cand_ids.update(t["b"].to_pylist())
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        members = ray.get(ids_ref)
+        out_id, out_sh = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            key = _id_key(did)
+            if key not in members:
+                continue
+            out_id.append(key)
+            out_sh.append(_shingle_str(text, shingle_k))
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "sh": pa.array(out_sh, pa.string()),
+            }
+        )
+
+    shingle_map: dict[str, str] = {}
+    for t in docs.map_batches(cand_shingles, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        shingle_map.update(zip(t["id"].to_pylist(), t["sh"].to_pylist()))
+    sh_ref = ray.put(shingle_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sm: dict[str, str] = ray.get(sh_ref)
+        a_out, b_out, nm_out, jv_out = [], [], [], []
+        for a, b, nm in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["nmatch"].to_pylist(),
+        ):
+            jv = jaccard(_split_shingles(sm.get(a)), _split_shingles(sm.get(b)))
+            a_out.append(int(a))
+            b_out.append(int(b))
+            nm_out.append(int(nm))
+            jv_out.append(jv)
+        return _audit_row_table(a_out, b_out, nm_out, jv_out, num_perm)
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def _audit_verify_join(
+    cand: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_perm: int,
+) -> Dataset:
+    """Distributed verify above the broadcast cap — the
+    ``_verify_pairs_join`` shape; the integer slot-match count rides
+    inside the pair key so no extra join column is needed."""
+    from ..runtime.partitions import join_partitions
+
+    def explode_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": pa.array(t["a"].to_pylist() + t["b"].to_pylist(), pa.string())}
+        )
+
+    ids_ds = (
+        cand.map_batches(explode_ids, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(AggCount())
+        .select_columns(["id"])
+    )
+
+    def keyed_shingles(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array(
+                    [_id_key(v) for v in batch[id_col].to_pylist()], pa.string()
+                ),
+                "sh": pa.array(
+                    [
+                        _shingle_str(text, shingle_k)
+                        for text in batch[text_col].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    sh_cand = docs.map_batches(keyed_shingles, batch_format="pyarrow").join(
+        ids_ds, join_type="inner", num_partitions=join_partitions(64), on=("id",)
+    )
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        nm = t["nmatch"].to_pylist()
+        pair = [f"{x}|{y}|{k}" for x, y, k in zip(a, b, nm)]
+        return pa.table(
+            {
+                "pair": pa.array(pair + pair, pa.string()),
+                "id": pa.array(a + b, pa.string()),
+            }
+        )
+
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    joined = sides.join(
+        sh_cand, join_type="left_outer", num_partitions=join_partitions(64), on=("id",)
+    )
+
+    def pair_audit(g: pd.DataFrame) -> pd.DataFrame:
+        shs = [_split_shingles(v) for v in g["sh"]]
+        jv = jaccard(shs[0], shs[1]) if len(shs) == 2 else 0.0
+        a_s, b_s, nm_s = g["pair"].iloc[0].split("|")
+        t = _audit_row_table([int(a_s)], [int(b_s)], [int(nm_s)], [jv], num_perm)
+        return t.to_pandas()
+
+    out = joined.groupby("pair").map_groups(pair_audit, batch_format="pandas")
+
+    def _pin(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(df["a"] if "a" in df else [], pa.int64()),
+                "b": pa.array(df["b"] if "b" in df else [], pa.int64()),
+                "est": pa.array(df["est"] if "est" in df else [], pa.float64()),
+                "jac": pa.array(df["jac"] if "jac" in df else [], pa.float64()),
+                "err": pa.array(df["err"] if "err" in df else [], pa.float64()),
+            }
+        )
+
+    return out.map_batches(_pin, batch_format="pandas")
