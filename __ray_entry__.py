@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_heaps_fit": q.corpus_heaps_fit,
         "doc_gopher_rules": q.doc_gopher_rules,
         "doc_minhash_estimate_audit": q.doc_minhash_estimate_audit,
+        "events_l_diversity": q.events_l_diversity,
+        "events_zorder_skip": q.events_zorder_skip,
+        "doc_blocking_quality": q.doc_blocking_quality,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -680,6 +683,17 @@ def _funnel_sweep_sql() -> str:
 
 
 _TOK = TOKEN_PATTERN  # the pattern is RE2-compatible as-is (SQL single-quoted)
+
+
+def _zorder16_sql(u8: str, d8: str) -> str:
+    """16-term integer expression mirroring ``queries._zorder16`` — the
+    8+8-bit interleave (u bits odd, d bits even) in pure // and %
+    arithmetic, so the oracle computes the identical Z-order key."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({u8} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({d8} // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
 
 
 def _markov_stationary_sql(iters: int = 12) -> str:
@@ -1285,6 +1299,79 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "doc_minhash_estimate_audit": do.minhash_estimate_audit_sql(oracle_sf),
+        "events_l_diversity": """
+            WITH b AS (SELECT event_type AS et,
+                              (epoch_us(ts) // 3600000000) % 24 AS hod,
+                              CAST(round(value * 100) AS BIGINT) // 5000
+                                  AS vb,
+                              user_id
+                       FROM events),
+            qu AS (SELECT et, hod, vb, user_id, count(*) AS n
+                   FROM b GROUP BY 1, 2, 3, 4),
+            c AS (SELECT et, hod, vb, count(*)::BIGINT AS nu,
+                         sum(n)::BIGINT AS nr
+                  FROM qu GROUP BY 1, 2, 3)
+            SELECT count(*)::BIGINT AS n_classes,
+                   min(nu)::BIGINT AS min_user_diversity,
+                   sum(CASE WHEN nu < 3 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_classes_below_l,
+                   sum(CASE WHEN nu < 3 THEN nr ELSE 0 END)::BIGINT
+                       AS n_rows_at_risk
+            FROM c
+        """,
+        "events_zorder_skip": f"""
+            WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                                 epoch_us(ts) // 86400000000 AS day
+                          FROM events),
+            zb AS (SELECT u, us, day, u % 256 AS u8, day % 256 AS d8
+                   FROM base),
+            z AS (SELECT u, us, day,
+                         ({_zorder16_sql("u8", "d8")}) AS zval
+                  FROM zb),
+            zc AS (SELECT zval, min(u) AS mnu, max(u) AS mxu,
+                          min(us) AS mnt, max(us) AS mxt,
+                          count(*)::BIGINT AS n
+                   FROM z GROUP BY 1),
+            zf AS (SELECT (coalesce(sum(n) OVER (ORDER BY zval
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) * 64)
+                              // (SELECT count(*) FROM base) AS fid,
+                          mnu, mxu, mnt, mxt, n
+                   FROM zc),
+            f AS (
+                SELECT 'day_clustered' AS layout, day AS fid, u, us FROM z
+                UNION ALL
+                SELECT 'user_mod', u % 64, u, us FROM z),
+            zm AS (SELECT layout, fid, min(u) AS mnu, max(u) AS mxu,
+                          min(us) AS mnt, max(us) AS mxt,
+                          count(*)::BIGINT AS n
+                   FROM f GROUP BY 1, 2
+                   UNION ALL
+                   SELECT 'zorder', fid, min(mnu), max(mxu), min(mnt),
+                          max(mxt), sum(n)::BIGINT
+                   FROM zf GROUP BY 2),
+            probe AS (SELECT (min(us) // 86400000000 + 10) * 86400000000
+                                 AS lo,
+                             (min(us) // 86400000000 + 20) * 86400000000
+                                 AS hi,
+                             min(u) + (max(u) - min(u) + 1) // 3 AS ulo,
+                             min(u) + (2 * (max(u) - min(u) + 1)) // 3
+                                 AS uhi
+                      FROM base)
+            SELECT layout, count(*)::BIGINT AS n_files,
+                   sum(CASE WHEN mxu < (SELECT ulo FROM probe)
+                                 OR mnu >= (SELECT uhi FROM probe)
+                                 OR mxt < (SELECT lo FROM probe)
+                                 OR mnt >= (SELECT hi FROM probe)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
+                   sum(CASE WHEN mxu < (SELECT ulo FROM probe)
+                                 OR mnu >= (SELECT uhi FROM probe)
+                                 OR mxt < (SELECT lo FROM probe)
+                                 OR mnt >= (SELECT hi FROM probe)
+                            THEN n ELSE 0 END)::BIGINT AS n_rows_skipped
+            FROM zm GROUP BY layout ORDER BY layout
+        """,
+        "doc_blocking_quality": do.doc_blocking_quality_sql(oracle_sf),
         "lineitem_zonemap_skip": f"""
             WITH b AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us,
                               year(l_shipdate) * 12 + month(l_shipdate) - 1

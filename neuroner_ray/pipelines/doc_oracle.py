@@ -749,25 +749,19 @@ def doc_cluster_purity_sql(threshold: float = 0.8) -> str:
     """
 
 
-def minhash_estimate_audit_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
+def _local_minhash_blocking(
+    sf_dir: str,
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
     cap: int = 500,
-) -> str:
-    """Sketch-accuracy-audit oracle (``queries.doc_minhash_estimate_audit``).
-
-    The MinHash construction is deterministic (fixed blake2b base hash,
-    RandomState(42) mixing family, fixed banding), so — exactly like the
-    IVF oracle above — this builder recomputes the candidate (a, b,
-    slot-match-count) set LOCALLY with pure numpy/hashlib (no Ray, no
-    shared search code) and embeds it as a VALUES literal; DuckDB then
-    independently computes the EXACT word-shingle Jaccard per candidate
-    pair from the real table and the error column.  ``est`` = k/num_perm
-    with num_perm = 2^6 is exact at 6 decimals, so embedding it as a
-    6 dp literal is lossless.  Bound to ``sf_dir`` (the driver compares
-    at sf0.01; pass GRAFT_ORACLE_SF_DIR elsewhere)."""
+) -> dict[tuple[int, int], int]:
+    """LOCAL recompute of the deterministic MinHash band blocking (fixed
+    blake2b base hash, RandomState(42) mixing family, fixed banding) —
+    pure numpy/hashlib, no Ray, no shared search code (the IVF-oracle
+    precedent). Returns {(a, b): slot_match_count} for every band
+    candidate pair, a < b numerically. Shared by the sketch-accuracy
+    and blocking-quality oracle builders."""
     import hashlib
     import os
     import re
@@ -819,14 +813,34 @@ def minhash_estimate_audit_sql(
             digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
             blocks.setdefault(f"b{bi}:{digest}", []).append(key)
 
-    pairs: dict[tuple[str, str], int] = {}
+    pairs: dict[tuple[int, int], int] = {}
     for members in blocks.values():
         ms = sorted(set(members))[:cap]
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
-                k_ = (ms[i], ms[j])
+                k_ = (int(ms[i]), int(ms[j]))
                 if k_ not in pairs:
                     pairs[k_] = int((sigs[ms[i]] == sigs[ms[j]]).sum())
+    return pairs
+
+
+def minhash_estimate_audit_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    cap: int = 500,
+) -> str:
+    """Sketch-accuracy-audit oracle (``queries.doc_minhash_estimate_audit``).
+
+    The deterministic sketch side comes from ``_local_minhash_blocking``
+    (local recompute, embedded as a VALUES literal); DuckDB then
+    independently computes the EXACT word-shingle Jaccard per candidate
+    pair from the real table and the error column.  ``est`` = k/num_perm
+    with num_perm = 2^6 is exact at 6 decimals, so embedding it as a
+    6 dp literal is lossless.  Bound to ``sf_dir`` (the driver compares
+    at sf0.01; pass GRAFT_ORACLE_SF_DIR elsewhere)."""
+    pairs = _local_minhash_blocking(sf_dir, num_perm, bands, shingle_k, cap)
 
     if not pairs:
         return """
@@ -858,4 +872,47 @@ def minhash_estimate_audit_sql(
                round(est, 6) AS est, round(jac, 6) AS jac,
                round(abs(est - round(jac, 6)), 6) AS err
         FROM j ORDER BY a, b
+    """
+
+
+def doc_blocking_quality_sql(
+    sf_dir: str = "/root/testdata/sf0.01", threshold: float = 0.7
+) -> str:
+    """Blocking-quality oracle (``queries.doc_blocking_quality``): the
+    candidate pair set comes from ``_local_minhash_blocking`` (embedded
+    as a VALUES literal); DuckDB independently computes the exact-Jaccard
+    TRUE pair set over ALL pairs, the intersection, and the two standard
+    ER blocking metrics — pair completeness (recall of true pairs) and
+    reduction ratio (1 − candidates/all-pairs). Divisions are single
+    double ops over exact ints, rounded at 6 dp on both sides."""
+    cand = sorted(_local_minhash_blocking(sf_dir))
+    if cand:
+        cand_cte = "cand(ca, cb) AS (VALUES {})".format(
+            ", ".join(f"({a}, {b})" for a, b in cand)
+        )
+    else:
+        cand_cte = (
+            "cand(ca, cb) AS (SELECT CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT) WHERE false)"
+        )
+    return f"""
+        WITH {cand_cte},
+        {_jaccard_pairs_cte(threshold)},
+        tp AS (SELECT count(*)::BIGINT AS n_true FROM pairs),
+        cp AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+        bo AS (SELECT count(*)::BIGINT AS n_both
+               FROM cand c JOIN pairs p ON p.pa = c.ca AND p.pb = c.cb),
+        nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        SELECT n_docs,
+               (n_docs * (n_docs - 1) // 2)::BIGINT AS n_all_pairs,
+               n_true, n_cand, n_both AS n_cand_true,
+               CASE WHEN n_true = 0 THEN 1.0
+                    ELSE round(n_both / CAST(n_true AS DOUBLE), 6)
+               END AS pair_completeness,
+               CASE WHEN n_docs < 2 THEN 1.0
+                    ELSE round(1.0 - n_cand
+                               / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE),
+                               6)
+               END AS reduction_ratio
+        FROM tp, cp, bo, nd
     """

@@ -20661,3 +20661,330 @@ def doc_minhash_estimate_audit(sf_dir: str) -> Dataset:
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     )
     return minhash_estimate_audit(docs)
+
+
+# ----------------------------------------------------------- l-diversity
+LDIV_L = 3
+LDIV_VALUE_BAND_CENTS = 5_000  # $50 bands
+
+
+def events_l_diversity(sf_dir: str) -> pa.Table:
+    """L-DIVERSITY privacy audit — the companion to k-anonymity
+    (``doc_kanonymity_audit``) that k-anonymity famously misses: a QI
+    class can be large yet still leak if every row shares the SAME
+    sensitive value. QI = (event_type, hour-of-day, $50 value band);
+    sensitive attribute = user_id; a class is at risk when it contains
+    fewer than l = 3 DISTINCT users (homogeneity ⇒ linkable).
+
+    Scale shape: distinct-user counting never touches the driver — one
+    distributed groupby on (QI, user) collapses duplicates (combiner
+    partials first, so the shuffle moves distinct-combo-sized rows), a
+    second map emits (QI, 1 user, n rows) partials and the QI-sized
+    census tree-combines to ONE summary row of exact ints."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "ts", "user_id", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("n_classes", pa.int64()),
+            ("min_user_diversity", pa.int64()),
+            ("n_classes_below_l", pa.int64()),
+            ("n_rows_at_risk", pa.int64()),
+        ]
+    )
+
+    def qi_user_partial(t: pa.Table) -> pa.Table:
+        us = _ts_us(t)
+        hod = (us // _HOUR_US) % 24
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "et": t["event_type"].to_pylist(),
+                    "hod": hod.astype(np.int64),
+                    "vb": cents // LDIV_VALUE_BAND_CENTS,
+                    "user_id": t["user_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["et", "hod", "vb", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "et": pa.array(df["et"].tolist(), pa.string()),
+                "hod": pa.array(df["hod"].to_numpy(np.int64), pa.int64()),
+                "vb": pa.array(df["vb"].to_numpy(np.int64), pa.int64()),
+                "user_id": pa.array(
+                    df["user_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_qi_user = (
+        ev.map_batches(qi_user_partial, batch_format="pyarrow")
+        .groupby(["et", "hod", "vb", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def qi_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "hod": pa.array([], pa.int64()),
+                    "vb": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame(
+                {
+                    "et": t["et"].to_pylist(),
+                    "hod": t["hod"].to_numpy(zero_copy_only=False),
+                    "vb": t["vb"].to_numpy(zero_copy_only=False),
+                    "n": t["n"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["et", "hod", "vb"], sort=False)
+            .agg(nu=("n", "size"), nr=("n", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "et": pa.array(df["et"].tolist(), pa.string()),
+                "hod": pa.array(df["hod"].to_numpy(np.int64), pa.int64()),
+                "vb": pa.array(df["vb"].to_numpy(np.int64), pa.int64()),
+                "nu": pa.array(df["nu"].to_numpy(np.int64), pa.int64()),
+                "nr": pa.array(df["nr"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "hod": pa.array([], pa.int64()),
+                    "vb": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                per_qi_user.map_batches(qi_partial, batch_format="pyarrow"),
+                group_sum_merge(("et", "hod", "vb"), ("nu", "nr")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    nu = cen["nu"].to_numpy(np.int64)
+    nr = cen["nr"].to_numpy(np.int64)
+    below = nu < LDIV_L
+    return pa.table(
+        {
+            "n_classes": pa.array([len(nu)], pa.int64()),
+            "min_user_diversity": pa.array([int(nu.min())], pa.int64()),
+            "n_classes_below_l": pa.array([int(below.sum())], pa.int64()),
+            "n_rows_at_risk": pa.array([int(nr[below].sum())], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------------- Z-order skipping
+ZORDER_FILES_MOD = 64
+ZORDER_PROBE_DAY_OFF_LO = 10
+ZORDER_PROBE_DAY_OFF_HI = 20
+
+
+def _zorder16(u8: np.ndarray, d8: np.ndarray) -> np.ndarray:
+    """Bit-interleave two 8-bit lanes into a 16-bit Z-order key
+    (u bits odd, d bits even) — explicit shifts so the oracle can emit
+    the identical 16-term integer expression."""
+    z = np.zeros(len(u8), dtype=np.int64)
+    for i in range(8):
+        z |= ((u8 >> i) & 1) << (2 * i + 1)
+        z |= ((d8 >> i) & 1) << (2 * i)
+    return z
+
+
+def events_zorder_skip(sf_dir: str) -> pa.Table:
+    """Z-ORDER DATA-SKIPPING audit — the TWO-dimensional extension of the
+    zone-map class (``lineitem_zonemap_skip``): for a conjunctive probe
+    (user range AND day range), how many files does a min/max-pruned
+    reader skip under three clusterings of the same events table?
+    'day_clustered' (one file per day) prunes on time but not user;
+    'user_mod' (user_id % 64 files) prunes on user but not time;
+    'zorder' SORTS by the 16-bit bit-interleave of (user_id % 256,
+    day % 256) and cuts 64 equal-row files — the layout that serves
+    BOTH predicates at once. No global sort is ever run: the z domain
+    is bounded (≤ 2^16), so ONE events pass emits per-(layout, key)
+    zone-map partials (zorder keyed by the z value itself), the census
+    tree-combines, and the driver assigns each z run to its file by
+    cumulative row position ((rows_before · 64) // N — exactly the
+    fixed-size-file writer's cut points) before the final zone merge.
+    The probe evaluates on ≤ (days + 64 + 2^16) driver rows — exact
+    int µs everywhere. Both probe windows are DATA-DERIVED
+    so the audit stays meaningful at every scale: days = corpus min day
+    +10..+20, users = the middle third of the observed id range; a file
+    is scannable iff BOTH per-column zone tests overlap."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    schema = pa.schema(
+        [
+            ("layout", pa.string()),
+            ("n_files", pa.int64()),
+            ("n_skippable", pa.int64()),
+            ("n_rows_skipped", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = _ts_us(t)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // _DAY_US
+        z = _zorder16(uid % 256, day % 256)
+        frames = []
+        for layout, fid in (
+            ("day_clustered", day),
+            ("user_mod", uid % ZORDER_FILES_MOD),
+            ("zorder", z),  # keyed by z value; file cut on the driver
+        ):
+            df = pd.DataFrame({"fid": fid, "u": uid, "t": us})
+            g = df.groupby("fid").agg(
+                mnu=("u", "min"),
+                mxu=("u", "max"),
+                mnt=("t", "min"),
+                mxt=("t", "max"),
+                n=("t", "size"),
+            )
+            g = g.reset_index()
+            g.insert(0, "layout", layout)
+            frames.append(g)
+        out = pd.concat(frames)
+        return pa.table(
+            {
+                "layout": pa.array(out["layout"].tolist(), pa.string()),
+                "fid": pa.array(out["fid"].to_numpy(np.int64), pa.int64()),
+                "mnu": pa.array(out["mnu"].to_numpy(np.int64), pa.int64()),
+                "mxu": pa.array(out["mxu"].to_numpy(np.int64), pa.int64()),
+                "mnt": pa.array(out["mnt"].to_numpy(np.int64), pa.int64()),
+                "mxt": pa.array(out["mxt"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    merge = group_agg_merge(
+        ("layout", "fid"),
+        sums=("n",),
+        mins=("mnu", "mnt"),
+        maxs=("mxu", "mxt"),
+    )
+    zm = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "layout": pa.array([], pa.string()),
+                    "fid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mnu": pa.array([], pa.int64()),
+                    "mnt": pa.array([], pa.int64()),
+                    "mxu": pa.array([], pa.int64()),
+                    "mxt": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(partials, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if zm.empty:
+        return schema.empty_table()
+    # zorder: z runs → 64 equal-row files by cumulative position (the
+    # fixed-size-file writer's cut points), then re-merge zone stats
+    zz = zm[zm["layout"] == "zorder"].sort_values("fid")
+    n_total = int(zz["n"].sum())
+    rows_before = zz["n"].cumsum() - zz["n"]
+    zz = zz.assign(fid=(rows_before * ZORDER_FILES_MOD) // n_total)
+    zz = (
+        zz.groupby(["layout", "fid"], sort=True)
+        .agg(
+            mnu=("mnu", "min"),
+            mxu=("mxu", "max"),
+            mnt=("mnt", "min"),
+            mxt=("mxt", "max"),
+            n=("n", "sum"),
+        )
+        .reset_index()
+    )
+    zm = pd.concat(
+        [zm[zm["layout"] != "zorder"], zz[zm.columns]], ignore_index=True
+    )
+    min_day = int(zm["mnt"].min() // _DAY_US)
+    lo_us = (min_day + ZORDER_PROBE_DAY_OFF_LO) * _DAY_US
+    hi_us = (min_day + ZORDER_PROBE_DAY_OFF_HI) * _DAY_US
+    min_u, max_u = int(zm["mnu"].min()), int(zm["mxu"].max())
+    span = max_u - min_u + 1
+    u_lo = min_u + span // 3
+    u_hi = min_u + (2 * span) // 3
+    skip = (
+        (zm["mxu"] < u_lo)
+        | (zm["mnu"] >= u_hi)
+        | (zm["mxt"] < lo_us)
+        | (zm["mnt"] >= hi_us)
+    ).to_numpy()
+    g = (
+        pd.DataFrame(
+            {
+                "layout": zm["layout"],
+                "one": 1,
+                "sk": skip.astype(np.int64),
+                "rows_sk": np.where(skip, zm["n"].to_numpy(np.int64), 0),
+            }
+        )
+        .groupby("layout", sort=True)
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "layout": pa.array(g["layout"].tolist(), pa.string()),
+            "n_files": pa.array(g["one"].to_numpy(np.int64), pa.int64()),
+            "n_skippable": pa.array(g["sk"].to_numpy(np.int64), pa.int64()),
+            "n_rows_skipped": pa.array(
+                g["rows_sk"].to_numpy(np.int64), pa.int64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------------- blocking quality audit
+def doc_blocking_quality(sf_dir: str) -> pa.Table:
+    """Registry wrapper for ``stages.dedup.blocking_quality`` — pair
+    completeness + reduction ratio of the MinHash band blocking vs exact
+    word-shingle Jaccard ground truth (see the stage docstring for the
+    chunk-pair all-pairs shape and the sampling knob)."""
+    from ..stages.dedup import blocking_quality
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return blocking_quality(docs)

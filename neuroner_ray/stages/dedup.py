@@ -26,7 +26,7 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count as AggCount
+from ray.data.aggregate import Count as AggCount, Sum as AggSum
 
 from ..functions.minhash import (
     band_keys,
@@ -1288,3 +1288,299 @@ def _audit_verify_join(
         )
 
     return out.map_batches(_pin, batch_format="pandas")
+
+
+# -------------------------------------------------- blocking-quality audit
+# Per pair-key group, (|lo side| × |hi side|) exact comparisons; at the
+# default 8 chunks a group holds (S/8)² pairs — raise the chunk count or
+# pass sample_mod > 1 before lifting this cap.
+BLOCKING_AUDIT_GROUP_PAIRS_MAX = 4_000_000
+
+
+def blocking_quality(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    cap: int = 500,
+    n_chunks: int = 8,
+    sample_mod: int = 1,
+) -> pa.Table:
+    """ER BLOCKING-QUALITY audit: the two standard metrics that say
+    whether a blocking scheme can be trusted before running a
+    sketch-only dedup at scale — PAIR COMPLETENESS (what fraction of the
+    TRUE near-dup pairs, exact word-shingle Jaccard ≥ threshold, does
+    the MinHash band blocking surface?) and REDUCTION RATIO (what
+    fraction of the all-pairs comparison space does it prune?).
+
+    Ground truth needs exact all-pairs Jaccard, so the audit runs on a
+    deterministic id sample (``id % sample_mod == 0``; default = the
+    whole corpus at test scales — at 100-TB pass a sample_mod that
+    brings S down to audit size). The all-pairs pass is the chunk-pair
+    cogroup (the mutual-NN shape): every sampled doc's shingle set
+    replicates to its ``n_chunks`` chunk-pair keys, one task per pair
+    key sweeps its (S/B)²-bounded comparison block (LOUD cap
+    ``BLOCKING_AUDIT_GROUP_PAIRS_MAX``), so no all-pairs structure ever
+    materializes in one place. Candidates reuse the band-blocking
+    shapes; the intersection is one (a, b) cogroup with 0/1 tags and
+    the summary is a fixed-width single row of exact ints + two 6-dp
+    divisions."""
+    if sample_mod > 1:
+        def keep_sample(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(ids % sample_mod == 0, pa.bool_()))
+
+        docs = docs.map_batches(keep_sample, batch_format="pyarrow")
+
+    schema = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("n_all_pairs", pa.int64()),
+            ("n_true", pa.int64()),
+            ("n_cand", pa.int64()),
+            ("n_cand_true", pa.int64()),
+            ("pair_completeness", pa.float64()),
+            ("reduction_ratio", pa.float64()),
+        ]
+    )
+    n_docs = docs.count()
+    if n_docs == 0:
+        return schema.empty_table()
+
+    # ---- TRUE pairs: exact all-pairs Jaccard via chunk-pair cogroup
+    def shingle_rows(t: pa.Table, B=n_chunks) -> pa.Table:
+        ids, shs = [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ids.append(_id_key(did))
+            shs.append(_shingle_str(text, shingle_k))
+        chunk = np.asarray(
+            [int(i) % B for i in t[id_col].to_pylist()], dtype=np.int64
+        )
+        pk, side, idx = [], [], []
+        for c in range(B):
+            rows = np.nonzero(chunk == c)[0]
+            if len(rows) == 0:
+                continue
+            for d_ in range(B):
+                lo, hi = min(c, d_), max(c, d_)
+                pk.append(np.full(len(rows), lo * B + hi, np.int64))
+                side.append(np.full(len(rows), c, np.int64))
+                idx.append(rows)
+        if not idx:
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.string()),
+                    "sh": pa.array([], pa.string()),
+                }
+            )
+        idx = np.concatenate(idx)
+        return pa.table(
+            {
+                "pk": pa.array(np.concatenate(pk), pa.int64()),
+                "side": pa.array(np.concatenate(side), pa.int64()),
+                "id": pa.array([ids[i] for i in idx], pa.string()),
+                "sh": pa.array([shs[i] for i in idx], pa.string()),
+            }
+        )
+
+    def true_pairs_in_group(g: pd.DataFrame, B=n_chunks) -> pd.DataFrame:
+        g = g.drop_duplicates("id")
+        pk = int(g["pk"].iloc[0])
+        lo, hi = pk // B, pk % B
+        if lo == hi:
+            left = right = g
+            n_pairs = len(g) * (len(g) - 1) // 2
+        else:
+            left = g[g["side"] == lo]
+            right = g[g["side"] == hi]
+            n_pairs = len(left) * len(right)
+        if n_pairs > BLOCKING_AUDIT_GROUP_PAIRS_MAX:
+            raise ValueError(
+                f"blocking_quality: chunk-pair group {pk} holds {n_pairs} "
+                f"comparisons > BLOCKING_AUDIT_GROUP_PAIRS_MAX "
+                f"({BLOCKING_AUDIT_GROUP_PAIRS_MAX}); raise n_chunks or "
+                f"pass a larger sample_mod"
+            )
+        a_out, b_out = [], []
+        if lo == hi:
+            ids = left["id"].tolist()
+            sets = [_split_shingles(v) for v in left["sh"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if jaccard(sets[i], sets[j]) >= threshold:
+                        x, y = sorted((ids[i], ids[j]))
+                        a_out.append(x)
+                        b_out.append(y)
+        else:
+            lids = left["id"].tolist()
+            lsets = [_split_shingles(v) for v in left["sh"]]
+            rids = right["id"].tolist()
+            rsets = [_split_shingles(v) for v in right["sh"]]
+            for i in range(len(lids)):
+                for j in range(len(rids)):
+                    if jaccard(lsets[i], rsets[j]) >= threshold:
+                        x, y = sorted((lids[i], rids[j]))
+                        a_out.append(x)
+                        b_out.append(y)
+        return pd.DataFrame({"a": a_out, "b": b_out}).astype(
+            {"a": "object", "b": "object"}
+        )
+
+    trues = (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(true_pairs_in_group, batch_format="pandas")
+    )
+
+    # ---- CANDIDATE pairs: the band-blocking shape (ids only)
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = [_id_key(d) for d in batch[id_col].to_pylist()]
+        shingle_sets = [
+            word_shingles(
+                [t for t, _, _ in tokenize_text((text or "").lower())], shingle_k
+            )
+            for text in batch[text_col].to_pylist()
+        ]
+        sigs = minhash_signatures_batch(shingle_sets, num_perm)
+        out_id, out_block = [], []
+        for key, sig in zip(ids, sigs):
+            for bk in band_keys(sig, bands):
+                out_id.append(key)
+                out_block.append(bk)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "block": pa.array(out_block, pa.string()),
+                "bucket": pa.array(hash_buckets(out_block, 64), pa.int64()),
+            }
+        )
+
+    def cand_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        if len(g) > cap:
+            g = g.head(cap)
+        ids = g["id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        iu, ju = np.triu_indices(m, 1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+
+    def cand_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g["block"].value_counts()
+        g = g[g["block"].isin(sizes.index[sizes.ge(2)])]
+        outs = [cand_in_block(gb) for _, gb in g.groupby("block", sort=False)]
+        out = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"a": [], "b": []})
+        )
+        out = out.drop_duplicates(["a", "b"])
+        return out.astype({"a": "object", "b": "object"})
+
+    cands = (
+        docs.map_batches(sig_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cand_in_bucket, batch_format="pandas")
+    )
+
+    # ---- metrics: tag, union, (a, b) cogroup, fixed-width partial sums
+    def tag(flag: str):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "a": pa.array(df["a"] if "a" in df else [], pa.string()),
+                    "b": pa.array(df["b"] if "b" in df else [], pa.string()),
+                    "t": pa.array(
+                        np.full(len(df), 1 if flag == "t" else 0, np.int64)
+                    ),
+                    "c": pa.array(
+                        np.full(len(df), 1 if flag == "c" else 0, np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = trues.map_batches(tag("t"), batch_format="pandas").union(
+        cands.map_batches(tag("c"), batch_format="pandas")
+    )
+    per_pair = tagged.groupby(["a", "b"]).aggregate(
+        AggSum("t", alias_name="t"), AggSum("c", alias_name="c")
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        # clamp to presence flags: candidates surface once PER BAND, so
+        # the per-pair sums arrive > 1 — the (a, b) cogroup is the dedup
+        tt = (
+            t["t"].to_numpy(zero_copy_only=False).astype(np.int64) > 0
+        ).astype(np.int64)
+        cc = (
+            t["c"].to_numpy(zero_copy_only=False).astype(np.int64) > 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "nt": pa.array([int(tt.sum())], pa.int64()),
+                "nc": pa.array([int(cc.sum())], pa.int64()),
+                "nb": pa.array([int((tt * cc).sum())], pa.int64()),
+            }
+        )
+
+    from ..runtime.combine import group_sum_merge as _gsm, tree_combine as _tc
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            _tc(
+                per_pair.map_batches(count_partial, batch_format="pyarrow"),
+                _gsm(("k",), ("nt", "nc", "nb")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    n_true = int(cen["nt"].sum()) if not cen.empty else 0
+    n_cand = int(cen["nc"].sum()) if not cen.empty else 0
+    n_both = int(cen["nb"].sum()) if not cen.empty else 0
+    n_all = n_docs * (n_docs - 1) // 2
+    pc = 1.0 if n_true == 0 else n_both / float(n_true)
+    rr = 1.0 if n_docs < 2 else 1.0 - n_cand / float(n_all)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_all_pairs": pa.array([n_all], pa.int64()),
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_cand": pa.array([n_cand], pa.int64()),
+            "n_cand_true": pa.array([n_both], pa.int64()),
+            "pair_completeness": pa.array(
+                round_half_away(np.array([pc]), 6), pa.float64()
+            ),
+            "reduction_ratio": pa.array(
+                round_half_away(np.array([rr]), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

@@ -5534,3 +5534,129 @@ def test_minhash_audit_est_is_dyadic_and_bounded():
     assert (abs(recompute - out["err"]) < 1e-9).all()
     assert (out["a"] < out["b"]).all()
     assert not out.duplicated(["a", "b"]).any()
+
+
+def test_round4_batch62_queries_match_oracles():
+    """Batch-62 additions (l-diversity, Z-order skipping, blocking
+    quality) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "events_l_diversity",
+        "events_zorder_skip",
+        "doc_blocking_quality",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch62_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("documents", "events"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.events_l_diversity, 4),
+        (q.events_zorder_skip, 4),
+        (q.doc_blocking_quality, 7),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_l_diversity_planted_classes(tmp_path):
+    """Two QI classes: (click, hour 0, band 0) with ONE user → at risk;
+    (view, hour 1, band 0) with three users → diverse."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    H = 3_600_000_000
+    rows = [
+        (1, 10, 7, "click", 1.0),
+        (2, 20, 7, "click", 2.0),
+        (3, H + 10, 1, "view", 1.0),
+        (4, H + 20, 2, "view", 1.0),
+        (5, H + 30, 3, "view", 1.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    ).cast(sch)
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q.events_l_diversity(d).to_pandas()
+    assert out["n_classes"].iloc[0] == 2
+    assert out["min_user_diversity"].iloc[0] == 1
+    assert out["n_classes_below_l"].iloc[0] == 1  # 3 users meets l = 3
+    assert out["n_rows_at_risk"].iloc[0] == 2
+
+
+def test_zorder_skip_structural_invariants():
+    """Each layout's skippable count is bounded by its file count; the
+    Z-order layout must not be WORSE than the best single-column layout
+    by row-skip fraction vs its own total (it serves both predicates),
+    and its file count respects the 8-bit prefix bound."""
+    out = q.events_zorder_skip(SF).to_pandas().set_index("layout")
+    assert set(out.index) == {"day_clustered", "user_mod", "zorder"}
+    assert (out["n_skippable"] <= out["n_files"]).all()
+    assert (out["n_rows_skipped"] >= 0).all()
+    assert out.loc["zorder", "n_files"] <= 256
+    # the audit's point: single-column user_mod layout cannot prune the
+    # time predicate — Z-order must skip strictly more rows than it
+    assert (
+        out.loc["zorder", "n_rows_skipped"]
+        > out.loc["user_mod", "n_rows_skipped"]
+    )
+
+
+def test_blocking_quality_metric_bounds_and_sampling():
+    """Intersection ≤ both sides; ratios in [0, 1]; the deterministic
+    sample (id % 5 == 0) reports a consistent 100-doc audit."""
+    from neuroner_ray.sources.parquet import read_parquet_clean
+    from neuroner_ray.stages.dedup import blocking_quality
+
+    out = q.doc_blocking_quality(SF).to_pandas().iloc[0]
+    assert out["n_cand_true"] <= min(out["n_cand"], out["n_true"])
+    assert 0.0 <= out["pair_completeness"] <= 1.0
+    assert 0.0 <= out["reduction_ratio"] <= 1.0
+    assert out["n_all_pairs"] == out["n_docs"] * (out["n_docs"] - 1) // 2
+    docs = read_parquet_clean(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    s = blocking_quality(docs, sample_mod=5).to_pandas().iloc[0]
+    assert s["n_docs"] == 100
+    assert s["n_all_pairs"] == 100 * 99 // 2
+    assert 0.0 <= s["pair_completeness"] <= 1.0
