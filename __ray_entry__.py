@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_l_diversity": q.events_l_diversity,
         "events_zorder_skip": q.events_zorder_skip,
         "doc_blocking_quality": q.doc_blocking_quality,
+        "embedding_hard_negatives": q.embedding_hard_negatives,
+        "embedding_mmr_topk": q.embedding_mmr_topk,
+        "events_sortedness_audit": q.events_sortedness_audit,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1372,6 +1375,48 @@ def oracle_sql() -> dict[str, str]:
             FROM zm GROUP BY layout ORDER BY layout
         """,
         "doc_blocking_quality": do.doc_blocking_quality_sql(oracle_sf),
+        "embedding_hard_negatives": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                         round(list_cosine_similarity(a.v, b.v), 6) AS c
+                  FROM e a JOIN e b ON a.label <> b.label),
+            nn AS (SELECT i, j, c FROM (
+                     SELECT i, j, c,
+                            row_number() OVER (PARTITION BY i
+                                               ORDER BY c DESC, j ASC) AS rn
+                     FROM s) WHERE rn = 1)
+            SELECT i::BIGINT AS vec_id, j::BIGINT AS neg_id, c AS cos
+            FROM nn ORDER BY vec_id
+        """,
+        "embedding_mmr_topk": do.embedding_mmr_topk_sql(oracle_sf),
+        "events_sortedness_audit": """
+            WITH o AS (SELECT event_id, epoch_us(ts) AS t, user_id AS u
+                       FROM events),
+            l AS (SELECT t, u,
+                         lag(t) OVER (ORDER BY event_id) AS pt,
+                         lag(u) OVER (ORDER BY event_id) AS pu
+                  FROM o),
+            s AS (SELECT count(*)::BIGINT AS n,
+                         sum(CASE WHEN pt IS NOT NULL AND t >= pt
+                                  THEN 1 ELSE 0 END)::BIGINT AS nd_t,
+                         sum(CASE WHEN pu IS NOT NULL AND u >= pu
+                                  THEN 1 ELSE 0 END)::BIGINT AS nd_u
+                  FROM l)
+            SELECT 'ts' AS col, n AS n_rows, (n - 1)::BIGINT AS n_pairs,
+                   nd_t AS n_nondec,
+                   round(nd_t / CAST(n - 1 AS DOUBLE), 6) AS sortedness,
+                   (n - nd_t)::BIGINT AS n_runs,
+                   round(n / CAST(n - nd_t AS DOUBLE), 4) AS avg_run_len
+            FROM s WHERE n > 0
+            UNION ALL
+            SELECT 'user_id', n, (n - 1)::BIGINT, nd_u,
+                   round(nd_u / CAST(n - 1 AS DOUBLE), 6),
+                   (n - nd_u)::BIGINT,
+                   round(n / CAST(n - nd_u AS DOUBLE), 4)
+            FROM s WHERE n > 0
+            ORDER BY col
+        """,
         "lineitem_zonemap_skip": f"""
             WITH b AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us,
                               year(l_shipdate) * 12 + month(l_shipdate) - 1

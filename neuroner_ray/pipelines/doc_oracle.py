@@ -916,3 +916,88 @@ def doc_blocking_quality_sql(
                END AS reduction_ratio
         FROM tp, cp, bo, nd
     """
+
+
+def embedding_mmr_topk_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.7,
+    query_vec_id: int = 0,
+) -> str:
+    """MMR oracle (``queries.embedding_mmr_topk``): the greedy selection
+    is deterministic (fixed query, 6-dp rounding before every argmax,
+    id tie-break), so this builder recomputes it LOCALLY with pure
+    numpy (IVF precedent) and embeds (rank, vec_id); DuckDB then
+    independently computes each selected vector's exact relevance
+    cosine from the real table — the value column is genuinely
+    SQL-derived, the selection order is the recomputed part."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+
+    def r6(x):
+        scaled = np.asarray(x, dtype=np.float64) * 10**6
+        return (
+            np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+        ) / 10**6
+
+    qpos = np.nonzero(ids == query_vec_id)[0]
+    if len(qpos) == 0:
+        return """
+            SELECT CAST(NULL AS BIGINT) AS rank,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS DOUBLE) AS rel
+            WHERE false
+        """
+    q = mat[qpos[0]]
+    keep = ids != query_vec_id
+    cids, cmat = ids[keep], mat[keep]
+    rel = r6(cmat @ q)
+    order = np.lexsort((cids, -rel))[:n_candidates]
+    cids, cmat, rel = cids[order], cmat[order], rel[order]
+    sims = r6(cmat @ cmat.T)
+
+    selected: list[int] = []
+    remaining = list(range(len(cids)))
+    picks: list[int] = []
+    for rank in range(1, min(k, len(cids)) + 1):
+        if rank == 1:
+            scores = rel[remaining]
+        else:
+            mx = sims[np.ix_(remaining, selected)].max(axis=1)
+            scores = r6(lam * rel[remaining] - (1.0 - lam) * mx)
+        best = max(
+            range(len(remaining)),
+            key=lambda j: (scores[j], -int(cids[remaining[j]])),
+        )
+        pick = remaining[best]
+        selected.append(pick)
+        remaining.remove(pick)
+        picks.append(pick)
+    values = ", ".join(
+        f"({rank}, {int(cids[p])})" for rank, p in enumerate(picks, 1)
+    )
+    return f"""
+        WITH sel(rnk, vid) AS (VALUES {values}),
+        q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id = {query_vec_id})
+        SELECT s.rnk::BIGINT AS rank, s.vid::BIGINT AS vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            (SELECT v FROM q)), 6) AS rel
+        FROM sel s JOIN embeddings e ON e.vec_id = s.vid
+        ORDER BY s.rnk
+    """

@@ -20988,3 +20988,462 @@ def doc_blocking_quality(sf_dir: str) -> pa.Table:
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     )
     return blocking_quality(docs)
+
+
+# ------------------------------------------------ hard-negative mining
+def embedding_hard_negatives(
+    sf_dir: str, n_chunks: int = MNN_CHUNKS
+) -> pa.Table:
+    """HARD-NEGATIVE MINING (the contrastive-training data op: for every
+    vector, its most similar vector with a DIFFERENT label — the
+    near-miss the loss needs): exact cross-label cosine top-1 via the
+    same chunk-pair cogroup as ``embedding_mutual_nn`` (replication ×B
+    through one shuffle, (N/B)²-bounded matmuls, NO full-matrix
+    broadcast), with labels riding the replicated rows so the same-label
+    mask is applied inside each task's score matrix. 6-dp rounding
+    before the (cos DESC, id ASC) cut (similarity-family parity)."""
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("neg_id", pa.int64()),
+            ("cos", pa.float64()),
+        ]
+    )
+
+    def replicate(t: pa.Table, B=n_chunks) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ids % B
+        pair_k, side_k, idx = [], [], []
+        for c in range(B):
+            rows = np.nonzero(chunk == c)[0]
+            if len(rows) == 0:
+                continue
+            for d_ in range(B):
+                lo, hi = min(c, d_), max(c, d_)
+                pair_k.append(np.full(len(rows), lo * B + hi, np.int64))
+                side_k.append(np.full(len(rows), c, np.int64))
+                idx.append(rows)
+        idx = np.concatenate(idx)
+        return pa.table(
+            {
+                "pair": pa.array(np.concatenate(pair_k), pa.int64()),
+                "side": pa.array(np.concatenate(side_k), pa.int64()),
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "label": pa.array(
+                    t["label"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[idx],
+                    pa.int64(),
+                ),
+                "embedding": t["embedding"].take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    def local_top1(g: pd.DataFrame, B=n_chunks) -> pd.DataFrame:
+        g = g.drop_duplicates(["vec_id", "side"])
+        pk = int(g["pair"].iloc[0])
+        lo, hi = pk // B, pk % B
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = g["vec_id"].to_numpy(np.int64)
+        labels = g["label"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        a_rows = np.nonzero(side == lo)[0]
+        b_rows = np.nonzero(side == hi)[0]
+        out_id, out_nn, out_cos = [], [], []
+
+        def best_rows(rows, cand_rows):
+            if len(rows) == 0 or len(cand_rows) == 0:
+                return
+            cos = mat[rows] @ mat[cand_rows].T
+            cos = round_half_away(cos, 6)
+            cand_ids = ids[cand_rows]
+            # mask SAME-label candidates (this is the hard-negative twist
+            # on the mutual-NN shape, which masks self only)
+            same = labels[rows][:, None] == labels[cand_rows][None, :]
+            cos[same] = -2.0
+            ok = ~same.all(axis=1)
+            if not ok.any():
+                return
+            cosk = cos[ok]
+            mx = cosk.max(axis=1)
+            at_max = cosk == mx[:, None]
+            nnid = np.where(at_max, cand_ids[None, :], 2**62).min(axis=1)
+            out_id.append(ids[rows][ok])
+            out_nn.append(nnid.astype(np.int64))
+            out_cos.append(mx)
+
+        if lo == hi:
+            best_rows(a_rows, a_rows)
+        else:
+            best_rows(a_rows, b_rows)
+            best_rows(b_rows, a_rows)
+        if not out_id:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], np.int64),
+                    "neg_id": np.array([], np.int64),
+                    "cos": np.array([], np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_id).astype(np.int64),
+                "neg_id": np.concatenate(out_nn).astype(np.int64),
+                "cos": np.concatenate(out_cos).astype(np.float64),
+            }
+        )
+
+    locals_ = (
+        emb.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(local_top1, batch_format="pandas")
+    )
+    nn = tree_combine(
+        locals_, topk_merge(1, "cos", ["neg_id"], group_cols=["vec_id"])
+    )
+    seed = schema.empty_table()
+    parts = [
+        pa.table(
+            {"vec_id": b["vec_id"], "neg_id": b["neg_id"], "cos": b["cos"]}
+        ).cast(schema)
+        for b in nn.iter_batches(batch_format="pyarrow")
+        if b.num_rows > 0
+    ]
+    out = pa.concat_tables([seed] + parts)
+    return out.sort_by([("vec_id", "ascending")])
+
+
+# ------------------------------------------------- MMR diverse retrieval
+MMR_LAMBDA = 0.7
+MMR_K = 10
+MMR_CANDIDATES = 50
+
+
+def embedding_mmr_topk(
+    sf_dir: str,
+    k: int = MMR_K,
+    n_candidates: int = MMR_CANDIDATES,
+    lam: float = MMR_LAMBDA,
+    query_vec_id: int = 0,
+) -> pa.Table:
+    """MAXIMAL MARGINAL RELEVANCE retrieval (the diversity-aware re-rank
+    every RAG stack runs after ANN): greedy k-selection maximizing
+    λ·rel(i) − (1−λ)·max_{s∈S} sim(i, s). The DISTRIBUTED part is the
+    exact top-M candidate generation (broadcast query, per-batch local
+    top-M, associative ``topk_merge`` — the similarity_topk shape) plus
+    one candidate-id-filtered gather of the M vectors; the greedy loop
+    itself runs on the driver over the M×M sim matrix (M = 50,
+    output-bounded — never corpus-scale). rel and pairwise sims are
+    rounded to 6 dp BEFORE every argmax; ties break to the smaller
+    vec_id (the similarity-family conventions)."""
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("rel", pa.float64()),
+        ]
+    )
+    qrow = [
+        r
+        for b in emb.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["vec_id"], pa.scalar(query_vec_id))
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+        for r in [b]
+    ]
+    if not qrow:
+        return schema.empty_table()
+    qv = np.asarray(qrow[0]["embedding"][0].as_py(), dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    qv = qv / (qn if qn else 1.0)
+    qref = ray.put(qv)
+
+    def local_topm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "rel": pa.array([], pa.float64()),
+                }
+            )
+        q = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids != query_vec_id
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "rel": pa.array([], pa.float64()),
+                }
+            )
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )[keep]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        rel = round_half_away(mat @ q / norms, 6)
+        order = np.lexsort((ids, -rel))[:n_candidates]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "rel": pa.array(rel[order], pa.float64()),
+            }
+        )
+
+    cand = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "rel": pa.array([], pa.float64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                emb.map_batches(local_topm, batch_format="pyarrow"),
+                topk_merge(n_candidates, "rel", ["vec_id"]),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if cand.num_rows == 0:
+        return schema.empty_table()
+    cand_ids = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rels = cand["rel"].to_numpy(zero_copy_only=False).astype(np.float64)
+    idset_ref = ray.put(frozenset(int(i) for i in cand_ids))
+
+    def gather(t: pa.Table) -> pa.Table:
+        members = ray.get(idset_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.array([int(i) in members for i in ids], dtype=bool)
+        if not keep.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "embedding": t["embedding"].filter(
+                    pa.array(keep, pa.bool_())
+                ),
+            }
+        )
+
+    vecs: dict[int, np.ndarray] = {}
+    for b in emb.map_batches(gather, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for vid, v in zip(b["vec_id"].to_pylist(), b["embedding"].to_pylist()):
+            vecs[int(vid)] = np.asarray(v, dtype=np.float64)
+    mat = np.stack([vecs[int(i)] for i in cand_ids])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    sims = round_half_away(mat @ mat.T, 6)
+
+    selected: list[int] = []
+    ranks, out_ids, out_rel = [], [], []
+    remaining = list(range(len(cand_ids)))
+    for rank in range(1, min(k, len(cand_ids)) + 1):
+        if rank == 1:
+            scores = rels[remaining]
+        else:
+            max_sim = sims[np.ix_(remaining, selected)].max(axis=1)
+            scores = round_half_away(
+                lam * rels[remaining] - (1.0 - lam) * max_sim, 6
+            )
+        best = max(
+            range(len(remaining)),
+            key=lambda j: (scores[j], -int(cand_ids[remaining[j]])),
+        )
+        pick = remaining[best]
+        selected.append(pick)
+        remaining.remove(pick)
+        ranks.append(rank)
+        out_ids.append(int(cand_ids[pick]))
+        out_rel.append(float(rels[pick]))
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "rel": pa.array(out_rel, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------------- sortedness audit
+SORTEDNESS_BUCKETS = 64
+
+
+def events_sortedness_audit(
+    sf_dir: str, n_buckets: int = SORTEDNESS_BUCKETS
+) -> pa.Table:
+    """SORTEDNESS / RUN-LENGTH audit — the clustering-depth profiler
+    that completes the physical-layout family (zone-map, Z-order): in
+    event_id order, what fraction of adjacent pairs is non-decreasing
+    per column, and how long are the monotone runs? A column with
+    sortedness ≈ 1 is already zone-map-prunable as written; a low one
+    (user_id here) is what Z-ordering exists to fix. Adjacency needs
+    the total order, but NOT a global sort: event_ids are range-bucketed
+    (the Heaps checkpoint shape), each bucket task sorts ITS range and
+    emits break counts + boundary values, and the driver stitches the
+    ≤ B boundary pairs — the exact adjacent-pair census without any
+    all-to-all."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
+    )
+    schema = pa.schema(
+        [
+            ("col", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("n_nondec", pa.int64()),
+            ("sortedness", pa.float64()),
+            ("n_runs", pa.int64()),
+            ("avg_run_len", pa.float64()),
+        ]
+    )
+
+    def pmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "m": pa.array(
+                    [int(pc.max(t["event_id"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    mx = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                ev.map_batches(pmax, batch_format="pyarrow"),
+                group_agg_merge(("k",), maxs=("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mx.num_rows == 0:
+        return schema.empty_table()
+    max_id = int(mx["m"][0].as_py())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket",
+            pa.array(eid * n_buckets // (max_id + 1), pa.int64()),
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        ts = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        u = g["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "n": [len(g)],
+                "nd_ts": [int((np.diff(ts) >= 0).sum())],
+                "nd_u": [int((np.diff(u) >= 0).sum())],
+                "first_ts": [int(ts[0])],
+                "last_ts": [int(ts[-1])],
+                "first_u": [int(u[0])],
+                "last_u": [int(u[-1])],
+            }
+        )
+
+    st = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    if st.empty:
+        return schema.empty_table()
+    n_rows = int(st["n"].sum())
+    # stitch bucket boundaries: last of bucket b vs first of bucket b+1
+    bt = st["first_ts"].to_numpy(np.int64)[1:] >= st["last_ts"].to_numpy(
+        np.int64
+    )[:-1]
+    bu = st["first_u"].to_numpy(np.int64)[1:] >= st["last_u"].to_numpy(
+        np.int64
+    )[:-1]
+    nd_ts = int(st["nd_ts"].sum()) + int(bt.sum())
+    nd_u = int(st["nd_u"].sum()) + int(bu.sum())
+    n_pairs = n_rows - 1
+    rows = []
+    for col, nd in (("ts", nd_ts), ("user_id", nd_u)):
+        brk = n_pairs - nd
+        rows.append(
+            {
+                "col": col,
+                "n_rows": n_rows,
+                "n_pairs": n_pairs,
+                "n_nondec": nd,
+                "sortedness": float(
+                    round_half_away(
+                        np.array([nd / n_pairs if n_pairs else 1.0]), 6
+                    )[0]
+                ),
+                "n_runs": 1 + brk,
+                "avg_run_len": float(
+                    round_half_away(np.array([n_rows / (1 + brk)]), 4)[0]
+                ),
+            }
+        )
+    df = pd.DataFrame(rows)
+    return pa.table(
+        {
+            "col": pa.array(df["col"].tolist(), pa.string()),
+            "n_rows": pa.array(df["n_rows"].to_numpy(np.int64), pa.int64()),
+            "n_pairs": pa.array(df["n_pairs"].to_numpy(np.int64), pa.int64()),
+            "n_nondec": pa.array(
+                df["n_nondec"].to_numpy(np.int64), pa.int64()
+            ),
+            "sortedness": pa.array(
+                df["sortedness"].to_numpy(np.float64), pa.float64()
+            ),
+            "n_runs": pa.array(df["n_runs"].to_numpy(np.int64), pa.int64()),
+            "avg_run_len": pa.array(
+                df["avg_run_len"].to_numpy(np.float64), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

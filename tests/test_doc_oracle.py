@@ -5660,3 +5660,105 @@ def test_blocking_quality_metric_bounds_and_sampling():
     assert s["n_docs"] == 100
     assert s["n_all_pairs"] == 100 * 99 // 2
     assert 0.0 <= s["pair_completeness"] <= 1.0
+
+
+def test_round4_batch63_queries_match_oracles():
+    """Batch-63 additions (hard negatives, MMR, sortedness) against
+    their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("embeddings", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "embedding_hard_negatives",
+        "embedding_mmr_topk",
+        "events_sortedness_audit",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch63_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("embeddings", "events"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.embedding_hard_negatives, 3),
+        (q.embedding_mmr_topk, 3),
+        (q.events_sortedness_audit, 7),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_hard_negatives_cross_label_and_chunking():
+    """Every vector gets a negative, the negative's label differs, and
+    the chunk count is an implementation knob (B=3 ≡ B=8)."""
+    import pyarrow.parquet as pq
+
+    a = q.embedding_hard_negatives(SF).to_pandas()
+    lab = (
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+        .to_pandas()
+        .set_index("vec_id")["label"]
+    )
+    assert len(a) == len(lab)
+    assert (lab.loc[a["vec_id"]].to_numpy() != lab.loc[a["neg_id"]].to_numpy()).all()
+    assert ((a["cos"] <= 1.0) & (a["cos"] >= -1.0)).all()
+    b = q.embedding_hard_negatives(SF, n_chunks=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_mmr_rank1_is_top_relevance_and_distinct():
+    """MMR's first pick ignores diversity, so it must equal the plain
+    similarity top-1; all selections are distinct and never the query."""
+    mmr = q.embedding_mmr_topk(SF).to_pandas()
+    topk = q.similarity_topk(SF)
+    topk = topk if isinstance(topk, pd.DataFrame) else topk.to_pandas()
+    assert len(mmr) == 10
+    assert mmr["rank"].tolist() == list(range(1, 11))
+    assert mmr.loc[mmr["rank"] == 1, "vec_id"].iloc[0] == topk["vec_id"].iloc[0]
+    assert not mmr["vec_id"].duplicated().any()
+    assert (mmr["vec_id"] != 0).all()
+
+
+def test_sortedness_audit_invariants_and_bucket_stability():
+    """The fixture events stream is ts-monotone in event_id order
+    (the late-arrival audit's verified property) → sortedness 1.0 with
+    ONE run; user_id interleaves → far lower. Bucket count must not
+    change the exact counts."""
+    a = q.events_sortedness_audit(SF).to_pandas().set_index("col")
+    assert a.loc["ts", "sortedness"] == 1.0
+    assert a.loc["ts", "n_runs"] == 1
+    assert a.loc["user_id", "sortedness"] < 0.9
+    assert (
+        a.loc["user_id", "n_runs"]
+        == a.loc["user_id", "n_pairs"] - a.loc["user_id", "n_nondec"] + 1
+    )
+    b = q.events_sortedness_audit(SF, n_buckets=16).to_pandas().set_index("col")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
