@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_hard_negatives": q.embedding_hard_negatives,
         "embedding_mmr_topk": q.embedding_mmr_topk,
         "events_sortedness_audit": q.events_sortedness_audit,
+        "embedding_retrieval_ndcg": q.embedding_retrieval_ndcg,
+        "events_quantile_sketch_audit": q.events_quantile_sketch_audit,
+        "events_fd_audit": q.events_fd_audit,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1390,6 +1393,91 @@ def oracle_sql() -> dict[str, str]:
             FROM nn ORDER BY vec_id
         """,
         "embedding_mmr_topk": do.embedding_mmr_topk_sql(oracle_sf),
+        "embedding_retrieval_ndcg": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT v, label FROM e WHERE vec_id = 0),
+            s AS (SELECT e.vec_id,
+                         CASE WHEN e.label = (SELECT label FROM q)
+                              THEN 1 ELSE 0 END AS rel,
+                         round(list_cosine_similarity(
+                             e.v, (SELECT v FROM q)), 6) AS c
+                  FROM e WHERE e.vec_id <> 0),
+            rk AS (SELECT vec_id, rel, c,
+                          row_number() OVER (ORDER BY c DESC, vec_id ASC)
+                              AS rnk
+                   FROM s),
+            nr AS (SELECT sum(rel)::BIGINT AS n FROM s)
+            SELECT rnk::BIGINT AS rank, vec_id, rel::BIGINT AS rel,
+                   round(rel / log2(rnk + 1.0), 6) AS gain,
+                   round(CASE WHEN rnk <= (SELECT n FROM nr)
+                              THEN 1.0 / log2(rnk + 1.0) ELSE 0.0 END, 6)
+                       AS ideal_gain
+            FROM rk WHERE rnk <= 10 ORDER BY rank
+        """,
+        "events_quantile_sketch_audit": """
+            WITH mm AS (SELECT min(value) AS lo, max(value) AS hi,
+                               count(*)::BIGINT AS n
+                        FROM events),
+            b AS (SELECT CASE WHEN mm.hi = mm.lo THEN 0.0
+                              ELSE least(floor((e.value - mm.lo) * 20.0
+                                               / (mm.hi - mm.lo)), 19.0)
+                         END AS fbin
+                  FROM events e, mm),
+            h AS (SELECT fbin::BIGINT AS bin, count(*)::BIGINT AS bn
+                  FROM b GROUP BY 1),
+            c AS (SELECT bin, bn,
+                         sum(bn) OVER (ORDER BY bin) - bn AS cb
+                  FROM h),
+            ps(p) AS (VALUES (0.5), (0.9), (0.99)),
+            r AS (SELECT p, ceil(p * (SELECT n FROM mm))::BIGINT AS rk
+                  FROM ps),
+            pick AS (SELECT r.p, r.rk, c.bin, c.bn, c.cb
+                     FROM r JOIN c ON c.cb < r.rk AND c.cb + c.bn >= r.rk),
+            est AS (SELECT p,
+                           (SELECT lo FROM mm)
+                           + ((SELECT hi FROM mm) - (SELECT lo FROM mm))
+                             / 20.0
+                             * (bin + (rk - cb) * 1.0 / bn) AS e
+                    FROM pick),
+            ex AS (SELECT quantile_disc(value, 0.5) AS e50,
+                          quantile_disc(value, 0.9) AS e90,
+                          quantile_disc(value, 0.99) AS e99
+                   FROM events)
+            SELECT p,
+                   round(CASE p WHEN 0.5 THEN e50 WHEN 0.9 THEN e90
+                         ELSE e99 END, 4) AS exact,
+                   round(e, 4) AS est,
+                   round(abs(e - CASE p WHEN 0.5 THEN e50
+                                 WHEN 0.9 THEN e90 ELSE e99 END), 4)
+                       AS err
+            FROM est, ex ORDER BY p
+        """,
+        "events_fd_audit": """
+            WITH base AS (SELECT event_id, user_id, event_type,
+                                 CAST(round(value * 100) AS BIGINT) // 5000
+                                     AS vb
+                          FROM events),
+            pairs AS (
+                SELECT 'event_id->user_id' AS fd, event_id::VARCHAR AS lhs,
+                       user_id::VARCHAR AS rhs FROM base
+                UNION
+                SELECT 'user_id->event_type', user_id::VARCHAR, event_type
+                FROM base
+                UNION
+                SELECT 'event_type->value_band', event_type, vb::VARCHAR
+                FROM base),
+            per_lhs AS (SELECT fd, lhs, count(*)::BIGINT AS nr
+                        FROM pairs GROUP BY 1, 2),
+            c AS (SELECT fd, count(*)::BIGINT AS nk,
+                         sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::BIGINT
+                             AS nv
+                  FROM per_lhs GROUP BY 1)
+            SELECT fd, nk AS n_lhs_keys, nv AS n_violating,
+                   round(nv / CAST(nk AS DOUBLE), 6) AS violation_rate,
+                   CASE WHEN nv = 0 THEN 1 ELSE 0 END::BIGINT AS holds
+            FROM c ORDER BY fd
+        """,
         "events_sortedness_audit": """
             WITH o AS (SELECT event_id, epoch_us(ts) AS t, user_id AS u
                        FROM events),

@@ -21447,3 +21447,446 @@ def events_sortedness_audit(
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- retrieval gain curve
+NDCG_K = 10
+
+
+def embedding_retrieval_ndcg(
+    sf_dir: str, k: int = NDCG_K, query_vec_id: int = 0
+) -> pa.Table:
+    """RETRIEVAL-QUALITY gain curve (the IR eval next to AUC /
+    calibration): rank all vectors by cosine to the query, mark each
+    top-k hit relevant iff it shares the query's LABEL, and emit the
+    PER-RANK DCG terms rel/log₂(rank+1) plus the ideal-gain terms
+    (1/log₂(rank+1) while rank ≤ |relevant|). Per the per-cell-term
+    convention (NOTES.md) the operator outputs the exactly-reproducible
+    terms and the consumer sums NDCG@k = Σgain / Σideal_gain — no
+    order-dependent float sum crosses the oracle boundary.
+
+    Distributed shape: broadcast query (vector + label), per-batch
+    local top-k with the relevance flag riding along, associative
+    ``topk_merge``; |relevant| is one fixed-width census. Cosines are
+    rounded to 6 dp BEFORE the (cos DESC, id ASC) cut (similarity-family
+    parity)."""
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("rel", pa.int64()),
+            ("gain", pa.float64()),
+            ("ideal_gain", pa.float64()),
+        ]
+    )
+    qrow = [
+        b
+        for b in emb.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], pa.scalar(query_vec_id))),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not qrow:
+        return schema.empty_table()
+    qv = np.asarray(qrow[0]["embedding"][0].as_py(), dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    qv = qv / (qn if qn else 1.0)
+    qlabel = int(qrow[0]["label"][0].as_py())
+    qref = ray.put((qv, qlabel))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "rel": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        q_, ql = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids != query_vec_id
+        if not keep.any():
+            return empty
+        ids = ids[keep]
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            keep
+        ]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )[keep]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = round_half_away(mat @ q_ / norms, 6)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "rel": pa.array(
+                    (labels[order] == ql).astype(np.int64), pa.int64()
+                ),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    topk = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "rel": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                emb.map_batches(local_topk, batch_format="pyarrow"),
+                topk_merge(k, "cos", ["vec_id"]),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if topk.empty:
+        return schema.empty_table()
+
+    def nrel_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        _, ql = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(((labels == ql) & (ids != query_vec_id)).sum())
+        return pa.table(
+            {"k": pa.array([0], pa.int64()), "n": pa.array([n], pa.int64())}
+        )
+
+    nrel_t = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                emb.map_batches(nrel_partial, batch_format="pyarrow"),
+                group_sum_merge(("k",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    n_rel = int(nrel_t["n"][0].as_py()) if nrel_t.num_rows else 0
+
+    topk = topk.sort_values(
+        ["cos", "vec_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    ranks = np.arange(1, len(topk) + 1)
+    rel = topk["rel"].to_numpy(np.int64)
+    disc = np.log2(ranks + 1.0)
+    gain = round_half_away(rel / disc, 6)
+    ideal = round_half_away(
+        np.where(ranks <= n_rel, 1.0 / disc, 0.0), 6
+    )
+    return pa.table(
+        {
+            "rank": pa.array(ranks.astype(np.int64), pa.int64()),
+            "vec_id": pa.array(topk["vec_id"].to_numpy(np.int64), pa.int64()),
+            "rel": pa.array(rel, pa.int64()),
+            "gain": pa.array(gain, pa.float64()),
+            "ideal_gain": pa.array(ideal, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------- quantile sketch accuracy
+QSKETCH_BINS = 20
+QSKETCH_PS = (0.5, 0.9, 0.99)
+
+
+def events_quantile_sketch_audit(sf_dir: str) -> pa.Table:
+    """QUANTILE-SKETCH ACCURACY audit (completing the sketch-audit
+    family next to HLL, CMS, and the MinHash estimate audit): the
+    20-bin equi-width histogram's interpolated quantile estimate —
+    what a streaming system would answer from its cheap histogram —
+    next to the EXACT distributed quantile (``events_value_quantiles``'
+    bin-localize machinery) and the absolute error, at p50/p90/p99.
+
+    Histogram pass: per-batch (min, max, n) then bin-count partials
+    (the events_value_hist shape); estimate = lo + (hi−lo)/B ·
+    (bin + (rank − cum_before)/bin_n) with rank = ceil(p·n) — every
+    operand an exact int except the two float divisions, mirrored
+    term-for-term by the oracle."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+    schema = pa.schema(
+        [
+            ("p", pa.float64()),
+            ("exact", pa.float64()),
+            ("est", pa.float64()),
+            ("err", pa.float64()),
+        ]
+    )
+
+    def mmn(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "mn": pa.array([float(v.min())], pa.float64()),
+                "mx": pa.array([float(v.max())], pa.float64()),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    mm = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(mmn, batch_format="pyarrow"),
+                group_agg_merge(("k",), sums=("n",), mins=("mn",), maxs=("mx",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mm.num_rows == 0:
+        return schema.empty_table()
+    lo = float(mm["mn"][0].as_py())
+    hi = float(mm["mx"][0].as_py())
+    n = int(mm["n"][0].as_py())
+    B = QSKETCH_BINS
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "bn": pa.array([], pa.int64())}
+            )
+        if hi == lo:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.minimum(
+                np.floor((v - lo) * float(B) / (hi - lo)), float(B - 1)
+            ).astype(np.int64)
+        keys, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(keys, pa.int64()),
+                "bn": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hc = pa.concat_tables(
+        [pa.table({"bin": pa.array([], pa.int64()), "bn": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                ev.map_batches(hist, batch_format="pyarrow"),
+                group_sum_merge(("bin",), ("bn",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas().sort_values("bin")
+    bins = hc["bin"].to_numpy(np.int64)
+    bns = hc["bn"].to_numpy(np.int64)
+    cum_before = np.cumsum(bns) - bns
+
+    exact_row = (
+        events_value_quantiles(sf_dir, qs=QSKETCH_PS).to_pandas().iloc[0]
+    )
+    ps, exacts, ests, errs = [], [], [], []
+    for p in QSKETCH_PS:
+        rk = int(np.ceil(p * n))
+        j = int(np.searchsorted(cum_before + bns, rk, side="left"))
+        est = lo + (hi - lo) / float(B) * (
+            float(bins[j]) + (rk - int(cum_before[j])) * 1.0 / int(bns[j])
+        )
+        exact = float(exact_row[f"p{int(p * 100)}"])
+        ps.append(p)
+        exacts.append(float(round_half_away(np.array([exact]), 4)[0]))
+        ests.append(float(round_half_away(np.array([est]), 4)[0]))
+        errs.append(
+            float(round_half_away(np.array([abs(est - exact)]), 4)[0])
+        )
+    return pa.table(
+        {
+            "p": pa.array(ps, pa.float64()),
+            "exact": pa.array(exacts, pa.float64()),
+            "est": pa.array(ests, pa.float64()),
+            "err": pa.array(errs, pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------- functional dependencies
+FD_VALUE_BAND_CENTS = 5_000
+
+
+def events_fd_audit(sf_dir: str) -> pa.Table:
+    """FUNCTIONAL-DEPENDENCY audit (the Metanome-style profiler class,
+    next to ``lineitem_profile``'s per-column stats): for three
+    candidate FDs over events — event_id→user_id (a key constraint,
+    expected to HOLD), user_id→event_type and event_type→value_band
+    (expected to FAIL) — the distinct-key census, how many left-hand
+    keys map to >1 right-hand value, and the violation rate. The same
+    two-level shape as the l-diversity audit: one (lhs, rhs) groupby
+    collapses duplicates, a per-lhs distinct count feeds fixed-width
+    partial sums — nothing key-scale touches the driver."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("fd", pa.string()),
+            ("n_lhs_keys", pa.int64()),
+            ("n_violating", pa.int64()),
+            ("violation_rate", pa.float64()),
+            ("holds", pa.int64()),
+        ]
+    )
+
+    def to_fd_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "fd": pa.array([], pa.string()),
+                    "lhs": pa.array([], pa.string()),
+                    "rhs": pa.array([], pa.string()),
+                }
+            )
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        vb = (
+            round_half_away(
+                t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            // FD_VALUE_BAND_CENTS
+        )
+        frames = [
+            pd.DataFrame(
+                {
+                    "fd": "event_id->user_id",
+                    "lhs": eid.astype(str),
+                    "rhs": uid.astype(str),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "fd": "user_id->event_type",
+                    "lhs": uid.astype(str),
+                    "rhs": et.astype(str),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "fd": "event_type->value_band",
+                    "lhs": et.astype(str),
+                    "rhs": vb.astype(str),
+                }
+            ),
+        ]
+        out = pd.concat(frames).drop_duplicates()
+        return pa.table(
+            {
+                "fd": pa.array(out["fd"].tolist(), pa.string()),
+                "lhs": pa.array(out["lhs"].tolist(), pa.string()),
+                "rhs": pa.array(out["rhs"].tolist(), pa.string()),
+            }
+        )
+
+    per_pair = (
+        ev.map_batches(to_fd_rows, batch_format="pyarrow")
+        .groupby(["fd", "lhs", "rhs"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    # per-lhs distinct counting needs all of a lhs key's rows together:
+    # the (fd, lhs) groupby over the ALREADY-COLLAPSED (fd, lhs, rhs)
+    # rows moves distinct-combo-sized data, not corpus-sized
+    per_lhs_counts = per_pair.groupby(["fd", "lhs"]).aggregate(
+        Count(alias_name="nr")
+    )
+
+    def fd_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "fd": pa.array([], pa.string()),
+                    "nk": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                }
+            )
+        nr = t["nr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (
+            pd.DataFrame({"fd": t["fd"].to_pylist(), "v": (nr > 1)})
+            .assign(one=1)
+            .groupby("fd", sort=False)
+            .agg(nk=("one", "sum"), nv=("v", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "fd": pa.array(df["fd"].tolist(), pa.string()),
+                "nk": pa.array(df["nk"].to_numpy(np.int64), pa.int64()),
+                "nv": pa.array(df["nv"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "fd": pa.array([], pa.string()),
+                    "nk": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                per_lhs_counts.map_batches(fd_partial, batch_format="pyarrow"),
+                group_sum_merge(("fd",), ("nk", "nv")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("fd")
+    nk = cen["nk"].to_numpy(np.int64)
+    nv = cen["nv"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "fd": pa.array(cen["fd"].tolist(), pa.string()),
+            "n_lhs_keys": pa.array(nk, pa.int64()),
+            "n_violating": pa.array(nv, pa.int64()),
+            "violation_rate": pa.array(
+                round_half_away(nv / nk.astype(np.float64), 6), pa.float64()
+            ),
+            "holds": pa.array((nv == 0).astype(np.int64), pa.int64()),
+        },
+        schema=schema,
+    )

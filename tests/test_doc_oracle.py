@@ -5762,3 +5762,101 @@ def test_sortedness_audit_invariants_and_bucket_stability():
     )
     b = q.events_sortedness_audit(SF, n_buckets=16).to_pandas().set_index("col")
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_round4_batch64_queries_match_oracles():
+    """Batch-64 additions (retrieval gain curve, quantile-sketch audit,
+    FD audit) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("embeddings", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "embedding_retrieval_ndcg",
+        "events_quantile_sketch_audit",
+        "events_fd_audit",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch64_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("embeddings", "events"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.embedding_retrieval_ndcg, 5),
+        (q.events_quantile_sketch_audit, 4),
+        (q.events_fd_audit, 5),
+    ):
+        res = fn(d)
+        out = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_retrieval_gain_curve_invariants():
+    """Gains reconstruct from rel and rank; ideal gains are the sorted
+    upper bound (NDCG@10 ≤ 1 after consumer-side division); the curve's
+    ranking agrees with similarity_topk's top-10 ids."""
+    import numpy as np
+
+    out = q.embedding_retrieval_ndcg(SF).to_pandas().sort_values("rank")
+    assert len(out) == 10
+    disc = np.log2(out["rank"].to_numpy() + 1.0)
+    assert np.allclose(out["gain"], (out["rel"] / disc).round(6), atol=1e-9)
+    assert (out["ideal_gain"] >= out["gain"] - 1e-12).all()
+    ndcg = out["gain"].sum() / out["ideal_gain"].sum()
+    assert 0.0 <= ndcg <= 1.0 + 1e-9
+    topk = q.similarity_topk(SF)
+    topk = topk if isinstance(topk, pd.DataFrame) else topk.to_pandas()
+    assert out["vec_id"].tolist() == topk["vec_id"].tolist()
+
+
+def test_quantile_sketch_audit_bounds():
+    """The histogram estimate must stay inside the value domain and
+    within one bin width of the exact answer (equi-width bound)."""
+    import duckdb as dd
+
+    out = q.events_quantile_sketch_audit(SF).to_pandas()
+    lo, hi = dd.sql(
+        f"SELECT min(value), max(value) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()
+    width = (hi - lo) / 20.0
+    assert (out["est"] >= lo - 1e-9).all() and (out["est"] <= hi + 1e-9).all()
+    assert (out["err"] <= width + 1e-9).all()
+    assert out["p"].tolist() == [0.5, 0.9, 0.99]
+
+
+def test_fd_audit_key_constraint_holds():
+    """event_id is a key, so event_id→user_id must HOLD with zero
+    violations; the two non-key FDs must fail on the fixture."""
+    out = q.events_fd_audit(SF).to_pandas().set_index("fd")
+    assert out.loc["event_id->user_id", "holds"] == 1
+    assert out.loc["event_id->user_id", "n_violating"] == 0
+    assert out.loc["user_id->event_type", "holds"] == 0
+    assert out.loc["event_type->value_band", "holds"] == 0
+    assert (
+        (out["violation_rate"] >= 0) & (out["violation_rate"] <= 1)
+    ).all()
