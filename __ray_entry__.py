@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_retrieval_ndcg": q.embedding_retrieval_ndcg,
         "events_quantile_sketch_audit": q.events_quantile_sketch_audit,
         "events_fd_audit": q.events_fd_audit,
+        "lineitem_encoding_advisor": q.lineitem_encoding_advisor,
+        "events_voptimal_hist": q.events_voptimal_hist,
+        "corpus_dedup_threshold_curve": q.corpus_dedup_threshold_curve,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1453,6 +1456,52 @@ def oracle_sql() -> dict[str, str]:
                        AS err
             FROM est, ex ORDER BY p
         """,
+        "lineitem_encoding_advisor": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM lineitem),
+            arms AS (
+                SELECT 'l_linestatus' AS col, 'varchar' AS kind,
+                       count(DISTINCT l_linestatus)::BIGINT AS nd,
+                       (sum(length(l_linestatus))
+                        + 4 * count(*))::BIGINT AS raw,
+                       (SELECT sum(length(v))::BIGINT FROM
+                        (SELECT DISTINCT l_linestatus AS v FROM lineitem))
+                           AS dlen
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_orderkey', 'fixed8',
+                       count(DISTINCT l_orderkey)::BIGINT,
+                       8 * (SELECT n FROM nn), 0
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', 'fixed8',
+                       count(DISTINCT l_quantity)::BIGINT,
+                       8 * (SELECT n FROM nn), 0
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_returnflag', 'varchar',
+                       count(DISTINCT l_returnflag)::BIGINT,
+                       (sum(length(l_returnflag))
+                        + 4 * count(*))::BIGINT,
+                       (SELECT sum(length(v))::BIGINT FROM
+                        (SELECT DISTINCT l_returnflag AS v FROM lineitem))
+                FROM lineitem),
+            d AS (SELECT col, kind, nd, raw,
+                         (CASE WHEN kind = 'varchar' THEN dlen + 4 * nd
+                               ELSE 8 * nd END)
+                         + (CASE WHEN nd <= 256 THEN 1
+                                 WHEN nd <= 65536 THEN 2 ELSE 4 END)
+                           * (SELECT n FROM nn) AS dict_bytes
+                  FROM arms)
+            SELECT col AS "column", (SELECT n FROM nn) AS n_rows,
+                   nd AS n_distinct, raw AS raw_bytes, dict_bytes,
+                   round(dict_bytes / CAST(raw AS DOUBLE), 6) AS ratio,
+                   (CASE WHEN dict_bytes < raw THEN 1 ELSE 0 END)::BIGINT
+                       AS use_dict
+            FROM d ORDER BY col
+        """,
+        "events_voptimal_hist": do.events_voptimal_hist_sql(oracle_sf),
+        "corpus_dedup_threshold_curve":
+            do.corpus_dedup_threshold_curve_sql(oracle_sf),
         "events_fd_audit": """
             WITH base AS (SELECT event_id, user_id, event_type,
                                  CAST(round(value * 100) AS BIGINT) // 5000

@@ -1001,3 +1001,146 @@ def embedding_mmr_topk_sql(
         FROM sel s JOIN embeddings e ON e.vec_id = s.vid
         ORDER BY s.rnk
     """
+
+
+def events_voptimal_hist_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    prebins: int = 256,
+    n_buckets: int = 8,
+) -> str:
+    """V-optimal-histogram oracle (``queries.events_voptimal_hist``):
+    the DP is deterministic (integer census, strict-< tie-break), so the
+    builder recomputes pre-bin census + DP LOCALLY with pure numpy (IVF
+    precedent) and embeds the chosen boundaries; DuckDB independently
+    re-aggregates the real rows per bucket — every output cell an exact
+    int derived by SQL, the boundary choice the recomputed part."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    v = np.asarray(t["value"].to_pylist(), dtype=np.float64)
+    if len(v) == 0:
+        return """
+            SELECT CAST(NULL AS BIGINT) AS bucket,
+                   CAST(NULL AS BIGINT) AS bin_lo,
+                   CAST(NULL AS BIGINT) AS bin_hi,
+                   CAST(NULL AS BIGINT) AS n_rows,
+                   CAST(NULL AS BIGINT) AS sum_cents,
+                   CAST(NULL AS BIGINT) AS sumsq_cents
+            WHERE false
+        """
+    scaled = v * 100.0
+    cents = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    lo_c, hi_c = int(cents.min()), int(cents.max())
+    span = hi_c - lo_c + 1
+    pb = (cents - lo_c) * prebins // span
+    dn = np.zeros(prebins, dtype=np.int64)
+    ds_ = np.zeros(prebins, dtype=np.int64)
+    dss = np.zeros(prebins, dtype=np.int64)
+    np.add.at(dn, pb, 1)
+    np.add.at(ds_, pb, cents)
+    np.add.at(dss, pb, cents * cents)
+
+    cn = np.concatenate([[0], np.cumsum(dn)])
+    cs = np.concatenate([[0], np.cumsum(ds_)])
+    css = np.concatenate([[0], np.cumsum(dss)])
+
+    def sse(i, j):
+        nn = cn[j + 1] - cn[i]
+        if nn == 0:
+            return 0.0
+        sv = cs[j + 1] - cs[i]
+        return float(css[j + 1] - css[i]) - float(sv) * float(sv) / float(nn)
+
+    V = prebins
+    B = min(n_buckets, V)
+    INF = float("inf")
+    dp = np.full((V, B + 1), INF)
+    back = np.zeros((V, B + 1), dtype=np.int64)
+    for j in range(V):
+        dp[j][1] = sse(0, j)
+    for b in range(2, B + 1):
+        for j in range(b - 1, V):
+            best, arg = INF, -1
+            for i in range(b - 2, j):
+                cand = dp[i][b - 1] + sse(i + 1, j)
+                if cand < best:
+                    best, arg = cand, i
+            dp[j][b] = best
+            back[j][b] = arg
+    ends = []
+    j, b = V - 1, B
+    while b >= 1:
+        ends.append(j)
+        j = int(back[j][b])
+        b -= 1
+    ends = sorted(ends)
+    values, start = [], 0
+    for bi, end in enumerate(ends):
+        values.append(f"({bi}, {start}, {end})")
+        start = end + 1
+    return f"""
+        WITH mm AS (SELECT min(CAST(round(value * 100) AS BIGINT)) AS lo,
+                           max(CAST(round(value * 100) AS BIGINT)) AS hi
+                    FROM events),
+        c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+        pbs AS (SELECT cents,
+                       (cents - (SELECT lo FROM mm)) * {prebins}
+                           // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1)
+                           AS pb
+                FROM c),
+        bk(bucket, bin_lo, bin_hi) AS (VALUES {", ".join(values)})
+        SELECT bk.bucket::BIGINT AS bucket, bk.bin_lo::BIGINT AS bin_lo,
+               bk.bin_hi::BIGINT AS bin_hi,
+               count(pbs.cents)::BIGINT AS n_rows,
+               coalesce(sum(pbs.cents), 0)::BIGINT AS sum_cents,
+               coalesce(sum(pbs.cents * pbs.cents), 0)::BIGINT
+                   AS sumsq_cents
+        FROM bk LEFT JOIN pbs ON pbs.pb BETWEEN bk.bin_lo AND bk.bin_hi
+        GROUP BY 1, 2, 3 ORDER BY bucket
+    """
+
+
+def corpus_dedup_threshold_curve_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """Dedup-threshold-curve oracle: candidate pairs from
+    ``_local_minhash_blocking`` (VALUES literal); DuckDB computes each
+    pair's exact word-shingle Jaccard and counts survivors per
+    threshold arm."""
+    cand = sorted(_local_minhash_blocking(sf_dir))
+    if cand:
+        cand_cte = "cand(ca, cb) AS (VALUES {})".format(
+            ", ".join(f"({a}, {b})" for a, b in cand)
+        )
+    else:
+        cand_cte = (
+            "cand(ca, cb) AS (SELECT CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT) WHERE false)"
+        )
+    return f"""
+        WITH {cand_cte},
+        {_shingle_cte()},
+        j AS (
+            SELECT round(CASE WHEN len(sa.sh) = 0 AND len(sb.sh) = 0
+                              THEN 1.0
+                              WHEN len(sa.sh) = 0 OR len(sb.sh) = 0
+                              THEN 0.0
+                              ELSE len(list_intersect(sa.sh, sb.sh))
+                                   / (len(sa.sh) + len(sb.sh)
+                                      - len(list_intersect(sa.sh, sb.sh)))
+                         END, 6) AS jac
+            FROM cand c
+            JOIN shin sa ON sa.doc_id = c.ca
+            JOIN shin sb ON sb.doc_id = c.cb
+        ),
+        t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+        SELECT CAST(threshold AS DOUBLE) AS threshold,
+               (SELECT count(*) FROM j
+                WHERE j.jac >= CAST(t.threshold AS DOUBLE))::BIGINT
+                   AS n_pairs
+        FROM t ORDER BY threshold
+    """

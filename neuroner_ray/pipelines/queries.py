@@ -21890,3 +21890,436 @@ def events_fd_audit(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- encoding advisor
+ENC_COLS = (
+    ("l_returnflag", "varchar"),
+    ("l_linestatus", "varchar"),
+    ("l_quantity", "fixed8"),
+    ("l_orderkey", "fixed8"),
+)
+
+
+def lineitem_encoding_advisor(sf_dir: str) -> pa.Table:
+    """DICTIONARY-ENCODING advisor — the storage-layout member of the
+    physical-design family (zone-map, Z-order, sortedness): per column,
+    would dictionary encoding shrink it?  Arrow cost model: raw_bytes =
+    Σlen + 4·n offsets (varchar) or 8·n (fixed64); dict_bytes =
+    dictionary payload (Σlen + 4·n_distinct offsets, or 8·n_distinct)
+    + code array (1/2/4 bytes per row by dictionary size).  Exact ints end-to-end, one 6-dp division for the
+    ratio.  Distributed shape: ONE pass emits per-batch distinct
+    (col, val) rows + per-col row/byte partials; the distinct census
+    collapses through a (col, val) groupby (distinct-domain-sized, never
+    corpus-sized) and the per-col finish is a ≤ |cols| driver sweep."""
+    cols = [c for c, _ in ENC_COLS]
+    li = read_parquet_clean(_p(sf_dir, "lineitem"), columns=cols)
+    kinds = dict(ENC_COLS)
+    schema = pa.schema(
+        [
+            ("column", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("dict_bytes", pa.int64()),
+            ("ratio", pa.float64()),
+            ("use_dict", pa.int64()),
+        ]
+    )
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in cols:
+            vals = t[c].to_pylist()
+            for v in set(str(x) for x in vals):
+                out_c.append(c)
+                out_v.append(v)
+        return pa.table(
+            {
+                "col": pa.array(out_c, pa.string()),
+                "val": pa.array(out_v, pa.string()),
+            }
+        )
+
+    per_val = (
+        li.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Count(alias_name="nb"))
+    )
+
+    def dict_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "col": pa.array([], pa.string()),
+                    "nd": pa.array([], pa.int64()),
+                    "dlen": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "col": t["col"].to_pylist(),
+                "ln": [len(v) for v in t["val"].to_pylist()],
+            }
+        )
+        g = (
+            df.assign(one=1)
+            .groupby("col", sort=False)
+            .agg(nd=("one", "sum"), dlen=("ln", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "col": pa.array(g["col"].tolist(), pa.string()),
+                "nd": pa.array(g["nd"].to_numpy(np.int64), pa.int64()),
+                "dlen": pa.array(g["dlen"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def raw_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "col": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rb": pa.array([], pa.int64()),
+                }
+            )
+        out_c, out_n, out_rb = [], [], []
+        for c in cols:
+            out_c.append(c)
+            out_n.append(t.num_rows)
+            if kinds[c] == "varchar":
+                out_rb.append(
+                    int(sum(len(str(v)) for v in t[c].to_pylist()))
+                    + 4 * t.num_rows  # Arrow offset array
+                )
+            else:
+                out_rb.append(8 * t.num_rows)
+        return pa.table(
+            {
+                "col": pa.array(out_c, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "rb": pa.array(out_rb, pa.int64()),
+            }
+        )
+
+    dcen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "col": pa.array([], pa.string()),
+                    "nd": pa.array([], pa.int64()),
+                    "dlen": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                per_val.map_batches(dict_partial, batch_format="pyarrow"),
+                group_sum_merge(("col",), ("nd", "dlen")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    rcen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "col": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rb": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(raw_partial, batch_format="pyarrow"),
+                group_sum_merge(("col",), ("n", "rb")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if dcen.empty or rcen.empty:
+        return schema.empty_table()
+    m = rcen.merge(dcen, on="col").sort_values("col")
+    rows = []
+    for r in m.itertuples():
+        nd, n = int(r.nd), int(r.n)
+        w = 1 if nd <= 256 else (2 if nd <= 65536 else 4)
+        payload = (
+            int(r.dlen) + 4 * nd if kinds[r.col] == "varchar" else 8 * nd
+        )
+        dict_bytes = payload + w * n
+        raw = int(r.rb)
+        rows.append(
+            (
+                r.col,
+                n,
+                nd,
+                raw,
+                dict_bytes,
+                float(round_half_away(np.array([dict_bytes / raw]), 6)[0]),
+                int(dict_bytes < raw),
+            )
+        )
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+            "raw_bytes": pa.array([r[3] for r in rows], pa.int64()),
+            "dict_bytes": pa.array([r[4] for r in rows], pa.int64()),
+            "ratio": pa.array([r[5] for r in rows], pa.float64()),
+            "use_dict": pa.array([r[6] for r in rows], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------- v-optimal histogram
+VOPT_PREBINS = 256
+VOPT_BUCKETS = 8
+
+
+def _voptimal_boundaries(
+    n: np.ndarray, s: np.ndarray, ss: np.ndarray, n_buckets: int
+) -> list[int]:
+    """Classic V-OPTIMAL DP over a compressed pre-bin census: choose
+    ``n_buckets`` contiguous segments of the pre-bins minimizing total
+    SSE (Σx² − (Σx)²/n per segment). Ties keep the SMALLEST split index
+    (strict < update). Returns the inclusive end pre-bin index of each
+    bucket."""
+    V = len(n)
+    cn = np.concatenate([[0], np.cumsum(n)])
+    cs = np.concatenate([[0], np.cumsum(s)])
+    css = np.concatenate([[0], np.cumsum(ss)])
+
+    def sse(i, j):  # pre-bins i..j inclusive (0-based)
+        nn = cn[j + 1] - cn[i]
+        if nn == 0:
+            return 0.0
+        sv = cs[j + 1] - cs[i]
+        return float(css[j + 1] - css[i]) - float(sv) * float(sv) / float(nn)
+
+    B = min(n_buckets, V)
+    INF = float("inf")
+    dp = np.full((V, B + 1), INF)
+    back = np.zeros((V, B + 1), dtype=np.int64)
+    for j in range(V):
+        dp[j][1] = sse(0, j)
+    for b in range(2, B + 1):
+        for j in range(b - 1, V):
+            best, arg = INF, -1
+            for i in range(b - 2, j):
+                cand = dp[i][b - 1] + sse(i + 1, j)
+                if cand < best:
+                    best, arg = cand, i
+            dp[j][b] = best
+            back[j][b] = arg
+    ends = []
+    j, b = V - 1, B
+    while b >= 1:
+        ends.append(j)
+        j = int(back[j][b])
+        b -= 1
+    return sorted(ends)
+
+
+def events_voptimal_hist(sf_dir: str) -> pa.Table:
+    """V-OPTIMAL HISTOGRAM design (the selectivity-estimation classic —
+    the histogram a cost-based optimizer wants, vs the equi-width one
+    a streaming system gets): 8 variance-minimizing buckets over the
+    value-cents domain. Pipeline: ONE pass emits 256 integer pre-bin
+    partials (count, Σcents, Σcents² — exact ints); the O(256²·8) DP
+    runs on the driver census; the output is the per-bucket INTEGER
+    census (rows, Σ, Σ²) for the chosen boundaries, so no
+    order-dependent float sum crosses the oracle (per-cell convention —
+    the consumer derives each bucket's SSE). Oracle (IVF precedent):
+    the builder recomputes census + DP locally and embeds boundaries;
+    DuckDB independently re-aggregates the real rows per bucket."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+    schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("bin_lo", pa.int64()),
+            ("bin_hi", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("sum_cents", pa.int64()),
+            ("sumsq_cents", pa.int64()),
+        ]
+    )
+
+    def mmn(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        cents = round_half_away(v.astype(np.float64) * 100.0, 0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "mn": pa.array([int(cents.min())], pa.int64()),
+                "mx": pa.array([int(cents.max())], pa.int64()),
+            }
+        )
+
+    mm = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(mmn, batch_format="pyarrow"),
+                group_agg_merge(("k",), mins=("mn",), maxs=("mx",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mm.num_rows == 0:
+        return schema.empty_table()
+    lo_c = int(mm["mn"][0].as_py())
+    hi_c = int(mm["mx"][0].as_py())
+    span = hi_c - lo_c + 1
+    P = VOPT_PREBINS
+
+    def census(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "pb": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        cents = round_half_away(v * 100.0, 0).astype(np.int64)
+        pb = (cents - lo_c) * P // span
+        df = (
+            pd.DataFrame({"pb": pb, "s": cents, "ss": cents * cents, "n": 1})
+            .groupby("pb", sort=True)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "pb": pa.array(df["pb"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                "ss": pa.array(df["ss"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "pb": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("pb",), ("n", "s", "ss")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas().sort_values("pb")
+    if cen.empty:
+        return schema.empty_table()
+    # dense pre-bin arrays (empty pre-bins carry zeros)
+    dense_n = np.zeros(P, dtype=np.int64)
+    dense_s = np.zeros(P, dtype=np.int64)
+    dense_ss = np.zeros(P, dtype=np.int64)
+    idx = cen["pb"].to_numpy(np.int64)
+    dense_n[idx] = cen["n"].to_numpy(np.int64)
+    dense_s[idx] = cen["s"].to_numpy(np.int64)
+    dense_ss[idx] = cen["ss"].to_numpy(np.int64)
+    ends = _voptimal_boundaries(dense_n, dense_s, dense_ss, VOPT_BUCKETS)
+    rows = []
+    start = 0
+    for b, end in enumerate(ends):
+        seg = slice(start, end + 1)
+        rows.append(
+            (
+                b,
+                start,
+                end,
+                int(dense_n[seg].sum()),
+                int(dense_s[seg].sum()),
+                int(dense_ss[seg].sum()),
+            )
+        )
+        start = end + 1
+    return pa.table(
+        {
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "bin_lo": pa.array([r[1] for r in rows], pa.int64()),
+            "bin_hi": pa.array([r[2] for r in rows], pa.int64()),
+            "n_rows": pa.array([r[3] for r in rows], pa.int64()),
+            "sum_cents": pa.array([r[4] for r in rows], pa.int64()),
+            "sumsq_cents": pa.array([r[5] for r in rows], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------- dedup threshold curve
+DEDUP_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def corpus_dedup_threshold_curve(sf_dir: str) -> pa.Table:
+    """DEDUP THRESHOLD SENSITIVITY curve (the tuning sweep run before
+    committing a near-dup threshold, the funnel-window-sweep shape for
+    dedup): over the MinHash band candidate pairs with their EXACT
+    word-shingle Jaccard — one blocking + one verify pass, reused from
+    the sketch-accuracy audit — how many pairs survive each candidate
+    threshold?  Thresholds compare the 6-dp-rounded jac on both sides."""
+    from ..stages.dedup import minhash_estimate_audit
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    audit = minhash_estimate_audit(docs)
+    schema = pa.schema(
+        [("threshold", pa.float64()), ("n_pairs", pa.int64())]
+    )
+    if isinstance(audit, pa.Table):
+        jac = audit["jac"].to_numpy(zero_copy_only=False)
+    else:
+        parts = [
+            b["jac"].to_numpy(zero_copy_only=False)
+            for b in audit.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        jac = (
+            np.concatenate(parts) if parts else np.array([], dtype=np.float64)
+        )
+    return pa.table(
+        {
+            "threshold": pa.array(list(DEDUP_CURVE_THRESHOLDS), pa.float64()),
+            "n_pairs": pa.array(
+                [int((jac >= t).sum()) for t in DEDUP_CURVE_THRESHOLDS],
+                pa.int64(),
+            ),
+        },
+        schema=schema,
+    )

@@ -5860,3 +5860,119 @@ def test_fd_audit_key_constraint_holds():
     assert (
         (out["violation_rate"] >= 0) & (out["violation_rate"] <= 1)
     ).all()
+
+
+def test_round4_batch65_queries_match_oracles():
+    """Batch-65 additions (encoding advisor, v-optimal histogram, dedup
+    threshold curve) against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "events", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "lineitem_encoding_advisor",
+        "events_voptimal_hist",
+        "corpus_dedup_threshold_curve",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch65_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("documents", "events", "lineitem"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.lineitem_encoding_advisor, 7),
+        (q.events_voptimal_hist, 6),
+    ):
+        out = fn(d).to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+    # the threshold curve is defined on an empty corpus: zero pairs
+    # survive at every threshold — 5 rows of zeros, not an empty table
+    curve = q.corpus_dedup_threshold_curve(d).to_pandas()
+    assert len(curve) == 5
+    assert (curve["n_pairs"] == 0).all()
+
+
+def test_voptimal_hist_partitions_and_beats_equiwidth():
+    """Buckets partition the 256 pre-bins in order, row counts sum to
+    the corpus, and total SSE is ≤ the fixed 8-bucket equi-width
+    partition's SSE (the v-optimality guarantee vs any competitor)."""
+    import duckdb as dd
+    import numpy as np
+
+    out = q.events_voptimal_hist(SF).to_pandas().sort_values("bucket")
+    assert out["bin_lo"].iloc[0] == 0
+    assert out["bin_hi"].iloc[-1] == 255
+    assert (
+        out["bin_lo"].iloc[1:].to_numpy()
+        == out["bin_hi"].iloc[:-1].to_numpy() + 1
+    ).all()
+    n_events = dd.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert out["n_rows"].sum() == n_events
+
+    def total_sse(df):
+        sse = 0.0
+        for r in df.itertuples():
+            if r.n_rows:
+                sse += r.sumsq_cents - (r.sum_cents**2) / r.n_rows
+        return sse
+
+    vopt_sse = total_sse(out)
+    # equi-width competitor: pre-bins [0..31], [32..63], ... [224..255]
+    cents = dd.sql(
+        f"""SELECT CAST(round(value * 100) AS BIGINT) AS c
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchdf()["c"].to_numpy()
+    lo, hi = cents.min(), cents.max()
+    pb = (cents - lo) * 256 // (hi - lo + 1)
+    eq = pd.DataFrame({"b": pb // 32, "c": cents}).groupby("b").agg(
+        n_rows=("c", "size"),
+        sum_cents=("c", "sum"),
+        sumsq_cents=("c", lambda x: int((x.astype(np.int64) ** 2).sum())),
+    )
+    eq_sse = total_sse(eq.reset_index())
+    assert vopt_sse <= eq_sse + 1e-6
+
+
+def test_encoding_advisor_flags_consistent():
+    out = q.lineitem_encoding_advisor(SF).to_pandas().set_index("column")
+    assert (out["use_dict"] == (out["dict_bytes"] < out["raw_bytes"])).all()
+    # 1-byte flag columns: dictionary is a clear win
+    assert out.loc["l_returnflag", "n_distinct"] <= 3
+    assert out.loc["l_returnflag", "use_dict"] == 1
+    assert (out["ratio"] > 0).all()
+
+
+def test_dedup_threshold_curve_monotone():
+    out = q.corpus_dedup_threshold_curve(SF).to_pandas().sort_values(
+        "threshold"
+    )
+    assert out["threshold"].tolist() == [0.5, 0.6, 0.7, 0.8, 0.9]
+    assert (np.diff(out["n_pairs"].to_numpy()) <= 0).all()
+
+
+import numpy as np  # noqa: E402  (used by late batch tests)
