@@ -476,6 +476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_encoding_advisor": q.lineitem_encoding_advisor,
         "events_voptimal_hist": q.events_voptimal_hist,
         "corpus_dedup_threshold_curve": q.corpus_dedup_threshold_curve,
+        "lineitem_join_pruning_audit": q.lineitem_join_pruning_audit,
+        "events_hourly_lttb": q.events_hourly_lttb,
+        "embedding_ivf_recall_audit": q.embedding_ivf_recall_audit,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1502,6 +1505,70 @@ def oracle_sql() -> dict[str, str]:
         "events_voptimal_hist": do.events_voptimal_hist_sql(oracle_sf),
         "corpus_dedup_threshold_curve":
             do.corpus_dedup_threshold_curve_sql(oracle_sf),
+        "lineitem_join_pruning_audit": """
+            WITH fm AS (SELECT min(year(o_orderdate) * 12
+                                   + month(o_orderdate) - 1) AS m
+                        FROM orders),
+            fk AS (SELECT DISTINCT o_orderkey AS key FROM orders
+                   WHERE year(o_orderdate) * 12 + month(o_orderdate) - 1
+                         = (SELECT m FROM fm)),
+            kb AS (SELECT min(key) AS kmin, max(key) AS kmax FROM fk),
+            mk AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+            f AS (
+                SELECT 'orderkey_range' AS layout,
+                       l_orderkey * 64 // ((SELECT mx FROM mk) + 1) AS fid,
+                       l_orderkey AS k,
+                       CASE WHEN l_orderkey IN (SELECT key FROM fk)
+                            THEN 1 ELSE 0 END AS m
+                FROM lineitem
+                UNION ALL
+                SELECT 'shipdate_clustered',
+                       year(l_shipdate) * 12 + month(l_shipdate) - 1,
+                       l_orderkey,
+                       CASE WHEN l_orderkey IN (SELECT key FROM fk)
+                            THEN 1 ELSE 0 END
+                FROM lineitem),
+            zm AS (SELECT layout, fid, count(*)::BIGINT AS n,
+                          min(k) AS mnk, max(k) AS mxk,
+                          sum(m)::BIGINT AS nm
+                   FROM f GROUP BY 1, 2)
+            SELECT layout, count(*)::BIGINT AS n_files,
+                   sum(CASE WHEN mxk < (SELECT kmin FROM kb)
+                                 OR mnk > (SELECT kmax FROM kb)
+                            THEN 1 ELSE 0 END)::BIGINT AS zm_skippable,
+                   sum(CASE WHEN nm = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS perfect_skippable,
+                   sum(CASE WHEN mxk < (SELECT kmin FROM kb)
+                                 OR mnk > (SELECT kmax FROM kb)
+                            THEN 0 ELSE n END)::BIGINT AS rows_scanned_zm,
+                   sum(CASE WHEN nm = 0 THEN 0 ELSE n END)::BIGINT
+                       AS rows_scanned_perfect
+            FROM zm GROUP BY layout ORDER BY layout
+        """,
+        "events_hourly_lttb": do.events_hourly_lttb_sql(oracle_sf),
+        "embedding_ivf_recall_audit": f"""
+            WITH exact_r AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+                           AS rn
+                FROM ({do.similarity_topk_sql()})),
+            ivf_r AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+                           AS rn
+                FROM ({do.similarity_topk_ivf_sql(oracle_sf)})),
+            ks(k) AS (VALUES (1), (5), (10))
+            SELECT k::BIGINT AS k,
+                   (SELECT count(*) FROM exact_r e
+                    JOIN ivf_r i ON e.vec_id = i.vec_id
+                    WHERE e.rn <= ks.k AND i.rn <= ks.k)::BIGINT
+                       AS n_overlap,
+                   round((SELECT count(*) FROM exact_r e
+                          JOIN ivf_r i ON e.vec_id = i.vec_id
+                          WHERE e.rn <= ks.k AND i.rn <= ks.k)
+                         / CAST(k AS DOUBLE), 6) AS recall
+            FROM ks ORDER BY k
+        """,
         "events_fd_audit": """
             WITH base AS (SELECT event_id, user_id, event_type,
                                  CAST(round(value * 100) AS BIGINT) // 5000

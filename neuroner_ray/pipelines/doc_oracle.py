@@ -1144,3 +1144,70 @@ def corpus_dedup_threshold_curve_sql(
                    AS n_pairs
         FROM t ORDER BY threshold
     """
+
+
+def events_hourly_lttb_sql(
+    sf_dir: str = "/root/testdata/sf0.01", n_out: int = 100
+) -> str:
+    """LTTB oracle (``queries.events_hourly_lttb``): the greedy sweep is
+    deterministic (fixed buckets, float area argmax with strict->
+    update ⇒ earliest-hour ties), so the builder recomputes the hourly
+    census + selection LOCALLY with pure numpy (IVF precedent) and
+    embeds (idx, hour); DuckDB independently re-derives each kept
+    hour's exact count from the raw rows."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    HOUR = 3_600_000_000
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    us = np.asarray(
+        t["ts"].cast("int64").to_pylist(), dtype=np.int64
+    ) if t.num_rows else np.array([], dtype=np.int64)
+    if len(us) == 0:
+        return """
+            SELECT CAST(NULL AS BIGINT) AS idx,
+                   CAST(NULL AS BIGINT) AS hour_us,
+                   CAST(NULL AS BIGINT) AS n
+            WHERE false
+        """
+    h = (us // HOUR) * HOUR
+    hs, ns = np.unique(h, return_counts=True)
+    N = len(hs)
+    if N <= n_out:
+        values = ", ".join(f"({i}, {int(hs[i])})" for i in range(N))
+    else:
+        x = ((hs - hs[0]) // HOUR).astype(np.float64)
+        y = ns.astype(np.float64)
+        picked = [0]
+        n_mid = n_out - 2
+        for b in range(n_mid):
+            lo = 1 + b * (N - 2) // n_mid
+            hi = 1 + (b + 1) * (N - 2) // n_mid
+            if b + 1 < n_mid:
+                nlo = 1 + (b + 1) * (N - 2) // n_mid
+                nhi = 1 + (b + 2) * (N - 2) // n_mid
+            else:
+                nlo, nhi = N - 1, N
+            ax, ay = x[picked[-1]], y[picked[-1]]
+            cx = float(x[nlo:nhi].mean())
+            cy = float(y[nlo:nhi].mean())
+            best_area, best_i = -1.0, lo
+            for i in range(lo, hi):
+                area = abs((ax - cx) * (y[i] - ay) - (ax - x[i]) * (cy - ay))
+                if area > best_area:
+                    best_area, best_i = area, i
+            picked.append(best_i)
+        picked.append(N - 1)
+        values = ", ".join(
+            f"({i}, {int(hs[p])})" for i, p in enumerate(picked)
+        )
+    return f"""
+        WITH sel(idx, h) AS (VALUES {values}),
+        c AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1)
+        SELECT s.idx::BIGINT AS idx, s.h::BIGINT AS hour_us, c.n
+        FROM sel s JOIN c ON c.h = s.h ORDER BY idx
+    """

@@ -22323,3 +22323,390 @@ def corpus_dedup_threshold_curve(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ---------------------------------------------- join-pruning audit
+JOINPRUNE_FILES = 64
+
+
+def lineitem_join_pruning_audit(sf_dir: str) -> pa.Table:
+    """JOIN-PRUNING audit — the semi-join-pushdown member of the
+    physical-design family: a reader joins lineitem to a FILTERED
+    orders side (the earliest order month); per lineitem layout
+    ('orderkey_range' = 64 key-range files, 'shipdate_clustered' = one
+    file per ship month), how much does each pruning mechanism skip?
+    *zone-map* skip uses only the filtered side's [min, max] orderkey —
+    the classic min/max pushdown, near-useless when filter and key are
+    uncorrelated (the honest result this audit exists to show);
+    *perfect* skip counts files with ZERO matching rows — the upper
+    bound a per-file membership filter (Bloom) approaches. ONE lineitem
+    pass emits per-(layout, file) partials (rows, key min/max, matching
+    rows via the broadcast filtered-key set — the Bloom stand-in at
+    test scale; at 100 TB the fixed-size Bloom bitmap from
+    ``customers_without_orders_bloom`` replaces the raw set); the probe
+    evaluates on ≤ (64 + months) driver rows."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    schema = pa.schema(
+        [
+            ("layout", pa.string()),
+            ("n_files", pa.int64()),
+            ("zm_skippable", pa.int64()),
+            ("perfect_skippable", pa.int64()),
+            ("rows_scanned_zm", pa.int64()),
+            ("rows_scanned_perfect", pa.int64()),
+        ]
+    )
+
+    def omonth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        us = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        dt = us.astype("datetime64[us]").astype("datetime64[M]")
+        months = dt.astype(np.int64) + 1970 * 12
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "m": pa.array([int(months.min())], pa.int64()),
+            }
+        )
+
+    mm = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                orders.map_batches(omonth, batch_format="pyarrow"),
+                group_agg_merge(("k",), mins=("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mm.num_rows == 0:
+        return schema.empty_table()
+    first_month = int(mm["m"][0].as_py())
+
+    def fkeys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        us = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        months = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+            + 1970 * 12
+        )
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"key": pa.array(np.unique(keys[months == first_month]), pa.int64())}
+        )
+
+    fk: set = set()
+    for b in orders.map_batches(fkeys, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        fk.update(b["key"].to_pylist())
+    if not fk:
+        return schema.empty_table()
+    kmin, kmax = min(fk), max(fk)
+    fk_ref = ray.put(frozenset(fk))
+
+    def kmax_pass(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "m": pa.array([int(ok.max())], pa.int64()),
+            }
+        )
+
+    lm = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                li.map_batches(kmax_pass, batch_format="pyarrow"),
+                group_agg_merge(("k",), maxs=("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if lm.num_rows == 0:
+        return schema.empty_table()
+    max_key = int(lm["m"][0].as_py())
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "layout": pa.array([], pa.string()),
+                    "fid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mnk": pa.array([], pa.int64()),
+                    "mxk": pa.array([], pa.int64()),
+                    "nm": pa.array([], pa.int64()),
+                }
+            )
+        members = ray.get(fk_ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            t["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        months = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+            + 1970 * 12
+        )
+        match = np.fromiter(
+            (int(k) in members for k in ok), dtype=bool, count=len(ok)
+        )
+        frames = []
+        for layout, fid in (
+            ("orderkey_range", ok * JOINPRUNE_FILES // (max_key + 1)),
+            ("shipdate_clustered", months),
+        ):
+            df = pd.DataFrame(
+                {"fid": fid, "k": ok, "m": match.astype(np.int64)}
+            )
+            g = df.groupby("fid").agg(
+                n=("k", "size"), mnk=("k", "min"), mxk=("k", "max"),
+                nm=("m", "sum"),
+            ).reset_index()
+            g.insert(0, "layout", layout)
+            frames.append(g)
+        out = pd.concat(frames)
+        return pa.table(
+            {
+                "layout": pa.array(out["layout"].tolist(), pa.string()),
+                "fid": pa.array(out["fid"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+                "mnk": pa.array(out["mnk"].to_numpy(np.int64), pa.int64()),
+                "mxk": pa.array(out["mxk"].to_numpy(np.int64), pa.int64()),
+                "nm": pa.array(out["nm"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    merge = group_agg_merge(
+        ("layout", "fid"), sums=("n", "nm"), mins=("mnk",), maxs=("mxk",)
+    )
+    zm = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "layout": pa.array([], pa.string()),
+                    "fid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "nm": pa.array([], pa.int64()),
+                    "mnk": pa.array([], pa.int64()),
+                    "mxk": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(partials, batch_format="pyarrow"), merge
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if zm.empty:
+        return schema.empty_table()
+    zskip = ((zm["mxk"] < kmin) | (zm["mnk"] > kmax)).to_numpy()
+    pskip = (zm["nm"] == 0).to_numpy()
+    n = zm["n"].to_numpy(np.int64)
+    g = (
+        pd.DataFrame(
+            {
+                "layout": zm["layout"],
+                "one": 1,
+                "zs": zskip.astype(np.int64),
+                "ps": pskip.astype(np.int64),
+                "rz": np.where(zskip, 0, n),
+                "rp": np.where(pskip, 0, n),
+            }
+        )
+        .groupby("layout", sort=True)
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "layout": pa.array(g["layout"].tolist(), pa.string()),
+            "n_files": pa.array(g["one"].to_numpy(np.int64), pa.int64()),
+            "zm_skippable": pa.array(g["zs"].to_numpy(np.int64), pa.int64()),
+            "perfect_skippable": pa.array(
+                g["ps"].to_numpy(np.int64), pa.int64()
+            ),
+            "rows_scanned_zm": pa.array(g["rz"].to_numpy(np.int64), pa.int64()),
+            "rows_scanned_perfect": pa.array(
+                g["rp"].to_numpy(np.int64), pa.int64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------------- LTTB downsampling
+LTTB_POINTS = 100
+
+
+def events_hourly_lttb(sf_dir: str, n_out: int = LTTB_POINTS) -> pa.Table:
+    """LARGEST-TRIANGLE-THREE-BUCKETS downsampling (the dashboarding
+    classic: reduce a series to n points that preserve its visual
+    shape): over the dense hourly event-count series — census is
+    hour-domain-bounded, the one distributed pass — the driver runs the
+    standard LTTB sweep: endpoints fixed, middle hours split into
+    n_out − 2 equal buckets, each bucket keeps the point maximizing the
+    triangle area with the PREVIOUS kept point and the NEXT bucket's
+    centroid (ties → earliest hour). Output (idx, hour_us, n) — the n
+    values are exact ints the oracle re-derives from the raw rows; the
+    selection is the deterministic recomputed part (IVF precedent)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["ts"])
+    schema = pa.schema(
+        [
+            ("idx", pa.int64()),
+            ("hour_us", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = (_ts_us(t) // _HOUR_US) * _HOUR_US
+        keys, counts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(keys.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                ev.map_batches(partial, batch_format="pyarrow"),
+                group_sum_merge(("h",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas().sort_values("h")
+    if cen.empty:
+        return schema.empty_table()
+    hs = cen["h"].to_numpy(np.int64)
+    ns = cen["n"].to_numpy(np.int64)
+    N = len(hs)
+    if N <= n_out:
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(N, dtype=np.int64), pa.int64()),
+                "hour_us": pa.array(hs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            },
+            schema=schema,
+        )
+    # x in hour units keeps the area arithmetic in small exact floats
+    x = ((hs - hs[0]) // _HOUR_US).astype(np.float64)
+    y = ns.astype(np.float64)
+    picked = [0]
+    n_mid = n_out - 2
+    # bucket b covers middle indices [1 + b*(N-2)//n_mid, 1 + (b+1)*(N-2)//n_mid)
+    for b in range(n_mid):
+        lo = 1 + b * (N - 2) // n_mid
+        hi = 1 + (b + 1) * (N - 2) // n_mid
+        if b + 1 < n_mid:
+            nlo = 1 + (b + 1) * (N - 2) // n_mid
+            nhi = 1 + (b + 2) * (N - 2) // n_mid
+        else:
+            nlo, nhi = N - 1, N
+        ax, ay = x[picked[-1]], y[picked[-1]]
+        cx = float(x[nlo:nhi].mean())
+        cy = float(y[nlo:nhi].mean())
+        best_area, best_i = -1.0, lo
+        for i in range(lo, hi):
+            area = abs(
+                (ax - cx) * (y[i] - ay) - (ax - x[i]) * (cy - ay)
+            )
+            if area > best_area:
+                best_area, best_i = area, i
+        picked.append(best_i)
+    picked.append(N - 1)
+    picked_arr = np.asarray(picked, dtype=np.int64)
+    return pa.table(
+        {
+            "idx": pa.array(
+                np.arange(len(picked_arr), dtype=np.int64), pa.int64()
+            ),
+            "hour_us": pa.array(hs[picked_arr], pa.int64()),
+            "n": pa.array(ns[picked_arr], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------- ANN index recall audit
+IVF_RECALL_KS = (1, 5, 10)
+
+
+def embedding_ivf_recall_audit(sf_dir: str) -> pa.Table:
+    """ANN INDEX RECALL audit (the index-quality eval next to the
+    sketch-accuracy family): overlap between the IVF-probed top-k and
+    the exact brute-force top-k at k ∈ {1, 5, 10} — the number an index
+    operator must know before trusting probed search (at sf0.001 the
+    default probe setting reads 0.8–0.9 at k=5/10: REAL recall loss the
+    audit surfaces; the LSH variant's exact-recall note does not carry
+    over to IVF). Pure composition of the two existing oracled
+    retrieval paths (one exact pass, one IVF pass); ranks re-derived by
+    the shared (cos DESC, id ASC) order."""
+    exact = similarity_topk(sf_dir)
+    exact = exact if isinstance(exact, pd.DataFrame) else exact.to_pandas()
+    ivf = similarity_topk_ivf(sf_dir)
+    ivf = ivf if isinstance(ivf, pd.DataFrame) else ivf.to_pandas()
+    schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("n_overlap", pa.int64()),
+            ("recall", pa.float64()),
+        ]
+    )
+    if exact.empty or ivf.empty:
+        return schema.empty_table()
+    exact = exact.sort_values(
+        ["cos", "vec_id"], ascending=[False, True], kind="mergesort"
+    )
+    ivf = ivf.sort_values(
+        ["cos", "vec_id"], ascending=[False, True], kind="mergesort"
+    )
+    ks, ovs, recs = [], [], []
+    for k in IVF_RECALL_KS:
+        e = set(exact["vec_id"].head(k).tolist())
+        i = set(ivf["vec_id"].head(k).tolist())
+        ov = len(e & i)
+        ks.append(k)
+        ovs.append(ov)
+        recs.append(float(round_half_away(np.array([ov / k]), 6)[0]))
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_overlap": pa.array(ovs, pa.int64()),
+            "recall": pa.array(recs, pa.float64()),
+        },
+        schema=schema,
+    )

@@ -5976,3 +5976,101 @@ def test_dedup_threshold_curve_monotone():
 
 
 import numpy as np  # noqa: E402  (used by late batch tests)
+
+
+def test_round4_batch66_queries_match_oracles():
+    """Batch-66 additions (join pruning, LTTB, IVF recall) against
+    their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("embeddings", "events", "lineitem", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "lineitem_join_pruning_audit",
+        "events_hourly_lttb",
+        "embedding_ivf_recall_audit",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_batch66_ops_survive_empty_input(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("embeddings", "events", "lineitem", "orders"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for fn, ncols in (
+        (q.lineitem_join_pruning_audit, 6),
+        (q.events_hourly_lttb, 3),
+        (q.embedding_ivf_recall_audit, 3),
+    ):
+        out = fn(d)
+        out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert len(out) == 0, fn.__name__
+        assert len(out.columns) == ncols, fn.__name__
+
+
+def test_join_pruning_perfect_dominates_zonemap():
+    """Per layout: zone maps can never skip MORE than the perfect
+    (membership) bound, and scanned-row counts order the same way;
+    every count is bounded by its file total."""
+    out = q.lineitem_join_pruning_audit(SF).to_pandas().set_index("layout")
+    assert set(out.index) == {"orderkey_range", "shipdate_clustered"}
+    assert (out["zm_skippable"] <= out["perfect_skippable"]).all()
+    assert (out["rows_scanned_perfect"] <= out["rows_scanned_zm"]).all()
+    assert (out["zm_skippable"] <= out["n_files"]).all()
+    assert (out["perfect_skippable"] <= out["n_files"]).all()
+
+
+def test_lttb_preserves_endpoints_and_extremes():
+    """LTTB keeps both endpoints, emits monotone hours, and its kept
+    points include the series' global maximum (the visual-fidelity
+    property the algorithm exists for)."""
+    out = q.events_hourly_lttb(SF).to_pandas().sort_values("idx")
+    full = (
+        duckdb.sql(
+            f"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+                       count(*)::BIGINT AS n
+                FROM read_parquet('{SF}/events.parquet') GROUP BY 1"""
+        )
+        .fetchdf()
+        .sort_values("h")
+    )
+    assert out["hour_us"].iloc[0] == full["h"].iloc[0]
+    assert out["hour_us"].iloc[-1] == full["h"].iloc[-1]
+    assert out["hour_us"].is_monotonic_increasing
+    assert len(out) == min(100, len(full))
+    assert out["n"].max() == full["n"].max()
+
+
+def test_ivf_recall_bounds():
+    """Recall is a true overlap fraction (bounded, consistent with the
+    counts), and the top-1 sits inside the probed lists on the fixture;
+    at k = 5/10 the default probe setting genuinely loses recall here —
+    the audit's purpose is to surface exactly that."""
+    out = q.embedding_ivf_recall_audit(SF).to_pandas()
+    assert out["k"].tolist() == [1, 5, 10]
+    assert ((out["recall"] > 0.0) & (out["recall"] <= 1.0)).all()
+    assert (out["n_overlap"] <= out["k"]).all()
+    assert (
+        out["recall"] == (out["n_overlap"] / out["k"]).round(6)
+    ).all()
+    assert out.loc[out["k"] == 1, "recall"].iloc[0] == 1.0
