@@ -479,6 +479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_join_pruning_audit": q.lineitem_join_pruning_audit,
         "events_hourly_lttb": q.events_hourly_lttb,
         "embedding_ivf_recall_audit": q.embedding_ivf_recall_audit,
+        "cluster_agreement_lex_sem": q.cluster_agreement_lex_sem,
+        "doc_curriculum_order": q.doc_curriculum_order,
+        "nation_customer_hhi": q.nation_customer_hhi,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1546,6 +1549,53 @@ def oracle_sql() -> dict[str, str]:
             FROM zm GROUP BY layout ORDER BY layout
         """,
         "events_hourly_lttb": do.events_hourly_lttb_sql(oracle_sf),
+        "cluster_agreement_lex_sem": do.cluster_agreement_sql(),
+        "doc_curriculum_order": """
+            WITH w AS (SELECT doc_id, coalesce(text, '') AS txt,
+                              regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9_]+') AS ws
+                       FROM documents),
+            dw AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM w),
+            dfc AS (SELECT tok, count(*)::BIGINT AS df FROM dw GROUP BY 1),
+            rare AS (SELECT d.doc_id, count(*)::BIGINT AS nd,
+                            sum(CASE WHEN f.df < 3 THEN 1 ELSE 0 END)::BIGINT
+                                AS nr
+                     FROM dw d JOIN dfc f ON f.tok = d.tok GROUP BY 1),
+            base AS (SELECT w.doc_id, len(ws)::BIGINT AS nw,
+                            len(regexp_extract_all(txt,
+                                '[^A-Za-z0-9_\\s]'))::BIGINT AS n_punct,
+                            coalesce(r.nd, 0) AS nd, coalesce(r.nr, 0) AS nr
+                     FROM w LEFT JOIN rare r ON r.doc_id = w.doc_id),
+            s AS (SELECT doc_id, nw,
+                         CASE WHEN nd = 0 THEN 0.0
+                              ELSE nr / CAST(nd AS DOUBLE) END AS rare_f,
+                         least(nw, 100) / 100.0 AS len_c,
+                         CASE WHEN nw = 0 THEN 0.0
+                              ELSE least(n_punct / CAST(nw AS DOUBLE), 1.0)
+                         END AS punct_c
+                  FROM base)
+            SELECT doc_id, nw AS n_words, round(rare_f, 6) AS rare_frac,
+                   round(0.4 * len_c + 0.3 * punct_c + 0.3 * rare_f, 6)
+                       AS difficulty
+            FROM s
+        """,
+        "nation_customer_hhi": """
+            WITH rev AS (SELECT o_custkey,
+                                sum(CAST(round(o_totalprice) AS BIGINT))
+                                    ::BIGINT AS r
+                         FROM orders GROUP BY 1),
+            j AS (SELECT cu.c_nationkey AS nk, rev.r
+                  FROM rev JOIN customer cu ON cu.c_custkey = rev.o_custkey),
+            agg AS (SELECT nk, count(*)::BIGINT AS nc,
+                           sum(r)::BIGINT AS s, sum(r * r)::BIGINT AS ss
+                    FROM j GROUP BY 1)
+            SELECT n.n_name, agg.nc AS n_customers,
+                   round(agg.ss / (CAST(agg.s AS DOUBLE)
+                                   * CAST(agg.s AS DOUBLE)), 6) AS hhi
+            FROM agg JOIN nation n ON n.n_nationkey = agg.nk
+            WHERE agg.s <> 0
+            ORDER BY n_name
+        """,
         "embedding_ivf_recall_audit": f"""
             WITH exact_r AS (
                 SELECT vec_id,

@@ -1211,3 +1211,66 @@ def events_hourly_lttb_sql(
         SELECT s.idx::BIGINT AS idx, s.h::BIGINT AS hour_us, c.n
         FROM sel s JOIN c ON c.h = s.h ORDER BY idx
     """
+
+
+def cluster_agreement_sql(
+    lex_threshold: float = 0.7, sem_threshold: float = 0.98
+) -> str:
+    """Clustering-agreement oracle (``queries.cluster_agreement_lex_sem``):
+    both cluster closures recomputed independently in SQL — the lexical
+    one over exact word-shingle Jaccard (the doc_minhash_dedup oracle's
+    construction), the semantic one over exact cosine (the
+    embedding_near_dup construction) — with disjoint CTE names so the
+    two recursions coexist; all three pair counts from size censuses
+    (Σ s·(s−1)/2), one 6-dp division."""
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte(lex_threshold)},
+        sym1 AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        reach1 AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach1 r JOIN sym1 e ON r.dst = e.a
+        ),
+        lab1 AS (SELECT src AS id, min(dst)::BIGINT AS cl
+                 FROM reach1 GROUP BY src),
+        ep AS (
+            SELECT a.vec_id AS pa2, b.vec_id AS pb2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                  >= {sem_threshold}
+        ),
+        sym2 AS (
+            SELECT pa2 AS a, pb2 AS b FROM ep
+            UNION SELECT pb2, pa2 FROM ep
+        ),
+        reach2 AS (
+            SELECT vec_id AS src, vec_id AS dst FROM embeddings
+            UNION
+            SELECT r.src, e.b FROM reach2 r JOIN sym2 e ON r.dst = e.a
+        ),
+        lab2 AS (SELECT src AS id, min(dst)::BIGINT AS cl
+                 FROM reach2 GROUP BY src),
+        joint AS (SELECT coalesce(l1.id, l2.id) AS id,
+                         coalesce(l1.cl, -1) AS cl1,
+                         coalesce(l2.cl, -1) AS cl2
+                  FROM lab1 l1 FULL OUTER JOIN lab2 l2 ON l1.id = l2.id),
+        sz1 AS (SELECT cl1, count(*)::BIGINT AS s FROM joint GROUP BY 1),
+        sz2 AS (SELECT cl2, count(*)::BIGINT AS s FROM joint GROUP BY 1),
+        szb AS (SELECT cl1, cl2, count(*)::BIGINT AS s
+                FROM joint GROUP BY 1, 2),
+        agg AS (SELECT
+                    (SELECT count(*) FROM joint)::BIGINT AS n_ids,
+                    (SELECT sum(s * (s - 1) // 2) FROM sz1)::BIGINT AS pl,
+                    (SELECT sum(s * (s - 1) // 2) FROM sz2)::BIGINT AS ps,
+                    (SELECT sum(s * (s - 1) // 2) FROM szb)::BIGINT AS pb)
+        SELECT n_ids, pl AS n_pairs_lex, ps AS n_pairs_sem,
+               pb AS n_pairs_both,
+               CASE WHEN pl + ps - pb = 0 THEN 1.0
+                    ELSE round(pb / CAST(pl + ps - pb AS DOUBLE), 6)
+               END AS agreement
+        FROM agg
+    """

@@ -22710,3 +22710,416 @@ def embedding_ivf_recall_audit(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------- clustering agreement
+def cluster_agreement_lex_sem(sf_dir: str) -> pa.Table:
+    """CLUSTERING AGREEMENT (pair-counting Jaccard/Rand family — the
+    cross-method audit run before swapping a lexical dedup for a
+    semantic one): do the MinHash word-shingle clusters over documents
+    and the cosine near-dup clusters over the id-aligned embeddings
+    co-cluster the same pairs?  All three pair counts come from CLUSTER
+    SIZE censuses — Σ s·(s−1)/2 over each partition and over the JOINT
+    partition — so nothing pair-scale is ever materialized: two label
+    passes (both reusing oracled cluster stages), one id cogroup to
+    build the joint keys, three size censuses, exact ints + one 6-dp
+    division (pair-Jaccard agreement)."""
+    lex = doc_minhash_dedup(sf_dir)
+    sem = embedding_near_dup(sf_dir)
+    schema = pa.schema(
+        [
+            ("n_ids", pa.int64()),
+            ("n_pairs_lex", pa.int64()),
+            ("n_pairs_sem", pa.int64()),
+            ("n_pairs_both", pa.int64()),
+            ("agreement", pa.float64()),
+        ]
+    )
+
+    def tag(side: str, id_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "id": pa.array([], pa.int64()),
+                        "lex": pa.array([], pa.int64()),
+                        "sem": pa.array([], pa.int64()),
+                    }
+                )
+            cl = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            neg = np.full(len(ids), -1, np.int64)
+            return pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "lex": pa.array(cl if side == "lex" else neg, pa.int64()),
+                    "sem": pa.array(cl if side == "sem" else neg, pa.int64()),
+                }
+            )
+
+        return fn
+
+    joint = (
+        lex.map_batches(tag("lex", "doc_id"), batch_format="pyarrow")
+        .union(sem.map_batches(tag("sem", "vec_id"), batch_format="pyarrow"))
+        .groupby("id")
+        .aggregate(Max("lex", alias_name="lex"), Max("sem", alias_name="sem"))
+    )
+
+    def size_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "cl": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lexv = t["lex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        semv = t["sem"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frames = [
+            pd.DataFrame({"kind": "lex", "cl": lexv.astype(str)}),
+            pd.DataFrame({"kind": "sem", "cl": semv.astype(str)}),
+            pd.DataFrame(
+                {
+                    "kind": "both",
+                    "cl": np.char.add(
+                        np.char.add(lexv.astype(str), "|"), semv.astype(str)
+                    ),
+                }
+            ),
+            pd.DataFrame(
+                {"kind": ["ids"] * len(lexv), "cl": ["all"] * len(lexv)}
+            ),
+        ]
+        df = (
+            pd.concat(frames)
+            .groupby(["kind", "cl"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "kind": pa.array(df["kind"].tolist(), pa.string()),
+                "cl": pa.array(df["cl"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = (
+        joint.map_batches(size_partials, batch_format="pyarrow")
+        .groupby(["kind", "cl"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "pairs": pa.array([], pa.int64()),
+                    "nids": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "kind": t["kind"].to_pylist(),
+                    "pairs": n * (n - 1) // 2,
+                    "nids": n,
+                }
+            )
+            .groupby("kind", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "kind": pa.array(df["kind"].tolist(), pa.string()),
+                "pairs": pa.array(df["pairs"].to_numpy(np.int64), pa.int64()),
+                "nids": pa.array(df["nids"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "pairs": pa.array([], pa.int64()),
+                    "nids": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                sizes.map_batches(pair_partials, batch_format="pyarrow"),
+                group_sum_merge(("kind",), ("pairs", "nids")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    row = cen.set_index("kind")
+    pl = int(row.loc["lex", "pairs"]) if "lex" in row.index else 0
+    ps = int(row.loc["sem", "pairs"]) if "sem" in row.index else 0
+    pb = int(row.loc["both", "pairs"]) if "both" in row.index else 0
+    n_ids = int(row.loc["ids", "nids"]) if "ids" in row.index else 0
+    denom = pl + ps - pb
+    agree = 1.0 if denom == 0 else pb / float(denom)
+    return pa.table(
+        {
+            "n_ids": pa.array([n_ids], pa.int64()),
+            "n_pairs_lex": pa.array([pl], pa.int64()),
+            "n_pairs_sem": pa.array([ps], pa.int64()),
+            "n_pairs_both": pa.array([pb], pa.int64()),
+            "agreement": pa.array(
+                round_half_away(np.array([agree]), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------------- curriculum ordering
+CURRICULUM_DF_COMMON_MIN = 3  # df >= 3 ⇒ a "common" token
+CURRICULUM_LEN_CAP = 100
+
+
+def doc_curriculum_order(sf_dir: str) -> Dataset:
+    """CURRICULUM DIFFICULTY scoring (the easy-to-hard data-ordering op
+    for staged training): per doc, difficulty = 0.4·len_component +
+    0.3·punct_component + 0.3·rare_frac, where len = min(n_words, 100)
+    / 100, punct = min(punct/word ratio, 1), and rare_frac = fraction
+    of the doc's DISTINCT words with corpus document-frequency < 3.
+    Each component is one division of exact ints, the weighted sum one
+    fixed left-associated 3-term chain mirrored by the oracle. The df
+    census is vocabulary-sized; the COMMON-token set (df ≥ 3 — the
+    short head, not the long rare tail) broadcasts via ray.put, so the
+    per-doc pass stays map-only."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(set(_WORD_RE.findall((txt or "").lower())))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    dfc = pa.concat_tables(
+        [pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                docs.map_batches(df_partial, batch_format="pyarrow"),
+                group_sum_merge(("token",), ("df",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    common = frozenset(
+        tok
+        for tok, df in zip(dfc["token"].to_pylist(), dfc["df"].to_pylist())
+        if df >= CURRICULUM_DF_COMMON_MIN
+    )
+    common_ref = ray.put(common)
+
+    def score(t: pa.Table) -> pa.Table:
+        com = ray.get(common_ref)
+        ids, diffs, nw_out, rare_out = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            low = (txt or "").lower()
+            words = _WORD_RE.findall(low)
+            nw = len(words)
+            len_c = min(nw, CURRICULUM_LEN_CAP) / float(CURRICULUM_LEN_CAP)
+            punct_c = (
+                min(len(_PUNCT_RE.findall(txt or "")) / nw, 1.0) if nw else 0.0
+            )
+            distinct = set(words)
+            nd = len(distinct)
+            rare = (
+                sum(1 for w in distinct if w not in com) / nd if nd else 0.0
+            )
+            diff = 0.4 * len_c + 0.3 * punct_c + 0.3 * rare
+            ids.append(did)
+            nw_out.append(nw)
+            rare_out.append(rare)
+            diffs.append(diff)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw_out, pa.int64()),
+                "rare_frac": pa.array(
+                    round_half_away(np.array(rare_out, np.float64), 6),
+                    pa.float64(),
+                ),
+                "difficulty": pa.array(
+                    round_half_away(np.array(diffs, np.float64), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------- HHI concentration
+def nation_customer_hhi(sf_dir: str) -> pa.Table:
+    """HERFINDAHL-HIRSCHMAN concentration index per nation (the market-
+    concentration classic next to the Pareto cuts and the Gini): over
+    each nation's customers' total order revenue (whole DOLLARS —
+    per-order round(o_totalprice) — so Σrev² stays inside int64 up to
+    ~sf10; a negative-wrap guard raises loudly past it), HHI = Σ share²
+    = Σ rev_c² / (Σ rev_c)² — the algebraic form that keeps EVERYTHING
+    integer until ONE final division per nation (the NOTES
+    single-division convention; no order-dependent float sum of
+    shares). Two-level reduce: per-customer revenue groupby
+    (broadcast-joined to nation), then nation-level Σrev / Σrev²
+    partials."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = read_parquet_clean(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = read_parquet_clean(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    schema = pa.schema(
+        [
+            ("n_name", pa.string()),
+            ("n_customers", pa.int64()),
+            ("hhi", pa.float64()),
+        ]
+    )
+    cn: dict = {}
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        cn.update(
+            zip(
+                b["c_custkey"].to_pylist(),
+                b["c_nationkey"].to_pylist(),
+            )
+        )
+    nn: dict = {}
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        nn.update(zip(b["n_nationkey"].to_pylist(), b["n_name"].to_pylist()))
+    if not cn or not nn:
+        return schema.empty_table()
+    cn_ref = ray.put(cn)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        dollars = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64),
+            0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "c": t["o_custkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "rev": dollars,
+                }
+            )
+            .groupby("c", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.array(df["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nk": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        lookup = ray.get(cn_ref)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = np.asarray([lookup.get(int(k), -1) for k in c], dtype=np.int64)
+        df = (
+            pd.DataFrame({"nk": nk, "nc": 1, "s": rev, "ss": rev * rev})
+            .groupby("nk", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nk": pa.array(df["nk"].to_numpy(np.int64), pa.int64()),
+                "nc": pa.array(df["nc"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                "ss": pa.array(df["ss"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "nk": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                per_cust.map_batches(nation_partial, batch_format="pyarrow"),
+                group_sum_merge(("nk",), ("nc", "s", "ss")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    if (cen["ss"] < 0).any() or (cen["s"] < 0).any():
+        raise ValueError(
+            "nation_customer_hhi: int64 overflow in revenue moments — "
+            "rescale revenue units before running at this data scale"
+        )
+    rows = []
+    for r in cen.itertuples():
+        name = nn.get(int(r.nk))
+        if name is None or int(r.s) == 0:
+            continue
+        hhi = float(r.ss) / (float(r.s) * float(r.s))
+        rows.append((name, int(r.nc), float(round_half_away(np.array([hhi]), 6)[0])))
+    rows.sort()
+    return pa.table(
+        {
+            "n_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_customers": pa.array([r[1] for r in rows], pa.int64()),
+            "hhi": pa.array([r[2] for r in rows], pa.float64()),
+        },
+        schema=schema,
+    )

@@ -6074,3 +6074,112 @@ def test_ivf_recall_bounds():
         out["recall"] == (out["n_overlap"] / out["k"]).round(6)
     ).all()
     assert out.loc[out["k"] == 1, "recall"].iloc[0] == 1.0
+
+
+def test_round4_batch67_queries_match_oracles():
+    """Batch-67 additions (clustering agreement, curriculum order, HHI)
+    against their registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "embeddings", "orders", "customer", "nation"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in (
+        "cluster_agreement_lex_sem",
+        "doc_curriculum_order",
+        "nation_customer_hhi",
+    ):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_cluster_agreement_bounds():
+    """Pair-Jaccard agreement is a true overlap fraction; the joint
+    partition's pairs are bounded by both marginals."""
+    out = q.cluster_agreement_lex_sem(SF).to_pandas().iloc[0]
+    assert out["n_pairs_both"] <= min(out["n_pairs_lex"], out["n_pairs_sem"])
+    assert 0.0 <= out["agreement"] <= 1.0
+    assert out["n_ids"] > 0
+
+
+def test_curriculum_difficulty_reconstructs():
+    """Difficulty reconstructs from its three components on a sample,
+    and every score is inside [0, 1]."""
+    import re
+
+    out = q.doc_curriculum_order(SF).to_pandas()
+    assert ((out["difficulty"] >= 0) & (out["difficulty"] <= 1)).all()
+    assert ((out["rare_frac"] >= 0) & (out["rare_frac"] <= 1)).all()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') LIMIT 20"
+    ).fetchdf()
+    word_re = re.compile(r"[a-z0-9_]+")
+    for r in docs.itertuples():
+        nw = len(word_re.findall((r.text or "").lower()))
+        row = out[out["doc_id"] == r.doc_id].iloc[0]
+        assert row["n_words"] == nw
+
+
+def test_hhi_bounds_and_monopoly_fixture(tmp_path):
+    """HHI lies in (0, 1]; a nation with a single customer is a
+    monopoly with HHI exactly 1."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = q.nation_customer_hhi(SF).to_pandas()
+    assert ((out["hhi"] > 0) & (out["hhi"] <= 1)).all()
+    d = str(tmp_path)
+    osch = pq.read_schema(f"{SF}/orders.parquet")
+    csch = pq.read_schema(f"{SF}/customer.parquet")
+    nsch = pq.read_schema(f"{SF}/nation.parquet")
+
+    def mk(sch, cols):
+        data = {}
+        n = len(next(iter(cols.values())))
+        for f in sch:
+            data[f.name] = cols.get(
+                f.name, pa.nulls(n, f.type).to_pylist()
+            )
+        return pa.table(data).cast(sch)
+
+    pq.write_table(
+        mk(
+            osch,
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_custkey": [10, 10, 20],
+                "o_totalprice": [100.0, 300.0, 500.0],
+            },
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        mk(csch, {"c_custkey": [10, 20], "c_nationkey": [0, 1]}),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        mk(
+            nsch,
+            {"n_nationkey": [0, 1], "n_name": ["SOLO_A", "SOLO_B"]},
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    r = q.nation_customer_hhi(d).to_pandas().set_index("n_name")
+    assert r.loc["SOLO_A", "hhi"] == 1.0  # one customer = monopoly
+    assert r.loc["SOLO_B", "hhi"] == 1.0
+    assert r.loc["SOLO_A", "n_customers"] == 1
