@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_agreement_lex_sem": q.cluster_agreement_lex_sem,
         "doc_curriculum_order": q.doc_curriculum_order,
         "nation_customer_hhi": q.nation_customer_hhi,
+        "events_user_burstiness": q.events_user_burstiness,
+        "events_type_simpson": q.events_type_simpson,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1578,6 +1580,42 @@ def oracle_sql() -> dict[str, str]:
                    round(0.4 * len_c + 0.3 * punct_c + 0.3 * rare_f, 6)
                        AS difficulty
             FROM s
+        """,
+        "events_user_burstiness": """
+            WITH l AS (SELECT user_id,
+                              epoch_us(ts) // 1000000 AS s,
+                              lag(epoch_us(ts) // 1000000) OVER (
+                                  PARTITION BY user_id ORDER BY ts) AS ps
+                       FROM events),
+            g AS (SELECT user_id, s - ps AS gp FROM l
+                  WHERE ps IS NOT NULL),
+            a AS (SELECT user_id, count(*)::BIGINT AS n,
+                         sum(gp)::BIGINT AS s, sum(gp * gp)::BIGINT AS ss
+                  FROM g GROUP BY 1),
+            m AS (SELECT user_id, n, s / CAST(n AS DOUBLE) AS mu,
+                         ss / CAST(n AS DOUBLE)
+                         - (s / CAST(n AS DOUBLE))
+                           * (s / CAST(n AS DOUBLE)) AS var
+                  FROM a WHERE n >= 2)
+            SELECT user_id, n AS n_gaps, round(mu, 4) AS mean_gap_s,
+                   round(CASE WHEN sqrt(greatest(var, 0)) + mu > 0
+                              THEN (sqrt(greatest(var, 0)) - mu)
+                                   / (sqrt(greatest(var, 0)) + mu)
+                              ELSE 0.0 END, 6) AS burstiness
+            FROM m ORDER BY user_id
+        """,
+        "events_type_simpson": """
+            WITH c AS (SELECT event_type AS et,
+                              CAST(round(value * 100) AS BIGINT) // 5000
+                                  AS vb,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT et, sum(n)::BIGINT AS ne, count(*)::BIGINT AS nb,
+                         sum(n * (n - 1))::BIGINT AS num
+                  FROM c GROUP BY 1)
+            SELECT et AS event_type, ne AS n_events, nb AS n_bands,
+                   round(num / CAST(ne * (ne - 1) AS DOUBLE), 6) AS simpson
+            FROM a WHERE ne >= 2 ORDER BY event_type
         """,
         "nation_customer_hhi": """
             WITH rev AS (SELECT o_custkey,

@@ -23123,3 +23123,184 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- burstiness profile
+def events_user_burstiness(sf_dir: str, n_buckets: int = 64) -> Dataset:
+    """GOH-BARABÁSI BURSTINESS per user — B = (σ − μ)/(σ + μ) over the
+    user's inter-event gaps in whole seconds: −1 = perfectly regular,
+    0 = Poissonian, → 1 = extremely bursty. The arrival-PROCESS profile
+    per user, complementing the global hourly Fano factor and the
+    gap-distribution KS test. One user-bucket shuffle (the funnel
+    shape); per user the gap moments stay exact ints (seconds; Σg² per
+    user bounded far inside int64) and σ/B are two float ops from those
+    ints, mirrored term-for-term. Users with < 3 events (< 2 gaps) are
+    skipped — σ of one gap is 0 and B = −1 tells nothing."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("mean_gap_s", pa.float64()),
+            ("burstiness", pa.float64()),
+        ]
+    )
+    if ev.count() == 0:
+        return rd.from_arrow(schema.empty_table())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pc.bit_wise_and(t["user_id"], pa.scalar(n_buckets - 1)),
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        us = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        secs = us // 1_000_000
+        gap = np.diff(secs)
+        same = uid[1:] == uid[:-1]
+        df = (
+            pd.DataFrame({"u": uid[1:][same], "g": gap[same]})
+            .assign(g2=lambda d: d["g"] * d["g"], one=1)
+            .groupby("u", sort=False)
+            .agg(n=("one", "sum"), s=("g", "sum"), ss=("g2", "sum"))
+            .reset_index()
+        )
+        df = df[df["n"] >= 2]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "mean_gap_s": pd.Series([], dtype="float64"),
+                    "burstiness": pd.Series([], dtype="float64"),
+                }
+            )
+        n = df["n"].to_numpy(np.int64).astype(np.float64)
+        s = df["s"].to_numpy(np.int64).astype(np.float64)
+        ss = df["ss"].to_numpy(np.int64).astype(np.float64)
+        mu = s / n
+        var = ss / n - mu * mu
+        sigma = np.sqrt(np.maximum(var, 0.0))
+        denom = sigma + mu
+        b = np.where(denom > 0, (sigma - mu) / denom, 0.0)
+        return pd.DataFrame(
+            {
+                "user_id": df["u"].to_numpy(np.int64),
+                "n_gaps": df["n"].to_numpy(np.int64),
+                "mean_gap_s": round_half_away(mu, 4),
+                "burstiness": round_half_away(b, 6),
+            }
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------- Simpson diversity
+SIMPSON_VALUE_BAND_CENTS = 5_000
+
+
+def events_type_simpson(sf_dir: str) -> pa.Table:
+    """SIMPSON DIVERSITY index per event type over $50 value bands —
+    the probability two random events of the type share a band,
+    λ = Σ n_b(n_b−1) / (N(N−1)), and its effective-class complement.
+    The diversity-family member next to the Shannon entropy ops, chosen
+    for its EXACT-INT form: both numerator and denominator are integer
+    sums (band census → Σn(n−1)), ONE division at the end (the NOTES
+    single-division convention)."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_bands", pa.int64()),
+            ("simpson", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "vb": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "et": t["event_type"].to_pylist(),
+                    "vb": cents // SIMPSON_VALUE_BAND_CENTS,
+                }
+            )
+            .groupby(["et", "vb"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "et": pa.array(df["et"].tolist(), pa.string()),
+                "vb": pa.array(df["vb"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "vb": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("et", "vb"), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    g = (
+        cen.assign(num=lambda d: d["n"] * (d["n"] - 1), one=1)
+        .groupby("et", sort=True)
+        .agg(n_events=("n", "sum"), n_bands=("one", "sum"), num=("num", "sum"))
+        .reset_index()
+    )
+    g = g[g["n_events"] >= 2]
+    if g.empty:
+        return schema.empty_table()
+    ne = g["n_events"].to_numpy(np.int64)
+    num = g["num"].to_numpy(np.int64)
+    lam = num.astype(np.float64) / (ne * (ne - 1)).astype(np.float64)
+    return pa.table(
+        {
+            "event_type": pa.array(g["et"].tolist(), pa.string()),
+            "n_events": pa.array(ne, pa.int64()),
+            "n_bands": pa.array(g["n_bands"].to_numpy(np.int64), pa.int64()),
+            "simpson": pa.array(round_half_away(lam, 6), pa.float64()),
+        },
+        schema=schema,
+    )

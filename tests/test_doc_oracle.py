@@ -6183,3 +6183,93 @@ def test_hhi_bounds_and_monopoly_fixture(tmp_path):
     assert r.loc["SOLO_A", "hhi"] == 1.0  # one customer = monopoly
     assert r.loc["SOLO_B", "hhi"] == 1.0
     assert r.loc["SOLO_A", "n_customers"] == 1
+
+
+def test_round4_batch68_queries_match_oracles():
+    """Batch-68 additions (burstiness, Simpson diversity) against their
+    registered oracles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("events_user_burstiness", "events_type_simpson"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+
+
+def test_burstiness_regular_vs_bursty_fixture(tmp_path):
+    """A perfectly regular user reads B = −1; a heavily bursty one
+    (many tiny gaps + one huge gap) reads B > 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    rows = []
+    # user 1: every 100 s exactly (B = -1)
+    for i in range(10):
+        rows.append((i + 1, i * 100_000_000, 1))
+    # user 2: 1-s bursts then a week apart
+    t = 0
+    for i in range(9):
+        gap = 1_000_000 if i % 3 else 604_800_000_000
+        t += gap
+        rows.append((100 + i, t, 2))
+    t_ = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    ).cast(sch)
+    d = str(tmp_path)
+    pq.write_table(t_, os.path.join(d, "events.parquet"))
+    out = q.events_user_burstiness(d).to_pandas().set_index("user_id")
+    assert out.loc[1, "burstiness"] == -1.0
+    assert out.loc[2, "burstiness"] > 0.2
+    assert out.loc[1, "mean_gap_s"] == 100.0
+
+
+def test_simpson_bounds_and_single_band_fixture(tmp_path):
+    """λ lies in [0, 1]; a type whose every value falls in ONE band has
+    λ = 1 (zero diversity)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = q.events_type_simpson(SF).to_pandas()
+    assert ((out["simpson"] >= 0) & (out["simpson"] <= 1)).all()
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    t_ = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["mono"] * 3, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),  # one $50 band
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    ).cast(sch)
+    d = str(tmp_path)
+    pq.write_table(t_, os.path.join(d, "events.parquet"))
+    r = q.events_type_simpson(d).to_pandas()
+    assert r["simpson"].iloc[0] == 1.0
+    assert r["n_bands"].iloc[0] == 1
