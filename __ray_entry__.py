@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_hhi": q.nation_customer_hhi,
         "events_user_burstiness": q.events_user_burstiness,
         "events_type_simpson": q.events_type_simpson,
+        "events_type_load_factor": q.events_type_load_factor,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1603,6 +1604,20 @@ def oracle_sql() -> dict[str, str]:
                                    / (sqrt(greatest(var, 0)) + mu)
                               ELSE 0.0 END, 6) AS burstiness
             FROM m ORDER BY user_id
+        """,
+        "events_type_load_factor": """
+            WITH c AS (SELECT event_type AS et,
+                              epoch_us(ts) // 3600000000 AS h,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT et, sum(n)::BIGINT AS total, max(n)::BIGINT AS peak,
+                         (max(h) - min(h) + 1)::BIGINT AS span
+                  FROM c GROUP BY 1)
+            SELECT et AS event_type, total AS n_events,
+                   span AS span_hours, peak AS peak_hour_events,
+                   round(peak * span / CAST(total AS DOUBLE), 6)
+                       AS load_factor
+            FROM a ORDER BY event_type
         """,
         "events_type_simpson": """
             WITH c AS (SELECT event_type AS et,

@@ -23304,3 +23304,94 @@ def events_type_simpson(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- peak load factor
+def events_type_load_factor(sf_dir: str) -> pa.Table:
+    """PEAK-TO-MEAN LOAD FACTOR per event type (the capacity-planning
+    number behind provisioning: how much hotter is the peak hour than
+    the average hour?): over each type's hour span, load = peak·span /
+    total — the all-integer form of peak/mean with ONE final division
+    (single-division convention). One hourly (type, hour) census
+    (domain-bounded); span from per-type min/max hour."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "ts"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("span_hours", pa.int64()),
+            ("peak_hour_events", pa.int64()),
+            ("load_factor", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "h": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        h = _ts_us(t) // _HOUR_US
+        df = (
+            pd.DataFrame({"et": t["event_type"].to_pylist(), "h": h})
+            .groupby(["et", "h"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "et": pa.array(df["et"].tolist(), pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "h": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("et", "h"), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    g = (
+        cen.groupby("et", sort=True)
+        .agg(
+            total=("n", "sum"),
+            peak=("n", "max"),
+            hmin=("h", "min"),
+            hmax=("h", "max"),
+        )
+        .reset_index()
+    )
+    span = (g["hmax"] - g["hmin"] + 1).to_numpy(np.int64)
+    peak = g["peak"].to_numpy(np.int64)
+    total = g["total"].to_numpy(np.int64)
+    load = (peak * span).astype(np.float64) / total.astype(np.float64)
+    return pa.table(
+        {
+            "event_type": pa.array(g["et"].tolist(), pa.string()),
+            "n_events": pa.array(total, pa.int64()),
+            "span_hours": pa.array(span, pa.int64()),
+            "peak_hour_events": pa.array(peak, pa.int64()),
+            "load_factor": pa.array(round_half_away(load, 6), pa.float64()),
+        },
+        schema=schema,
+    )

@@ -6273,3 +6273,25 @@ def test_simpson_bounds_and_single_band_fixture(tmp_path):
     r = q.events_type_simpson(d).to_pandas()
     assert r["simpson"].iloc[0] == 1.0
     assert r["n_bands"].iloc[0] == 1
+
+
+def test_round4_batch69_load_factor_matches_oracle_and_bounds():
+    """Load factor against its oracle; λ ≥ 1 always (peak ≥ mean), and
+    = 1 only for a perfectly flat hourly profile."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_type_load_factor"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["events_type_load_factor"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    assert (got["load_factor"] >= 1.0).all()
+    assert (got["peak_hour_events"] <= got["n_events"]).all()
