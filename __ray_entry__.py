@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_burstiness": q.events_user_burstiness,
         "events_type_simpson": q.events_type_simpson,
         "events_type_load_factor": q.events_type_load_factor,
+        "events_value_lorenz": q.events_value_lorenz,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1604,6 +1605,32 @@ def oracle_sql() -> dict[str, str]:
                                    / (sqrt(greatest(var, 0)) + mu)
                               ELSE 0.0 END, 6) AS burstiness
             FROM m ORDER BY user_id
+        """,
+        "events_value_lorenz": """
+            WITH pu AS (SELECT user_id,
+                               sum(CAST(round(value * 100) AS BIGINT))
+                                   ::BIGINT AS c
+                        FROM events GROUP BY 1),
+            r AS (SELECT c,
+                         row_number() OVER (ORDER BY c ASC, user_id ASC)
+                             AS rn,
+                         sum(c) OVER (ORDER BY c ASC, user_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cum
+                  FROM pu),
+            u AS (SELECT count(*)::BIGINT AS nu, sum(c)::BIGINT AS tot
+                  FROM pu),
+            d(dec) AS (VALUES (1), (2), (3), (4), (5),
+                              (6), (7), (8), (9), (10)),
+            pick AS (SELECT dec, (dec * (SELECT nu FROM u)) // 10 AS k
+                     FROM d)
+            SELECT dec::BIGINT AS decile, k AS cum_users,
+                   coalesce((SELECT cum FROM r WHERE rn = pick.k), 0)
+                       ::BIGINT AS cum_value_cents,
+                   round(coalesce((SELECT cum FROM r WHERE rn = pick.k), 0)
+                         / CAST((SELECT tot FROM u) AS DOUBLE), 6)
+                       AS cum_value_share
+            FROM pick ORDER BY decile
         """,
         "events_type_load_factor": """
             WITH c AS (SELECT event_type AS et,

@@ -23395,3 +23395,113 @@ def events_type_load_factor(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# --------------------------------------------------- Lorenz curve points
+def events_value_lorenz(sf_dir: str) -> pa.Table:
+    """LORENZ CURVE at user deciles over per-user value totals — the
+    distribution-shape companion to the Gini coefficient (same census,
+    readable inequality: "the bottom 50% of users hold X% of value").
+    Shape mirrors ``events_user_gini``: one user-key sum groupby, then
+    the (total-cents, multiplicity) census; every decile point is exact
+    ints (cum_users = d·U//10, cum cents via block-closed-form over the
+    sorted census — ties are interchangeable, so the boundary value is
+    well-defined), one 6-dp share division per row."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["user_id", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("decile", pa.int64()),
+            ("cum_users", pa.int64()),
+            ("cum_value_cents", pa.int64()),
+            ("cum_value_share", pa.float64()),
+        ]
+    )
+
+    def pu_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "c": cents,
+                }
+            )
+            .groupby("user_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(pu_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    cen = pa.concat_tables(
+        [pa.table({"v": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                per_user.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "v": t["c"],
+                            "m": pa.array(np.ones(t.num_rows, np.int64)),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                group_sum_merge(("v",), ("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("v")
+    v = cen["v"].to_numpy(np.int64)
+    m = cen["m"].to_numpy(np.int64)
+    cumm = np.cumsum(m)
+    cumc = np.cumsum(v * m)
+    U = int(cumm[-1])
+    tot = int(cumc[-1])
+    rows = []
+    for d in range(1, 11):
+        k = d * U // 10
+        if k == 0:
+            cents = 0
+        else:
+            j = int(np.searchsorted(cumm, k, side="left"))
+            before_m = int(cumm[j - 1]) if j > 0 else 0
+            before_c = int(cumc[j - 1]) if j > 0 else 0
+            cents = before_c + (k - before_m) * int(v[j])
+        share = cents / float(tot) if tot else 0.0
+        rows.append((d, k, cents, float(round_half_away(np.array([share]), 6)[0])))
+    return pa.table(
+        {
+            "decile": pa.array([r[0] for r in rows], pa.int64()),
+            "cum_users": pa.array([r[1] for r in rows], pa.int64()),
+            "cum_value_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "cum_value_share": pa.array([r[3] for r in rows], pa.float64()),
+        },
+        schema=schema,
+    )

@@ -6295,3 +6295,30 @@ def test_round4_batch69_load_factor_matches_oracle_and_bounds():
     )
     assert (got["load_factor"] >= 1.0).all()
     assert (got["peak_hour_events"] <= got["n_events"]).all()
+
+
+def test_round4_batch70_lorenz_matches_oracle_and_shape():
+    """Lorenz points against the oracle; the curve is convex-increasing
+    (shares non-decreasing, below the diagonal) and ends at 100%."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_value_lorenz"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["events_value_lorenz"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    out = got.sort_values("decile")
+    assert out["cum_value_share"].is_monotonic_increasing
+    assert out["cum_value_share"].iloc[-1] == 1.0
+    # Lorenz curves sit on or below the diagonal
+    assert (
+        out["cum_value_share"] <= out["decile"] / 10.0 + 1e-9
+    ).all()
