@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_simpson": q.events_type_simpson,
         "events_type_load_factor": q.events_type_load_factor,
         "events_value_lorenz": q.events_value_lorenz,
+        "events_dataset_card": q.events_dataset_card,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1605,6 +1606,21 @@ def oracle_sql() -> dict[str, str]:
                                    / (sqrt(greatest(var, 0)) + mu)
                               ELSE 0.0 END, 6) AS burstiness
             FROM m ORDER BY user_id
+        """,
+        "events_dataset_card": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(DISTINCT event_type)::BIGINT AS n_types,
+                   min(epoch_us(ts))::BIGINT AS ts_min_us,
+                   max(epoch_us(ts))::BIGINT AS ts_max_us,
+                   (max(epoch_us(ts)) // 86400000000
+                    - min(epoch_us(ts)) // 86400000000 + 1)::BIGINT
+                       AS span_days,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS value_sum_cents,
+                   sum(CASE WHEN CAST(round(value * 100) AS BIGINT) = 0
+                            THEN 1 ELSE 0 END)::BIGINT AS n_zero_value
+            FROM events
         """,
         "events_value_lorenz": """
             WITH pu AS (SELECT user_id,

@@ -23505,3 +23505,115 @@ def events_value_lorenz(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# --------------------------------------------------- dataset card
+def events_dataset_card(sf_dir: str) -> pa.Table:
+    """DATASET CARD for the events table (the one-row summary a data
+    release ships: volume, entity counts, time span, value totals,
+    degenerate-row counts) — the events-side companion to
+    ``lineitem_profile``. Exact ints end-to-end: one fixed-width
+    moments census (rows, null timestamps, zero/negative values, value
+    cents sum, min/max ts) + the exact distinct-user count composed
+    from the oracled ``events_user_count`` two-level reduce + a
+    type-cardinality census."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    schema = pa.schema(
+        [
+            ("n_rows", pa.int64()),
+            ("n_users", pa.int64()),
+            ("n_types", pa.int64()),
+            ("ts_min_us", pa.int64()),
+            ("ts_max_us", pa.int64()),
+            ("span_days", pa.int64()),
+            ("value_sum_cents", pa.int64()),
+            ("n_zero_value", pa.int64()),
+        ]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                    "sc": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.int64()),
+                }
+            )
+        us = _ts_us(t)
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "mn": pa.array([int(us.min())], pa.int64()),
+                "mx": pa.array([int(us.max())], pa.int64()),
+                "sc": pa.array([int(cents.sum())], pa.int64()),
+                "z": pa.array([int((cents == 0).sum())], pa.int64()),
+            }
+        )
+
+    mom = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                    "sc": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(moments, batch_format="pyarrow"),
+                group_agg_merge(
+                    ("k",), sums=("n", "sc", "z"), mins=("mn",), maxs=("mx",)
+                ),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mom.num_rows == 0:
+        return schema.empty_table()
+    n_users = int(
+        events_user_count(sf_dir).to_pandas()["n_users"].iloc[0]
+    )
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        vals = sorted(set(t["event_type"].to_pylist()))
+        return pa.table({"et": pa.array(vals, pa.string())})
+
+    n_types = (
+        ev.map_batches(type_partial, batch_format="pyarrow")
+        .groupby("et")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    mn = int(mom["mn"][0].as_py())
+    mx = int(mom["mx"][0].as_py())
+    return pa.table(
+        {
+            "n_rows": pa.array([int(mom["n"][0].as_py())], pa.int64()),
+            "n_users": pa.array([n_users], pa.int64()),
+            "n_types": pa.array([int(n_types)], pa.int64()),
+            "ts_min_us": pa.array([mn], pa.int64()),
+            "ts_max_us": pa.array([mx], pa.int64()),
+            "span_days": pa.array([mx // _DAY_US - mn // _DAY_US + 1], pa.int64()),
+            "value_sum_cents": pa.array([int(mom["sc"][0].as_py())], pa.int64()),
+            "n_zero_value": pa.array([int(mom["z"][0].as_py())], pa.int64()),
+        },
+        schema=schema,
+    )

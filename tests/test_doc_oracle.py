@@ -6322,3 +6322,28 @@ def test_round4_batch70_lorenz_matches_oracle_and_shape():
     assert (
         out["cum_value_share"] <= out["decile"] / 10.0 + 1e-9
     ).all()
+
+
+def test_round4_batch71_dataset_card_matches_oracle():
+    """The events dataset card against its oracle; internal consistency
+    (span covers the data, zero-value count bounded by rows)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_dataset_card"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["events_dataset_card"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    row = got.iloc[0]
+    assert row["ts_min_us"] <= row["ts_max_us"]
+    assert row["span_days"] >= 1
+    assert row["n_zero_value"] <= row["n_rows"]
+    assert row["n_users"] <= row["n_rows"]
