@@ -21928,12 +21928,18 @@ def lineitem_encoding_advisor(sf_dir: str) -> pa.Table:
     )
 
     def distinct_rows(t: pa.Table) -> pa.Table:
+        # vectorized: Arrow unique per column, ONE pandas str cast over
+        # the (small) unique set — not a Python loop over corpus rows
         out_c, out_v = [], []
         for c in cols:
-            vals = t[c].to_pylist()
-            for v in set(str(x) for x in vals):
-                out_c.append(c)
-                out_v.append(v)
+            uniq = pc.unique(
+                t[c].combine_chunks()
+                if isinstance(t[c], pa.ChunkedArray)
+                else t[c]
+            )
+            vals = pd.Series(uniq.to_pylist()).astype(str).tolist()
+            out_c.extend([c] * len(vals))
+            out_v.extend(vals)
         return pa.table(
             {
                 "col": pa.array(out_c, pa.string()),
@@ -21991,7 +21997,7 @@ def lineitem_encoding_advisor(sf_dir: str) -> pa.Table:
             out_n.append(t.num_rows)
             if kinds[c] == "varchar":
                 out_rb.append(
-                    int(sum(len(str(v)) for v in t[c].to_pylist()))
+                    int(pc.sum(pc.utf8_length(t[c])).as_py() or 0)
                     + 4 * t.num_rows  # Arrow offset array
                 )
             else:
