@@ -22428,7 +22428,7 @@ def lineitem_join_pruning_audit(sf_dir: str) -> pa.Table:
     if not fk:
         return schema.empty_table()
     kmin, kmax = min(fk), max(fk)
-    fk_ref = ray.put(frozenset(fk))
+    fk_ref = ray.put(np.array(sorted(fk), dtype=np.int64))
 
     def kmax_pass(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -22481,9 +22481,9 @@ def lineitem_join_pruning_audit(sf_dir: str) -> pa.Table:
             us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
             + 1970 * 12
         )
-        match = np.fromiter(
-            (int(k) in members for k in ok), dtype=bool, count=len(ok)
-        )
+        # vectorized membership: sorted broadcast array + np.isin — the
+        # Python per-row `in set` loop was the batch hot spot
+        match = np.isin(ok, members, assume_unique=False)
         frames = []
         for layout, fid in (
             ("orderkey_range", ok * JOINPRUNE_FILES // (max_key + 1)),
