@@ -131,6 +131,67 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_edge_weight_gini(sf_dir: str) -> Any:
+    """Graph analytics: Gini coefficient of the edge-weight
+    distribution — "is the graph's mass concentrated on a few hot
+    relations?" (the inequality-family member on the KG side). One
+    (weight, multiplicity) census over the edge table (weight-domain-
+    bounded) + the events_user_gini closed form on the driver."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neuroner_ray.functions.rounding import round_half_away
+    from neuroner_ray.runtime.combine import group_sum_merge, tree_combine
+
+    edges = _kg_tables(sf_dir)["edges"]
+    cen = pa.concat_tables(
+        [pa.table({"v": pa.array([], pa.int64()),
+                   "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                edges.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "v": t["weight"].cast(pa.int64()),
+                            "m": pa.array(
+                                np.ones(t.num_rows, np.int64)
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                group_sum_merge(("v",), ("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    schema = pa.schema(
+        [
+            ("n_edges", pa.int64()),
+            ("total_weight", pa.int64()),
+            ("gini", pa.float64()),
+        ]
+    )
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("v")
+    v = cen["v"].to_numpy("int64")
+    m = cen["m"].to_numpy("int64")
+    offsets = np.concatenate([[0], np.cumsum(m)[:-1]])
+    A = int(np.sum(v * (m * offsets + m * (m + 1) // 2)))
+    B = int(np.sum(v * m))
+    n = int(m.sum())
+    gini = 2.0 * A / (n * B) - (n + 1.0) / n
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "total_weight": pa.array([B], pa.int64()),
+            "gini": pa.array(round_half_away([gini], 4), pa.float64()),
+        },
+        schema=schema,
+    )
+
+
 def kg_edge_reciprocity(sf_dir: str) -> Any:
     """Graph analytics: mutual-edge fraction of the distinct directed
     edge set (two edge-bounded shuffles + one fixed-width scalar row)."""
@@ -367,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_edges3": kg_incremental_edges3,
         "kg_assortativity": kg_assortativity,
         "kg_edge_reciprocity": kg_edge_reciprocity,
+        "kg_edge_weight_gini": kg_edge_weight_gini,
         "kg_twohop_reach": kg_twohop_reach,
         "kg_adamic_adar": kg_adamic_adar,
         "kg_clustering": kg_clustering,
@@ -487,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_load_factor": q.events_type_load_factor,
         "events_value_lorenz": q.events_value_lorenz,
         "events_dataset_card": q.events_dataset_card,
+        "events_ab_srm_check": q.events_ab_srm_check,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -941,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree": ko.kg_degree_sql(tglob),
         "kg_assortativity": ko.kg_assortativity_sql(tglob),
         "kg_edge_reciprocity": ko.kg_edge_reciprocity_sql(tglob),
+        "kg_edge_weight_gini": ko.kg_edge_weight_gini_sql(tglob),
         "doc_jaccard_clusters": do.doc_jaccard_clusters_sql(),
         "kg_components": ko.kg_components_sql(tglob),
         "kg_triangles": ko.kg_triangles_sql(tglob),
@@ -1606,6 +1670,20 @@ def oracle_sql() -> dict[str, str]:
                                    / (sqrt(greatest(var, 0)) + mu)
                               ELSE 0.0 END, 6) AS burstiness
             FROM m ORDER BY user_id
+        """,
+        "events_ab_srm_check": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            a AS (SELECT md5_number_upper(user_id::VARCHAR) % 2 AS arm
+                  FROM u),
+            c AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                             AS na,
+                         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                             AS nb
+                  FROM a)
+            SELECT na AS n_users_a, nb AS n_users_b,
+                   round((na - nb) * (na - nb)
+                         / CAST(na + nb AS DOUBLE), 6) AS srm_chi2
+            FROM c
         """,
         "events_dataset_card": """
             SELECT count(*)::BIGINT AS n_rows,

@@ -924,3 +924,21 @@ def kg_richclub_sql(transcripts_glob: str) -> str:
                END AS phi
         FROM nk JOIN ek USING (k)
     """
+
+
+def kg_edge_weight_gini_sql(transcripts_glob: str) -> str:
+    """Gini coefficient over the KG edge-weight distribution — mirrors
+    the ``events_user_gini`` closed form (2A/(nB) − (n+1)/n over
+    ascending weights; tie order is immaterial because tied weights
+    contribute equal terms under any rank permutation)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        w AS (SELECT weight AS c FROM edges),
+        r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM w),
+        s AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS b,
+                     sum(i * c)::BIGINT AS a
+              FROM r)
+        SELECT n AS n_edges, b AS total_weight,
+               round(2.0 * a / (n * b) - (n + 1.0) / n, 4) AS gini
+        FROM s WHERE n > 0
+    """

@@ -23623,3 +23623,87 @@ def events_dataset_card(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- SRM guardrail
+def events_ab_srm_check(sf_dir: str) -> pa.Table:
+    """SAMPLE-RATIO-MISMATCH check — the experimentation guardrail run
+    BEFORE reading any A/B result (a skewed split invalidates the
+    z-test downstream): under the md5-parity 50/50 assignment (the
+    split-assign convention shared with the z-test/CUPED ops), the
+    2-arm equal-split χ² collapses to (n_A − n_B)²/(n_A + n_B) — an
+    exact-int numerator and ONE division (single-division convention).
+    One user-distinct reduce → two fixed census rows; the consumer
+    compares χ² against its 1-dof threshold (3.84 at α=.05)."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
+    schema = pa.schema(
+        [
+            ("n_users_a", pa.int64()),
+            ("n_users_b", pa.int64()),
+            ("srm_chi2", pa.float64()),
+        ]
+    )
+
+    def user_rows(t: pa.Table) -> pa.Table:
+        users = sorted(set(t["user_id"].to_pylist()))
+        return pa.table({"user_id": pa.array(users, pa.int64())})
+
+    per_user = (
+        ev.map_batches(user_rows, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def arm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "arm": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        arms = []
+        for u in t["user_id"].to_pylist():
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode("utf-8")).digest()[:8], "little"
+            )  # md5_number_upper replay (split-assign convention)
+            arms.append("A" if h % 2 == 0 else "B")
+        df = (
+            pd.DataFrame({"arm": arms})
+            .groupby("arm", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "arm": pa.array(df["arm"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"arm": pa.array([], pa.string()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                per_user.map_batches(arm_partial, batch_format="pyarrow"),
+                group_sum_merge(("arm",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    row = cen.set_index("arm")["n"]
+    na = int(row.get("A", 0))
+    nb = int(row.get("B", 0))
+    chi2 = ((na - nb) ** 2) / float(na + nb) if na + nb else 0.0
+    return pa.table(
+        {
+            "n_users_a": pa.array([na], pa.int64()),
+            "n_users_b": pa.array([nb], pa.int64()),
+            "srm_chi2": pa.array(
+                round_half_away(np.array([chi2]), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

@@ -6347,3 +6347,27 @@ def test_round4_batch71_dataset_card_matches_oracle():
     assert row["span_days"] >= 1
     assert row["n_zero_value"] <= row["n_rows"]
     assert row["n_users"] <= row["n_rows"]
+
+
+def test_round4_batch72_srm_matches_oracle_and_balance():
+    """SRM χ² against its oracle; the md5-parity split on the fixture
+    must be UNFLAGGED (χ² below the 1-dof α=.05 threshold) — a planted
+    imbalance would read far above it."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_ab_srm_check"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["events_ab_srm_check"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    row = got.iloc[0]
+    assert row["srm_chi2"] < 3.84  # healthy hash split
+    assert row["n_users_a"] + row["n_users_b"] > 0
