@@ -550,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_lorenz": q.events_value_lorenz,
         "events_dataset_card": q.events_dataset_card,
         "events_ab_srm_check": q.events_ab_srm_check,
+        "events_type_cond_entropy_terms": q.events_type_cond_entropy_terms,
+        "doc_compression_ratio": q.doc_compression_ratio,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1671,6 +1673,25 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS burstiness
             FROM m ORDER BY user_id
         """,
+        "events_type_cond_entropy_terms": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events),
+            c AS (SELECT prev_type, event_type AS next_type,
+                         count(*)::BIGINT AS n_pn
+                  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT prev_type, sum(n_pn)::BIGINT AS n_p
+                    FROM c GROUP BY 1)
+            SELECT c.prev_type, c.next_type, c.n_pn, tot.n_p,
+                   round(c.n_pn * log2(tot.n_p / CAST(c.n_pn AS DOUBLE)),
+                         6) AS term
+            FROM c JOIN tot ON tot.prev_type = c.prev_type
+            ORDER BY c.prev_type, c.next_type
+        """,
+        "doc_compression_ratio": do.doc_compression_ratio_sql(oracle_sf),
         "events_ab_srm_check": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
             a AS (SELECT md5_number_upper(user_id::VARCHAR) % 2 AS arm

@@ -1274,3 +1274,46 @@ def cluster_agreement_sql(
                END AS agreement
         FROM agg
     """
+
+
+def doc_compression_ratio_sql(
+    sf_dir: str = "/root/testdata/sf0.01", level: int = 6
+) -> str:
+    """Compression-ratio oracle (``queries.doc_compression_ratio``):
+    zlib at a fixed level is deterministic, so the builder recomputes
+    each doc's compressed byte count locally (stdlib zlib — no shared
+    code) and embeds (doc_id, comp_bytes); raw byte counts and the
+    ratio division stay SQL-derived from the real table."""
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = (txt or "").encode("utf-8")
+        pairs.append((int(did), len(zlib.compress(b, level))))
+    if not pairs:
+        return """
+            SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS raw_bytes,
+                   CAST(NULL AS BIGINT) AS comp_bytes,
+                   CAST(NULL AS DOUBLE) AS ratio
+            WHERE false
+        """
+    values = ", ".join(f"({d}, {c})" for d, c in sorted(pairs))
+    return f"""
+        WITH cz(did, cb) AS (VALUES {values})
+        SELECT d.doc_id,
+               strlen(coalesce(d.text, ''))::BIGINT AS raw_bytes,
+               cz.cb::BIGINT AS comp_bytes,
+               CASE WHEN strlen(coalesce(d.text, '')) = 0 THEN 0.0
+                    ELSE round(cz.cb
+                               / CAST(strlen(coalesce(d.text, ''))
+                                      AS DOUBLE), 6)
+               END AS ratio
+        FROM documents d JOIN cz ON cz.did = d.doc_id
+    """

@@ -23707,3 +23707,87 @@ def events_ab_srm_check(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------- conditional entropy terms
+def events_type_cond_entropy_terms(sf_dir: str) -> pa.Table:
+    """CONDITIONAL-ENTROPY terms of the event-type Markov chain —
+    H(next | prev), the sequence-compressibility number (how predictable
+    is the next action given the current one?) that complements the MI
+    and transition-census ops. Per the per-cell-term convention the
+    operator emits one row per (prev, next) cell with the exact integer
+    counts and the term n_pn·log₂(n_p / n_pn) (ONE log of an exact-int
+    ratio, 6 dp); the consumer sums terms / N for H. Composes the
+    oracled transition census (one bucket shuffle) with a driver sweep
+    over the #types² cells."""
+    trans = events_type_transitions(sf_dir)
+    trans = trans if isinstance(trans, pd.DataFrame) else trans.to_pandas()
+    schema = pa.schema(
+        [
+            ("prev_type", pa.string()),
+            ("next_type", pa.string()),
+            ("n_pn", pa.int64()),
+            ("n_p", pa.int64()),
+            ("term", pa.float64()),
+        ]
+    )
+    if trans.empty:
+        return schema.empty_table()
+    totals = trans.groupby("prev_type")["n"].sum()
+    trans = trans.sort_values(["prev_type", "next_type"])
+    n_pn = trans["n"].to_numpy(np.int64)
+    n_p = totals.loc[trans["prev_type"]].to_numpy(np.int64)
+    term = n_pn * np.log2(n_p / n_pn.astype(np.float64))
+    return pa.table(
+        {
+            "prev_type": pa.array(trans["prev_type"].tolist(), pa.string()),
+            "next_type": pa.array(trans["next_type"].tolist(), pa.string()),
+            "n_pn": pa.array(n_pn, pa.int64()),
+            "n_p": pa.array(n_p, pa.int64()),
+            "term": pa.array(round_half_away(term, 6), pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------- compression-ratio signal
+ZLIB_LEVEL = 6
+
+
+def doc_compression_ratio(sf_dir: str) -> Dataset:
+    """ZLIB COMPRESSION RATIO per document — the Gopher-family quality
+    signal the repetition heuristics approximate: highly compressible
+    text IS repetitive/templated text, measured directly. Pure per-doc
+    map (zlib level 6 — stdlib, deterministic bytes across platforms
+    for a fixed level); ratio = compressed/raw over exact byte counts,
+    one 6-dp division. The oracle (IVF precedent) recomputes the
+    deterministic compressed sizes locally and embeds them; raw sizes
+    stay SQL-derived."""
+    import zlib
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def ratios(t: pa.Table) -> pa.Table:
+        ids, raw, comp, rat = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = (txt or "").encode("utf-8")
+            c = len(zlib.compress(b, ZLIB_LEVEL))
+            ids.append(did)
+            raw.append(len(b))
+            comp.append(c)
+            rat.append(c / len(b) if b else 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "raw_bytes": pa.array(raw, pa.int64()),
+                "comp_bytes": pa.array(comp, pa.int64()),
+                "ratio": pa.array(
+                    round_half_away(np.array(rat, np.float64), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(ratios, batch_format="pyarrow")

@@ -6371,3 +6371,43 @@ def test_round4_batch72_srm_matches_oracle_and_balance():
     row = got.iloc[0]
     assert row["srm_chi2"] < 3.84  # healthy hash split
     assert row["n_users_a"] + row["n_users_b"] > 0
+
+
+def test_round4_batch73_queries_match_oracles_and_properties():
+    """Batch-73 (conditional-entropy terms, compression ratio) against
+    their oracles; H(next|prev) summed from terms is bounded by log2 of
+    the type count, and templated text compresses harder than unique
+    text."""
+    import os
+    import zlib
+
+    import numpy as np
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("events_type_cond_entropy_terms", "doc_compression_ratio"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    terms = queries["events_type_cond_entropy_terms"](SF)
+    terms = terms if isinstance(terms, pd.DataFrame) else terms.to_pandas()
+    H = terms["term"].sum() / terms["n_pn"].sum()
+    n_types = terms["prev_type"].nunique()
+    assert 0.0 <= H <= np.log2(n_types) + 1e-9
+    # direct zlib sanity: repeated text compresses below unique text
+    rep = len(zlib.compress((b"the cat sat " * 50), 6)) / (12 * 50)
+    uniq = len(zlib.compress(bytes(range(256)) * 2, 6)) / 512
+    assert rep < uniq
