@@ -552,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_srm_check": q.events_ab_srm_check,
         "events_type_cond_entropy_terms": q.events_type_cond_entropy_terms,
         "doc_compression_ratio": q.doc_compression_ratio,
+        "doc_dedup_savings": q.doc_dedup_savings,
+        "lineitem_selectivity_audit": q.lineitem_selectivity_audit,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1692,6 +1694,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.prev_type, c.next_type
         """,
         "doc_compression_ratio": do.doc_compression_ratio_sql(oracle_sf),
+        "doc_dedup_savings": do.doc_dedup_savings_sql(),
+        "lineitem_selectivity_audit": """
+            WITH f AS (SELECT CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END
+                              AS a,
+                              CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END
+                              AS b,
+                              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                              AS c
+                       FROM lineitem),
+            s AS (SELECT count(*)::BIGINT AS n, sum(a)::BIGINT AS na,
+                         sum(b)::BIGINT AS nb, sum(c)::BIGINT AS nc,
+                         sum(a * b)::BIGINT AS nab,
+                         sum(a * c)::BIGINT AS nac,
+                         sum(b * c)::BIGINT AS nbc
+                  FROM f),
+            arms AS (
+                SELECT 'qty_and_disc' AS pair, na AS n_i, nb AS n_j,
+                       nab AS n_ij, n FROM s
+                UNION ALL
+                SELECT 'qty_and_flag', na, nc, nac, n FROM s
+                UNION ALL
+                SELECT 'disc_and_flag', nb, nc, nbc, n FROM s)
+            SELECT pair, n_i, n_j, n_ij,
+                   round(n_ij / CAST(n AS DOUBLE), 6) AS sel_observed,
+                   round((n_i / CAST(n AS DOUBLE))
+                         * (n_j / CAST(n AS DOUBLE)), 6) AS sel_predicted,
+                   round(CASE WHEN n_i = 0 OR n_j = 0 THEN 0.0
+                         ELSE (n_ij / CAST(n AS DOUBLE))
+                              / ((n_i / CAST(n AS DOUBLE))
+                                 * (n_j / CAST(n AS DOUBLE)))
+                         END, 6) AS correlation_ratio
+            FROM arms ORDER BY pair
+        """,
         "events_ab_srm_check": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
             a AS (SELECT md5_number_upper(user_id::VARCHAR) % 2 AS arm

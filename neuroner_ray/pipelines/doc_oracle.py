@@ -1317,3 +1317,41 @@ def doc_compression_ratio_sql(
                END AS ratio
         FROM documents d JOIN cz ON cz.did = d.doc_id
     """
+
+
+def doc_dedup_savings_sql(threshold: float = 0.7) -> str:
+    """Dedup-savings oracle (``queries.doc_dedup_savings``): the MinHash
+    cluster closure (the doc_minhash_dedup construction) joined to
+    byte sizes; survivors = min-id members; exact-int counts + two 6-dp
+    fractions."""
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte(threshold)},
+        sym AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        ),
+        lab AS (SELECT src AS doc_id, min(dst)::BIGINT AS cl
+                FROM reach GROUP BY src),
+        sz AS (SELECT l.cl, count(*)::BIGINT AS n,
+                      sum(strlen(coalesce(d.text, '')))::BIGINT AS b,
+                      min(l.doc_id)::BIGINT AS surv
+               FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+               GROUP BY 1),
+        sb AS (SELECT sum(strlen(coalesce(d.text, '')))::BIGINT AS s
+               FROM sz JOIN documents d ON d.doc_id = sz.surv)
+        SELECT (SELECT sum(n) FROM sz)::BIGINT AS n_docs,
+               (SELECT count(*) FROM sz)::BIGINT AS n_survivors,
+               (SELECT sum(b) FROM sz)::BIGINT AS total_bytes,
+               (SELECT s FROM sb)::BIGINT AS survivor_bytes,
+               round(1.0 - (SELECT count(*) FROM sz)
+                     / CAST((SELECT sum(n) FROM sz) AS DOUBLE), 6)
+                   AS doc_savings_frac,
+               round(1.0 - (SELECT s FROM sb)
+                     / CAST((SELECT sum(b) FROM sz) AS DOUBLE), 6)
+                   AS byte_savings_frac
+    """

@@ -23791,3 +23791,303 @@ def doc_compression_ratio(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(ratios, batch_format="pyarrow")
+
+
+# ------------------------------------------------- dedup savings
+def doc_dedup_savings(sf_dir: str) -> pa.Table:
+    """DEDUP SAVINGS estimate — the capacity number a curation run is
+    justified by: if near-dup clusters (the oracled MinHash closure)
+    keep only their min-id survivor, how many documents and bytes
+    disappear?  Composes the cluster labels with a per-doc byte census:
+    one cogroup on doc_id attaches sizes, one cluster-key groupby keeps
+    the survivor byte count (Min over (cluster, doc) — survivor = min
+    id, deterministic), fixed-width partial sums finish. Exact ints +
+    two 6-dp fractions."""
+    labels = doc_minhash_dedup(sf_dir)
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    schema = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("n_survivors", pa.int64()),
+            ("total_bytes", pa.int64()),
+            ("survivor_bytes", pa.int64()),
+            ("doc_savings_frac", pa.float64()),
+            ("byte_savings_frac", pa.float64()),
+        ]
+    )
+
+    def sizes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "nb": pa.array(
+                    [
+                        len((x or "").encode("utf-8"))
+                        for x in t["text"].to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+                "cluster_id": pa.array([-1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    def labeled(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "nb": pa.array([-1] * t.num_rows, pa.int64()),
+                "cluster_id": t["cluster_id"].cast(pa.int64()),
+            }
+        )
+
+    joined = (
+        docs.map_batches(sizes, batch_format="pyarrow")
+        .union(labels.map_batches(labeled, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(
+            Max("nb", alias_name="nb"),
+            Max("cluster_id", alias_name="cluster_id"),
+        )
+    )
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "surv_doc": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame(
+                {
+                    "cluster_id": t["cluster_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "doc_id": t["doc_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "nb": t["nb"].to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            )
+            .groupby("cluster_id", sort=False)
+            .agg(n=("nb", "size"), b=("nb", "sum"), surv_doc=("doc_id", "min"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    df["cluster_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
+                "surv_doc": pa.array(
+                    df["surv_doc"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    # cluster-key reduce: doc/byte totals + the deterministic min-id
+    # survivor per cluster
+    per_cl = (
+        joined.map_batches(per_cluster, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("b", alias_name="b"),
+            Min("surv_doc", alias_name="surv_doc"),
+        )
+    )
+    # survivor bytes: one more pass over the (doc_id, nb) pairs against
+    # the broadcast survivor-id set (cluster-count-sized)
+    surv_ids: set = set()
+    tot_docs = tot_bytes = n_clusters = 0
+    for bt in per_cl.iter_batches(batch_format="pyarrow"):
+        surv_ids.update(bt["surv_doc"].to_pylist())
+        tot_docs += int(np.sum(bt["n"].to_numpy(zero_copy_only=False)))
+        tot_bytes += int(np.sum(bt["b"].to_numpy(zero_copy_only=False)))
+        n_clusters += bt.num_rows
+    if tot_docs == 0:
+        return schema.empty_table()
+    sref = ray.put(frozenset(surv_ids))
+
+    def surv_bytes(t: pa.Table) -> pa.Table:
+        members = ray.get(sref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.array(
+            [len((x or "").encode("utf-8")) for x in t["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        keep = np.array([int(i) in members for i in ids], dtype=bool)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "sb": pa.array([int(nb[keep].sum())], pa.int64()),
+            }
+        )
+
+    sb_t = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "sb": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                docs.map_batches(surv_bytes, batch_format="pyarrow"),
+                group_sum_merge(("k",), ("sb",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    surv_b = int(sb_t["sb"][0].as_py()) if sb_t.num_rows else 0
+    return pa.table(
+        {
+            "n_docs": pa.array([tot_docs], pa.int64()),
+            "n_survivors": pa.array([n_clusters], pa.int64()),
+            "total_bytes": pa.array([tot_bytes], pa.int64()),
+            "survivor_bytes": pa.array([surv_b], pa.int64()),
+            "doc_savings_frac": pa.array(
+                round_half_away(
+                    np.array([1.0 - n_clusters / float(tot_docs)]), 6
+                ),
+                pa.float64(),
+            ),
+            "byte_savings_frac": pa.array(
+                round_half_away(
+                    np.array(
+                        [1.0 - surv_b / float(tot_bytes) if tot_bytes else 0.0]
+                    ),
+                    6,
+                ),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ------------------------------------------- selectivity independence
+SEL_QTY_MAX = 25.0
+SEL_DISC_MIN = 0.02
+SEL_FLAG = "R"
+
+
+def lineitem_selectivity_audit(sf_dir: str) -> pa.Table:
+    """PREDICATE-SELECTIVITY INDEPENDENCE audit — the cardinality-
+    estimation error a cost-based optimizer makes when it multiplies
+    single-predicate selectivities: for the three predicates
+    (l_quantity < 25, l_discount > 0.02, l_returnflag = 'R'), the
+    observed selectivity of each single and each pairwise AND next to
+    the independence prediction s_i·s_j, and the ratio observed /
+    predicted (> 1 ⇒ correlated, the classic misestimate source). ONE
+    pass emits the 7 exact-int counts (3 singles, 3 pairs, total) as a
+    fixed-width partial; ratios are single divisions of exact ints."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_discount", "l_returnflag"],
+    )
+    schema = pa.schema(
+        [
+            ("pair", pa.string()),
+            ("n_i", pa.int64()),
+            ("n_j", pa.int64()),
+            ("n_ij", pa.int64()),
+            ("sel_observed", pa.float64()),
+            ("sel_predicted", pa.float64()),
+            ("correlation_ratio", pa.float64()),
+        ]
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in ("n", "a", "b", "c", "ab", "ac", "bc")
+                    },
+                }
+            )
+        qa = (
+            t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+            < SEL_QTY_MAX
+        )
+        db = (
+            t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+            > SEL_DISC_MIN
+        )
+        fc = np.asarray(t["l_returnflag"].to_pylist()) == SEL_FLAG
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "a": pa.array([int(qa.sum())], pa.int64()),
+                "b": pa.array([int(db.sum())], pa.int64()),
+                "c": pa.array([int(fc.sum())], pa.int64()),
+                "ab": pa.array([int((qa & db).sum())], pa.int64()),
+                "ac": pa.array([int((qa & fc).sum())], pa.int64()),
+                "bc": pa.array([int((db & fc).sum())], pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in ("n", "a", "b", "c", "ab", "ac", "bc")
+                    },
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(counts, batch_format="pyarrow"),
+                group_sum_merge(("k",), ("n", "a", "b", "c", "ab", "ac", "bc")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if cen.num_rows == 0:
+        return schema.empty_table()
+    N = int(cen["n"][0].as_py())
+    a, b, c = (int(cen[x][0].as_py()) for x in ("a", "b", "c"))
+    pairs = [
+        ("qty_and_disc", a, b, int(cen["ab"][0].as_py())),
+        ("qty_and_flag", a, c, int(cen["ac"][0].as_py())),
+        ("disc_and_flag", b, c, int(cen["bc"][0].as_py())),
+    ]
+    rows = []
+    for name, ni, nj, nij in pairs:
+        so = nij / float(N)
+        sp = (ni / float(N)) * (nj / float(N))
+        ratio = so / sp if sp > 0 else 0.0
+        rows.append(
+            (
+                name,
+                ni,
+                nj,
+                nij,
+                float(round_half_away(np.array([so]), 6)[0]),
+                float(round_half_away(np.array([sp]), 6)[0]),
+                float(round_half_away(np.array([ratio]), 6)[0]),
+            )
+        )
+    return pa.table(
+        {
+            "pair": pa.array([r[0] for r in rows], pa.string()),
+            "n_i": pa.array([r[1] for r in rows], pa.int64()),
+            "n_j": pa.array([r[2] for r in rows], pa.int64()),
+            "n_ij": pa.array([r[3] for r in rows], pa.int64()),
+            "sel_observed": pa.array([r[4] for r in rows], pa.float64()),
+            "sel_predicted": pa.array([r[5] for r in rows], pa.float64()),
+            "correlation_ratio": pa.array(
+                [r[6] for r in rows], pa.float64()
+            ),
+        },
+        schema=schema,
+    )

@@ -6411,3 +6411,39 @@ def test_round4_batch73_queries_match_oracles_and_properties():
     rep = len(zlib.compress((b"the cat sat " * 50), 6)) / (12 * 50)
     uniq = len(zlib.compress(bytes(range(256)) * 2, 6)) / 512
     assert rep < uniq
+
+
+def test_round4_batch74_queries_match_oracles_and_consistency():
+    """Batch-74 (dedup savings, selectivity audit) against their
+    oracles; savings fractions are consistent with the counts, and
+    every pairwise observed selectivity is bounded by its singles."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("doc_dedup_savings", "lineitem_selectivity_audit"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    sv = queries["doc_dedup_savings"](SF)
+    sv = (sv if isinstance(sv, pd.DataFrame) else sv.to_pandas()).iloc[0]
+    assert sv["n_survivors"] <= sv["n_docs"]
+    assert sv["survivor_bytes"] <= sv["total_bytes"]
+    assert 0.0 <= sv["doc_savings_frac"] < 1.0
+    sel = queries["lineitem_selectivity_audit"](SF)
+    sel = sel if isinstance(sel, pd.DataFrame) else sel.to_pandas()
+    assert (sel["n_ij"] <= sel[["n_i", "n_j"]].min(axis=1)).all()
+    assert (sel["correlation_ratio"] >= 0).all()
