@@ -554,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression_ratio": q.doc_compression_ratio,
         "doc_dedup_savings": q.doc_dedup_savings,
         "lineitem_selectivity_audit": q.lineitem_selectivity_audit,
+        "lineitem_linenumber_gap_audit": q.lineitem_linenumber_gap_audit,
+        "events_purchase_first_click": q.events_purchase_first_click,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1695,6 +1697,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_compression_ratio": do.doc_compression_ratio_sql(oracle_sf),
         "doc_dedup_savings": do.doc_dedup_savings_sql(),
+        "lineitem_linenumber_gap_audit": """
+            WITH g AS (SELECT l_orderkey, count(*)::BIGINT AS n,
+                              count(DISTINCT l_linenumber)::BIGINT AS nd,
+                              max(l_linenumber)::BIGINT AS mx,
+                              min(l_linenumber)::BIGINT AS mn
+                       FROM lineitem GROUP BY 1)
+            SELECT count(*)::BIGINT AS n_orders,
+                   sum(CASE WHEN nd < n THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup_lines,
+                   sum(CASE WHEN mn <> 1 OR mx <> nd THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_gapped,
+                   sum(CASE WHEN nd = n AND mn = 1 AND mx = nd
+                            THEN 1 ELSE 0 END)::BIGINT AS n_contiguous
+            FROM g
+        """,
+        "events_purchase_first_click": """
+            WITH c AS (SELECT user_id, min(ts) AS fc FROM events
+                       WHERE event_type = 'click' GROUP BY 1)
+            SELECT e.event_id, e.user_id, e.ts, c.fc AS first_click_ts
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.fc
+        """,
         "lineitem_selectivity_audit": """
             WITH f AS (SELECT CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END
                               AS a,

@@ -24091,3 +24091,176 @@ def lineitem_selectivity_audit(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ---------------------------------------------- linenumber gap audit
+def lineitem_linenumber_gap_audit(sf_dir: str) -> pa.Table:
+    """LINE-NUMBER CONTIGUITY audit — the referential-integrity profiler
+    next to fk_orphan_audit and the FD audit: per order, l_linenumber
+    should be exactly 1..n with no duplicates or gaps; report how many
+    orders violate which way. Two-level shape: a (orderkey, linenumber)
+    census collapses duplicates while keeping their count, the per-order
+    reduce derives (n rows, n distinct, min, max), and fixed-width
+    partial sums finish — exact ints end-to-end."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    )
+    schema = pa.schema(
+        [
+            ("n_orders", pa.int64()),
+            ("n_dup_lines", pa.int64()),
+            ("n_gapped", pa.int64()),
+            ("n_contiguous", pa.int64()),
+        ]
+    )
+
+    def pair_census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ok": pa.array([], pa.int64()),
+                    "ln": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame(
+                {
+                    "ok": t["l_orderkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "ln": t["l_linenumber"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["ok", "ln"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "ok": pa.array(df["ok"].to_numpy(np.int64), pa.int64()),
+                "ln": pa.array(df["ln"].to_numpy(np.int64), pa.int64()),
+                "cnt": pa.array(df["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_pair = (
+        li.map_batches(pair_census, batch_format="pyarrow")
+        .groupby(["ok", "ln"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # a map_batches reduce here could split one order across batch
+    # boundaries — the per-order stats need a true key groupby
+    per_order_ds = per_pair.groupby("ok").aggregate(
+        Count(alias_name="nd"),
+        Sum("cnt", alias_name="n"),
+        Min("ln", alias_name="mn"),
+        Max("ln", alias_name="mx"),
+    )
+
+    def order_flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "dup": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                    "okc": pa.array([], pa.int64()),
+                }
+            )
+        nd = t["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = t["mn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = t["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = nd < n
+        gap = (mn != 1) | (mx != nd)
+        good = (~dup) & (~gap)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "no": pa.array([t.num_rows], pa.int64()),
+                "dup": pa.array([int(dup.sum())], pa.int64()),
+                "gap": pa.array([int(gap.sum())], pa.int64()),
+                "okc": pa.array([int(good.sum())], pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "dup": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                    "okc": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                per_order_ds.map_batches(order_flags, batch_format="pyarrow"),
+                group_sum_merge(("k",), ("no", "dup", "gap", "okc")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if cen.num_rows == 0:
+        return schema.empty_table()
+    return pa.table(
+        {
+            "n_orders": pa.array([int(cen["no"][0].as_py())], pa.int64()),
+            "n_dup_lines": pa.array([int(cen["dup"][0].as_py())], pa.int64()),
+            "n_gapped": pa.array([int(cen["gap"][0].as_py())], pa.int64()),
+            "n_contiguous": pa.array([int(cen["okc"][0].as_py())], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------- first-touch attribution
+def events_purchase_first_click(sf_dir: str) -> Dataset:
+    """FIRST-TOUCH attribution — completing the attribution family
+    (last-click AS-OF, linear multi-touch): each purchase matched to the
+    user's FIRST-EVER strictly-earlier click. Same scale shape as the
+    as-of join (map-side type filter, one user-key groupby) but the
+    within-group match is just the min click timestamp — one vectorized
+    comparison, no merge sweep."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
+    _EMPTY = {
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "first_click_ts": pd.Series([], dtype="datetime64[us]"),
+    }
+
+    def first_touch(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"]
+        buys = g[g["event_type"] == "purchase"]
+        if clicks.empty or buys.empty:
+            return pd.DataFrame(_EMPTY)
+        fc = clicks["ts"].min()
+        buys = buys[buys["ts"] > fc]
+        if buys.empty:
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame(
+            {
+                "event_id": buys["event_id"].to_numpy(),
+                "user_id": buys["user_id"].to_numpy(),
+                "ts": buys["ts"].to_numpy(),
+                "first_click_ts": np.full(len(buys), fc),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(first_touch, batch_format="pandas")

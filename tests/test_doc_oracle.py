@@ -6447,3 +6447,62 @@ def test_round4_batch74_queries_match_oracles_and_consistency():
     sel = sel if isinstance(sel, pd.DataFrame) else sel.to_pandas()
     assert (sel["n_ij"] <= sel[["n_i", "n_j"]].min(axis=1)).all()
     assert (sel["correlation_ratio"] >= 0).all()
+
+
+def test_round4_batch75_queries_match_oracles_and_fixtures(tmp_path):
+    """Batch-75 (linenumber gap audit, first-touch attribution) against
+    their oracles; a planted gapped/duplicated order is flagged; the
+    first-click ts is never after the purchase."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("events", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("lineitem_linenumber_gap_audit", "events_purchase_first_click"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    ft = queries["events_purchase_first_click"](SF).to_pandas()
+    assert (ft["first_click_ts"] < ft["ts"]).all()
+    # planted integrity violations: order 1 = contiguous 1..2; order 2 =
+    # duplicate line 1; order 3 = gap (1, 3)
+    sch = pq.read_schema(f"{SF}/lineitem.parquet")
+    cols = {f.name: [] for f in sch}
+    rows = [(1, 1), (1, 2), (2, 1), (2, 1), (3, 1), (3, 3)]
+    for ok, ln in rows:
+        for f in sch:
+            if f.name == "l_orderkey":
+                cols[f.name].append(ok)
+            elif f.name == "l_linenumber":
+                cols[f.name].append(ln)
+            elif f.name in ("l_partkey", "l_suppkey"):
+                cols[f.name].append(1)
+            elif f.name in ("l_returnflag", "l_linestatus"):
+                cols[f.name].append("A")
+            elif f.name == "l_shipdate":
+                cols[f.name].append(0)
+            else:
+                cols[f.name].append(1.0)
+    d = str(tmp_path)
+    pq.write_table(pa.table(cols).cast(sch), os.path.join(d, "lineitem.parquet"))
+    g = queries["lineitem_linenumber_gap_audit"](d)
+    g = (g if isinstance(g, pd.DataFrame) else g.to_pandas()).iloc[0]
+    assert g["n_orders"] == 3
+    assert g["n_dup_lines"] == 1
+    assert g["n_gapped"] >= 1  # order 3; order 2 also gapped (mx != nd)
+    assert g["n_contiguous"] == 1
