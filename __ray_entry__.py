@@ -556,6 +556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_selectivity_audit": q.lineitem_selectivity_audit,
         "lineitem_linenumber_gap_audit": q.lineitem_linenumber_gap_audit,
         "events_purchase_first_click": q.events_purchase_first_click,
+        "events_value_anova_terms": q.events_value_anova_terms,
+        "corpus_source_vocab_overlap": q.corpus_source_vocab_overlap,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1711,6 +1713,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN nd = n AND mn = 1 AND mx = nd
                             THEN 1 ELSE 0 END)::BIGINT AS n_contiguous
             FROM g
+        """,
+        "events_value_anova_terms": """
+            WITH c AS (SELECT event_type AS et,
+                              count(*)::BIGINT AS n,
+                              sum(CAST(round(value * 100) AS BIGINT))
+                                  ::BIGINT AS s,
+                              sum(CAST(round(value * 100) AS BIGINT)
+                                  * CAST(round(value * 100) AS BIGINT))
+                                  ::BIGINT AS ss
+                       FROM events GROUP BY 1)
+            SELECT et AS event_type, n, s AS sum_cents, ss AS sumsq_cents,
+                   round(CAST(s AS DOUBLE) * s / n, 4) AS between_term,
+                   round(ss - CAST(s AS DOUBLE) * s / n, 4) AS within_term
+            FROM c ORDER BY event_type
+        """,
+        "corpus_source_vocab_overlap": f"""
+            WITH p AS (SELECT DISTINCT d.source, tok
+                       FROM documents d,
+                            unnest(regexp_extract_all(
+                                coalesce(d.text, ''), '{_TOK}')) AS u(tok)),
+            tc AS (SELECT tok, count(*)::BIGINT AS ns FROM p GROUP BY 1),
+            s AS (SELECT p.source, count(*)::BIGINT AS nt,
+                         sum(CASE WHEN tc.ns = 1 THEN 1 ELSE 0 END)::BIGINT
+                             AS nx
+                  FROM p JOIN tc ON tc.tok = p.tok GROUP BY 1)
+            SELECT source, nt AS n_types, nx AS n_exclusive,
+                   round(nx / CAST(nt AS DOUBLE), 6) AS exclusive_frac
+            FROM s ORDER BY source
         """,
         "events_purchase_first_click": """
             WITH c AS (SELECT user_id, min(ts) AS fc FROM events

@@ -24264,3 +24264,221 @@ def events_purchase_first_click(sf_dir: str) -> Dataset:
         )
 
     return ev.groupby("user_id").map_groups(first_touch, batch_format="pandas")
+
+
+# -------------------------------------------------- ANOVA terms
+def events_value_anova_terms(sf_dir: str) -> pa.Table:
+    """ONE-WAY ANOVA terms for value-by-type — the k-group mean
+    comparison missing from the two-sample family (z/U/KS): per group
+    the exact integer moments (n, Σcents, Σcents²) plus the
+    between-term s²/n and within-term ss − s²/n (ONE division each,
+    4 dp — at these magnitudes 6 dp sits on the float64 ulp boundary). Per the per-cell convention the consumer assembles
+    F = (Σbetween − S²/N)/(k−1) ÷ Σwithin/(N−k) — no order-dependent
+    float sum crosses the oracle. One fixed-width census pass."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("sum_cents", pa.int64()),
+            ("sumsq_cents", pa.int64()),
+            ("between_term", pa.float64()),
+            ("within_term", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"et": t["event_type"].to_pylist(), "s": cents,
+                 "ss": cents * cents, "n": 1}
+            )
+            .groupby("et", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "et": pa.array(df["et"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                "ss": pa.array(df["ss"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "et": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("et",), ("n", "s", "ss")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("et")
+    n = cen["n"].to_numpy(np.int64)
+    s = cen["s"].to_numpy(np.int64)
+    ss = cen["ss"].to_numpy(np.int64)
+    between = (s.astype(np.float64) * s) / n
+    within = ss - between
+    return pa.table(
+        {
+            "event_type": pa.array(cen["et"].tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "sum_cents": pa.array(s, pa.int64()),
+            "sumsq_cents": pa.array(ss, pa.int64()),
+            # 4 dp, not 6: these magnitudes (~5e9) scale to ~5e15 at
+            # 6 dp — at the float64 ulp boundary where half-away vs the
+            # SQL round can differ; 4 dp keeps a wide margin
+            "between_term": pa.array(
+                round_half_away(between, 4), pa.float64()
+            ),
+            "within_term": pa.array(round_half_away(within, 4), pa.float64()),
+        },
+        schema=schema,
+    )
+
+
+# --------------------------------------------- source vocab exclusivity
+def corpus_source_vocab_overlap(sf_dir: str) -> pa.Table:
+    """SOURCE VOCABULARY EXCLUSIVITY — the corpus-mix diagnostic: per
+    source, how much of its vocabulary appears NOWHERE else?  High
+    exclusivity flags a domain island (dedup/contamination checks won't
+    transfer). Two-level shape: a distinct (token, source) census, a
+    per-token source-count reduce, then per-source exclusive counts —
+    vocabulary-sized shuffles only, exact ints + one 6-dp fraction."""
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["source", "text"]
+    )
+    schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_types", pa.int64()),
+            ("n_exclusive", pa.int64()),
+            ("exclusive_frac", pa.float64()),
+        ]
+    )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        out_s, out_tok = [], []
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in set(_TOKEN_RE.findall(txt or "")):
+                out_s.append(src)
+                out_tok.append(tok)
+        df = pd.DataFrame({"source": out_s, "token": out_tok}).drop_duplicates()
+        return pa.table(
+            {
+                "source": pa.array(df["source"].tolist(), pa.string()),
+                "token": pa.array(df["token"].tolist(), pa.string()),
+            }
+        )
+
+    per_pair = (
+        docs.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Count(alias_name="c"))
+    )
+    per_token = per_pair.groupby("token").aggregate(
+        Count(alias_name="n_sources")
+    )
+    # broadcast the (small) shared-token set? The EXCLUSIVE tail is the
+    # large side — broadcast the shared head instead and count misses
+    shared: set = set()
+    for b in per_token.iter_batches(batch_format="pyarrow"):
+        ns = b["n_sources"].to_numpy(zero_copy_only=False)
+        toks = b["token"].to_pylist()
+        shared.update(t for t, k in zip(toks, ns) if int(k) > 1)
+    sref = ray.put(frozenset(shared))
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "nt": pa.array([], pa.int64()),
+                    "nx": pa.array([], pa.int64()),
+                }
+            )
+        sh = ray.get(sref)
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "x": [tok not in sh for tok in t["token"].to_pylist()],
+            }
+        )
+        g = (
+            df.assign(one=1)
+            .groupby("source", sort=False)
+            .agg(nt=("one", "sum"), nx=("x", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "nt": pa.array(g["nt"].to_numpy(np.int64), pa.int64()),
+                "nx": pa.array(g["nx"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "nt": pa.array([], pa.int64()),
+                    "nx": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                per_pair.map_batches(src_partial, batch_format="pyarrow"),
+                group_sum_merge(("source",), ("nt", "nx")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("source")
+    nt = cen["nt"].to_numpy(np.int64)
+    nx = cen["nx"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(cen["source"].tolist(), pa.string()),
+            "n_types": pa.array(nt, pa.int64()),
+            "n_exclusive": pa.array(nx, pa.int64()),
+            "exclusive_frac": pa.array(
+                round_half_away(nx / nt.astype(np.float64), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

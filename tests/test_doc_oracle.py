@@ -6506,3 +6506,44 @@ def test_round4_batch75_queries_match_oracles_and_fixtures(tmp_path):
     assert g["n_dup_lines"] == 1
     assert g["n_gapped"] >= 1  # order 3; order 2 also gapped (mx != nd)
     assert g["n_contiguous"] == 1
+
+
+def test_round4_batch76_queries_match_oracles_and_anova():
+    """Batch-76 (ANOVA terms, source vocab exclusivity) against their
+    oracles; F assembled from the terms is positive and finite, and
+    every within-term is non-negative (it is a sum of squares)."""
+    import os
+
+    import numpy as np
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("events_value_anova_terms", "corpus_source_vocab_overlap"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-6,
+            rtol=0, obj=name,
+        )
+    terms = queries["events_value_anova_terms"](SF).to_pandas()
+    assert (terms["within_term"] >= -1e-6).all()
+    N = terms["n"].sum()
+    S = terms["sum_cents"].sum()
+    k = len(terms)
+    ssb = terms["between_term"].sum() - S * S / N
+    ssw = terms["within_term"].sum()
+    F = (ssb / (k - 1)) / (ssw / (N - k))
+    assert np.isfinite(F) and F >= 0
+    ov = queries["corpus_source_vocab_overlap"](SF).to_pandas()
+    assert ((ov["exclusive_frac"] >= 0) & (ov["exclusive_frac"] <= 1)).all()
+    assert (ov["n_exclusive"] <= ov["n_types"]).all()
