@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_first_click": q.events_purchase_first_click,
         "events_value_anova_terms": q.events_value_anova_terms,
         "corpus_source_vocab_overlap": q.corpus_source_vocab_overlap,
+        "orders_total_reconciliation": q.orders_total_reconciliation,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1713,6 +1714,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN nd = n AND mn = 1 AND mx = nd
                             THEN 1 ELSE 0 END)::BIGINT AS n_contiguous
             FROM g
+        """,
+        "orders_total_reconciliation": """
+            WITH lp AS (SELECT l_orderkey AS ok,
+                               sum(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)
+                                   * (100 - CAST(round(l_discount * 100)
+                                                 AS BIGINT))
+                                   * (100 + CAST(round(l_tax * 100)
+                                                 AS BIGINT)))::BIGINT AS sc
+                        FROM lineitem GROUP BY 1),
+            j AS (SELECT o.o_orderkey,
+                         CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             * 10000 AS tgt,
+                         lp.sc
+                  FROM orders o LEFT JOIN lp ON lp.ok = o.o_orderkey)
+            SELECT sum(CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_orders_checked,
+                   sum(CASE WHEN sc IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_orders_no_lines,
+                   sum(CASE WHEN sc = tgt THEN 1 ELSE 0 END)::BIGINT
+                       AS n_exact_match,
+                   (coalesce(max(CASE WHEN sc IS NOT NULL
+                                      THEN abs(sc - tgt) END), 0)
+                    // 10000)::BIGINT AS max_abs_diff_cents
+            FROM j
         """,
         "events_value_anova_terms": """
             WITH c AS (SELECT event_type AS et,

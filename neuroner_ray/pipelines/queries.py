@@ -24482,3 +24482,183 @@ def corpus_source_vocab_overlap(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------- order-total reconciliation
+def orders_total_reconciliation(sf_dir: str) -> pa.Table:
+    """CROSS-TABLE RECONCILIATION audit — the double-entry check between
+    the order header and its lines: does o_totalprice equal
+    Σ extprice·(1−disc)·(1+tax)?  All arithmetic EXACT-INT at 10⁻⁴-cent
+    scale (cents × integer percent factors — no float products, so the
+    comparison is bit-free), reported as checked/matching/headerless
+    counts + the max absolute discrepancy in whole cents. On this
+    synthetic corpus header and lines are generated independently, so
+    the audit honestly reports ~zero matches and a large max gap — the
+    operator's value is the shape, not a green light. One line-side
+    groupby + one header cogroup; fixed-width partial sums + max."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    schema = pa.schema(
+        [
+            ("n_orders_checked", pa.int64()),
+            ("n_orders_no_lines", pa.int64()),
+            ("n_exact_match", pa.int64()),
+            ("max_abs_diff_cents", pa.int64()),
+        ]
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"ok": pa.array([], pa.int64()), "sc": pa.array([], pa.int64())}
+            )
+        ext = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        disc = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        tax = round_half_away(
+            t["l_tax"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        sc = ext * (100 - disc) * (100 + tax)
+        df = (
+            pd.DataFrame(
+                {
+                    "ok": t["l_orderkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "sc": sc,
+                }
+            )
+            .groupby("ok", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "ok": pa.array(df["ok"].to_numpy(np.int64), pa.int64()),
+                "sc": pa.array(df["sc"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    SENT = -(2**62)
+
+    def header_rows(t: pa.Table) -> pa.Table:
+        tgt = (
+            round_half_away(
+                t["o_totalprice"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            * 10_000
+        )
+        return pa.table(
+            {
+                "ok": t["o_orderkey"].cast(pa.int64()),
+                "sc": pa.array(np.full(t.num_rows, SENT, np.int64)),
+                "tgt": pa.array(tgt, pa.int64()),
+            }
+        )
+
+    def line_tagged(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ok": t["ok"],
+                "sc": t["sc"],
+                "tgt": pa.array(np.full(t.num_rows, SENT, np.int64)),
+            }
+        )
+
+    lines = (
+        li.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(Sum("sc", alias_name="sc"))
+    )
+    joined = (
+        lines.map_batches(line_tagged, batch_format="pyarrow")
+        .union(orders.map_batches(header_rows, batch_format="pyarrow"))
+        .groupby("ok")
+        .aggregate(Max("sc", alias_name="sc"), Max("tgt", alias_name="tgt"))
+    )
+
+    def compare(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "nl": pa.array([], pa.int64()),
+                    "nm": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        sc = t["sc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = t["tgt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        has_header = tgt != SENT
+        has_lines = sc != SENT
+        checked = has_header & has_lines
+        no_lines = has_header & ~has_lines
+        diffs = np.abs(sc[checked] - tgt[checked])
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "nc": pa.array([int(checked.sum())], pa.int64()),
+                "nl": pa.array([int(no_lines.sum())], pa.int64()),
+                "nm": pa.array([int((diffs == 0).sum())], pa.int64()),
+                "mx": pa.array(
+                    [int(diffs.max()) if len(diffs) else 0], pa.int64()
+                ),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "nl": pa.array([], pa.int64()),
+                    "nm": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                joined.map_batches(compare, batch_format="pyarrow"),
+                group_agg_merge(("k",), sums=("nc", "nl", "nm"), maxs=("mx",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if cen.num_rows == 0:
+        return schema.empty_table()
+    return pa.table(
+        {
+            "n_orders_checked": pa.array(
+                [int(cen["nc"][0].as_py())], pa.int64()
+            ),
+            "n_orders_no_lines": pa.array(
+                [int(cen["nl"][0].as_py())], pa.int64()
+            ),
+            "n_exact_match": pa.array([int(cen["nm"][0].as_py())], pa.int64()),
+            "max_abs_diff_cents": pa.array(
+                [int(cen["mx"][0].as_py()) // 10_000], pa.int64()
+            ),
+        },
+        schema=schema,
+    )

@@ -6547,3 +6547,77 @@ def test_round4_batch76_queries_match_oracles_and_anova():
     ov = queries["corpus_source_vocab_overlap"](SF).to_pandas()
     assert ((ov["exclusive_frac"] >= 0) & (ov["exclusive_frac"] <= 1)).all()
     assert (ov["n_exclusive"] <= ov["n_types"]).all()
+
+
+def test_round4_batch77_reconciliation_matches_oracle_and_fixture(tmp_path):
+    """Reconciliation audit against its oracle; a planted CONSISTENT
+    order (header = exact line formula) reads as an exact match."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    res = e.queries()["orders_total_reconciliation"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["orders_total_reconciliation"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    # planted: one order whose header exactly equals its two lines'
+    # formula (100.00·(1-0.10)·(1+0.05) + 200.00·1·1 = 294.50), one
+    # order with a wrong header, one headerless line ignored
+    osch = pq.read_schema(f"{SF}/orders.parquet")
+    lsch = pq.read_schema(f"{SF}/lineitem.parquet")
+
+    def mk(sch, cols):
+        n = len(next(iter(cols.values())))
+        data = {}
+        for f in sch:
+            if f.name in cols:
+                data[f.name] = cols[f.name]
+            elif pa.types.is_string(f.type):
+                data[f.name] = ["x"] * n
+            elif pa.types.is_floating(f.type):
+                data[f.name] = [0.0] * n
+            else:
+                data[f.name] = [0] * n
+        return pa.table(data).cast(sch)
+
+    d = str(tmp_path)
+    pq.write_table(
+        mk(
+            osch,
+            {"o_orderkey": [1, 2], "o_custkey": [1, 1],
+             "o_totalprice": [294.50, 999.99]},
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        mk(
+            lsch,
+            {
+                "l_orderkey": [1, 1, 2, 3],
+                "l_linenumber": [1, 2, 1, 1],
+                "l_extendedprice": [100.0, 200.0, 50.0, 10.0],
+                "l_discount": [0.10, 0.0, 0.0, 0.0],
+                "l_tax": [0.05, 0.0, 0.0, 0.0],
+            },
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    r = e.queries()["orders_total_reconciliation"](d)
+    r = (r if isinstance(r, pd.DataFrame) else r.to_pandas()).iloc[0]
+    assert r["n_orders_checked"] == 2
+    assert r["n_exact_match"] == 1
+    assert r["n_orders_no_lines"] == 0
+    assert r["max_abs_diff_cents"] == 94999  # 999.99 vs 50.00
