@@ -131,6 +131,60 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_degree_ccdf(sf_dir: str) -> Any:
+    """Graph analytics: total-degree CCDF — the plot-ready degree
+    distribution next to assortativity/rich-club: per distinct total
+    degree (out + in over the simple directed edge set), node count and
+    P(D >= d). Degree census from the oracled degree_table; CCDF is an
+    integer suffix sum over the ≤ #distinct-degree rows + one 6-dp
+    division per row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuroner_ray.functions.rounding import round_half_away
+    from neuroner_ray.stages.graph import degree_table
+
+    deg = degree_table(_kg_tables(sf_dir)["edges"]).to_pandas()
+    schema = pa.schema(
+        [
+            ("degree", pa.int64()),
+            ("n_nodes", pa.int64()),
+            ("ccdf", pa.float64()),
+        ]
+    )
+    if deg.empty:
+        return schema.empty_table()
+    total = (
+        deg["out_degree"].to_numpy("int64")
+        + deg["in_degree"].to_numpy("int64")
+    )
+    cen = (
+        pd.DataFrame({"d": total})
+        .groupby("d", sort=True)
+        .size()
+        .reset_index(name="n")
+        .sort_values("d", ascending=False)
+    )
+    n = cen["n"].to_numpy("int64")
+    cum = np.cumsum(n)  # nodes with degree >= d (descending order)
+    N = int(cum[-1])
+    cen = cen.assign(ge=cum).sort_values("d")
+    return pa.table(
+        {
+            "degree": pa.array(cen["d"].to_numpy("int64"), pa.int64()),
+            "n_nodes": pa.array(cen["n"].to_numpy("int64"), pa.int64()),
+            "ccdf": pa.array(
+                round_half_away(
+                    cen["ge"].to_numpy("int64") / float(N), 6
+                ),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
 def kg_edge_weight_gini(sf_dir: str) -> Any:
     """Graph analytics: Gini coefficient of the edge-weight
     distribution — "is the graph's mass concentrated on a few hot
@@ -559,6 +613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_anova_terms": q.events_value_anova_terms,
         "corpus_source_vocab_overlap": q.corpus_source_vocab_overlap,
         "orders_total_reconciliation": q.orders_total_reconciliation,
+        "events_attribution_time_decay": q.events_attribution_time_decay,
+        "kg_degree_ccdf": kg_degree_ccdf,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1715,6 +1771,19 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_contiguous
             FROM g
         """,
+        "events_attribution_time_decay": """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delta_s,
+                   round(pow(2.0,
+                         -(((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000)
+                           / 86400.0)), 6) AS w_raw
+            FROM events p JOIN events c ON c.user_id = p.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND c.ts < p.ts
+              AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+            ORDER BY purchase_id, click_id
+        """,
+        "kg_degree_ccdf": ko.kg_degree_ccdf_sql(tglob),
         "orders_total_reconciliation": """
             WITH lp AS (SELECT l_orderkey AS ok,
                                sum(CAST(round(l_extendedprice * 100)

@@ -942,3 +942,26 @@ def kg_edge_weight_gini_sql(transcripts_glob: str) -> str:
                round(2.0 * a / (n * b) - (n + 1.0) / n, 4) AS gini
         FROM s WHERE n > 0
     """
+
+
+def kg_degree_ccdf_sql(transcripts_glob: str) -> str:
+    """Total-degree CCDF — degree census over the edges CTE + an
+    integer suffix sum (window over descending degree)."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT * FROM edges),
+        d AS (SELECT entity_id, count(*)::BIGINT AS deg
+              FROM (SELECT src_id AS entity_id FROM e
+                    UNION ALL SELECT dst_id FROM e)
+              GROUP BY 1),
+        c AS (SELECT deg, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        s AS (SELECT deg, n,
+                     sum(n) OVER (ORDER BY deg DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS ge,
+                     (SELECT sum(n) FROM c) AS tot
+              FROM c)
+        SELECT deg AS degree, n AS n_nodes,
+               round(ge / CAST(tot AS DOUBLE), 6) AS ccdf
+        FROM s ORDER BY degree
+    """

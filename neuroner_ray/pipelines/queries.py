@@ -24662,3 +24662,67 @@ def orders_total_reconciliation(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------- time-decay attribution
+ATTR_DECAY_HALFLIFE_S = 86_400  # 1 day
+ATTR_DECAY_WINDOW_US = 7 * 86_400_000_000
+
+
+def events_attribution_time_decay(sf_dir: str) -> Dataset:
+    """TIME-DECAY attribution terms — the fourth member of the
+    attribution family (first-touch, last-click AS-OF, integer linear):
+    each (purchase, prior click ≤ 7 days) pair gets the raw weight
+    2^(−Δs/halflife), halflife = 1 day. Per the per-cell convention the
+    operator emits the exact integer Δ seconds and the 6-dp raw weight;
+    the consumer normalizes per purchase (the normalizing sum is a
+    float fold the oracle boundary should not cross). Same user-key
+    groupby + searchsorted window shape as the linear variant."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+    _EMPTY = {
+        "purchase_id": pd.Series([], dtype="int64"),
+        "click_id": pd.Series([], dtype="int64"),
+        "delta_s": pd.Series([], dtype="int64"),
+        "w_raw": pd.Series([], dtype="float64"),
+    }
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        buys = g[g["event_type"] == "purchase"]
+        if clicks.empty or buys.empty:
+            return pd.DataFrame(_EMPTY)
+        cts = clicks["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cids = clicks["event_id"].to_numpy(np.int64)
+        out_p, out_c, out_d = [], [], []
+        for pid, pts in zip(
+            buys["event_id"].to_numpy(np.int64),
+            buys["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+        ):
+            lo = np.searchsorted(cts, pts - ATTR_DECAY_WINDOW_US, side="left")
+            hi = np.searchsorted(cts, pts, side="left")
+            if hi > lo:
+                out_p.extend([pid] * (hi - lo))
+                out_c.extend(cids[lo:hi])
+                out_d.extend(((pts - cts[lo:hi]) // 1_000_000).tolist())
+        if not out_p:
+            return pd.DataFrame(_EMPTY)
+        d = np.asarray(out_d, dtype=np.int64)
+        w = np.power(2.0, -(d / float(ATTR_DECAY_HALFLIFE_S)))
+        return pd.DataFrame(
+            {
+                "purchase_id": np.asarray(out_p, np.int64),
+                "click_id": np.asarray(out_c, np.int64),
+                "delta_s": d,
+                "w_raw": round_half_away(w, 6),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(pairs, batch_format="pandas")

@@ -6621,3 +6621,43 @@ def test_round4_batch77_reconciliation_matches_oracle_and_fixture(tmp_path):
     assert r["n_exact_match"] == 1
     assert r["n_orders_no_lines"] == 0
     assert r["max_abs_diff_cents"] == 94999  # 999.99 vs 50.00
+
+
+def test_round4_batch78_queries_match_oracles_and_decay():
+    """Batch-78 (time-decay attribution, degree CCDF) against their
+    oracles; weights decay monotonically with Δ and sit in (0, 1];
+    the CCDF starts at 1 and is non-increasing in degree."""
+    import os
+
+    import numpy as np
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_attribution_time_decay"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["events_attribution_time_decay"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    td = got
+    assert ((td["w_raw"] > 0) & (td["w_raw"] <= 1)).all()
+    assert (td["delta_s"] >= 0).all() and (td["delta_s"] <= 604800).all()
+    # same purchase: larger delta => weight no larger
+    srt = td.sort_values(["purchase_id", "delta_s"])
+    within = srt.groupby("purchase_id")["w_raw"].apply(
+        lambda s: (np.diff(s.to_numpy()) <= 1e-12).all()
+    )
+    assert within.all()
+    ccdf = e.queries()["kg_degree_ccdf"](SF)
+    ccdf = (
+        ccdf if isinstance(ccdf, pd.DataFrame) else ccdf.to_pandas()
+    ).sort_values("degree")
+    assert ccdf["ccdf"].iloc[0] == 1.0
+    assert (np.diff(ccdf["ccdf"].to_numpy()) <= 1e-12).all()
