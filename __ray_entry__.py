@@ -131,6 +131,39 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_component_sizes(sf_dir: str) -> Any:
+    """Graph analytics: component-SIZE distribution — per distinct
+    component size, how many components (the fragmentation profile next
+    to the CCDF; a giant component + dust is the healthy KG shape).
+    Composes the oracled connected components with two tiny censuses
+    (component -> size -> histogram) — label-vocabulary-sized
+    throughout."""
+    import pandas as pd
+    import pyarrow as pa
+
+    labels = kg_components(sf_dir)
+    labels = labels.to_pandas() if hasattr(labels, "to_pandas") else labels
+    schema = pa.schema(
+        [("size", pa.int64()), ("n_components", pa.int64())]
+    )
+    if labels.empty:
+        return schema.empty_table()
+    sizes = labels.groupby("component").size()
+    hist = (
+        sizes.value_counts().rename_axis("size").reset_index(name="n")
+        .sort_values("size")
+    )
+    return pa.table(
+        {
+            "size": pa.array(hist["size"].to_numpy("int64"), pa.int64()),
+            "n_components": pa.array(
+                hist["n"].to_numpy("int64"), pa.int64()
+            ),
+        },
+        schema=schema,
+    )
+
+
 def kg_degree_ccdf(sf_dir: str) -> Any:
     """Graph analytics: total-degree CCDF — the plot-ready degree
     distribution next to assortativity/rich-club: per distinct total
@@ -615,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_total_reconciliation": q.orders_total_reconciliation,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
+        "kg_component_sizes": kg_component_sizes,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1784,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY purchase_id, click_id
         """,
         "kg_degree_ccdf": ko.kg_degree_ccdf_sql(tglob),
+        "kg_component_sizes": ko.kg_component_sizes_sql(tglob),
         "orders_total_reconciliation": """
             WITH lp AS (SELECT l_orderkey AS ok,
                                sum(CAST(round(l_extendedprice * 100)

@@ -965,3 +965,31 @@ def kg_degree_ccdf_sql(transcripts_glob: str) -> str:
                round(ge / CAST(tot AS DOUBLE), 6) AS ccdf
         FROM s ORDER BY degree
     """
+
+
+def kg_component_sizes_sql(transcripts_glob: str) -> str:
+    """Component-size histogram over the components closure."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        e AS MATERIALIZED (SELECT src_id, dst_id FROM edges),
+        und AS MATERIALIZED (
+            SELECT src_id AS a, dst_id AS b FROM e
+            UNION SELECT dst_id, src_id FROM e
+        ),
+        ereach AS (
+            SELECT a, b FROM und
+            UNION SELECT r.a, u.b FROM ereach r JOIN und u ON r.b = u.a
+        ),
+        allnodes AS (
+            SELECT DISTINCT src_id AS id FROM e
+            UNION SELECT dst_id FROM e
+        ),
+        lab AS (SELECT n.id,
+                       least(n.id, coalesce(min(r.b), n.id)) AS component
+                FROM allnodes n LEFT JOIN ereach r ON r.a = n.id
+                GROUP BY n.id),
+        sz AS (SELECT component, count(*)::BIGINT AS s
+               FROM lab GROUP BY 1)
+        SELECT s AS size, count(*)::BIGINT AS n_components
+        FROM sz GROUP BY 1 ORDER BY size
+    """

@@ -6661,3 +6661,17 @@ def test_round4_batch78_queries_match_oracles_and_decay():
     ).sort_values("degree")
     assert ccdf["ccdf"].iloc[0] == 1.0
     assert (np.diff(ccdf["ccdf"].to_numpy()) <= 1e-12).all()
+
+
+def test_round4_batch79_component_sizes_conserve_nodes():
+    """Component-size histogram against its oracle replica path (the
+    kg family is gated by check_oracles; here pin the conservation law:
+    Σ size·n_components = the node universe of kg_components)."""
+    import __ray_entry__ as e
+
+    hist = e.queries()["kg_component_sizes"](SF)
+    hist = hist.to_pandas() if hasattr(hist, "to_pandas") else hist
+    labels = e.queries()["kg_components"](SF)
+    labels = labels.to_pandas() if hasattr(labels, "to_pandas") else labels
+    assert (hist["size"] * hist["n_components"]).sum() == len(labels)
+    assert (hist["size"] > 0).all() and (hist["n_components"] > 0).all()
