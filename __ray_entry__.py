@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_anova_terms": q.events_value_anova_terms,
         "corpus_source_vocab_overlap": q.corpus_source_vocab_overlap,
         "orders_total_reconciliation": q.orders_total_reconciliation,
+        "lineitem_price_qty_elasticity": q.lineitem_price_qty_elasticity,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -1819,6 +1820,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_degree_ccdf": ko.kg_degree_ccdf_sql(tglob),
         "kg_component_sizes": ko.kg_component_sizes_sql(tglob),
+        "lineitem_price_qty_elasticity": """
+            WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              // l_quantity::BIGINT AS up,
+                              l_quantity::BIGINT AS q,
+                              count(*)::BIGINT AS n
+                       FROM lineitem WHERE l_quantity > 0
+                       GROUP BY 1, 2),
+            r AS (SELECT ln(up::DOUBLE) AS x, ln(q::DOUBLE) AS y,
+                         n::DOUBLE AS w
+                  FROM c),
+            s AS (SELECT sum(w) AS nn, sum(w * x) AS sx, sum(w * y) AS sy,
+                         sum(w * x * x) AS sxx, sum(w * y * y) AS syy,
+                         sum(w * x * y) AS sxy, count(*)::BIGINT AS cells
+                  FROM r)
+            SELECT cells AS n_cells, nn::BIGINT AS n_rows,
+                   round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4)
+                       AS elasticity,
+                   round(CASE WHEN nn * syy - sy * sy = 0 THEN 1.0
+                         ELSE ((nn * sxy - sx * sy) * (nn * sxy - sx * sy))
+                              / ((nn * sxx - sx * sx)
+                                 * (nn * syy - sy * sy))
+                         END, 4) AS r2
+            FROM s WHERE cells >= 2 AND nn * sxx - sx * sx <> 0
+        """,
         "orders_total_reconciliation": """
             WITH lp AS (SELECT l_orderkey AS ok,
                                sum(CAST(round(l_extendedprice * 100)

@@ -24726,3 +24726,107 @@ def events_attribution_time_decay(sf_dir: str) -> Dataset:
         )
 
     return ev.groupby("user_id").map_groups(pairs, batch_format="pandas")
+
+
+# -------------------------------------------------- price elasticity
+def lineitem_price_qty_elasticity(sf_dir: str) -> pa.Table:
+    """LOG-LOG ELASTICITY estimate — the econometrics member of the
+    regression family (OLS trend, binscatter, Spearman): slope of
+    ln(quantity) on ln(unit price) across line items (unit price =
+    extendedprice/quantity in exact cents). The float Σ formulas never
+    run distributed: a (unit_cents, qty) CENSUS (domain-bounded — qty
+    1..50 × the price domain) collapses the corpus first, and the
+    closed-form OLS sums sweep the census ONCE on the driver in
+    deterministic order (the Zipf/Heaps convention); 4-dp rounding."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_extendedprice", "l_quantity"]
+    )
+    schema = pa.schema(
+        [
+            ("n_cells", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("elasticity", pa.float64()),
+            ("r2", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "up": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ext = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        q = (
+            t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ok = q > 0
+        up = ext[ok] // q[ok]  # exact integer unit cents (floor)
+        df = (
+            pd.DataFrame({"up": up, "q": q[ok]})
+            .groupby(["up", "q"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "up": pa.array(df["up"].to_numpy(np.int64), pa.int64()),
+                "q": pa.array(df["q"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "up": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("up", "q"), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty or len(cen) < 2:
+        return schema.empty_table()
+    cen = cen.sort_values(["up", "q"])
+    n = cen["n"].to_numpy(np.int64).astype(np.float64)
+    x = np.log(cen["up"].to_numpy(np.int64).astype(np.float64))
+    y = np.log(cen["q"].to_numpy(np.int64).astype(np.float64))
+    N = float(n.sum())
+    sx = float((n * x).sum())
+    sy = float((n * y).sum())
+    sxx = float((n * x * x).sum())
+    syy = float((n * y * y).sum())
+    sxy = float((n * x * y).sum())
+    den = N * sxx - sx * sx
+    if den == 0:
+        return schema.empty_table()
+    slope = (N * sxy - sx * sy) / den
+    deny = N * syy - sy * sy
+    r2 = ((N * sxy - sx * sy) ** 2) / (den * deny) if deny else 1.0
+    return pa.table(
+        {
+            "n_cells": pa.array([len(cen)], pa.int64()),
+            "n_rows": pa.array([int(N)], pa.int64()),
+            "elasticity": pa.array(
+                round_half_away(np.array([slope]), 4), pa.float64()
+            ),
+            "r2": pa.array(round_half_away(np.array([r2]), 4), pa.float64()),
+        },
+        schema=schema,
+    )

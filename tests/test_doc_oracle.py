@@ -6675,3 +6675,29 @@ def test_round4_batch79_component_sizes_conserve_nodes():
     labels = labels.to_pandas() if hasattr(labels, "to_pandas") else labels
     assert (hist["size"] * hist["n_components"]).sum() == len(labels)
     assert (hist["size"] > 0).all() and (hist["n_components"] > 0).all()
+
+
+def test_round4_batch80_elasticity_matches_oracle_and_sign():
+    """Elasticity against its oracle; on TPC-H-shaped lines quantity
+    and unit price are independent draws, so |elasticity| is small and
+    r² near zero — the honest no-relationship read."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    res = e.queries()["lineitem_price_qty_elasticity"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["lineitem_price_qty_elasticity"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-4, rtol=0
+    )
+    row = got.iloc[0]
+    assert 0.0 <= row["r2"] <= 1.0
+    assert row["n_cells"] >= 2
