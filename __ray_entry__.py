@@ -647,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_source_vocab_overlap": q.corpus_source_vocab_overlap,
         "orders_total_reconciliation": q.orders_total_reconciliation,
         "lineitem_price_qty_elasticity": q.lineitem_price_qty_elasticity,
+        "doc_langid_confusion": q.doc_langid_confusion,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -940,6 +941,18 @@ def _markov_stationary_sql(iters: int = 12) -> str:
             FROM {prev}, pm, (VALUES {values}) AS t(event_type)
             WHERE pm.nrows > 0
             ORDER BY t.event_type
+    """
+
+
+def _langid_confusion_sql() -> str:
+    """Confusion-matrix wrapper over the doc_langid oracle SQL."""
+    from neuroner_ray.pipelines import doc_oracle as _do
+
+    return f"""
+        WITH pred AS ({_do.doc_langid_sql()})
+        SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+        FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 
@@ -1820,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_degree_ccdf": ko.kg_degree_ccdf_sql(tglob),
         "kg_component_sizes": ko.kg_component_sizes_sql(tglob),
+        "doc_langid_confusion": _langid_confusion_sql(),
         "lineitem_price_qty_elasticity": """
             WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
                               // l_quantity::BIGINT AS up,

@@ -24830,3 +24830,74 @@ def lineitem_price_qty_elasticity(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# -------------------------------------------------- langid confusion
+def doc_langid_confusion(sf_dir: str) -> pa.Table:
+    """LANGUAGE-ID CONFUSION MATRIX — the per-cell eval companion to the
+    Cohen's-kappa summary: (true lang, predicted lang, count) over the
+    labeled corpus, the table an error analysis actually reads. One
+    langid map pass (the oracled detector) + a #langs²-bounded census."""
+    from ..functions.langid import langid_batch
+
+    docs = read_parquet_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("lang_pred", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        pred = langid_batch(t.select(["doc_id", "text"]))
+        df = (
+            pd.DataFrame(
+                {
+                    "lang": t["lang"].to_pylist(),
+                    "lang_pred": pred["lang_pred"].to_pylist(),
+                }
+            )
+            .groupby(["lang", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "lang_pred": pa.array(df["lang_pred"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                docs.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("lang", "lang_pred"), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values(["lang", "lang_pred"])
+    return pa.table(
+        {
+            "lang": pa.array(cen["lang"].tolist(), pa.string()),
+            "lang_pred": pa.array(cen["lang_pred"].tolist(), pa.string()),
+            "n": pa.array(cen["n"].to_numpy(np.int64), pa.int64()),
+        },
+        schema=schema,
+    )

