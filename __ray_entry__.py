@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_total_reconciliation": q.orders_total_reconciliation,
         "lineitem_price_qty_elasticity": q.lineitem_price_qty_elasticity,
         "doc_langid_confusion": q.doc_langid_confusion,
+        "events_ab_power_mde": q.events_ab_power_mde,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -1834,6 +1835,41 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_ccdf": ko.kg_degree_ccdf_sql(tglob),
         "kg_component_sizes": ko.kg_component_sizes_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "events_ab_power_mde": """
+            WITH u AS (
+                SELECT user_id,
+                       CASE WHEN md5_number_upper(user_id::VARCHAR) % 2 = 0
+                            THEN 'A' ELSE 'B' END AS arm,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value >= 150 THEN 1 ELSE 0
+                           END) AS conv
+                FROM events GROUP BY user_id),
+            a AS (
+                SELECT
+                    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n1,
+                    sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)::BIGINT
+                        AS c1,
+                    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n2,
+                    sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)::BIGINT
+                        AS c2
+                FROM u),
+            z AS (SELECT CAST(1.96 AS DOUBLE) AS za,
+                         CAST(0.8416 AS DOUBLE) AS zb),
+            m AS (SELECT n1, n2,
+                         (c1 + c2) / CAST(n1 + n2 AS DOUBLE) AS pb
+                  FROM a WHERE n1 > 0 AND n2 > 0)
+            SELECT n1 AS n_users_a, n2 AS n_users_b,
+                   round(pb, 6) AS pooled_rate,
+                   round(((SELECT za FROM z) + (SELECT zb FROM z))
+                         * sqrt(pb * (1.0 - pb)
+                                * (1.0 / n1 + 1.0 / n2)), 6) AS mde_abs,
+                   round(CASE WHEN pb > 0
+                         THEN ((SELECT za FROM z) + (SELECT zb FROM z))
+                              * sqrt(pb * (1.0 - pb)
+                                     * (1.0 / n1 + 1.0 / n2)) / pb
+                         ELSE 0.0 END, 6) AS mde_rel
+            FROM m
+        """,
         "lineitem_price_qty_elasticity": """
             WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
                               // l_quantity::BIGINT AS up,

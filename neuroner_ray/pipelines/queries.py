@@ -24901,3 +24901,57 @@ def doc_langid_confusion(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# -------------------------------------------------- MDE power sizing
+MDE_Z_ALPHA = 1.96   # two-sided alpha = .05
+MDE_Z_BETA = 0.8416  # power = .80
+
+
+def events_ab_power_mde(sf_dir: str) -> pa.Table:
+    """MINIMUM DETECTABLE EFFECT at the current sample — the experiment
+    SIZING number that closes the A/B family (SRM guardrail, z-test,
+    CUPED): with the observed arm sizes and pooled conversion rate,
+    MDE = (z_α/2 + z_β)·√(p̄(1−p̄)·(1/n_A + 1/n_B)) at α=.05, power .80.
+    Composes the oracled z-test census; fixed-order float formula from
+    exact ints, constants bound once (the DECIMAL-literal convention in
+    the SQL mirror)."""
+    zt = events_ab_conversion_ztest(sf_dir)
+    zt = zt if isinstance(zt, pd.DataFrame) else zt.to_pandas()
+    schema = pa.schema(
+        [
+            ("n_users_a", pa.int64()),
+            ("n_users_b", pa.int64()),
+            ("pooled_rate", pa.float64()),
+            ("mde_abs", pa.float64()),
+            ("mde_rel", pa.float64()),
+        ]
+    )
+    if zt.empty:
+        return schema.empty_table()
+    r = zt.iloc[0]
+    n1, n2 = int(r["n_users_a"]), int(r["n_users_b"])
+    c1, c2 = int(r["n_conv_a"]), int(r["n_conv_b"])
+    if n1 == 0 or n2 == 0:
+        return schema.empty_table()
+    pb = (c1 + c2) / float(n1 + n2)
+    mde = (MDE_Z_ALPHA + MDE_Z_BETA) * np.sqrt(
+        pb * (1.0 - pb) * (1.0 / n1 + 1.0 / n2)
+    )
+    rel = mde / pb if pb > 0 else 0.0
+    return pa.table(
+        {
+            "n_users_a": pa.array([n1], pa.int64()),
+            "n_users_b": pa.array([n2], pa.int64()),
+            "pooled_rate": pa.array(
+                round_half_away(np.array([pb]), 6), pa.float64()
+            ),
+            "mde_abs": pa.array(
+                round_half_away(np.array([mde]), 6), pa.float64()
+            ),
+            "mde_rel": pa.array(
+                round_half_away(np.array([rel]), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

@@ -6725,3 +6725,27 @@ def test_round4_batch81_langid_confusion_matches_oracle_and_sums():
         f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
     ).fetchone()[0]
     assert got["n"].sum() == n_docs
+
+
+def test_round4_batch82_mde_matches_oracle_and_scaling():
+    """MDE against its oracle; the detectable effect shrinks with more
+    users (1/√n), so MDE at the fixture scale exceeds the sf0.01 one
+    only if the sample is smaller; structurally MDE > 0 and rel = abs/p."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_ab_power_mde"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["events_ab_power_mde"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    r = got.iloc[0]
+    assert r["mde_abs"] > 0
+    assert abs(r["mde_rel"] - r["mde_abs"] / r["pooled_rate"]) < 1e-5
