@@ -131,6 +131,62 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_predicate_census(sf_dir: str) -> Any:
+    """Graph analytics: per-PREDICATE profile of the edge table (the
+    relation-type census a KG release ships): edge count, total weight,
+    and weight share — exact ints + one 6-dp division per row over the
+    predicate-cardinality census."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuroner_ray.functions.rounding import round_half_away
+
+    edges = _kg_tables(sf_dir)["edges"]
+    schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("n_edges", pa.int64()),
+            ("total_weight", pa.int64()),
+            ("weight_share", pa.float64()),
+        ]
+    )
+    parts = [
+        pd.DataFrame(
+            {
+                "pred": b["pred"].to_pylist(),
+                "w": b["weight"].to_numpy(zero_copy_only=False),
+            }
+        )
+        for b in edges.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return schema.empty_table()
+    df = (
+        pd.concat(parts)
+        .assign(one=1)
+        .groupby("pred", sort=True)
+        .agg(n=("one", "sum"), w=("w", "sum"))
+        .reset_index()
+    )
+    tot = int(df["w"].sum())
+    return pa.table(
+        {
+            "pred": pa.array(df["pred"].tolist(), pa.string()),
+            "n_edges": pa.array(df["n"].to_numpy("int64"), pa.int64()),
+            "total_weight": pa.array(df["w"].to_numpy("int64"), pa.int64()),
+            "weight_share": pa.array(
+                round_half_away(
+                    df["w"].to_numpy("int64") / float(tot), 6
+                ),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
 def kg_component_sizes(sf_dir: str) -> Any:
     """Graph analytics: component-SIZE distribution — per distinct
     component size, how many components (the fragmentation profile next
@@ -649,9 +705,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_qty_elasticity": q.lineitem_price_qty_elasticity,
         "doc_langid_confusion": q.doc_langid_confusion,
         "events_ab_power_mde": q.events_ab_power_mde,
+        "orders_aging_report": q.orders_aging_report,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
+        "kg_predicate_census": kg_predicate_census,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1834,7 +1892,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_degree_ccdf": ko.kg_degree_ccdf_sql(tglob),
         "kg_component_sizes": ko.kg_component_sizes_sql(tglob),
+        "kg_predicate_census": ko.kg_predicate_census_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "orders_aging_report": """
+            WITH mx AS (SELECT max(epoch_us(o_orderdate)) // 86400000000
+                               AS anchor
+                        FROM orders),
+            b AS (SELECT o_orderstatus AS st,
+                         (SELECT anchor FROM mx)
+                         - epoch_us(o_orderdate) // 86400000000 AS days
+                  FROM orders),
+            c AS (SELECT st,
+                         CASE WHEN days <= 30 THEN '0-30'
+                              WHEN days <= 90 THEN '31-90'
+                              WHEN days <= 365 THEN '91-365'
+                              ELSE '>365' END AS band
+                  FROM b)
+            SELECT st AS o_orderstatus, band AS age_band,
+                   count(*)::BIGINT AS n_orders
+            FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "events_ab_power_mde": """
             WITH u AS (
                 SELECT user_id,

@@ -993,3 +993,18 @@ def kg_component_sizes_sql(transcripts_glob: str) -> str:
         SELECT s AS size, count(*)::BIGINT AS n_components
         FROM sz GROUP BY 1 ORDER BY size
     """
+
+
+def kg_predicate_census_sql(transcripts_glob: str) -> str:
+    """Per-predicate edge/weight census over the edges CTE."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        c AS (SELECT pred, count(*)::BIGINT AS n,
+                     sum(weight)::BIGINT AS w
+              FROM edges GROUP BY 1),
+        t AS (SELECT sum(w)::BIGINT AS tot FROM c)
+        SELECT pred, n AS n_edges, w AS total_weight,
+               round(w / CAST((SELECT tot FROM t) AS DOUBLE), 6)
+                   AS weight_share
+        FROM c ORDER BY pred
+    """

@@ -24955,3 +24955,124 @@ def events_ab_power_mde(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ---------------------------------------------------- aging report
+AGING_BUCKET_DAYS = (30, 90, 365)
+
+
+def orders_aging_report(sf_dir: str) -> pa.Table:
+    """AGING REPORT — the receivables/pipeline classic: per order
+    status, how many orders fall in each age band (days from
+    o_orderdate to the corpus max date; bands ≤30 / 31-90 / 91-365 /
+    >365). Anchoring at the data max keeps the audit deterministic at
+    any scale (no wall clock). One (status, band) census after a
+    max-date reduce — exact integer day arithmetic throughout."""
+    orders = read_parquet_clean(
+        _p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderdate"]
+    )
+    schema = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("age_band", pa.string()),
+            ("n_orders", pa.int64()),
+        ]
+    )
+
+    def dmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        us = (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "m": pa.array([int(us.max() // _DAY_US)], pa.int64()),
+            }
+        )
+
+    mx = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                orders.map_batches(dmax, batch_format="pyarrow"),
+                group_agg_merge(("k",), maxs=("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mx.num_rows == 0:
+        return schema.empty_table()
+    anchor = int(mx["m"][0].as_py())
+    b1, b2, b3 = AGING_BUCKET_DAYS
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "st": pa.array([], pa.string()),
+                    "band": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        days = anchor - (
+            t["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        band = np.where(
+            days <= b1,
+            "0-30",
+            np.where(days <= b2, "31-90", np.where(days <= b3, "91-365", ">365")),
+        )
+        df = (
+            pd.DataFrame({"st": t["o_orderstatus"].to_pylist(), "band": band})
+            .groupby(["st", "band"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "st": pa.array(df["st"].tolist(), pa.string()),
+                "band": pa.array(df["band"].tolist(), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "st": pa.array([], pa.string()),
+                    "band": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                orders.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("st", "band"), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values(["st", "band"])
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(cen["st"].tolist(), pa.string()),
+            "age_band": pa.array(cen["band"].tolist(), pa.string()),
+            "n_orders": pa.array(cen["n"].to_numpy(np.int64), pa.int64()),
+        },
+        schema=schema,
+    )

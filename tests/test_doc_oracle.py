@@ -6749,3 +6749,32 @@ def test_round4_batch82_mde_matches_oracle_and_scaling():
     r = got.iloc[0]
     assert r["mde_abs"] > 0
     assert abs(r["mde_rel"] - r["mde_abs"] / r["pooled_rate"]) < 1e-5
+
+
+def test_round4_batch83_queries_match_oracles_and_conserve():
+    """Batch-83 (aging report, predicate census) against oracles; the
+    aging bands conserve the order count and the predicate weight
+    shares sum to 1."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    res = e.queries()["orders_aging_report"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["orders_aging_report"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=0, rtol=0
+    )
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert got["n_orders"].sum() == n_orders
+    pc_ = e.queries()["kg_predicate_census"](SF)
+    pc_ = pc_.to_pandas() if hasattr(pc_, "to_pandas") else pc_
+    assert abs(pc_["weight_share"].sum() - 1.0) < 1e-4
+    assert (pc_["n_edges"] > 0).all()
