@@ -131,6 +131,58 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_node_type_census(sf_dir: str) -> Any:
+    """Graph analytics: entity-TYPE profile of the node table (PER/ORG/
+    LOC... counts, mention totals, shares) — the node-side companion to
+    the predicate census."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuroner_ray.functions.rounding import round_half_away
+
+    nodes = _kg_tables(sf_dir)["nodes"]
+    schema = pa.schema(
+        [
+            ("ent_type", pa.string()),
+            ("n_entities", pa.int64()),
+            ("total_mentions", pa.int64()),
+            ("mention_share", pa.float64()),
+        ]
+    )
+    parts = [
+        pd.DataFrame(
+            {
+                "t": b["ent_type"].to_pylist(),
+                "m": b["mention_count"].to_numpy(zero_copy_only=False),
+            }
+        )
+        for b in nodes.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return schema.empty_table()
+    df = (
+        pd.concat(parts)
+        .assign(one=1)
+        .groupby("t", sort=True)
+        .agg(n=("one", "sum"), m=("m", "sum"))
+        .reset_index()
+    )
+    tot = int(df["m"].sum())
+    return pa.table(
+        {
+            "ent_type": pa.array(df["t"].tolist(), pa.string()),
+            "n_entities": pa.array(df["n"].to_numpy("int64"), pa.int64()),
+            "total_mentions": pa.array(df["m"].to_numpy("int64"), pa.int64()),
+            "mention_share": pa.array(
+                round_half_away(df["m"].to_numpy("int64") / float(tot), 6),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
 def kg_predicate_census(sf_dir: str) -> Any:
     """Graph analytics: per-PREDICATE profile of the edge table (the
     relation-type census a KG release ships): edge count, total weight,
@@ -706,10 +758,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_confusion": q.doc_langid_confusion,
         "events_ab_power_mde": q.events_ab_power_mde,
         "orders_aging_report": q.orders_aging_report,
+        "events_props_key_census": q.events_props_key_census,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
         "kg_predicate_census": kg_predicate_census,
+        "kg_node_type_census": kg_node_type_census,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1893,7 +1947,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_ccdf": ko.kg_degree_ccdf_sql(tglob),
         "kg_component_sizes": ko.kg_component_sizes_sql(tglob),
         "kg_predicate_census": ko.kg_predicate_census_sql(tglob),
+        "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "events_props_key_census": """
+            WITH k AS (SELECT DISTINCT event_id, unnest(
+                           regexp_extract_all(coalesce(props, ''),
+                               '"([A-Za-z0-9_]+)"\\s*:', 1)) AS key
+                       FROM events),
+            c AS (SELECT key, count(*)::BIGINT AS n FROM k GROUP BY 1),
+            t AS (SELECT count(*)::BIGINT AS tot FROM events)
+            SELECT key, n AS n_rows,
+                   round(n / CAST((SELECT tot FROM t) AS DOUBLE), 6)
+                       AS presence_rate
+            FROM c ORDER BY key
+        """,
         "orders_aging_report": """
             WITH mx AS (SELECT max(epoch_us(o_orderdate)) // 86400000000
                                AS anchor

@@ -1008,3 +1008,23 @@ def kg_predicate_census_sql(transcripts_glob: str) -> str:
                    AS weight_share
         FROM c ORDER BY pred
     """
+
+
+def kg_node_type_census_sql(transcripts_glob: str) -> str:
+    """Entity-type profile over the nodes construction."""
+    return f"""
+        WITH RECURSIVE {_nodes_cte(transcripts_glob)},
+        n AS (SELECT c.ent_type || ':' || c.canonical AS entity_id,
+                     c.ent_type,
+                     sum(cl.mention_count)::BIGINT AS mention_count
+              FROM canon c JOIN clus cl ON cl.label = c.label
+              GROUP BY 1, 2),
+        c2 AS (SELECT ent_type, count(*)::BIGINT AS ne,
+                      sum(mention_count)::BIGINT AS m
+               FROM n GROUP BY 1),
+        t AS (SELECT sum(m)::BIGINT AS tot FROM c2)
+        SELECT ent_type, ne AS n_entities, m AS total_mentions,
+               round(m / CAST((SELECT tot FROM t) AS DOUBLE), 6)
+                   AS mention_share
+        FROM c2 ORDER BY ent_type
+    """

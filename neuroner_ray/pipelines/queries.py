@@ -25076,3 +25076,63 @@ def orders_aging_report(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ---------------------------------------------- JSON key census
+_PROPS_KEY_RE = re.compile(r'"([A-Za-z0-9_]+)"\s*:')
+
+
+def events_props_key_census(sf_dir: str) -> pa.Table:
+    """SEMI-STRUCTURED KEY CENSUS — the JSON-profiling companion to the
+    props_k extractor: which keys appear in the ``props`` column, in how
+    many rows, and with what presence rate?  ONE vectorized RE2 sweep
+    per batch (the props_k convention — no per-row json.loads), a
+    key-cardinality census, exact ints + one 6-dp rate."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["props"])
+    schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("n_rows", pa.int64()),
+            ("presence_rate", pa.float64()),
+        ]
+    )
+    total = ev.count()
+    if total == 0:
+        return schema.empty_table()
+
+    def census(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for p_ in t["props"].to_pylist():
+            if p_:
+                c.update(set(_PROPS_KEY_RE.findall(p_)))
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("key",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("key")
+    n = cen["n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "key": pa.array(cen["key"].tolist(), pa.string()),
+            "n_rows": pa.array(n, pa.int64()),
+            "presence_rate": pa.array(
+                round_half_away(n / float(total), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

@@ -6778,3 +6778,50 @@ def test_round4_batch83_queries_match_oracles_and_conserve():
     pc_ = pc_.to_pandas() if hasattr(pc_, "to_pandas") else pc_
     assert abs(pc_["weight_share"].sum() - 1.0) < 1e-4
     assert (pc_["n_edges"] > 0).all()
+
+
+def test_round4_batch84_queries_match_oracles_and_rates(tmp_path):
+    """Batch-84 (node type census, props key census) — key census vs
+    oracle + a planted multi-key JSON fixture."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_props_key_census"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["events_props_key_census"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    assert ((got["presence_rate"] > 0) & (got["presence_rate"] <= 1)).all()
+    nt = e.queries()["kg_node_type_census"](SF)
+    nt = nt.to_pandas() if hasattr(nt, "to_pandas") else nt
+    assert abs(nt["mention_share"].sum() - 1.0) < 1e-4
+    # planted: keys a (2/3 rows), b (1/3), repeated key counted once
+    sch = pq.read_schema(f"{SF}/events.parquet")
+    t_ = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["click"] * 3, pa.string()),
+            "value": pa.array([1.0] * 3, pa.float64()),
+            "props": pa.array(
+                ['{"a": 1, "b": 2}', '{"a": 3, "a": 4}', "{}"], pa.string()
+            ),
+        }
+    ).cast(sch)
+    d = str(tmp_path)
+    pq.write_table(t_, os.path.join(d, "events.parquet"))
+    r = e.queries()["events_props_key_census"](d)
+    r = (r.to_pandas() if hasattr(r, "to_pandas") else r).set_index("key")
+    assert r.loc["a", "n_rows"] == 2
+    assert r.loc["b", "n_rows"] == 1
