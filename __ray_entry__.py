@@ -759,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_power_mde": q.events_ab_power_mde,
         "orders_aging_report": q.orders_aging_report,
         "events_props_key_census": q.events_props_key_census,
+        "events_churn_threshold_sweep": q.events_churn_threshold_sweep,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -1949,6 +1950,25 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_census": ko.kg_predicate_census_sql(tglob),
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "events_churn_threshold_sweep": """
+            WITH pu AS (SELECT user_id,
+                               max(epoch_us(ts)) // 86400000000 AS lastd
+                        FROM events GROUP BY 1),
+            a AS (SELECT max(lastd) AS anchor,
+                         count(*)::BIGINT AS total
+                  FROM pu),
+            t(thr) AS (VALUES (7), (14), (30))
+            SELECT thr::BIGINT AS threshold_days,
+                   (SELECT total FROM a) AS n_users,
+                   (SELECT count(*) FROM pu
+                    WHERE lastd < (SELECT anchor FROM a) - t.thr)::BIGINT
+                       AS n_churned,
+                   round((SELECT count(*) FROM pu
+                          WHERE lastd < (SELECT anchor FROM a) - t.thr)
+                         / CAST((SELECT total FROM a) AS DOUBLE), 6)
+                       AS churn_rate
+            FROM t ORDER BY threshold_days
+        """,
         "events_props_key_census": """
             WITH k AS (SELECT DISTINCT event_id, unnest(
                            regexp_extract_all(coalesce(props, ''),

@@ -25136,3 +25136,114 @@ def events_props_key_census(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- churn sweep
+CHURN_THRESHOLDS_DAYS = (7, 14, 30)
+
+
+def events_churn_threshold_sweep(sf_dir: str) -> pa.Table:
+    """CHURN-DEFINITION SWEEP — the retention-policy question answered
+    before anyone picks "inactive 30 days": at each candidate threshold
+    (7/14/30 days of silence before the corpus max date), how many
+    users count as churned?  One per-user last-activity reduce (max ts)
+    + a max-date reduce; the sweep is three integer comparisons over
+    the user census — exact ints + one 6-dp rate per row."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    schema = pa.schema(
+        [
+            ("threshold_days", pa.int64()),
+            ("n_users", pa.int64()),
+            ("n_churned", pa.int64()),
+            ("churn_rate", pa.float64()),
+        ]
+    )
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "last": pa.array([], pa.int64()),
+                }
+            )
+        us = _ts_us(t)
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "last": us,
+                }
+            )
+            .groupby("user_id", sort=False)
+            .max()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "last": pa.array(df["last"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_u = (
+        ev.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("last", alias_name="last"))
+    )
+
+    def sweep_partial(t: pa.Table) -> pa.Table:
+        # churn flags need the global anchor; emit (last-day) census
+        # rows instead — day-domain-bounded
+        if t.num_rows == 0:
+            return pa.table(
+                {"d": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        days = (
+            t["last"].to_numpy(zero_copy_only=False).astype(np.int64)
+            // _DAY_US
+        )
+        keys, counts = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(keys.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"d": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                per_u.map_batches(sweep_partial, batch_format="pyarrow"),
+                group_sum_merge(("d",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    anchor = int(cen["d"].max())
+    total = int(cen["n"].sum())
+    rows = []
+    for thr in CHURN_THRESHOLDS_DAYS:
+        churned = int(cen.loc[cen["d"] < anchor - thr, "n"].sum())
+        rows.append(
+            (
+                thr,
+                total,
+                churned,
+                float(round_half_away(np.array([churned / total]), 6)[0]),
+            )
+        )
+    return pa.table(
+        {
+            "threshold_days": pa.array([r[0] for r in rows], pa.int64()),
+            "n_users": pa.array([r[1] for r in rows], pa.int64()),
+            "n_churned": pa.array([r[2] for r in rows], pa.int64()),
+            "churn_rate": pa.array([r[3] for r in rows], pa.float64()),
+        },
+        schema=schema,
+    )

@@ -6825,3 +6825,30 @@ def test_round4_batch84_queries_match_oracles_and_rates(tmp_path):
     r = (r.to_pandas() if hasattr(r, "to_pandas") else r).set_index("key")
     assert r.loc["a", "n_rows"] == 2
     assert r.loc["b", "n_rows"] == 1
+
+
+def test_round4_batch85_churn_sweep_matches_oracle_and_monotone():
+    """Churn sweep vs oracle; longer thresholds can only shrink the
+    churned set (monotone non-increasing)."""
+    import os
+
+    import numpy as np
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_churn_threshold_sweep"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["events_churn_threshold_sweep"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    srt = got.sort_values("threshold_days")
+    assert (np.diff(srt["n_churned"].to_numpy()) <= 0).all()
+    assert (srt["n_churned"] <= srt["n_users"]).all()
