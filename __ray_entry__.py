@@ -131,6 +131,52 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_edge_hygiene_audit(sf_dir: str) -> Any:
+    """Graph analytics: edge-HYGIENE audit (the release checklist a KG
+    ships with): self-loop count, parallel-edge groups (same src→dst
+    under different predicates), and the largest parallel bundle — one
+    pandas sweep over the vocabulary-bounded edge table."""
+    import pandas as pd
+    import pyarrow as pa
+
+    edges = _kg_tables(sf_dir)["edges"]
+    schema = pa.schema(
+        [
+            ("n_edges", pa.int64()),
+            ("n_self_loops", pa.int64()),
+            ("n_parallel_groups", pa.int64()),
+            ("max_parallel", pa.int64()),
+        ]
+    )
+    parts = [
+        pd.DataFrame(
+            {
+                "s": b["src_id"].to_pylist(),
+                "d": b["dst_id"].to_pylist(),
+            }
+        )
+        for b in edges.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return schema.empty_table()
+    df = pd.concat(parts)
+    g = df.groupby(["s", "d"]).size()
+    return pa.table(
+        {
+            "n_edges": pa.array([len(df)], pa.int64()),
+            "n_self_loops": pa.array(
+                [int((df["s"] == df["d"]).sum())], pa.int64()
+            ),
+            "n_parallel_groups": pa.array(
+                [int((g > 1).sum())], pa.int64()
+            ),
+            "max_parallel": pa.array([int(g.max())], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
 def kg_node_type_census(sf_dir: str) -> Any:
     """Graph analytics: entity-TYPE profile of the node table (PER/ORG/
     LOC... counts, mention totals, shares) — the node-side companion to
@@ -765,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_component_sizes": kg_component_sizes,
         "kg_predicate_census": kg_predicate_census,
         "kg_node_type_census": kg_node_type_census,
+        "kg_edge_hygiene_audit": kg_edge_hygiene_audit,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -1949,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_component_sizes": ko.kg_component_sizes_sql(tglob),
         "kg_predicate_census": ko.kg_predicate_census_sql(tglob),
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
+        "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
         "events_churn_threshold_sweep": """
             WITH pu AS (SELECT user_id,

@@ -1028,3 +1028,18 @@ def kg_node_type_census_sql(transcripts_glob: str) -> str:
                    AS mention_share
         FROM c2 ORDER BY ent_type
     """
+
+
+def kg_edge_hygiene_audit_sql(transcripts_glob: str) -> str:
+    """Self-loop / parallel-edge hygiene audit over the edges CTE."""
+    return f"""
+        WITH RECURSIVE {_edges_cte(transcripts_glob)},
+        g AS (SELECT src_id, dst_id, count(*)::BIGINT AS k
+              FROM edges GROUP BY 1, 2)
+        SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+               (SELECT count(*) FROM edges
+                WHERE src_id = dst_id)::BIGINT AS n_self_loops,
+               (SELECT count(*) FROM g WHERE k > 1)::BIGINT
+                   AS n_parallel_groups,
+               (SELECT max(k) FROM g)::BIGINT AS max_parallel
+    """

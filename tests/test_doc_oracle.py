@@ -6852,3 +6852,17 @@ def test_round4_batch85_churn_sweep_matches_oracle_and_monotone():
     srt = got.sort_values("threshold_days")
     assert (np.diff(srt["n_churned"].to_numpy()) <= 0).all()
     assert (srt["n_churned"] <= srt["n_users"]).all()
+
+
+def test_round4_batch86_edge_hygiene_bounds():
+    """Edge hygiene audit: counts internally consistent (parallel
+    groups bounded by edge pairs, max bundle ≥ 1, no self-loops in a
+    subject≠object triple extraction)."""
+    import __ray_entry__ as e
+
+    r = e.queries()["kg_edge_hygiene_audit"](SF)
+    r = (r.to_pandas() if hasattr(r, "to_pandas") else r).iloc[0]
+    assert r["n_edges"] > 0
+    assert 0 <= r["n_self_loops"] <= r["n_edges"]
+    assert r["max_parallel"] >= 1
+    assert r["n_parallel_groups"] <= r["n_edges"] // 2 + 1
