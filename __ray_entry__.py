@@ -806,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_aging_report": q.orders_aging_report,
         "events_props_key_census": q.events_props_key_census,
         "events_churn_threshold_sweep": q.events_churn_threshold_sweep,
+        "embedding_pair_cosine_hist": q.embedding_pair_cosine_hist,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -1998,6 +1999,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "embedding_pair_cosine_hist": """
+            WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 5 = 0),
+            p AS (SELECT round(list_cosine_similarity(a.v, b.v), 6) AS c
+                  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+            h AS (SELECT least(floor((c + 1.0) * 10.0), 19)::BIGINT AS bin
+                  FROM p)
+            SELECT bin, round(-1.0 + bin * 0.1, 6) AS bin_lo,
+                   count(*)::BIGINT AS n_pairs
+            FROM h GROUP BY 1 ORDER BY bin
+        """,
         "events_churn_threshold_sweep": """
             WITH pu AS (SELECT user_id,
                                max(epoch_us(ts)) // 86400000000 AS lastd

@@ -25247,3 +25247,131 @@ def events_churn_threshold_sweep(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ---------------------------------------- pairwise cosine histogram
+COSHIST_SAMPLE_MOD = 5
+COSHIST_BINS = 20
+
+
+def embedding_pair_cosine_hist(sf_dir: str) -> pa.Table:
+    """EMBEDDING-GEOMETRY diagnostic — the pairwise-cosine histogram
+    (anisotropy shows up as mass piled near +1; a healthy space spreads
+    wide): all pairs of the deterministic id % 5 sample, cosines
+    6-dp-rounded then binned into 20 equal bins over [−1, 1]. The
+    all-pairs pass rides the chunk-pair cogroup (mutual-NN shape) on
+    the SAMPLE — never the full corpus; the histogram census is
+    20 rows."""
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    schema = pa.schema(
+        [
+            ("bin", pa.int64()),
+            ("bin_lo", pa.float64()),
+            ("n_pairs", pa.int64()),
+        ]
+    )
+    B = 4  # sample is small; few chunk pairs suffice
+
+    def replicate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % COSHIST_SAMPLE_MOD == 0
+        ids = ids[keep]
+        emb_col = t["embedding"].filter(pa.array(keep, pa.bool_()))
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        chunk = ids % B
+        pair_k, side_k, idx = [], [], []
+        for c in range(B):
+            rows = np.nonzero(chunk == c)[0]
+            if len(rows) == 0:
+                continue
+            for d_ in range(B):
+                lo, hi = min(c, d_), max(c, d_)
+                pair_k.append(np.full(len(rows), lo * B + hi, np.int64))
+                side_k.append(np.full(len(rows), c, np.int64))
+                idx.append(rows)
+        idx = np.concatenate(idx)
+        return pa.table(
+            {
+                "pair": pa.array(np.concatenate(pair_k), pa.int64()),
+                "side": pa.array(np.concatenate(side_k), pa.int64()),
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "embedding": emb_col.take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    def hist_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["vec_id", "side"])
+        pk = int(g["pair"].iloc[0])
+        lo, hi = pk // B, pk % B
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        side = g["side"].to_numpy(np.int64)
+        a = np.nonzero(side == lo)[0]
+        b = np.nonzero(side == hi)[0]
+        if lo == hi:
+            cos = mat[a] @ mat[a].T
+            iu, ju = np.triu_indices(len(a), 1)
+            vals = cos[iu, ju]
+        else:
+            vals = (mat[a] @ mat[b].T).ravel()
+        if len(vals) == 0:
+            return pd.DataFrame({"bin": [], "n": []})
+        vals = round_half_away(vals, 6)
+        bins = np.minimum(
+            np.floor((vals + 1.0) * COSHIST_BINS / 2.0), COSHIST_BINS - 1
+        ).astype(np.int64)
+        keys, counts = np.unique(bins, return_counts=True)
+        return pd.DataFrame(
+            {"bin": keys.astype("int64"), "n": counts.astype("int64")}
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                emb.map_batches(replicate, batch_format="pyarrow")
+                .groupby("pair")
+                .map_groups(hist_in_group, batch_format="pandas"),
+                group_sum_merge(("bin",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("bin")
+    b = cen["bin"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(b, pa.int64()),
+            "bin_lo": pa.array(
+                round_half_away(-1.0 + b * (2.0 / COSHIST_BINS), 6),
+                pa.float64(),
+            ),
+            "n_pairs": pa.array(cen["n"].to_numpy(np.int64), pa.int64()),
+        },
+        schema=schema,
+    )

@@ -6866,3 +6866,29 @@ def test_round4_batch86_edge_hygiene_bounds():
     assert 0 <= r["n_self_loops"] <= r["n_edges"]
     assert r["max_parallel"] >= 1
     assert r["n_parallel_groups"] <= r["n_edges"] // 2 + 1
+
+
+def test_round4_batch87_cosine_hist_matches_oracle_and_conserves():
+    """Cosine histogram vs oracle; bins conserve the sample pair count
+    C(S, 2)."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    res = e.queries()["embedding_pair_cosine_hist"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["embedding_pair_cosine_hist"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    s = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet') WHERE vec_id % 5 = 0"
+    ).fetchone()[0]
+    assert got["n_pairs"].sum() == s * (s - 1) // 2
