@@ -807,6 +807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_key_census": q.events_props_key_census,
         "events_churn_threshold_sweep": q.events_churn_threshold_sweep,
         "embedding_pair_cosine_hist": q.embedding_pair_cosine_hist,
+        "corpus_hapax_rate": q.corpus_hapax_rate,
+        "events_price_point_census": q.events_price_point_census,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -1999,6 +2001,35 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "corpus_hapax_rate": f"""
+            WITH c AS (
+                SELECT token, count(*)::BIGINT AS n
+                FROM (SELECT unnest(regexp_extract_all(
+                          coalesce(text, ''), '{_TOK}')) AS token
+                      FROM documents)
+                GROUP BY token)
+            SELECT count(*)::BIGINT AS n_types,
+                   sum(n)::BIGINT AS n_tokens,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_hapax,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+            FROM c
+        """,
+        "events_price_point_census": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) % 100
+                              AS e
+                       FROM events),
+            t AS (SELECT count(*)::BIGINT AS tot FROM c),
+            arms(ending, e) AS (VALUES ('.00', 0), ('.50', 50),
+                                       ('.99', 99))
+            SELECT a.ending,
+                   (SELECT count(*) FROM c WHERE c.e = a.e)::BIGINT AS n,
+                   round((SELECT count(*) FROM c WHERE c.e = a.e)
+                         / CAST((SELECT tot FROM t) AS DOUBLE), 6)
+                       AS share
+            FROM arms a ORDER BY a.ending
+        """,
         "embedding_pair_cosine_hist": """
             WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE vec_id % 5 = 0),

@@ -25375,3 +25375,125 @@ def embedding_pair_cosine_hist(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# -------------------------------------------------- hapax rate
+def corpus_hapax_rate(sf_dir: str) -> pa.Table:
+    """HAPAX LEGOMENA rate — the classic corpus statistic (what share
+    of the vocabulary occurs exactly once?) that pairs with the Zipf /
+    Heaps diagnostics: a high hapax share means an open, productive
+    vocabulary, a near-zero one (this fixture's closed gazetteer) means
+    templated text. ONE token census (the Zipf pass), counts from the
+    frequency-of-frequencies sweep — exact ints + one 6-dp rate."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    schema = pa.schema(
+        [
+            ("n_types", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_hapax", pa.int64()),
+            ("hapax_rate", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(_TOKEN_RE.findall(txt or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                docs.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("token",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    n = cen["n"].to_numpy(np.int64)
+    n_types = len(n)
+    n_hapax = int((n == 1).sum())
+    return pa.table(
+        {
+            "n_types": pa.array([n_types], pa.int64()),
+            "n_tokens": pa.array([int(n.sum())], pa.int64()),
+            "n_hapax": pa.array([n_hapax], pa.int64()),
+            "hapax_rate": pa.array(
+                round_half_away(np.array([n_hapax / n_types]), 6),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
+# ---------------------------------------------- price-point census
+def events_price_point_census(sf_dir: str) -> pa.Table:
+    """PRICE-POINT (ending-digit) census — the psychological-pricing
+    audit: shares of .00 / .50 / .99 cent endings across event values
+    (a synthetic uniform corpus honestly reads ~1% each; a retail feed
+    would spike). One cents % 100 census (≤100 rows) + three share
+    divisions."""
+    ev = read_parquet_clean(_p(sf_dir, "events"), columns=["value"])
+    schema = pa.schema(
+        [
+            ("ending", pa.string()),
+            ("n", pa.int64()),
+            ("share", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"e": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        keys, counts = np.unique(cents % 100, return_counts=True)
+        return pa.table(
+            {
+                "e": pa.array(keys.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"e": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                ev.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("e",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    total = int(cen["n"].sum())
+    lookup = dict(zip(cen["e"].to_numpy(np.int64), cen["n"].to_numpy(np.int64)))
+    rows = []
+    for name, e in ((".00", 0), (".50", 50), (".99", 99)):
+        n = int(lookup.get(e, 0))
+        rows.append(
+            (name, n, float(round_half_away(np.array([n / total]), 6)[0]))
+        )
+    return pa.table(
+        {
+            "ending": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "share": pa.array([r[2] for r in rows], pa.float64()),
+        },
+        schema=schema,
+    )

@@ -6892,3 +6892,37 @@ def test_round4_batch87_cosine_hist_matches_oracle_and_conserves():
         f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet') WHERE vec_id % 5 = 0"
     ).fetchone()[0]
     assert got["n_pairs"].sum() == s * (s - 1) // 2
+
+
+def test_round4_batch88_queries_match_oracles_and_bounds():
+    """Batch-88 (hapax rate, price-point census) vs oracles; the
+    closed-gazetteer fixture reads hapax_rate == 0 (the templated-text
+    signal) and price shares are bounded."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sqls = e.oracle_sql()
+    queries = e.queries()
+    for name in ("corpus_hapax_rate", "events_price_point_census"):
+        res = queries[name](SF)
+        got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        want = _norm(c.execute(sqls[name]).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, atol=1e-9,
+            rtol=0, obj=name,
+        )
+    hx = queries["corpus_hapax_rate"](SF)
+    hx = (hx.to_pandas() if hasattr(hx, "to_pandas") else hx).iloc[0]
+    assert hx["hapax_rate"] == 0.0  # closed vocabulary: no singletons
+    assert hx["n_hapax"] <= hx["n_types"]
+    pp = queries["events_price_point_census"](SF)
+    pp = pp.to_pandas() if hasattr(pp, "to_pandas") else pp
+    assert ((pp["share"] >= 0) & (pp["share"] <= 1)).all()
