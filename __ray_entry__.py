@@ -809,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pair_cosine_hist": q.embedding_pair_cosine_hist,
         "corpus_hapax_rate": q.corpus_hapax_rate,
         "events_price_point_census": q.events_price_point_census,
+        "events_type_session_position": q.events_type_session_position,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -2001,6 +2002,36 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "events_type_session_position": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps),
+            ranked AS (
+                SELECT user_id, sid, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) - 1 AS idx,
+                       count(*) OVER (PARTITION BY user_id, sid) AS slen
+                FROM numbered),
+            k AS (SELECT event_type, idx, slen - 1 AS lm1
+                  FROM ranked WHERE slen >= 2),
+            c AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(idx)::BIGINT AS si, sum(lm1)::BIGINT AS sl
+                  FROM k GROUP BY 1)
+            SELECT event_type, n AS n_events, si AS sum_idx,
+                   sl AS sum_len_minus1,
+                   round(si / CAST(sl AS DOUBLE), 6) AS position_share
+            FROM c ORDER BY event_type
+        """,
         "corpus_hapax_rate": f"""
             WITH c AS (
                 SELECT token, count(*)::BIGINT AS n

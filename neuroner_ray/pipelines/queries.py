@@ -25497,3 +25497,111 @@ def events_price_point_census(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ----------------------------------------- session position share
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_type_session_position(
+    sf_dir: str, n_buckets: int = 64
+) -> pa.Table:
+    """WITHIN-SESSION POSITION profile per event type — "is 'error' an
+    end-of-session event?": over sessions with ≥ 2 events (30-min gap
+    rule, the sessionization convention), each event contributes its
+    zero-based index; the per-type AGGREGATE position share
+    Σidx / Σ(len−1) is the exact-int formulation (ratio of sums, ONE
+    division — a mean of per-event fractions would be an order-dependent
+    float fold). One user-bucket shuffle, vectorized session numbering
+    per bucket, type-cardinality census."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("sum_idx", pa.int64()),
+            ("sum_len_minus1", pa.int64()),
+            ("position_share", pa.float64()),
+        ]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pc.bit_wise_and(t["user_id"], pa.scalar(n_buckets - 1)),
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            gap_ok = (us[1:] - us[:-1]) <= SESSION_GAP_US
+            new[1:] = (~(same & gap_ok)).astype(np.int64)
+        sid = np.cumsum(new)
+        # idx within session + session length via two bincounts
+        first_of = np.concatenate([[0], np.nonzero(new[1:])[0] + 1])
+        starts = np.repeat(first_of, np.diff(np.concatenate([first_of, [len(g)]])))
+        idx = np.arange(len(g)) - starts
+        lens = np.bincount(sid)[sid]
+        keep = lens >= 2
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "si": pd.Series([], dtype="int64"),
+                    "sl": pd.Series([], dtype="int64"),
+                }
+            )
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": g["event_type"].to_numpy()[keep],
+                    "idx": idx[keep],
+                    "lm1": lens[keep] - 1,
+                    "one": 1,
+                }
+            )
+            .groupby("event_type", sort=False)
+            .agg(n=("one", "sum"), si=("idx", "sum"), sl=("lm1", "sum"))
+            .reset_index()
+        )
+        return df.astype(
+            {"event_type": "object", "n": "int64", "si": "int64", "sl": "int64"}
+        )
+
+    cen = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("si", alias_name="si"),
+            Sum("sl", alias_name="sl"),
+        )
+        .to_pandas()
+    )
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("event_type")
+    si = cen["si"].to_numpy(np.int64)
+    sl = cen["sl"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(cen["event_type"].tolist(), pa.string()),
+            "n_events": pa.array(cen["n"].to_numpy(np.int64), pa.int64()),
+            "sum_idx": pa.array(si, pa.int64()),
+            "sum_len_minus1": pa.array(sl, pa.int64()),
+            "position_share": pa.array(
+                round_half_away(si / sl.astype(np.float64), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

@@ -6926,3 +6926,29 @@ def test_round4_batch88_queries_match_oracles_and_bounds():
     pp = queries["events_price_point_census"](SF)
     pp = pp.to_pandas() if hasattr(pp, "to_pandas") else pp
     assert ((pp["share"] >= 0) & (pp["share"] <= 1)).all()
+
+
+def test_round4_batch89_session_position_matches_oracle_and_bounds():
+    """Session-position profile vs oracle; shares in [0, 1] and the
+    n_buckets knob does not change the exact counts."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_type_session_position"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["events_type_session_position"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    assert ((got["position_share"] >= 0) & (got["position_share"] <= 1)).all()
+    b = q.events_type_session_position(SF, n_buckets=16)
+    b = _norm(b.to_pandas() if hasattr(b, "to_pandas") else b)
+    pd.testing.assert_frame_equal(got, b, check_dtype=False)
