@@ -131,6 +131,37 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_surface_variety(sf_dir: str) -> Any:
+    """Graph analytics: SURFACE-FORM VARIETY histogram — per distinct
+    alias count, how many canonical entities carry that many surface
+    forms (the ER-richness profile: everything at 1 means linking did
+    nothing; a heavy tail means heavy canonicalization)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    nodes = _kg_tables(sf_dir)["nodes"]
+    schema = pa.schema(
+        [("n_surfaces", pa.int64()), ("n_entities", pa.int64())]
+    )
+    counts = []
+    for b in nodes.iter_batches(batch_format="pyarrow"):
+        for s in b["surfaces"].to_pylist():
+            counts.append(len(s))
+    if not counts:
+        return schema.empty_table()
+    hist = (
+        pd.Series(counts).value_counts().rename_axis("k")
+        .reset_index(name="n").sort_values("k")
+    )
+    return pa.table(
+        {
+            "n_surfaces": pa.array(hist["k"].to_numpy("int64"), pa.int64()),
+            "n_entities": pa.array(hist["n"].to_numpy("int64"), pa.int64()),
+        },
+        schema=schema,
+    )
+
+
 def kg_edge_hygiene_audit(sf_dir: str) -> Any:
     """Graph analytics: edge-HYGIENE audit (the release checklist a KG
     ships with): self-loop count, parallel-edge groups (same src→dst
@@ -810,12 +841,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_hapax_rate": q.corpus_hapax_rate,
         "events_price_point_census": q.events_price_point_census,
         "events_type_session_position": q.events_type_session_position,
+        "lineitem_return_rate_monthly": q.lineitem_return_rate_monthly,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
         "kg_predicate_census": kg_predicate_census,
         "kg_node_type_census": kg_node_type_census,
         "kg_edge_hygiene_audit": kg_edge_hygiene_audit,
+        "kg_surface_variety": kg_surface_variety,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -2001,7 +2034,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_census": ko.kg_predicate_census_sql(tglob),
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
+        "kg_surface_variety": ko.kg_surface_variety_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "lineitem_return_rate_monthly": """
+            WITH c AS (SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1
+                              AS m,
+                              count(*)::BIGINT AS n,
+                              sum(CASE WHEN l_returnflag = 'R'
+                                       THEN 1 ELSE 0 END)::BIGINT AS r
+                       FROM lineitem GROUP BY 1)
+            SELECT m AS month_id, n AS n_lines, r AS n_returned,
+                   round(r / CAST(n AS DOUBLE), 6) AS return_rate
+            FROM c ORDER BY month_id
+        """,
         "events_type_session_position": """
             WITH gaps AS (
                 SELECT user_id, ts, event_id, event_type,

@@ -1043,3 +1043,16 @@ def kg_edge_hygiene_audit_sql(transcripts_glob: str) -> str:
                    AS n_parallel_groups,
                (SELECT max(k) FROM g)::BIGINT AS max_parallel
     """
+
+
+def kg_surface_variety_sql(transcripts_glob: str) -> str:
+    """Alias-count histogram over the canonical-entity construction."""
+    return f"""
+        WITH RECURSIVE {_nodes_cte(transcripts_glob)},
+        per AS (SELECT c.ent_type || ':' || c.canonical AS entity_id,
+                       count(DISTINCT cl.surface)::BIGINT AS k
+                FROM canon c JOIN clus cl ON cl.label = c.label
+                GROUP BY 1)
+        SELECT k AS n_surfaces, count(*)::BIGINT AS n_entities
+        FROM per GROUP BY 1 ORDER BY n_surfaces
+    """

@@ -25605,3 +25605,93 @@ def events_type_session_position(
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- return-rate trend
+def lineitem_return_rate_monthly(sf_dir: str) -> pa.Table:
+    """RETURN-RATE trend — the ops metric behind "are returns creeping
+    up?": per ship month, line count, returned count (l_returnflag =
+    'R') and the rate. One (month, flag) census — exact ints + one 6-dp
+    division per row."""
+    li = read_parquet_clean(
+        _p(sf_dir, "lineitem"), columns=["l_shipdate", "l_returnflag"]
+    )
+    schema = pa.schema(
+        [
+            ("month_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_returned", pa.int64()),
+            ("return_rate", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "m": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+        us = (
+            t["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        months = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+            + 1970 * 12
+        )
+        ret = (np.asarray(t["l_returnflag"].to_pylist()) == "R").astype(
+            np.int64
+        )
+        df = (
+            pd.DataFrame({"m": months, "n": 1, "r": ret})
+            .groupby("m", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "m": pa.array(df["m"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "r": pa.array(df["r"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "m": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                li.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("m",), ("n", "r")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("m")
+    n = cen["n"].to_numpy(np.int64)
+    r = cen["r"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "month_id": pa.array(cen["m"].to_numpy(np.int64), pa.int64()),
+            "n_lines": pa.array(n, pa.int64()),
+            "n_returned": pa.array(r, pa.int64()),
+            "return_rate": pa.array(
+                round_half_away(r / n.astype(np.float64), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

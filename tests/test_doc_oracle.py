@@ -6952,3 +6952,32 @@ def test_round4_batch89_session_position_matches_oracle_and_bounds():
     b = q.events_type_session_position(SF, n_buckets=16)
     b = _norm(b.to_pandas() if hasattr(b, "to_pandas") else b)
     pd.testing.assert_frame_equal(got, b, check_dtype=False)
+
+
+def test_round4_batch90_queries_match_oracles_and_conserve():
+    """Batch-90 (return-rate trend, surface variety) — rates bounded,
+    and the alias histogram conserves the node universe."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    res = e.queries()["lineitem_return_rate_monthly"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["lineitem_return_rate_monthly"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    assert ((got["return_rate"] >= 0) & (got["return_rate"] <= 1)).all()
+    sv = e.queries()["kg_surface_variety"](SF)
+    sv = sv.to_pandas() if hasattr(sv, "to_pandas") else sv
+    nodes = e.queries()["kg_nodes"](SF)
+    n_nodes = nodes.count() if hasattr(nodes, "count") else len(nodes)
+    assert sv["n_entities"].sum() == n_nodes
+    assert (sv["n_surfaces"] >= 1).all()
