@@ -842,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_price_point_census": q.events_price_point_census,
         "events_type_session_position": q.events_type_session_position,
         "lineitem_return_rate_monthly": q.lineitem_return_rate_monthly,
+        "events_runs_test": q.events_runs_test,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -2036,6 +2037,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "kg_surface_variety": ko.kg_surface_variety_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "events_runs_test": """
+            WITH s AS (SELECT CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS b,
+                              lag(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END)
+                                  OVER (ORDER BY event_id) AS pb
+                       FROM events),
+            c AS (SELECT sum(b)::BIGINT AS n1,
+                         sum(1 - b)::BIGINT AS n2,
+                         (1 + sum(CASE WHEN pb IS NOT NULL AND b <> pb
+                                       THEN 1 ELSE 0 END))::BIGINT AS r
+                  FROM s),
+            m AS (SELECT n1, n2, r, n1 + n2 AS nn,
+                         1.0 + 2.0 * n1 * n2 / (n1 + n2) AS mu,
+                         2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                            * (n1 + n2 - 1)) AS var
+                  FROM c)
+            SELECT n1 AS n_purchase, n2 AS n_other, r AS n_runs,
+                   round(CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2
+                              OR var <= 0 THEN 0.0
+                         ELSE (r - mu) / sqrt(var) END, 4) AS z_stat
+            FROM m
+        """,
         "lineitem_return_rate_monthly": """
             WITH c AS (SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1
                               AS m,

@@ -25695,3 +25695,114 @@ def lineitem_return_rate_monthly(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ---------------------------------------------------- runs test
+def events_runs_test(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """WALD-WOLFOWITZ RUNS TEST — the randomness check missing from the
+    stats family: is the purchase/non-purchase sequence (in event_id
+    order) randomly interleaved, or do purchases clump?  Exact integer
+    census (n₁, n₂, observed runs via the event_id-range-bucket
+    adjacency stitch — the sortedness-audit shape, no global sort);
+    μ = 1 + 2n₁n₂/N and σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1)) expand from
+    ints; z = (R−μ)/σ is the only float chain, 4 dp, mirrored
+    term-for-term."""
+    ev = read_parquet_clean(
+        _p(sf_dir, "events"), columns=["event_id", "event_type"]
+    )
+    schema = pa.schema(
+        [
+            ("n_purchase", pa.int64()),
+            ("n_other", pa.int64()),
+            ("n_runs", pa.int64()),
+            ("z_stat", pa.float64()),
+        ]
+    )
+
+    def pmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "m": pa.array(
+                    [int(pc.max(t["event_id"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    mx = pa.concat_tables(
+        [pa.table({"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                ev.map_batches(pmax, batch_format="pyarrow"),
+                group_agg_merge(("k",), maxs=("m",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mx.num_rows == 0:
+        return schema.empty_table()
+    max_id = int(mx["m"][0].as_py())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(eid * n_buckets // (max_id + 1), pa.int64())
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        b = (g["event_type"].to_numpy() == "purchase").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "n1": [int(b.sum())],
+                "n2": [int((1 - b).sum())],
+                "trans": [int((np.diff(b) != 0).sum())],
+                "first_b": [int(b[0])],
+                "last_b": [int(b[-1])],
+            }
+        )
+
+    st = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    if st.empty:
+        return schema.empty_table()
+    trans = int(st["trans"].sum()) + int(
+        (
+            st["first_b"].to_numpy(np.int64)[1:]
+            != st["last_b"].to_numpy(np.int64)[:-1]
+        ).sum()
+    )
+    n1 = int(st["n1"].sum())
+    n2 = int(st["n2"].sum())
+    R = 1 + trans
+    N = n1 + n2
+    if n1 == 0 or n2 == 0 or N < 2:
+        z = 0.0
+    else:
+        mu = 1.0 + 2.0 * n1 * n2 / N
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - N)
+            / (float(N) * N * (N - 1))
+        )
+        z = (R - mu) / np.sqrt(var) if var > 0 else 0.0
+    return pa.table(
+        {
+            "n_purchase": pa.array([n1], pa.int64()),
+            "n_other": pa.array([n2], pa.int64()),
+            "n_runs": pa.array([R], pa.int64()),
+            "z_stat": pa.array(
+                round_half_away(np.array([z]), 4), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

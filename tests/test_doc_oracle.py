@@ -6981,3 +6981,57 @@ def test_round4_batch90_queries_match_oracles_and_conserve():
     n_nodes = nodes.count() if hasattr(nodes, "count") else len(nodes)
     assert sv["n_entities"].sum() == n_nodes
     assert (sv["n_surfaces"] >= 1).all()
+
+
+def test_round4_batch91_runs_test_matches_oracle_and_fixture(tmp_path):
+    """Runs test vs oracle; a perfectly alternating planted sequence
+    reads maximal runs (z > 0), a fully clumped one minimal (z < 0)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    res = e.queries()["events_runs_test"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["events_runs_test"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    sch = pq.read_schema(f"{SF}/events.parquet")
+
+    def mk(types):
+        n = len(types)
+        return pa.table(
+            {
+                "event_id": pa.array(list(range(1, n + 1)), pa.int64()),
+                "ts": pa.array(list(range(n)), pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ).cast(sch)
+
+    d = str(tmp_path)
+    pq.write_table(
+        mk(["purchase", "click"] * 20), os.path.join(d, "events.parquet")
+    )
+    alt = e.queries()["events_runs_test"](d)
+    alt = (alt.to_pandas() if hasattr(alt, "to_pandas") else alt).iloc[0]
+    assert alt["n_runs"] == 40 and alt["z_stat"] > 3
+    pq.write_table(
+        mk(["purchase"] * 20 + ["click"] * 20),
+        os.path.join(d, "events.parquet"),
+    )
+    clump = e.queries()["events_runs_test"](d)
+    clump = (
+        clump.to_pandas() if hasattr(clump, "to_pandas") else clump
+    ).iloc[0]
+    assert clump["n_runs"] == 2 and clump["z_stat"] < -3
