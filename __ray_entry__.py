@@ -843,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_session_position": q.events_type_session_position,
         "lineitem_return_rate_monthly": q.lineitem_return_rate_monthly,
         "events_runs_test": q.events_runs_test,
+        "corpus_sentence_dup_census": q.corpus_sentence_dup_census,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -2037,6 +2038,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "kg_surface_variety": ko.kg_surface_variety_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "corpus_sentence_dup_census": """
+            WITH s AS (
+                SELECT trim(u.sent) AS sent
+                FROM documents d,
+                     unnest(regexp_split_to_array(
+                         coalesce(d.text, ''), '[.!?]+')) AS u(sent)
+                WHERE trim(u.sent) <> ''),
+            c AS (SELECT sent, count(*)::BIGINT AS n FROM s GROUP BY 1),
+            a AS (SELECT sum(n)::BIGINT AS total,
+                         count(*)::BIGINT AS nd,
+                         sum(n - 1)::BIGINT AS dup
+                  FROM c)
+            SELECT total AS n_occurrences, nd AS n_distinct,
+                   dup AS n_dup_occurrences,
+                   round(dup / CAST(total AS DOUBLE), 6) AS dup_share
+            FROM a
+        """,
         "events_runs_test": """
             WITH s AS (SELECT CASE WHEN event_type = 'purchase'
                                    THEN 1 ELSE 0 END AS b,

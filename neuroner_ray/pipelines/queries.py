@@ -25806,3 +25806,67 @@ def events_runs_test(sf_dir: str, n_buckets: int = 64) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------- repeated-sentence census
+_SENT_SPLIT_RE = re.compile(r"[.!?]+")
+
+
+def corpus_sentence_dup_census(sf_dir: str) -> pa.Table:
+    """REPEATED-SENTENCE census — the C4-style sub-document dedup
+    signal (repeated lines/sentences across a corpus are boilerplate):
+    sentences split on [.!?]+, whitespace-trimmed, empties dropped;
+    report total occurrences, distinct sentences, occurrences beyond
+    each sentence's first (what line-dedup would remove), and the dup
+    share. One sentence census (the shuffle moves distinct-sentence
+    rows); exact ints + one 6-dp division."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    schema = pa.schema(
+        [
+            ("n_occurrences", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("n_dup_occurrences", pa.int64()),
+            ("dup_share", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            for s in _SENT_SPLIT_RE.split(txt or ""):
+                s = s.strip()
+                if s:
+                    c[s] += 1
+        return pa.table(
+            {
+                "s": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"s": pa.array([], pa.string()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                docs.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("s",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    n = cen["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    dup = int((n - 1).sum())
+    return pa.table(
+        {
+            "n_occurrences": pa.array([total], pa.int64()),
+            "n_distinct": pa.array([len(n)], pa.int64()),
+            "n_dup_occurrences": pa.array([dup], pa.int64()),
+            "dup_share": pa.array(
+                round_half_away(np.array([dup / total]), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

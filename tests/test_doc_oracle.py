@@ -7035,3 +7035,48 @@ def test_round4_batch91_runs_test_matches_oracle_and_fixture(tmp_path):
         clump.to_pandas() if hasattr(clump, "to_pandas") else clump
     ).iloc[0]
     assert clump["n_runs"] == 2 and clump["z_stat"] < -3
+
+
+def test_round4_batch92_sentence_dup_matches_oracle_and_fixture(tmp_path):
+    """Sentence-dup census vs oracle; a planted boilerplate corpus
+    (same sentence in every doc) reads the expected dup share."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    res = e.queries()["corpus_sentence_dup_census"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(
+        c.execute(e.oracle_sql()["corpus_sentence_dup_census"]).fetchdf()
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    sch = pq.read_schema(f"{SF}/documents.parquet")
+    cols = {f.name: [] for f in sch}
+    texts = ["same footer here. unique alpha!", "same footer here. unique beta?"]
+    for i, txt in enumerate(texts):
+        for f in sch:
+            if f.name == "doc_id":
+                cols[f.name].append(i)
+            elif f.name == "text":
+                cols[f.name].append(txt)
+            elif f.name == "lang":
+                cols[f.name].append("en")
+            else:
+                cols[f.name].append(None)
+    d = str(tmp_path)
+    pq.write_table(pa.table(cols).cast(sch), os.path.join(d, "documents.parquet"))
+    r = e.queries()["corpus_sentence_dup_census"](d)
+    r = (r.to_pandas() if hasattr(r, "to_pandas") else r).iloc[0]
+    assert r["n_occurrences"] == 4
+    assert r["n_distinct"] == 3
+    assert r["n_dup_occurrences"] == 1
