@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_return_rate_monthly": q.lineitem_return_rate_monthly,
         "events_runs_test": q.events_runs_test,
         "corpus_sentence_dup_census": q.corpus_sentence_dup_census,
+        "corpus_bursty_terms_top20": q.corpus_bursty_terms_top20,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -2038,6 +2039,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "kg_surface_variety": ko.kg_surface_variety_sql(tglob),
         "doc_langid_confusion": _langid_confusion_sql(),
+        "corpus_bursty_terms_top20": f"""
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
+                             coalesce(text, ''), '{_TOK}')) AS token
+                         FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS cf,
+                         count(DISTINCT doc_id)::BIGINT AS df
+                  FROM tok GROUP BY 1),
+            k AS (SELECT token, cf, df FROM c WHERE df >= 5)
+            SELECT token, cf, df,
+                   round(cf / CAST(df AS DOUBLE), 6) AS burstiness
+            FROM k
+            ORDER BY cf * 1000000 // df DESC, cf / CAST(df AS DOUBLE)
+                     DESC, token ASC
+            LIMIT 20
+        """,
         "corpus_sentence_dup_census": """
             WITH s AS (
                 SELECT trim(u.sent) AS sent

@@ -25870,3 +25870,91 @@ def corpus_sentence_dup_census(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- bursty terms
+BURSTY_MIN_DF = 5
+
+
+def corpus_bursty_terms_top20(sf_dir: str) -> pa.Table:
+    """TERM BURSTINESS (Church-Gale cf/df — "when this word appears, it
+    appears a lot"): the within-document clumping signal G2-keyness and
+    plain frequency both miss. One pass emits (token, cf, df) partials
+    (cf = occurrences, df = containing docs); top 20 by
+    (cf/df DESC, token ASC) among tokens with df ≥ 5 — exact ints until
+    the one 6-dp ratio; ties broken on the exact integer cross product
+    cf_i·df_j (no float compare)."""
+    docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
+    schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("cf", pa.int64()),
+            ("df", pa.int64()),
+            ("burstiness", pa.float64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        cf: Counter = Counter()
+        df: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall(txt or "")
+            cf.update(toks)
+            df.update(set(toks))
+        keys = list(cf.keys())
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "cf": pa.array([cf[k] for k in keys], pa.int64()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                docs.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("token",), ("cf", "df")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen[cen["df"] >= BURSTY_MIN_DF]
+    if cen.empty:
+        return schema.empty_table()
+    # exact rational sort: cf/df DESC via cross-product comparison is
+    # equivalent to sorting on the float ratio ONLY when no two ratios
+    # collide within float precision — sort on (cf * K - ...) hmm; the
+    # safe exact order is the fraction as (cf, df) compared by
+    # cf_i*df_j vs cf_j*df_i: implement via sorting on the exact
+    # Fraction values
+    from fractions import Fraction
+
+    cen = cen.assign(
+        frac=[Fraction(int(a), int(b)) for a, b in zip(cen["cf"], cen["df"])]
+    ).sort_values(["frac", "token"], ascending=[False, True], kind="mergesort")
+    top = cen.head(20)
+    cf = top["cf"].to_numpy(np.int64)
+    dfv = top["df"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "token": pa.array(top["token"].tolist(), pa.string()),
+            "cf": pa.array(cf, pa.int64()),
+            "df": pa.array(dfv, pa.int64()),
+            "burstiness": pa.array(
+                round_half_away(cf / dfv.astype(np.float64), 6), pa.float64()
+            ),
+        },
+        schema=schema,
+    )

@@ -7080,3 +7080,28 @@ def test_round4_batch92_sentence_dup_matches_oracle_and_fixture(tmp_path):
     assert r["n_occurrences"] == 4
     assert r["n_distinct"] == 3
     assert r["n_dup_occurrences"] == 1
+
+
+def test_round4_batch93_bursty_terms_matches_oracle_and_order():
+    """Bursty terms vs oracle; burstiness ≥ 1 by construction (cf ≥ df)
+    and the list is sorted by the exact ratio."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    res = e.queries()["corpus_bursty_terms_top20"](SF)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+    want = c.execute(e.oracle_sql()["corpus_bursty_terms_top20"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(want), check_dtype=False, check_exact=False,
+        atol=1e-9, rtol=0,
+    )
+    assert (got["cf"] >= got["df"]).all()
+    assert (got["burstiness"] >= 1.0).all()
+    ratios = (got["cf"] / got["df"]).to_numpy()
+    assert (ratios[:-1] >= ratios[1:] - 1e-12).all()
