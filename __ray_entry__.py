@@ -131,6 +131,50 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_transcript_profile(sf_dir: str) -> Any:
+    """Dataset card for the flagship INPUT: per transcript role, turn
+    count and share — the profile a pipeline run logs before
+    construction."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from neuroner_ray.functions.rounding import round_half_away
+    from neuroner_ray.sources.parquet import read_parquet_clean
+    from neuroner_ray.sources.synth_transcripts import transcripts_dir_for
+
+    tdir = transcripts_dir_for(sf_dir)
+    ds = read_parquet_clean(tdir, columns=["role"])
+    schema = pa.schema(
+        [
+            ("role", pa.string()),
+            ("n_turns", pa.int64()),
+            ("share", pa.float64()),
+        ]
+    )
+    parts = [
+        pd.Series(b["role"].to_pylist()).value_counts()
+        for b in ds.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return schema.empty_table()
+    vc = pd.concat(parts).groupby(level=0).sum().sort_index()
+    tot = int(vc.sum())
+    return pa.table(
+        {
+            "role": pa.array(vc.index.tolist(), pa.string()),
+            "n_turns": pa.array(vc.to_numpy("int64"), pa.int64()),
+            "share": pa.array(
+                round_half_away(vc.to_numpy("int64") / float(tot), 6),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
 def kg_surface_variety(sf_dir: str) -> Any:
     """Graph analytics: SURFACE-FORM VARIETY histogram — per distinct
     alias count, how many canonical entities carry that many surface
@@ -845,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": q.events_runs_test,
         "corpus_sentence_dup_census": q.corpus_sentence_dup_census,
         "corpus_bursty_terms_top20": q.corpus_bursty_terms_top20,
+        "embedding_norm_hist": q.embedding_norm_hist,
         "events_attribution_time_decay": q.events_attribution_time_decay,
         "kg_degree_ccdf": kg_degree_ccdf,
         "kg_component_sizes": kg_component_sizes,
@@ -852,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_type_census": kg_node_type_census,
         "kg_edge_hygiene_audit": kg_edge_hygiene_audit,
         "kg_surface_variety": kg_surface_variety,
+        "kg_transcript_profile": kg_transcript_profile,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -2038,7 +2084,34 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "kg_surface_variety": ko.kg_surface_variety_sql(tglob),
+        "kg_transcript_profile": f"""
+            WITH c AS (SELECT role, count(*)::BIGINT AS n
+                       FROM read_parquet('{tglob}') GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+            SELECT role, n AS n_turns,
+                   round(n / CAST((SELECT tot FROM t) AS DOUBLE), 6)
+                       AS share
+            FROM c ORDER BY role
+        """,
         "doc_langid_confusion": _langid_confusion_sql(),
+        "embedding_norm_hist": """
+            WITH n AS (SELECT round(sqrt(list_sum(list_transform(
+                           embedding::DOUBLE[], x -> x * x))), 6) AS v
+                       FROM embeddings),
+            mm AS (SELECT min(v) AS lo, max(v) AS hi FROM n),
+            h AS (SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                         ELSE least(floor((n.v - mm.lo) * 20.0
+                                          / (mm.hi - mm.lo)), 19)
+                         END::BIGINT AS bin
+                  FROM n, mm)
+            SELECT bin,
+                   round((SELECT lo FROM mm)
+                         + bin * (((SELECT hi FROM mm)
+                                   - (SELECT lo FROM mm)) / 20.0), 6)
+                       AS bin_lo,
+                   count(*)::BIGINT AS n_vecs
+            FROM h GROUP BY bin ORDER BY bin
+        """,
         "corpus_bursty_terms_top20": f"""
             WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
                              coalesce(text, ''), '{_TOK}')) AS token

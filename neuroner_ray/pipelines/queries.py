@@ -25958,3 +25958,121 @@ def corpus_bursty_terms_top20(sf_dir: str) -> pa.Table:
         },
         schema=schema,
     )
+
+
+# ------------------------------------------------- norm histogram
+NORMHIST_BINS = 20
+
+
+def embedding_norm_hist(sf_dir: str) -> pa.Table:
+    """L2-NORM histogram — the second embedding-geometry diagnostic
+    (norm collapse / outlier shells show up immediately): per-vector
+    norms 6-dp-rounded, equi-width binned over [min, max] (the
+    value_hist shape). One norms pass + a min/max reduce + a 20-row
+    census."""
+    emb = read_parquet_clean(
+        _p(sf_dir, "embeddings"), columns=["embedding"]
+    )
+    schema = pa.schema(
+        [
+            ("bin", pa.int64()),
+            ("bin_lo", pa.float64()),
+            ("n_vecs", pa.int64()),
+        ]
+    )
+
+    def norms_of(t: pa.Table) -> np.ndarray:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        if mat.size == 0:
+            return np.array([], dtype=np.float64)
+        return round_half_away(np.linalg.norm(mat, axis=1), 6)
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = norms_of(t)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "mn": pa.array([float(v.min())], pa.float64()),
+                "mx": pa.array([float(v.max())], pa.float64()),
+            }
+        )
+
+    mmt = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        ]
+        + list(
+            tree_combine(
+                emb.map_batches(mm, batch_format="pyarrow"),
+                group_agg_merge(("k",), mins=("mn",), maxs=("mx",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if mmt.num_rows == 0:
+        return schema.empty_table()
+    lo = float(mmt["mn"][0].as_py())
+    hi = float(mmt["mx"][0].as_py())
+
+    def census(t: pa.Table) -> pa.Table:
+        v = norms_of(t)
+        if len(v) == 0:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        if hi == lo:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.minimum(
+                np.floor((v - lo) * NORMHIST_BINS / (hi - lo)),
+                NORMHIST_BINS - 1,
+            ).astype(np.int64)
+        keys, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "b": pa.array(keys.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cen = pa.concat_tables(
+        [pa.table({"b": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})]
+        + list(
+            tree_combine(
+                emb.map_batches(census, batch_format="pyarrow"),
+                group_sum_merge(("b",), ("n",)),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    ).to_pandas()
+    if cen.empty:
+        return schema.empty_table()
+    cen = cen.sort_values("b")
+    b = cen["b"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(b, pa.int64()),
+            "bin_lo": pa.array(
+                round_half_away(lo + b * ((hi - lo) / NORMHIST_BINS), 6),
+                pa.float64(),
+            ),
+            "n_vecs": pa.array(cen["n"].to_numpy(np.int64), pa.int64()),
+        },
+        schema=schema,
+    )

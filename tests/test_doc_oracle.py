@@ -7105,3 +7105,31 @@ def test_round4_batch93_bursty_terms_matches_oracle_and_order():
     assert (got["burstiness"] >= 1.0).all()
     ratios = (got["cf"] / got["df"]).to_numpy()
     assert (ratios[:-1] >= ratios[1:] - 1e-12).all()
+
+
+def test_round4_batch94_queries_match_oracles_and_conserve():
+    """Batch-94 (norm histogram, transcript profile) — bins conserve
+    the vector count; role shares sum to 1."""
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = SF
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    res = e.queries()["embedding_norm_hist"](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _norm(c.execute(e.oracle_sql()["embedding_norm_hist"]).fetchdf())
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert got["n_vecs"].sum() == n_vecs
+    tp = e.queries()["kg_transcript_profile"](SF)
+    tp = tp.to_pandas() if hasattr(tp, "to_pandas") else tp
+    assert abs(tp["share"].sum() - 1.0) < 1e-4
+    assert set(tp["role"]) == {"user", "assistant", "tool"}
