@@ -131,6 +131,65 @@ def kg_assortativity(sf_dir: str) -> Any:
     return assortativity(_kg_tables(sf_dir)["edges"])
 
 
+def kg_mention_density_hist(sf_dir: str) -> Any:
+    """Flagship-pipeline diagnostic: MENTIONS-PER-TURN histogram
+    (including zero-mention turns from the transcript universe) — the
+    extraction-density profile that says whether the tagger finds
+    anything at all and whether density is uniform or spiky."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuroner_ray.functions.rounding import round_half_away
+    from neuroner_ray.sources.parquet import read_parquet_clean
+    from neuroner_ray.sources.synth_transcripts import transcripts_dir_for
+
+    mentions = _kg_tables(sf_dir)["mentions"]
+    schema = pa.schema(
+        [
+            ("n_mentions", pa.int64()),
+            ("n_turns", pa.int64()),
+            ("share", pa.float64()),
+        ]
+    )
+    parts = [
+        pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_pylist(),
+                "turn_idx": b["turn_idx"].to_pylist(),
+            }
+        )
+        for b in mentions.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    per_turn = (
+        pd.concat(parts).groupby(["conv_id", "turn_idx"]).size()
+        if parts
+        else pd.Series([], dtype="int64")
+    )
+    total_turns = read_parquet_clean(
+        transcripts_dir_for(sf_dir), columns=["conv_id"]
+    ).count()
+    if total_turns == 0:
+        return schema.empty_table()
+    hist = per_turn.value_counts().sort_index()
+    zero = total_turns - int(per_turn.shape[0])
+    ks = ([0] if zero > 0 else []) + [int(k) for k in hist.index]
+    ns = ([zero] if zero > 0 else []) + [int(v) for v in hist.to_numpy()]
+    return pa.table(
+        {
+            "n_mentions": pa.array(ks, pa.int64()),
+            "n_turns": pa.array(ns, pa.int64()),
+            "share": pa.array(
+                round_half_away(
+                    pd.Series(ns).to_numpy("int64") / float(total_turns), 6
+                ),
+                pa.float64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
 def kg_transcript_profile(sf_dir: str) -> Any:
     """Dataset card for the flagship INPUT: per transcript role, turn
     count and share — the profile a pipeline run logs before
@@ -898,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_hygiene_audit": kg_edge_hygiene_audit,
         "kg_surface_variety": kg_surface_variety,
         "kg_transcript_profile": kg_transcript_profile,
+        "kg_mention_density_hist": kg_mention_density_hist,
         "orders_rollup": q.orders_rollup,
         "events_funnel": q.events_funnel,
         "events_purchase_click_window": q.events_purchase_click_window,
@@ -2084,6 +2144,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_type_census": ko.kg_node_type_census_sql(tglob),
         "kg_edge_hygiene_audit": ko.kg_edge_hygiene_audit_sql(tglob),
         "kg_surface_variety": ko.kg_surface_variety_sql(tglob),
+        "kg_mention_density_hist": ko.kg_mention_density_hist_sql(tglob),
         "kg_transcript_profile": f"""
             WITH c AS (SELECT role, count(*)::BIGINT AS n
                        FROM read_parquet('{tglob}') GROUP BY 1),

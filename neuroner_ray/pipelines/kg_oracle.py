@@ -1056,3 +1056,21 @@ def kg_surface_variety_sql(transcripts_glob: str) -> str:
         SELECT k AS n_surfaces, count(*)::BIGINT AS n_entities
         FROM per GROUP BY 1 ORDER BY n_surfaces
     """
+
+
+def kg_mention_density_hist_sql(transcripts_glob: str) -> str:
+    """Mentions-per-turn histogram incl. zero-mention turns."""
+    return f"""
+        WITH RECURSIVE {_mentions_cte(transcripts_glob)},
+        per AS (SELECT conv_id, turn_idx, count(*)::BIGINT AS k
+                FROM kept GROUP BY 1, 2),
+        uni AS (SELECT t.conv_id, t.turn_idx, coalesce(per.k, 0) AS k
+                FROM read_parquet('{transcripts_glob}') t
+                LEFT JOIN per ON per.conv_id = t.conv_id
+                            AND per.turn_idx = t.turn_idx),
+        h AS (SELECT k, count(*)::BIGINT AS n FROM uni GROUP BY 1),
+        t2 AS (SELECT sum(n)::BIGINT AS tot FROM h)
+        SELECT k AS n_mentions, n AS n_turns,
+               round(n / CAST((SELECT tot FROM t2) AS DOUBLE), 6) AS share
+        FROM h ORDER BY n_mentions
+    """

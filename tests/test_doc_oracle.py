@@ -7133,3 +7133,21 @@ def test_round4_batch94_queries_match_oracles_and_conserve():
     tp = tp.to_pandas() if hasattr(tp, "to_pandas") else tp
     assert abs(tp["share"].sum() - 1.0) < 1e-4
     assert set(tp["role"]) == {"user", "assistant", "tool"}
+
+
+def test_round4_batch95_mention_density_conserves_turns():
+    """Density histogram conserves the transcript-turn universe and
+    its weighted sum equals the mentions table size."""
+    import __ray_entry__ as e
+    from neuroner_ray.sources.parquet import read_parquet_clean
+    from neuroner_ray.sources.synth_transcripts import transcripts_dir_for
+
+    h = e.queries()["kg_mention_density_hist"](SF)
+    h = h.to_pandas() if hasattr(h, "to_pandas") else h
+    total_turns = read_parquet_clean(
+        transcripts_dir_for(SF), columns=["conv_id"]
+    ).count()
+    assert h["n_turns"].sum() == total_turns
+    m = e.queries()["kg_mentions"](SF)
+    n_mentions = m.count() if hasattr(m, "count") else len(m)
+    assert (h["n_mentions"] * h["n_turns"]).sum() == n_mentions
