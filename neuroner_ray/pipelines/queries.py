@@ -22986,9 +22986,13 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
     = Σ rev_c² / (Σ rev_c)² — the algebraic form that keeps EVERYTHING
     integer until ONE final division per nation (the NOTES
     single-division convention; no order-dependent float sum of
-    shares). Two-level reduce: per-customer revenue groupby
-    (broadcast-joined to nation), then nation-level Σrev / Σrev²
-    partials."""
+    shares). Two-level reduce, fully distributed (ADVICE r4): the
+    customer→nation mapping rides the SAME customer-key shuffle as the
+    revenue partials — side-tagged union of order partials (c, rev,
+    n_orders, nk=-1) with customer rows (c, 0, 0, nk), ONE
+    groupby(c).aggregate(Sum rev, Sum n_orders, Max nk) — so no
+    O(|customer|) driver dict; only the 25-row nation-name lookup and
+    the nation-level Σrev/Σrev² census live on the driver."""
     orders = read_parquet_clean(
         _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
@@ -23005,20 +23009,11 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
             ("hhi", pa.float64()),
         ]
     )
-    cn: dict = {}
-    for b in cust.iter_batches(batch_format="pyarrow"):
-        cn.update(
-            zip(
-                b["c_custkey"].to_pylist(),
-                b["c_nationkey"].to_pylist(),
-            )
-        )
     nn: dict = {}
     for b in nation.iter_batches(batch_format="pyarrow"):
         nn.update(zip(b["n_nationkey"].to_pylist(), b["n_name"].to_pylist()))
-    if not cn or not nn:
+    if not nn or cust.count() == 0:
         return schema.empty_table()
-    cn_ref = ray.put(cn)
 
     def rev_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -23026,6 +23021,8 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
                 {
                     "c": pa.array([], pa.int64()),
                     "rev": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "nk": pa.array([], pa.int64()),
                 }
             )
         dollars = round_half_away(
@@ -23039,6 +23036,7 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
                     .to_numpy(zero_copy_only=False)
                     .astype(np.int64),
                     "rev": dollars,
+                    "n_orders": 1,
                 }
             )
             .groupby("c", sort=False)
@@ -23049,13 +23047,42 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
             {
                 "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
                 "rev": pa.array(df["rev"].to_numpy(np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    df["n_orders"].to_numpy(np.int64), pa.int64()
+                ),
+                # -1 = "nation unknown on this side"; Max picks the real
+                # nationkey contributed by the customer-side rows
+                "nk": pa.array(
+                    np.full(len(df), -1, dtype=np.int64), pa.int64()
+                ),
             }
         )
 
+    def cust_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "c": t["c_custkey"].cast(pa.int64()),
+                "rev": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    np.zeros(n, dtype=np.int64), pa.int64()
+                ),
+                "nk": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    # side-tagged union: the nation mapping rides the same customer-key
+    # shuffle as the revenue partials (documented Ray-2.49 join-averse
+    # cogroup shape, cf. orders_fulfillment_lag)
     per_cust = (
         orders.map_batches(rev_partial, batch_format="pyarrow")
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
         .groupby("c")
-        .aggregate(Sum("rev", alias_name="rev"))
+        .aggregate(
+            Sum("rev", alias_name="rev"),
+            Sum("n_orders", alias_name="n_orders"),
+            Max("nk", alias_name="nk"),
+        )
     )
 
     def nation_partial(t: pa.Table) -> pa.Table:
@@ -23068,10 +23095,23 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
                     "ss": pa.array([], pa.int64()),
                 }
             )
-        lookup = ray.get(cn_ref)
-        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        no = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
         rev = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nk = np.asarray([lookup.get(int(k), -1) for k in c], dtype=np.int64)
+        # oracle counts customers WITH ≥1 order that exist in customer
+        # (nk ≥ 0); order-only keys (dangling FK) drop like the old
+        # lookup-miss path did
+        keep = (no > 0) & (nk >= 0)
+        if not keep.any():
+            return pa.table(
+                {
+                    "nk": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        nk, rev = nk[keep], rev[keep]
         df = (
             pd.DataFrame({"nk": nk, "nc": 1, "s": rev, "ss": rev * rev})
             .groupby("nk", sort=False)
@@ -25882,8 +25922,9 @@ def corpus_bursty_terms_top20(sf_dir: str) -> pa.Table:
     plain frequency both miss. One pass emits (token, cf, df) partials
     (cf = occurrences, df = containing docs); top 20 by
     (cf/df DESC, token ASC) among tokens with df ≥ 5 — exact ints until
-    the one 6-dp ratio; ties broken on the exact integer cross product
-    cf_i·df_j (no float compare)."""
+    the one 6-dp ratio; the order key is the exact rational cf/df
+    (Fraction sort, no float compare; the oracle mirrors it with an
+    exact fixed-point HUGEINT key scaled by max(df)²)."""
     docs = read_parquet_clean(_p(sf_dir, "documents"), columns=["text"])
     schema = pa.schema(
         [

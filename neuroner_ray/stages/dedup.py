@@ -618,7 +618,7 @@ def containment_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
 ) -> Dataset:
-    """Asymmetric near-dup detection: ORDERED pairs (a, b) with shingle
+    r"""Asymmetric near-dup detection: ORDERED pairs (a, b) with shingle
     CONTAINMENT |S(a) ∩ S(b)| / |S(a)| ≥ threshold — "a is (mostly)
     contained in b", the subset/quotation case Jaccard misses when the
     container is much larger.
@@ -1001,7 +1001,7 @@ def minhash_estimate_audit(
     bands: int = 16,
     shingle_k: int = 3,
     cap: int = 500,
-) -> Dataset:
+) -> "Dataset | pa.Table":
     """SKETCH-ACCURACY AUDIT for the MinHash family: for every LSH band
     candidate pair, the signature-estimated Jaccard (fraction of equal
     minhash slots — what ``minhash_lsh_dedup`` thresholds on) next to the
@@ -1018,6 +1018,18 @@ def minhash_estimate_audit(
     rows (one int — never the signatures) into the exact verify, which is
     size-adaptive (broadcast shingle dict under
     ``NGRAM_BROADCAST_MAX_PAIRS``, distributed hash-join above it).
+
+    RETURN CONTRACT (union type, deliberate — ADVICE r4): a ``Dataset``
+    of audit rows normally, but the typed ``pa.Table``
+    ``_AUDIT_SCHEMA.empty_table()`` when NO candidate pair exists — an
+    empty Dataset built via ``rd.from_arrow(typed_empty)`` LOSES its
+    schema at ``to_pandas()`` (NOTES.md empty-stream rule), which would
+    break the driver's schema compare on a legitimately-empty result.
+    A driver-side collect instead would break the scale shape (the
+    audit is candidate-pair-sized, not driver-sized). Callers must
+    branch on ``isinstance(result, pa.Table)`` — both registry
+    consumers (``queries.doc_minhash_estimate_audit``,
+    ``queries.corpus_dedup_threshold_curve``) do.
     """
 
     def sig_rows(batch: pa.Table) -> pa.Table:
