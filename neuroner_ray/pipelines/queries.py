@@ -7605,14 +7605,23 @@ def orders_top20_diversified(sf_dir: str) -> Dataset:
     per_cust = topk_merge(
         2, "o_totalprice", ["o_orderkey"], group_cols=["o_custkey"]
     )
+    global_cut = topk_merge(20, "o_totalprice", ["o_orderkey"])
+
+    # round-5 audit fix: the per-customer cap alone left ≤ 2·|customers|
+    # rows in tree_combine's final task (customer-scaled). Composing the
+    # global top-20 cut into EVERY tree level is lossless: after the
+    # per-customer cap each customer holds ≤ 2 rows, so the diversified
+    # answer is exactly the top 20 rows of the capped set — and a row's
+    # rank in any capped SUBSET is ≤ its rank in the capped union, so
+    # surviving each intermediate top-20 cut is guaranteed for every row
+    # of the true answer. Final-task rows: ≤ 20, scale-free.
+    def quota_merge(t: pa.Table) -> pa.Table:
+        return global_cut(per_cust(t))
+
     survivors = tree_combine(
-        orders.map_batches(per_cust, batch_format="pyarrow"), per_cust
+        orders.map_batches(quota_merge, batch_format="pyarrow"), quota_merge
     )
     return survivors.map_batches(
-        topk_merge(20, "o_totalprice", ["o_orderkey"]),
-        batch_size=None,
-        batch_format="pyarrow",
-    ).map_batches(
         lambda t: t.select(["o_custkey", "o_orderkey", "o_totalprice"]),
         batch_format="pyarrow",
     )
@@ -12641,13 +12650,16 @@ def part_supplier_cnt_q16(sf_dir: str) -> Dataset:
     (gid, suppkey) pairs map-side, ONE int-key gid shuffle groups them,
     and the per-group distinct-supplier count is one np.unique sweep;
     the result is attr-combo-bounded."""
+    # round-5 audit: predicate pushdown — only surviving part rows reach
+    # the driver-side broadcast map build
     part = pq.read_table(
         _p(sf_dir, "part"),
         columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filters=[
+            ("p_brand", "!=", "Brand#13"),
+            ("p_size", "in", list(Q16_SIZES)),
+        ],
     ).to_pandas()
-    part = part[
-        (part["p_brand"] != "Brand#13") & part["p_size"].isin(Q16_SIZES)
-    ]
     empty = pa.table(
         {
             "p_brand": pa.array([], pa.string()),
@@ -14640,17 +14652,19 @@ def doc_dedup_keep_longest(sf_dir: str) -> Dataset:
     ).select_columns(["node"])
     cc = connected_components(pairs, nodes)
 
-    # member → n_chars via one corpus pass against the broadcast member set
-    members = set()
+    # member → n_chars via one corpus pass against the broadcast member
+    # set (candidate-bounded: members = nodes of the capped LSH pair
+    # stage, not the corpus). Sorted-array + np.isin, no per-row Python.
+    members: set = set()
     for t in nodes.iter_batches(batch_size=None, batch_format="pyarrow"):
         members.update(int(v) for v in t["node"].to_pylist())
-    mref = ray.put(frozenset(members))
+    mref = ray.put(np.array(sorted(members), dtype=np.int64))
 
     def member_chars(t: pa.Table, mref=mref) -> pa.Table:
         ms = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         nc = t["n_chars"].to_numpy(zero_copy_only=False)
-        keep = np.array([int(i) in ms for i in ids], bool)
+        keep = np.isin(ids, ms)
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
@@ -15359,13 +15373,14 @@ def part_mincost_supplier_q2(sf_dir: str) -> pa.Table:
     the argmin per part (tie-break suppkey) and the final total-order
     sort happen on the candidate-sized result. Completes the TPC-H suite
     alongside Q1/Q3-Q19/Q21/Q22."""
+    # round-5 audit: predicate pushdown on the dimension reads — only
+    # the SURVIVING part/supplier rows ever reach the driver (the
+    # broadcast stays filtered-dimension-sized even when the raw
+    # dimension tables grow with SF)
     part = pq.read_table(
-        _p(sf_dir, "part"), columns=["p_partkey", "p_name", "p_size", "p_type"]
-    ).to_pandas()
-    part = part[(part["p_size"] == Q2_SIZE) & (part["p_type"] == Q2_TYPE)]
-    sup = pq.read_table(
-        _p(sf_dir, "supplier"),
-        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_size", "p_type"],
+        filters=[("p_size", "==", Q2_SIZE), ("p_type", "==", Q2_TYPE)],
     ).to_pandas()
     nat = pq.read_table(
         _p(sf_dir, "nation"),
@@ -15378,6 +15393,11 @@ def part_mincost_supplier_q2(sf_dir: str) -> pa.Table:
         reg[reg["r_name"] == Q2_REGION], left_on="n_regionkey",
         right_on="r_regionkey",
     )
+    sup = pq.read_table(
+        _p(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        filters=[("s_nationkey", "in", nat["n_nationkey"].tolist() or [-1])],
+    ).to_pandas()
     sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
     empty = pa.table(
         {
@@ -15516,21 +15536,32 @@ def supplier_promo_stock_q20(sf_dir: str) -> pa.Table:
     qualifying suppkey set falls out of the tree-combined census, and the
     nation-filtered supplier table (dimension-sized) is semi-joined on
     the driver. Output ordered by s_name (unique in TPC-H)."""
-    part = pq.read_table(
-        _p(sf_dir, "part"), columns=["p_partkey", "p_name"]
-    ).to_pandas()
-    part = part[part["p_name"].str.startswith(Q20_NAME_PREFIX)]
-    sup = pq.read_table(
-        _p(sf_dir, "supplier"),
-        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
-    ).to_pandas()
+    # round-5 audit: predicate pushdown — the prefix filter runs inside
+    # the scan (pyarrow dataset compute expression), so only surviving
+    # part rows ever materialize driver-side; supplier is pre-pruned to
+    # the target nation's key at the read
+    import pyarrow.dataset as pads
+
+    part = (
+        pads.dataset(_p(sf_dir, "part"), format="parquet")
+        .to_table(
+            columns=["p_partkey", "p_name"],
+            filter=pc.starts_with(
+                pads.field("p_name"), pattern=Q20_NAME_PREFIX
+            ),
+        )
+        .to_pandas()
+    )
     nat = pq.read_table(
         _p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    sup = sup.merge(
-        nat[nat["n_name"] == Q20_NATION],
-        left_on="s_nationkey", right_on="n_nationkey",
-    )
+    nat = nat[nat["n_name"] == Q20_NATION]
+    sup = pq.read_table(
+        _p(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        filters=[("s_nationkey", "in", nat["n_nationkey"].tolist() or [-1])],
+    ).to_pandas()
+    sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
     empty = pa.table(
         {
             "s_name": pa.array([], pa.string()),
@@ -16516,9 +16547,15 @@ def events_user_rrf_top20(sf_dir: str) -> pa.Table:
                 }
             )
 
-        merge = group_sum_merge(("user_id",), ("m",))
-        census = tree_combine(
-            arm.map_batches(partial, batch_format="pyarrow"), merge
+        # user_id is corpus-scaled, NOT an enumerable tree_combine
+        # domain (round-5 audit fix: this census previously rode
+        # tree_combine's single final task) — the per-user sum is ONE
+        # user-key Ray groupby, as the docstring always promised; only
+        # the associative top-100 cut tree-combines.
+        census = (
+            arm.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("m", alias_name="m"))
         )
         top = tree_combine(
             census, topk_merge(RRF_CANDIDATES, "m", ["user_id"])
@@ -17276,9 +17313,12 @@ def events_type_venn3(sf_dir: str) -> pa.Table:
     the pairwise set ops (events_click_purchase_setops) can't express:
     users bucketed by WHICH of {view, click, purchase} they ever did
     (7 non-empty cells). Map-side per-user OR partials (one bitmask row
-    per user per batch), an associative bit-OR tree combine... expressed
-    as Max per bit via ONE user-key groupby of 3 indicator columns, then
-    a 7-row census. Exact ints."""
+    per user per batch), bit-OR merged as Max per bit via ONE user-key
+    Ray groupby (user_id is NOT an enumerable key domain, so the
+    user-flag table stays distributed — round-5 audit fix: it previously
+    rode ``tree_combine``'s single final task and was pulled whole to
+    the driver), then a map-side 8-cell census + ``tree_combine`` — only
+    the ≤7-row Venn census reaches the driver. Exact ints."""
     ev = read_parquet_clean(
         _p(sf_dir, "events"), columns=["user_id", "event_type"]
     ).map_batches(
@@ -17321,52 +17361,67 @@ def events_type_venn3(sf_dir: str) -> pa.Table:
             g, preserve_index=False
         ).replace_schema_metadata(None)
 
-    from ..runtime.combine import group_agg_merge
-
-    merge = group_agg_merge(
-        ("user_id",), maxs=("has_view", "has_click", "has_purchase")
+    flags = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("has_view", alias_name="has_view"),
+            Max("has_click", alias_name="has_click"),
+            Max("has_purchase", alias_name="has_purchase"),
+        )
     )
-    flags = tree_combine(
-        ev.map_batches(partial, batch_format="pyarrow"), merge
-    )
 
-    def finish(t: pa.Table) -> pa.Table:
+    def cell_census(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "has_view" not in t.schema.names:
-            return schema.empty_table()
+            return pa.table(
+                {
+                    "has_view": pa.array([], pa.int64()),
+                    "has_click": pa.array([], pa.int64()),
+                    "has_purchase": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
         df = (
-            t.to_pandas()
+            t.select(["has_view", "has_click", "has_purchase"])
+            .to_pandas()
+            .astype(np.int64)
             .groupby(["has_view", "has_click", "has_purchase"], sort=True)
             .size()
             .reset_index(name="n_users")
         )
-        return pa.table(
-            {
-                "has_view": pa.array(
-                    df["has_view"].to_numpy(np.int64), pa.int64()
-                ),
-                "has_click": pa.array(
-                    df["has_click"].to_numpy(np.int64), pa.int64()
-                ),
-                "has_purchase": pa.array(
-                    df["has_purchase"].to_numpy(np.int64), pa.int64()
-                ),
-                "n_users": pa.array(
-                    df["n_users"].to_numpy(np.int64), pa.int64()
-                ),
-            },
-            schema=schema,
-        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
-    return finish(
-        pa.concat_tables(
-            [schema.empty_table().drop_columns(["n_users"]).add_column(
-                0, "user_id", pa.array([], pa.int64())
-            )]
-            + list(
-                flags.iter_batches(batch_size=None, batch_format="pyarrow")
+    cen = pa.concat_tables(
+        [schema.empty_table()]
+        + list(
+            tree_combine(
+                flags.map_batches(cell_census, batch_format="pyarrow"),
+                group_sum_merge(
+                    ("has_view", "has_click", "has_purchase"), ("n_users",)
+                ),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    if cen.num_rows == 0:
+        return schema.empty_table()
+    df = cen.to_pandas().sort_values(
+        ["has_view", "has_click", "has_purchase"]
+    )
+    return pa.table(
+        {
+            "has_view": pa.array(df["has_view"].to_numpy(np.int64), pa.int64()),
+            "has_click": pa.array(
+                df["has_click"].to_numpy(np.int64), pa.int64()
             ),
-            promote_options="default",
-        )
+            "has_purchase": pa.array(
+                df["has_purchase"].to_numpy(np.int64), pa.int64()
+            ),
+            "n_users": pa.array(df["n_users"].to_numpy(np.int64), pa.int64()),
+        },
+        schema=schema,
     )
 
 
@@ -18028,6 +18083,9 @@ def join_plan_advisor(sf_dir: str) -> pa.Table:
 # ------------------------------------------------- Spearman correlation
 
 
+SPEARMAN_CENSUS_MAX = 2_000_000  # joint (nc, sp) census driver cap
+
+
 def events_user_spearman(sf_dir: str) -> pa.Table:
     """SPEARMAN RANK CORRELATION with midrank ties (the rank-correlation
     class next to Pearson xcorr and the Mann-Whitney rank test): over
@@ -18036,8 +18094,13 @@ def events_user_spearman(sf_dir: str) -> pa.Table:
     invariant, so DOUBLED midranks (2·cum + m + 1 per tie group — always
     integers) replace fractional average ranks, and all five moments
     expand in exact ints (HUGEINT-mirrored) down to one sqrt-and-divide.
-    ONE user-key census; the rank structure comes from two value
-    censuses of it (O(distinct values) driver rows)."""
+    Scale shape (round-5 audit fix — previously the whole per-user
+    census was pulled to the driver): the per-user census is ONE
+    user-key Ray groupby, a second (nc, sp) groupby collapses it to the
+    JOINT value-pair census, and only that census (distinct-pair-
+    bounded, loudly capped at SPEARMAN_CENSUS_MAX) reaches the driver —
+    every moment is Σ count·f(midrank) over census cells, identical to
+    the per-user expansion."""
     ev = read_parquet_clean(
         _p(sf_dir, "events"),
         columns=["user_id", "event_type", "value"],
@@ -18070,36 +18133,85 @@ def events_user_spearman(sf_dir: str) -> pa.Table:
             }
         )
 
-    cen = tree_combine(
-        ev.map_batches(partial, batch_format="pyarrow"),
-        group_sum_merge(("user_id",), ("nc", "sp")),
-    ).to_pandas()
-    if cen.empty:
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("nc", alias_name="nc"), Sum("sp", alias_name="sp"))
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "nc" not in t.schema.names:
+            return pa.table(
+                {
+                    "nc": pa.array([], pa.int64()),
+                    "sp": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        nc = t["nc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = t["sp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (nc > 0) & (sp > 0)
+        df = (
+            pd.DataFrame({"nc": nc[keep], "sp": sp[keep], "cnt": 1})
+            .groupby(["nc", "sp"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    pair_cen_ds = (
+        per_user.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["nc", "sp"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    n_cells = pair_cen_ds.count()
+    if n_cells == 0:
         return schema.empty_table()
-    both = cen[(cen["nc"] > 0) & (cen["sp"] > 0)]
-    n = len(both)
+    if n_cells > SPEARMAN_CENSUS_MAX:
+        raise ValueError(
+            "events_user_spearman: joint (click-count, spend) census has "
+            f"{n_cells} cells > SPEARMAN_CENSUS_MAX={SPEARMAN_CENSUS_MAX} "
+            "— band the spend values (e.g. cents → dollars) before the "
+            "pair census to bound the driver pull at this data scale"
+        )
+    cen = pair_cen_ds.to_pandas()
+    n = int(cen["cnt"].sum())
     if n < 2:
         return schema.empty_table()
 
-    def doubled_midranks(vals: np.ndarray) -> np.ndarray:
-        # 2·rank_avg per value: 2·cum_before + multiplicity + 1
+    def doubled_midranks_census(
+        vals: np.ndarray, counts: np.ndarray
+    ) -> dict[int, int]:
+        # 2·rank_avg per VALUE from its census: 2·cum_before + mult + 1
         order = np.argsort(vals, kind="mergesort")
-        sv = vals[order]
-        uniq, start, counts = np.unique(
-            sv, return_index=True, return_counts=True
-        )
-        dr_per_value = 2 * start + counts + 1  # start == cum_before
-        out = np.empty(len(vals), np.int64)
-        out[order] = np.repeat(dr_per_value, counts)
-        return out
+        sv, sc = vals[order], counts[order]
+        cum_before = np.concatenate([[0], np.cumsum(sc)[:-1]])
+        return {
+            int(v): int(2 * cb + m + 1)
+            for v, cb, m in zip(sv, cum_before, sc)
+        }
 
-    rx = doubled_midranks(both["nc"].to_numpy(np.int64))
-    ry = doubled_midranks(both["sp"].to_numpy(np.int64))
-    sx = int(rx.sum())
-    sy = int(ry.sum())
-    sxx = sum(int(v) * int(v) for v in rx)
-    syy = sum(int(v) * int(v) for v in ry)
-    sxy = sum(int(a) * int(b) for a, b in zip(rx, ry))
+    xcen = cen.groupby("nc")["cnt"].sum()
+    ycen = cen.groupby("sp")["cnt"].sum()
+    drx = doubled_midranks_census(
+        xcen.index.to_numpy(np.int64), xcen.to_numpy(np.int64)
+    )
+    dry = doubled_midranks_census(
+        ycen.index.to_numpy(np.int64), ycen.to_numpy(np.int64)
+    )
+    # exact-int moments over census cells (Python ints: Σc·dr² overflows
+    # int64 at scale) — identical to the per-user expansion
+    sx = sum(int(c) * drx[int(a)] for a, c in zip(xcen.index, xcen))
+    sy = sum(int(c) * dry[int(b)] for b, c in zip(ycen.index, ycen))
+    sxx = sum(int(c) * drx[int(a)] ** 2 for a, c in zip(xcen.index, xcen))
+    syy = sum(int(c) * dry[int(b)] ** 2 for b, c in zip(ycen.index, ycen))
+    sxy = sum(
+        int(c) * drx[int(a)] * dry[int(b)]
+        for a, b, c in zip(cen["nc"], cen["sp"], cen["cnt"])
+    )
     dxx = n * sxx - sx * sx
     dyy = n * syy - sy * sy
     num = n * sxy - sx * sy
@@ -18241,9 +18353,13 @@ def events_user_cv_folds(sf_dir: str) -> pa.Table:
     """GROUP-AWARE CROSS-VALIDATION folds (the leakage-proof CV split —
     every event of a user lands in the SAME fold, the constraint plain
     row hashing violates): fold = md5_number_upper(user_id) % 5; report
-    per fold the user and event counts. Map-side (fold, users-as-dedup,
-    n_events) partials; the user count flows through a (fold, user)
-    dedup census — user-vocab-bounded."""
+    per fold the user and event counts. Map-side (user, n_events)
+    partials deduped by ONE user-key Ray groupby (users are
+    corpus-scaled, NOT an enumerable tree_combine domain — round-5
+    audit fix: the dedup census previously rode tree_combine's single
+    final task and was pulled whole to the driver), then a map-side
+    5-row fold census + ``tree_combine``; only the 5 fold rows reach
+    the driver."""
     ev = read_parquet_clean(_p(sf_dir, "events"), columns=["user_id"])
     schema = pa.schema(
         [
@@ -18256,6 +18372,30 @@ def events_user_cv_folds(sf_dir: str) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keys, counts = np.unique(uid, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(keys, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def fold_census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table(
+                {
+                    "fold": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nev = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
         folds = np.fromiter(
             (
                 int.from_bytes(
@@ -18263,34 +18403,40 @@ def events_user_cv_folds(sf_dir: str) -> pa.Table:
                     "little",
                 )
                 % CV_FOLDS
-                for u in keys
+                for u in uid
             ),
             np.int64,
-            keys.size,
+            uid.size,
         )
-        return pa.table(
-            {
-                "fold": pa.array(folds, pa.int64()),
-                "user_id": pa.array(keys, pa.int64()),
-                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
-            }
+        df = (
+            pd.DataFrame({"fold": folds, "n_users": 1, "n_events": nev})
+            .groupby("fold", sort=True)
+            .sum()
+            .reset_index()
         )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
-    merge = group_sum_merge(("fold", "user_id"), ("n_events",))
-    peruser = tree_combine(
-        ev.map_batches(partial, batch_format="pyarrow"), merge
-    ).to_pandas()
-    if peruser.empty:
-        return schema.empty_table()
-    g = peruser.groupby("fold").agg(
-        n_users=("user_id", "size"), n_events=("n_events", "sum")
+    cen = pa.concat_tables(
+        [schema.empty_table()]
+        + list(
+            tree_combine(
+                per_user.map_batches(fold_census, batch_format="pyarrow"),
+                group_sum_merge(("fold",), ("n_users", "n_events")),
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        promote_options="default",
     )
+    if cen.num_rows == 0:
+        return schema.empty_table()
+    df = cen.to_pandas().sort_values("fold")
     return pa.table(
         {
-            "fold": pa.array(g.index.to_numpy(np.int64), pa.int64()),
-            "n_users": pa.array(g["n_users"].to_numpy(np.int64), pa.int64()),
+            "fold": pa.array(df["fold"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(df["n_users"].to_numpy(np.int64), pa.int64()),
             "n_events": pa.array(
-                g["n_events"].to_numpy(np.int64), pa.int64()
+                df["n_events"].to_numpy(np.int64), pa.int64()
             ),
         },
         schema=schema,
@@ -18886,9 +19032,15 @@ def events_user_hill_terms(sf_dir: str) -> pa.Table:
             }
         )
 
-    census = tree_combine(
-        ev.map_batches(partial, batch_format="pyarrow"),
-        group_sum_merge(("user_id",), ("m",)),
+    # user_id is corpus-scaled, NOT an enumerable tree_combine domain
+    # (round-5 audit fix: the census previously rode tree_combine's
+    # single final task) — the per-user sum is ONE user-key Ray groupby,
+    # as the docstring always promised; only the associative top-(k+1)
+    # cut tree-combines.
+    census = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("m", alias_name="m"))
     )
     top = pa.concat_tables(
         [
@@ -20214,10 +20366,11 @@ def embedding_mutual_nn(sf_dir: str, n_chunks: int = MNN_CHUNKS) -> pa.Table:
     broadcast: every vector replicates to the ``n_chunks`` chunk-pair
     keys its id-hash chunk participates in (the hub-chunking shape), one
     task per chunk pair computes the (N/B)²-bounded cross matmul and
-    emits per-id LOCAL top-1 rows, and the associative
-    (cos DESC, id ASC) ``topk_merge`` produces each id's GLOBAL top-1 —
-    replication ×B through one shuffle instead of an N×N broadcast. The
-    mutual check is one more (lo, hi) pair-key groupby. Scores are
+    emits per-id LOCAL top-1 rows; each id's GLOBAL top-1 is one
+    vec-key groupby over its ≤ B local rows (same (cos DESC, id ASC)
+    total order) — replication ×B through shuffles instead of an N×N
+    broadcast. The mutual check is one more (lo, hi) pair-key groupby;
+    the pair output stays a Dataset with a distributed sort. Scores are
     rounded to 6 dp BEFORE every cut (the similarity-family parity
     convention vs ``list_cosine_similarity``)."""
     emb = read_parquet_clean(
@@ -20230,6 +20383,8 @@ def embedding_mutual_nn(sf_dir: str, n_chunks: int = MNN_CHUNKS) -> pa.Table:
             ("cos", pa.float64()),
         ]
     )
+    if emb.count() < 2:
+        return schema.empty_table()
 
     def replicate(t: pa.Table, B=n_chunks) -> pa.Table:
         if t.num_rows == 0:
@@ -20326,8 +20481,20 @@ def embedding_mutual_nn(sf_dir: str, n_chunks: int = MNN_CHUNKS) -> pa.Table:
         .groupby("pair")
         .map_groups(local_top1, batch_format="pandas")
     )
-    nn = tree_combine(
-        locals_, topk_merge(1, "cos", ["nn_id"], group_cols=["vec_id"])
+
+    # global top-1 per vec_id: vec_id is corpus-scaled (NOT an
+    # enumerable tree_combine domain — round-5 audit fix: this merge
+    # previously rode tree_combine's single final task), so the
+    # ≤ n_chunks local-top-1 rows per id merge in ONE vec-key Ray
+    # groupby, same (cos DESC, nn_id ASC) total order as topk_merge.
+    def global_top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos", "nn_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(1)[["vec_id", "nn_id", "cos"]]
+
+    nn = locals_.groupby("vec_id").map_groups(
+        global_top1, batch_format="pandas"
     )
 
     def pair_key(t: pa.Table) -> pa.Table:
@@ -20368,14 +20535,15 @@ def embedding_mutual_nn(sf_dir: str, n_chunks: int = MNN_CHUNKS) -> pa.Table:
             }
         ).cast(schema)
 
-    seed = schema.empty_table()
-    parts = [
-        finish(b)
-        for b in pairs.iter_batches(batch_format="pyarrow")
-        if b.num_rows > 0
-    ]
-    out = pa.concat_tables([seed] + parts)
-    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    # output is O(#mutual pairs) — corpus-scaled, so it stays a Dataset
+    # with a distributed sort (round-5 audit fix: previously a driver
+    # concat + driver sort). N ≥ 2 guarantees ≥ 1 mutual pair (the
+    # globally-closest pair is always reciprocal under a deterministic
+    # tie-break), so the sorted stream can only be schema-less when the
+    # input itself had < 2 vectors — short-circuited above.
+    return pairs.map_batches(finish, batch_format="pyarrow").sort(
+        ["id_a", "id_b"]
+    )
 
 
 # --------------------------------------- point-in-time feature backfill
@@ -21116,19 +21284,32 @@ def embedding_hard_negatives(
         .groupby("pair")
         .map_groups(local_top1, batch_format="pandas")
     )
-    nn = tree_combine(
-        locals_, topk_merge(1, "cos", ["neg_id"], group_cols=["vec_id"])
+    # global top-1 per vec_id: vec_id is corpus-scaled (NOT an enumerable
+    # tree_combine domain — round-5 audit fix, same shape as
+    # embedding_mutual_nn): merge the ≤ n_chunks local rows per id in ONE
+    # vec-key groupby, then keep the output a Dataset with a distributed
+    # sort (it is O(N) rows). Object-store materialize (not driver) so
+    # the all-filtered empty case (single-label corpus) can fall back to
+    # the typed empty table instead of a schema-less stream.
+    def global_top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos", "neg_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(1)[["vec_id", "neg_id", "cos"]]
+
+    nn = (
+        locals_.groupby("vec_id")
+        .map_groups(global_top1, batch_format="pandas")
+        .materialize()
     )
-    seed = schema.empty_table()
-    parts = [
-        pa.table(
+    if nn.count() == 0:
+        return schema.empty_table()
+    return nn.map_batches(
+        lambda b: pa.table(
             {"vec_id": b["vec_id"], "neg_id": b["neg_id"], "cos": b["cos"]}
-        ).cast(schema)
-        for b in nn.iter_batches(batch_format="pyarrow")
-        if b.num_rows > 0
-    ]
-    out = pa.concat_tables([seed] + parts)
-    return out.sort_by([("vec_id", "ascending")])
+        ).cast(schema),
+        batch_format="pyarrow",
+    ).sort(["vec_id"])
 
 
 # ------------------------------------------------- MMR diverse retrieval
@@ -21236,12 +21417,12 @@ def embedding_mmr_topk(
         return schema.empty_table()
     cand_ids = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     rels = cand["rel"].to_numpy(zero_copy_only=False).astype(np.float64)
-    idset_ref = ray.put(frozenset(int(i) for i in cand_ids))
+    idset_ref = ray.put(np.unique(cand_ids))
 
     def gather(t: pa.Table) -> pa.Table:
         members = ray.get(idset_ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.array([int(i) in members for i in ids], dtype=bool)
+        keep = np.isin(ids, members)
         if not keep.any():
             return pa.table(
                 {
