@@ -3987,16 +3987,20 @@ def _ktruss_sharded(
         return rd.from_arrow(empty)
     for _ in range(rounds):
         sup = _edge_support_sharded(cur, num_buckets)
-        cur = (
-            sup.filter(lambda r, k=k: r["sup"] >= k - 2)
-            .select_columns(["a", "b"])
-            # pin the loop state to Arrow blocks and coalesce away the
-            # zero-row pandas blocks that bypass map fns (NOTES.md) —
-            # the next round's Aggregate rejects mixed block streams
-            .map_batches(
-                lambda t: pa.table({"a": t["a"], "b": t["b"]}),
-                batch_format="pyarrow",
+
+        # vectorized Arrow support filter (a row-wise filter(lambda) here
+        # was per-row Python in the peel loop's hot path); the same pass
+        # pins the loop state to Arrow blocks, and the repartition
+        # coalesces away the zero-row blocks that bypass map fns
+        # (NOTES.md) — the next round's Aggregate rejects mixed streams
+        def keep_supported(t: pa.Table, k=k) -> pa.Table:
+            kept = t.filter(
+                pa.compute.greater_equal(t["sup"], pa.scalar(k - 2))
             )
+            return pa.table({"a": kept["a"], "b": kept["b"]})
+
+        cur = (
+            sup.map_batches(keep_supported, batch_format="pyarrow")
             .repartition(target_num_rows_per_block=65536)
             .materialize()
         )
