@@ -16508,58 +16508,77 @@ def events_user_rrf_top20(sf_dir: str) -> pa.Table:
     click count and by purchase spend fuse via Σ 1/(60 + rank), summed
     over the arms the user appears in, evaluated over each arm's top-100
     candidate list (the standard candidate-list formulation — out-of-list
-    arms contribute 0 on both sides). Scale shape: per-arm user censuses
-    via ONE user-key groupby each, the top-100 cuts are the associative
-    (metric DESC, user ASC) topk_merge — never a global sort; the fuse
-    runs on ≤200 driver rows. Double parity: both sides add the click arm
-    then the purchase arm of the identical 1/(60+r) doubles, cut by
+    arms contribute 0 on both sides). Scale shape: BOTH arm censuses
+    ride ONE fused user-key groupby (user_id is corpus-scaled, NOT an
+    enumerable tree_combine domain — round-5 audit; the fused shuffle
+    also halves the event reads vs one groupby per arm), each arm's
+    top-100 cut is the associative (metric DESC, user ASC) topk_merge
+    over the shared census — never a global sort; the fuse runs on ≤200
+    driver rows. Double parity: both sides add the click arm then the
+    purchase arm of the identical 1/(60+r) doubles, cut by
     (rrf DESC, user ASC) BEFORE the 6-dp output round."""
     ev = read_parquet_clean(
         _p(sf_dir, "events"),
         columns=["user_id", "event_type", "value"],
     )
 
-    def arm_census(etype: str, metric_fn) -> pd.DataFrame:
-        arm = ev.map_batches(
-            lambda t, etype=etype: t.filter(
-                pc.equal(t["event_type"], etype)
-            ),
-            batch_format="pyarrow",
-        )
-
-        def partial(t: pa.Table, metric_fn=metric_fn) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table(
-                    {
-                        "user_id": pa.array([], pa.int64()),
-                        "m": pa.array([], pa.int64()),
-                    }
-                )
-            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            vals = metric_fn(t)
-            keys, inv = np.unique(uid, return_inverse=True)
-            sums = np.zeros(keys.size, np.int64)
-            np.add.at(sums, inv, vals)
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.table(
                 {
-                    "user_id": pa.array(keys, pa.int64()),
-                    "m": pa.array(sums, pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "mc": pa.array([], pa.int64()),
+                    "mp": pa.array([], pa.int64()),
                 }
             )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        is_c = (types == "click").astype(np.int64)
+        is_p = (types == "purchase").astype(np.int64)
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        keys, inv = np.unique(uid, return_inverse=True)
+        mc = np.zeros(keys.size, np.int64)
+        mp = np.zeros(keys.size, np.int64)
+        np_ = np.zeros(keys.size, np.int64)
+        np.add.at(mc, inv, is_c)
+        np.add.at(mp, inv, is_p * cents)
+        np.add.at(np_, inv, is_p)
+        keep = (mc > 0) | (np_ > 0)
+        return pa.table(
+            {
+                "user_id": pa.array(keys[keep], pa.int64()),
+                "mc": pa.array(mc[keep], pa.int64()),
+                "mp": pa.array(mp[keep], pa.int64()),
+                "np": pa.array(np_[keep], pa.int64()),
+            }
+        )
 
-        # user_id is corpus-scaled, NOT an enumerable tree_combine
-        # domain (round-5 audit fix: this census previously rode
-        # tree_combine's single final task) — the per-user sum is ONE
-        # user-key Ray groupby, as the docstring always promised; only
-        # the associative top-100 cut tree-combines.
-        census = (
-            arm.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id")
-            .aggregate(Sum("m", alias_name="m"))
+    census = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("mc", alias_name="mc"),
+            Sum("mp", alias_name="mp"),
+            Sum("np", alias_name="np"),
         )
-        top = tree_combine(
-            census, topk_merge(RRF_CANDIDATES, "m", ["user_id"])
+        .materialize()  # census-sized, object store — reused by both cuts
+    )
+
+    def arm_top(member_col: str, col: str) -> pd.DataFrame:
+        # arm membership = "has ≥1 such EVENT" (the oracle's GROUP BY
+        # row-existence rule) — tested on the COUNT column, never the
+        # metric, so a user whose spend cents sum to ≤ 0 still ranks
+        sel = census.map_batches(
+            lambda t, member_col=member_col, col=col: (
+                lambda kept: pa.table(
+                    {"user_id": kept["user_id"], "m": kept[col]}
+                )
+            )(t.filter(pc.greater(t[member_col], pa.scalar(0)))),
+            batch_format="pyarrow",
         )
+        top = tree_combine(sel, topk_merge(RRF_CANDIDATES, "m", ["user_id"]))
         return pa.concat_tables(
             [
                 pa.table(
@@ -16573,13 +16592,7 @@ def events_user_rrf_top20(sf_dir: str) -> pa.Table:
             promote_options="default",
         ).to_pandas()
 
-    clicks = arm_census("click", lambda t: np.ones(t.num_rows, np.int64))
-    purch = arm_census(
-        "purchase",
-        lambda t: round_half_away(
-            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64),
-    )
+    clicks, purch = arm_top("mc", "mc"), arm_top("np", "mp")
     schema = pa.schema([("user_id", pa.int64()), ("rrf", pa.float64())])
 
     def ranks(df: pd.DataFrame) -> dict[int, int]:
