@@ -295,14 +295,19 @@ def kg_surface_variety(sf_dir: str) -> Any:
     schema = pa.schema(
         [("n_surfaces", pa.int64()), ("n_entities", pa.int64())]
     )
-    counts = []
-    for b in nodes.iter_batches(batch_format="pyarrow"):
-        for s in b["surfaces"].to_pylist():
-            counts.append(len(s))
-    if not counts:
+    import pyarrow.compute as pc
+
+    parts = [
+        pc.list_value_length(b["surfaces"]).to_numpy(zero_copy_only=False)
+        for b in nodes.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
         return schema.empty_table()
+    import numpy as np
+
     hist = (
-        pd.Series(counts).value_counts().rename_axis("k")
+        pd.Series(np.concatenate(parts)).value_counts().rename_axis("k")
         .reset_index(name="n").sort_values("k")
     )
     return pa.table(
